@@ -1,0 +1,70 @@
+"""Test-fixture catalog: the TPC-H-ish star schema + LLM-pipeline tables.
+
+The driver harness generates deterministic Parquet fixtures under
+``/root/testdata/sf{0.001,0.01,0.1}/`` (see TESTDATA.md). This module is
+the single place that knows their names and how to load them; every query
+and test goes through it so the scan configuration (and any future
+partitioning/bucketing of large fixtures) is centralized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401 (used via F.expr)
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# harness generates. (customer/part/supplier grow with SF but stay
+# dimension-sized relative to lineitem; Catalyst + AQE decide for them.)
+SMALL_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar Parquet scan (SURVEY A9): Catalyst prunes columns and
+    pushes predicates into the scan; nothing is materialized here.
+
+    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark rejects
+    by default; read it as a long (legacy conf) and truncate to micros —
+    the same truncation DuckDB applies, so oracles agree. Integer `div`
+    (not `/`): epoch-nanos exceed double's 2^53 mantissa.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table: {name!r}")
+    # Timestamp rendering (date_format etc.) follows the session TZ; pin
+    # UTC so results match the UTC-naive DuckDB oracle regardless of the
+    # host machine's timezone. Runtime-settable, so this also covers
+    # driver-owned sessions that didn't go through session.get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view so queries can use spark.sql."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,99 @@
+"""Scalar-function pack + oracle-exact numeric helpers (SURVEY §2.H).
+
+Everything here is built-in Catalyst expressions (JVM-side, codegen'd) —
+no UDFs. The ``dsum``/``dmoney`` helpers exist because double-precision
+SUM is accumulation-order-dependent: Spark's partial aggregation tree and
+an oracle engine's serial sum can differ in the last ULPs, which breaks
+hash-equality gates. Routing money math through DECIMAL(18,4) makes the
+arithmetic exact and order-independent in both engines; the final cast
+back to DOUBLE is then bit-identical. This also reflects correct
+engineering at 100 TB: decimal money columns don't accumulate float error
+across billions of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,4)"
+
+
+def dec(col: Column | str) -> Column:
+    """Cast to the engine's exact money type."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent SUM: exact decimal accumulation, double result."""
+    return F.sum(dec(col)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent AVG: exact decimal sum divided as double.
+
+    (Decimal division scale rules differ between engines; double division
+    of two identical values is bit-identical everywhere.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c)).cast("double") / F.count(c)
+
+
+def dec2(col: Column | str) -> Column:
+    """Cast a RAW 2-decimal money/rate column to exact decimal.
+
+    Only safe on stored columns (the fixtures carry 2-decimal values, so
+    the nearest-decimal cast is unambiguous in every engine). NEVER cast
+    a *computed* double to decimal — Spark rounds via the double's exact
+    decimal expansion while DuckDB rounds via scaled double arithmetic,
+    and they disagree near .00005 boundaries.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def dsum_disc_price(ep: str, disc: str) -> Column:
+    """SUM(ep * (1-disc)) with the whole chain in exact decimal."""
+    dp = (dec2(ep) * (F.lit(1) - dec2(disc))).cast(MONEY)
+    return F.sum(dp).cast("double")
+
+
+def dsum_charge(ep: str, disc: str, tax: str) -> Column:
+    """SUM(ep * (1-disc) * (1+tax)) in exact decimal (scale 6)."""
+    dp = (dec2(ep) * (F.lit(1) - dec2(disc))).cast(MONEY)
+    charge = (dp * (F.lit(1) + dec2(tax))).cast("decimal(18,6)")
+    return F.sum(charge).cast("double")
+
+
+# --- fixed-width string physics (SURVEY H1; ref cubicerpetl.py:555-562) ---
+
+
+def fw_render(col: Column, length: int, align: str = "ljust", fill: str = " ") -> Column:
+    """Render one fixed-width field: pad to ``length`` with ``fill`` per
+    ``align`` ∈ {ljust, rjust, center}, then hard-truncate to ``length``.
+
+    Matches the reference's semantics including the rjust quirk of keeping
+    the *last* n characters on overflow (``str(val)[-n:]``,
+    cubicerpetl.py:558), while ljust/center keep the first n.
+    """
+    s = col.cast("string")
+    s = F.coalesce(s, F.lit(""))
+    if align == "rjust":
+        padded = F.lpad(s, length, fill)
+        # lpad already truncates keeping the LAST n? No — lpad truncates
+        # keeping the first n. Emulate the reference: overflow keeps tail.
+        return F.when(
+            F.length(s) > length, F.substring(s, -length, length)
+        ).otherwise(padded)
+    if align == "center":
+        # Python str.center semantics (extra fill goes right on odd pad).
+        # Column.substr accepts Column positions, so slide a window over
+        # fill || s || fill — pure codegen'd expressions, no UDF.
+        left = F.floor((F.lit(length) - F.length(s)) / 2).cast("int")
+        padded_full = F.concat(F.lit(fill * length), s, F.lit(fill * length))
+        start = F.lit(length + 1) - left
+        padded = padded_full.substr(start, F.lit(length))
+        return F.when(F.length(s) >= length, F.substring(s, 1, length)).otherwise(padded)
+    # ljust (default)
+    return F.substring(F.rpad(s, length, fill), 1, length)

@@ -1,0 +1,102 @@
+"""Dictionary-lookup join family (SURVEY §2.C1-C3, C5).
+
+The reference implements four flavors of per-row, memo-cached lookup
+against remote dictionaries (value mappings cubicerpetl/cubicerpetl.py:
+624-649, xml-ids :598-611, name-search :613-622, insert-if-absent
+:717-726). Here each becomes a broadcast left join — one shuffle-free
+pass regardless of fact-table size, because the dictionary side is small
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def value_mapping_decode(
+    df: DataFrame,
+    value_col: str,
+    mapping: DataFrame,
+    out_col: str | None = None,
+    return_null: bool = False,
+) -> DataFrame:
+    """Decode a column through a value-mapping dictionary (C1).
+
+    ``mapping`` has columns ``name`` (the raw value), ``label`` (the
+    decoded value) and ``is_default`` (at most one true row supplying the
+    fallback). Semantics mirror the reference (cubicerpetl.py:643-648),
+    re-derived over true SQL NULLs (SURVEY §1.3):
+
+    * NULL input → NULL if ``return_null`` else the default (if any);
+    * matched input → its label;
+    * unmatched input → the default label if a default line exists,
+      otherwise the original value passes through.
+    """
+    out_col = out_col or f"{value_col}_decoded"
+    lines = mapping.filter(~F.col("is_default")).select(
+        F.col("name").alias("__map_name"), F.col("label").alias("__map_label")
+    )
+    default = mapping.filter(F.col("is_default")).select(
+        F.lit(1).alias("__dflt_key"), F.col("label").alias("__dflt_label")
+    )
+    joined = (
+        df.withColumn("__dflt_key", F.lit(1))
+        .join(F.broadcast(lines), F.col(value_col) == F.col("__map_name"), "left")
+        .join(F.broadcast(default), "__dflt_key", "left")
+    )
+    val = F.col(value_col)
+    null_case = F.lit(None) if return_null else F.col("__dflt_label")
+    decoded = F.when(val.isNull(), null_case).otherwise(
+        F.coalesce(F.col("__map_label"), F.col("__dflt_label"), val.cast("string"))
+    )
+    return joined.withColumn(out_col, decoded).drop(
+        "__map_name", "__map_label", "__dflt_key", "__dflt_label"
+    )
+
+
+def first_hit_lookup(
+    df: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    select: dict[str, str],
+    order_by: list[str],
+) -> DataFrame:
+    """Name-search-style resolution (C3): left join ``dim`` on an
+    arbitrary predicate, keep only the *first* hit per input row (the
+    reference takes ``search(...)[0]``, cubicerpetl.py:613-622), misses
+    stay NULL (the reference's warning path).
+
+    ``select`` maps output column → dim column; ``order_by`` defines
+    "first" totally (deterministic under the hash gate).
+    """
+    marked = df.withColumn("__row_id", F.monotonically_increasing_id())
+    joined = marked.join(dim, on, "left")
+    w = W.partitionBy("__row_id").orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_by]
+    )
+    ranked = joined.withColumn("__hit_rn", F.row_number().over(w)).filter(
+        F.col("__hit_rn") == 1
+    )
+    out = ranked
+    for out_name, dim_col in select.items():
+        out = out.withColumn(out_name, F.col(dim_col))
+    return out.drop("__row_id", "__hit_rn", *[c for c in dim.columns])
+
+
+def insert_if_absent(
+    dim: DataFrame, incoming: DataFrame, key: str, create_cols: dict[str, Column]
+) -> DataFrame:
+    """``create_from_value`` semantics (C5, cubicerpetl.py:717-726 —
+    dead/broken in the reference, reconstructed from intent): keys present
+    in ``incoming`` but absent from ``dim`` are created and unioned in.
+
+    Anti-join finds the missing keys distributedly; no driver round-trip
+    per missing value.
+    """
+    missing = (
+        incoming.select(key).distinct().join(dim, key, "left_anti")
+    )
+    created = missing.select(key, *[c.alias(n) for n, c in create_cols.items()])
+    return dim.unionByName(created, allowMissingColumns=True)

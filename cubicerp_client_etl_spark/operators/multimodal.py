@@ -1,0 +1,96 @@
+"""Multimodal (binary) column handling (SURVEY §2.L-mm1).
+
+Images/audio/video are opaque ``BinaryType`` payloads plus a typed
+metadata struct. The Spark-side plumbing — schema, partition sizing,
+Arrow batch shape through ``mapInPandas`` — is real and tested; the
+actual media decode is STUBBED (the container has no image/audio libs):
+``decode_media`` raises ``NotImplementedError`` unless the deterministic
+fake decoder is requested, which derives features purely from the bytes
+so tests are reproducible.
+
+At 100 TB: binary payloads dominate partition size, so callers should
+read with ``spark.sql.files.maxPartitionBytes`` tuned down (payload-heavy
+rows) and keep metadata in separate columns so Catalyst can prune the
+binary column away for metadata-only queries — the schema here is
+deliberately payload-last for that reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_type string, byte_len bigint, format string, width int, height int"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", media_type: str = "text/plain"
+) -> DataFrame:
+    """Fixture adapter: treat a text column as an opaque binary payload
+    with typed metadata — the same shape a real image/audio table has."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(payload).alias("byte_len"),
+        F.lit("raw").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    return df.withColumn("meta", meta).withColumn("payload", payload)
+
+
+def decode_media(*_args: Any, **_kwargs: Any) -> None:
+    """Real media decode — requires image/audio libraries not present in
+    this environment. The Spark plumbing around it (extract_features) is
+    real; swap ``fake=True`` for this once PIL/ffmpeg are available."""
+    raise NotImplementedError(
+        "media decode needs PIL/av — not available in this container; "
+        "use extract_features(..., fake=True) for the deterministic stub"
+    )
+
+
+def extract_features(df: DataFrame, n_features: int = 8, fake: bool = True) -> DataFrame:
+    """Per-payload feature extraction via Arrow-batched ``mapInPandas``.
+
+    The fake decoder derives an ``n_features``-dim vector purely from the
+    payload bytes (byte histogram moments) — deterministic, so the
+    pipeline shape (binary in → fixed-width float vector out) is testable
+    without media libs. Output keeps the row id and metadata, drops the
+    payload (feature tables shouldn't carry blobs forward).
+    """
+    if not fake:
+        decode_media()
+
+    out_schema = (
+        "doc_id bigint, media_type string, byte_len bigint, "
+        "features array<double>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                # deterministic stand-in for a real decoder: bucketed
+                # byte-histogram mass, normalized by length
+                hist = [0] * n_features
+                for byte in b:
+                    hist[byte % n_features] += 1
+                total = max(len(b), 1)
+                feats.append([round(h / total, 6) for h in hist])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "byte_len": [m["byte_len"] for m in pdf["meta"]],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,99 @@
+"""Vector similarity search over embedding columns (SURVEY §2.L-sim1).
+
+Exact cosine top-k (the oracle-checkable baseline) plus an LSH-bucketed
+scale path. Dot products run as Catalyst higher-order functions
+(``zip_with`` + ``aggregate``) in DOUBLE — JVM-side, no Python in the
+hot loop.
+
+Scale posture: brute force is broadcast(probes) × facts — linear in the
+corpus, no shuffle, fine for any corpus size when the probe set is small.
+For large × large (all-pairs) the random-hyperplane LSH path buckets
+vectors first so candidate pairs only form within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot / sqrt(|a|²·|b|²) — same association as the DuckDB oracle."""
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each probe over the corpus.
+
+    probes: (probe_id, embedding). The probe side is broadcast; the scan
+    side streams once — per-partition heaps via window row_number, ranked
+    on rounded similarity with id tie-break for cross-engine determinism.
+    """
+    c = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("__cv")
+    )
+    p = probes.select(F.col(probe_id), as_double(vec_col).alias("__pv"))
+    sim = F.round(cosine(F.col("__cv"), F.col("__pv")), 6)
+    scored = c.crossJoin(F.broadcast(p)).select(
+        probe_id, id_col, sim.alias("sim")
+    )
+    w = W.partitionBy(probe_id).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH bucket id.
+
+    Hyperplane m's component d is a deterministic pseudo-random ±1
+    derived from xxhash64(m, d) — no stored model, identical on every
+    executor. Sign pattern of the n projections is the bucket key, so
+    all-pairs similarity only compares within buckets (recall is tuned
+    by n_planes / multiple tables).
+    """
+    v = as_double(vec_col)
+
+    def signed_component(m: int):
+        # factory so the lambda keeps exactly 2 params (PySpark derives
+        # the HOF arity from the Python signature — defaults count)
+        return lambda x, d: F.when(
+            F.xxhash64(F.lit(m), d).bitwiseAND(F.lit(1)) == 1, x
+        ).otherwise(-x)
+
+    bits = []
+    for m in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)), signed_component(m)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn(out_col, F.concat(*bits))

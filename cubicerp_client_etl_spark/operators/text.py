@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.L-txt1).
+
+All pure Catalyst expressions (split/regexp/aggregate) — language ID,
+quality scoring, token counting and fingerprinting run JVM-side with
+whole-stage codegen; at 100 TB these are embarrassingly parallel
+map-only stages with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker heuristic language
+# ID. Deliberately tiny and deterministic: the point is the operator
+# shape (scalable scoring + argmax), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate: word-pieces + digits + punctuation
+    counted separately (a cheap, deterministic BPE proxy: count regex
+    token boundaries instead of running a real tokenizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split into runs of letters / digits / single punctuation
+    pieces = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    # long alpha runs count as ceil(len/4) pieces (≈ BPE merge depth)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.ceil(F.length(p) / 4).cast("bigint"),
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c)
+    )
+
+
+def mean_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length sweet spot, low punct,
+    sane stopword presence. Deterministic arithmetic only."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / 50.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 5.0)
+    stop_score = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    return F.round((len_score * 0.5 + punct_pen * 0.3 + stop_score * 0.2), 6)
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (the scoring half of language ID)."""
+    toks = tokens(col)
+
+    def marker_hit(markers: tuple[str, ...]):
+        # factory keeps the lambda unary (PySpark derives HOF arity from
+        # the Python signature — default params would add a lambda var)
+        return lambda t: F.lower(t).isin(*markers)
+
+    return {
+        lang: F.size(F.filter(toks, marker_hit(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(col: Column | str) -> Column:
+    """Argmax of marker scores with deterministic tie-break (alphabetical
+    language order wins ties); zero hits everywhere → 'und'."""
+    scores = language_scores(col)
+    langs = sorted(scores)  # alphabetical tie-break, matches oracle
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier (alphabetically smaller) langs win ties
+    for lang in reversed(langs):
+        s = scores[lang]
+        best_lang = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(
+            best_lang
+        )
+        best_score = F.greatest(best_score, s)
+    return best_lang
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (stable across engines; the rolling-hash shingle variant lives in
+    dedup.minhash_signatures)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))

@@ -1,0 +1,379 @@
+"""Training-data-pipeline queries (SURVEY §2.L): dedup, similarity
+search, text analysis, multimodal — over the documents/embeddings/events
+fixtures, with DuckDB oracles wherever the semantics are SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.operators import dedup as dd
+from cubicerp_client_etl_spark.operators import similarity as sim
+from cubicerp_client_etl_spark.operators import text as tx
+from cubicerp_client_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from cubicerp_client_etl_spark.queries import register
+
+# --------------------------------------------------------------------------
+# q50 — exact dedup, keep-latest (L-dedup1): one event per (user_id,
+# event_type), latest ts with event_id tie-break.
+# --------------------------------------------------------------------------
+@register(
+    "q50_dedup_keep_latest",
+    headline=True,
+    oracle="""
+SELECT user_id, event_type, event_id, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def q50_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = dd.exact_dedup(
+        ev,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+# --------------------------------------------------------------------------
+# q51 — whole-row exact dedup via fingerprint (L-dedup1 + L-txt
+# fingerprint): documents deduped on normalized-text md5. The fixture is
+# dup-free, so the engine synthesizes dups (union with shifted ids) and
+# the oracle mirrors that — exercising the keep-min-id semantics for real.
+# --------------------------------------------------------------------------
+@register(
+    "q51_dedup_fingerprint",
+    oracle="""
+WITH dupped AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS kept_doc_id,
+       COUNT(*) AS n_copies
+FROM dupped GROUP BY 1
+""",
+)
+def q51_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupped = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return (
+        dupped.withColumn("fp", tx.fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — n-gram Jaccard similarity vs a probe document (L-dedup, exact
+# form): 3-gram shingle sets, one semi-join pass, linear in corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q52_ngram_jaccard_probe",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 3 AND i <= len(t) - 2
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+),
+probe AS (SELECT sh FROM sh WHERE doc_id = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+probe_size AS (SELECT COUNT(*) AS psz FROM probe),
+inter AS (
+  SELECT s.doc_id, COUNT(*) AS n_inter
+  FROM sh s JOIN probe p ON s.sh = p.sh
+  WHERE s.doc_id <> 0
+  GROUP BY s.doc_id
+)
+SELECT i.doc_id,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (z.sz + ps.psz - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes z USING (doc_id) CROSS JOIN probe_size ps
+WHERE CAST(i.n_inter AS DOUBLE) / (z.sz + ps.psz - i.n_inter) >= 0.01
+""",
+)
+def q52_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select(F.col("doc_id"), F.explode(dd.shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    probe = sh.filter(F.col("doc_id") == 0).select("sh")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    psz = probe.count()  # driver-side scalar: one probe's set size
+    inter = (
+        sh.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(probe), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("sz") + F.lit(psz) - F.col("n_inter"))
+    return (
+        inter.join(sizes, "doc_id")
+        .filter(jac >= 0.01)
+        .select("doc_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — MinHash + LSH near-dup candidates (L-dedup2): the scale path.
+# Not ANSI-SQL-expressible (hash-family dependent) → rows-only check;
+# the unit tests assert recall against exact Jaccard instead.
+# --------------------------------------------------------------------------
+@register("q53_minhash_lsh_candidates", oracle=None)
+def q53_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # synthesize near-dups so the pipeline has something to find
+    dupped = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    sigs = dd.minhash_signatures(dupped, "doc_id", "text", num_hashes=32)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+    verified = dd.jaccard_pairs(dupped, pairs, "doc_id", "text")
+    return verified.filter(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# q54 — SimHash fingerprints (L-dedup): deterministic engine-defined hash
+# family → rows-only check; unit tests pin exact values.
+# --------------------------------------------------------------------------
+@register("q54_simhash", oracle=None)
+def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dd.simhash_bits("text", 64).alias("simhash")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q55 — brute-force cosine top-k (L-sim1, the oracle-checkable baseline):
+# 5 probe vectors against the corpus, k=5. Broadcast probes, one scan.
+# --------------------------------------------------------------------------
+@register(
+    "q55_cosine_topk",
+    headline=True,
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         ROUND(list_dot_product(e.v, p.pv) /
+               sqrt(list_dot_product(e.v, e.v) * list_dot_product(p.pv, p.pv)),
+               6) AS sim
+  FROM e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+)
+def q55_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    out = sim.brute_force_topk(corpus, probes, k=6)  # k+1 then drop self
+    w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        out.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "vec_id", "sim", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — all-pairs near-neighbor above threshold (L-sim): exact within the
+# oracle; the LSH-bucketed variant (q57) is the 100 TB path.
+# --------------------------------------------------------------------------
+@register(
+    "q56_cosine_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+             6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.3
+""",
+)
+def q56_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = sim.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.3)
+        .select("id_a", "id_b", F.round(cos, 6).alias("sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 — LSH-bucketed near-neighbor (the scale path): hyperplane buckets
+# first, pairs only within buckets. Hash-family dependent → rows-only.
+# --------------------------------------------------------------------------
+@register("q57_lsh_bucketed_pairs", oracle=None)
+def q57_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = sim.hyperplane_lsh_bucket(emb, "embedding", n_planes=8, dim=64)
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        sim.as_double("embedding").alias("va"),
+        "lsh_bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"),
+        sim.as_double("embedding").alias("vb"),
+        "lsh_bucket",
+    )
+    cos = sim.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["lsh_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.3)
+        .select("id_a", "id_b", F.round(cos, 6).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q58 — text analysis pack (L-txt1): token counts, quality features,
+# language ID, fingerprint — all Catalyst expressions, map-only.
+# --------------------------------------------------------------------------
+@register(
+    "q58_text_analysis",
+    headline=True,
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, source,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+         len(list_filter(toks, x -> lower(x) IN ('the','a','of','and'))) AS s_en,
+         len(list_filter(toks, x -> lower(x) IN ('el','la','de','y'))) AS s_es,
+         len(list_filter(toks, x -> lower(x) IN ('der','die','das','und'))) AS s_de,
+         len(list_filter(toks, x -> lower(x) IN ('le','la','et','les'))) AS s_fr,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM t
+)
+SELECT doc_id, lang, source, n_tokens,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess,
+       fp
+FROM feat
+""",
+)
+def q58_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tx.token_count("text").alias("n_tokens"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+        tx.language_id("text").alias("lang_guess"),
+        tx.fingerprint("text").alias("fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q59 — corpus quality stats rollup (L-txt1 aggregate form).
+# --------------------------------------------------------------------------
+@register(
+    "q59_corpus_stats",
+    oracle="""
+WITH t AS (
+  SELECT lang, source, n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM t GROUP BY lang, source
+""",
+)
+def q59_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    with_tok = docs.withColumn("n_tokens", tx.token_count("text"))
+    return with_tok.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q60 — multimodal binary plumbing (L-mm1): payload + typed metadata,
+# oracle checks the byte-level plumbing (octet length, head bytes in hex).
+# --------------------------------------------------------------------------
+@register(
+    "q60_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       'text/plain' AS media_type,
+       octet_length(encode(text)) AS byte_len,
+       hex(encode(substring(text, 1, 8))) AS head_hex
+FROM documents
+""",
+)
+def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs, "text")
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_hex"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q61 — multimodal feature extraction through mapInPandas (the Arrow
+# batch path). Stubbed decoder (deterministic byte-histogram features) →
+# rows-only check; unit tests pin exact feature values.
+# --------------------------------------------------------------------------
+@register("q61_multimodal_features", oracle=None)
+def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = attach_binary_payload(docs, "text")
+    return extract_features(with_payload, n_features=8, fake=True).orderBy("doc_id")

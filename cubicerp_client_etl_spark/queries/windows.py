@@ -1,0 +1,211 @@
+"""Event-time window queries (SURVEY §2.J batch-checkable forms, D1).
+
+The streaming runtime lives in ``streaming/``; these queries run the
+same window semantics in batch so the DuckDB oracle can check them (the
+stream-vs-batch equivalence tests in tests/ close the loop, SURVEY
+§5.2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.functions import dsum
+from cubicerp_client_etl_spark.queries import register
+
+# --------------------------------------------------------------------------
+# q70 — tumbling event-time window (J2): hourly per-type counts/sums.
+# Epoch-aligned in both engines (Spark window() and date_trunc agree for
+# hour buckets); output as epoch micros to dodge timestamp rendering.
+# --------------------------------------------------------------------------
+@register(
+    "q70_tumbling_window",
+    headline=True,
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q71 — sliding window (J2): 1-hour windows sliding every 30 minutes.
+# Oracle expands each event into the two windows that contain it.
+# --------------------------------------------------------------------------
+@register(
+    "q71_sliding_window",
+    oracle="""
+WITH expanded AS (
+  SELECT epoch_us(ts) - (epoch_us(ts) % (30*60*1000000)) - s.ofs AS window_start_us,
+         event_type, value
+  FROM events,
+       (SELECT UNNEST([0, 30*60*1000000]) AS ofs) s
+)
+SELECT window_start_us, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM expanded GROUP BY 1, 2
+""",
+)
+def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q72 — session window (J3): per-user sessions with a 30-minute gap.
+# Spark session_window semantics: a session extends while the next event
+# starts strictly before last_ts + gap; oracle = gaps-and-islands with
+# the same boundary rule (diff >= gap ⇒ new session).
+# --------------------------------------------------------------------------
+@register(
+    "q72_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, sess_id
+""",
+)
+def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — header/footer first/last-row broadcast (D1/F1): the reference
+# reads file row 0 as header and row N-1 as footer and broadcasts their
+# values onto every body row (cubicerpetl.py:235-240,265). Over an
+# ordered table this is min_by/max_by on a total order key — one
+# aggregate, broadcast back via crossJoin.
+# --------------------------------------------------------------------------
+@register(
+    "q73_header_footer_broadcast",
+    oracle="""
+WITH hf AS (
+  SELECT min_by(strftime(l_shipdate, '%Y-%m-%d'), l_orderkey * 10 + l_linenumber) AS header_ship,
+         max_by(strftime(l_shipdate, '%Y-%m-%d'), l_orderkey * 10 + l_linenumber) AS footer_ship,
+         COUNT(*) AS n_body_rows
+  FROM lineitem
+)
+SELECT l.l_returnflag, hf.header_ship, hf.footer_ship, hf.n_body_rows,
+       COUNT(*) AS n
+FROM lineitem l CROSS JOIN hf
+GROUP BY 1, 2, 3, 4
+""",
+)
+def q73_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pos = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    hf = li.agg(
+        F.min_by(F.date_format("l_shipdate", "yyyy-MM-dd"), pos).alias("header_ship"),
+        F.max_by(F.date_format("l_shipdate", "yyyy-MM-dd"), pos).alias("footer_ship"),
+        F.count(F.lit(1)).alias("n_body_rows"),
+    )
+    return (
+        li.crossJoin(F.broadcast(hf))
+        .groupBy("l_returnflag", "header_ship", "footer_ship", "n_body_rows")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 — sessionization via lag+cumsum (the batch/SQL-expressible twin of
+# q72, SURVEY "common OLAP patterns"): window-function path, checked
+# against the same oracle shape but keyed by session ordinal.
+# --------------------------------------------------------------------------
+@register(
+    "q74_sessionize_lag_cumsum",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, sess_id, COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us
+FROM sessions GROUP BY user_id, sess_id
+""",
+)
+def q74_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag(F.col("ts")).over(w))
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sessions = marked.withColumn("sess_id", F.sum("new_sess").over(w2))
+    return sessions.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+    )
