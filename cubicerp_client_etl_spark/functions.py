@@ -87,10 +87,16 @@ def fw_render(col: Column, length: int, align: str = "ljust", fill: str = " ") -
             F.length(s) > length, F.substring(s, -length, length)
         ).otherwise(padded)
     if align == "center":
-        # Python str.center semantics (extra fill goes right on odd pad).
+        # Python str.center semantics (the reference calls str.center,
+        # cubicerpetl.py:561): left = marg//2 + (marg & width & 1) — the
+        # extra fill char goes LEFT when both margin and width are odd.
         # Column.substr accepts Column positions, so slide a window over
         # fill || s || fill — pure codegen'd expressions, no UDF.
-        left = F.floor((F.lit(length) - F.length(s)) / 2).cast("int")
+        marg = F.lit(length) - F.length(s)
+        odd_bonus = (
+            (marg % 2) * F.lit(length % 2)
+        )  # 1 iff margin odd AND width odd
+        left = (F.floor(marg / 2) + odd_bonus).cast("int")
         padded_full = F.concat(F.lit(fill * length), s, F.lit(fill * length))
         start = F.lit(length + 1) - left
         padded = padded_full.substr(start, F.lit(length))

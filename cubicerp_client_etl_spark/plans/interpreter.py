@@ -1,0 +1,237 @@
+"""Spec interpreter: JobSpec → DataFrame lineage → sink (SURVEY §3.1
+re-architected).
+
+The reference's run loop (etl_cron.py:39-55) fetches metadata, pulls all
+rows into client memory, chunks them 100 at a time, and round-trips the
+network per loaded row. Here the whole job is ONE lazy DataFrame plan:
+
+    extract (reader per ResourceSpec) → transform (Column expressions,
+    mappings, domain filters) → load (merge-mode sink + ledger append)
+
+No driver-side row loops, no chunking (partitions are the unit of
+parallelism), state transitions on the driver only. The 100-row-chunk
+tail-drop bug (etl_cron.py:49-50) has no analogue — there is no chunking
+to get wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.compilers.domain import compile_domain
+from cubicerp_client_etl_spark.compilers.template import render_date_template
+from cubicerp_client_etl_spark.operators.lookups import value_mapping_decode
+from cubicerp_client_etl_spark.operators.merge import apply_reprocess_mode
+from cubicerp_client_etl_spark.plans.spec import (
+    JobSpec,
+    MappingSpec,
+    ResourceSpec,
+    TransformSpec,
+)
+from cubicerp_client_etl_spark.sinks.ledger import build_ledger, write_ledger
+from cubicerp_client_etl_spark.sinks.writers import (
+    FWOutColumn,
+    write_csv_resource,
+    write_fixed_width,
+    write_parquet,
+)
+from cubicerp_client_etl_spark.sources.csv_source import read_csv_resource
+from cubicerp_client_etl_spark.sources.fixed_width import FWColumn, read_fixed_width
+from cubicerp_client_etl_spark.sources.inline import read_inline_payload
+
+
+# --------------------------------------------------------------------- extract
+def extract(spark: SparkSession, job: JobSpec) -> DataFrame:
+    """Resource → DataFrame (SURVEY A3/A4/A6/A9 dispatch, date-templated
+    paths per H4/H5)."""
+    res = job.extract
+    path = render_date_template(res.f_filename, job.run_date) if res.f_filename else ""
+
+    if job.job_type == "online" and job.input_payload_b64 is not None:
+        # A6: inline payload fed through the same parsers as files
+        lines = read_inline_payload(spark, job.input_payload_b64)
+        df = _parse_lines_as(res, lines)
+    elif res.etl_type == "db" and res.sql_query:
+        # A1 re-owned: the reference ships this SQL to the source DB;
+        # we execute it in Spark SQL over registered views
+        df = spark.sql(render_date_template(res.sql_query, job.run_date))
+    elif res.f_type == "parquet":
+        df = spark.read.parquet(path)
+    elif res.f_type == "csv":
+        df = read_csv_resource(
+            spark,
+            path,
+            [c.name for c in res.columns],
+            sep=res.txt_separator,
+            quote=res.txt_quote,
+            header_columns=[c.name for c in res.header_columns]
+            if res.header_columns
+            else None,
+            footer_columns=[c.name for c in res.footer_columns]
+            if res.footer_columns
+            else None,
+            encoding=res.encoding or "UTF-8",
+        )
+    elif res.f_type == "txt":
+        df = read_fixed_width(
+            spark,
+            path,
+            [_fw_in(c) for c in res.columns],
+            header_columns=[_fw_in(c) for c in res.header_columns]
+            if res.header_columns
+            else None,
+            footer_columns=[_fw_in(c) for c in res.footer_columns]
+            if res.footer_columns
+            else None,
+            encoding=res.encoding or "UTF-8",
+        )
+    elif res.f_type == "dbf":
+        from cubicerp_client_etl_spark.sources.dbf import read_dbf
+
+        df = read_dbf(spark, path)
+    else:
+        raise ValueError(f"unsupported extract resource: {res}")
+
+    if res.domain:
+        df = df.filter(compile_domain(list(res.domain)))
+    # B3: defaults fill NULL holes (reference merges defaults *under*
+    # extracted values, cubicerpetl.py:330-335 — same outcome over NULLs)
+    for k, v in res.row_default_value.items():
+        if k in df.columns:
+            df = df.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
+        else:
+            df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def _fw_in(c) -> FWColumn:
+    return FWColumn(c.name, c.txt_position, c.txt_length)
+
+
+def _parse_lines_as(res: ResourceSpec, lines: DataFrame) -> DataFrame:
+    """Parse an ordered-lines frame per the resource's file physics."""
+    from cubicerp_client_etl_spark.sources.csv_source import _csv_line_to_cols
+
+    if res.f_type == "csv":
+        return lines.select(
+            "_line_no",
+            *_csv_line_to_cols(
+                [c.name for c in res.columns], res.txt_separator, res.txt_quote
+            ),
+        )
+    if res.f_type == "txt":
+        cols = [
+            F.trim(F.substring("value", c.txt_position, c.txt_length)).alias(c.name)
+            for c in res.columns
+        ]
+        return lines.select("_line_no", *cols)
+    raise ValueError(f"inline payload needs csv/txt physics, got {res.f_type}")
+
+
+# ------------------------------------------------------------------- transform
+def transform(df: DataFrame, spec: TransformSpec, job: JobSpec) -> DataFrame:
+    """Field program → one select + mapping joins (B1/B2/B9/C1, K-hooks).
+
+    Expressions are SQL strings compiled with F.expr — declarative and
+    optimizer-visible (never exec'd Python, SURVEY §4.4.6).
+    """
+    spark = df.sparkSession
+    if "pre" in job.python_hooks:  # K1 — explicit, registered, typed
+        df = job.python_hooks["pre"](df)
+
+    mappings = {m.name: m for m in spec.mappings}
+    out_cols = []
+    post_maps: list[tuple[str, MappingSpec, bool]] = []
+    for f_ in spec.fields:
+        if f_.value:
+            expr = F.expr(render_date_template(f_.value, job.run_date))
+        elif f_.field_name:
+            expr = F.col(f_.field_name)
+        else:
+            expr = F.col(f_.name)
+        out_cols.append(expr.alias(f_.name))
+        if f_.mapping:
+            post_maps.append((f_.name, mappings[f_.mapping], f_.search_null))
+
+    out = df.select(*out_cols)
+
+    for col_name, mspec, search_null in post_maps:
+        mdf = spark.createDataFrame(
+            [(n, lb, False) for n, lb in mspec.lines]
+            + ([(None, mspec.default, True)] if mspec.default is not None else []),
+            "name string, label string, is_default boolean",
+        )
+        out = value_mapping_decode(
+            out, col_name, mdf, out_col=col_name, return_null=mspec.return_null or search_null
+        )
+
+    if spec.filter_domain:  # B7 continue_on, declaratively
+        out = out.filter(compile_domain(list(spec.filter_domain)))
+    if spec.limit is not None:  # B7 break_on re-specced as a bound
+        out = out.limit(spec.limit)
+    if "post" in job.python_hooks:  # K2
+        out = job.python_hooks["post"](out)
+    return out
+
+
+# ------------------------------------------------------------------------ load
+def load_sink(
+    df: DataFrame, job: JobSpec, existing_target: DataFrame | None = None
+) -> DataFrame:
+    """Apply the reprocess-mode merge against the current target state,
+    write per the load resource, append the ledger (I1/I7/C4). Returns
+    the merged frame (with the per-row action tag) for inspection."""
+    res = job.load
+    mode = job.transform.reprocess
+    if existing_target is not None:
+        merged = apply_reprocess_mode(existing_target, df, job.pk_field, mode)
+    else:
+        merged = df.withColumn("action", F.lit("inserted"))
+
+    path = render_date_template(res.f_filename, job.run_date) if res.f_filename else ""
+    to_write = merged.drop("action")
+    if res.f_type == "parquet":
+        write_parquet(to_write, path)
+    elif res.f_type == "csv":
+        write_csv_resource(
+            to_write, path, sep=res.txt_separator, quote=res.txt_quote,
+            header=res.txt_header,
+        )
+    elif res.f_type == "txt":
+        write_fixed_width(
+            to_write,
+            path,
+            [
+                FWOutColumn(
+                    c.name, c.txt_length, c.txt_align, c.txt_fill_char, c.forced_value
+                )
+                for c in res.columns
+            ],
+            order_by=[job.pk_field] if job.pk_field in to_write.columns else None,
+        )
+    else:
+        raise ValueError(f"unsupported load resource: {res}")
+
+    if job.ledger_path:
+        ledger = build_ledger(
+            merged,
+            job_id=hash(job.name) % (2**31),
+            pk_col=job.pk_field,
+            message_col="action",
+            model=res.name,
+        )
+        write_ledger(ledger, job.ledger_path)
+    return merged
+
+
+def run_job(
+    spark: SparkSession, job: JobSpec, existing_target: DataFrame | None = None
+) -> DataFrame:
+    """The full lifecycle: extract → transform → load (§3.1 steps 4-7
+    collapsed into one plan; the ready→running→done state machine is the
+    caller's concern — the engine is pure dataflow)."""
+    staged = transform(extract(spark, job), job.transform, job)
+    if "end" in job.python_hooks:  # K3 batch-end hook
+        staged = job.python_hooks["end"](staged)
+    return load_sink(staged, job, existing_target)

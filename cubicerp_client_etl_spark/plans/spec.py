@@ -1,0 +1,139 @@
+"""Declarative pipeline spec — the reference's server-side metadata model
+re-expressed as local dataclasses (SURVEY §1.2).
+
+Reference model → spec mapping:
+
+| reference (RPC-fetched record)       | here                       |
+|--------------------------------------|----------------------------|
+| etl.server  (cubicerpetl.py:158-165) | ServerSpec                 |
+| etl.resource (:98-142)               | ResourceSpec               |
+| etl.resource.column (:105-109)       | ColumnSpec                 |
+| etl.field (:121-139,149-154)         | FieldSpec                  |
+| etl.transform (:144-156)             | TransformSpec              |
+| etl.mapping(.line) (:624-649)        | MappingSpec                |
+| etl.job (:74-92)                     | JobSpec                    |
+
+The reference fetches these over XML-RPC per run and memo-caches them
+(:50-57); here they are plain values handed to the interpreter — specs
+are data, the engine's intelligence is spec→DataFrame compilation, and
+Catalyst does the rest.
+
+Security stance (SURVEY §4.4.6): where the reference eval/execs
+server-supplied Python with live connections in scope, FieldSpec.value
+is a *SQL expression string* compiled via ``F.expr`` — declarative,
+optimizer-visible, no interpreter escape. Arbitrary Python enters only
+through explicit ``python_hook`` callables the caller registers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Literal
+
+
+@dataclass(frozen=True)
+class ServerSpec:
+    """Connector endpoint (etl.server). etl_type selects the family:
+    'fs' local/posix paths, 'db' JDBC, 'rpc' external API."""
+
+    name: str
+    etl_type: Literal["fs", "db", "rpc"] = "fs"
+    fs_path: str = ""
+    db_url: str = ""  # JDBC url for etl_type='db'
+    encoding: str = "UTF-8"
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """File column physics (etl.resource.column): fixed-width position/
+    length/align/fill plus the B4 forced value."""
+
+    name: str
+    field_name: str = ""
+    txt_position: int = 0  # 1-based
+    txt_length: int = 0  # the reference spells it txt_lenght [sic]
+    txt_align: Literal["ljust", "rjust", "center"] = "ljust"
+    txt_fill_char: str = " "
+    forced_value: str | None = None
+
+
+@dataclass(frozen=True)
+class ResourceSpec:
+    """Table/file/query descriptor (etl.resource)."""
+
+    name: str
+    etl_type: Literal["fs", "db", "rpc"] = "fs"
+    # fs family
+    f_type: Literal["csv", "txt", "dbf", "parquet"] = "parquet"
+    f_filename: str = ""  # may contain {aaaa}/{mm}/{dd} date template vars
+    txt_separator: str = ","
+    txt_quote: str = '"'
+    txt_header: bool = False
+    columns: tuple[ColumnSpec, ...] = ()
+    header_columns: tuple[ColumnSpec, ...] | None = None
+    footer_columns: tuple[ColumnSpec, ...] | None = None
+    # db family: the reference ships sql_query to the source DB
+    # (cubicerpetl.py:299-302); natively we run it in Spark SQL against
+    # registered views instead
+    sql_query: str = ""
+    # domain filter applied after scan (B5)
+    domain: tuple = ()
+    # B3: constant defaults merged under extracted values
+    row_default_value: dict[str, Any] = field(default_factory=dict)
+    encoding: str | None = None
+
+
+@dataclass(frozen=True)
+class MappingSpec:
+    """Value-decode dictionary (etl.mapping + lines, C1)."""
+
+    name: str
+    lines: tuple[tuple[str | None, str], ...] = ()  # (raw value, label)
+    default: str | None = None  # is_default line
+    return_null: bool = False
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Logical output column (etl.field): rename, SQL expression, or
+    mapped decode; search_null = B9 null-aware skip."""
+
+    name: str
+    field_name: str = ""  # source column (rename/projection, B1)
+    value: str = ""  # SQL expression over source columns (B2)
+    mapping: str | None = None  # MappingSpec.name (C1)
+    search_null: bool = False
+
+
+@dataclass(frozen=True)
+class TransformSpec:
+    """Mapping program (etl.transform): output fields + reprocess mode +
+    hooks. Hooks are explicit callables (DataFrame → DataFrame), the
+    sandboxed replacement for prev/post/end_python_code (K1-K3)."""
+
+    name: str
+    fields: tuple[FieldSpec, ...] = ()
+    reprocess: Literal["insert", "update", "noupdate", "onlyupdate", "delete"] = (
+        "insert"
+    )
+    filter_domain: tuple = ()  # B7 continue_on as a declarative filter
+    limit: int | None = None  # B7 break_on re-specced as a bound
+    mappings: tuple[MappingSpec, ...] = ()
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    """Pipeline instance (etl.job): extract resource → transform → load
+    resource, plus the run date that feeds template vars (H4/H5)."""
+
+    name: str
+    extract: ResourceSpec
+    transform: TransformSpec
+    load: ResourceSpec
+    run_date: str = "1970-01-01"
+    job_type: Literal["batch", "online"] = "batch"
+    input_payload_b64: str | None = None  # online jobs (A6)
+    ledger_path: str | None = None  # I7; None disables the ledger write
+    pk_field: str = "id"  # merge key for reprocess modes (C4/I1)
+    python_hooks: dict[str, Callable] = field(default_factory=dict)

@@ -134,8 +134,14 @@ def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q73_header_footer_broadcast",
     oracle="""
 WITH hf AS (
-  SELECT min_by(strftime(l_shipdate, '%Y-%m-%d'), l_orderkey * 10 + l_linenumber) AS header_ship,
-         max_by(strftime(l_shipdate, '%Y-%m-%d'), l_orderkey * 10 + l_linenumber) AS footer_ship,
+  SELECT min_by(strftime(l_shipdate, '%Y-%m-%d'),
+                lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
+                  || lpad(CAST(l_linenumber AS VARCHAR), 2, '0')
+                  || strftime(l_shipdate, '%Y-%m-%d')) AS header_ship,
+         max_by(strftime(l_shipdate, '%Y-%m-%d'),
+                lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
+                  || lpad(CAST(l_linenumber AS VARCHAR), 2, '0')
+                  || strftime(l_shipdate, '%Y-%m-%d')) AS footer_ship,
          COUNT(*) AS n_body_rows
   FROM lineitem
 )
@@ -147,7 +153,15 @@ GROUP BY 1, 2, 3, 4
 )
 def q73_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pos = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
+    # fold the payload (shipdate) into the order key so min_by/max_by
+    # ties can only occur between rows with identical payloads —
+    # deterministic across engines.
+    pos = F.concat(
+        F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
     hf = li.agg(
         F.min_by(F.date_format("l_shipdate", "yyyy-MM-dd"), pos).alias("header_ship"),
         F.max_by(F.date_format("l_shipdate", "yyyy-MM-dd"), pos).alias("footer_ship"),

@@ -1,0 +1,120 @@
+"""File sinks (SURVEY I3, I4, I8).
+
+Fixed-width rendering composes ``functions.fw_render`` per column into
+one ``concat`` expression (H1/H11; reference semantics at
+cubicerpetl/cubicerpetl.py:548-586 including forced values and the
+rjust-keeps-tail truncation). Header/footer emission (from the first and
+last body row, :421-425,433-437) forces single-file output — the writer
+coalesces to 1 only in that mode; plain writes stay fully parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.functions import fw_render
+
+
+@dataclass(frozen=True)
+class FWOutColumn:
+    """Writer-side column physics (etl.resource.column, SURVEY §1.2):
+    source column or forced constant, rendered at ``length`` with
+    ``align`` ∈ {ljust, rjust, center} and ``fill``."""
+
+    name: str
+    length: int
+    align: str = "ljust"
+    fill: str = " "
+    forced_value: str | None = None  # B4: overrides row data at write
+
+
+def render_fixed_width_lines(df: DataFrame, columns: list[FWOutColumn]) -> DataFrame:
+    """Project df → single-column ('value') DataFrame of rendered lines."""
+    pieces: list[Column] = []
+    for c in columns:
+        src = F.lit(c.forced_value) if c.forced_value is not None else F.col(c.name)
+        pieces.append(fw_render(src, c.length, c.align, c.fill))
+    return df.select(F.concat(*pieces).alias("value"))
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    columns: list[FWOutColumn],
+    order_by: list[str] | None = None,
+    header_line: str | None = None,
+    footer_line: str | None = None,
+) -> None:
+    """Render + write. With header/footer (or an explicit order) output
+    is a single ordered file, matching the reference's sequential writer;
+    otherwise each partition writes independently."""
+    if header_line is None and footer_line is None and not order_by:
+        render_fixed_width_lines(df, columns).write.mode("overwrite").text(path)
+        return
+
+    # Single ordered file: one explicit global sort over (__ord, keys) —
+    # union partition order is NOT a contract (AQE may re-plan), so the
+    # header/body/footer sequence is encoded in a sort key instead.
+    spark = df.sparkSession
+    keys = list(order_by or [])
+    pieces: list[Column] = []
+    for c in columns:
+        src = F.lit(c.forced_value) if c.forced_value is not None else F.col(c.name)
+        pieces.append(fw_render(src, c.length, c.align, c.fill))
+    body = df.select(
+        F.concat(*pieces).alias("value"),
+        F.lit(1).alias("__ord"),
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+    )
+    parts = [body]
+    null_keys = [F.lit(None).alias(f"__k{i}") for i in range(len(keys))]
+    if header_line is not None:
+        parts.append(
+            spark.range(1).select(
+                F.lit(header_line).alias("value"), F.lit(0).alias("__ord"), *null_keys
+            )
+        )
+    if footer_line is not None:
+        parts.append(
+            spark.range(1).select(
+                F.lit(footer_line).alias("value"), F.lit(2).alias("__ord"), *null_keys
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (
+        out.orderBy("__ord", *[f"__k{i}" for i in range(len(keys))])
+        .select("value")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def write_csv_resource(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    quote: str = '"',
+    header: bool = False,
+    single_file: bool = False,
+) -> None:
+    """CSV sink (I4): native writer — quoting via uniVocity, parallel by
+    default; ``single_file`` for the reference's sequential layout."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").csv(path, sep=sep, quote=quote, header=header)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Parquet sink (I8). ``partition_by`` gives partition pruning on
+    read — the default layout choice for large outputs."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

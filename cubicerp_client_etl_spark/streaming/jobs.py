@@ -1,0 +1,107 @@
+"""Structured-Streaming surface (SURVEY §2.J).
+
+The reference's closest streaming concepts: 'online' jobs with inline
+payloads processed on demand (cubicerpetl/cubicerpetl.py:205-214) and a
+ready→running→done cron sweep with 100-row micro-batches
+(etl_cron.py:39-55). Here those map to real Structured Streaming:
+
+* J1 — micro-batch ingestion: ``readStream`` + ``foreachBatch`` running
+  the same batch pipeline per epoch (chunking disappears; triggers and
+  partitions replace it);
+* J2/J3 — event-time tumbling/sliding/session windows (the batch-
+  checkable twins live in queries/windows.py);
+* J4 — watermarks for bounded state / late-data drop;
+* J5 — stateful streaming dedup (``dropDuplicates`` under watermark).
+
+Scale posture: every aggregation here keys its state by (window, key)
+under a watermark, so state size is bounded by watermark horizon ×
+key cardinality — the property that keeps a stream job alive at 100 TB/
+day. Tests drive these with the file source over the events fixture and
+assert stream output == the batch twin (SURVEY §5.2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events fixture (micro-batch J1 shape).
+
+    The nanos-timestamp handling matches catalog.load: read ts as long,
+    truncate to micros.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source requires a directory path; select the one
+    # table out of the fixture dir with a glob filter
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a (bounded) streaming frame to completion into a memory sink
+    and return the result as a batch DataFrame. Used by tests and by
+    online-job execution where the payload is finite."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """J2+J4: watermarked tumbling-window aggregate (streaming form of
+    queries/windows.q70)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """J5: stateful exact dedup on event_id under a watermark — state is
+    dropped once the watermark passes, bounding memory for unbounded
+    streams."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def foreach_batch_job(
+    stream_df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+) -> "object":
+    """J1: run a batch pipeline per micro-batch epoch (the online-job
+    runner: same transform/load code as batch jobs, exactly-once via the
+    sink's idempotent MERGE on pk + epoch id)."""
+    return stream_df.writeStream.foreachBatch(batch_fn).start()

@@ -1,0 +1,166 @@
+"""Codec tests (SURVEY §5.2.3/4): golden bytes for the fixed-width
+writer, round-trips for CSV/fixed-width/inline-base64, header/footer
+broadcast semantics per FIXTURES.md B1/B2/B6."""
+
+from __future__ import annotations
+
+import base64
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.sinks.writers import (
+    FWOutColumn,
+    render_fixed_width_lines,
+    write_fixed_width,
+)
+from cubicerp_client_etl_spark.sources.csv_source import read_csv_resource
+from cubicerp_client_etl_spark.sources.fixed_width import FWColumn, read_fixed_width
+from cubicerp_client_etl_spark.sources.inline import read_inline_payload
+from cubicerp_client_etl_spark.sources.lines import read_lines
+
+NATION_ROWS = [(0, "ALGERIA", 0), (1, "ARGENTINA", 1), (24, "UNITED STATES", 1)]
+
+# FIXTURES.md B2 layout: rjust-0 key, ljust name, rjust-0 regionkey,
+# centered forced tag with '-' fill
+FW_OUT = [
+    FWOutColumn("n_nationkey", 4, "rjust", "0"),
+    FWOutColumn("n_name", 20, "ljust", " "),
+    FWOutColumn("n_regionkey", 2, "rjust", "0"),
+    FWOutColumn("forced_tag", 3, "center", "-", forced_value="X"),
+]
+FW_IN = [
+    FWColumn("n_nationkey", 1, 4),
+    FWColumn("n_name", 5, 20),
+    FWColumn("n_regionkey", 25, 2),
+    FWColumn("forced_tag", 27, 3, strip=False),
+]
+
+
+@pytest.fixture()
+def nation_df(spark):
+    return spark.createDataFrame(
+        NATION_ROWS, "n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+def test_fixed_width_golden_bytes(nation_df):
+    lines = [
+        r["value"]
+        for r in render_fixed_width_lines(nation_df, FW_OUT).collect()
+    ]
+    # golden: matches python f"{key:0>4}{name:<20}{rk:0>2}{'X':-^3}"
+    assert lines[0] == "0000ALGERIA             00-X-"
+    assert lines[1] == "0001ARGENTINA           01-X-"
+    assert lines[2] == "0024UNITED STATES       01-X-"
+    assert all(len(ln) == 29 for ln in lines)
+
+
+def test_fw_render_matches_python_semantics(spark):
+    # property-style check against str.ljust/rjust/center + truncation
+    cases = [
+        ("abc", 5, "ljust", "."), ("abc", 5, "rjust", "."),
+        ("abc", 5, "center", "."), ("abcdefgh", 5, "ljust", "."),
+        ("abcdefgh", 5, "rjust", "."), ("abcdefgh", 5, "center", "."),
+        ("", 4, "center", "-"), ("ab", 7, "center", "-"),
+    ]
+    df = spark.createDataFrame([(s,) for s, *_ in cases], "v string")
+    for s, ln, align, fill in cases:
+        got = (
+            spark.createDataFrame([(s,)], "v string")
+            .select(
+                __import__(
+                    "cubicerp_client_etl_spark.functions", fromlist=["fw_render"]
+                ).fw_render(F.col("v"), ln, align, fill)
+            )
+            .collect()[0][0]
+        )
+        if align == "ljust":
+            want = s.ljust(ln, fill)[:ln]
+        elif align == "rjust":
+            # reference quirk: rjust overflow keeps the LAST n chars
+            want = s.rjust(ln, fill) if len(s) <= ln else s[-ln:]
+        else:
+            want = s.center(ln, fill)[:ln]
+        assert got == want, (s, ln, align, fill, got, want)
+
+
+def test_fixed_width_roundtrip_with_header_footer(spark, nation_df, tmp_path):
+    out = str(tmp_path / "fw")
+    write_fixed_width(
+        nation_df,
+        out,
+        FW_OUT,
+        order_by=["n_nationkey"],
+        header_line="H2024010599",
+        footer_line="F0000000003",
+    )
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == 1, "header/footer mode must emit a single file"
+    raw = open(files[0]).read().rstrip("\n").split("\n")
+    assert raw[0] == "H2024010599" and raw[-1] == "F0000000003"
+
+    hdr = [FWColumn("h_tag", 1, 1), FWColumn("h_date", 2, 8), FWColumn("h_batch", 10, 2)]
+    ftr = [FWColumn("f_tag", 1, 1), FWColumn("f_count", 2, 10)]
+    back = read_fixed_width(
+        spark, out, FW_IN, header_columns=hdr, footer_columns=ftr
+    ).orderBy("n_nationkey")
+    rows = back.collect()
+    assert len(rows) == 3  # header/footer excluded from body
+    assert [int(r["n_nationkey"]) for r in rows] == [0, 1, 24]
+    assert rows[0]["n_name"] == "ALGERIA"
+    assert rows[0]["forced_tag"] == "-X-"
+    # header/footer values broadcast onto every body row (FIXTURES B1)
+    assert all(r["h_date"] == "20240105" and r["h_batch"] == "99" for r in rows)
+    assert all(int(r["f_count"]) == 3 for r in rows)
+
+
+def test_csv_header_footer_broadcast(spark, tmp_path):
+    p = tmp_path / "hf.csv"
+    p.write_text(
+        "2024-01-05;42\n"
+        '0;"ALGERIA";0\n'
+        '1;"ARG;ENTINA";1\n'  # separator inside quotes
+        "3;5340.25\n"
+    )
+    df = read_csv_resource(
+        spark,
+        str(p),
+        ["n_nationkey", "n_name", "n_regionkey"],
+        sep=";",
+        quote='"',
+        header_columns=["file_date", "batch_no"],
+        footer_columns=["row_count", "total_amount"],
+    ).orderBy("_line_no")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[1]["n_name"] == "ARG;ENTINA"
+    assert all(r["file_date"] == "2024-01-05" and r["batch_no"] == "42" for r in rows)
+    assert all(r["total_amount"] == "5340.25" for r in rows)
+
+
+def test_inline_base64_equals_file_parse(spark, tmp_path):
+    content = "a;1\nb;2\nc;3\n"
+    p = tmp_path / "plain.csv"
+    p.write_text(content)
+    via_file = read_lines(spark, str(p)).select("_line_no", "value").collect()
+    payload = base64.b64encode(content.encode()).decode()
+    via_inline = (
+        read_inline_payload(spark, payload).select("_line_no", "value").collect()
+    )
+    assert sorted(map(tuple, via_file)) == sorted(map(tuple, via_inline))
+
+
+def test_csv_plain_path_roundtrip(spark, tmp_path, nation_df):
+    from cubicerp_client_etl_spark.sinks.writers import write_csv_resource
+
+    out = str(tmp_path / "csv")
+    write_csv_resource(nation_df, out, sep="|")
+    back = (
+        spark.read.csv(out, sep="|")
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    assert [(int(r[0]), r[1], int(r[2])) for r in back] == NATION_ROWS

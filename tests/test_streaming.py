@@ -1,0 +1,79 @@
+"""Stream-batch equivalence (SURVEY §5.2.7, J1-J5): the same events data
+through the streaming path must equal the batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.streaming.jobs import (
+    events_stream,
+    foreach_batch_job,
+    run_stream_to_memory,
+    stream_dedup,
+    windowed_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(str(x) for x in r) for r in df.select(*cols).collect())
+
+
+def test_windowed_agg_stream_equals_batch(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_stream_to_memory(
+        windowed_counts(stream), "win_counts", output_mode="complete"
+    )
+    batch = windowed_counts(load(spark, SF_SMOKE, "events"))
+    cols = ["window_start_us", "event_type", "n", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_stream_to_memory(
+        stream_dedup(stream), "dedup_stream", output_mode="append"
+    )
+    batch = load(spark, SF_SMOKE, "events").dropDuplicates(["event_id"])
+    assert got.count() == batch.count()
+    assert _sorted_rows(got, ["event_id"]) == _sorted_rows(batch, ["event_id"])
+
+
+def test_session_window_streaming_runs(spark):
+    stream = events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.unix_micros(F.col("w.start")).alias("start_us"), "n_events")
+    )
+    got = run_stream_to_memory(agg, "sess_stream", output_mode="complete")
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.unix_micros(F.col("w.start")).alias("start_us"), "n_events")
+    )
+    cols = ["user_id", "start_us", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_foreach_batch_online_job(spark, tmp_path):
+    """J1: online-job runner — per-epoch batch function sees every row
+    exactly once (bounded input)."""
+    out_dir = str(tmp_path / "epochs")
+
+    def handle(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    stream = events_stream(spark, SF_SMOKE)
+    q = foreach_batch_job(stream.select("event_id", "user_id"), handle)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out_dir)
+    assert written.count() == load(spark, SF_SMOKE, "events").count()
+    assert written.select("event_id").distinct().count() == written.count()
