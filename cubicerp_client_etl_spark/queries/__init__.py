@@ -44,6 +44,8 @@ def _load_all() -> None:
         lookups,
         pipeline_ext,
         relational,
+        relational2,
+        udfs,
         windows,
     )
 

@@ -377,3 +377,130 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
     return extract_features(with_payload, n_features=8, fake=True).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q62 — IVF-style ANN (L-sim1 scale path, oracle-checkable): vectors are
+# assigned to the nearest of 8 fixed centroids (the first 8 vectors) and
+# each probe searches ONLY its own cluster — the inverted-file pruning
+# that replaces the full scan at scale. Centroids broadcast; one shuffle
+# on cluster id.
+# --------------------------------------------------------------------------
+@register(
+    "q62_ivf_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+scored_assign AS (
+  SELECT e.vec_id, e.v, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                    sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 6) DESC,
+                    c.cid) AS crn
+  FROM e CROSS JOIN c
+),
+assigned AS (SELECT vec_id, v, cid FROM scored_assign WHERE crn = 1),
+probes AS (SELECT vec_id AS probe_id, v AS pv, cid FROM assigned WHERE vec_id IN (10, 20, 30)),
+cand AS (
+  SELECT p.probe_id, a.vec_id,
+         ROUND(list_dot_product(a.v, p.pv) /
+               sqrt(list_dot_product(a.v, a.v) * list_dot_product(p.pv, p.pv)), 6) AS sim
+  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+  FROM cand)
+WHERE rank <= 5
+""",
+)
+def q62_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cos_c = F.round(sim.cosine(F.col("v"), F.col("cv")), 6)
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("__cs").desc(), F.col("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", cos_c.alias("__cs"))
+        .withColumn("crn", F.row_number().over(w_assign))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    probes = assigned.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "cid"
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(sim.cosine(F.col("v"), F.col("pv")), 6).alias("sim"),
+        )
+    )
+    w_rank = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "vec_id", "sim", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — quality scoring (L-txt1): the composite heuristic, mirrored
+# arithmetic in the oracle (deterministic: exact-int ratios + IEEE ops).
+# --------------------------------------------------------------------------
+@register(
+    "q63_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / len(text)
+         END AS punct_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks)
+         END AS stop_ratio
+  FROM t
+)
+SELECT doc_id,
+       ROUND(least(n_tok / 50.0, 1.0) * 0.5
+             + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
+             + least(stop_ratio * 4.0, 1.0) * 0.2, 6) AS quality
+FROM feat
+""",
+)
+def q63_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# q64 — BPE-ish sub-word token estimate (L-txt1): regex word-pieces with
+# ceil(len/4) merge depth, identical arithmetic in the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "q64_bpe_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(list_aggregate(
+         list_transform(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1),
+                        p -> CAST(ceil(len(p) / 4.0) AS BIGINT)),
+         'sum') AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q64_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )

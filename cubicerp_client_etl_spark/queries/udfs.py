@@ -1,0 +1,110 @@
+"""UDF/UDAF/UDTF surface queries (SURVEY §2.K7): the sanctioned slow
+path — Arrow-batched Pandas UDFs — with SQL oracles proving the Python
+results match the declarative semantics exactly.
+
+These exist to pin the *plumbing* (Arrow batches, grouped-map schemas),
+not to do work built-ins could do; each docstring names the built-in
+equivalent a real pipeline should prefer.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.queries import register
+
+
+def _normalize_text_udf():
+    """Scalar Pandas UDF (vectorized over Arrow batches): whitespace-
+    collapse + lowercase. Built-in equivalent: lower(regexp_replace(...)).
+    Built lazily — the decorator parses its DDL schema and needs an
+    active session, so it cannot run at import time."""
+
+    @pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+    return normalize
+
+
+# --------------------------------------------------------------------------
+# q45 — scalar pandas_udf vs its SQL twin.
+# --------------------------------------------------------------------------
+@register(
+    "q45_pandas_scalar_udf",
+    oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_md5
+FROM documents
+""",
+)
+def q45_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    normalize = _normalize_text_udf()
+    return docs.select(
+        "doc_id", F.md5(normalize(F.col("text"))).alias("norm_md5")
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — grouped-map applyInPandas (UDAF/K7 shape): per-group range and
+# count computed in pandas; oracle via plain aggregates. Integer/exact
+# arithmetic only, so Python and SQL agree bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "q46_apply_in_pandas",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       MAX(value) - MIN(value) AS value_range,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type
+""",
+)
+def q46_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "value_range": [float(pdf["value"].max() - pdf["value"].min())],
+                "max_event_id": [int(pdf["event_id"].max())],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        per_group,
+        schema="event_type string, n long, value_range double, max_event_id long",
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — mapInPandas (per-partition batch iterator, the custom-operator
+# escape hatch): token counting in pandas; oracle via SQL len(split).
+# --------------------------------------------------------------------------
+@register(
+    "q47_map_in_pandas",
+    oracle="""
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+FROM documents
+""",
+)
+def q47_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.strip().str.split(r"\s+").str.len(),
+                }
+            )
+
+    return docs.mapInPandas(count_tokens, schema="doc_id long, n_tokens long")
