@@ -1,0 +1,88 @@
+"""Scale-posture plan checks (SURVEY §5.2.8, L-scale): the physical
+plans must keep the properties that make the queries viable at 100 TB —
+pushdown, pruning, partial aggregation, broadcast dims, top-k without a
+global sort — asserted on the executed-plan string so regressions are
+loud."""
+
+from __future__ import annotations
+
+import pytest
+
+from cubicerp_client_etl_spark.queries import REGISTRY
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_prune_partial_agg(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 11-column table is scanned at 7 columns
+    assert "l_orderkey" not in plan.split("FileScan")[1].split("ReadSchema")[0]
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange hashpartitioning") == 1  # exactly one shuffle
+
+
+def test_q02_no_shuffle_full_pushdown(spark):
+    plan = plan_of(spark, "q02_filter_project")
+    assert "Exchange" not in plan  # pure scan+project, stays map-only
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    assert "*(1)" in plan  # whole-stage codegen span (rendered as *(n))
+
+
+def test_q07_broadcasts_dims(spark):
+    plan = plan_of(spark, "q07_star_join_revenue")
+    # nation/region must never shuffle the fact side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # fact scan reads only the join key + measures
+    fact_scan = [s for s in plan.split("FileScan") if "l_extendedprice" in s][0]
+    assert "l_shipdate" not in fact_scan.split("ReadSchema")[0]
+
+
+def test_q04_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "q04_top_k")
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps
+    assert "Exchange rangepartitioning" not in plan  # no full sort
+
+
+def test_q12_range_join_is_broadcast_not_cartesian(spark):
+    plan = plan_of(spark, "q12_range_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q09_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "q09_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_q55_probes_broadcast(spark):
+    plan = plan_of(spark, "q55_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_session_defaults_scale_flags(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",
+        "q05_distinct",
+        "q07_star_join_revenue",
+        "q50_dedup_keep_latest",
+        "q58_text_analysis",
+    ],
+)
+def test_fixture_queries_never_materialize_driver_side(spark, name):
+    """No Scan ExistingRDD / LocalTableScan on fixture-backed paths —
+    data must flow from the parquet scan, not via driver collect()."""
+    plan = plan_of(spark, name)
+    assert "Scan ExistingRDD" not in plan
