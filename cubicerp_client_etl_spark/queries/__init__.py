@@ -45,6 +45,7 @@ def _load_all() -> None:
         pipeline_ext,
         relational,
         relational2,
+        relational3,
         udfs,
         windows,
     )

@@ -1,0 +1,237 @@
+"""Third query wave: grouping sets, ordered string agg, skew-salted join,
+embedding-cosine near-dup, approximate sketches, ntile/first/last frames.
+
+Covers SURVEY §2 D4 (GROUPING SETS proper, beyond q16/q17 rollup/cube),
+H-family string aggregation, E1/E2 completion (ntile, first_value /
+last_value with explicit frames), the L-dedup embedding-cosine variant
+mandated by BASELINE.json, and the skew-mitigation posture from §2
+L-scale: a deterministic salted join whose result is provably identical
+to the unsalted plan (the oracle is the plain join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.operators import similarity as sim
+from cubicerp_client_etl_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# q65 — GROUPING SETS (D4). Rollup/cube (q16/q17) are the fixed lattices;
+# this is the general form: an explicit set list, with GROUPING() flags so
+# subtotal NULLs are distinguishable from data NULLs. One shuffle; Spark
+# expands the sets map-side before the exchange (Expand operator), so at
+# 100 TB the cost is (#sets × map output), not #sets passes over the data.
+# --------------------------------------------------------------------------
+@register(
+    "q65_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q66 — ordered string aggregation (listagg / string_agg shape, H-family).
+# Spark's collect_list is order-nondeterministic under shuffle, so the
+# deterministic distributed form is collect → array_sort → array_join:
+# the sort happens per-group AFTER collection, making the result
+# partitioning-independent — the property that survives a 1000-executor
+# shuffle. Oracle: DuckDB string_agg with ORDER BY.
+# --------------------------------------------------------------------------
+@register(
+    "q66_sorted_listagg",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) t
+GROUP BY c_nationkey
+""",
+)
+def q66_sorted_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q68 — skew-salted join (L-scale posture, made checkable). A hot join key
+# (one orderkey owning a large share of lineitems at 100 TB) overloads a
+# single reducer in a plain shuffle join. Mitigation: split the fact side
+# into SALT deterministic sub-keys (pmod of a murmur3 hash — no RNG, so
+# re-runs and the oracle agree), replicate the dim side SALT× via explode,
+# and join on (key, salt). The dim side grows SALT×, but each reducer now
+# holds 1/SALT of the hot key's rows. The oracle is the PLAIN join — the
+# whole point is that salting is result-invariant.
+# --------------------------------------------------------------------------
+_SALT = 4
+
+
+@register(
+    "q68_salted_skew_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def q68_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_SALT))
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+    )
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(disc_price).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — embedding-cosine near-duplicate detection (L-dedup, BASELINE.json's
+# "embedding-cosine near-dup"). A document is a near-dup if some
+# lower-id vector is within cosine >= threshold; the query returns the
+# removal list with partner stats. Exact all-pairs here (oracle-checkable);
+# at 100 TB the identical filter runs over q57's LSH-bucketed candidate
+# pairs instead of the full cross product — same predicate, pruned input.
+# Scores rounded to 6 digits (see README numeric discipline).
+# --------------------------------------------------------------------------
+_NEAR_DUP_T = 0.45
+
+
+@register(
+    "q69_embedding_near_dup",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_keep, b.vec_id AS id_dup,
+         list_dot_product(a.v, b.v) /
+         sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_dup AS dup_vec_id,
+       COUNT(*) AS n_partners,
+       MIN(id_keep) AS first_partner,
+       ROUND(MAX(cos), 6) AS best_sim
+FROM pairs WHERE cos >= 0.45
+GROUP BY id_dup
+""",
+)
+def q69_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_keep"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_dup"), F.col("v").alias("vb"))
+    cos = sim.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_keep") < F.col("id_dup"))
+        .filter(cos >= _NEAR_DUP_T)
+        .select("id_keep", "id_dup", cos.alias("cos"))
+        .groupBy(F.col("id_dup").alias("dup_vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_partners"),
+            F.min("id_keep").alias("first_partner"),
+            F.round(F.max("cos"), 6).alias("best_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 — approximate distinct-count sketch (HyperLogLog++). The 100 TB form
+# of COUNT(DISTINCT): one pass, fixed memory per group, no second shuffle
+# for distinct de-dup. Estimates are engine-specific (Spark HLL++ vs DuckDB
+# HLL differ by design) → no value oracle; the exact q23 is the checked
+# twin. rsd=0.01 keeps the estimate within ~1%.
+# --------------------------------------------------------------------------
+@register("q75_approx_count_distinct", oracle=None)
+def q75_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 — ntile + first_value/last_value with explicit frames (E1/E2).
+# last_value needs the full-partition frame — the default frame stops at
+# CURRENT ROW, a classic cross-engine trap; both sides pin the frame
+# explicitly so Spark and DuckDB agree row-for-row.
+# --------------------------------------------------------------------------
+@register(
+    "q76_ntile_first_last",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+       LAST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q76_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
