@@ -97,6 +97,42 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (§2.K surface on streams):
+    per-user running totals via ``applyInPandasWithState``.
+
+    This is the engine's replacement for the reference's per-row Python
+    hooks running inside the cron loop (cubicerpetl/etl_cron.py:46-53
+    carries accumulator state across 100-row chunks in driver memory):
+    state lives in Spark's state store, keyed by user, checkpointed, and
+    Arrow-batched — one pandas call per (user, micro-batch), never per row.
+
+    Scale posture: state is one (count, sum) pair per user_id — bounded
+    by key cardinality, independent of stream length; no watermark needed
+    because the state never grows per-event.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum()) if len(pdf) else 0.0
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_job(
     stream_df: DataFrame,
     batch_fn: Callable[[DataFrame, int], None],

@@ -11,6 +11,7 @@ from cubicerp_client_etl_spark.streaming.jobs import (
     events_stream,
     foreach_batch_job,
     run_stream_to_memory,
+    stateful_user_totals,
     stream_dedup,
     windowed_counts,
 )
@@ -58,6 +59,35 @@ def test_session_window_streaming_runs(spark):
     )
     cols = ["user_id", "start_us", "n_events"]
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_stateful_operator_equals_batch_agg(spark):
+    """applyInPandasWithState running totals must converge to the batch
+    groupBy on bounded input (final state after the last micro-batch ==
+    full-data aggregate). Counts are exact; float sums compared at 1e-6
+    (pandas sums in file order, Spark's partial aggregation doesn't)."""
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_stream_to_memory(
+        stateful_user_totals(stream), "user_totals", output_mode="update"
+    )
+    # update mode may emit one row per user per epoch: keep the last
+    # emitted row per user (max n_events is the running total's final value)
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max_by("sum_value", "n_events").alias("sum_value"),
+             F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    f = {r["user_id"]: r for r in final.collect()}
+    b = {r["user_id"]: r for r in batch.collect()}
+    assert set(f) == set(b)
+    for uid in b:
+        assert f[uid]["n_events"] == b[uid]["n_events"], uid
+        assert abs(f[uid]["sum_value"] - b[uid]["sum_value"]) < 1e-6, uid
 
 
 def test_foreach_batch_online_job(spark, tmp_path):
