@@ -94,3 +94,80 @@ def extract_features(df: DataFrame, n_features: int = 8, fake: bool = True) -> D
             )
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize operator (image path): payload in → payload out with updated
+    width/height metadata, via Arrow-batched ``mapInPandas``.
+
+    The real pixel resample is STUBBED (no PIL in this container); the
+    fake keeps the plumbing honest — output payload is exactly
+    width×height bytes, deterministically derived from the input by
+    nearest-neighbor index sampling over the byte array, so round-trips
+    and partition shapes behave like the real thing. 1 row in → 1 row
+    out; payload size becomes uniform, which is exactly what downstream
+    partition sizing wants after a resize.
+    """
+    if not fake:
+        decode_media()
+
+    out_schema = (
+        "doc_id bigint, media_type string, width int, height int, payload binary"
+    )
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) or b"\x00"
+                # nearest-neighbor over the flat byte array: the stub for
+                # a real resample, deterministic in (payload, target)
+                step = len(b) / target
+                payloads.append(bytes(b[min(int(i * step), len(b) - 1)] for i in range(target)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 64, every_n: int = 4, fake: bool = True
+) -> DataFrame:
+    """Frame sampling (video path): one row in → one row per sampled
+    frame out (UDTF shape through ``mapInPandas``).
+
+    The container decode (mp4 → frames) is STUBBED; the fake treats the
+    payload as a flat sequence of ``frame_bytes``-sized frames and emits
+    every ``every_n``-th — the row-explosion, schema, and batch shapes are
+    the real thing. At 100 TB this is the operator that *grows* data
+    (rows × frames), so it must run map-side with no shuffle — mapInPandas
+    guarantees that — and repartitioning, if needed, happens downstream.
+    """
+    if not fake:
+        decode_media()
+
+    out_schema = "doc_id bigint, frame_idx int, frame bytes".replace("bytes", "binary")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(len(b) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -16,6 +16,8 @@ from cubicerp_client_etl_spark.operators import text as tx
 from cubicerp_client_etl_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
+    resize_media,
+    sample_frames,
 )
 from cubicerp_client_etl_spark.queries import register
 
@@ -377,6 +379,54 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
     return extract_features(with_payload, n_features=8, fake=True).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q77 — multimodal resize (L-mm1): payload → uniform width×height payload
+# through mapInPandas. The pixel resample is the stubbed step
+# (deterministic nearest-neighbor over bytes) → rows-only; unit tests pin
+# the output shape and md5s.
+# --------------------------------------------------------------------------
+@register("q77_multimodal_resize", oracle=None)
+def q77_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = attach_binary_payload(docs, "text")
+    resized = resize_media(with_payload, width=8, height=8, fake=True)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5("payload").alias("payload_md5"),
+        F.octet_length("payload").alias("byte_len"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q78 — frame sampling (L-mm1, UDTF shape): one document → one row per
+# sampled 64-byte frame via mapInPandas; row growth happens map-side with
+# no shuffle. The fixture text is pure ASCII (verified across SFs), so
+# byte-slice frames equal char-slice frames and DuckDB can oracle the
+# md5 of every sampled frame exactly.
+# --------------------------------------------------------------------------
+@register(
+    "q78_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       md5(substr(text, CAST(fi AS INT)*64+1, 64)) AS frame_md5,
+       length(substr(text, CAST(fi AS INT)*64+1, 64)) AS frame_len
+FROM documents, UNNEST(range(0, greatest(length(text)//64, 1), 4)) AS t(fi)
+""",
+)
+def q78_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = attach_binary_payload(docs, "text")
+    frames = sample_frames(with_payload, frame_bytes=64, every_n=4, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.octet_length("frame").alias("frame_len"),
+    )
 
 
 # --------------------------------------------------------------------------
