@@ -164,3 +164,56 @@ def test_csv_plain_path_roundtrip(spark, tmp_path, nation_df):
         .collect()
     )
     assert [(int(r[0]), r[1], int(r[2])) for r in back] == NATION_ROWS
+
+
+# --------------------------------------------------------------------------
+# DBF round-trip (SURVEY A5/I5): built-in dBase III writer → built-in
+# reader, covering C/N/L/D types, nulls, and deleted-record skip.
+# --------------------------------------------------------------------------
+def test_dbf_roundtrip(spark, tmp_path):
+    from cubicerp_client_etl_spark.sinks.dbf import DbfField, write_dbf
+    from cubicerp_client_etl_spark.sources.dbf import read_dbf
+
+    df = spark.createDataFrame(
+        [
+            (0, "ALGERIA", 4.5, True, "2024-01-31"),
+            (1, "ARGENTINA", None, False, None),
+            (24, None, -12.25, None, "1999-12-31"),
+        ],
+        "k bigint, name string, score double, flag boolean, d string",
+    )
+    path = str(tmp_path / "out.dbf")
+    specs = [
+        DbfField("k", "N", 19, 0),
+        DbfField("name", "C", 20, 0),
+        DbfField("score", "N", 12, 2),
+        DbfField("flag", "L", 1, 0),
+        DbfField("d", "D", 8, 0),
+    ]
+    n = write_dbf(df, path, specs)
+    assert n == 3
+
+    back = read_dbf(
+        spark, path, schema="k bigint, name string, score double, flag boolean, d string"
+    )
+    got = {r["k"]: r for r in back.collect()}
+    assert set(got) == {0, 1, 24}
+    assert got[0]["name"] == "ALGERIA" and got[0]["flag"] is True
+    assert got[0]["d"] == "2024-01-31"
+    assert got[1]["score"] is None and got[1]["flag"] is False and got[1]["d"] is None
+    assert got[24]["name"] is None and got[24]["score"] == -12.25
+    assert got[24]["flag"] is None
+
+
+def test_dbf_inferred_specs_roundtrip(spark, tmp_path):
+    from cubicerp_client_etl_spark.sinks.dbf import write_dbf
+    from cubicerp_client_etl_spark.sources.dbf import read_dbf
+
+    nation = spark.createDataFrame(
+        NATION_ROWS, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    path = str(tmp_path / "nation.dbf")
+    assert write_dbf(nation, path) == 3
+    back = read_dbf(spark, path)  # schema inferred from the file header
+    rows = sorted((int(r[0]), r[1], int(r[2])) for r in back.collect())
+    assert rows == sorted(NATION_ROWS)
