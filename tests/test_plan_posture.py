@@ -86,3 +86,46 @@ def test_fixture_queries_never_materialize_driver_side(spark, name):
     data must flow from the parquet scan, not via driver collect()."""
     plan = plan_of(spark, name)
     assert "Scan ExistingRDD" not in plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-located join via bucketing (L-scale): two tables bucketed and
+    sorted on the join key join with ZERO Exchange operators — the
+    pattern that removes the dominant shuffle from repeated big-table
+    joins at 100 TB (bucket layout is computed once at write time and
+    reused by every subsequent join on that key)."""
+    import uuid
+
+    from cubicerp_client_etl_spark.catalog import load
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    try:
+        li = load(spark, SF_ORACLE, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = load(spark, SF_ORACLE, "orders").select("o_orderkey", "o_orderpriority")
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable(f"{db}.li_b"))
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable(f"{db}.o_b"))
+        j = spark.table(f"{db}.li_b").join(
+            spark.table(f"{db}.o_b"),
+            spark.table(f"{db}.li_b").l_orderkey
+            == spark.table(f"{db}.o_b").o_orderkey,
+        )
+        # disable broadcast so the test proves bucketing (not size) kills
+        # the shuffle; AQE off so the final plan is deterministic here
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            n = j.count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert n == li.count()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
