@@ -129,3 +129,29 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         assert "SortMergeJoin" in plan
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """Partition-pruning posture (L-scale): a date-partitioned layout
+    must turn a date predicate into PartitionFilters with only the
+    matching directories scanned — the mechanism that keeps a 100 TB
+    time-series table queryable (scan cost ∝ days touched, not total)."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.catalog import load
+
+    events = load(spark, SF_ORACLE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").parquet(path)
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    assert len(days) >= 2, "fixture spans one day; pick a finer grain"
+    one = days[0]
+
+    q = spark.read.parquet(path).filter(F.col("day") == one)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:80]
+    got = q.count()
+    want = events.filter(F.col("day") == one).count()
+    assert got == want and got > 0
