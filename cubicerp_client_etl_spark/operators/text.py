@@ -125,3 +125,46 @@ def fingerprint(col: Column | str) -> Column:
     dedup.minhash_signatures)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def tfidf_top_terms(docs, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """TF-IDF top-k terms per document (SURVEY L-txt1), pure DataFrame ops.
+
+    Terms are lowercase alphanumeric runs; tf = in-doc term count, df =
+    number of docs containing the term, idf = ln(N/df) with N the corpus
+    document count. Ranking uses the ROUNDED score (6dp, score desc then
+    term asc) so ordering is reproducible cross-engine.
+
+    Scale: two shuffles — (doc, term) tf agg and term df agg; the
+    corpus-size N and the df table join back by term (df is vocabulary-
+    sized, broadcastable far beyond 100 TB corpora). No Python, all
+    codegen expressions.
+    """
+    terms = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )

@@ -554,3 +554,37 @@ def q64_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", tx.bpe_ish_token_count("text").alias("n_bpe_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# q79 — TF-IDF top terms per document (L-txt1): corpus-relative term
+# weighting entirely in codegen expressions; df table broadcast back.
+# Both engines rank by the 6dp-rounded score with term tie-break, so the
+# top-k sets are identical.
+# --------------------------------------------------------------------------
+@register(
+    "q79_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
+""",
+)
+def q79_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.text import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
