@@ -46,6 +46,7 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         udfs,
         windows,
     )
