@@ -588,3 +588,69 @@ def q79_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+# --------------------------------------------------------------------------
+# q90 — near-dup clustering via distributed connected components
+# (L-dedup terminal step): pair-level near-dup edges (cosine ≥ 0.35,
+# same predicate family as q69) become duplicate *clusters*; the kept
+# representative is the min vec_id per component. Spark side is
+# iterative min-label propagation (operators/graph.py — one
+# edges⋈labels shuffle + min-agg per round, localCheckpoint'd); the
+# oracle computes the same fixpoint with a recursive CTE. All output
+# columns are integers/booleans — no float hashing concerns.
+# Scale: at 100 TB the edge list comes from LSH/IVF candidate pairs
+# (q53/q57/q62), not the all-pairs join used at oracle scale; the CC
+# loop itself is shuffle-bounded by |edges| per round with diameter-
+# bounded round count.
+# --------------------------------------------------------------------------
+_CLUSTER_T = 0.35
+
+
+@register(
+    "q90_neardup_components",
+    oracle="""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.35
+),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT edges.dst, reach.label FROM reach JOIN edges ON edges.src = reach.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+sized AS (SELECT component AS c2, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT comp.node AS vec_id, comp.component, sized.cluster_size,
+       comp.node = comp.component AS is_kept
+FROM comp JOIN sized ON comp.component = sized.c2
+""",
+)
+def q90_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.graph import connected_components
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    edges = (
+        a.join(b, F.col("ida") < F.col("idb"))  # symmetrized inside the operator
+        .filter(sim.cosine(F.col("va"), F.col("vb")) >= _CLUSTER_T)
+        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+    )
+    comp = connected_components(emb.select("vec_id"), edges, node_col="vec_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("node").alias("vec_id"),
+            "component",
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_kept"),
+        )
+    )

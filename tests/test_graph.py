@@ -1,0 +1,43 @@
+"""Unit tests for distributed connected components (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.operators.graph import connected_components
+
+
+def _cc(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges or [(-1, -1)], "src long, dst long")
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    out = connected_components(ndf, edf)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_chain_propagates_beyond_one_hop(spark):
+    # 0-1-2-3-4 chain: diameter 4 forces multiple propagation rounds
+    got = _cc(spark, range(5), [(0, 1), (1, 2), (2, 3), (3, 4)])
+    assert got == {i: 0 for i in range(5)}
+
+
+def test_isolated_nodes_self_labeled(spark):
+    got = _cc(spark, range(4), [(2, 3)])
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2}
+
+
+def test_directed_input_is_symmetrized(spark):
+    # edge only given as (high → low); low id must still win the label
+    got = _cc(spark, [10, 20], [(20, 10)])
+    assert got == {10: 10, 20: 10}
+
+
+def test_two_components_dont_merge(spark):
+    got = _cc(spark, range(6), [(0, 1), (1, 2), (4, 5)])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [7, 8], [])
+    assert got == {7: 7, 8: 8}
