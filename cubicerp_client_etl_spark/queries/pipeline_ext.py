@@ -654,3 +654,86 @@ def q90_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node") == F.col("component")).alias("is_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q91 — corpus curation composite (the end-to-end L-pipeline): quality
+# gate (q63's score) → language gate (q58's marker heuristic, drop
+# 'und') → exact near-dup collapse on normalized fingerprint keeping the
+# min doc_id. This is the canonical pretraining-data filter expressed as
+# one declarative plan: every stage is codegen'd JVM expressions, the
+# only shuffle is the fingerprint window.
+# Scale: quality/lang are per-row (no shuffle); the dedup window
+# shuffles on fp once — at 100 TB the same plan holds (fp is
+# high-cardinality, no skew: md5 is uniform).
+# --------------------------------------------------------------------------
+@register(
+    "q91_corpus_curation",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, text,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / len(text)
+         END AS punct_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks)
+         END AS stop_ratio,
+         len(list_filter(toks, x -> lower(x) IN ('the','a','of','and'))) AS s_en,
+         len(list_filter(toks, x -> lower(x) IN ('el','la','de','y'))) AS s_es,
+         len(list_filter(toks, x -> lower(x) IN ('der','die','das','und'))) AS s_de,
+         len(list_filter(toks, x -> lower(x) IN ('le','la','et','les'))) AS s_fr,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM t
+),
+scored AS (
+  SELECT doc_id, lang, fp,
+         least(n_tok / 50.0, 1.0) * 0.5
+           + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
+           + least(stop_ratio * 4.0, 1.0) * 0.2 AS quality,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_guess
+  FROM feat
+),
+gated AS (
+  SELECT * FROM scored WHERE quality >= 0.7 AND lang_guess <> 'und'
+)
+SELECT doc_id, lang, lang_guess, ROUND(quality, 6) AS quality,
+       n_copies
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY fp) AS n_copies
+  FROM gated
+) WHERE rk = 1
+""",
+)
+def q91_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        tx.quality_score("text").alias("quality_raw"),
+        tx.language_id("text").alias("lang_guess"),
+        tx.fingerprint("text").alias("fp"),
+    )
+    gated = scored.filter(
+        (F.col("quality_raw") >= 0.7) & (F.col("lang_guess") != "und")
+    )
+    w = W.partitionBy("fp")
+    ranked = gated.select(
+        "doc_id",
+        "lang",
+        "lang_guess",
+        F.round("quality_raw", 6).alias("quality"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rk") == 1).drop("rk")

@@ -19,6 +19,7 @@ query here shuffles anything but lineitem/orders.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.catalog import load
@@ -459,4 +460,108 @@ def q89_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 — statistics pack from exact moments (D3 extension). Built-in
+# STDDEV/CORR are accumulation-order-dependent in double (Welford /
+# pairwise merges differ per engine and per partitioning), so they can
+# never hash-match across engines. Instead: accumulate the raw moments
+# (n, Σx, Σx², Σy, Σy², Σxy) in exact DECIMAL — order-independent — and
+# assemble variance/correlation from them with IEEE double arithmetic,
+# which is bit-identical everywhere. Same trick both engines.
+# Scale: one partial-agg shuffle of 6 decimal cells per group — cheaper
+# than Welford merging, and deterministic under any partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "q92_stats_pack",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+FROM m
+""",
+)
+def q92_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,4)")
+    y = F.col("l_extendedprice").cast("decimal(19,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — daily-active-users with week-over-week movement (events
+# analytics): date_trunc bucketing, COUNT DISTINCT per day, then lag-7
+# self-comparison via window. The distinct-per-day is the real shuffle;
+# the lag window rides the same day-ordered frame.
+# Scale: two shuffles (day⨯user dedup, then day) — at 100 TB the first
+# becomes the HLL sketch path (q75) with identical query shape.
+# --------------------------------------------------------------------------
+@register(
+    "q93_dau_wow",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS dau,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, n_events,
+       lag(dau, 7) OVER (ORDER BY day) AS dau_prev_week,
+       ROUND(CAST(dau - lag(dau, 7) OVER (ORDER BY day) AS DOUBLE)
+             / lag(dau, 7) OVER (ORDER BY day), 6) AS wow_change
+FROM d
+""",
+)
+def q93_dau_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = W.orderBy("day")
+    prev = F.lag("dau", 7).over(w)
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "n_events",
+        prev.alias("dau_prev_week"),
+        F.round((F.col("dau") - prev).cast("double") / prev, 6).alias("wow_change"),
     )
