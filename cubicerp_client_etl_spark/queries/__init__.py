@@ -47,6 +47,7 @@ def _load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         udfs,
         windows,
     )
