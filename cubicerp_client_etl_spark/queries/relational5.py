@@ -569,3 +569,70 @@ def q105_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return p.unpivot("p_partkey", ["retailprice", "size"], "attr", "val")
+
+
+# --------------------------------------------------------------------------
+# q106 — TPC-H Q2 (minimum-cost supplier): no partsupp/ps_supplycost in
+# the fixture, so unit cost := MIN(l_extendedprice / l_quantity)
+# observed per (supplier, part) in lineitem; for each STANDARD part,
+# keep the EUROPE supplier(s) achieving the per-part minimum (ties kept,
+# as in Q2). The correlated MIN subquery becomes a window-min + equality
+# filter. Float discipline: each unit cost is one IEEE division and MIN
+# is order-independent, so both engines compare identical doubles.
+# Scale: one (partkey, suppkey) aggregation shuffle over lineitem, then
+# a partkey-window over the already-reduced (≤ parts × suppliers) frame;
+# supplier/nation/region broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q106_tpch_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s.s_name, s.s_acctbal, n.n_name
+  FROM cost c
+  JOIN supplier s ON s.s_suppkey = c.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name,
+       ROUND(eu.unit_cost, 6) AS unit_cost
+FROM eu
+JOIN part p ON p.p_partkey = eu.l_partkey
+WHERE p.p_type = 'STANDARD'
+  AND eu.unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                      WHERE e2.l_partkey = eu.l_partkey)
+""",
+)
+def q106_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    w = W.partitionBy("l_partkey")
+    best = eu.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return best.join(F.broadcast(p), best.l_partkey == p.p_partkey).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_name",
+        F.round("unit_cost", 6).alias("unit_cost"),
+    )
