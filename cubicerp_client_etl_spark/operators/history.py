@@ -1,0 +1,106 @@
+"""Change-history operators: SCD Type-2 interval build and CDC snapshot
+diff (SURVEY §2.I extension).
+
+The reference's reprocess modes (cubicerpetl/cubicerpetl.py:494-537)
+implement upsert-style "latest state wins" loading; warehouse practice
+additionally needs the two history-preserving shapes built here:
+
+- ``scd2_intervals``: turn an append-only change log into slowly-
+  changing-dimension type-2 validity intervals ([valid_from, valid_to),
+  version, is_current) — one window pass per entity, no self-join.
+- ``snapshot_diff``: given two keyed snapshots, classify every key as
+  inserted / deleted / changed / unchanged — one full-outer join, the
+  distributed form of table diff. This is what the reference's ledger
+  recovery (cubicerpetl.py:658-671) approximates per-row over RPC.
+
+Scale: both operators shuffle exactly once on the entity key. SCD2's
+window needs no global sort — ordering is per-key within partitions.
+At 100 TB the key (user/entity id) is high-cardinality and uniform, so
+neither operator has a skew hazard; snapshot_diff's join benefits from
+both sides being bucketed/pre-partitioned on the key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str,
+    order_by: Sequence[str],
+    attrs: Sequence[str],
+) -> DataFrame:
+    """Build SCD2 validity intervals from an append-only change log.
+
+    Each change row opens a version valid from its own ordering point
+    until the next change for the same key (NULL for the current one).
+    ``order_by`` must be a deterministic total order per key (e.g.
+    ``["ts", "event_id"]``) so versions are stable across engines.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    first_order = order_by[0]
+    return changes.select(
+        key,
+        *attrs,
+        F.col(first_order).alias("valid_from"),
+        F.lead(first_order).over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead(first_order).over(w).isNull().alias("is_current"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare: Sequence[str],
+) -> DataFrame:
+    """Classify keys across two snapshots: inserted/deleted/changed/
+    unchanged, carrying both sides' compare columns.
+
+    NULL-safe comparison (``eqNullSafe``) so a NULL→value transition
+    counts as changed, not unchanged.
+    """
+    o = old.select(
+        F.col(key).alias("old_key"),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        F.col(key).alias("new_key"),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    same: Column = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    joined = o.join(n, F.col("old_key") == F.col("new_key"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("old_key"), F.col("new_key")).alias(key),
+        F.when(F.col("old_key").isNull(), F.lit("inserted"))
+        .when(F.col("new_key").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+        *[F.col(f"old_{c}") for c in compare],
+        *[F.col(f"new_{c}") for c in compare],
+    )
+
+
+def hash_split(key: str, test_hex_prefix_below: str = "3") -> Column:
+    """Deterministic, engine-portable train/test assignment.
+
+    md5 of the key's decimal string rendering, first hex digit compared
+    lexically — e.g. ``"3"`` sends 3/16 of keys to 'test'. Stable across
+    runs, partitionings, and engines (md5 is bit-identical everywhere),
+    which is what a reproducible training-data split needs; never use
+    engine-native ``hash()``/``rand()`` for splits.
+    """
+    h = F.md5(F.col(key).cast("string"))
+    return (
+        F.when(F.substring(h, 1, 1) < test_hex_prefix_below, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split")
+    )

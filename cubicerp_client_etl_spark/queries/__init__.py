@@ -43,6 +43,7 @@ def _load_all() -> None:
     from cubicerp_client_etl_spark.queries import (  # noqa: F401
         lookups,
         pipeline_ext,
+        pipeline_ext2,
         relational,
         relational2,
         relational3,

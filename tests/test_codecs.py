@@ -217,3 +217,44 @@ def test_dbf_inferred_specs_roundtrip(spark, tmp_path):
     back = read_dbf(spark, path)  # schema inferred from the file header
     rows = sorted((int(r[0]), r[1], int(r[2])) for r in back.collect())
     assert rows == sorted(NATION_ROWS)
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cubicerp_client_etl_spark.sources.jsonl import (
+        quarantine,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("text", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None), (3, 'quote " and , comma')], schema
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out)
+    back, bad = quarantine(read_jsonl(spark, out, schema=schema))
+    assert bad.count() == 0
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (1, "hello"),
+        (2, None),
+        (3, 'quote " and , comma'),
+    ]
+
+    # malformed line goes to quarantine, good lines survive
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n')
+    good, bad = quarantine(read_jsonl(spark, str(p), schema=schema))
+    assert [(r.doc_id, r.text) for r in good.collect()] == [(1, "ok")]
+    assert bad.count() == 1
