@@ -1,0 +1,82 @@
+"""Declarative data-quality constraint profiling (D2 extension).
+
+The reference's only quality machinery is the per-row ledger with its
+``check``/``amount`` reconciliation fields (cubicerpetl/
+cubicerpetl.py:775-787) — operational, row-at-a-time, RPC-bound. The
+engine's form is declarative: a rule set evaluated in ONE pass over the
+table (conditional aggregation), plus set-based rules (uniqueness via
+group-count, referential integrity via anti-join) that each cost one
+shuffle. Output is a long-form report (rule, n_violations) — the shape
+monitoring systems ingest.
+
+Scale: row rules are a single map-side conditional-sum pass — no
+shuffle beyond the 1-row final aggregate. Uniqueness shuffles on the
+key; FK checks anti-join (broadcast when the parent is a dim). At
+100 TB you run the row rules on every load and the set rules on a
+sampled or incremental basis — the API keeps them separable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def row_rule_report(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Evaluate boolean violation predicates in one pass.
+
+    ``rules`` maps rule name → Column that is true when the row
+    VIOLATES the rule. Returns (rule, n_violations) long form.
+    """
+    wide = df.agg(
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+            for name, pred in rules.items()
+        ]
+    )
+    stack = ", ".join(f"'{n}', `{n}`" for n in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+    )
+
+
+def uniqueness_report(
+    df: DataFrame, key: Sequence[str], rule_name: str | None = None
+) -> DataFrame:
+    """Count rows participating in duplicate groups of ``key``."""
+    name = rule_name or f"unique({','.join(key)})"
+    dup = (
+        df.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_violations"))
+    )
+    return dup.select(F.lit(name).alias("rule"), "n_violations")
+
+
+def fk_report(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    rule_name: str | None = None,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Count child rows whose FK has no parent (orphans) via anti-join."""
+    name = rule_name or f"fk({child_key}->{parent_key})"
+    p = parent.select(parent_key).distinct()
+    if broadcast_parent:
+        p = F.broadcast(p)
+    orphans = child.join(
+        p, child[child_key] == p[parent_key], "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    return orphans.select(F.lit(name).alias("rule"), "n_violations")
+
+
+def combine_reports(*reports: DataFrame) -> DataFrame:
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.catalog import load
-from cubicerp_client_etl_spark.functions import dsum
+from cubicerp_client_etl_spark.functions import dec2, dsum
 from cubicerp_client_etl_spark.operators.history import (
     hash_split,
     scd2_intervals,
@@ -148,4 +148,198 @@ def q109_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             dsum("c_acctbal").alias("sum_acctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q110 — data-quality constraint report (D2 extension): row rules in one
+# conditional-sum pass, uniqueness via group-count, referential
+# integrity via broadcast anti-join — the declarative, one-shuffle-each
+# form of the reference's per-row check/amount reconciliation
+# (cubicerpetl/cubicerpetl.py:775-787).
+# --------------------------------------------------------------------------
+@register(
+    "q110_quality_report",
+    oracle="""
+SELECT 'nonpositive_quantity' AS rule,
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS n_violations
+UNION ALL
+SELECT 'discount_out_of_range',
+       (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5)
+UNION ALL
+SELECT 'null_orderkey', (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+UNION ALL
+SELECT 'ship_before_1995',
+       (SELECT COUNT(*) FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01')
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)',
+       (SELECT COALESCE(SUM(n), 0) FROM (
+          SELECT COUNT(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'fk(l_orderkey->o_orderkey)',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+""",
+)
+def q110_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import (
+        combine_reports,
+        fk_report,
+        row_rule_report,
+        uniqueness_report,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    rows = row_rule_report(
+        li,
+        {
+            "nonpositive_quantity": F.col("l_quantity") <= 0,
+            "discount_out_of_range": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.5),
+            "null_orderkey": F.col("l_orderkey").isNull(),
+            "ship_before_1995": F.col("l_shipdate") < "1995-01-01",
+        },
+    )
+    uniq = uniqueness_report(li, ["l_orderkey", "l_linenumber"])
+    fk = fk_report(li, "l_orderkey", o, "o_orderkey")
+    return combine_reports(rows, uniq, fk)
+
+
+# --------------------------------------------------------------------------
+# q111 — exact discrete percentiles per group (E-family extension): the
+# p-th value selected explicitly via row_number == ceil(p*n), the same
+# algorithm spelled out in both engines — engine-native quantile
+# functions differ in interpolation/tie rules across engines, so a
+# portable percentile must pin the algorithm, not the function name.
+# Scale: one shuffle on the group key; the per-group sort is the
+# window's partition-local sort, no global ordering.
+# --------------------------------------------------------------------------
+@register(
+    "q111_exact_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rk,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+SELECT c_mktsegment,
+       MAX(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT) THEN c_acctbal END) AS p25,
+       MAX(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT) THEN c_acctbal END) AS p50,
+       MAX(CASE WHEN rk = CAST(ceil(0.75 * n) AS BIGINT) THEN c_acctbal END) AS p75,
+       MAX(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT) THEN c_acctbal END) AS p90
+FROM ranked GROUP BY c_mktsegment
+""",
+)
+def q111_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w.orderBy("c_acctbal", "c_custkey")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        hit = F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(hit, F.col("c_acctbal"))).alias(name)
+
+    return ranked.groupBy("c_mktsegment").agg(
+        pick(0.25, "p25"), pick(0.50, "p50"), pick(0.75, "p75"), pick(0.90, "p90")
+    )
+
+
+# --------------------------------------------------------------------------
+# q112 — incremental aggregate maintenance (D-family extension): the
+# monthly revenue rollup is maintained by merging the standing
+# aggregate with the new slice's partial aggregate — re-aggregation of
+# partials, NOT recompute. The oracle computes the same result from
+# scratch; equality proves the incremental path is exact, which it is
+# precisely because the decimal sums are associative/order-independent.
+# Scale: at 100 TB you aggregate only the arriving partition and merge
+# k×groups rows — this query IS that merge, expressed over two slices.
+# --------------------------------------------------------------------------
+@register(
+    "q112_incremental_rollup",
+    oracle="""
+SELECT l_returnflag, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+""",
+)
+def q112_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    month = F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM")
+
+    def partial(frame: DataFrame) -> DataFrame:
+        return frame.groupBy(
+            "l_returnflag", month.alias("month")
+        ).agg(
+            F.sum(dec2("l_extendedprice")).alias("rev_partial"),
+            F.count(F.lit(1)).alias("n_partial"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < "1997-01-01"))
+    delta = partial(
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "month")
+        .agg(
+            F.sum("rev_partial").cast("double").alias("revenue"),
+            F.sum("n_partial").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q113 — heavy hitters (skew diagnostics, L-scale): the most frequent
+# join keys with share-of-total — what you run BEFORE choosing a salted
+# join. Ties broken by key so the top-k cut is deterministic. One
+# aggregation shuffle; the rank window runs on the already-reduced
+# (distinct keys) frame.
+# --------------------------------------------------------------------------
+@register(
+    "q113_heavy_hitters",
+    oracle="""
+WITH freq AS (
+  SELECT l_partkey, COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(n) AS total FROM freq),
+ranked AS (
+  SELECT l_partkey, n, ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey) AS rk
+  FROM freq
+)
+SELECT r.l_partkey, r.n, ROUND(CAST(r.n AS DOUBLE) / t.total, 6) AS share
+FROM ranked r, tot t WHERE r.rk <= 20
+""",
+)
+def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("l_partkey")))
+    ).filter(F.col("rk") <= 20)
+    total = freq.agg(F.sum("n").alias("total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "l_partkey",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
     )

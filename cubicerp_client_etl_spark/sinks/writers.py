@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.functions import fw_render
@@ -118,3 +118,35 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows_per_file: int,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a Parquet directory into ~target-sized files (L-scale).
+
+    The small-files problem is the dominant operational failure of
+    long-running ingestion at scale: thousands of tiny files per
+    partition turn every scan into a metadata storm. Compaction =
+    read → repartition to ceil(rows/target) → optionally
+    sortWithinPartitions (clusters data for min/max row-group skipping
+    — a poor man's Z-order on one key prefix) → rewrite.
+
+    Driver-light: one count() to size the layout (metadata-only on
+    Parquet), no row materialization. Returns the file count written.
+    """
+    df = spark.read.parquet(src)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst)
+    import glob as _glob
+    import os as _os
+
+    return len(_glob.glob(_os.path.join(dst, "part-*.parquet")))

@@ -258,3 +258,19 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     good, bad = quarantine(read_jsonl(spark, str(p), schema=schema))
     assert [(r.doc_id, r.text) for r in good.collect()] == [(1, "ok")]
     assert bad.count() == 1
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from cubicerp_client_etl_spark.sinks.writers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # simulate the small-files problem: 64 shards of a 1000-row table
+    spark.range(1000).withColumnRenamed("id", "k").repartition(64).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    n_files = compact_parquet(
+        spark, src, dst, target_rows_per_file=500, sort_within_by=["k"]
+    )
+    assert n_files == 2
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert sorted(r.k for r in back.collect()) == list(range(1000))
