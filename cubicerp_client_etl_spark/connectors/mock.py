@@ -31,3 +31,38 @@ class MockTransport:
             else:
                 out.append({"ok": True, "id": int(r["k"]) * 2, "error": None})
         return out
+
+
+class RangeMockTransport:
+    """Executor-importable transport honoring id-range slice domains —
+    the test double for the rpc_model Python DataSource. Returns one
+    row per id in [lo, hi) passing the extra domain, deterministic so
+    any partitioning yields the same union."""
+
+    def search_read(self, model, domain, fields):
+        lo, hi = 0, 0
+        rest = []
+        for leaf in domain:
+            f, op, v = leaf
+            if f == "id" and op == ">=":
+                lo = int(v)
+            elif f == "id" and op == "<":
+                hi = int(v)
+            else:
+                rest.append((f, op, v))
+
+        def keep(i: int) -> bool:
+            for f, op, v in rest:
+                if f == "parity" and op == "=" and (i % 2) != int(v):
+                    return False
+            return True
+
+        return [
+            {"id": i, "name": f"rec{i}", "amount": float(i) * 1.5}
+            for i in range(lo, hi)
+            if keep(i)
+        ]
+
+
+def range_mock_factory():
+    return RangeMockTransport()

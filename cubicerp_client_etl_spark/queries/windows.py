@@ -223,3 +223,36 @@ def q74_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("session_start_us"),
         F.unix_micros(F.max("ts")).alias("session_end_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q114 — interval join, batch twin of the stream-stream join
+# (streaming/jobs.view_purchase_interval_join; J-family + C9): purchases
+# attributed to same-user views within a 30-minute window. The
+# band condition compiles to a range join; the streaming form bounds
+# state with watermarks on both sides. Equality of the two forms is
+# asserted in tests/test_streaming.py; equality to DuckDB here.
+# --------------------------------------------------------------------------
+@register(
+    "q114_interval_join_attribution",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       p.value AS purchase_value,
+       epoch_us(v.ts) AS view_ts_us, epoch_us(p.ts) AS purchase_ts_us
+FROM events v
+JOIN events p ON p.user_id = v.user_id
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+""",
+)
+def q114_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        view_purchase_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return view_purchase_interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -141,3 +141,53 @@ def foreach_batch_job(
     runner: same transform/load code as batch jobs, exactly-once via the
     sink's idempotent MERGE on pk + epoch id)."""
     return stream_df.writeStream.foreachBatch(batch_fn).start()
+
+
+def view_purchase_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    max_gap_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join (J-family): attribute each purchase
+    to the views by the same user within the preceding ``max_gap``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions — the two requirements that let Spark
+    expire join state instead of buffering the streams forever. State
+    per side is bounded by watermark + gap horizon × user cardinality;
+    that bound is what makes the join viable on an unbounded stream at
+    100 TB/day. Works identically on batch frames (the twin the test
+    checks against).
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return v.join(p, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "purchase_value",
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+    )

@@ -42,3 +42,39 @@ def test_rpc_load_respects_batch_size(spark):
     df = spark.createDataFrame([(i, 1.0) for i in range(7)], "k int, v double").coalesce(1)
     ledger = rpc_load(df, MockTransport, "res.partner", pk_col="k", batch_size=3)
     assert ledger.count() == 7  # 3+3+1 — remainder batch not dropped
+
+
+def test_rpc_python_datasource_parallel_slices(spark):
+    """A2 as a Spark 4 Python DataSource: executor-side reads, id-range
+    slicing, domain passthrough — union is partitioning-independent."""
+    from cubicerp_client_etl_spark.sources.rpc_datasource import RpcModelDataSource
+
+    spark.dataSource.register(RpcModelDataSource)
+
+    def read(n_parts: int, domain: str = "[]"):
+        return (
+            spark.read.format("rpc_model")
+            .option(
+                "transport",
+                "cubicerp_client_etl_spark.connectors.mock:range_mock_factory",
+            )
+            .option("model", "res.partner")
+            .option("domain", domain)
+            .option("fields", "id,name,amount")
+            .option("schema", "id long, name string, amount double")
+            .option("id_lo", "0")
+            .option("id_hi", "103")
+            .option("num_partitions", str(n_parts))
+            .load()
+        )
+
+    df8 = read(8)
+    assert df8.rdd.getNumPartitions() == 8
+    rows = sorted((r.id, r.name, r.amount) for r in df8.collect())
+    assert len(rows) == 103
+    assert rows[5] == (5, "rec5", 7.5)
+    # same union regardless of slicing
+    assert rows == sorted((r.id, r.name, r.amount) for r in read(1).collect())
+    # user domain composes with the slice predicate on the executor side
+    odd = read(8, domain='[["parity", "=", 1]]')
+    assert sorted(r.id for r in odd.collect()) == list(range(1, 103, 2))

@@ -107,3 +107,22 @@ def test_foreach_batch_online_job(spark, tmp_path):
     written = spark.read.parquet(out_dir)
     assert written.count() == load(spark, SF_SMOKE, "events").count()
     assert written.select("event_id").distinct().count() == written.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    from cubicerp_client_etl_spark.streaming.jobs import view_purchase_interval_join
+
+    stream = events_stream(spark, SF_SMOKE)
+    sv = stream.filter(stream.event_type == "view")
+    sp = stream.filter(stream.event_type == "purchase")
+    got = run_stream_to_memory(
+        view_purchase_interval_join(sv, sp), "ssj", output_mode="append"
+    )
+    ev = load(spark, SF_SMOKE, "events")
+    batch = view_purchase_interval_join(
+        ev.filter(ev.event_type == "view"),
+        ev.filter(ev.event_type == "purchase"),
+    )
+    cols = ["user_id", "view_id", "purchase_id", "purchase_value"]
+    assert got.count() > 0
+    assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
