@@ -108,3 +108,50 @@ def q47_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(count_tokens, schema="doc_id long, n_tokens long")
+
+
+# --------------------------------------------------------------------------
+# q115 — true Python UDTF (K4/K7, Spark 4 `@udtf`): per-document bigram
+# generation as a lateral table function — the typed, sandboxed
+# replacement for the reference's exec'd row-generating hooks
+# (cubicerpetl/cubicerpetl.py:315-320). Registered and invoked through
+# SQL LATERAL, the UDTF runs arrow-batched per executor.
+# Scale: row generation is map-side (no shuffle); only the bigram
+# count aggregates. A UDTF is still Python — at 100 TB prefer the
+# built-in explode form (q44) where expressible; this exists for the
+# shapes that aren't.
+# --------------------------------------------------------------------------
+@register(
+    "q115_python_udtf_bigrams",
+    oracle=r"""
+WITH grams AS (
+  SELECT doc_id, lst[i] || ' ' || lst[i+1] AS bigram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS lst
+        FROM documents WHERE doc_id <= 200),
+       UNNEST(generate_series(1, len(lst)-1)) AS g(i)
+)
+SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY bigram HAVING COUNT(*) >= 5
+""",
+)
+def q115_python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, bigram string")
+    class BigramUDTF:
+        def eval(self, doc_id, text):
+            toks = (text or "").strip().split()
+            for a, b in zip(toks, toks[1:]):
+                yield doc_id, f"{a} {b}"
+
+    spark.udtf.register("bigrams_udtf", BigramUDTF)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("q115_docs")
+    return spark.sql(
+        """
+        SELECT g.bigram, COUNT(*) AS n, COUNT(DISTINCT g.doc_id) AS n_docs
+        FROM q115_docs d, LATERAL bigrams_udtf(d.doc_id, d.text) g
+        GROUP BY g.bigram HAVING COUNT(*) >= 5
+        """
+    )

@@ -155,3 +155,44 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     got = q.count()
     want = events.filter(F.col("day") == one).count()
     assert got == want and got > 0
+
+
+def test_q95_tpch_q6_pushdown_single_stage(spark):
+    """Q6 must be the minimal shape: all three predicates pushed into
+    the scan, one partial+final agg, no shuffle beyond the 1-row final."""
+    plan = plan_of(spark, "q95_tpch_q6_forecast_revenue")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "partial_sum" in plan
+    assert "Exchange hashpartitioning" not in plan  # single-row final agg
+
+
+def test_q94_tpch_q5_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q94_tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region
+    assert "CartesianProduct" not in plan
+
+
+def test_q109_split_is_map_side_projection(spark):
+    """The md5 split assignment must not shuffle rows before the count
+    aggregation — it's a per-row projection (pushed-down at 100 TB)."""
+    plan = plan_of(spark, "q109_hash_split_stratified")
+    assert plan.count("Exchange hashpartitioning") == 1  # only the groupBy
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q113_heavy_hitters_aggregates_before_rank(spark):
+    """Rank runs on the reduced key-frequency frame, never on raw rows:
+    exactly one raw-data shuffle (the groupBy), then a single-partition
+    window over ~#distinct-keys rows."""
+    plan = plan_of(spark, "q113_heavy_hitters")
+    assert "partial_count" in plan  # map-side combine of the frequency agg
+    assert "CartesianProduct" not in plan  # share-of-total is broadcast
+
+
+def test_q112_incremental_merge_reaggregates_partials(spark):
+    plan = plan_of(spark, "q112_incremental_rollup")
+    # both slices partial-aggregate before the union-merge
+    assert plan.count("partial_sum") >= 2
+    assert "CartesianProduct" not in plan
