@@ -168,3 +168,42 @@ def tfidf_top_terms(docs, text_col: str = "text", id_col: str = "doc_id", k: int
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rk")
     )
+
+
+# Engine-portable PII patterns: explicit character classes only — no \w,
+# no lookarounds — so Java regex (Spark) and RE2 (DuckDB/most scanners)
+# agree character-for-character. Applied email → URL → phone; earlier
+# replacements insert no digits, so later patterns can't re-match them.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_URL = "https?://[^ ]+"
+PII_PHONE = "[+]?[0-9][0-9()./ -]{6,}[0-9]"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails, URLs, and phone-like digit runs (L-txt extension).
+
+    The standard pre-training scrub step: pure regexp_replace chain —
+    JVM-side, codegen'd, no UDF, so it runs at full scan speed at
+    100 TB. Pattern set is deliberately conservative (false positives
+    over false negatives, the right default for training data).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_URL, "<URL>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-row counts of each PII class (for audit reports)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL)),
+        "n_urls": F.regexp_count(F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), F.lit(PII_URL)),
+        "n_phones": F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>"
+            ),
+            F.lit(PII_PHONE),
+        ),
+    }

@@ -343,3 +343,65 @@ def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q116 — PII redaction (L-txt extension): mask emails/URLs/phone runs
+# with the engine-portable pattern set in operators/text.py. The
+# fixture corpus is synthetic prose without PII, so the query splices
+# deterministic PII into each document first (same splice in both
+# engines), then proves the scrub via per-class counts and the md5 of
+# the redacted text. Pure regexp_replace chain — JVM-side codegen, no
+# UDF, scan-speed at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "q116_pii_redaction",
+    oracle="""
+WITH spiked AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or call +1-555-000-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' see https://ex.org/d/' || doc_id AS t
+  FROM documents
+),
+redacted AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+           '[+]?[0-9][0-9()./ -]{6,}[0-9]', '<PHONE>', 'g') AS clean,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails
+  FROM spiked
+)
+SELECT doc_id, n_emails, md5(clean) AS clean_md5 FROM redacted
+""",
+)
+def q116_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.text import (
+        PII_EMAIL,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" see https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("t"),
+    )
+    return spiked.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).alias("n_emails"),
+        F.md5(redact_pii("t")).alias("clean_md5"),
+    )
