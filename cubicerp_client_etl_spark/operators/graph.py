@@ -74,3 +74,62 @@ def connected_components(
         prev_sum = cur_sum
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer arithmetic.
+
+    Ranks are held in integer "units" (1.0 == ``unit``) and every step
+    uses integer division — so the result is bit-identical under ANY
+    partitioning, accumulation order, or engine. Floating-point
+    PageRank can never hash-match across engines (neighbor sums are
+    order-dependent in double); integer units make the whole recursion
+    exact. rank = (1-d) + d * Σ rank(v)/deg(v), computed as
+    ``(100-d)% * unit / 100 + d * Σ(rank div deg) div 100``.
+
+    ``edges`` is (src, dst) DIRECTED; pass both directions for an
+    undirected graph. Nodes with no in-edges keep the teleport term.
+
+    Scale posture per iteration: one shuffle joining ranks to edges on
+    src (edges pre-partitioned on src would make it co-located), one
+    sum-aggregation on dst. Lineage is localCheckpointed per round so
+    recovery cost stays O(1); total work is O(iterations × |E|) — the
+    standard distributed formulation (GraphX uses the same shape).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = F.lit((100 - damping_pct) * unit // 100).cast("long")
+    ranks = nodes.select("node", F.lit(unit).cast("long").alias("units"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.expr("units div deg").cast("long").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"CAST({damping_pct} AS BIGINT) * coalesce(s, 0) div 100"
+                    )
+                ).cast("long").alias("units"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

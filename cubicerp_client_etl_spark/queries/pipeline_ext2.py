@@ -405,3 +405,67 @@ def q116_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).alias("n_emails"),
         F.md5(redact_pii("t")).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q117 — PageRank over the customer–supplier transaction graph
+# (L-family, iterative): 5 fixed iterations in exact integer units
+# (operators/graph.pagerank_int) — integer division makes every step
+# bit-identical under any partitioning/engine, which is the only way an
+# iterative float recursion can be oracle-hash-checked. The oracle
+# unrolls the same recursion as chained CTEs. Importance over the
+# bipartite who-trades-with-whom graph = entity centrality for
+# prioritizing curation.
+# --------------------------------------------------------------------------
+_PR_EDGES_SQL = """
+pairs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS units FROM nodes)
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    return f"""
+r{k} AS (
+  SELECT n.node,
+         CAST(150000000000 AS BIGINT)
+         + CAST(85 AS BIGINT) * COALESCE(i.s, 0) // 100 AS units
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM(r.units // d.deg) AS s
+    FROM edges e
+    JOIN r{k - 1} r ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) i ON i.dst = n.node)
+"""
+
+
+@register(
+    "q117_pagerank_int",
+    oracle="WITH "
+    + ",".join([_PR_EDGES_SQL] + [_pr_iter_sql(k) for k in range(1, 6)])
+    + "\nSELECT node, units FROM r5",
+)
+def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.graph import pagerank_int
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_int(edges, iterations=5)

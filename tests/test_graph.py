@@ -41,3 +41,24 @@ def test_two_components_dont_merge(spark):
 def test_no_edges_all_singletons(spark):
     got = _cc(spark, [7, 8], [])
     assert got == {7: 7, 8: 8}
+
+
+def test_pagerank_int_invariants(spark):
+    from cubicerp_client_etl_spark.operators.graph import pagerank_int
+
+    # star graph: hub h <-> a,b,c (undirected)
+    pairs = [("h", x) for x in ("a", "b", "c")]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs],
+        "src string, dst string",
+    )
+    r = {row.node: row.units for row in pagerank_int(edges, iterations=5).collect()}
+    assert set(r) == {"h", "a", "b", "c"}
+    # teleport floor holds for every node
+    assert all(u >= 150_000_000_000 for u in r.values())
+    # the hub dominates the leaves; leaves are symmetric → exactly equal
+    assert r["h"] > r["a"]
+    assert r["a"] == r["b"] == r["c"]
+    # bit-determinism: a second run is identical
+    r2 = {row.node: row.units for row in pagerank_int(edges, iterations=5).collect()}
+    assert r == r2
