@@ -1,0 +1,64 @@
+"""I2 — per-row SQL sink against a real DBAPI target (stdlib sqlite3):
+parameterized binds (never the reference's `sql % row` templating),
+partition-parallel connections, per-row error isolation into the
+ledger shape, successful rows surviving a failing neighbor."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from cubicerp_client_etl_spark.sinks.dbapi import dbapi_load
+
+DB = None  # set per-test via module global so the factory pickles
+
+
+def _factory_path(path):
+    def factory():
+        conn = sqlite3.connect(path, timeout=30)
+        conn.execute("PRAGMA busy_timeout=30000")
+        return conn
+
+    return factory
+
+
+def test_dbapi_sink_per_row_isolation(spark, tmp_path):
+    db = str(tmp_path / "target.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE tgt (k INTEGER PRIMARY KEY, v REAL CHECK (v >= 0))"
+        )
+
+    rows = [(1, 10.0), (2, -5.0), (3, 7.5), (4, 1.0), (1, 2.0)]  # bad v; dup pk
+    df = spark.createDataFrame(rows, "k long, v double").coalesce(1)
+    ledger = dbapi_load(
+        df,
+        _factory_path(db),
+        "INSERT INTO tgt (k, v) VALUES (?, ?)",
+        pk_col="k",
+        batch_size=2,
+    ).collect()
+
+    by_pk_msg = {(r.pk, r.level) for r in ledger}
+    assert ("1", "info") in by_pk_msg and ("3", "info") in by_pk_msg
+    assert ("2", "error") in by_pk_msg  # CHECK violation
+    errs = [r for r in ledger if r.level == "error"]
+    assert len(errs) == 2  # bad v and duplicate pk
+    with sqlite3.connect(db) as conn:
+        got = sorted(conn.execute("SELECT k, v FROM tgt").fetchall())
+    # every good row landed exactly once, bad rows absent
+    assert got == [(1, 10.0), (3, 7.5), (4, 1.0)]
+
+
+def test_dbapi_sink_parallel_partitions(spark, tmp_path):
+    db = str(tmp_path / "par.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE tgt (k INTEGER PRIMARY KEY, v REAL)")
+    df = spark.range(200).selectExpr("id AS k", "CAST(id AS DOUBLE) * 2 AS v").repartition(4)
+    ledger = dbapi_load(
+        df, _factory_path(db), "INSERT INTO tgt (k, v) VALUES (?, ?)", pk_col="k"
+    )
+    assert ledger.filter("level = 'error'").count() == 0
+    assert ledger.count() == 200
+    with sqlite3.connect(db) as conn:
+        n, s = conn.execute("SELECT COUNT(*), SUM(v) FROM tgt").fetchone()
+    assert n == 200 and s == sum(2.0 * i for i in range(200))
