@@ -13,7 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.catalog import load
-from cubicerp_client_etl_spark.functions import dsum
+from cubicerp_client_etl_spark.functions import dec, dsum
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
@@ -255,4 +255,46 @@ def q114_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_purchase_interval_join(
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q118 — time-RANGE frame (E3's rangeBetween, distinct from the
+# rowsBetween running frames elsewhere): trailing 7-day revenue per
+# order day, frame bounded by VALUE distance (epoch seconds), not row
+# count — days with no neighbors contribute shorter frames, which a
+# rows-frame can't express. Both engines pin the identical numeric
+# RANGE frame over epoch seconds.
+# Scale: one day-level aggregation shuffle; the range window then runs
+# over ~#days rows — negligible. The daily pre-aggregate is what keeps
+# a trailing-window metric viable at 100 TB (never window raw rows).
+# --------------------------------------------------------------------------
+@register(
+    "q118_trailing_range_window",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         epoch(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)) AS day_s,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(SUM(rev_dec) OVER (ORDER BY day_s
+                               RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rev_7d
+FROM daily
+""",
+)
+def q118_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    daily = daily.withColumn("day_s", F.unix_timestamp(F.col("day").cast("timestamp")))
+    w = W.orderBy("day_s").rangeBetween(-518400, W.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("rev_7d"),
     )
