@@ -469,3 +469,40 @@ def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank_int(edges, iterations=5)
+
+
+# --------------------------------------------------------------------------
+# q119 — k-anonymity audit (L-family, privacy): group sizes over a
+# quasi-identifier set, flagging groups below k — the standard
+# pre-release privacy check for training data (suppress or generalize
+# flagged groups). One aggregation shuffle on the QI columns; the
+# summary rides the reduced frame.
+# --------------------------------------------------------------------------
+@register(
+    "q119_k_anonymity_audit",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, group_size,
+       group_size < 5 AS below_k,
+       CASE WHEN group_size < 5 THEN group_size ELSE 0 END AS suppressed_rows
+FROM g
+""",
+)
+def q119_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    k = 5
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        (F.col("group_size") < k).alias("below_k"),
+        F.when(F.col("group_size") < k, F.col("group_size"))
+        .otherwise(F.lit(0))
+        .alias("suppressed_rows"),
+    )

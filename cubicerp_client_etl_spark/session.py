@@ -58,3 +58,64 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    input_bytes: int,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    target_split_mb: int = 128,
+    target_shuffle_partition_mb: int = 200,
+    shuffle_fraction: float = 0.3,
+) -> dict[str, str]:
+    """Spark conf sizing for a real cluster run, from first principles.
+
+    The local[32] test configs in ``get_spark`` are NOT what you ship
+    to 1000 executors; this derives the scale-out knobs from the job's
+    input size so the sizing math is executable, not tribal knowledge:
+
+    - input splits: ceil(input / target_split_mb) ≈ 100 TB / 128 MB
+      ≈ 820k map tasks — fine (task launch is ~ms; what matters is
+      splits ≫ cores so stragglers amortize).
+    - shuffle partitions: ceil(input × shuffle_fraction /
+      target_shuffle_partition_mb), clamped to ≥ 2×total-cores. The
+      0.3 default assumes pushdown+pruning shed ~70% before the first
+      exchange (measured on this corpus's plans); AQE coalescing then
+      fixes per-query overshoot at runtime, which is why we size for
+      the LARGEST shuffle, not the average.
+    - per-task shuffle memory: target_shuffle_partition_mb must fit
+      several times into the per-core execution-memory share
+      (executor_mem × 0.6 / cores); 200 MB against 16 GB / 4 cores
+      = 2.4 GB/core leaves ~12× headroom before spill.
+    - broadcast threshold: dims up to ~1/50 of per-executor memory
+      broadcast for free; beyond that prefer shuffle joins + AQE.
+
+    Returns a dict to feed ``SparkSession.builder.config`` or
+    spark-submit ``--conf``.
+    """
+    total_cores = executors * cores_per_executor
+    split_tasks = max(1, -(-input_bytes // (target_split_mb << 20)))
+    shuffle_bytes = int(input_bytes * shuffle_fraction)
+    shuffle_parts = max(
+        2 * total_cores,
+        -(-shuffle_bytes // (target_shuffle_partition_mb << 20)),
+    )
+    broadcast_mb = max(10, executor_mem_gb * 1024 // 50)
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.files.maxPartitionBytes": str(target_split_mb << 20),
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_shuffle_partition_mb << 20
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(broadcast_mb << 20),
+        # planning hints, not confs — surfaced for operators to read:
+        "x.derived.inputSplitTasks": str(split_tasks),
+        "x.derived.totalCores": str(total_cores),
+    }

@@ -196,3 +196,20 @@ def test_q112_incremental_merge_reaggregates_partials(spark):
     # both slices partial-aggregate before the union-merge
     assert plan.count("partial_sum") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_conf_sizing_math(spark):
+    """The 100 TB sizing formula: sane split counts, shuffle partitions
+    scale with data but never drop below 2× cores, shuffle partition
+    target fits per-core memory with headroom."""
+    from cubicerp_client_etl_spark.session import cluster_conf
+
+    conf = cluster_conf(input_bytes=100 * (1 << 40))  # 100 TiB
+    assert int(conf["x.derived.inputSplitTasks"]) == 819200  # 100TiB/128MiB
+    shuffle_parts = int(conf["spark.sql.shuffle.partitions"])
+    assert shuffle_parts >= 2 * int(conf["x.derived.totalCores"])
+    # 30 TiB shuffled at ~200MB per partition ≈ 157k partitions
+    assert 140_000 <= shuffle_parts <= 170_000
+    # small job floors at 2× cores instead of thousands of tiny partitions
+    small = cluster_conf(input_bytes=1 << 30, executors=10)
+    assert int(small["spark.sql.shuffle.partitions"]) == 2 * 10 * 4
