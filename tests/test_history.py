@@ -1,0 +1,69 @@
+"""Invariants for operators/history: SCD2 intervals tile the timeline
+per key with no overlap and one open interval; snapshot_diff is
+reflexively 'unchanged' and classifies all four transitions; hash_split
+is deterministic and partition-independent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.operators.history import (
+    hash_split,
+    scd2_intervals,
+    snapshot_diff,
+)
+
+
+def test_scd2_intervals_tile_timeline(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0, 100),
+        (1, "2024-01-03 00:00:00", 11.0, 101),
+        (1, "2024-01-02 00:00:00", 12.0, 102),
+        (2, "2024-01-05 00:00:00", 20.0, 103),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double, event_id long"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value", "event_id")
+    scd = scd2_intervals(df, "user_id", ["ts", "event_id"], ["value"]).collect()
+    by_user = {}
+    for r in scd:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        # exactly one current (open) interval per key, and it's the last
+        assert [r.is_current for r in ivs] == [False] * (len(ivs) - 1) + [True]
+        assert ivs[-1].valid_to is None
+        # consecutive intervals chain exactly: valid_to == next valid_from
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+        # versions are 1..n in ts order
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1))
+    # out-of-order input still yields ts-ordered versions
+    u1 = sorted(by_user[1], key=lambda r: r.version)
+    assert [r.value for r in u1] == [10.0, 12.0, 11.0]
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 2.0), (4, 40.0)], "k long, v double"
+    )
+    d = {r.k: r.change for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert d == {1: "unchanged", 2: "changed", 3: "deleted", 4: "inserted"}
+    # reflexive: diff(x, x) is all unchanged (NULL-safe compare)
+    refl = snapshot_diff(old, old, "k", ["v"]).select("change").distinct().collect()
+    assert [r.change for r in refl] == ["unchanged"]
+
+
+def test_hash_split_partition_independent(spark):
+    df1 = spark.range(1000).select(F.col("id").alias("k"))
+    a = {r.k: r.split for r in df1.coalesce(1).select("k", hash_split("k")).collect()}
+    b = {
+        r.k: r.split
+        for r in df1.repartition(16).select("k", hash_split("k")).collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.10 < frac < 0.28  # ~3/16 expected
