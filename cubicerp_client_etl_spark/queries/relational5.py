@@ -579,6 +579,9 @@ def q105_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as in Q2). The correlated MIN subquery becomes a window-min + equality
 # filter. Float discipline: each unit cost is one IEEE division and MIN
 # is order-independent, so both engines compare identical doubles.
+# Output cost is floor-scaled to integer micros: ROUND(double, n) is
+# NOT portable (engines disagree on decimal-tie direction — caught by
+# the sf0.1 sweep), while floor of an IEEE product is bit-determined.
 # Scale: one (partkey, suppkey) aggregation shuffle over lineitem, then
 # a partkey-window over the already-reduced (≤ parts × suppliers) frame;
 # supplier/nation/region broadcast.
@@ -599,7 +602,7 @@ eu AS (
   WHERE r.r_name = 'EUROPE'
 )
 SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name,
-       ROUND(eu.unit_cost, 6) AS unit_cost
+       CAST(floor(eu.unit_cost * 1000000) AS BIGINT) AS unit_cost_micros
 FROM eu
 JOIN part p ON p.p_partkey = eu.l_partkey
 WHERE p.p_type = 'STANDARD'
@@ -634,5 +637,5 @@ def q106_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "p_partkey",
         "p_name",
-        F.round("unit_cost", 6).alias("unit_cost"),
+        F.floor(F.col("unit_cost") * 1000000).cast("long").alias("unit_cost_micros"),
     )
