@@ -506,3 +506,36 @@ def q119_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("suppressed_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# q120 — general as-of join via cogrouped pandas merge_asof
+# (operators/asof.py; C9's applyInPandas path, complementing q25's
+# window formulation): each purchase matched to the user's latest
+# signup at-or-before it. Oracle = DuckDB's native ASOF JOIN.
+# Scale: one shuffle per side on user_id; per-user groups are small, so
+# the pandas merge is Arrow-batched per group, never per row.
+# --------------------------------------------------------------------------
+@register(
+    "q120_asof_cogroup",
+    oracle="""
+SELECT p.event_id, p.user_id, epoch_us(s.ts) AS signup_ts_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def q120_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases, signups, by=["user_id"], on="ts", carry_on="signup_ts"
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros("signup_ts").alias("signup_ts_us")
+    )
