@@ -21,7 +21,7 @@ from cubicerp_client_etl_spark.queries import REGISTRY  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H-Q1-style pricing summary) on sf0.001."""
-    return REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["q001_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -39,8 +39,10 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Label every node with its connected component id (the minimum
-    node id in the component). ``edges`` may be directed; it is
-    symmetrized internally, so (a,b) and (b,a) are equivalent inputs.
+    node id in the component, under the node column's NATIVE ordering —
+    numeric ids compare numerically, string ids lexicographically).
+    ``edges`` may be directed; it is symmetrized internally, so (a,b)
+    and (b,a) are equivalent inputs.
 
     Returns ``(node, component)``.
     """
@@ -50,28 +52,35 @@ def connected_components(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).localCheckpoint(eager=False)
 
+    # Labels stay in the node id's native (orderable) type: casting to
+    # long would silently NULL out string ids like 'c:123'/'s:45'.
     labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).cast("long").alias("label")
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=False)
 
-    prev_sum = None
     for _ in range(max_iter):
         # neighbor labels flowing along edges
         prop = (
             sym.join(labels, sym.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)  # truncate lineage per round
         )
-        # scalar convergence probe: sum strictly decreases until fixpoint
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        # Scalar convergence probe (type-agnostic, no collect of node
+        # data): count of nodes whose label changed this round.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sum = cur_sum
 
     return labels.select("node", F.col("label").alias("component"))
 
@@ -80,7 +89,7 @@ def pagerank_int(
     edges: DataFrame,
     iterations: int = 5,
     damping_pct: int = 85,
-    unit: int = 10**12,
+    unit: int = 10**9,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact integer arithmetic.
 
@@ -91,6 +100,15 @@ def pagerank_int(
     order-dependent in double); integer units make the whole recursion
     exact. rank = (1-d) + d * Σ rank(v)/deg(v), computed as
     ``(100-d)% * unit / 100 + d * Σ(rank div deg) div 100``.
+
+    Overflow posture: the damping product is computed via the EXACT
+    decomposition ``(d*s) div 100 == d*(s div 100) + (d*(s mod 100))
+    div 100``, so no intermediate ever exceeds the inflow sum ``s``
+    itself. ``s`` is bounded by the total rank mass ≈ |V| × unit, so
+    int64 is safe while |V| × unit < 2^63 — with the default
+    unit=10**9 that is ~9.2 billion nodes, comfortably past the 100 TB
+    design point (the prior unit=10**12 default overflowed at hub
+    nodes once aggregate inflow passed ~1.1e5 rank-units).
 
     ``edges`` is (src, dst) DIRECTED; pass both directions for an
     undirected graph. Nodes with no in-edges keep the teleport term.
@@ -125,8 +143,12 @@ def pagerank_int(
                 "node",
                 (
                     base
+                    # exact (d*s) div 100 without the d*s intermediate:
+                    # d*(s div 100) + (d*(s mod 100)) div 100
                     + F.expr(
-                        f"CAST({damping_pct} AS BIGINT) * coalesce(s, 0) div 100"
+                        f"CAST({damping_pct} AS BIGINT) * (coalesce(s, 0) div 100)"
+                        f" + (CAST({damping_pct} AS BIGINT)"
+                        f" * (coalesce(s, 0) % 100)) div 100"
                     )
                 ).cast("long").alias("units"),
             )

@@ -29,7 +29,19 @@ def row_rule_report(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
 
     ``rules`` maps rule name → Column that is true when the row
     VIOLATES the rule. Returns (rule, n_violations) long form.
+
+    Rule names are embedded in a ``stack()`` expression, so names
+    containing quotes/backticks (or an empty rule set) would otherwise
+    produce a confusing parse error — rejected up front instead.
     """
+    if not rules:
+        raise ValueError("row_rule_report: rules mapping is empty")
+    for name in rules:
+        if any(ch in name for ch in "'`\"\\"):
+            raise ValueError(
+                f"row_rule_report: rule name {name!r} may not contain "
+                "quotes, backticks, or backslashes"
+            )
     wide = df.agg(
         *[
             F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)

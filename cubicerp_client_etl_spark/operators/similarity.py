@@ -64,6 +64,54 @@ def brute_force_topk(
     )
 
 
+def all_pairs_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    max_exact_rows: int = 100_000,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — with a SIZE GUARD.
+
+    The exact form is an O(n²) theta join: correct, oracle-checkable,
+    and a scale-killer. Above ``max_exact_rows`` the operator
+    auto-switches to the hyperplane-LSH form — bucket both sides and
+    only compare within buckets (an equi-join on the bucket key, the
+    shape that survives 100 TB; recall < 1 is the documented trade,
+    tunable via ``n_planes``). Callers that need the exact pairs at
+    any size must opt in by raising ``max_exact_rows`` explicitly.
+
+    Returns (id_a, id_b, sim) with id_a < id_b.
+    """
+    n = df.count()
+    cos = cosine(F.col("va"), F.col("vb"))
+    if n <= max_exact_rows:
+        a = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = hyperplane_lsh_bucket(df, vec_col, n_planes=n_planes, dim=dim)
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"),
+            as_double(vec_col).alias("va"),
+            F.col("lsh_bucket").alias("__ba"),
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"),
+            as_double(vec_col).alias("vb"),
+            F.col("lsh_bucket").alias("__bb"),
+        )
+        pairs = a.join(
+            b, (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b"))
+        )
+    return (
+        pairs.filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("sim"))
+    )
+
+
 def hyperplane_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",

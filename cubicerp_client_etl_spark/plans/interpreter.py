@@ -41,21 +41,56 @@ from cubicerp_client_etl_spark.sources.fixed_width import FWColumn, read_fixed_w
 from cubicerp_client_etl_spark.sources.inline import read_inline_payload
 
 
+def _ftp_transport(server):
+    from cubicerp_client_etl_spark.transports.ftp import FtpTransport
+
+    return FtpTransport(
+        host=server.fs_host,
+        port=server.fs_port,
+        user=server.login,
+        password=server.password,
+        spool_dir=server.spool_dir,
+    )
+
+
 # --------------------------------------------------------------------- extract
 def extract(spark: SparkSession, job: JobSpec) -> DataFrame:
     """Resource → DataFrame (SURVEY A3/A4/A6/A9 dispatch, date-templated
-    paths per H4/H5)."""
+    paths per H4/H5; A7 FTP staging; A1 begin/end hooks)."""
     res = job.extract
     path = render_date_template(res.f_filename, job.run_date) if res.f_filename else ""
+    if (
+        res.server is not None
+        and res.server.etl_type == "fs"
+        and res.server.fs_protocol == "ftp"
+        and res.f_filename
+    ):
+        # A7: stage the remote file into the local spool; everything
+        # downstream is the normal parallel read over the staged copy.
+        path = _ftp_transport(res.server).fetch(res.f_filename, job.run_date)
 
     if job.job_type == "online" and job.input_payload_b64 is not None:
         # A6: inline payload fed through the same parsers as files
         lines = read_inline_payload(spark, job.input_payload_b64)
         df = _parse_lines_as(res, lines)
     elif res.etl_type == "db" and res.sql_query:
-        # A1 re-owned: the reference ships this SQL to the source DB;
-        # we execute it in Spark SQL over registered views
+        # A1 re-owned: the reference ships this SQL to the source DB
+        # wrapped in optional begin/end statements with a settle delay
+        # (cubicerpetl.py:288-302); we execute the same lifecycle in
+        # Spark SQL over registered views.
+        if res.sql_begin:
+            spark.sql(render_date_template(res.sql_begin, job.run_date)).collect()
+            if res.sql_begin_delay:
+                import time as _time
+
+                _time.sleep(res.sql_begin_delay)
         df = spark.sql(render_date_template(res.sql_query, job.run_date))
+        if res.sql_end:
+            # the reference runs sql_end after fetchall(); a lazy plan
+            # must materialize first or teardown would race the read —
+            # localCheckpoint pins the rows, then teardown runs.
+            df = df.localCheckpoint(eager=True)
+            spark.sql(render_date_template(res.sql_end, job.run_date)).collect()
     elif res.f_type == "parquet":
         df = spark.read.parquet(path)
     elif res.f_type == "csv":
@@ -190,13 +225,34 @@ def load_sink(
         merged = df.withColumn("action", F.lit("inserted"))
 
     path = render_date_template(res.f_filename, job.run_date) if res.f_filename else ""
+    ftp_server = (
+        res.server
+        if res.server is not None
+        and res.server.etl_type == "fs"
+        and res.server.fs_protocol == "ftp"
+        else None
+    )
+    remote_name = None
+    if ftp_server is not None:
+        # I6: render the single-file output into the local spool, then
+        # put it to the remote endpoint after the write completes.
+        if res.f_type == "parquet":
+            raise ValueError(
+                "FTP load supports single-file formats (csv/txt/dbf); "
+                "parquet is a directory layout — use a distributed FS"
+            )
+        import os as _os
+
+        transport = _ftp_transport(ftp_server)
+        remote_name = path or res.f_filename
+        path = _os.path.join(transport.spool_dir, _os.path.basename(remote_name))
     to_write = merged.drop("action")
     if res.f_type == "parquet":
         write_parquet(to_write, path)
     elif res.f_type == "csv":
         write_csv_resource(
             to_write, path, sep=res.txt_separator, quote=res.txt_quote,
-            header=res.txt_header,
+            header=res.txt_header, single_file=ftp_server is not None,
         )
     elif res.f_type == "txt":
         write_fixed_width(
@@ -212,6 +268,19 @@ def load_sink(
         )
     else:
         raise ValueError(f"unsupported load resource: {res}")
+
+    if ftp_server is not None and remote_name is not None:
+        # the Spark writers produce a directory; the single part file
+        # inside (single_file/ordered mode ⇒ exactly one) is the upload
+        import glob as _glob
+
+        parts = sorted(_glob.glob(f"{path}/part-*"))
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"FTP load expected exactly one part file in {path}, "
+                f"found {len(parts)}"
+            )
+        transport.put(parts[0], remote_name)
 
     if job.ledger_path:
         ledger = build_ledger(

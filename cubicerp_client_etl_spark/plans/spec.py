@@ -34,11 +34,22 @@ from typing import Any, Callable, Literal
 @dataclass(frozen=True)
 class ServerSpec:
     """Connector endpoint (etl.server). etl_type selects the family:
-    'fs' local/posix paths, 'db' JDBC, 'rpc' external API."""
+    'fs' local/posix or FTP paths, 'db' JDBC, 'rpc' external API.
+
+    fs_protocol mirrors the reference's server dispatch
+    (cubicerpetl.py:181-187): 'file' reads fs_path directly; 'ftp'
+    stages through transports.ftp.FtpTransport (fetch to a local
+    spool before the parallel read, put after the single-file write)."""
 
     name: str
     etl_type: Literal["fs", "db", "rpc"] = "fs"
     fs_path: str = ""
+    fs_protocol: Literal["file", "ftp"] = "file"
+    fs_host: str = ""  # ftp endpoint
+    fs_port: int = 21
+    login: str = "anonymous"
+    password: str = ""
+    spool_dir: str | None = None  # ftp staging dir; None → temp dir
     db_url: str = ""  # JDBC url for etl_type='db'
     encoding: str = "UTF-8"
     options: dict[str, str] = field(default_factory=dict)
@@ -77,6 +88,15 @@ class ResourceSpec:
     # (cubicerpetl.py:299-302); natively we run it in Spark SQL against
     # registered views instead
     sql_query: str = ""
+    # A1 setup/teardown around the main query (cubicerpetl.py:288-302):
+    # sql_begin runs (date-templated) before sql_query, then an optional
+    # sql_begin_delay-second wait (staging tables that fill
+    # asynchronously); sql_end runs after the extract materializes.
+    sql_begin: str = ""
+    sql_end: str = ""
+    sql_begin_delay: float = 0.0
+    # transport endpoint; None → local filesystem ('file' semantics)
+    server: "ServerSpec | None" = None
     # domain filter applied after scan (B5)
     domain: tuple = ()
     # B3: constant defaults merged under extracted values

@@ -31,7 +31,7 @@ _FLAG_MAPPING = [
 
 
 @register(
-    "q30_value_mapping",
+    "q022_value_mapping",
     oracle="""
 SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted'
                          WHEN 'R' THEN 'Returned'
@@ -42,7 +42,7 @@ FROM lineitem
 GROUP BY 1
 """,
 )
-def q30_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     mapping = spark.createDataFrame(
         _FLAG_MAPPING, "name string, label string, is_default boolean"
@@ -60,7 +60,7 @@ def q30_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The xml-id dim is derived deterministically from nation.
 # --------------------------------------------------------------------------
 @register(
-    "q31_xmlid_resolve",
+    "q023_xmlid_resolve",
     oracle="""
 WITH xml_dim AS (
   SELECT 'base' AS module, lower(n_name) AS name, n_nationkey AS res_id FROM nation
@@ -75,7 +75,7 @@ FROM src s LEFT JOIN xml_dim d
  AND split_part(s.xml_id, '.', 2) = d.name
 """,
 )
-def q31_xmlid_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_xmlid_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
     xml_dim = n.select(
@@ -103,7 +103,7 @@ def q31_xmlid_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (customers with no orders) stay NULL.
 # --------------------------------------------------------------------------
 @register(
-    "q32_name_search_first_hit",
+    "q024_name_search_first_hit",
     oracle="""
 SELECT c.c_custkey,
        f.first_orderkey
@@ -113,7 +113,7 @@ LEFT JOIN (SELECT o_custkey, MIN(o_orderkey) AS first_orderkey
   ON f.o_custkey = c.c_custkey
 """,
 )
-def q32_name_search_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_name_search_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     # first-hit = min over the search ordering (o_orderkey); expressed as
@@ -129,7 +129,7 @@ def q32_name_search_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation dim get created with a provenance tag. Anti-join, no driver loop.
 # --------------------------------------------------------------------------
 @register(
-    "q33_insert_if_absent",
+    "q025_insert_if_absent",
     oracle="""
 WITH dim AS (SELECT DISTINCT c_nationkey AS nationkey, 'existing' AS origin FROM customer),
      incoming AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
@@ -139,7 +139,7 @@ SELECT i.nationkey, 'created' AS origin
 FROM incoming i WHERE i.nationkey NOT IN (SELECT nationkey FROM dim)
 """,
 )
-def q33_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
     dim = c.select(F.col("c_nationkey").alias("nationkey")).distinct().withColumn(
@@ -188,7 +188,7 @@ def _merge_query(mode: str):
 
 
 register(
-    "q34_merge_update",
+    "q026_merge_update",
     oracle=_MERGE_ORACLE_TEMPLATE.format(
         body="""
 SELECT COALESCE(t.pk, s.pk) AS pk,
@@ -201,7 +201,7 @@ FROM target t FULL OUTER JOIN staged s ON t.pk = s.pk
 )(_merge_query("update"))
 
 register(
-    "q35_merge_noupdate",
+    "q059_merge_noupdate",
     oracle=_MERGE_ORACLE_TEMPLATE.format(
         body="""
 SELECT COALESCE(t.pk, s.pk) AS pk,
@@ -213,7 +213,7 @@ FROM target t FULL OUTER JOIN staged s ON t.pk = s.pk
 )(_merge_query("noupdate"))
 
 register(
-    "q36_merge_onlyupdate",
+    "q060_merge_onlyupdate",
     oracle=_MERGE_ORACLE_TEMPLATE.format(
         body="""
 SELECT t.pk AS pk,
@@ -225,7 +225,7 @@ FROM target t LEFT JOIN staged s ON t.pk = s.pk
 )(_merge_query("onlyupdate"))
 
 register(
-    "q37_merge_delete",
+    "q027_merge_delete",
     oracle=_MERGE_ORACLE_TEMPLATE.format(
         body="""
 SELECT COALESCE(t.pk, s.pk) AS pk,
@@ -238,7 +238,7 @@ FROM target t FULL OUTER JOIN staged s ON t.pk = s.pk
 )(_merge_query("delete"))
 
 register(
-    "q38_merge_insert",
+    "q061_merge_insert",
     oracle=_MERGE_ORACLE_TEMPLATE.format(
         body="""
 SELECT pk, price, action FROM (
@@ -255,7 +255,7 @@ SELECT pk, price, action FROM (
 # by a prior run; the ledger is derived deterministically from orders.
 # --------------------------------------------------------------------------
 @register(
-    "q39_ledger_id_recovery",
+    "q028_ledger_id_recovery",
     oracle="""
 WITH ledger AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS pk, 'info' AS level,
@@ -274,7 +274,7 @@ LEFT JOIN (SELECT pk, MAX(model_id) AS model_id FROM ledger
            WHERE level = 'info' GROUP BY pk) l ON s.pk = l.pk
 """,
 )
-def q39_ledger_id_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_ledger_id_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.merge import recover_ids_from_ledger
 
     o = load(spark, sf_dir, "orders")

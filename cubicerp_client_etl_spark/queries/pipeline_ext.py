@@ -26,7 +26,7 @@ from cubicerp_client_etl_spark.queries import register
 # event_type), latest ts with event_id tie-break.
 # --------------------------------------------------------------------------
 @register(
-    "q50_dedup_keep_latest",
+    "q030_dedup_keep_latest",
     headline=True,
     oracle="""
 SELECT user_id, event_type, event_id, value
@@ -35,7 +35,7 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                            ORDER BY ts DESC, event_id DESC) = 1
 """,
 )
-def q50_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q030_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out = dd.exact_dedup(
         ev,
@@ -52,7 +52,7 @@ def q50_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle mirrors that — exercising the keep-min-id semantics for real.
 # --------------------------------------------------------------------------
 @register(
-    "q51_dedup_fingerprint",
+    "q069_dedup_fingerprint",
     oracle="""
 WITH dupped AS (
   SELECT doc_id, text FROM documents
@@ -65,7 +65,7 @@ SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
 FROM dupped GROUP BY 1
 """,
 )
-def q51_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q069_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dupped = docs.unionByName(
         docs.filter(F.col("doc_id") % 3 == 0).withColumn(
@@ -84,7 +84,7 @@ def q51_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form): 3-gram shingle sets, one semi-join pass, linear in corpus size.
 # --------------------------------------------------------------------------
 @register(
-    "q52_ngram_jaccard_probe",
+    "q031_ngram_jaccard_probe",
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
@@ -111,7 +111,7 @@ FROM inter i JOIN sizes z USING (doc_id) CROSS JOIN probe_size ps
 WHERE CAST(i.n_inter AS DOUBLE) / (z.sz + ps.psz - i.n_inter) >= 0.01
 """,
 )
-def q52_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = (
         docs.select(F.col("doc_id"), F.explode(dd.shingles("text", 3)).alias("sh"))
@@ -139,8 +139,8 @@ def q52_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Not ANSI-SQL-expressible (hash-family dependent) → rows-only check;
 # the unit tests assert recall against exact Jaccard instead.
 # --------------------------------------------------------------------------
-@register("q53_minhash_lsh_candidates", oracle=None)
-def q53_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q032_minhash_lsh_candidates", oracle=None)
+def q032_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # synthesize near-dups so the pipeline has something to find
     dupped = docs.unionByName(
@@ -158,8 +158,8 @@ def q53_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q54 — SimHash fingerprints (L-dedup): deterministic engine-defined hash
 # family → rows-only check; unit tests pin exact values.
 # --------------------------------------------------------------------------
-@register("q54_simhash", oracle=None)
-def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q033_simhash", oracle=None)
+def q033_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", dd.simhash_bits("text", 64).alias("simhash")
@@ -171,7 +171,7 @@ def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5 probe vectors against the corpus, k=5. Broadcast probes, one scan.
 # --------------------------------------------------------------------------
 @register(
-    "q55_cosine_topk",
+    "q034_cosine_topk",
     headline=True,
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -191,7 +191,7 @@ SELECT probe_id, vec_id, sim, rank FROM (
 WHERE rank <= 5
 """,
 )
-def q55_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q034_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding")
@@ -212,7 +212,7 @@ def q55_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle; the LSH-bucketed variant (q57) is the 100 TB path.
 # --------------------------------------------------------------------------
 @register(
-    "q56_cosine_pairs",
+    "q070_cosine_pairs",
     oracle="""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -224,26 +224,19 @@ WHERE list_dot_product(a.v, b.v) /
       sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.3
 """,
 )
-def q56_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", sim.as_double("embedding").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = sim.cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.3)
-        .select("id_a", "id_b", F.round(cos, 6).alias("sim"))
-    )
+def q070_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # size-guarded: stays exact (oracle semantics) below max_exact_rows,
+    # auto-switches to the LSH-bucketed equi-join shape above it
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.all_pairs_cosine(emb, threshold=0.3)
 
 
 # --------------------------------------------------------------------------
 # q57 — LSH-bucketed near-neighbor (the scale path): hyperplane buckets
 # first, pairs only within buckets. Hash-family dependent → rows-only.
 # --------------------------------------------------------------------------
-@register("q57_lsh_bucketed_pairs", oracle=None)
-def q57_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q035_lsh_bucketed_pairs", oracle=None)
+def q035_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     bucketed = sim.hyperplane_lsh_bucket(emb, "embedding", n_planes=8, dim=64)
     a = bucketed.select(
@@ -271,7 +264,7 @@ def q57_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language ID, fingerprint — all Catalyst expressions, map-only.
 # --------------------------------------------------------------------------
 @register(
-    "q58_text_analysis",
+    "q037_text_analysis",
     headline=True,
     oracle="""
 WITH t AS (
@@ -301,7 +294,7 @@ SELECT doc_id, lang, source, n_tokens,
 FROM feat
 """,
 )
-def q58_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q037_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -318,7 +311,7 @@ def q58_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q59 — corpus quality stats rollup (L-txt1 aggregate form).
 # --------------------------------------------------------------------------
 @register(
-    "q59_corpus_stats",
+    "q071_corpus_stats",
     oracle="""
 WITH t AS (
   SELECT lang, source, n_chars,
@@ -326,13 +319,13 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM t GROUP BY lang, source
 """,
 )
-def q59_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q071_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     with_tok = docs.withColumn("n_tokens", tx.token_count("text"))
     return with_tok.groupBy("lang", "source").agg(
@@ -349,7 +342,7 @@ def q59_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle checks the byte-level plumbing (octet length, head bytes in hex).
 # --------------------------------------------------------------------------
 @register(
-    "q60_multimodal_meta",
+    "q040_multimodal_meta",
     oracle="""
 SELECT doc_id,
        'text/plain' AS media_type,
@@ -358,7 +351,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(docs, "text")
     return with_payload.select(
@@ -374,8 +367,8 @@ def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch path). Stubbed decoder (deterministic byte-histogram features) →
 # rows-only check; unit tests pin exact feature values.
 # --------------------------------------------------------------------------
-@register("q61_multimodal_features", oracle=None)
-def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q041_multimodal_features", oracle=None)
+def q041_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
     return extract_features(with_payload, n_features=8, fake=True).orderBy("doc_id")
@@ -387,8 +380,8 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (deterministic nearest-neighbor over bytes) → rows-only; unit tests pin
 # the output shape and md5s.
 # --------------------------------------------------------------------------
-@register("q77_multimodal_resize", oracle=None)
-def q77_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q079_multimodal_resize", oracle=None)
+def q079_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
     resized = resize_media(with_payload, width=8, height=8, fake=True)
@@ -409,7 +402,7 @@ def q77_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5 of every sampled frame exactly.
 # --------------------------------------------------------------------------
 @register(
-    "q78_frame_sample",
+    "q042_frame_sample",
     oracle="""
 SELECT doc_id, CAST(fi AS INT) AS frame_idx,
        md5(substr(text, CAST(fi AS INT)*64+1, 64)) AS frame_md5,
@@ -417,7 +410,7 @@ SELECT doc_id, CAST(fi AS INT) AS frame_idx,
 FROM documents, UNNEST(range(0, greatest(length(text)//64, 1), 4)) AS t(fi)
 """,
 )
-def q78_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
     frames = sample_frames(with_payload, frame_bytes=64, every_n=4, fake=True)
@@ -437,7 +430,7 @@ def q78_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on cluster id.
 # --------------------------------------------------------------------------
 @register(
-    "q62_ivf_topk",
+    "q036_ivf_topk",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -464,7 +457,7 @@ SELECT probe_id, vec_id, sim, rank FROM (
 WHERE rank <= 5
 """,
 )
-def q62_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double("embedding").alias("v")
     )
@@ -505,7 +498,7 @@ def q62_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic in the oracle (deterministic: exact-int ratios + IEEE ops).
 # --------------------------------------------------------------------------
 @register(
-    "q63_quality_score",
+    "q072_quality_score",
     oracle="""
 WITH t AS (
   SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -529,7 +522,7 @@ SELECT doc_id,
 FROM feat
 """,
 )
-def q63_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q072_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", tx.quality_score("text").alias("quality"))
 
@@ -539,7 +532,7 @@ def q63_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil(len/4) merge depth, identical arithmetic in the oracle.
 # --------------------------------------------------------------------------
 @register(
-    "q64_bpe_token_count",
+    "q038_bpe_token_count",
     oracle="""
 SELECT doc_id,
        CAST(list_aggregate(
@@ -549,7 +542,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q64_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", tx.bpe_ish_token_count("text").alias("n_bpe_tokens")
@@ -563,7 +556,7 @@ def q64_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-k sets are identical.
 # --------------------------------------------------------------------------
 @register(
-    "q79_tfidf_top_terms",
+    "q039_tfidf_top_terms",
     oracle="""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
@@ -583,7 +576,7 @@ scored AS (
 SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
 """,
 )
-def q79_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import tfidf_top_terms
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -608,7 +601,7 @@ _CLUSTER_T = 0.35
 
 
 @register(
-    "q90_neardup_components",
+    "q047_neardup_components",
     oracle="""
 WITH RECURSIVE
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -630,7 +623,7 @@ SELECT comp.node AS vec_id, comp.component, sized.cluster_size,
 FROM comp JOIN sized ON comp.component = sized.c2
 """,
 )
-def q90_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.graph import connected_components
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -668,7 +661,7 @@ def q90_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # high-cardinality, no skew: md5 is uniform).
 # --------------------------------------------------------------------------
 @register(
-    "q91_corpus_curation",
+    "q090_corpus_curation",
     oracle="""
 WITH t AS (
   SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks
@@ -715,7 +708,7 @@ FROM (
 ) WHERE rk = 1
 """,
 )
-def q91_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q090_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",

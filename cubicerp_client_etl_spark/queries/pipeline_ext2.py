@@ -31,7 +31,7 @@ from cubicerp_client_etl_spark.queries import register
 # the lead() frame is per-key within the shuffled partition.
 # --------------------------------------------------------------------------
 @register(
-    "q107_scd2_intervals",
+    "q106_scd2_intervals",
     oracle="""
 SELECT user_id,
        value AS attr_value,
@@ -71,7 +71,7 @@ def q107_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exchange; at 100 TB this is the standard two-bucketed-tables diff.
 # --------------------------------------------------------------------------
 @register(
-    "q108_cdc_snapshot_diff",
+    "q107_cdc_snapshot_diff",
     oracle="""
 WITH snap_old AS (
   SELECT l_orderkey,
@@ -128,7 +128,7 @@ def q108_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates — at 100 TB the assignment stays a pushed-down projection.
 # --------------------------------------------------------------------------
 @register(
-    "q109_hash_split_stratified",
+    "q108_hash_split_stratified",
     oracle="""
 SELECT CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '3'
             THEN 'test' ELSE 'train' END AS split,
@@ -159,7 +159,7 @@ def q109_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cubicerpetl/cubicerpetl.py:775-787).
 # --------------------------------------------------------------------------
 @register(
-    "q110_quality_report",
+    "q049_quality_report",
     oracle="""
 SELECT 'nonpositive_quantity' AS rule,
        (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS n_violations
@@ -173,7 +173,7 @@ SELECT 'ship_before_1995',
        (SELECT COUNT(*) FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01')
 UNION ALL
 SELECT 'unique(l_orderkey,l_linenumber)',
-       (SELECT COALESCE(SUM(n), 0) FROM (
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
           SELECT COUNT(*) AS n FROM lineitem
           GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
 UNION ALL
@@ -183,7 +183,7 @@ SELECT 'fk(l_orderkey->o_orderkey)',
                           WHERE o.o_orderkey = l.l_orderkey))
 """,
 )
-def q110_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import (
         combine_reports,
         fk_report,
@@ -218,7 +218,7 @@ def q110_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window's partition-local sort, no global ordering.
 # --------------------------------------------------------------------------
 @register(
-    "q111_exact_percentiles",
+    "q109_exact_percentiles",
     oracle="""
 WITH ranked AS (
   SELECT c_mktsegment, c_acctbal,
@@ -235,7 +235,7 @@ SELECT c_mktsegment,
 FROM ranked GROUP BY c_mktsegment
 """,
 )
-def q111_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q109_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     c = load(spark, sf_dir, "customer")
@@ -267,7 +267,7 @@ def q111_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k×groups rows — this query IS that merge, expressed over two slices.
 # --------------------------------------------------------------------------
 @register(
-    "q112_incremental_rollup",
+    "q110_incremental_rollup",
     oracle="""
 SELECT l_returnflag, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -277,7 +277,7 @@ WHERE l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1, 2
 """,
 )
-def q112_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q110_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     month = F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM")
 
@@ -314,7 +314,7 @@ def q112_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (distinct keys) frame.
 # --------------------------------------------------------------------------
 @register(
-    "q113_heavy_hitters",
+    "q111_heavy_hitters",
     oracle="""
 WITH freq AS (
   SELECT l_partkey, COUNT(*) AS n
@@ -329,7 +329,7 @@ SELECT r.l_partkey, r.n, ROUND(CAST(r.n AS DOUBLE) / t.total, 6) AS share
 FROM ranked r, tot t WHERE r.rk <= 20
 """,
 )
-def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q111_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = load(spark, sf_dir, "lineitem")
@@ -355,7 +355,7 @@ def q113_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UDF, scan-speed at 100 TB.
 # --------------------------------------------------------------------------
 @register(
-    "q116_pii_redaction",
+    "q114_pii_redaction",
     oracle="""
 WITH spiked AS (
   SELECT doc_id,
@@ -380,7 +380,7 @@ redacted AS (
 SELECT doc_id, n_emails, md5(clean) AS clean_md5 FROM redacted
 """,
 )
-def q116_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q114_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import (
         PII_EMAIL,
         pii_counts,
@@ -426,18 +426,24 @@ edges AS (SELECT c AS src, s AS dst FROM pairs
           UNION ALL SELECT s AS src, c AS dst FROM pairs),
 deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
-r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS units FROM nodes)
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS units FROM nodes)
 """
 
 
 def _pr_iter_sql(k: int) -> str:
+    # Same exact integer recursion as operators.graph.pagerank_int:
+    # unit 10**9, damping 85%, and the overflow-safe decomposition
+    # (85*s)//100 == 85*(s//100) + (85*(s%100))//100. The SUM is cast
+    # back to BIGINT because DuckDB widens SUM(BIGINT) to HUGEINT,
+    # which the driver's type-sensitive hash would flag.
     return f"""
 r{k} AS (
   SELECT n.node,
-         CAST(150000000000 AS BIGINT)
-         + CAST(85 AS BIGINT) * COALESCE(i.s, 0) // 100 AS units
+         CAST(150000000 AS BIGINT)
+         + CAST(85 AS BIGINT) * (COALESCE(i.s, 0) // 100)
+         + (CAST(85 AS BIGINT) * (COALESCE(i.s, 0) % 100)) // 100 AS units
   FROM nodes n LEFT JOIN (
-    SELECT e.dst, SUM(r.units // d.deg) AS s
+    SELECT e.dst, CAST(SUM(r.units // d.deg) AS BIGINT) AS s
     FROM edges e
     JOIN r{k - 1} r ON e.src = r.node
     JOIN deg d ON d.src = e.src
@@ -447,7 +453,7 @@ r{k} AS (
 
 
 @register(
-    "q117_pagerank_int",
+    "q050_pagerank_int",
     oracle="WITH "
     + ",".join([_PR_EDGES_SQL] + [_pr_iter_sql(k) for k in range(1, 6)])
     + "\nSELECT node, units FROM r5",
@@ -479,7 +485,7 @@ def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summary rides the reduced frame.
 # --------------------------------------------------------------------------
 @register(
-    "q119_k_anonymity_audit",
+    "q116_k_anonymity_audit",
     oracle="""
 WITH g AS (
   SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
@@ -517,7 +523,7 @@ def q119_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pandas merge is Arrow-batched per group, never per row.
 # --------------------------------------------------------------------------
 @register(
-    "q120_asof_cogroup",
+    "q117_asof_cogroup",
     oracle="""
 SELECT p.event_id, p.user_id, epoch_us(s.ts) AS signup_ts_us
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
@@ -525,7 +531,7 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
   ON p.user_id = s.user_id AND p.ts >= s.ts
 """,
 )
-def q120_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q117_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.asof import asof_join
 
     ev = load(spark, sf_dir, "events")

@@ -28,7 +28,7 @@ from cubicerp_client_etl_spark.queries import register
 # aggregation collapses 100 TB to a handful of groups before the exchange.
 # --------------------------------------------------------------------------
 @register(
-    "q01_pricing_summary",
+    "q001_pricing_summary",
     headline=True,
     oracle="""
 SELECT l_returnflag, l_linestatus,
@@ -45,7 +45,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
 )
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q001_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
@@ -69,7 +69,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate and the 4-column ReadSchema into the Parquet scan.
 # --------------------------------------------------------------------------
 @register(
-    "q02_filter_project",
+    "q002_filter_project",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_extendedprice,
        strftime(l_shipdate, '%Y-%m-%d') AS ship_date
@@ -78,7 +78,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
   AND l_discount >= 0.05 AND l_discount <= 0.07
 """,
 )
-def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= "1995-01-01")
@@ -101,7 +101,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          ('c_name','ilike','customer')]
 # --------------------------------------------------------------------------
 @register(
-    "q03_domain_filter",
+    "q003_domain_filter",
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment, c_acctbal
 FROM customer
@@ -110,7 +110,7 @@ WHERE (c_mktsegment = 'BUILDING'
   AND upper(c_name) LIKE '%' || upper('customer') || '%'
 """,
 )
-def q03_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q003_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     domain = [
         "|",
@@ -131,7 +131,7 @@ def q03_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the full table. Tie-break on the unique key for determinism.
 # --------------------------------------------------------------------------
 @register(
-    "q04_top_k",
+    "q004_top_k",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
@@ -139,7 +139,7 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10
 """,
 )
-def q04_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.select("o_orderkey", "o_custkey", "o_totalprice")
@@ -153,10 +153,10 @@ def q04_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side first.
 # --------------------------------------------------------------------------
 @register(
-    "q05_distinct",
+    "q005_distinct",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
-def q05_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
@@ -164,7 +164,7 @@ def q05_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q06 — group-by + HAVING (D3, B6-on-aggregate).
 # --------------------------------------------------------------------------
 @register(
-    "q06_group_having",
+    "q051_group_having",
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
@@ -174,7 +174,7 @@ GROUP BY o_orderpriority
 HAVING COUNT(*) > 10
 """,
 )
-def q06_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q051_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -191,7 +191,7 @@ def q06_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AQE converts to broadcast joins automatically where a side is small.
 # --------------------------------------------------------------------------
 @register(
-    "q07_star_join_revenue",
+    "q006_star_join_revenue",
     headline=True,
     oracle="""
 SELECT n.n_name AS nation, r.r_name AS region,
@@ -205,7 +205,7 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY n.n_name, r.r_name
 """,
 )
-def q07_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q006_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -228,7 +228,7 @@ def q07_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q08 — left outer join (C6): every customer, order stats or zeros.
 # --------------------------------------------------------------------------
 @register(
-    "q08_left_join",
+    "q052_left_join",
     oracle="""
 SELECT c.c_custkey,
        COUNT(o.o_orderkey) AS n_orders,
@@ -238,7 +238,7 @@ LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
 """,
 )
-def q08_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q052_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return (
@@ -259,27 +259,27 @@ def q08_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # left_anti avoid the row-multiplication a plain join would cause.
 # --------------------------------------------------------------------------
 @register(
-    "q09_semi_join",
+    "q007_semi_join",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 """,
 )
-def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
 
 
 @register(
-    "q10_anti_join",
+    "q008_anti_join",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
-def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
@@ -291,14 +291,14 @@ def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full cartesian product (which would never survive scale).
 # --------------------------------------------------------------------------
 @register(
-    "q11_theta_self_join",
+    "q009_theta_self_join",
     oracle="""
 SELECT a.s_suppkey AS suppkey_lo, b.s_suppkey AS suppkey_hi, a.s_nationkey AS nationkey
 FROM supplier a JOIN supplier b
   ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
 """,
 )
-def q11_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     a = s.alias("a")
     b = s.alias("b")
@@ -327,7 +327,7 @@ _BANDS = [
 
 
 @register(
-    "q12_range_band_join",
+    "q010_range_band_join",
     oracle="""
 WITH bands(band, lo, hi) AS (VALUES
   ('micro', 0.0, 1000.0), ('small', 1000.0, 10000.0),
@@ -338,7 +338,7 @@ FROM lineitem l JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice 
 GROUP BY b.band
 """,
 )
-def q12_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
     return (
@@ -359,7 +359,7 @@ def q12_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tie-break on unique o_orderkey) keeps row_number deterministic.
 # --------------------------------------------------------------------------
 @register(
-    "q13_window_rank",
+    "q011_window_rank",
     oracle="""
 SELECT * FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -369,7 +369,7 @@ SELECT * FROM (
 WHERE rn <= 3
 """,
 )
-def q13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -384,7 +384,7 @@ def q13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shipment. Ordering is total via (shipdate, orderkey, linenumber).
 # --------------------------------------------------------------------------
 @register(
-    "q14_window_lag",
+    "q012_window_lag",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        date_diff('day',
@@ -394,7 +394,7 @@ FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
 """,
 )
-def q14_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
     prev = F.lag("l_shipdate").over(w)
@@ -412,7 +412,7 @@ def q14_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum exact at any depth.
 # --------------------------------------------------------------------------
 @register(
-    "q15_window_running",
+    "q013_window_running",
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -422,7 +422,7 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """,
 )
-def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -441,14 +441,14 @@ def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle (Expand + partial agg), not one pass per set.
 # --------------------------------------------------------------------------
 @register(
-    "q16_rollup",
+    "q014_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
 )
-def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
@@ -456,14 +456,14 @@ def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q17_cube",
+    "q053_cube",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
-def q17_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q053_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
@@ -474,7 +474,7 @@ def q17_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q18 — union all with provenance tag (G1).
 # --------------------------------------------------------------------------
 @register(
-    "q18_union_all",
+    "q015_union_all",
     oracle="""
 SELECT nationkey, src, COUNT(*) AS n FROM (
   SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
@@ -483,7 +483,7 @@ SELECT nationkey, src, COUNT(*) AS n FROM (
 ) GROUP BY nationkey, src
 """,
 )
-def q18_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
     )
@@ -498,7 +498,7 @@ def q18_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers both set ops.
 # --------------------------------------------------------------------------
 @register(
-    "q19_intersect_except",
+    "q016_intersect_except",
     oracle="""
 SELECT nationkey, 'both' AS tag FROM
   (SELECT c_nationkey AS nationkey FROM customer
@@ -509,7 +509,7 @@ SELECT nationkey, 'customer_only' AS tag FROM
    EXCEPT SELECT s_nationkey FROM supplier)
 """,
 )
-def q19_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     both = c.intersect(s).withColumn("tag", F.lit("both"))
@@ -524,7 +524,7 @@ def q19_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parts, regex — all JVM-side built-ins, zero UDFs.
 # --------------------------------------------------------------------------
 @register(
-    "q20_scalar_pack",
+    "q017_scalar_pack",
     oracle="""
 SELECT o_orderkey,
        lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS okey_padded,
@@ -538,7 +538,7 @@ SELECT o_orderkey,
 FROM orders
 """,
 )
-def q20_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -557,18 +557,18 @@ def q20_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q21 — JSON scalar extraction (H14) over the events props column.
 # --------------------------------------------------------------------------
 @register(
-    "q21_json_extract",
+    "q018_json_extract",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
          / COUNT(json_extract_string(props, '$.k')) AS avg_k
 FROM events
 GROUP BY event_type
 """,
 )
-def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
@@ -582,7 +582,7 @@ def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q22 — pivot (common OLAP reshaping; oracle via conditional aggregates).
 # --------------------------------------------------------------------------
 @register(
-    "q22_pivot",
+    "q054_pivot",
     oracle="""
 SELECT l_returnflag,
        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O,
@@ -590,7 +590,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
 )
-def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q054_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     out = (
         li.groupBy("l_returnflag")

@@ -18,7 +18,7 @@ from cubicerp_client_etl_spark.queries import register
 # column via expand; AQE handles the skew.
 # --------------------------------------------------------------------------
 @register(
-    "q23_count_distinct",
+    "q055_count_distinct",
     oracle="""
 SELECT l_returnflag,
        COUNT(DISTINCT l_suppkey) AS n_suppliers,
@@ -27,7 +27,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
 )
-def q23_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q055_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -41,7 +41,7 @@ def q23_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dayofweek: Spark is 1=Sunday, DuckDB dayofweek is 0=Sunday → +1.
 # --------------------------------------------------------------------------
 @register(
-    "q24_date_pack",
+    "q019_date_pack",
     oracle="""
 SELECT o_orderkey,
        strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week,
@@ -54,7 +54,7 @@ SELECT o_orderkey,
 FROM orders
 """,
 )
-def q24_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
     return o.select(
@@ -76,7 +76,7 @@ def q24_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one shuffle on user_id, no range explosion. Oracle = DuckDB ASOF JOIN.
 # --------------------------------------------------------------------------
 @register(
-    "q25_asof_join",
+    "q020_asof_join",
     oracle="""
 SELECT e.event_id, epoch_us(s.ts) AS signup_ts_us
 FROM events e
@@ -84,7 +84,7 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
   ON e.user_id = s.user_id AND e.ts >= s.ts
 """,
 )
-def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -106,7 +106,7 @@ def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join on the aggregated subquery — no per-row subquery execution.
 # --------------------------------------------------------------------------
 @register(
-    "q26_correlated_subquery",
+    "q021_correlated_subquery",
     oracle="""
 SELECT l.l_partkey, COUNT(*) AS n_heavy,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -116,7 +116,7 @@ WHERE l.l_quantity > 1.5 * (
 GROUP BY l.l_partkey
 """,
 )
-def q26_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("q26_lineitem")
     return spark.sql("""
@@ -136,7 +136,7 @@ def q26_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose interpolation formula is engine-specific.
 # --------------------------------------------------------------------------
 @register(
-    "q27_median_window",
+    "q056_median_window",
     oracle="""
 WITH ranked AS (
   SELECT o_custkey, o_totalprice,
@@ -152,7 +152,7 @@ WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
 GROUP BY o_custkey
 """,
 )
-def q27_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q056_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     wp = W.partitionBy("o_custkey")
@@ -179,7 +179,7 @@ def q27_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic so both engines compute the identical expression).
 # --------------------------------------------------------------------------
 @register(
-    "q28_histogram",
+    "q057_histogram",
     oracle="""
 SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
        COUNT(*) AS n,
@@ -187,7 +187,7 @@ SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
 FROM orders GROUP BY 1
 """,
 )
-def q28_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q057_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy(
@@ -201,14 +201,14 @@ def q28_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q29 — unpivot / melt (Spark unpivot ↔ SQL UNION ALL oracle).
 # --------------------------------------------------------------------------
 @register(
-    "q29_unpivot",
+    "q058_unpivot",
     oracle="""
 SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
 UNION ALL
 SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
 """,
 )
-def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q058_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_acctbal").alias("acctbal"),
@@ -221,7 +221,7 @@ def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q40 — TPC-H Q4 shape: correlated EXISTS with a date window.
 # --------------------------------------------------------------------------
 @register(
-    "q40_exists_agg",
+    "q062_exists_agg",
     oracle="""
 SELECT o.o_orderpriority, COUNT(*) AS n_orders
 FROM orders o
@@ -232,7 +232,7 @@ WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
 GROUP BY o.o_orderpriority
 """,
 )
-def q40_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q062_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
     )
@@ -247,16 +247,16 @@ def q40_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q41 — TPC-H Q12 shape: CASE bucket aggregation over a join.
 # --------------------------------------------------------------------------
 @register(
-    "q41_case_buckets",
+    "q063_case_buckets",
     oracle="""
 SELECT o.o_orderpriority,
-       SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_lines,
-       SUM(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_lines
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines,
+       CAST(SUM(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """,
 )
-def q41_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q063_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     j = li.join(o, li.l_orderkey == o.o_orderkey)
@@ -275,7 +275,7 @@ def q41_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratio divides two decimal-exact sums as doubles — deterministic.
 # --------------------------------------------------------------------------
 @register(
-    "q42_conditional_ratio",
+    "q064_conditional_ratio",
     oracle="""
 SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
          THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
@@ -285,7 +285,7 @@ SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 """.replace("%%", "%"),
 )
-def q42_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q064_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import MONEY, dec2
 
     li = load(spark, sf_dir, "lineitem")
@@ -307,7 +307,7 @@ def q42_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first two tokens of each document.
 # --------------------------------------------------------------------------
 @register(
-    "q43_levenshtein",
+    "q065_levenshtein",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -317,7 +317,7 @@ SELECT doc_id, toks[1] AS w1, toks[2] AS w2,
 FROM t WHERE len(toks) >= 2
 """,
 )
-def q43_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q065_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
     return (
@@ -339,7 +339,7 @@ def q43_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lateral explode — Spark's generator path, oracle via UNNEST.
 # --------------------------------------------------------------------------
 @register(
-    "q44_explode_wordcount",
+    "q066_explode_wordcount",
     oracle="""
 SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
 FROM (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS word
@@ -347,7 +347,7 @@ FROM (SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS wo
 GROUP BY word
 """,
 )
-def q44_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q066_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",

@@ -28,7 +28,7 @@ from cubicerp_client_etl_spark.queries import register
 # 100 TB the cost is (#sets × map output), not #sets passes over the data.
 # --------------------------------------------------------------------------
 @register(
-    "q65_grouping_sets",
+    "q073_grouping_sets",
     oracle="""
 SELECT o_orderpriority, o_orderstatus,
        GROUPING(o_orderpriority) AS g_prio, GROUPING(o_orderstatus) AS g_status,
@@ -38,7 +38,7 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
 """,
 )
-def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q073_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.groupingSets(
@@ -66,7 +66,7 @@ def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle. Oracle: DuckDB string_agg with ORDER BY.
 # --------------------------------------------------------------------------
 @register(
-    "q66_sorted_listagg",
+    "q074_sorted_listagg",
     oracle="""
 SELECT c_nationkey,
        COUNT(*) AS n_customers,
@@ -75,7 +75,7 @@ FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) t
 GROUP BY c_nationkey
 """,
 )
-def q66_sorted_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q074_sorted_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     return (
         c.select("c_nationkey", "c_mktsegment")
@@ -104,7 +104,7 @@ _SALT = 4
 
 
 @register(
-    "q68_salted_skew_join",
+    "q048_salted_skew_join",
     oracle="""
 SELECT o.o_orderpriority,
        COUNT(*) AS n_lines,
@@ -113,7 +113,7 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """,
 )
-def q68_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_SALT))
     )
@@ -147,7 +147,7 @@ _NEAR_DUP_T = 0.45
 
 
 @register(
-    "q69_embedding_near_dup",
+    "q075_embedding_near_dup",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pairs AS (
@@ -164,7 +164,7 @@ FROM pairs WHERE cos >= 0.45
 GROUP BY id_dup
 """,
 )
-def q69_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q075_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double("embedding").alias("v")
     )
@@ -191,8 +191,8 @@ def q69_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL differ by design) → no value oracle; the exact q23 is the checked
 # twin. rsd=0.01 keeps the estimate within ~1%.
 # --------------------------------------------------------------------------
-@register("q75_approx_count_distinct", oracle=None)
-def q75_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q077_approx_count_distinct", oracle=None)
+def q077_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -212,7 +212,7 @@ def q75_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explicitly so Spark and DuckDB agree row-for-row.
 # --------------------------------------------------------------------------
 @register(
-    "q76_ntile_first_last",
+    "q078_ntile_first_last",
     oracle="""
 SELECT o_orderkey, o_orderpriority,
        NTILE(4) OVER w AS quartile,
@@ -224,7 +224,7 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """,
 )
-def q76_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q078_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)

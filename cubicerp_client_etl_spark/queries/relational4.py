@@ -46,7 +46,7 @@ _DP_SQL = (
 # on the driver at k rows, not a global sort.
 # --------------------------------------------------------------------------
 @register(
-    "q80_tpch_q3_shipping_priority",
+    "q080_tpch_q3_shipping_priority",
     headline=True,
     oracle=f"""
 SELECT l.l_orderkey,
@@ -93,7 +93,7 @@ def q80_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # priority agg is 5 groups — map-side partials collapse it.
 # --------------------------------------------------------------------------
 @register(
-    "q81_tpch_q4_order_priority",
+    "q081_tpch_q4_order_priority",
     oracle="""
 SELECT o.o_orderpriority, COUNT(*) AS order_count
 FROM orders o
@@ -127,7 +127,7 @@ def q81_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orders⋈lineitem, one on custkey for the agg; top-k never global-sorts.
 # --------------------------------------------------------------------------
 @register(
-    "q82_tpch_q10_returned_items",
+    "q082_tpch_q10_returned_items",
     oracle=f"""
 SELECT c.c_custkey, c.c_name,
        CAST(SUM({_DP_SQL}) AS DOUBLE) AS revenue,
@@ -171,7 +171,7 @@ def q82_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle); second agg's key space is tiny and collapses map-side.
 # --------------------------------------------------------------------------
 @register(
-    "q83_tpch_q13_cust_distribution",
+    "q083_tpch_q13_cust_distribution",
     oracle="""
 SELECT c_count, COUNT(*) AS custdist
 FROM (
@@ -204,7 +204,7 @@ def q83_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the inner agg; AQE converts the join to broadcast at runtime.
 # --------------------------------------------------------------------------
 @register(
-    "q84_tpch_q18_large_volume",
+    "q084_tpch_q18_large_volume",
     oracle="""
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
@@ -258,7 +258,7 @@ def q84_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: part broadcasts; lineitem never shuffles at all.
 # --------------------------------------------------------------------------
 @register(
-    "q85_tpch_q19_disjunctive",
+    "q085_tpch_q19_disjunctive",
     oracle=f"""
 SELECT CAST(SUM({_DP_SQL}) AS DOUBLE) AS revenue
 FROM lineitem l
@@ -302,7 +302,7 @@ def q85_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines — a ULP-different average would flip borderline customers.
 # --------------------------------------------------------------------------
 @register(
-    "q86_tpch_q22_global_sales",
+    "q086_tpch_q22_global_sales",
     oracle="""
 SELECT c.c_nationkey, COUNT(*) AS numcust,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
@@ -343,7 +343,7 @@ def q86_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final agg on (nation, nation, year) — a few hundred groups.
 # --------------------------------------------------------------------------
 @register(
-    "q87_tpch_q7_volume_shipping",
+    "q087_tpch_q7_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l.l_shipdate) AS l_year,
@@ -392,7 +392,7 @@ def q87_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Both sums decimal-routed so threshold comparison is exact.
 # --------------------------------------------------------------------------
 @register(
-    "q88_tpch_q11_supplier_share",
+    "q088_tpch_q11_supplier_share",
     oracle="""
 WITH sup AS (
   SELECT l_suppkey,
@@ -431,7 +431,7 @@ def q88_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a 100-ish-row aggregate — nothing global-sorts.
 # --------------------------------------------------------------------------
 @register(
-    "q89_tpch_q15_top_supplier",
+    "q089_tpch_q15_top_supplier",
     oracle=f"""
 WITH revenue AS (
   SELECT l_suppkey, CAST(SUM({_DP_SQL}) AS DOUBLE) AS total_revenue
@@ -475,7 +475,7 @@ def q89_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # than Welford merging, and deterministic under any partitioning.
 # --------------------------------------------------------------------------
 @register(
-    "q92_stats_pack",
+    "q091_stats_pack",
     oracle="""
 WITH m AS (
   SELECT l_returnflag,
@@ -496,7 +496,7 @@ SELECT l_returnflag, n,
 FROM m
 """,
 )
-def q92_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q091_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(19,4)")
     y = F.col("l_extendedprice").cast("decimal(19,4)")
@@ -532,7 +532,7 @@ def q92_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # becomes the HLL sketch path (q75) with identical query shape.
 # --------------------------------------------------------------------------
 @register(
-    "q93_dau_wow",
+    "q092_dau_wow",
     oracle="""
 WITH d AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -547,7 +547,7 @@ SELECT strftime(day, '%Y-%m-%d') AS day, dau, n_events,
 FROM d
 """,
 )
-def q93_dau_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q092_dau_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     d = (
         ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))

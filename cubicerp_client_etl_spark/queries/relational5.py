@@ -39,7 +39,7 @@ _DP_SQL = (
 # no extra shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q94_tpch_q5_local_supplier_volume",
+    "q093_tpch_q5_local_supplier_volume",
     oracle=f"""
 SELECT n.n_name, CAST(SUM({_DP_SQL}) AS DOUBLE) AS revenue
 FROM customer c
@@ -86,7 +86,7 @@ def q94_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # push down to the Parquet scan.
 # --------------------------------------------------------------------------
 @register(
-    "q95_tpch_q6_forecast_revenue",
+    "q094_tpch_q6_forecast_revenue",
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -123,7 +123,7 @@ def q95_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation×2/region broadcast; only orders⋈lineitem⋈customer shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q96_tpch_q8_market_share",
+    "q095_tpch_q8_market_share",
     oracle=f"""
 WITH flat AS (
   SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
@@ -194,7 +194,7 @@ def q96_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (nation, year) after one orders⋈lineitem shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q97_tpch_q9_product_profit",
+    "q096_tpch_q9_product_profit",
     oracle=f"""
 SELECT sn.n_name AS nation,
        EXTRACT(year FROM o.o_orderdate) AS o_year,
@@ -245,13 +245,13 @@ def q97_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one orders⋈lineitem join; integer outputs, no float discipline needed.
 # --------------------------------------------------------------------------
 @register(
-    "q98_tpch_q12_late_shipping",
+    "q097_tpch_q12_late_shipping",
     oracle="""
 SELECT l.l_returnflag,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
@@ -283,7 +283,7 @@ def q98_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lineitem pass.
 # --------------------------------------------------------------------------
 @register(
-    "q99_tpch_q14_promo_revenue",
+    "q098_tpch_q14_promo_revenue",
     oracle=f"""
 SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_DP_SQL}
                                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
@@ -320,7 +320,7 @@ def q99_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key after a map-side partial distinct; part broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q100_tpch_q16_supplier_cnt",
+    "q099_tpch_q16_supplier_cnt",
     oracle="""
 SELECT p.p_brand, p.p_type, p.p_size,
        COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
@@ -364,7 +364,7 @@ def q100_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # part is broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q101_tpch_q17_small_qty",
+    "q100_tpch_q17_small_qty",
     oracle="""
 WITH pa AS (
   SELECT l_partkey, SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
@@ -405,7 +405,7 @@ def q101_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semi-join broadcasts the *outer* relation's build side naturally.
 # --------------------------------------------------------------------------
 @register(
-    "q102_tpch_q20_excess_supply",
+    "q101_tpch_q20_excess_supply",
     oracle="""
 SELECT s.s_suppkey, s.s_name
 FROM supplier s
@@ -452,7 +452,7 @@ def q102_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q103_tpch_q21_waiting_suppliers",
+    "q102_tpch_q21_waiting_suppliers",
     oracle="""
 WITH late AS (
   SELECT l.l_orderkey, l.l_suppkey
@@ -519,7 +519,7 @@ def q103_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the plan Spark compiles a pivot into — one shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q104_pivot_revenue_matrix",
+    "q103_pivot_revenue_matrix",
     oracle=f"""
 SELECT l_returnflag,
        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {_DP_SQL}
@@ -549,7 +549,7 @@ def q104_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (SQL UNPIVOT / melt). Narrow, no shuffle — pure row generation.
 # --------------------------------------------------------------------------
 @register(
-    "q105_unpivot_part_attrs",
+    "q104_unpivot_part_attrs",
     oracle="""
 SELECT p_partkey, attr, val FROM (
   SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
@@ -587,7 +587,7 @@ def q105_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supplier/nation/region broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q106_tpch_q2_min_cost_supplier",
+    "q105_tpch_q2_min_cost_supplier",
     oracle="""
 WITH cost AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost

@@ -35,14 +35,14 @@ def _normalize_text_udf():
 # q45 — scalar pandas_udf vs its SQL twin.
 # --------------------------------------------------------------------------
 @register(
-    "q45_pandas_scalar_udf",
+    "q029_pandas_scalar_udf",
     oracle="""
 SELECT doc_id,
        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_md5
 FROM documents
 """,
 )
-def q45_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     normalize = _normalize_text_udf()
     return docs.select(
@@ -56,7 +56,7 @@ def q45_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic only, so Python and SQL agree bit-for-bit.
 # --------------------------------------------------------------------------
 @register(
-    "q46_apply_in_pandas",
+    "q067_apply_in_pandas",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -65,7 +65,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
 )
-def q46_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q067_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -89,13 +89,13 @@ def q46_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # escape hatch): token counting in pandas; oracle via SQL len(split).
 # --------------------------------------------------------------------------
 @register(
-    "q47_map_in_pandas",
+    "q068_map_in_pandas",
     oracle="""
 SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
 FROM documents
 """,
 )
-def q47_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q068_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def count_tokens(it):
@@ -122,7 +122,7 @@ def q47_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shapes that aren't.
 # --------------------------------------------------------------------------
 @register(
-    "q115_python_udtf_bigrams",
+    "q113_python_udtf_bigrams",
     oracle=r"""
 WITH grams AS (
   SELECT doc_id, lst[i] || ' ' || lst[i+1] AS bigram
@@ -134,7 +134,7 @@ SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
 FROM grams GROUP BY bigram HAVING COUNT(*) >= 5
 """,
 )
-def q115_python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q113_python_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, bigram string")

@@ -22,7 +22,7 @@ from cubicerp_client_etl_spark.queries import register
 # hour buckets); output as epoch micros to dodge timestamp rendering.
 # --------------------------------------------------------------------------
 @register(
-    "q70_tumbling_window",
+    "q043_tumbling_window",
     headline=True,
     oracle="""
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
@@ -33,7 +33,7 @@ FROM events
 GROUP BY 1, 2
 """,
 )
-def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q043_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -52,7 +52,7 @@ def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle expands each event into the two windows that contain it.
 # --------------------------------------------------------------------------
 @register(
-    "q71_sliding_window",
+    "q076_sliding_window",
     oracle="""
 WITH expanded AS (
   SELECT epoch_us(ts) - (epoch_us(ts) % (30*60*1000000)) - s.ofs AS window_start_us,
@@ -65,7 +65,7 @@ SELECT window_start_us, event_type, COUNT(*) AS n,
 FROM expanded GROUP BY 1, 2
 """,
 )
-def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q076_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
@@ -86,7 +86,7 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same boundary rule (diff >= gap ⇒ new session).
 # --------------------------------------------------------------------------
 @register(
-    "q72_session_window",
+    "q044_session_window",
     oracle="""
 WITH marked AS (
   SELECT user_id, event_id, ts, value,
@@ -109,7 +109,7 @@ SELECT user_id,
 FROM sessions GROUP BY user_id, sess_id
 """,
 )
-def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -131,7 +131,7 @@ def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate, broadcast back via crossJoin.
 # --------------------------------------------------------------------------
 @register(
-    "q73_header_footer_broadcast",
+    "q046_header_footer_broadcast",
     oracle="""
 WITH hf AS (
   SELECT min_by(strftime(l_shipdate, '%Y-%m-%d'),
@@ -151,7 +151,7 @@ FROM lineitem l CROSS JOIN hf
 GROUP BY 1, 2, 3, 4
 """,
 )
-def q73_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
     # fold the payload (shipdate) into the order key so min_by/max_by
@@ -180,7 +180,7 @@ def q73_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the same oracle shape but keyed by session ordinal.
 # --------------------------------------------------------------------------
 @register(
-    "q74_sessionize_lag_cumsum",
+    "q045_sessionize_lag_cumsum",
     oracle="""
 WITH marked AS (
   SELECT user_id, event_id, ts, value,
@@ -192,8 +192,8 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sess_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
   FROM marked
 )
 SELECT user_id, sess_id, COUNT(*) AS n_events,
@@ -202,7 +202,7 @@ SELECT user_id, sess_id, COUNT(*) AS n_events,
 FROM sessions GROUP BY user_id, sess_id
 """,
 )
-def q74_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag(F.col("ts")).over(w))
@@ -234,7 +234,7 @@ def q74_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserted in tests/test_streaming.py; equality to DuckDB here.
 # --------------------------------------------------------------------------
 @register(
-    "q114_interval_join_attribution",
+    "q112_interval_join_attribution",
     oracle="""
 SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
        p.value AS purchase_value,
@@ -270,7 +270,7 @@ def q114_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a trailing-window metric viable at 100 TB (never window raw rows).
 # --------------------------------------------------------------------------
 @register(
-    "q118_trailing_range_window",
+    "q115_trailing_range_window",
     oracle="""
 WITH daily AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
@@ -286,7 +286,7 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
 FROM daily
 """,
 )
-def q118_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q115_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("day")

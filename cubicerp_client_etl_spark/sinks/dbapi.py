@@ -8,16 +8,28 @@ and per-row error capture into the same ledger shape the RPC sink
 produces — load errors are data, not exceptions (cubicerpetl.py:738-745
 semantics, minus the per-row network round-trip).
 
-Works with any DBAPI-2 driver importable on the executors (sqlite3,
-psycopg2, duckdb, ...). ``connect_factory`` must be a top-level
+Works with any DBAPI-2 driver importable on the executors. Targets
+with SQL savepoints (sqlite3, psycopg2, ...) get savepoint-scoped rows
+with batched commits; targets without them (e.g. duckdb) are detected
+per-connection and fall back to commit-per-row, which preserves row
+isolation at lower throughput. ``connect_factory`` must be a top-level
 callable or otherwise picklable.
+
+Delivery semantics: the load runs EXACTLY ONCE per call — the ledger
+is persisted and forced inside ``dbapi_load`` so later actions on the
+returned frame re-read the cached result instead of re-executing the
+inserts. Spark task retries/speculation can still re-run a partition
+whose executor died mid-batch, so for at-least-once-safe targets make
+``insert_sql`` idempotent (upsert / INSERT OR IGNORE keyed on the PK)
+and prefer ``spark.speculation=false`` on load jobs.
 
 Scale posture: one connection per partition (not per row); commit every
 ``batch_size`` rows so a mid-partition failure re-runs bounded work;
 per-row ``execute`` keeps error isolation — when the target supports
 savepoints-free batch inserts and you don't need row isolation, raise
 ``batch_size`` and let executemany-style batching win. The returned
-ledger is a DataFrame: write it with sinks/ledger, never collect it.
+ledger is a small (pk, level, message) frame: write it with
+sinks/ledger if you need it durable.
 """
 
 from __future__ import annotations
@@ -27,6 +39,21 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def _supports_savepoints(cur: Any, conn: Any) -> bool:
+    """Capability probe: one SAVEPOINT/RELEASE round-trip."""
+    try:
+        cur.execute("SAVEPOINT cap_probe")
+        cur.execute("RELEASE SAVEPOINT cap_probe")
+        return True
+    except Exception:  # noqa: BLE001 — any failure means "no savepoints"
+        try:
+            conn.rollback()
+        except Exception:  # noqa: BLE001
+            pass
+        return False
 
 
 def dbapi_load(
@@ -35,44 +62,74 @@ def dbapi_load(
     insert_sql: str,
     pk_col: str,
     batch_size: int = 500,
+    use_savepoints: bool | None = None,
 ) -> DataFrame:
     """Execute ``insert_sql`` (with ``?``/``%s`` placeholders matching
     df's column order) once per row, parameterized. Returns the
-    ledger-shaped frame (pk, level, message)."""
+    ledger-shaped frame (pk, level, message), already materialized —
+    the inserts ran exactly once by the time this returns.
+
+    ``use_savepoints``: True/False forces the row-isolation strategy;
+    None (default) probes the target connection once per partition.
+    """
     cols = df.columns
 
     def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         conn = connect_factory()
         try:
             cur = conn.cursor()
+            sp = (
+                use_savepoints
+                if use_savepoints is not None
+                else _supports_savepoints(cur, conn)
+            )
             for pdf in batches:
                 pks, levels, messages = [], [], []
                 since_commit = 0
                 for rec in pdf[cols].itertuples(index=False):
                     vals = tuple(rec)
                     pk = str(getattr(rec, pk_col))
-                    # savepoint-scoped row: a failure rolls back ONLY
-                    # this row, never the committed-pending batch — a
-                    # plain rollback() here would silently discard rows
-                    # already reported as 'info'.
-                    cur.execute("SAVEPOINT row_sp")
-                    try:
-                        cur.execute(insert_sql, vals)
-                        cur.execute("RELEASE SAVEPOINT row_sp")
-                        pks.append(pk)
-                        levels.append("info")
-                        messages.append("Ok")
-                    except Exception as ex:  # noqa: BLE001 — per-row isolation
-                        cur.execute("ROLLBACK TO SAVEPOINT row_sp")
-                        cur.execute("RELEASE SAVEPOINT row_sp")
-                        pks.append(pk)
-                        levels.append("error")
-                        messages.append(str(ex))
-                        continue
-                    since_commit += 1
-                    if since_commit >= batch_size:
-                        conn.commit()
-                        since_commit = 0
+                    if sp:
+                        # savepoint-scoped row: a failure rolls back ONLY
+                        # this row, never the committed-pending batch — a
+                        # plain rollback() here would silently discard rows
+                        # already reported as 'info'.
+                        cur.execute("SAVEPOINT row_sp")
+                        try:
+                            cur.execute(insert_sql, vals)
+                            cur.execute("RELEASE SAVEPOINT row_sp")
+                            pks.append(pk)
+                            levels.append("info")
+                            messages.append("Ok")
+                        except Exception as ex:  # noqa: BLE001 — per-row isolation
+                            cur.execute("ROLLBACK TO SAVEPOINT row_sp")
+                            cur.execute("RELEASE SAVEPOINT row_sp")
+                            pks.append(pk)
+                            levels.append("error")
+                            messages.append(str(ex))
+                            continue
+                        since_commit += 1
+                        if since_commit >= batch_size:
+                            conn.commit()
+                            since_commit = 0
+                    else:
+                        # no savepoints on this target: commit-per-row is
+                        # the only way a failed row can't take committed
+                        # neighbors down with it.
+                        try:
+                            cur.execute(insert_sql, vals)
+                            conn.commit()
+                            pks.append(pk)
+                            levels.append("info")
+                            messages.append("Ok")
+                        except Exception as ex:  # noqa: BLE001 — per-row isolation
+                            try:
+                                conn.rollback()
+                            except Exception:  # noqa: BLE001
+                                pass
+                            pks.append(pk)
+                            levels.append("error")
+                            messages.append(str(ex))
                 conn.commit()
                 yield pd.DataFrame(
                     {"pk": pks, "level": levels, "message": messages}
@@ -80,4 +137,11 @@ def dbapi_load(
         finally:
             conn.close()
 
-    return df.mapInPandas(send, schema="pk string, level string, message string")
+    ledger = df.mapInPandas(send, schema="pk string, level string, message string")
+    # Materialize exactly once: without this, EVERY action on the
+    # returned frame would lazily re-run the whole load (duplicating
+    # rows on PK-less targets). MEMORY_AND_DISK spills instead of
+    # evicting, so later actions read the cached ledger.
+    ledger = ledger.persist(StorageLevel.MEMORY_AND_DISK)
+    ledger.count()
+    return ledger

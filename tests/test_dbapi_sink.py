@@ -49,6 +49,57 @@ def test_dbapi_sink_per_row_isolation(spark, tmp_path):
     assert got == [(1, 10.0), (3, 7.5), (4, 1.0)]
 
 
+def test_dbapi_sink_exactly_once_across_actions(spark, tmp_path):
+    """The ledger is materialized inside dbapi_load: re-running actions
+    on it must NOT re-execute the inserts (the pre-fix behavior
+    duplicated rows on PK-less targets)."""
+    db = str(tmp_path / "once.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE tgt (k INTEGER, v REAL)")  # no PK on purpose
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double").coalesce(1)
+    ledger = dbapi_load(
+        df, _factory_path(db), "INSERT INTO tgt (k, v) VALUES (?, ?)", pk_col="k"
+    )
+    # three separate actions on the returned frame
+    assert ledger.count() == 2
+    assert ledger.filter("level = 'info'").count() == 2
+    assert len(ledger.collect()) == 2
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT COUNT(*) FROM tgt").fetchone()[0] == 2
+
+
+def _duck_factory(path):
+    def factory():
+        import duckdb
+
+        return duckdb.connect(path)
+
+    return factory
+
+
+def test_dbapi_sink_duckdb_no_savepoint_fallback(spark, tmp_path):
+    """DuckDB has no SAVEPOINT support: the capability probe must fall
+    back to commit-per-row and still deliver per-row isolation instead
+    of marking every row 'error'."""
+    import duckdb
+
+    db = str(tmp_path / "duck.db")
+    with duckdb.connect(db) as conn:
+        conn.execute("CREATE TABLE tgt (k BIGINT PRIMARY KEY, v DOUBLE)")
+
+    rows = [(1, 10.0), (2, 2.0), (1, 99.0), (3, 3.0)]  # dup pk mid-stream
+    df = spark.createDataFrame(rows, "k long, v double").coalesce(1)
+    ledger = dbapi_load(
+        df, _duck_factory(db), "INSERT INTO tgt (k, v) VALUES (?, ?)", pk_col="k"
+    ).collect()
+    levels = sorted((r.pk, r.level) for r in ledger)
+    assert ("1", "error") in levels  # the duplicate
+    assert sum(1 for _, lv in levels if lv == "info") == 3
+    with duckdb.connect(db) as conn:
+        got = sorted(conn.execute("SELECT k, v FROM tgt").fetchall())
+    assert got == [(1, 10.0), (2, 2.0), (3, 3.0)]
+
+
 def test_dbapi_sink_parallel_partitions(spark, tmp_path):
     db = str(tmp_path / "par.db")
     with sqlite3.connect(db) as conn:

@@ -160,6 +160,41 @@ def test_sql_passthrough_resource(spark):
     assert years == {1995}
 
 
+def test_sql_begin_end_lifecycle(spark):
+    """A1 begin/end hooks: sql_begin runs (date-templated) before the
+    main query with the settle delay honored; sql_end runs after the
+    extract materializes — a staging-table workflow reads its own
+    setup and survives its own teardown (cubicerpetl.py:288-302)."""
+    import time
+
+    spark.read.parquet(f"{SF_SMOKE}/orders.parquet").createOrReplaceTempView(
+        "orders_src"
+    )
+    spark.sql("DROP VIEW IF EXISTS staging_{aaaa}".replace("{aaaa}", "1995"))
+    t0 = time.perf_counter()
+    job = JobSpec(
+        name="sql-lifecycle",
+        extract=ResourceSpec(
+            name="q",
+            etl_type="db",
+            sql_begin="CREATE OR REPLACE TEMP VIEW staging_{aaaa} AS "
+            "SELECT * FROM orders_src WHERE year(o_orderdate) = {aaaa}",
+            sql_begin_delay=0.5,
+            sql_query="SELECT o_orderkey FROM staging_{aaaa}",
+            sql_end="DROP VIEW staging_{aaaa}",
+        ),
+        transform=TransformSpec(name="t", fields=(FieldSpec("o_orderkey"),)),
+        load=ResourceSpec(name="out", f_type="parquet", f_filename="/tmp/unused"),
+        run_date="1995-06-01",
+    )
+    df = extract(spark, job)
+    assert time.perf_counter() - t0 >= 0.5  # delay honored
+    # teardown already ran (begin's view is gone)...
+    assert not spark.catalog.tableExists("staging_1995")
+    # ...yet the extracted rows are still readable (materialized first)
+    assert df.count() > 0
+
+
 def test_hooks_run_in_order(spark, tmp_path):
     """K1/K2/K3 hooks: explicit DataFrame→DataFrame callables."""
     calls = []

@@ -18,7 +18,7 @@ def plan_of(spark, name: str) -> str:
 
 
 def test_q01_pushdown_prune_partial_agg(spark):
-    plan = plan_of(spark, "q01_pricing_summary")
+    plan = plan_of(spark, "q001_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     # column pruning: the 11-column table is scanned at 7 columns
     assert "l_orderkey" not in plan.split("FileScan")[1].split("ReadSchema")[0]
@@ -27,14 +27,14 @@ def test_q01_pushdown_prune_partial_agg(spark):
 
 
 def test_q02_no_shuffle_full_pushdown(spark):
-    plan = plan_of(spark, "q02_filter_project")
+    plan = plan_of(spark, "q002_filter_project")
     assert "Exchange" not in plan  # pure scan+project, stays map-only
     assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
     assert "*(1)" in plan  # whole-stage codegen span (rendered as *(n))
 
 
 def test_q07_broadcasts_dims(spark):
-    plan = plan_of(spark, "q07_star_join_revenue")
+    plan = plan_of(spark, "q006_star_join_revenue")
     # nation/region must never shuffle the fact side
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
@@ -44,24 +44,24 @@ def test_q07_broadcasts_dims(spark):
 
 
 def test_q04_topk_avoids_global_sort(spark):
-    plan = plan_of(spark, "q04_top_k")
+    plan = plan_of(spark, "q004_top_k")
     assert "TakeOrderedAndProject" in plan  # per-partition heaps
     assert "Exchange rangepartitioning" not in plan  # no full sort
 
 
 def test_q12_range_join_is_broadcast_not_cartesian(spark):
-    plan = plan_of(spark, "q12_range_band_join")
+    plan = plan_of(spark, "q010_range_band_join")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
-def test_q09_semi_join_stays_semi(spark):
-    plan = plan_of(spark, "q09_semi_join")
+def test_q007_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "q007_semi_join")
     assert "LeftSemi" in plan
 
 
 def test_q55_probes_broadcast(spark):
-    plan = plan_of(spark, "q55_cosine_topk")
+    plan = plan_of(spark, "q034_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
@@ -74,11 +74,11 @@ def test_session_defaults_scale_flags(spark):
 @pytest.mark.parametrize(
     "name",
     [
-        "q01_pricing_summary",
-        "q05_distinct",
-        "q07_star_join_revenue",
-        "q50_dedup_keep_latest",
-        "q58_text_analysis",
+        "q001_pricing_summary",
+        "q005_distinct",
+        "q006_star_join_revenue",
+        "q030_dedup_keep_latest",
+        "q037_text_analysis",
     ],
 )
 def test_fixture_queries_never_materialize_driver_side(spark, name):
@@ -160,7 +160,7 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
 def test_q95_tpch_q6_pushdown_single_stage(spark):
     """Q6 must be the minimal shape: all three predicates pushed into
     the scan, one partial+final agg, no shuffle beyond the 1-row final."""
-    plan = plan_of(spark, "q95_tpch_q6_forecast_revenue")
+    plan = plan_of(spark, "q094_tpch_q6_forecast_revenue")
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
@@ -169,7 +169,7 @@ def test_q95_tpch_q6_pushdown_single_stage(spark):
 
 
 def test_q94_tpch_q5_broadcasts_all_dims(spark):
-    plan = plan_of(spark, "q94_tpch_q5_local_supplier_volume")
+    plan = plan_of(spark, "q093_tpch_q5_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region
     assert "CartesianProduct" not in plan
 
@@ -177,22 +177,22 @@ def test_q94_tpch_q5_broadcasts_all_dims(spark):
 def test_q109_split_is_map_side_projection(spark):
     """The md5 split assignment must not shuffle rows before the count
     aggregation — it's a per-row projection (pushed-down at 100 TB)."""
-    plan = plan_of(spark, "q109_hash_split_stratified")
+    plan = plan_of(spark, "q108_hash_split_stratified")
     assert plan.count("Exchange hashpartitioning") == 1  # only the groupBy
     assert "partial_count" in plan or "partial_sum" in plan
 
 
-def test_q113_heavy_hitters_aggregates_before_rank(spark):
+def test_q111_heavy_hitters_aggregates_before_rank(spark):
     """Rank runs on the reduced key-frequency frame, never on raw rows:
     exactly one raw-data shuffle (the groupBy), then a single-partition
     window over ~#distinct-keys rows."""
-    plan = plan_of(spark, "q113_heavy_hitters")
+    plan = plan_of(spark, "q111_heavy_hitters")
     assert "partial_count" in plan  # map-side combine of the frequency agg
     assert "CartesianProduct" not in plan  # share-of-total is broadcast
 
 
 def test_q112_incremental_merge_reaggregates_partials(spark):
-    plan = plan_of(spark, "q112_incremental_rollup")
+    plan = plan_of(spark, "q110_incremental_rollup")
     # both slices partial-aggregate before the union-merge
     assert plan.count("partial_sum") >= 2
     assert "CartesianProduct" not in plan
@@ -213,3 +213,27 @@ def test_cluster_conf_sizing_math(spark):
     # small job floors at 2× cores instead of thousands of tiny partitions
     small = cluster_conf(input_bytes=1 << 30, executors=10)
     assert int(small["spark.sql.shuffle.partitions"]) == 2 * 10 * 4
+
+
+def test_all_pairs_cosine_size_guard_flips_plan(spark):
+    """VERDICT r1 #6: above max_exact_rows the all-pairs operator must
+    abandon the O(n²) theta join for the LSH bucket equi-join — visible
+    in the physical plan as the disappearance of the nested-loop/
+    cartesian operator in favor of a hash/sort-merge equi-join."""
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    exact = plan(sim.all_pairs_cosine(df, max_exact_rows=100, dim=4))
+    assert "NestedLoop" in exact or "CartesianProduct" in exact
+
+    guarded = plan(sim.all_pairs_cosine(df, max_exact_rows=5, dim=4))
+    assert "NestedLoop" not in guarded and "CartesianProduct" not in guarded
+    assert "Join" in guarded  # bucket equi-join survives

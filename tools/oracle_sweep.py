@@ -1,13 +1,21 @@
 #!/usr/bin/env python
 """Full-corpus cross-engine sweep: run every __spark_entry__ query on a
 vanilla SparkSession AND its DuckDB oracle on the same fixtures, and
-compare (column names, row counts, stringified sorted values) — the
-same canonicalization family the external driver uses for its
-correctness gate.
+compare (column names, row counts, stringified sorted values, AND
+column types) — a strictly stronger canonicalization than the external
+driver's correctness gate.
+
+The type check exists because the driver's hash is TYPE-sensitive:
+DuckDB widens SUM(BIGINT) to HUGEINT (int128), which fails the driver
+even when every value stringifies identically (round-1 reds
+q21/q110/q117 were exactly this). String-only comparison masked it, so
+each oracle column's DuckDB type must now exactly equal the mapped
+Spark type (long↔BIGINT, decimal widths included), and
+HUGEINT/unsigned types are always failures.
 
 Run at MULTIPLE scale factors: value ties (e.g. ROUND on doubles) are
 data-dependent, so a query can pass sf0.01 and fail sf0.1 — this sweep
-at sf0.1 is what caught exactly that in q106.
+at sf0.1 is what caught exactly that in q106 (now q105).
 
 Usage: python tools/oracle_sweep.py [sf_dir ...]
        (default: /root/testdata/sf0.01 /root/testdata/sf0.1)
@@ -16,6 +24,7 @@ Usage: python tools/oracle_sweep.py [sf_dir ...]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -24,6 +33,71 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
+
+# Spark simpleString -> the DuckDB type FAMILY the driver's hash treats
+# as identical. Empirically (round-1 CORRECTNESS) the driver hashes
+# signed ints of any width ≤ 64 the same (q13 rn INT vs BIGINT was
+# green) but distinguishes int128 (q21/q110/q117 reds), so all of
+# tinyint..bigint collapse to one INT family while HUGEINT/unsigned
+# are always failures.
+_INT_FAMILY = "INT64"
+_SPARK_TO_DUCK = {
+    "tinyint": _INT_FAMILY,
+    "smallint": _INT_FAMILY,
+    "int": _INT_FAMILY,
+    "bigint": _INT_FAMILY,
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+_DUCK_TO_FAMILY = {
+    "TINYINT": _INT_FAMILY,
+    "SMALLINT": _INT_FAMILY,
+    "INTEGER": _INT_FAMILY,
+    "BIGINT": _INT_FAMILY,
+}
+
+
+def _spark_type_to_duck(simple: str) -> str | None:
+    if simple in _SPARK_TO_DUCK:
+        return _SPARK_TO_DUCK[simple]
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", simple)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"array<(.+)>", simple)
+    if m:
+        inner = _spark_type_to_duck(m.group(1))
+        return f"{inner}[]" if inner else None
+    return None  # unmapped → only flag if DuckDB side is int128/unsigned
+
+
+_ALWAYS_BAD = ("HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+
+
+def type_mismatches(sdf, con, sql: str) -> list[str]:
+    """Columns whose DuckDB oracle type differs from the Spark type
+    (or is a type no engine pair should ever surface)."""
+    duck_types = {
+        r[0].lower(): r[1]
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    bad = []
+    for f in sdf.schema.fields:
+        dt = duck_types.get(f.name.lower())
+        if dt is None:
+            continue  # column-name check happens separately
+        want = _spark_type_to_duck(f.dataType.simpleString())
+        got = _DUCK_TO_FAMILY.get(dt.upper(), dt.upper())
+        if any(b in dt.upper() for b in _ALWAYS_BAD):
+            bad.append(f"{f.name}: oracle {dt} (int128/unsigned)")
+        elif want is not None and got != want:
+            bad.append(f"{f.name}: spark {f.dataType.simpleString()} vs oracle {dt}")
+    return bad
 
 
 def sweep(spark, sf_dir: str) -> int:
@@ -64,6 +138,9 @@ def sweep(spark, sf_dir: str) -> int:
             ):
                 fails += 1
                 print(f"FAIL {name}: columns differ", flush=True)
+            elif bad_types := type_mismatches(sdf, con, oracles[name]):
+                fails += 1
+                print(f"FAIL {name}: type drift {bad_types}", flush=True)
             elif srows != drows:
                 fails += 1
                 print(
