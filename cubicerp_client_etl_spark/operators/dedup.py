@@ -141,36 +141,45 @@ def simhash_bits(text_col: Column | str, n_bits: int = 64) -> Column:
     bit position, sum ±1 over token hashes, keep the sign.
 
     Built as one aggregate over the token array per row (no explode, no
-    shuffle): fold tokens into an n-slot counter array, then collapse to
-    bits. Hamming distance between two fingerprints is then a zip_with
-    sum — see ``hamming_distance``. A string (not int64) so the fold
-    stays overflow-free under ANSI mode.
+    shuffle): fold token hashes into an n-slot ones-counter, then
+    collapse to bits (counter position i holds the count of tokens with
+    hash bit 63-i set; sign test 2·ones > n_tokens ≡ Σ±1 > 0). Bit
+    extraction is a JVM long ``bitwiseAND`` against a literal mask
+    array — integer ops only, no bin()/lpad()/substr string machinery
+    in the per-token hot loop (the earlier form built a 64-char string
+    per token·bit; this one is pure whole-stage-codegen arithmetic).
+    Hamming distance between two fingerprints is then a zip_with sum —
+    see ``hamming_distance``.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.lower(F.trim(c)), r"\s+")
+    # masks[i] = 1 << (63-i) as SIGNED int64 (top bit is the negative
+    # literal), matching bin()'s big-endian rendering bit order
+    def _signed(m: int) -> int:
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    masks = F.array(
+        *[F.lit(_signed(1 << (63 - i))).cast("long") for i in range(n_bits)]
+    )
     zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
-    counters = F.aggregate(
-        toks,
+    # hash once per token (transform), THEN fold — keeps the hash out
+    # of the 64-wide per-position lambda
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    ones = F.aggregate(
+        tok_hashes,
         zeros,
-        # bin() renders the token hash as a two's-complement bit string,
-        # so per-position ±1 deltas are a substr over it — no shifts, no
-        # overflow, Column-valued positions allowed via Column.substr.
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(1), F.lit(n_bits)),
-                lambda i: F.when(
-                    F.lpad(F.bin(F.xxhash64(t)), 64, "0").substr(i, F.lit(1)) == "1",
-                    F.lit(1),
-                )
-                .otherwise(F.lit(-1))
-                .cast("long"),
-            ),
-            lambda a, d: a + d,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
         ),
     )
+    n_toks = F.size(toks).cast("long")
     bits = F.transform(
-        counters, lambda cnt: F.when(cnt > 0, F.lit("1")).otherwise(F.lit("0"))
+        ones, lambda o: F.when(o * 2 > n_toks, F.lit("1")).otherwise(F.lit("0"))
     )
     return F.array_join(bits, "")
 

@@ -45,14 +45,31 @@ def attach_binary_payload(
     return df.withColumn("meta", meta).withColumn("payload", payload)
 
 
-def decode_media(*_args: Any, **_kwargs: Any) -> None:
-    """Real media decode — requires image/audio libraries not present in
-    this environment. The Spark plumbing around it (extract_features) is
-    real; swap ``fake=True`` for this once PIL/ffmpeg are available."""
-    raise NotImplementedError(
-        "media decode needs PIL/av — not available in this container; "
-        "use extract_features(..., fake=True) for the deterministic stub"
-    )
+def _pil_image():
+    """Optional-dependency gate: PIL when importable, else None."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional extra
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_media(payload: bytes):
+    """Decode an image payload to a PIL Image (the real path, behind the
+    optional ``pillow`` extra). Raises NotImplementedError with install
+    guidance when PIL is absent — callers fall back to ``fake=True`` for
+    the deterministic byte-derived stub."""
+    image_mod = _pil_image()
+    if image_mod is None:
+        raise NotImplementedError(
+            "media decode needs the optional 'pillow' extra (pip install "
+            "pillow); use extract_features(..., fake=True) for the "
+            "deterministic stub"
+        )
+    import io
+
+    return image_mod.open(io.BytesIO(payload))
 
 
 def extract_features(df: DataFrame, n_features: int = 8, fake: bool = True) -> DataFrame:
@@ -61,11 +78,14 @@ def extract_features(df: DataFrame, n_features: int = 8, fake: bool = True) -> D
     The fake decoder derives an ``n_features``-dim vector purely from the
     payload bytes (byte histogram moments) — deterministic, so the
     pipeline shape (binary in → fixed-width float vector out) is testable
-    without media libs. Output keeps the row id and metadata, drops the
-    payload (feature tables shouldn't carry blobs forward).
+    without media libs. With ``fake=False`` (requires the optional
+    ``pillow`` extra) the payload is decoded as an image and the vector
+    is its n-bucket luminance histogram. Output keeps the row id and
+    metadata, drops the payload (feature tables shouldn't carry blobs
+    forward).
     """
-    if not fake:
-        decode_media()
+    if not fake and _pil_image() is None:
+        decode_media(b"")  # raises with install guidance
 
     out_schema = (
         "doc_id bigint, media_type string, byte_len bigint, "
@@ -77,12 +97,18 @@ def extract_features(df: DataFrame, n_features: int = 8, fake: bool = True) -> D
             feats = []
             for payload in pdf["payload"]:
                 b = bytes(payload)
-                # deterministic stand-in for a real decoder: bucketed
-                # byte-histogram mass, normalized by length
                 hist = [0] * n_features
-                for byte in b:
-                    hist[byte % n_features] += 1
-                total = max(len(b), 1)
+                if fake:
+                    # deterministic stand-in for a real decoder: bucketed
+                    # byte-histogram mass, normalized by length
+                    for byte in b:
+                        hist[byte % n_features] += 1
+                    total = max(len(b), 1)
+                else:
+                    pixels = list(decode_media(b).convert("L").getdata())
+                    for px in pixels:
+                        hist[(px * n_features) // 256] += 1
+                    total = max(len(pixels), 1)
                 feats.append([round(h / total, 6) for h in hist])
             yield pd.DataFrame(
                 {
@@ -102,16 +128,17 @@ def resize_media(
     """Resize operator (image path): payload in → payload out with updated
     width/height metadata, via Arrow-batched ``mapInPandas``.
 
-    The real pixel resample is STUBBED (no PIL in this container); the
-    fake keeps the plumbing honest — output payload is exactly
-    width×height bytes, deterministically derived from the input by
-    nearest-neighbor index sampling over the byte array, so round-trips
-    and partition shapes behave like the real thing. 1 row in → 1 row
-    out; payload size becomes uniform, which is exactly what downstream
-    partition sizing wants after a resize.
+    With ``fake=True`` (default when PIL is absent) the resample is a
+    deterministic nearest-neighbor index sampling over the byte array —
+    output payload is exactly width×height bytes, so round-trips and
+    partition shapes behave like the real thing. With ``fake=False``
+    (optional ``pillow`` extra) the payload is decoded, resampled with
+    PIL, and re-encoded as PNG. 1 row in → 1 row out; payload size
+    becomes uniform, which is exactly what downstream partition sizing
+    wants after a resize.
     """
-    if not fake:
-        decode_media()
+    if not fake and _pil_image() is None:
+        decode_media(b"")  # raises with install guidance
 
     out_schema = (
         "doc_id bigint, media_type string, width int, height int, payload binary"
@@ -119,10 +146,18 @@ def resize_media(
     target = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in it:
             payloads = []
             for payload in pdf["payload"]:
                 b = bytes(payload) or b"\x00"
+                if not fake:
+                    img = decode_media(b).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payloads.append(buf.getvalue())
+                    continue
                 # nearest-neighbor over the flat byte array: the stub for
                 # a real resample, deterministic in (payload, target)
                 step = len(b) / target
@@ -154,7 +189,10 @@ def sample_frames(
     guarantees that — and repartitioning, if needed, happens downstream.
     """
     if not fake:
-        decode_media()
+        raise NotImplementedError(
+            "video frame decode needs the optional 'av' extra (PyAV); "
+            "use fake=True for the deterministic byte-frame stub"
+        )
 
     out_schema = "doc_id bigint, frame_idx int, frame bytes".replace("bytes", "binary")
 

@@ -63,6 +63,9 @@ def dbapi_load(
     pk_col: str,
     batch_size: int = 500,
     use_savepoints: bool | None = None,
+    begin_sql: str | None = None,
+    end_sql: str | None = None,
+    begin_delay: float = 0.0,
 ) -> DataFrame:
     """Execute ``insert_sql`` (with ``?``/``%s`` placeholders matching
     df's column order) once per row, parameterized. Returns the
@@ -71,10 +74,19 @@ def dbapi_load(
 
     ``use_savepoints``: True/False forces the row-isolation strategy;
     None (default) probes the target connection once per partition.
+
+    ``begin_sql``/``end_sql``/``begin_delay`` mirror the reference's
+    load-side setup/teardown (cubicerpetl.py:466-492 runs them around
+    every row's query). Per-ROW execution with a per-row sleep is a
+    scale-killer, so the engine form runs them once per CONNECTION
+    (partition): begin → optional delay → the partition's rows → end.
+    Statements take no bind parameters (setup/teardown DDL shape).
     """
     cols = df.columns
 
     def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         conn = connect_factory()
         try:
             cur = conn.cursor()
@@ -83,6 +95,11 @@ def dbapi_load(
                 if use_savepoints is not None
                 else _supports_savepoints(cur, conn)
             )
+            if begin_sql:
+                cur.execute(begin_sql)
+                conn.commit()
+                if begin_delay:
+                    _time.sleep(begin_delay)
             for pdf in batches:
                 pks, levels, messages = [], [], []
                 since_commit = 0
@@ -134,6 +151,9 @@ def dbapi_load(
                 yield pd.DataFrame(
                     {"pk": pks, "level": levels, "message": messages}
                 )
+            if end_sql:
+                cur.execute(end_sql)
+                conn.commit()
         finally:
             conn.close()
 

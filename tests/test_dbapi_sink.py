@@ -68,6 +68,27 @@ def test_dbapi_sink_exactly_once_across_actions(spark, tmp_path):
         assert conn.execute("SELECT COUNT(*) FROM tgt").fetchone()[0] == 2
 
 
+def test_dbapi_sink_begin_end_hooks(spark, tmp_path):
+    """I2 begin/end: setup runs before the partition's rows, teardown
+    after — observable via a staging table the inserts target."""
+    db = str(tmp_path / "hooks.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE final (k INTEGER, v REAL)")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double").coalesce(1)
+    ledger = dbapi_load(
+        df,
+        _factory_path(db),
+        "INSERT INTO staging (k, v) VALUES (?, ?)",
+        pk_col="k",
+        begin_sql="CREATE TEMP TABLE staging (k INTEGER, v REAL)",
+        end_sql="INSERT INTO final SELECT * FROM staging",
+        begin_delay=0.1,
+    )
+    assert ledger.filter("level = 'error'").count() == 0
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT COUNT(*) FROM final").fetchone()[0] == 2
+
+
 def _duck_factory(path):
     def factory():
         import duckdb

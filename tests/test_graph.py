@@ -54,8 +54,8 @@ def test_pagerank_int_invariants(spark):
     )
     r = {row.node: row.units for row in pagerank_int(edges, iterations=5).collect()}
     assert set(r) == {"h", "a", "b", "c"}
-    # teleport floor holds for every node
-    assert all(u >= 150_000_000_000 for u in r.values())
+    # teleport floor holds for every node (default unit 10**9 → 0.15e9)
+    assert all(u >= 150_000_000 for u in r.values())
     # the hub dominates the leaves; leaves are symmetric → exactly equal
     assert r["h"] > r["a"]
     assert r["a"] == r["b"] == r["c"]

@@ -22,11 +22,54 @@ def _docs(spark, n=20):
     return load(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(n)
 
 
-def test_decode_media_is_explicitly_stubbed():
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: stub gate inactive")
+def test_decode_media_raises_without_pil():
     with pytest.raises(NotImplementedError):
-        decode_media()
+        decode_media(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         extract_features(None, fake=False)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="needs optional pillow extra")
+def test_real_decode_paths_with_pil(spark):
+    """fake=False end-to-end when PIL is importable: decode, luminance
+    histogram features, PIL resize re-encoded as PNG."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (4, 4), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    assert decode_media(payload).size == (4, 4)
+
+    df = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/png', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'png', "
+        "'width', 4, 'height', 4) AS meta",
+    )
+    feats = extract_features(df, n_features=4, fake=False).collect()
+    assert len(feats) == 1
+    # uniform gray 128 → all mass in bucket (128*4)//256 == 2
+    assert feats[0].features[2] == 1.0
+
+    resized = resize_media(df, width=2, height=2, fake=False).collect()
+    out_img = Image.open(io.BytesIO(bytes(resized[0].payload)))
+    assert out_img.size == (2, 2)
 
 
 def test_resize_uniform_payload_and_deterministic(spark):
