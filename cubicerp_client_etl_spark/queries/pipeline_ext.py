@@ -22,7 +22,7 @@ from cubicerp_client_etl_spark.operators.multimodal import (
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q50 — exact dedup, keep-latest (L-dedup1): one event per (user_id,
+# q030 — exact dedup, keep-latest (L-dedup1): one event per (user_id,
 # event_type), latest ts with event_id tie-break.
 # --------------------------------------------------------------------------
 @register(
@@ -46,7 +46,7 @@ def q030_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q51 — whole-row exact dedup via fingerprint (L-dedup1 + L-txt
+# q069 — whole-row exact dedup via fingerprint (L-dedup1 + L-txt
 # fingerprint): documents deduped on normalized-text md5. The fixture is
 # dup-free, so the engine synthesizes dups (union with shifted ids) and
 # the oracle mirrors that — exercising the keep-min-id semantics for real.
@@ -80,7 +80,7 @@ def q069_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q52 — n-gram Jaccard similarity vs a probe document (L-dedup, exact
+# q031 — n-gram Jaccard similarity vs a probe document (L-dedup, exact
 # form): 3-gram shingle sets, one semi-join pass, linear in corpus size.
 # --------------------------------------------------------------------------
 @register(
@@ -135,7 +135,7 @@ def q031_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q53 — MinHash + LSH near-dup candidates (L-dedup2): the scale path.
+# q032 — MinHash + LSH near-dup candidates (L-dedup2): the scale path.
 # Not ANSI-SQL-expressible (hash-family dependent) → rows-only check;
 # the unit tests assert recall against exact Jaccard instead.
 # --------------------------------------------------------------------------
@@ -155,7 +155,7 @@ def q032_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q54 — SimHash fingerprints (L-dedup): deterministic engine-defined hash
+# q033 — SimHash fingerprints (L-dedup): deterministic engine-defined hash
 # family → rows-only check; unit tests pin exact values.
 # --------------------------------------------------------------------------
 @register("q033_simhash", oracle=None)
@@ -167,7 +167,7 @@ def q033_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q55 — brute-force cosine top-k (L-sim1, the oracle-checkable baseline):
+# q034 — brute-force cosine top-k (L-sim1, the oracle-checkable baseline):
 # 5 probe vectors against the corpus, k=5. Broadcast probes, one scan.
 # --------------------------------------------------------------------------
 @register(
@@ -208,8 +208,8 @@ def q034_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q56 — all-pairs near-neighbor above threshold (L-sim): exact within the
-# oracle; the LSH-bucketed variant (q57) is the 100 TB path.
+# q070 — all-pairs near-neighbor above threshold (L-sim): exact within the
+# oracle; the LSH-bucketed variant (q035) is the 100 TB path.
 # --------------------------------------------------------------------------
 @register(
     "q070_cosine_pairs",
@@ -232,7 +232,7 @@ def q070_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q57 — LSH-bucketed near-neighbor (the scale path): hyperplane buckets
+# q035 — LSH-bucketed near-neighbor (the scale path): hyperplane buckets
 # first, pairs only within buckets. Hash-family dependent → rows-only.
 # --------------------------------------------------------------------------
 @register("q035_lsh_bucketed_pairs", oracle=None)
@@ -260,7 +260,7 @@ def q035_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q58 — text analysis pack (L-txt1): token counts, quality features,
+# q037 — text analysis pack (L-txt1): token counts, quality features,
 # language ID, fingerprint — all Catalyst expressions, map-only.
 # --------------------------------------------------------------------------
 @register(
@@ -308,7 +308,7 @@ def q037_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q59 — corpus quality stats rollup (L-txt1 aggregate form).
+# q071 — corpus quality stats rollup (L-txt1 aggregate form).
 # --------------------------------------------------------------------------
 @register(
     "q071_corpus_stats",
@@ -338,7 +338,7 @@ def q071_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q60 — multimodal binary plumbing (L-mm1): payload + typed metadata,
+# q040 — multimodal binary plumbing (L-mm1): payload + typed metadata,
 # oracle checks the byte-level plumbing (octet length, head bytes in hex).
 # --------------------------------------------------------------------------
 @register(
@@ -363,7 +363,7 @@ def q040_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q61 — multimodal feature extraction through mapInPandas (the Arrow
+# q041 — multimodal feature extraction through mapInPandas (the Arrow
 # batch path). Stubbed decoder (deterministic byte-histogram features) →
 # rows-only check; unit tests pin exact feature values.
 # --------------------------------------------------------------------------
@@ -375,7 +375,7 @@ def q041_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q77 — multimodal resize (L-mm1): payload → uniform width×height payload
+# q079 — multimodal resize (L-mm1): payload → uniform width×height payload
 # through mapInPandas. The pixel resample is the stubbed step
 # (deterministic nearest-neighbor over bytes) → rows-only; unit tests pin
 # the output shape and md5s.
@@ -395,7 +395,7 @@ def q079_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q78 — frame sampling (L-mm1, UDTF shape): one document → one row per
+# q042 — frame sampling (L-mm1, UDTF shape): one document → one row per
 # sampled 64-byte frame via mapInPandas; row growth happens map-side with
 # no shuffle. The fixture text is pure ASCII (verified across SFs), so
 # byte-slice frames equal char-slice frames and DuckDB can oracle the
@@ -423,7 +423,7 @@ def q042_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q62 — IVF-style ANN (L-sim1 scale path, oracle-checkable): vectors are
+# q036 — IVF-style ANN (L-sim1 scale path, oracle-checkable): vectors are
 # assigned to the nearest of 8 fixed centroids (the first 8 vectors) and
 # each probe searches ONLY its own cluster — the inverted-file pruning
 # that replaces the full scan at scale. Centroids broadcast; one shuffle
@@ -494,7 +494,7 @@ def q036_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q63 — quality scoring (L-txt1): the composite heuristic, mirrored
+# q072 — quality scoring (L-txt1): the composite heuristic, mirrored
 # arithmetic in the oracle (deterministic: exact-int ratios + IEEE ops).
 # --------------------------------------------------------------------------
 @register(
@@ -528,7 +528,7 @@ def q072_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q64 — BPE-ish sub-word token estimate (L-txt1): regex word-pieces with
+# q038 — BPE-ish sub-word token estimate (L-txt1): regex word-pieces with
 # ceil(len/4) merge depth, identical arithmetic in the oracle.
 # --------------------------------------------------------------------------
 @register(
@@ -550,7 +550,7 @@ def q038_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q79 — TF-IDF top terms per document (L-txt1): corpus-relative term
+# q039 — TF-IDF top terms per document (L-txt1): corpus-relative term
 # weighting entirely in codegen expressions; df table broadcast back.
 # Both engines rank by the 6dp-rounded score with term tie-break, so the
 # top-k sets are identical.
@@ -584,16 +584,16 @@ def q039_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q90 — near-dup clustering via distributed connected components
+# q047 — near-dup clustering via distributed connected components
 # (L-dedup terminal step): pair-level near-dup edges (cosine ≥ 0.35,
-# same predicate family as q69) become duplicate *clusters*; the kept
+# same predicate family as q075) become duplicate *clusters*; the kept
 # representative is the min vec_id per component. Spark side is
 # iterative min-label propagation (operators/graph.py — one
 # edges⋈labels shuffle + min-agg per round, localCheckpoint'd); the
 # oracle computes the same fixpoint with a recursive CTE. All output
 # columns are integers/booleans — no float hashing concerns.
 # Scale: at 100 TB the edge list comes from LSH/IVF candidate pairs
-# (q53/q57/q62), not the all-pairs join used at oracle scale; the CC
+# (q032/q035/q036), not the all-pairs join used at oracle scale; the CC
 # loop itself is shuffle-bounded by |edges| per round with diameter-
 # bounded round count.
 # --------------------------------------------------------------------------
@@ -650,8 +650,8 @@ def q047_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q91 — corpus curation composite (the end-to-end L-pipeline): quality
-# gate (q63's score) → language gate (q58's marker heuristic, drop
+# q090 — corpus curation composite (the end-to-end L-pipeline): quality
+# gate (q072's score) → language gate (q037's marker heuristic, drop
 # 'und') → exact near-dup collapse on normalized fingerprint keeping the
 # min doc_id. This is the canonical pretraining-data filter expressed as
 # one declarative plan: every stage is codegen'd JVM expressions, the

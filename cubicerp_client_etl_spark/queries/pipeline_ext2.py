@@ -23,7 +23,7 @@ from cubicerp_client_etl_spark.queries import register
 
 
 # --------------------------------------------------------------------------
-# q107 — SCD Type-2 build (I-family extension): purchase events as a
+# q106 — SCD Type-2 build (I-family extension): purchase events as a
 # per-user attribute change log → validity intervals. One window pass
 # partitioned by user_id; (ts, event_id) is a deterministic total order.
 # Timestamps surface as epoch-micros (the engine-portable rendering).
@@ -60,7 +60,7 @@ def q107_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q108 — CDC snapshot diff (C-family extension): per-order revenue
+# q107 — CDC snapshot diff (C-family extension): per-order revenue
 # snapshots as of two ship-date cutoffs, every order classified
 # inserted / changed / unchanged (deleted can't occur in an append-only
 # log — asserting its absence is part of the check). The diff is one
@@ -118,7 +118,7 @@ def q108_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q109 — deterministic train/test split with stratification proof
+# q108 — deterministic train/test split with stratification proof
 # (L-family): md5-hash assignment per customer (engine-portable,
 # partition-independent), counted per (split, mktsegment) to show the
 # split is unbiased within every stratum. Never rand()/hash() — those
@@ -152,7 +152,7 @@ def q109_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q110 — data-quality constraint report (D2 extension): row rules in one
+# q049 — data-quality constraint report (D2 extension): row rules in one
 # conditional-sum pass, uniqueness via group-count, referential
 # integrity via broadcast anti-join — the declarative, one-shuffle-each
 # form of the reference's per-row check/amount reconciliation
@@ -209,7 +209,7 @@ def q049_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q111 — exact discrete percentiles per group (E-family extension): the
+# q109 — exact discrete percentiles per group (E-family extension): the
 # p-th value selected explicitly via row_number == ceil(p*n), the same
 # algorithm spelled out in both engines — engine-native quantile
 # functions differ in interpolation/tie rules across engines, so a
@@ -257,7 +257,7 @@ def q109_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q112 — incremental aggregate maintenance (D-family extension): the
+# q110 — incremental aggregate maintenance (D-family extension): the
 # monthly revenue rollup is maintained by merging the standing
 # aggregate with the new slice's partial aggregate — re-aggregation of
 # partials, NOT recompute. The oracle computes the same result from
@@ -307,7 +307,7 @@ def q110_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q113 — heavy hitters (skew diagnostics, L-scale): the most frequent
+# q111 — heavy hitters (skew diagnostics, L-scale): the most frequent
 # join keys with share-of-total — what you run BEFORE choosing a salted
 # join. Ties broken by key so the top-k cut is deterministic. One
 # aggregation shuffle; the rank window runs on the already-reduced
@@ -346,7 +346,7 @@ def q111_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q116 — PII redaction (L-txt extension): mask emails/URLs/phone runs
+# q114 — PII redaction (L-txt extension): mask emails/URLs/phone runs
 # with the engine-portable pattern set in operators/text.py. The
 # fixture corpus is synthetic prose without PII, so the query splices
 # deterministic PII into each document first (same splice in both
@@ -408,7 +408,7 @@ def q114_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q117 — PageRank over the customer–supplier transaction graph
+# q050 — PageRank over the customer–supplier transaction graph
 # (L-family, iterative): 5 fixed iterations in exact integer units
 # (operators/graph.pagerank_int) — integer division makes every step
 # bit-identical under any partitioning/engine, which is the only way an
@@ -478,7 +478,7 @@ def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q119 — k-anonymity audit (L-family, privacy): group sizes over a
+# q116 — k-anonymity audit (L-family, privacy): group sizes over a
 # quasi-identifier set, flagging groups below k — the standard
 # pre-release privacy check for training data (suppress or generalize
 # flagged groups). One aggregation shuffle on the QI columns; the
@@ -515,8 +515,8 @@ def q119_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q120 — general as-of join via cogrouped pandas merge_asof
-# (operators/asof.py; C9's applyInPandas path, complementing q25's
+# q117 — general as-of join via cogrouped pandas merge_asof
+# (operators/asof.py; C9's applyInPandas path, complementing q020's
 # window formulation): each purchase matched to the user's latest
 # signup at-or-before it. Oracle = DuckDB's native ASOF JOIN.
 # Scale: one shuffle per side on user_id; per-user groups are small, so

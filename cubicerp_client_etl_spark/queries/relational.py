@@ -22,7 +22,7 @@ from cubicerp_client_etl_spark.queries import register
 
 
 # --------------------------------------------------------------------------
-# q01 — TPC-H-Q1-style pricing summary. Covers D3 (group-by aggregates),
+# q001 — TPC-H-Q1-style pricing summary. Covers D3 (group-by aggregates),
 # B6 (predicate pushdown), F2 (sort). Flagship/headline query.
 # Scale: single shuffle on two low-cardinality keys; map-side partial
 # aggregation collapses 100 TB to a handful of groups before the exchange.
@@ -65,7 +65,7 @@ def q001_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q02 — projection + filter (B1, B6, H3). Catalyst pushes both the
+# q002 — projection + filter (B1, B6, H3). Catalyst pushes both the
 # predicate and the 4-column ReadSchema into the Parquet scan.
 # --------------------------------------------------------------------------
 @register(
@@ -94,7 +94,7 @@ def q002_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q03 — Odoo domain filter (B5): the domain below compiles to one Catalyst
+# q003 — Odoo domain filter (B5): the domain below compiles to one Catalyst
 # predicate and is pushed into the scan like any WHERE clause.
 # Domain: ['|', ('c_mktsegment','=','BUILDING'),
 #               '&', ('c_acctbal','>',5000.0), ('c_nationkey','in',[1,2,3]),
@@ -126,7 +126,7 @@ def q003_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q04 — top-k (F3): Catalyst compiles orderBy+limit to
+# q004 — top-k (F3): Catalyst compiles orderBy+limit to
 # TakeOrderedAndProject — per-partition heaps, no global sort, no shuffle
 # of the full table. Tie-break on the unique key for determinism.
 # --------------------------------------------------------------------------
@@ -149,7 +149,7 @@ def q004_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q05 — distinct (D5): hash aggregate on the pair, partial distinct
+# q005 — distinct (D5): hash aggregate on the pair, partial distinct
 # map-side first.
 # --------------------------------------------------------------------------
 @register(
@@ -161,7 +161,7 @@ def q005_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q06 — group-by + HAVING (D3, B6-on-aggregate).
+# q051 — group-by + HAVING (D3, B6-on-aggregate).
 # --------------------------------------------------------------------------
 @register(
     "q051_group_having",
@@ -184,7 +184,7 @@ def q051_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q07 — star-schema join + agg (C6, D3). Headline join query.
+# q006 — star-schema join + agg (C6, D3). Headline join query.
 # Scale: lineitem⋈orders is the one big shuffle (both sides hashed on
 # orderkey); orders⋈customer shuffles on custkey; nation and region are
 # broadcast (SMALL_DIMS) so the fact side never re-shuffles for them.
@@ -225,7 +225,7 @@ def q006_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q08 — left outer join (C6): every customer, order stats or zeros.
+# q052 — left outer join (C6): every customer, order stats or zeros.
 # --------------------------------------------------------------------------
 @register(
     "q052_left_join",
@@ -254,7 +254,7 @@ def q052_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q09 / q10 — semi and anti joins (C7): EXISTS / NOT EXISTS without
+# q007 / q008 — semi and anti joins (C7): EXISTS / NOT EXISTS without
 # materializing the right side into the output; Spark's left_semi /
 # left_anti avoid the row-multiplication a plain join would cause.
 # --------------------------------------------------------------------------
@@ -286,7 +286,7 @@ def q008_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q11 — theta self-join (C8): non-equi predicate on top of an equi key so
+# q009 — theta self-join (C8): non-equi predicate on top of an equi key so
 # the plan stays a hash join on nationkey with a residual filter, not a
 # full cartesian product (which would never survive scale).
 # --------------------------------------------------------------------------
@@ -314,7 +314,7 @@ def q009_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q12 — range/banding join (C9): fact joined to a tiny interval table on
+# q010 — range/banding join (C9): fact joined to a tiny interval table on
 # lo <= x < hi. The band table is broadcast, so the "range join" is a
 # broadcast nested loop over 4 rows — O(1) per fact row, no shuffle.
 # --------------------------------------------------------------------------
@@ -355,7 +355,7 @@ def q010_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q13 — ranking window (E1): top-3 orders per customer. Total ordering
+# q011 — ranking window (E1): top-3 orders per customer. Total ordering
 # (tie-break on unique o_orderkey) keeps row_number deterministic.
 # --------------------------------------------------------------------------
 @register(
@@ -380,7 +380,7 @@ def q011_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q14 — analytic window lag (E2): days since the supplier's previous
+# q012 — analytic window lag (E2): days since the supplier's previous
 # shipment. Ordering is total via (shipdate, orderkey, linenumber).
 # --------------------------------------------------------------------------
 @register(
@@ -407,7 +407,7 @@ def q012_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q15 — running aggregate with explicit frame (E3): per-customer running
+# q013 — running aggregate with explicit frame (E3): per-customer running
 # order total in order-date order. Decimal accumulation keeps the running
 # sum exact at any depth.
 # --------------------------------------------------------------------------
@@ -437,7 +437,7 @@ def q013_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q16 / q17 — rollup & cube (D4): Spark expands grouping sets in a single
+# q014 / q053 — rollup & cube (D4): Spark expands grouping sets in a single
 # shuffle (Expand + partial agg), not one pass per set.
 # --------------------------------------------------------------------------
 @register(
@@ -471,7 +471,7 @@ def q053_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q18 — union all with provenance tag (G1).
+# q015 — union all with provenance tag (G1).
 # --------------------------------------------------------------------------
 @register(
     "q015_union_all",
@@ -494,7 +494,7 @@ def q015_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q19 — intersect / except (G2), tagged and re-unioned so one result
+# q016 — intersect / except (G2), tagged and re-unioned so one result
 # covers both set ops.
 # --------------------------------------------------------------------------
 @register(
@@ -520,7 +520,7 @@ def q016_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q20 — scalar function pack (H1-H6, H11, H13): string physics, date
+# q017 — scalar function pack (H1-H6, H11, H13): string physics, date
 # parts, regex — all JVM-side built-ins, zero UDFs.
 # --------------------------------------------------------------------------
 @register(
@@ -554,7 +554,7 @@ def q017_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q21 — JSON scalar extraction (H14) over the events props column.
+# q018 — JSON scalar extraction (H14) over the events props column.
 # --------------------------------------------------------------------------
 @register(
     "q018_json_extract",
@@ -579,7 +579,7 @@ def q018_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q22 — pivot (common OLAP reshaping; oracle via conditional aggregates).
+# q054 — pivot (common OLAP reshaping; oracle via conditional aggregates).
 # --------------------------------------------------------------------------
 @register(
     "q054_pivot",

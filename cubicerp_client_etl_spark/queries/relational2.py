@@ -14,7 +14,7 @@ from cubicerp_client_etl_spark.functions import dsum, dsum_disc_price
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q23 — count distinct, exact + grouped (D3): one shuffle per distinct
+# q055 — count distinct, exact + grouped (D3): one shuffle per distinct
 # column via expand; AQE handles the skew.
 # --------------------------------------------------------------------------
 @register(
@@ -37,7 +37,7 @@ def q055_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q24 — date-function pack (H3/H4): shifts, truncation, parts.
+# q019 — date-function pack (H3/H4): shifts, truncation, parts.
 # dayofweek: Spark is 1=Sunday, DuckDB dayofweek is 0=Sunday → +1.
 # --------------------------------------------------------------------------
 @register(
@@ -70,7 +70,7 @@ def q019_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q25 — as-of join (C9): each event joined to the most recent 'signup'
+# q020 — as-of join (C9): each event joined to the most recent 'signup'
 # event of the same user at-or-before its timestamp. Spark has no native
 # ASOF; expressed as a last_value window over a union-marked stream —
 # one shuffle on user_id, no range explosion. Oracle = DuckDB ASOF JOIN.
@@ -101,7 +101,7 @@ def q020_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q26 — correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+# q021 — correlated scalar subquery (TPC-H Q17 shape): lineitems whose
 # quantity exceeds 1.5× their part's average. Catalyst decorrelates to a
 # join on the aggregated subquery — no per-row subquery execution.
 # --------------------------------------------------------------------------
@@ -131,7 +131,7 @@ def q021_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q27 — exact median via window (F2/E1): rank-based middle-two average —
+# q056 — exact median via window (F2/E1): rank-based middle-two average —
 # identical integer arithmetic in both engines, unlike percentile_cont
 # whose interpolation formula is engine-specific.
 # --------------------------------------------------------------------------
@@ -175,7 +175,7 @@ def q056_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q28 — histogram / binning (width_bucket shape, emulated with floor
+# q057 — histogram / binning (width_bucket shape, emulated with floor
 # arithmetic so both engines compute the identical expression).
 # --------------------------------------------------------------------------
 @register(
@@ -198,7 +198,7 @@ def q057_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q29 — unpivot / melt (Spark unpivot ↔ SQL UNION ALL oracle).
+# q058 — unpivot / melt (Spark unpivot ↔ SQL UNION ALL oracle).
 # --------------------------------------------------------------------------
 @register(
     "q058_unpivot",
@@ -218,7 +218,7 @@ def q058_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q40 — TPC-H Q4 shape: correlated EXISTS with a date window.
+# q062 — TPC-H Q4 shape: correlated EXISTS with a date window.
 # --------------------------------------------------------------------------
 @register(
     "q062_exists_agg",
@@ -244,7 +244,7 @@ def q062_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q41 — TPC-H Q12 shape: CASE bucket aggregation over a join.
+# q063 — TPC-H Q12 shape: CASE bucket aggregation over a join.
 # --------------------------------------------------------------------------
 @register(
     "q063_case_buckets",
@@ -271,7 +271,7 @@ def q063_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q42 — TPC-H Q14 shape: conditional revenue ratio (promo share). The
+# q064 — TPC-H Q14 shape: conditional revenue ratio (promo share). The
 # ratio divides two decimal-exact sums as doubles — deterministic.
 # --------------------------------------------------------------------------
 @register(
@@ -303,7 +303,7 @@ def q064_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q43 — string-distance pack (H pack extension): levenshtein between the
+# q065 — string-distance pack (H pack extension): levenshtein between the
 # first two tokens of each document.
 # --------------------------------------------------------------------------
 @register(
@@ -335,7 +335,7 @@ def q065_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q44 — explode / UDTF-shape (K-surface, SURVEY §2.K): word frequency via
+# q066 — explode / UDTF-shape (K-surface, SURVEY §2.K): word frequency via
 # lateral explode — Spark's generator path, oracle via UNNEST.
 # --------------------------------------------------------------------------
 @register(

@@ -1,7 +1,7 @@
 """Third query wave: grouping sets, ordered string agg, skew-salted join,
 embedding-cosine near-dup, approximate sketches, ntile/first/last frames.
 
-Covers SURVEY §2 D4 (GROUPING SETS proper, beyond q16/q17 rollup/cube),
+Covers SURVEY §2 D4 (GROUPING SETS proper, beyond q014/q053 rollup/cube),
 H-family string aggregation, E1/E2 completion (ntile, first_value /
 last_value with explicit frames), the L-dedup embedding-cosine variant
 mandated by BASELINE.json, and the skew-mitigation posture from §2
@@ -21,7 +21,7 @@ from cubicerp_client_etl_spark.queries import register
 
 
 # --------------------------------------------------------------------------
-# q65 — GROUPING SETS (D4). Rollup/cube (q16/q17) are the fixed lattices;
+# q073 — GROUPING SETS (D4). Rollup/cube (q014/q053) are the fixed lattices;
 # this is the general form: an explicit set list, with GROUPING() flags so
 # subtotal NULLs are distinguishable from data NULLs. One shuffle; Spark
 # expands the sets map-side before the exchange (Expand operator), so at
@@ -58,7 +58,7 @@ def q073_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q66 — ordered string aggregation (listagg / string_agg shape, H-family).
+# q074 — ordered string aggregation (listagg / string_agg shape, H-family).
 # Spark's collect_list is order-nondeterministic under shuffle, so the
 # deterministic distributed form is collect → array_sort → array_join:
 # the sort happens per-group AFTER collection, making the result
@@ -91,7 +91,7 @@ def q074_sorted_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q68 — skew-salted join (L-scale posture, made checkable). A hot join key
+# q048 — skew-salted join (L-scale posture, made checkable). A hot join key
 # (one orderkey owning a large share of lineitems at 100 TB) overloads a
 # single reducer in a plain shuffle join. Mitigation: split the fact side
 # into SALT deterministic sub-keys (pmod of a murmur3 hash — no RNG, so
@@ -135,11 +135,11 @@ def q048_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q69 — embedding-cosine near-duplicate detection (L-dedup, BASELINE.json's
+# q075 — embedding-cosine near-duplicate detection (L-dedup, BASELINE.json's
 # "embedding-cosine near-dup"). A document is a near-dup if some
 # lower-id vector is within cosine >= threshold; the query returns the
 # removal list with partner stats. Exact all-pairs here (oracle-checkable);
-# at 100 TB the identical filter runs over q57's LSH-bucketed candidate
+# at 100 TB the identical filter runs over q035's LSH-bucketed candidate
 # pairs instead of the full cross product — same predicate, pruned input.
 # Scores rounded to 6 digits (see README numeric discipline).
 # --------------------------------------------------------------------------
@@ -185,10 +185,10 @@ def q075_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q75 — approximate distinct-count sketch (HyperLogLog++). The 100 TB form
+# q077 — approximate distinct-count sketch (HyperLogLog++). The 100 TB form
 # of COUNT(DISTINCT): one pass, fixed memory per group, no second shuffle
 # for distinct de-dup. Estimates are engine-specific (Spark HLL++ vs DuckDB
-# HLL differ by design) → no value oracle; the exact q23 is the checked
+# HLL differ by design) → no value oracle; the exact q055 is the checked
 # twin. rsd=0.01 keeps the estimate within ~1%.
 # --------------------------------------------------------------------------
 @register("q077_approx_count_distinct", oracle=None)
@@ -206,7 +206,7 @@ def q077_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q76 — ntile + first_value/last_value with explicit frames (E1/E2).
+# q078 — ntile + first_value/last_value with explicit frames (E1/E2).
 # last_value needs the full-partition frame — the default frame stops at
 # CURRENT ROW, a classic cross-engine trap; both sides pin the frame
 # explicitly so Spark and DuckDB agree row-for-row.

@@ -39,7 +39,7 @@ _DP_SQL = (
 
 
 # --------------------------------------------------------------------------
-# q80 — TPC-H Q3 (shipping priority): 3-way join, grouped revenue, top 10.
+# q080 — TPC-H Q3 (shipping priority): 3-way join, grouped revenue, top 10.
 # o_shippriority doesn't exist in the fixture → o_orderpriority.
 # Scale: customer is broadcast (fixed-size dim); the orders⋈lineitem join
 # shuffles on orderkey once; TakeOrderedAndProject keeps the top-k merge
@@ -85,7 +85,7 @@ def q80_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q81 — TPC-H Q4 (order priority checking): EXISTS with a correlated
+# q081 — TPC-H Q4 (order priority checking): EXISTS with a correlated
 # non-equi predicate, decorrelated to a left-semi join.
 # l_commitdate/l_receiptdate don't exist → "some line shipped >30 days
 # after the order date" carries the same correlated-interval shape.
@@ -121,7 +121,7 @@ def q81_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q82 — TPC-H Q10 (returned items): 4-way join, revenue per customer over
+# q082 — TPC-H Q10 (returned items): 4-way join, revenue per customer over
 # a quarter of returned lines, top 20.
 # Scale: nation and customer broadcast; one shuffle on orderkey for
 # orders⋈lineitem, one on custkey for the agg; top-k never global-sorts.
@@ -164,7 +164,7 @@ def q82_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q83 — TPC-H Q13 (customer distribution): left outer join with a
+# q083 — TPC-H Q13 (customer distribution): left outer join with a
 # compound ON condition, then a two-level aggregation (orders per
 # customer → customers per order-count).
 # Scale: first agg shuffles on custkey (high cardinality — the real
@@ -197,7 +197,7 @@ def q83_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q84 — TPC-H Q18 (large-volume customers): HAVING-subquery turned
+# q084 — TPC-H Q18 (large-volume customers): HAVING-subquery turned
 # left-semi join against an aggregated key set, then a 3-way join + agg.
 # Scale: the qualifying-orderkey set is tiny (p99 filter) → Spark
 # broadcasts it for the semi join; lineitem is shuffled once on orderkey
@@ -252,7 +252,7 @@ def q84_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q85 — TPC-H Q19 (discounted revenue, disjunctive predicates): OR of
+# q085 — TPC-H Q19 (discounted revenue, disjunctive predicates): OR of
 # conjunct blocks spanning both join sides. Catalyst extracts the common
 # join key and pushes each side's derivable disjuncts into the scans.
 # Scale: part broadcasts; lineitem never shuffles at all.
@@ -292,7 +292,7 @@ def q85_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q86 — TPC-H Q22 (global sales opportunity): scalar-subquery threshold +
+# q086 — TPC-H Q22 (global sales opportunity): scalar-subquery threshold +
 # NOT EXISTS anti join. The fixture has no phone country code → group by
 # c_nationkey; "no orders at all" is empty in the fixture → "no URGENT
 # orders", same anti-join shape.
@@ -336,7 +336,7 @@ def q86_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q87 — TPC-H Q7 (volume shipping): supplier-nation × customer-nation
+# q087 — TPC-H Q7 (volume shipping): supplier-nation × customer-nation
 # pair revenue by ship year. Both nation lookups are the same broadcast
 # dim joined twice under different aliases.
 # Scale: the only real shuffles are lineitem⋈orders on orderkey and the
@@ -385,7 +385,7 @@ def q87_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q88 — TPC-H Q11-ish (important supplier share): per-supplier revenue
+# q088 — TPC-H Q11-ish (important supplier share): per-supplier revenue
 # kept only when it exceeds a fraction of the global total (no partsupp
 # table → lineitem extendedprice stands in for stock value).
 # Scale: one shuffle on l_suppkey; the global total is a 1-row broadcast.
@@ -423,7 +423,7 @@ def q88_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q89 — TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+# q089 — TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
 # the max-revenue supplier(s) via a scalar MAX subquery. Revenue is
 # exact decimal cast to double, so the MAX-equality predicate matches
 # identically in both engines.
@@ -464,7 +464,7 @@ def q89_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q92 — statistics pack from exact moments (D3 extension). Built-in
+# q091 — statistics pack from exact moments (D3 extension). Built-in
 # STDDEV/CORR are accumulation-order-dependent in double (Welford /
 # pairwise merges differ per engine and per partitioning), so they can
 # never hash-match across engines. Instead: accumulate the raw moments
@@ -524,12 +524,12 @@ def q091_stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q93 — daily-active-users with week-over-week movement (events
+# q092 — daily-active-users with week-over-week movement (events
 # analytics): date_trunc bucketing, COUNT DISTINCT per day, then lag-7
 # self-comparison via window. The distinct-per-day is the real shuffle;
 # the lag window rides the same day-ordered frame.
 # Scale: two shuffles (day⨯user dedup, then day) — at 100 TB the first
-# becomes the HLL sketch path (q75) with identical query shape.
+# becomes the HLL sketch path (q077) with identical query shape.
 # --------------------------------------------------------------------------
 @register(
     "q092_dau_wow",

@@ -31,7 +31,7 @@ _DP_SQL = (
 
 
 # --------------------------------------------------------------------------
-# q94 — TPC-H Q5 (local supplier volume): 6-way join constrained to
+# q093 — TPC-H Q5 (local supplier volume): 6-way join constrained to
 # customer and supplier in the same nation, region-filtered, revenue per
 # nation. Scale: region/nation/supplier broadcast (bounded dims); the
 # customer⋈orders and orders⋈lineitem joins shuffle on their keys once
@@ -80,7 +80,7 @@ def q94_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q95 — TPC-H Q6 (forecast revenue change): single-table scan-agg with a
+# q094 — TPC-H Q6 (forecast revenue change): single-table scan-agg with a
 # tight 3-predicate filter; the whole query is one map-side partial agg
 # plus a 1-row final — the minimal-shuffle shape. All three predicates
 # push down to the Parquet scan.
@@ -116,7 +116,7 @@ def q95_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q96 — TPC-H Q8 (national market share): revenue share of one supplier
+# q095 — TPC-H Q8 (national market share): revenue share of one supplier
 # nation within a region's PROMO-part imports, per order year. The
 # numerator is a conditional sum over the same joined frame — one pass,
 # no second join. Scale: part is filtered before the join and broadcast;
@@ -184,7 +184,7 @@ def q96_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q97 — TPC-H Q9 (product-type profit): no partsupp/ps_supplycost in the
+# q096 — TPC-H Q9 (product-type profit): no partsupp/ps_supplycost in the
 # fixture, so cost := 0.6 × p_retailprice × l_quantity (the 0.6 factor
 # keeps profits signed both ways). Decimal discipline: qty and retail
 # are exact at scale 2, their product exact at scale 4; ×0.6 yields a
@@ -239,7 +239,7 @@ def q97_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q98 — TPC-H Q12 (shipping classes / priority counts): no l_shipmode in
+# q097 — TPC-H Q12 (shipping classes / priority counts): no l_shipmode in
 # the fixture → classify by l_returnflag instead; "late" := shipped more
 # than 90 days after the order date. Conditional-count aggregation over
 # one orders⋈lineitem join; integer outputs, no float discipline needed.
@@ -278,7 +278,7 @@ def q98_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q99 — TPC-H Q14 (promo revenue share): conditional-sum ratio over a
+# q098 — TPC-H Q14 (promo revenue share): conditional-sum ratio over a
 # part⋈lineitem join for one ship month. Part is broadcast; single
 # lineitem pass.
 # --------------------------------------------------------------------------
@@ -312,7 +312,7 @@ def q99_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q100 — TPC-H Q16 (supplier count by part attributes): distinct
+# q099 — TPC-H Q16 (supplier count by part attributes): distinct
 # suppliers that shipped each (brand, type, size) bucket, excluding one
 # brand and suppliers in deficit. partsupp is replaced by the observed
 # supplier⨯part pairs in lineitem. The NOT IN subquery becomes a
@@ -353,7 +353,7 @@ def q100_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q101 — TPC-H Q17 (small-quantity-order revenue): lineitems of one
+# q100 — TPC-H Q17 (small-quantity-order revenue): lineitems of one
 # brand whose quantity is under 20% of that part's average quantity.
 # The correlated scalar subquery decorrelates into a per-part aggregate
 # joined back. Float discipline: l_quantity is integral, so its double
@@ -397,7 +397,7 @@ def q101_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q102 — TPC-H Q20 (excess-supply suppliers): suppliers in one nation
+# q101 — TPC-H Q20 (excess-supply suppliers): suppliers in one nation
 # that shipped more than 50 units of some '%7%' part in 1996. The
 # grouped-HAVING subquery becomes a semi-join against a per
 # (suppkey, partkey) aggregate. Scale: the aggregate shuffles lineitem
@@ -442,7 +442,7 @@ def q102_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q103 — TPC-H Q21 (suppliers who kept orders waiting): for finalized
+# q102 — TPC-H Q21 (suppliers who kept orders waiting): for finalized
 # orders, count per supplier the late lineitems (shipped >90 days after
 # order) where some other supplier contributed to the same order but no
 # other supplier was also late. The EXISTS becomes a semi-join and the
@@ -512,7 +512,7 @@ def q103_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q104 — pivot (reshape, D-family extension): revenue matrix of
+# q103 — pivot (reshape, D-family extension): revenue matrix of
 # returnflag × linestatus via Spark's native groupBy().pivot() with the
 # value set pinned (pinning skips the extra distinct-values job AND
 # fixes the column order). Oracle = conditional aggregation, which is
@@ -544,7 +544,7 @@ def q104_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q105 — unpivot (reshape): melt the per-part price/size attributes into
+# q104 — unpivot (reshape): melt the per-part price/size attributes into
 # (part, attribute, value) long form with Spark's native unpivot
 # (SQL UNPIVOT / melt). Narrow, no shuffle — pure row generation.
 # --------------------------------------------------------------------------
@@ -572,7 +572,7 @@ def q105_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q106 — TPC-H Q2 (minimum-cost supplier): no partsupp/ps_supplycost in
+# q105 — TPC-H Q2 (minimum-cost supplier): no partsupp/ps_supplycost in
 # the fixture, so unit cost := MIN(l_extendedprice / l_quantity)
 # observed per (supplier, part) in lineitem; for each STANDARD part,
 # keep the EUROPE supplier(s) achieving the per-part minimum (ties kept,

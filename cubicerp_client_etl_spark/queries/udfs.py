@@ -32,7 +32,7 @@ def _normalize_text_udf():
 
 
 # --------------------------------------------------------------------------
-# q45 — scalar pandas_udf vs its SQL twin.
+# q029 — scalar pandas_udf vs its SQL twin.
 # --------------------------------------------------------------------------
 @register(
     "q029_pandas_scalar_udf",
@@ -51,7 +51,7 @@ def q029_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q46 — grouped-map applyInPandas (UDAF/K7 shape): per-group range and
+# q067 — grouped-map applyInPandas (UDAF/K7 shape): per-group range and
 # count computed in pandas; oracle via plain aggregates. Integer/exact
 # arithmetic only, so Python and SQL agree bit-for-bit.
 # --------------------------------------------------------------------------
@@ -85,7 +85,7 @@ def q067_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q47 — mapInPandas (per-partition batch iterator, the custom-operator
+# q068 — mapInPandas (per-partition batch iterator, the custom-operator
 # escape hatch): token counting in pandas; oracle via SQL len(split).
 # --------------------------------------------------------------------------
 @register(
@@ -111,14 +111,14 @@ def q068_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q115 — true Python UDTF (K4/K7, Spark 4 `@udtf`): per-document bigram
+# q113 — true Python UDTF (K4/K7, Spark 4 `@udtf`): per-document bigram
 # generation as a lateral table function — the typed, sandboxed
 # replacement for the reference's exec'd row-generating hooks
 # (cubicerpetl/cubicerpetl.py:315-320). Registered and invoked through
 # SQL LATERAL, the UDTF runs arrow-batched per executor.
 # Scale: row generation is map-side (no shuffle); only the bigram
 # count aggregates. A UDTF is still Python — at 100 TB prefer the
-# built-in explode form (q44) where expressible; this exists for the
+# built-in explode form (q066) where expressible; this exists for the
 # shapes that aren't.
 # --------------------------------------------------------------------------
 @register(

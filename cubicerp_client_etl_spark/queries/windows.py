@@ -17,7 +17,7 @@ from cubicerp_client_etl_spark.functions import dec, dsum
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q70 — tumbling event-time window (J2): hourly per-type counts/sums.
+# q043 — tumbling event-time window (J2): hourly per-type counts/sums.
 # Epoch-aligned in both engines (Spark window() and date_trunc agree for
 # hour buckets); output as epoch micros to dodge timestamp rendering.
 # --------------------------------------------------------------------------
@@ -48,7 +48,7 @@ def q043_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q71 — sliding window (J2): 1-hour windows sliding every 30 minutes.
+# q076 — sliding window (J2): 1-hour windows sliding every 30 minutes.
 # Oracle expands each event into the two windows that contain it.
 # --------------------------------------------------------------------------
 @register(
@@ -80,7 +80,7 @@ def q076_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q72 — session window (J3): per-user sessions with a 30-minute gap.
+# q044 — session window (J3): per-user sessions with a 30-minute gap.
 # Spark session_window semantics: a session extends while the next event
 # starts strictly before last_ts + gap; oracle = gaps-and-islands with
 # the same boundary rule (diff >= gap ⇒ new session).
@@ -124,7 +124,7 @@ def q044_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q73 — header/footer first/last-row broadcast (D1/F1): the reference
+# q046 — header/footer first/last-row broadcast (D1/F1): the reference
 # reads file row 0 as header and row N-1 as footer and broadcasts their
 # values onto every body row (cubicerpetl.py:235-240,265). Over an
 # ordered table this is min_by/max_by on a total order key — one
@@ -175,8 +175,8 @@ def q046_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q74 — sessionization via lag+cumsum (the batch/SQL-expressible twin of
-# q72, SURVEY "common OLAP patterns"): window-function path, checked
+# q045 — sessionization via lag+cumsum (the batch/SQL-expressible twin of
+# q044, SURVEY "common OLAP patterns"): window-function path, checked
 # against the same oracle shape but keyed by session ordinal.
 # --------------------------------------------------------------------------
 @register(
@@ -226,7 +226,7 @@ def q045_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q114 — interval join, batch twin of the stream-stream join
+# q112 — interval join, batch twin of the stream-stream join
 # (streaming/jobs.view_purchase_interval_join; J-family + C9): purchases
 # attributed to same-user views within a 30-minute window. The
 # band condition compiles to a range join; the streaming form bounds
@@ -259,7 +259,7 @@ def q114_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q118 — time-RANGE frame (E3's rangeBetween, distinct from the
+# q115 — time-RANGE frame (E3's rangeBetween, distinct from the
 # rowsBetween running frames elsewhere): trailing 7-day revenue per
 # order day, frame bounded by VALUE distance (epoch seconds), not row
 # count — days with no neighbors contribute shorter frames, which a

@@ -76,7 +76,7 @@ def windowed_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """J2+J4: watermarked tumbling-window aggregate (streaming form of
-    queries/windows.q70)."""
+    queries/windows.q043)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

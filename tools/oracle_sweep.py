@@ -15,7 +15,8 @@ HUGEINT/unsigned types are always failures.
 
 Run at MULTIPLE scale factors: value ties (e.g. ROUND on doubles) are
 data-dependent, so a query can pass sf0.01 and fail sf0.1 — this sweep
-at sf0.1 is what caught exactly that in q106 (now q105).
+at sf0.1 is what caught exactly that in the min-cost-supplier query
+(q105 under the round-2 numbering).
 
 Usage: python tools/oracle_sweep.py [sf_dir ...]
        (default: /root/testdata/sf0.01 /root/testdata/sf0.1)
