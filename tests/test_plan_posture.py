@@ -237,3 +237,37 @@ def test_all_pairs_cosine_size_guard_flips_plan(spark):
     guarded = plan(sim.all_pairs_cosine(df, max_exact_rows=5, dim=4))
     assert "NestedLoop" not in guarded and "CartesianProduct" not in guarded
     assert "Join" in guarded  # bucket equi-join survives
+
+
+def test_q036_ivf_centroids_broadcast_no_cartesian(spark):
+    """IVF ANN (q036): centroid assignment must broadcast the (tiny)
+    centroid table, never cartesian the corpus."""
+    plan = plan_of(spark, "q036_ivf_topk")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q032_minhash_lsh_no_cartesian(spark):
+    """MinHash-LSH candidates (q032): band join must be an equi-join on
+    (band, signature) — an all-pairs cartesian would defeat the point."""
+    plan = plan_of(spark, "q032_minhash_lsh_candidates")
+    assert "CartesianProduct" not in plan
+
+
+def test_q045_sessionize_single_window_exchange(spark):
+    """Lag+cumsum sessionization (q045): both window passes and the
+    final session aggregate share the user_id partitioning — exactly one
+    Exchange over the events table (AQE may add nothing else)."""
+    plan = plan_of(spark, "q045_sessionize_lag_cumsum")
+    ex = plan.count("Exchange hashpartitioning")
+    assert ex <= 2, f"expected <=2 hash exchanges, saw {ex}\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_q049_quality_report_single_pass_row_rules(spark):
+    """Quality report (q049): the four row rules must evaluate in ONE
+    conditional-aggregate pass over lineitem (no per-rule scan fanout:
+    scans of lineitem stay bounded by the three report families)."""
+    plan = plan_of(spark, "q049_quality_report")
+    # row-rule pass + uniqueness + FK anti-join = at most 3 lineitem scans
+    assert plan.count("lineitem.parquet") <= 3, plan.count("lineitem.parquet")
