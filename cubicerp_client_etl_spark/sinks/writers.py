@@ -150,3 +150,32 @@ def compact_parquet(
     import os as _os
 
     return len(_glob.glob(_os.path.join(dst, "part-*.parquet")))
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered Parquet layout for min/max data skipping (L-scale).
+
+    ``repartitionByRange`` gives every output file a DISJOINT range of
+    the cluster key (hash repartition + sortWithinPartitions — the
+    ``compact_parquet`` shape — only sorts *inside* files, so every
+    file still spans the full key domain and footer-stats pruning skips
+    nothing). With disjoint ranges, a selective predicate on the
+    cluster key prunes whole files and row groups from the scan via
+    Parquet min/max statistics — the single cheapest I/O lever for a
+    100 TB table queried by time/tenant/key range.
+
+    The range boundaries come from Spark's reservoir sampling of the
+    key distribution, so skewed keys still yield balanced files. One
+    shuffle; no driver materialization.
+    """
+    out = (
+        df.repartitionByRange(n_files, *cluster_by)
+        if n_files
+        else df.repartitionByRange(*cluster_by)
+    )
+    out.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(path)

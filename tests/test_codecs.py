@@ -274,3 +274,35 @@ def test_compact_parquet_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 1000
     assert sorted(r.k for r in back.collect()) == list(range(1000))
+
+
+def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
+    """I8/L-scale: range-clustered layout must give files pairwise
+    disjoint cluster-key ranges (verified from Parquet footer stats) —
+    the property that makes min/max file pruning effective."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cubicerp_client_etl_spark.sinks.writers import write_clustered
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    dst = str(tmp_path / "clustered")
+    write_clustered(li, dst, ["l_orderkey"], n_files=4)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{dst}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_orderkey
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: {ranges}"
