@@ -133,6 +133,61 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark-4-native stateful processor API (successor to
+    ``applyInPandasWithState``; same reference semantics as
+    ``stateful_user_totals``, see that docstring).
+
+    The new API's advantages at scale: typed state variables (ValueState
+    here; ListState/MapState for richer operators), state schema
+    evolution, and per-key timers — the building blocks for session
+    operators the old API had to hand-roll. State remains one (count,
+    sum) pair per user_id, bounded by key cardinality.
+
+    Requires the ``protobuf`` package (Spark's stateful-processor state
+    server speaks protobuf to the Python worker); environments without
+    it should use ``stateful_user_totals`` — identical semantics on the
+    ``applyInPandasWithState`` API, no extra dependency.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "use stateful_user_totals (applyInPandasWithState) instead"
+        ) from ex
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf["value"].sum()) if len(pdf) else 0.0
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def foreach_batch_job(
     stream_df: DataFrame,
     batch_fn: Callable[[DataFrame, int], None],

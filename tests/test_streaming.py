@@ -90,6 +90,56 @@ def test_stateful_operator_equals_batch_agg(spark):
         assert abs(f[uid]["sum_value"] - b[uid]["sum_value"]) < 1e-6, uid
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_protobuf(), reason="protobuf present: gate inactive")
+def test_tws_raises_clear_error_without_protobuf(spark):
+    from cubicerp_client_etl_spark.streaming.jobs import stateful_user_totals_tws
+
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        stateful_user_totals_tws(events_stream(spark, SF_SMOKE))
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package",
+)
+def test_tws_stateful_operator_equals_batch_agg(spark):
+    """transformWithStateInPandas twin of the stateful-totals operator
+    must also converge to the batch aggregate on bounded input (same
+    contract as test_stateful_operator_equals_batch_agg, on the
+    Spark-4-native stateful processor API)."""
+    from cubicerp_client_etl_spark.streaming.jobs import stateful_user_totals_tws
+
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_stream_to_memory(
+        stateful_user_totals_tws(stream), "user_totals_tws", output_mode="update"
+    )
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max_by("sum_value", "n_events").alias("sum_value"),
+             F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    f = {r["user_id"]: r for r in final.collect()}
+    b = {r["user_id"]: r for r in batch.collect()}
+    assert set(f) == set(b)
+    for uid in b:
+        assert f[uid]["n_events"] == b[uid]["n_events"], uid
+        assert abs(f[uid]["sum_value"] - b[uid]["sum_value"]) < 1e-6, uid
+
+
 def test_foreach_batch_online_job(spark, tmp_path):
     """J1: online-job runner — per-epoch batch function sees every row
     exactly once (bounded input)."""
