@@ -1,0 +1,82 @@
+"""L-dedup unit tests: pinned SimHash fingerprints (hash-family
+stability), Hamming-distance properties, and MinHash-LSH recall against
+exact n-gram Jaccard — the oracle-less operators' promised unit-level
+evidence (their registry entries are rows-only by design)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.operators.dedup import (
+    hamming_distance,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_bits,
+)
+from tests.conftest import SF_SMOKE
+
+# Pinned against the engine-defined hash family (xxhash64 over
+# whitespace tokens, 64 planes, sign of 2*ones-n). Any change to the
+# fold (bit order, hash seed, tie rule) must show up here, loudly.
+PINNED = {
+    "the quick brown fox": (
+        "0001011010000000000000110010100010110000000000001000000011011000"
+    ),
+    "pack my box with five dozen liquor jugs": (
+        "0010001010100001010001101000100110000100100010101100000010000110"
+    ),
+}
+
+
+def test_simhash_pinned_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PINNED)], "id long, text string"
+    )
+    got = {
+        r.text: r.s
+        for r in df.select("text", simhash_bits("text").alias("s")).collect()
+    }
+    assert got == PINNED
+
+
+def test_hamming_distance_metric_properties(spark):
+    df = spark.createDataFrame(
+        [("0011", "0011", 0), ("0011", "1100", 4), ("0011", "0111", 1)],
+        "a string, b string, want int",
+    )
+    rows = df.select(
+        hamming_distance(F.col("a"), F.col("b")).alias("ab"),
+        hamming_distance(F.col("b"), F.col("a")).alias("ba"),
+        "want",
+    ).collect()
+    for r in rows:
+        assert r.ab == r.want and r.ba == r.want  # value + symmetry
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Candidate generation must recover (almost) every truly-similar
+    pair: corpus = fixture docs + verbatim copies under shifted ids, so
+    exact Jaccard-1.0 pairs are known. 32 hashes / 8 bands ⇒ a J=1.0
+    pair agrees on every band; recall on the copies must be 100%."""
+    docs = (
+        load(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(60)
+    )
+    dupped = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    sigs = minhash_signatures(dupped, "doc_id", "text", num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+    verified = jaccard_pairs(dupped, cands, "doc_id", "text")
+
+    # every original↔copy pair must be a candidate AND verify at J=1.0
+    found = {
+        (r.id_a, r.id_b)
+        for r in verified.filter(F.col("jaccard") >= 0.999).collect()
+    }
+    expected = {
+        (r.doc_id, r.doc_id + 1_000_000) for r in docs.select("doc_id").collect()
+    }
+    missing = expected - found
+    assert not missing, f"LSH missed exact-duplicate pairs: {sorted(missing)[:5]}"
