@@ -93,6 +93,10 @@ def extract(spark: SparkSession, job: JobSpec) -> DataFrame:
             spark.sql(render_date_template(res.sql_end, job.run_date)).collect()
     elif res.f_type == "parquet":
         df = spark.read.parquet(path)
+    elif res.f_type == "orc":
+        df = spark.read.orc(path)
+    elif res.f_type == "xml":
+        df = spark.read.format("xml").option("rowTag", res.xml_row_tag).load(path)
     elif res.f_type == "csv":
         df = read_csv_resource(
             spark,
@@ -236,10 +240,10 @@ def load_sink(
     if ftp_server is not None:
         # I6: render the single-file output into the local spool, then
         # put it to the remote endpoint after the write completes.
-        if res.f_type == "parquet":
+        if res.f_type in ("parquet", "orc", "xml"):
             raise ValueError(
                 "FTP load supports single-file formats (csv/txt/dbf); "
-                "parquet is a directory layout — use a distributed FS"
+                f"{res.f_type} is a directory layout — use a distributed FS"
             )
         import os as _os
 
@@ -249,6 +253,15 @@ def load_sink(
     to_write = merged.drop("action")
     if res.f_type == "parquet":
         write_parquet(to_write, path)
+    elif res.f_type == "orc":
+        to_write.write.mode("overwrite").orc(path)
+    elif res.f_type == "xml":
+        (
+            to_write.write.mode("overwrite")
+            .option("rowTag", res.xml_row_tag)
+            .format("xml")
+            .save(path)
+        )
     elif res.f_type == "csv":
         write_csv_resource(
             to_write, path, sep=res.txt_separator, quote=res.txt_quote,

@@ -75,9 +75,12 @@ class ResourceSpec:
 
     name: str
     etl_type: Literal["fs", "db", "rpc"] = "fs"
-    # fs family
-    f_type: Literal["csv", "txt", "dbf", "parquet"] = "parquet"
+    # fs family ('orc'/'xml' are engine-native Spark formats beyond the
+    # reference's csv/txt/dbf surface; xml matches the reference's
+    # XML-RPC-era data interchange)
+    f_type: Literal["csv", "txt", "dbf", "parquet", "orc", "xml"] = "parquet"
     f_filename: str = ""  # may contain {aaaa}/{mm}/{dd} date template vars
+    xml_row_tag: str = "row"  # f_type='xml': element naming one record
     txt_separator: str = ","
     txt_quote: str = '"'
     txt_header: bool = False

@@ -545,3 +545,37 @@ def q117_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.unix_micros("signup_ts").alias("signup_ts_us")
     )
+
+
+# --------------------------------------------------------------------------
+# q118 — deterministic weighted corpus mixture (L-pipeline, training-data
+# blending): per-lang keep rates realized by keyed md5 Bernoulli
+# sampling (operators/sampling.py) — one map-only pass, no shuffle, no
+# RNG, bit-identical across engines/partitionings/retries. The oracle
+# is the SAME hash expression in DuckDB, so the driver checks the
+# sampled corpus exactly.
+# --------------------------------------------------------------------------
+_MIX_RATES = {"de": 0.25, "en": 0.5, "es": 0.75, "fr": 0.1, "zh": 1.0}
+
+
+@register(
+    "q118_weighted_mixture",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8) <
+      CASE lang WHEN 'de' THEN '40000000'
+                WHEN 'en' THEN '80000000'
+                WHEN 'es' THEN 'c0000000'
+                WHEN 'fr' THEN '19999999'
+                WHEN 'zh' THEN 'g'
+                ELSE '00000000' END
+""",
+)
+def q118_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sampling import weighted_mixture
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return weighted_mixture(
+        docs, key_col="doc_id", group_col="lang", rates=_MIX_RATES, seed="mix1"
+    )

@@ -251,3 +251,36 @@ def test_cron_sweep_isolates_failures(spark, tmp_path):
     # re-sweep is a no-op: nothing left in 'ready'
     again = run_ready_jobs(spark, out)
     assert [r.state for r in again] == ["done", "error", "done", "done"]
+
+
+def test_orc_and_xml_resource_roundtrip(spark, tmp_path):
+    """A9 extension: engine-native ORC and XML resources run the full
+    extract→transform→load lifecycle (XML rowTag honored both ways)."""
+    src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    orc_in = str(tmp_path / "in_orc")
+    src.write.orc(orc_in)
+    xml_out = str(tmp_path / "out_xml")
+    job = JobSpec(
+        name="orc-xml",
+        extract=ResourceSpec(name="src", f_type="orc", f_filename=orc_in),
+        transform=TransformSpec(
+            name="t",
+            fields=(
+                FieldSpec("n_nationkey"),
+                FieldSpec("n_name_uc", value="upper(n_name)"),
+            ),
+        ),
+        load=ResourceSpec(
+            name="dst", f_type="xml", f_filename=xml_out, xml_row_tag="nation"
+        ),
+        pk_field="n_nationkey",
+    )
+    run_job(spark, job)
+    back = (
+        spark.read.format("xml").option("rowTag", "nation").load(xml_out)
+    )
+    got = {(r.n_nationkey, r.n_name_uc) for r in back.collect()}
+    want = {(r.n_nationkey, r.n_name.upper()) for r in src.collect()}
+    assert got == want
