@@ -579,3 +579,71 @@ def q118_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mixture(
         docs, key_col="doc_id", group_col="lang", rates=_MIX_RATES, seed="mix1"
     )
+
+
+# --------------------------------------------------------------------------
+# q119 — sequence packing (L-pipeline, sample packing for LLM training):
+# greedy contiguous token-budget binning per bucket stream
+# (operators/packing.py). The recurrence is deterministic, so the
+# DuckDB oracle replays it exactly with a recursive CTE over the same
+# (bucket = doc_id % 8, ORDER BY doc_id) streams — packing gets a full
+# value-level check, not just rows-only. Token source: the fixture's
+# n_chars column (the operator is agnostic to what "tokens" measures).
+# --------------------------------------------------------------------------
+_PACK_MAX = 1500
+
+
+@register(
+    "q119_sequence_packing",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_tokens,
+         doc_id % 8 AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT bucket, rn, id, n_tokens,
+         n_tokens > {_PACK_MAX} AS oversize,
+         CAST(0 AS BIGINT) AS seq_local,
+         0 AS pos,
+         CAST(CASE WHEN n_tokens > {_PACK_MAX} THEN 1 ELSE 0 END AS BIGINT) AS cur_seq,
+         CAST(CASE WHEN n_tokens > {_PACK_MAX} THEN 0 ELSE n_tokens END AS BIGINT) AS acc
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.id, t.n_tokens,
+         t.n_tokens > {_PACK_MAX} AS oversize,
+         CASE WHEN t.n_tokens > {_PACK_MAX}
+                THEN r.cur_seq + CASE WHEN r.acc > 0 THEN 1 ELSE 0 END
+              WHEN r.acc + t.n_tokens > {_PACK_MAX} THEN r.cur_seq + 1
+              ELSE r.cur_seq END AS seq_local,
+         CASE WHEN t.n_tokens > {_PACK_MAX} THEN 0
+              WHEN r.acc + t.n_tokens > {_PACK_MAX} THEN 0
+              WHEN r.oversize THEN 0
+              ELSE r.pos + 1 END AS pos,
+         CASE WHEN t.n_tokens > {_PACK_MAX}
+                THEN r.cur_seq + CASE WHEN r.acc > 0 THEN 1 ELSE 0 END + 1
+              WHEN r.acc + t.n_tokens > {_PACK_MAX} THEN r.cur_seq + 1
+              ELSE r.cur_seq END AS cur_seq,
+         CASE WHEN t.n_tokens > {_PACK_MAX} THEN 0
+              WHEN r.acc + t.n_tokens > {_PACK_MAX} THEN t.n_tokens
+              ELSE r.acc + t.n_tokens END AS acc
+  FROM rec r JOIN t ON t.bucket = r.bucket AND t.rn = r.rn + 1
+)
+SELECT id, n_tokens, bucket,
+       CAST(bucket * 1000000000 + seq_local AS BIGINT) AS seq_id,
+       pos AS seq_pos, oversize
+FROM rec
+""",
+)
+def q119_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(
+        docs,
+        "doc_id",
+        "n_chars",
+        max_tokens=_PACK_MAX,
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
