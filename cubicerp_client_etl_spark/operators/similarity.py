@@ -145,3 +145,25 @@ def hyperplane_lsh_bucket(
         )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
     return df.withColumn(out_col, F.concat(*bits))
+
+
+def l2_norm(vec: Column) -> Column:
+    """Euclidean norm via the deterministic sequential fold."""
+    return F.sqrt(dot(vec, vec))
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization: q_i = floor(127·x_i/max|x| + 0.5)
+    (round-half-up via floor — ROUND(double) tie direction differs
+    across engines, floor does not). Zero vectors quantize to zeros.
+    Returns array<int> in [-127, 127] plus the caller keeps the scale
+    (max|x|/127) for dequantization."""
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    return F.when(
+        max_abs == 0.0, F.transform(vec, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.floor(x * 127.0 / max_abs + 0.5).cast("int"),
+        )
+    )

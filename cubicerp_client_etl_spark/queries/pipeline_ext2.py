@@ -647,3 +647,55 @@ def q119_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_tokens=_PACK_MAX,
         bucket_expr=F.pmod(F.col("doc_id"), F.lit(8)),
     )
+
+
+# --------------------------------------------------------------------------
+# q120 — embedding L2 norm + symmetric int8 quantization (L-sim
+# preprocessing: ANN indexes and vector stores run on quantized
+# vectors; 4× memory cut vs float32 at ~1% recall cost). Map-only
+# Catalyst HOFs, no shuffle. Outputs are per-vector scalars
+# (floor-scaled norm, quant checksum/extremes) so the driver's
+# value hash stays array-free; rounding is floor-based throughout
+# (ROUND(double) tie direction is not portable across engines).
+# --------------------------------------------------------------------------
+@register(
+    "q120_embedding_quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_dot_product(v, v)) AS nrm,
+         list_max(list_transform(v, x -> abs(x))) AS ma
+  FROM e
+),
+q AS (
+  SELECT vec_id, nrm,
+         CASE WHEN ma = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / ma + 0.5) AS INTEGER))
+         END AS qv
+  FROM n
+)
+SELECT vec_id,
+       CAST(floor(nrm * 1000000) AS BIGINT) AS norm_e6,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min,
+       CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max
+FROM q
+""",
+)
+def q120_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("v")
+    )
+    qv = sim.quantize_int8(F.col("v"))
+    return emb.select(
+        "vec_id",
+        F.floor(sim.l2_norm(F.col("v")) * 1_000_000).cast("bigint").alias("norm_e6"),
+        F.aggregate(qv, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )

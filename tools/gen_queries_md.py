@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Regenerate QUERIES.md (corpus index) from the live registry and the
+round-1→round-2 rename map. Run after adding/renaming queries."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from renumber import MAPPING  # noqa: E402
+
+from cubicerp_client_etl_spark.queries import REGISTRY  # noqa: E402
+
+
+def main() -> None:
+    n_total = len(REGISTRY)
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
+    inv = {new: old for old, new in MAPPING.items()}
+    lines = [
+        "# Query corpus index (round 2)",
+        "",
+        f"{n_total} queries ({n_oracle} DuckDB-oracle-checked): 117",
+        "renumbered from round 1 plus the q118+ additions this round.",
+        "The driver's first-50-sorted correctness window (q001–q050)",
+        "holds at least one representative of every SURVEY §2 operator",
+        "family and every LLM-pipeline component. Old (round-1) names",
+        "are listed for cross-referencing CORRECTNESS_r01 / round-1",
+        "VERDICT evidence; the rename map's source of truth is",
+        "`tools/renumber.py`.",
+        "",
+        "| # | name | round-1 name | oracle | bench headline | driver window |",
+        "|---|------|--------------|--------|----------------|---------------|",
+    ]
+    for i, name in enumerate(sorted(REGISTRY)):
+        q = REGISTRY[name]
+        old = inv.get(name, "— (new in r2)")
+        lines.append(
+            f"| {i + 1} | `{name}` | `{old}` | "
+            f"{'DuckDB SQL' if q.oracle else 'rows-only (hash-family / stub)'} | "
+            f"{'yes' if q.headline else ''} | {'**checked**' if i < 50 else ''} |"
+        )
+    lines += [
+        "",
+        "Rows-only entries are the deliberately oracle-less operators:",
+        "MinHash/LSH and hyperplane-LSH (hash-family dependent), SimHash",
+        "(engine-defined hash family), multimodal feature extraction and",
+        "resize (decode stubbed without the optional pillow extra),",
+        "approx_count_distinct (sketch-based).",
+        "",
+    ]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "QUERIES.md"), "w") as f:
+        f.write("\n".join(lines))
+    # keep the README corpus-count line in sync
+    readme = os.path.join(root, "README.md")
+    s = open(readme).read()
+    s = re.sub(
+        r"the declared corpus: \d+ queries, \d+ DuckDB-oracle-checked",
+        f"the declared corpus: {n_total} queries, {n_oracle} DuckDB-oracle-checked",
+        s,
+    )
+    open(readme, "w").write(s)
+    print(f"QUERIES.md + README: {n_total} queries, {n_oracle} oracled")
+
+
+if __name__ == "__main__":
+    main()
