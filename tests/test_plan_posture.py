@@ -271,3 +271,23 @@ def test_q049_quality_report_single_pass_row_rules(spark):
     plan = plan_of(spark, "q049_quality_report")
     # row-rule pass + uniqueness + FK anti-join = at most 3 lineitem scans
     assert plan.count("lineitem.parquet") <= 3, plan.count("lineitem.parquet")
+
+
+def test_q118_mixture_is_map_only(spark):
+    """Weighted mixture (q118): a pure filter — zero Exchange operators,
+    pushable into the scan stage."""
+    plan = plan_of(spark, "q118_weighted_mixture")
+    assert "Exchange" not in plan, plan
+
+
+def test_q119_packing_single_bucket_shuffle(spark):
+    """Sequence packing (q119): exactly one hash Exchange (the bucket
+    shuffle feeding applyInPandas); everything else stays map-side."""
+    plan = plan_of(spark, "q119_sequence_packing")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_q120_quantize_is_map_only(spark):
+    plan = plan_of(spark, "q120_embedding_quantize")
+    assert "Exchange" not in plan, plan
