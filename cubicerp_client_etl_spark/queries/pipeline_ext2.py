@@ -699,3 +699,36 @@ def q120_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(qv).alias("q_min"),
         F.array_max(qv).alias("q_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# q121 — leakage-aware grouped split (L-pipeline): train/val/test
+# assignment keyed on the GROUP (source corpus), not the row — every
+# document of a source lands in the same split, so near-duplicates
+# within a source can never straddle the train/test boundary (the
+# classic eval-leakage failure of row-keyed splits; row-keyed md5
+# splitting itself is q108). Same portable md5 hex-threshold machinery
+# as q118; map-only.
+# --------------------------------------------------------------------------
+@register(
+    "q121_grouped_split",
+    oracle="""
+SELECT doc_id, source,
+       CASE WHEN substr(md5(source || '|split1'), 1, 8) < 'cccccccc' THEN 'train'
+            WHEN substr(md5(source || '|split1'), 1, 8) < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q121_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.substring(F.md5(F.concat(F.col("source"), F.lit("|split1"))), 1, 8)
+    # thresholds: 0.8 → cccccccc, 0.9 → e6666666 (floor(r·2^32) in hex)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h < "cccccccc", "train")
+        .when(h < "e6666666", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
