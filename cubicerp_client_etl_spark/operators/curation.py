@@ -1,0 +1,233 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+repetition filtering, benchmark decontamination, sliding-window
+chunking, and corpus-frequency scoring.
+
+These go beyond the reference's surface (the reference moves ERP rows,
+cubicerpetl/cubicerpetl.py:243-394, and has no text curation): they are
+the document-hygiene stages a 100 TB pretraining pipeline runs between
+ingest and tokenization — the Gopher/C4-style repetition rules, the
+eval-set n-gram decontamination pass, and chunking for context-window
+packing / RAG indexes.
+
+Scale posture (the design constraint for every function here):
+
+* Everything per-document is a pure Catalyst expression over the
+  tokenized array — higher-order functions (``transform`` /
+  ``aggregate`` / ``filter``) run inside whole-stage codegen, map-only,
+  zero shuffle, zero Python.
+* ``decontaminate`` is the only two-sided op: the benchmark shingle set
+  is DISTINCT-ed and broadcast (eval suites are tiny next to a corpus),
+  so the corpus side streams through a broadcast hash join — the single
+  shuffle is the final per-doc aggregation.
+* ``unigram_freq_score`` needs the global token histogram; the
+  vocabulary join is left to AQE (broadcast when the vocab fits,
+  shuffle-hash otherwise — Zipf vocabularies are small relative to the
+  corpus, so broadcast is the common case).
+* All derived ratios are emitted as exact integers (``1e6``-scaled via
+  integer ``div``), never floating division — bit-identical across
+  engines, partitionings, and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(col: Column | str) -> Column:
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def shingles(tokens_col: Column, n: int) -> Column:
+    """``array<string>`` of space-joined token n-grams (empty when the
+    document has fewer than ``n`` tokens).
+
+    JVM-side: ``transform`` over a ``sequence`` of start offsets with
+    ``slice`` + ``array_join`` — no explode yet, so callers choose when
+    to flatten. Guarded with ``when`` because Spark's ``sequence(1, 0)``
+    counts DOWN (descending step) instead of producing an empty array.
+    """
+    if n < 1:
+        raise ValueError("shingle size must be >= 1")
+    ln = F.size(tokens_col)
+    body = F.transform(
+        F.sequence(F.lit(1), ln - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+    )
+    return F.when(ln >= n, body).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021,
+    table A1 — the public repetition-filter family), exact-integer form.
+
+    Output columns (all deterministic integers):
+
+    * ``n_tokens`` / ``n_distinct`` — total and distinct token counts
+    * ``top_token_count`` — occurrences of the most frequent token
+      (computed as the longest run in the sorted token array — a single
+      ``array_sort`` + ``aggregate`` fold, no per-doc group-by)
+    * ``n_bigrams`` / ``n_distinct_bigrams``
+    * ``dup_token_frac_e6``   = 1e6 * (n - n_distinct) div n
+    * ``top_token_frac_e6``   = 1e6 * top_token_count div n
+    * ``dup_bigram_frac_e6``  = 1e6 * (nb - nb_distinct) div nb (0 if nb=0)
+
+    Map-only: one Catalyst projection, no shuffle, no Python. At 100 TB
+    this is a streaming pass over the scan with whole-stage codegen.
+    """
+    toks = _toks(text_col)
+    srt = F.array_sort(toks)
+    zero = F.lit(0).cast("bigint")
+    run_acc = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(srt, run_acc, _step, lambda acc: acc["best"])
+    bg = shingles(toks, 2)
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        top.alias("top_token_count"),
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("bigint").alias("n_distinct_bigrams"),
+    )
+    return base.select(
+        "*",
+        F.expr("1000000 * (n_tokens - n_distinct) div n_tokens").alias(
+            "dup_token_frac_e6"
+        ),
+        F.expr("1000000 * top_token_count div n_tokens").alias("top_token_frac_e6"),
+        F.expr(
+            "CASE WHEN n_bigrams = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE 1000000 * (n_bigrams - n_distinct_bigrams) div n_bigrams END"
+        ).alias("dup_bigram_frac_e6"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Flag corpus documents sharing any token ``n``-gram with a
+    benchmark (eval) set — the standard pretraining decontamination
+    pass (GPT-3 appx. C / PaLM-style 5-gram overlap).
+
+    Returns one row per contaminated corpus document:
+    ``(id_col, n_hits)`` where ``n_hits`` is the count of DISTINCT
+    benchmark shingles the document contains.
+
+    Scale: the benchmark shingle set is DISTINCT-ed and **broadcast**
+    (eval suites are MBs against a 100 TB corpus); the corpus side is a
+    map-side explode feeding a broadcast hash join, so the only shuffle
+    is the final ``groupBy(id)`` — and that is pre-shrunk to matching
+    shingles only.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles(_toks(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(_toks(text_col), n)).alias("sh")
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_hits"))
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window token chunking: fixed-size windows every
+    ``stride`` tokens (overlap = ``chunk_size - stride``), last window
+    ragged — the shape context-window packing and RAG indexers consume.
+
+    Chunk count is ``1`` when ``n <= chunk_size`` else
+    ``1 + ceil((n - chunk_size) / stride)``, so every token is covered
+    and no window starts past the end. Output:
+    ``(id_col, chunk_idx, chunk_tokens, chunk_md5)`` — the md5 of the
+    re-joined chunk text keeps downstream comparison cheap.
+
+    Map-only flatMap (explode of a computed index range) — no shuffle;
+    output order within a document is the deterministic ``chunk_idx``.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = _toks(text_col)
+    n = F.size(toks).cast("bigint")
+    # exact integer ceil-div: (n - chunk_size + stride - 1) div stride
+    n_chunks = F.when(n <= F.lit(chunk_size), F.lit(1).cast("bigint")).otherwise(
+        F.lit(1).cast("bigint")
+        + F.expr(
+            f"(size(split({text_col}, ' ')) - {chunk_size} + {stride} - 1) "
+            f"div {stride}"
+        )
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(
+        F.col("_toks"), (F.col("chunk_idx") * stride + 1).cast("int"), chunk_size
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+def unigram_freq_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-frequency document scoring: each token occurrence
+    contributes the GLOBAL corpus count of that token; rare-token
+    documents (low ``min_freq`` / ``avg_freq_e0``) are outliers worth
+    routing to quality review, high-frequency documents are boilerplate
+    candidates. The exact-integer stand-in for unigram-LM perplexity
+    (log-space scoring is not bit-portable across engines; the integer
+    frequency field orders documents the same way).
+
+    Two aggregations: (1) global token histogram (shuffle on token,
+    partial-agg map-side), (2) per-doc rollup (shuffle on id). The
+    vocab-side join is AQE's choice — Zipf vocabularies are small next
+    to the corpus, so it resolves to broadcast in practice.
+    """
+    tok = docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("tok"))
+    hist = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("freq"))
+    scored = (
+        tok.join(hist, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+            F.min("freq").cast("bigint").alias("min_freq"),
+        )
+    )
+    return scored.select(
+        "*", F.expr("sum_freq div n_tokens").alias("avg_freq_e0")
+    )

@@ -44,6 +44,7 @@ def _load_all() -> None:
         lookups,
         pipeline_ext,
         pipeline_ext2,
+        pipeline_ext3,
         relational,
         relational2,
         relational3,

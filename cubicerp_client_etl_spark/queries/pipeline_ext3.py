@@ -1,0 +1,189 @@
+"""Corpus-curation query wave (q122–q125): the document-hygiene stages
+of an LLM pretraining pipeline — repetition filtering, eval-set
+decontamination, sliding-window chunking, corpus-frequency scoring.
+
+All exercise ``operators/curation.py``; every derived ratio is an exact
+``1e6``-scaled integer (integer ``div`` in both engines) so the driver's
+value hash is bit-stable. These sit past the q001–q050 driver window on
+purpose — the window already holds one representative per family; this
+wave extends the LLM-pipeline component table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.operators.curation import (
+    chunk_documents,
+    decontaminate,
+    repetition_stats,
+    unigram_freq_score,
+)
+from cubicerp_client_etl_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# q122 — Gopher-style repetition filter (L-txt extension). Per-document
+# duplicate-token / top-token / duplicate-bigram fractions as exact
+# 1e6-scaled integers, plus the documents a Gopher-ish rule would drop.
+# Map-only Catalyst HOFs (array_sort + aggregate fold for the top-token
+# run) — zero shuffle, zero Python; survives 100 TB as a streaming
+# pass. Oracle rebuilds the same counts via unnest + two GROUP BYs.
+# --------------------------------------------------------------------------
+@register(
+    "q122_repetition_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+),
+counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM flat GROUP BY doc_id, tok
+),
+tok_agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_token_count
+  FROM counts GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1])
+              ELSE [] END AS b
+  FROM toks
+),
+bg_agg AS (
+  SELECT doc_id,
+         CAST(len(b) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct_bigrams
+  FROM bg
+)
+SELECT a.doc_id, a.n_tokens, a.n_distinct, a.top_token_count,
+       g.n_bigrams, g.n_distinct_bigrams,
+       1000000 * (a.n_tokens - a.n_distinct) // a.n_tokens AS dup_token_frac_e6,
+       1000000 * a.top_token_count // a.n_tokens AS top_token_frac_e6,
+       CASE WHEN g.n_bigrams = 0 THEN CAST(0 AS BIGINT)
+            ELSE 1000000 * (g.n_bigrams - g.n_distinct_bigrams) // g.n_bigrams
+       END AS dup_bigram_frac_e6
+FROM tok_agg a JOIN bg_agg g USING (doc_id)
+""",
+)
+def q122_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
+# --------------------------------------------------------------------------
+# q123 — n-gram benchmark decontamination (L-pipeline). Benchmark set =
+# documents with doc_id % 97 = 0 (a stand-in eval suite); corpus
+# documents sharing any 5-token shingle with it are flagged with the
+# count of distinct overlapping shingles. Posture: benchmark shingle
+# set DISTINCT-ed + broadcast; corpus side is a map-side explode into a
+# broadcast hash join; the only shuffle is the final per-doc count.
+# --------------------------------------------------------------------------
+@register(
+    "q123_decontaminate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 5
+                     THEN list_transform(generate_series(1, len(t) - 4),
+                                         i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                     ELSE [] END) AS sh
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+)
+SELECT s.doc_id, CAST(COUNT(DISTINCT s.sh) AS BIGINT) AS n_hits
+FROM sh s JOIN bench USING (sh)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+""",
+)
+def q123_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=5)
+
+
+# --------------------------------------------------------------------------
+# q124 — sliding-window document chunking (L-pipeline / RAG indexing):
+# 32-token windows every 24 tokens (8-token overlap), ragged tail,
+# chunk text surfaced as md5 so the check stays value-level without
+# megabyte rows. Map-only flatMap (explode of a computed index range),
+# no shuffle. Oracle replays the same start-offset arithmetic with
+# generate_series + list_slice.
+# --------------------------------------------------------------------------
+@register(
+    "q124_chunking",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 32 THEN CAST(0 AS BIGINT)
+                ELSE (n - 32 + 24 - 1) // 24 END)) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(t, chunk_idx * 24 + 1,
+                           least(chunk_idx * 24 + 32, n))) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(list_slice(t, chunk_idx * 24 + 1,
+                           least(chunk_idx * 24 + 32, n)), ' ')) AS chunk_md5
+FROM idx
+""",
+)
+def q124_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_size=32, stride=24)
+
+
+# --------------------------------------------------------------------------
+# q125 — corpus unigram-frequency scoring (L-txt extension): each token
+# occurrence contributes the GLOBAL corpus count of that token —
+# rare-token outlier detection / boilerplate flagging, as the
+# exact-integer stand-in for unigram-LM perplexity (log-space floats
+# are not bit-portable; the integer field orders identically). Two
+# shuffles (token histogram, per-doc rollup); vocab join resolves to
+# broadcast under AQE for Zipf vocabularies.
+# --------------------------------------------------------------------------
+@register(
+    "q125_unigram_freq_score",
+    oracle="""
+WITH flat AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hist AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM flat GROUP BY tok
+),
+scored AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(h.freq) AS BIGINT) AS sum_freq,
+         CAST(MIN(h.freq) AS BIGINT) AS min_freq
+  FROM flat f JOIN hist h USING (tok)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens, sum_freq, min_freq,
+       sum_freq // n_tokens AS avg_freq_e0
+FROM scored
+""",
+)
+def q125_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_freq_score(docs)

@@ -1,0 +1,122 @@
+"""Unit + invariant tests for operators/curation.py (q122–q125 wave):
+repetition stats, decontamination, chunking, corpus-frequency scoring.
+Cross-engine value equality is covered by tools/oracle_sweep.py; these
+pin the operator semantics on hand-built rows where the expected values
+are computable by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.operators.curation import (
+    chunk_documents,
+    decontaminate,
+    repetition_stats,
+    shingles,
+    unigram_freq_score,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a"),  # 5 toks, 2 distinct, top 'a'x3, 4 bigrams {ab,ba,ab,ba}
+            (2, "x"),  # single token: no bigrams, frac 0
+            (3, "z z z z"),  # fully repetitive
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_distinct"], r1["top_token_count"]) == (5, 2, 3)
+    assert (r1["n_bigrams"], r1["n_distinct_bigrams"]) == (4, 2)
+    assert r1["dup_token_frac_e6"] == 1_000_000 * 3 // 5
+    assert r1["top_token_frac_e6"] == 600_000
+    assert r1["dup_bigram_frac_e6"] == 500_000
+    r2 = out[2]
+    assert (r2["n_tokens"], r2["n_bigrams"], r2["dup_bigram_frac_e6"]) == (1, 0, 0)
+    r3 = out[3]
+    assert r3["top_token_frac_e6"] == 1_000_000
+
+
+def test_repetition_dup_bigram_exact(spark):
+    df = _docs(spark, [(3, "z z z z")])
+    r = repetition_stats(df).collect()[0]
+    assert r["n_bigrams"] == 3 and r["n_distinct_bigrams"] == 1
+    assert r["dup_bigram_frac_e6"] == 1_000_000 * 2 // 3
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b c")])
+    out = df.select(
+        "doc_id", shingles(F.split("text", " "), 3).alias("sh")
+    ).collect()
+    got = {r["doc_id"]: r["sh"] for r in out}
+    assert got[1] == []
+    assert got[2] == ["a b c"]
+
+
+def test_decontaminate_flags_only_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely different words here nothing shared at all"),
+        ],
+    )
+    bench = _docs(spark, [(99, "quick brown fox jumps over")])
+    out = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, bench).collect()}
+    assert out == {10: 1}  # exactly one shared 5-gram, doc 11 clean
+
+
+def test_chunking_covers_every_token_once_per_window(spark):
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(80))), (2, "a b c")])
+    out = chunk_documents(df, chunk_size=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 80 tokens → 1 + ceil(48/24) = 3 chunks: [0:32],[24:56],[48:80]
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_tokens"] for r in c1] == [32, 32, 32]
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    # short doc → single ragged chunk
+    assert [(r["chunk_idx"], r["chunk_tokens"]) for r in by_doc[2]] == [(0, 3)]
+
+
+def test_chunking_ragged_tail(spark):
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(40)))])
+    out = sorted(
+        chunk_documents(df, chunk_size=32, stride=24).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # 40 tokens → chunks [0:32] and [24:40] (16 tokens)
+    assert [r["chunk_tokens"] for r in out] == [32, 16]
+
+
+def test_chunking_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+
+
+def test_unigram_freq_score_hand_computed(spark):
+    df = _docs(spark, [(1, "a a b"), (2, "b c")])
+    # corpus: a→2, b→2, c→1
+    out = {r["doc_id"]: r.asDict() for r in unigram_freq_score(df).collect()}
+    assert out[1]["sum_freq"] == 2 + 2 + 2 and out[1]["min_freq"] == 2
+    assert out[2]["sum_freq"] == 2 + 1 and out[2]["min_freq"] == 1
+    assert out[2]["avg_freq_e0"] == 1  # 3 div 2
+
+
+def test_repetition_partition_independence(spark):
+    """Map-only op: identical output under different partitionings."""
+    rows = [(i, " ".join(f"w{j % (1 + i % 7)}" for j in range(20))) for i in range(50)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, repetition_stats(df).collect()))
+    b = sorted(map(tuple, repetition_stats(df.repartition(13)).collect()))
+    assert a == b

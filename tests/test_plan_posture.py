@@ -291,3 +291,39 @@ def test_q119_packing_single_bucket_shuffle(spark):
 def test_q120_quantize_is_map_only(spark):
     plan = plan_of(spark, "q120_embedding_quantize")
     assert "Exchange" not in plan, plan
+
+
+def test_q122_repetition_is_map_only(spark):
+    """Repetition stats (q122): pure Catalyst HOF projection — zero
+    Exchange, zero Python; scans documents at (doc_id, text) only."""
+    plan = plan_of(spark, "q122_repetition_filter")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan  # no UDF fallback
+    scan = plan.split("FileScan")[1].split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in scan and "source" not in scan  # column pruning
+
+
+def test_q123_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination (q123): benchmark shingles broadcast — the
+    corpus side must never shuffle before the join; the only hash
+    exchanges are the benchmark-side distinct and the final per-doc
+    aggregate."""
+    plan = plan_of(spark, "q123_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q124_chunking_is_map_only(spark):
+    """Chunking (q124): explode of a computed range — no shuffle."""
+    plan = plan_of(spark, "q124_chunking")
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan
+
+
+def test_q125_unigram_partial_aggs(spark):
+    """Corpus-frequency scoring (q125): both aggregations must show
+    map-side partial aggregation, and the vocab join must not be a
+    cartesian product."""
+    plan = plan_of(spark, "q125_unigram_freq_score")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan
