@@ -187,3 +187,87 @@ FROM scored
 def q125_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_freq_score(docs)
+
+
+# --------------------------------------------------------------------------
+# q126 — integer k-means centroid training (L-sim extension): the Lloyd
+# iterations that produce the IVF index's centroids (q036 takes them as
+# given). Exact integer arithmetic in shifted space (see
+# operators/clustering.py) makes every iteration bit-identical across
+# engines, so the DuckDB oracle replays the full recursion as unrolled
+# CTEs — assignment, update, and empty-cluster carry included — and the
+# driver gets a VALUE-level check on an iterative clustering algorithm.
+# Posture: per iteration one map-only assignment pass (centroids are
+# literals, no join) + one k·dim-sized partial-agg shuffle.
+# --------------------------------------------------------------------------
+_KM_K = 4
+_KM_ITER = 3
+_KM_DIM = 64  # fixture embeddings are 64-dim at every SF
+
+
+def _km_dist(v: str, cv: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {_KM_DIM}), "
+        f"i -> ({v}[i] - {cv}[i]) * ({v}[i] - {cv}[i]))) AS BIGINT)"
+    )
+
+
+def _km_iter_sql(i: int) -> str:
+    prev, d = f"c{i - 1}", _km_dist("q.v", "c.cv")
+    return f"""
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT q.vec_id, q.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {d}, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c)
+  WHERE rn = 1),
+u{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cid, g.i AS pos,
+           CAST(SUM(a.v[g.i]) AS BIGINT) // COUNT(*) AS m
+    FROM a{i} a, (SELECT unnest(generate_series(1, {_KM_DIM})) AS i) g
+    GROUP BY a.cid, g.i)
+  GROUP BY cid),
+c{i} AS (SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         FROM {prev} p LEFT JOIN u{i} u USING (cid))"""
+
+
+_KM_ORACLE = (
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS ma FROM e),
+q AS (SELECT vec_id,
+             CASE WHEN ma = 0 THEN list_transform(dv, x -> CAST(127 AS BIGINT))
+                  ELSE list_transform(dv,
+                       x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) + 127)
+             END AS v
+      FROM m),
+c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
+       FROM (SELECT * FROM q ORDER BY vec_id LIMIT {_KM_K})),"""
+    + ",".join(_km_iter_sql(i) for i in range(1, _KM_ITER + 1))
+    + f"""
+SELECT vec_id, cluster, dist_sq FROM (
+  SELECT q.vec_id, c.cid AS cluster, {_km_dist("q.v", "c.cv")} AS dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_km_dist("q.v", "c.cv")}, c.cid) AS rn
+  FROM q CROSS JOIN c{_KM_ITER} c)
+WHERE rn = 1
+"""
+)
+
+
+@register("q126_kmeans_int", oracle=_KM_ORACLE)
+def q126_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators import similarity as sim
+    from cubicerp_client_etl_spark.operators.clustering import kmeans_int
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("dv")
+    )
+    quant = emb.select(
+        "vec_id",
+        F.transform(sim.quantize_int8(F.col("dv")), lambda x: x.cast("bigint")).alias(
+            "qv"
+        ),
+    )
+    return kmeans_int(quant, k=_KM_K, iterations=_KM_ITER)

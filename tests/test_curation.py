@@ -120,3 +120,51 @@ def test_repetition_partition_independence(spark):
     a = sorted(map(tuple, repetition_stats(df).collect()))
     b = sorted(map(tuple, repetition_stats(df.repartition(13)).collect()))
     assert a == b
+
+
+# ---- integer k-means (operators/clustering.py, q126) ----------------------
+
+
+def test_kmeans_int_separated_clusters(spark):
+    from cubicerp_client_etl_spark.operators.clustering import kmeans_int
+
+    # two tight blobs far apart; k=2 seeds land one in each blob
+    rows = [(0, [0, 0]), (1, [100, 100]), (2, [1, 0]), (3, [99, 100]),
+            (4, [0, 1]), (5, [101, 100])]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    out = {r["vec_id"]: (r["cluster"], r["dist_sq"]) for r in
+           kmeans_int(df, k=2, iterations=3, shift=0).collect()}
+    assert {out[0][0], out[2][0], out[4][0]} == {0}
+    assert {out[1][0], out[3][0], out[5][0]} == {1}
+    # centroid of blob 0 after convergence is (0,0) (mean 1/3 truncates to 0)
+    assert out[0][1] == 0  # vector (0,0) sits on its centroid
+
+
+def test_kmeans_int_zero_iterations_is_seed_assignment(spark):
+    from cubicerp_client_etl_spark.operators.clustering import kmeans_int
+
+    rows = [(0, [0]), (1, [10]), (2, [6])]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    out = {r["vec_id"]: r["cluster"] for r in
+           kmeans_int(df, k=2, iterations=0, shift=0).collect()}
+    # seeds: c0=[0], c1=[10]; vec 2 (=6) is nearer c1
+    assert out == {0: 0, 1: 1, 2: 1}
+
+
+def test_kmeans_int_partition_independence(spark):
+    from cubicerp_client_etl_spark.operators.clustering import kmeans_int
+
+    rows = [(i, [(i * 7) % 50, (i * 13) % 50]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    a = sorted(map(tuple, kmeans_int(df, k=3, iterations=2, shift=0).collect()))
+    b = sorted(map(tuple,
+                   kmeans_int(df.repartition(11), k=3, iterations=2, shift=0).collect()))
+    assert a == b
+
+
+def test_kmeans_int_rejects_small_input(spark):
+    from cubicerp_client_etl_spark.operators.clustering import kmeans_int
+
+    df = spark.createDataFrame([(0, [1])], "vec_id long, qv array<long>")
+    with pytest.raises(ValueError):
+        kmeans_int(df, k=5, iterations=1)

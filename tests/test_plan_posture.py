@@ -327,3 +327,14 @@ def test_q125_unigram_partial_aggs(spark):
     plan = plan_of(spark, "q125_unigram_freq_score")
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q126_kmeans_assignment_is_join_free(spark):
+    """k-means (q126): centroids enter the final assignment as
+    LITERALS — the plan over embeddings must contain no join at all
+    and no driver-side RDD scan (centroid collection is bounded
+    O(k·dim) and feeds literals, not an ExistingRDD)."""
+    plan = plan_of(spark, "q126_kmeans_int")
+    assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" not in plan
+    assert "Exchange" not in plan  # final assignment pass is map-only
