@@ -104,3 +104,57 @@ def hash_split(key: str, test_hex_prefix_below: str = "3") -> Column:
         .otherwise(F.lit("train"))
         .alias("split")
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str,
+    order_by: Sequence[str],
+    payload: Sequence[str],
+) -> DataFrame:
+    """Apply a keyed changelog to a base snapshot — the MERGE /
+    merge-on-read compaction shape (Delta `MERGE INTO`, Hudi snapshot
+    read): for every key, the LATEST change (by ``order_by``, which
+    must totally order changes within a key) wins:
+
+    * latest op ``'D'``  → the key disappears from the result;
+    * latest op ``'I'``/``'U'`` → the change's ``payload`` columns win
+      (insert-if-absent and update collapse to the same rule once only
+      the latest change matters);
+    * no change for the key → the base row's ``payload`` survives.
+
+    Output: ``(key, *payload, src)`` with ``src`` ∈ {'base','chg'}.
+    This is the inverse of ``snapshot_diff`` (diff ∘ apply = the
+    changelog's net effect) and completes the CDC family: SCD2 keeps
+    all history, snapshot_diff derives a log, apply_changelog replays
+    one.
+
+    Scale: one window shuffle on the key over changes (compacts the log
+    to ≤1 row/key BEFORE the join — never join the raw log), then one
+    full-outer join also keyed on ``key``, so AQE can reuse the
+    partitioning. High-cardinality uniform keys → no skew hazard;
+    co-locate by bucketing both sides on ``key`` to drop the join
+    exchange entirely.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_by])
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, op_col, *[F.col(c).alias(f"_chg_{c}") for c in payload])
+    )
+    joined = base.join(latest, key, "full_outer")
+    kept = joined.filter(F.col(op_col).isNull() | (F.col(op_col) != F.lit("D")))
+    return kept.select(
+        key,
+        *[
+            F.when(F.col(op_col).isNotNull(), F.col(f"_chg_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
+        F.when(F.col(op_col).isNotNull(), F.lit("chg"))
+        .otherwise(F.lit("base"))
+        .alias("src"),
+    )

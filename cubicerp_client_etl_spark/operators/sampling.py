@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,84 @@ def weighted_mixture(
     for g, r in sorted(rates.items()):
         thr = F.when(F.col(group_col) == g, F.lit(_hex_threshold(r))).otherwise(thr)
     return df.filter(h < thr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    seed: str = "",
+) -> DataFrame:
+    """EXACT deterministic per-group cap: keep the ``n`` rows of each
+    group with the smallest ``md5(key || '|' || seed)`` — a uniform
+    "at most N documents per source" subsample that is bit-stable
+    across engines and reruns (no RNG, no input-order dependence).
+
+    Scale caveat (the q056-style exact/scale split): the row_number
+    window shuffles every row of a group to one partition — fine for
+    many medium groups, a skew hazard when single groups hold billions
+    of rows. For that regime use ``rate_cap_per_group``: same keyed
+    hash, but a per-group THRESHOLD instead of a rank — map-only after
+    a broadcast of group counts, at the cost of ~N (binomial, not
+    exactly N) rows per group.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + seed))), 1, 16
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def rate_cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    seed: str = "",
+) -> DataFrame:
+    """Scale-path per-group cap: compute each group's size (one cheap
+    pre-aggregation — group cardinality rows, always broadcastable),
+    derive keep-rate ``min(1, n/size)`` as an exact hex threshold
+    ``floor(n·2³² / size)``, and filter with the SAME keyed-hash
+    comparison as ``weighted_mixture`` — map-only over the corpus, no
+    per-group shuffle of the data, no skew (a billion-row group costs
+    the same scan as anything else). Yields ~``n`` rows per group
+    (binomial); use ``cap_per_group`` when exactly-N matters more than
+    skew immunity. Deterministic and engine-portable: the threshold is
+    integer arithmetic on counts, the decision a hex-string compare.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_gc"))
+    # exact integer threshold (floor(n·2³²/size)) — double division can
+    # misround the floor for large groups, so stay in bigint `div`
+    thr = F.when(F.col("_gc") <= n, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(
+                F.conv(
+                    F.expr(f"CAST({n} * 4294967296 AS BIGINT) div _gc").cast(
+                        "string"
+                    ),
+                    10,
+                    16,
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + seed))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(counts.select(group_col, thr.alias("_thr"))), group_col)
+        .filter(h < F.col("_thr"))
+        .drop("_thr")
+    )

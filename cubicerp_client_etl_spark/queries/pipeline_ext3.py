@@ -271,3 +271,128 @@ def q126_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return kmeans_int(quant, k=_KM_K, iterations=_KM_ITER)
+
+
+# --------------------------------------------------------------------------
+# q127 — changelog apply / MERGE compaction (I-family extension, the
+# inverse of q047's snapshot diff): base = customer accounts, changelog
+# = events keyed on user_id (purchase/signup upsert the account's
+# tracked value, error deletes it; latest event per key wins via
+# (ts, event_id) total order). Money surfaces as exact integer e2/e6
+# scalings — base balances are exact 2-decimal, event values go through
+# IEEE-deterministic floor(value*1e6). Posture: the log is compacted to
+# <=1 row/key BEFORE the full-outer join; both shuffles share the key.
+# --------------------------------------------------------------------------
+@register(
+    "q127_apply_changelog",
+    oracle="""
+WITH chg AS (
+  SELECT user_id AS c_custkey,
+         CASE event_type WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(floor(value * 1000000) AS BIGINT) AS val_e6
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type IN ('purchase', 'signup', 'error'))
+  WHERE rn = 1
+),
+base AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) * 10000 AS val_e6
+  FROM customer
+)
+SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+       CASE WHEN c.op IS NOT NULL THEN c.val_e6 ELSE b.val_e6 END AS val_e6,
+       CASE WHEN c.op IS NOT NULL THEN 'chg' ELSE 'base' END AS src
+FROM base b FULL OUTER JOIN chg c USING (c_custkey)
+WHERE c.op IS NULL OR c.op <> 'D'
+""",
+)
+def q127_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.history import apply_changelog
+
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000).alias("val_e6"),
+    )
+    chg = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup", "error"))
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("val_e6"),
+            "ts",
+            "event_id",
+        )
+    )
+    return apply_changelog(
+        base, chg, key="c_custkey", op_col="op",
+        order_by=["ts", "event_id"], payload=["val_e6"],
+    )
+
+
+# --------------------------------------------------------------------------
+# q128 — exact per-group cap (L-pipeline, corpus balancing): at most 40
+# documents per (lang, source) bucket, selected by smallest
+# md5(doc_id|capA) — uniform, deterministic, rerun-stable. Exact-N
+# variant (one row_number window keyed on the group); the skew-immune
+# scale twin is q129.
+# --------------------------------------------------------------------------
+@register(
+    "q128_cap_per_group",
+    oracle="""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|capA'), 1, 16),
+                    doc_id) AS rn
+  FROM documents)
+WHERE rn <= 40
+""",
+)
+def q128_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    capped = cap_per_group(
+        docs.withColumn("_g", F.concat_ws("", "lang", "source")),
+        group_col="_g", key_col="doc_id", n=40, seed="capA",
+    )
+    return capped.drop("_g")
+
+
+# --------------------------------------------------------------------------
+# q129 — rate-based per-group cap (L-pipeline scale twin of q128): the
+# group's size determines an exact integer hash threshold
+# floor(n*2^32/size); the corpus pass is then a map-only keyed-hash
+# filter behind a broadcast of group counts — no per-group data
+# shuffle, no skew, ~n rows per group. Threshold arithmetic is bigint
+# `div`, so the oracle replays it exactly.
+# --------------------------------------------------------------------------
+@register(
+    "q129_rate_cap_per_group",
+    oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS gc FROM documents GROUP BY lang
+),
+thr AS (
+  SELECT lang,
+         CASE WHEN gc <= 40 THEN 'g'
+              ELSE lpad(lower(hex(40 * 4294967296 // gc)), 8, '0')
+         END AS t
+  FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '|capB'), 1, 8) < thr.t
+""",
+)
+def q129_rate_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sampling import rate_cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return rate_cap_per_group(
+        docs, group_col="lang", key_col="doc_id", n=40, seed="capB"
+    )

@@ -1,0 +1,108 @@
+"""Unit tests for apply_changelog (history.py) and the per-group cap
+samplers (sampling.py) — q127–q129 wave."""
+
+from __future__ import annotations
+
+import pytest
+
+from cubicerp_client_etl_spark.operators.history import apply_changelog
+from cubicerp_client_etl_spark.operators.sampling import (
+    cap_per_group,
+    rate_cap_per_group,
+)
+
+
+def test_apply_changelog_routing(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "U", "b2", 10, 1),  # update key 2
+            (3, "D", None, 10, 2),  # delete key 3
+            (4, "I", "d", 10, 3),  # insert new key 4
+            (2, "U", "stale", 5, 4),  # older change for 2 — must lose
+        ],
+        "k long, op string, v string, ts long, eid long",
+    )
+    out = {
+        r["k"]: (r["v"], r["src"])
+        for r in apply_changelog(
+            base, chg, key="k", op_col="op", order_by=["ts", "eid"], payload=["v"]
+        ).collect()
+    }
+    assert out == {
+        1: ("a", "base"),
+        2: ("b2", "chg"),
+        4: ("d", "chg"),
+    }  # 3 deleted, 2 updated by the LATEST change, 4 inserted
+
+
+def test_apply_changelog_delete_then_reinsert_latest_wins(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "D", None, 1, 1), (1, "I", "a2", 2, 2)],
+        "k long, op string, v string, ts long, eid long",
+    )
+    out = apply_changelog(
+        base, chg, key="k", op_col="op", order_by=["ts", "eid"], payload=["v"]
+    ).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "a2")]
+
+
+def _docs(spark, n_groups=3, per_group=100):
+    rows = [
+        (g * 10_000 + i, f"g{g}") for g in range(n_groups) for i in range(per_group)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, grp string")
+
+
+def test_cap_per_group_exact_n(spark):
+    df = _docs(spark)
+    out = cap_per_group(df, "grp", "doc_id", n=7, seed="s").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert all(len(v) == 7 for v in by_g.values())
+    # deterministic: rerun picks the identical subset
+    again = cap_per_group(df.repartition(17), "grp", "doc_id", n=7, seed="s").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_cap_per_group_small_group_kept_whole(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, grp string"
+    )
+    assert cap_per_group(df, "grp", "doc_id", n=40).count() == 2
+
+
+def test_rate_cap_binomial_near_n(spark):
+    df = _docs(spark, n_groups=2, per_group=400)
+    out = rate_cap_per_group(df, "grp", "doc_id", n=40, seed="s").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["grp"], 0)
+        by_g[r["grp"]] += 1
+    # binomial(400, 0.1): mean 40, sd ~6 — allow 4 sd
+    assert all(16 <= c <= 64 for c in by_g.values()), by_g
+    # groups at or under n are kept whole (threshold 'g')
+    small = spark.createDataFrame([(9, "s")], "doc_id long, grp string")
+    assert rate_cap_per_group(small, "grp", "doc_id", n=40).count() == 1
+
+
+def test_rate_cap_deterministic_under_partitioning(spark):
+    df = _docs(spark, n_groups=2, per_group=300)
+    a = {r["doc_id"] for r in rate_cap_per_group(df, "grp", "doc_id", 25, "z").collect()}
+    b = {
+        r["doc_id"]
+        for r in rate_cap_per_group(df.repartition(13), "grp", "doc_id", 25, "z").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_cap_rejects_bad_n(spark):
+    df = _docs(spark, 1, 5)
+    with pytest.raises(ValueError):
+        cap_per_group(df, "grp", "doc_id", n=0)
+    with pytest.raises(ValueError):
+        rate_cap_per_group(df, "grp", "doc_id", n=0)

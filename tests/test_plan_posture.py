@@ -338,3 +338,23 @@ def test_q126_kmeans_assignment_is_join_free(spark):
     assert "Join" not in plan, plan
     assert "Scan ExistingRDD" not in plan
     assert "Exchange" not in plan  # final assignment pass is map-only
+
+
+def test_q127_changelog_compacts_before_join(spark):
+    """Changelog apply (q127): the raw log must never reach the join —
+    the window compaction (rn=1 filter) sits below it; join is on the
+    shared key so the shuffles line up."""
+    plan = plan_of(spark, "q127_apply_changelog")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # full-outer join present, fed by the windowed (compacted) side
+    assert "FullOuter" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_q129_rate_cap_is_broadcast_map_filter(spark):
+    """Rate cap (q129): corpus side must NOT shuffle — group counts
+    broadcast into a map-side filter; the only exchange feeds the tiny
+    counts aggregate."""
+    plan = plan_of(spark, "q129_rate_cap_per_group")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
