@@ -58,7 +58,10 @@ def shingles(tokens_col: Column, n: int) -> Column:
 
 
 def repetition_stats(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition metrics per document (Rae et al. 2021,
     table A1 — the public repetition-filter family), exact-integer form.
@@ -97,6 +100,7 @@ def repetition_stats(
 
     base = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
         top.alias("top_token_count"),

@@ -396,3 +396,122 @@ def q129_rate_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_cap_per_group(
         docs, group_col="lang", key_col="doc_id", n=40, seed="capB"
     )
+
+
+# --------------------------------------------------------------------------
+# q130 — end-to-end curation pipeline (L-pipeline flagship): the full
+# document-hygiene chain COMPOSED from the engine's operators —
+#   (1) quality gate: >=10 tokens and duplicate-token fraction < 60%
+#       (repetition_stats, map-only),
+#   (2) exact dedup on md5(text), smallest doc_id survives (exact_dedup),
+#   (3) benchmark decontamination: drop docs sharing any 5-gram with
+#       the doc_id%97 eval set — and the eval set itself (decontaminate
+#       as an anti-join),
+#   (4) per-lang cap of 60 by keyed hash (cap_per_group),
+#   (5) md5 train/test split (hash_split machinery, 1/8 test).
+# One declarative lineage end to end — Catalyst sees through all five
+# stages (the quality gate's map-only metrics fuse with the scan; the
+# only shuffles are dedup's text-hash window, the decontamination
+# aggregate, and the cap window). The oracle replays the exact chain.
+# --------------------------------------------------------------------------
+@register(
+    "q130_curation_pipeline",
+    oracle="""
+WITH stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN stats s USING (doc_id)
+  WHERE s.n_tokens >= 10
+    AND 1000000 * (s.n_tokens - s.n_distinct) // s.n_tokens < 600000
+),
+deduped AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated)
+  WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 5
+                     THEN list_transform(generate_series(1, len(t) - 4),
+                          i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                     ELSE [] END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (sh)
+  WHERE s.doc_id % 97 <> 0
+),
+clean AS (
+  SELECT * FROM deduped
+  WHERE doc_id % 97 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+capped AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|cur1'), 1, 16),
+                      doc_id) AS rn
+    FROM clean)
+  WHERE rn <= 60
+)
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|cursplit'), 1, 8) < '20000000'
+            THEN 'test' ELSE 'train' END AS split
+FROM capped
+""",
+)
+def q130_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.dedup import exact_dedup
+    from cubicerp_client_etl_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    # (1) quality gate on repetition metrics — `keep` passes text/lang
+    # through the same map-only projection, so the gate fuses with the
+    # scan instead of joining stats back on doc_id (one less shuffle)
+    gated = (
+        repetition_stats(docs, keep=("text", "lang"))
+        .filter((F.col("n_tokens") >= 10) & (F.col("dup_token_frac_e6") < 600_000))
+        .select("doc_id", "text", "lang")
+    )
+
+    # (2) exact dedup on content hash, smallest doc_id wins
+    deduped = exact_dedup(
+        gated.withColumn("_h", F.md5("text")),
+        keys=["_h"],
+        order_by=[F.col("doc_id").asc()],
+    ).drop("_h")
+
+    # (3) decontamination: drop the eval set and everything overlapping it
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    contaminated = decontaminate(corpus, bench, n=5).select("doc_id")
+    clean = (
+        deduped.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # (4) per-lang cap, (5) keyed split
+    capped = cap_per_group(
+        clean.select("doc_id", "lang"), group_col="lang", key_col="doc_id",
+        n=60, seed="cur1",
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cursplit"))), 1, 8
+    )
+    return capped.select(
+        "doc_id", "lang",
+        F.when(h < "20000000", "test").otherwise("train").alias("split"),
+    )

@@ -358,3 +358,18 @@ def test_q129_rate_cap_is_broadcast_map_filter(spark):
     plan = plan_of(spark, "q129_rate_cap_per_group")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q130_pipeline_gate_fuses_with_scan(spark):
+    """Curation pipeline (q130): the quality gate is a map-only
+    projection fused with the scan (no stats-join shuffle); the
+    decontamination side broadcasts; nothing degenerates to a
+    cartesian product."""
+    plan = plan_of(spark, "q130_curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # decontamination benchmark side
+    # shuffles: dedup window + decon aggregate + cap window + anti-join
+    # sides — the gate itself must not add one (bounded small count)
+    assert plan.count("Exchange hashpartitioning") <= 6, plan.count(
+        "Exchange hashpartitioning"
+    )
