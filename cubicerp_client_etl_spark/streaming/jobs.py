@@ -246,3 +246,47 @@ def view_purchase_interval_join(
         F.unix_micros("v_ts").alias("view_ts_us"),
         F.unix_micros("p_ts").alias("purchase_ts_us"),
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture — the continuous-
+    ingestion shape of a training-data pipeline (crawl batches landing
+    as files, curated incrementally instead of in one monolithic job)."""
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_curation(docs: DataFrame, min_tokens: int = 10,
+                    max_dup_frac_e6: int = 600_000) -> DataFrame:
+    """Streaming curation gate + incremental content dedup: the
+    batch curation chain's streaming twin (q130 stages 1–2).
+
+    The repetition metrics are STATELESS map-only Catalyst expressions,
+    so they attach to a stream unchanged — the same operator code as
+    batch (`operators/curation.repetition_stats`). The only stateful
+    stage is the exact-content dedup: ``dropDuplicates`` on md5(text),
+    whose state store holds one hash per distinct document ever seen —
+    the incremental form of the batch keep-smallest-id dedup (a stream
+    keeps the FIRST arrival; deterministic given arrival order).
+
+    Output is append-mode safe (no aggregation): doc_id, lang,
+    n_tokens, dup_token_frac_e6 for every surviving document.
+    """
+    from cubicerp_client_etl_spark.operators.curation import repetition_stats
+
+    gated = (
+        repetition_stats(docs, keep=("text", "lang"))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("dup_token_frac_e6") < max_dup_frac_e6)
+        )
+        .withColumn("_h", F.md5("text"))
+    )
+    return gated.dropDuplicates(["_h"]).select(
+        "doc_id", "lang", "n_tokens", "dup_token_frac_e6"
+    )

@@ -176,3 +176,31 @@ def test_stream_stream_interval_join_equals_batch(spark):
     cols = ["user_id", "view_id", "purchase_id", "purchase_value"]
     assert got.count() > 0
     assert _sorted_rows(got, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_curation_equals_batch(spark):
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        stream_curation,
+    )
+
+    got = run_stream_to_memory(
+        stream_curation(documents_stream(spark, SF_SMOKE)),
+        "curation_stream",
+        output_mode="append",
+    )
+    from cubicerp_client_etl_spark.operators.curation import repetition_stats
+
+    docs = load(spark, SF_SMOKE, "documents")
+    batch = (
+        repetition_stats(docs, keep=("text", "lang"))
+        .filter((F.col("n_tokens") >= 10) & (F.col("dup_token_frac_e6") < 600_000))
+        .dropDuplicates(["text"])
+        .select("doc_id", "lang", "n_tokens", "dup_token_frac_e6")
+    )
+    # single-file source => one batch, arrival order = file order, so
+    # first-arrival dedup matches batch dropDuplicates on content
+    assert got.count() == batch.count()
+    assert _sorted_rows(got, ["doc_id", "lang"]) == _sorted_rows(
+        batch, ["doc_id", "lang"]
+    )
