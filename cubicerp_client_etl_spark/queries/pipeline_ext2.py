@@ -334,9 +334,14 @@ def q111_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    ranked = freq.withColumn(
+    # top-k FIRST via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, no single-partition window over every distinct key — a
+    # global row_number here is a scale-killer at 100 TB key counts);
+    # the rank window then runs over only the 20 surviving rows
+    top = freq.orderBy(F.desc("n"), F.asc("l_partkey")).limit(20)
+    ranked = top.withColumn(
         "rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("l_partkey")))
-    ).filter(F.col("rk") <= 20)
+    )
     total = freq.agg(F.sum("n").alias("total"))
     return ranked.crossJoin(F.broadcast(total)).select(
         "l_partkey",

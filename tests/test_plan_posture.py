@@ -373,3 +373,11 @@ def test_q130_pipeline_gate_fuses_with_scan(spark):
     assert plan.count("Exchange hashpartitioning") <= 6, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_q111_heavy_hitters_uses_takeordered(spark):
+    """Heavy hitters (q111): top-k must come from per-partition heaps
+    (TakeOrderedAndProject), never a single-partition row_number over
+    every distinct key."""
+    plan = plan_of(spark, "q111_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan, plan
