@@ -515,3 +515,19 @@ def q130_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.when(h < "20000000", "test").otherwise("train").alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# q131 — compression-ratio quality signal (L-txt, rows-only): zlib
+# ratio per document via Arrow-batched mapInPandas — the long-range
+# repetition/boilerplate detector that complements q122's n-gram
+# fractions. No SQL engine has zlib → no oracle (driver does the
+# rows-only check); unit tests pin exact byte counts. Map-only, no
+# shuffle; the Python stage is Arrow-batched, never per-row.
+# --------------------------------------------------------------------------
+@register("q131_compression_ratio", oracle=None)
+def q131_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.curation import compression_ratio
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_ratio(docs)

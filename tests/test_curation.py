@@ -168,3 +168,31 @@ def test_kmeans_int_rejects_small_input(spark):
     df = spark.createDataFrame([(0, [1])], "vec_id long, qv array<long>")
     with pytest.raises(ValueError):
         kmeans_int(df, k=5, iterations=1)
+
+
+def test_compression_ratio_pinned_values(spark):
+    import zlib
+
+    from cubicerp_client_etl_spark.operators.curation import compression_ratio
+
+    texts = {1: "a" * 100, 2: "the quick brown fox", 3: ""}
+    df = _docs(spark, list(texts.items()))
+    out = {r["doc_id"]: r.asDict() for r in compression_ratio(df).collect()}
+    for i, t in texts.items():
+        raw = t.encode()
+        assert out[i]["raw_len"] == len(raw)
+        assert out[i]["zlib_len"] == len(zlib.compress(raw, 6))
+    assert out[3]["ratio_e6"] == 0  # empty text guarded
+    assert out[1]["ratio_e6"] == 1_000_000 * out[1]["zlib_len"] // 100
+    # 'aaaa…' compresses far better than English text
+    assert out[1]["ratio_e6"] < out[2]["ratio_e6"]
+
+
+def test_compression_ratio_is_arrow_batched(spark):
+    from cubicerp_client_etl_spark.operators.curation import compression_ratio
+
+    df = _docs(spark, [(1, "hello world")])
+    plan = (
+        compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan  # Arrow batch path, not row-at-a-time
