@@ -194,3 +194,85 @@ def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
             lambda d: d,
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 5,
+) -> DataFrame:
+    """C4-style exact duplicated-span removal (Raffel et al. 2020 §2.2
+    removes any three-sentence span occurring more than once in the
+    corpus; here the unit is a ``width``-token window): every
+    occurrence of a globally-duplicated token ``width``-gram EXCEPT the
+    first (smallest ``(doc_id, position)``) has its span's tokens
+    deleted from the document.
+
+    Output per input document: ``(id_col, n_tokens, n_removed,
+    clean_md5)`` — the md5 of the cleaned re-joined text keeps the
+    result value-checkable without shipping full texts.
+
+    Deterministic: the keeper rule is a total order, so the result is
+    partition-/retry-independent and engine-portable (oracle replays
+    it exactly).
+
+    Scale posture: one window over the shingle key (rank + global
+    count in the same pass — this IS the skew point: an ultra-hot
+    boilerplate shingle lands its occurrence list on one partition;
+    AQE absorbs moderate cases, and the standard mitigation — count
+    shingles first, salt or cap the pathological top — composes in
+    front of this operator), one span-explode + per-doc distinct
+    aggregate, one join back keyed on ``id_col``. Everything else is
+    map-side Catalyst HOFs; no Python anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    from cubicerp_client_etl_spark.operators.curation import shingles
+
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+
+    sh = base.select(
+        id_col,
+        F.posexplode(shingles(F.col("_t"), width)).alias("_p0", "_v"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_v")  # 1-based starts
+
+    w = W.partitionBy("_v").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = sh.select(
+        id_col,
+        "pos",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy("_v")).alias("_c"),
+    )
+    marked = ranked.filter((F.col("_c") > 1) & (F.col("_rn") > 1))
+
+    removed = (
+        marked.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (width - 1))).alias(
+                "_idx"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_idx").alias("_rm"))
+    )
+
+    joined = base.join(removed, id_col, "left")
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("_t")),
+        lambda i: ~F.array_contains(F.col("_rm"), i),
+    )
+    clean = F.when(
+        F.col("_rm").isNull(), F.array_join(F.col("_t"), " ")
+    ).otherwise(
+        F.array_join(F.transform(keep_idx, lambda i: F.get("_t", i - 1)), " ")
+    )
+    return joined.select(
+        id_col,
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("_rm"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.md5(clean).alias("clean_md5"),
+    )

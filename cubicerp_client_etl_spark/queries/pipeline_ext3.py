@@ -531,3 +531,66 @@ def q131_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return compression_ratio(docs)
+
+
+# --------------------------------------------------------------------------
+# q132 — duplicated-span removal (L-dedup flagship, the C4 §2.2 stage):
+# every occurrence of a globally-duplicated 5-token window except the
+# first (smallest (doc_id, pos)) has its span deleted; documents are
+# re-emitted as md5 of the cleaned text plus removal counts. The
+# keeper rule is a total order, so the whole transformation is
+# deterministic and the oracle replays it exactly — a VALUE-level
+# check on exact substring-level dedup. Posture: one shingle-keyed
+# window (rank + count in a single pass), one span explode + per-doc
+# distinct aggregate, one join back on doc_id; all map-side HOFs
+# otherwise, zero Python.
+# --------------------------------------------------------------------------
+@register(
+    "q132_span_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh0 AS (
+  SELECT doc_id, t,
+         unnest(CASE WHEN len(t) >= 5 THEN generate_series(1, len(t) - 4)
+                     ELSE [] END) AS pos
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, pos, array_to_string(list_slice(t, pos, pos + 4), ' ') AS v
+  FROM sh0
+),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY v) AS c
+  FROM sh
+),
+rem AS (
+  SELECT DISTINCT doc_id, pos + off AS idx
+  FROM (SELECT doc_id, pos, unnest(generate_series(0, 4)) AS off
+        FROM ranked WHERE c > 1 AND rn > 1)
+),
+remagg AS (
+  SELECT doc_id, list(idx) AS rm FROM rem GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(r.rm), 0) AS BIGINT) AS n_removed,
+       md5(CASE WHEN r.rm IS NULL THEN array_to_string(d.t, ' ')
+            -- array_to_string([]) is NULL in DuckDB but '' in Spark
+            ELSE COALESCE(array_to_string(
+                   list_transform(
+                     list_filter(generate_series(1, len(d.t)),
+                                 i -> NOT list_contains(r.rm, i)),
+                     i -> d.t[i]), ' '), '')
+       END) AS clean_md5
+FROM toks d LEFT JOIN remagg r USING (doc_id)
+""",
+)
+def q132_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, width=5)

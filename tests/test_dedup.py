@@ -80,3 +80,65 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     }
     missing = expected - found
     assert not missing, f"LSH missed exact-duplicate pairs: {sorted(missing)[:5]}"
+
+
+# ---- duplicated-span removal (C4-style, q132) -----------------------------
+
+
+def test_span_dedup_removes_later_occurrence_only(spark):
+    from cubicerp_client_etl_spark.operators.dedup import remove_duplicate_spans
+
+    # doc 2 repeats doc 1's 5-token opening; doc 1 (first occurrence) is
+    # untouched, doc 2 loses exactly those 5 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e x y"),
+            (2, "a b c d e p q"),
+            (3, "totally unrelated words live here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(df, width=5).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_removed"] == 5
+    assert out[3]["n_removed"] == 0
+    import hashlib
+
+    assert out[2]["clean_md5"] == hashlib.md5(b"p q").hexdigest()
+    assert out[1]["clean_md5"] == hashlib.md5(b"a b c d e x y").hexdigest()
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    from cubicerp_client_etl_spark.operators.dedup import remove_duplicate_spans
+
+    # the same 5-gram twice INSIDE one doc: second span removed
+    txt = "a b c d e z a b c d e"
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = remove_duplicate_spans(df, width=5).collect()[0]
+    assert r["n_tokens"] == 11 and r["n_removed"] == 5
+    import hashlib
+
+    assert r["clean_md5"] == hashlib.md5(b"a b c d e z").hexdigest()
+
+
+def test_span_dedup_full_removal_yields_empty_md5(spark):
+    from cubicerp_client_etl_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(df, width=5).collect()}
+    import hashlib
+
+    assert out[2]["n_removed"] == 5
+    assert out[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_span_dedup_partition_independent(spark):
+    from cubicerp_client_etl_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [(i, " ".join(f"w{(i * j) % 9}" for j in range(12))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, remove_duplicate_spans(df).collect()))
+    b = sorted(map(tuple, remove_duplicate_spans(df.repartition(7)).collect()))
+    assert a == b

@@ -381,3 +381,11 @@ def test_q111_heavy_hitters_uses_takeordered(spark):
     every distinct key."""
     plan = plan_of(spark, "q111_heavy_hitters")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q132_span_dedup_no_python_no_cartesian(spark):
+    """Span dedup (q132): all-Catalyst (HOFs + windows + one join) —
+    zero Python stages, no cartesian blowup."""
+    plan = plan_of(spark, "q132_span_dedup")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
