@@ -306,3 +306,53 @@ def test_write_clustered_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
         assert hi_a <= lo_b, f"overlapping file ranges: {ranges}"
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from cubicerp_client_etl_spark.sinks.writers import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    z = df.select(zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")).collect()[0]["z"]
+    # x bits (1,0,1) land at even positions, y bits (1,1,0) at odd:
+    # bit0=x0=1, bit1=y0=1, bit2=x1=0, bit3=y1=1, bit4=x2=1, bit5=y2=0
+    # MSB-first that is 0b011011
+    assert z == 0b011011
+
+
+def test_write_zorder_prunes_both_columns(spark, tmp_path):
+    """L-scale: z-order layout must give BOTH z-ordered columns
+    non-trivial per-file ranges — a selective predicate on either
+    column can skip files (range clustering only achieves this for the
+    leading key)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cubicerp_client_etl_spark.sinks.writers import write_zorder
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    dst = str(tmp_path / "zordered")
+    write_zorder(df, dst, ["x", "y"], n_files=16, bits=6)
+
+    files = sorted(glob.glob(f"{dst}/part-*.parquet"))
+    assert len(files) == 16
+
+    def spans(col_idx):
+        out = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    # average per-file span on EACH column must be well under the full
+    # domain (64) — i.e. both columns are clustered, not just one
+    for ci in (0, 1):
+        sp = spans(ci)
+        avg_span = sum(hi - lo for lo, hi in sp) / len(sp)
+        assert avg_span <= 32, (ci, sp)
