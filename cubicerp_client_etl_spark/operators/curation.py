@@ -72,7 +72,10 @@ def repetition_stats(
     * ``top_token_count`` — occurrences of the most frequent token
       (computed as the longest run in the sorted token array — a single
       ``array_sort`` + ``aggregate`` fold, no per-doc group-by)
+    * ``sum_sq_counts`` — Σc² over per-token counts (same fold)
     * ``n_bigrams`` / ``n_distinct_bigrams``
+    * ``simpson_div_e6``      = 1e6 * (n² - Σc²) div n² (Gini–Simpson
+      diversity; near 0 ⇒ dominated by few tokens — a spam signal)
     * ``dup_token_frac_e6``   = 1e6 * (n - n_distinct) div n
     * ``top_token_frac_e6``   = 1e6 * top_token_count div n
     * ``dup_bigram_frac_e6``  = 1e6 * (nb - nb_distinct) div nb (0 if nb=0)
@@ -84,18 +87,41 @@ def repetition_stats(
     srt = F.array_sort(toks)
     zero = F.lit(0).cast("bigint")
     run_acc = F.struct(
-        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("sumsq"),
     )
 
+    # one fold over the sorted tokens yields BOTH the longest run (=
+    # the top token's count) and the sum of squared run lengths (= the
+    # Simpson concentration numerator Σc²): on a token change the
+    # finished run's square is banked, the final run is banked by the
+    # finish lambda
     def _step(acc: Column, x: Column) -> Column:
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-            F.lit(1).cast("bigint")
+        same = x == acc["prev"]
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        sumsq = F.when(same, acc["sumsq"]).otherwise(
+            acc["sumsq"] + acc["run"] * acc["run"]
         )
         return F.struct(
-            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            sumsq.alias("sumsq"),
         )
 
-    top = F.aggregate(srt, run_acc, _step, lambda acc: acc["best"])
+    folded = F.aggregate(
+        srt,
+        run_acc,
+        _step,
+        lambda acc: F.struct(
+            acc["best"].alias("best"),
+            (acc["sumsq"] + acc["run"] * acc["run"]).alias("sumsq"),
+        ),
+    )
+    top = folded["best"]
+    sumsq = folded["sumsq"]
     bg = shingles(toks, 2)
 
     base = docs.select(
@@ -104,11 +130,18 @@ def repetition_stats(
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
         top.alias("top_token_count"),
+        sumsq.alias("sum_sq_counts"),
         F.size(bg).cast("bigint").alias("n_bigrams"),
         F.size(F.array_distinct(bg)).cast("bigint").alias("n_distinct_bigrams"),
     )
     return base.select(
         "*",
+        # Gini–Simpson diversity 1 - Σc²/n², exact-integer e6 scaling:
+        # low values = the doc is dominated by few tokens (spam signal)
+        F.expr(
+            "1000000 * (n_tokens * n_tokens - sum_sq_counts) "
+            "div (n_tokens * n_tokens)"
+        ).alias("simpson_div_e6"),
         F.expr("1000000 * (n_tokens - n_distinct) div n_tokens").alias(
             "dup_token_frac_e6"
         ),

@@ -48,7 +48,8 @@ tok_agg AS (
   SELECT doc_id,
          CAST(SUM(c) AS BIGINT) AS n_tokens,
          CAST(COUNT(*) AS BIGINT) AS n_distinct,
-         CAST(MAX(c) AS BIGINT) AS top_token_count
+         CAST(MAX(c) AS BIGINT) AS top_token_count,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq_counts
   FROM counts GROUP BY doc_id
 ),
 bg AS (
@@ -66,7 +67,9 @@ bg_agg AS (
   FROM bg
 )
 SELECT a.doc_id, a.n_tokens, a.n_distinct, a.top_token_count,
-       g.n_bigrams, g.n_distinct_bigrams,
+       a.sum_sq_counts, g.n_bigrams, g.n_distinct_bigrams,
+       1000000 * (a.n_tokens * a.n_tokens - a.sum_sq_counts)
+         // (a.n_tokens * a.n_tokens) AS simpson_div_e6,
        1000000 * (a.n_tokens - a.n_distinct) // a.n_tokens AS dup_token_frac_e6,
        1000000 * a.top_token_count // a.n_tokens AS top_token_frac_e6,
        CASE WHEN g.n_bigrams = 0 THEN CAST(0 AS BIGINT)

@@ -196,3 +196,14 @@ def test_compression_ratio_is_arrow_batched(spark):
         compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan  # Arrow batch path, not row-at-a-time
+
+
+def test_repetition_simpson_diversity_exact(spark):
+    df = _docs(spark, [(1, "a b a b a"), (2, "z z z z")])
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    # doc 1: counts a=3,b=2 → Σc²=13, n²=25 → (25-13)/25 = 0.48
+    assert out[1]["sum_sq_counts"] == 13
+    assert out[1]["simpson_div_e6"] == 1_000_000 * 12 // 25
+    # doc 2: single token dominates completely → diversity 0
+    assert out[2]["sum_sq_counts"] == 16
+    assert out[2]["simpson_div_e6"] == 0
