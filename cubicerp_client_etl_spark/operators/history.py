@@ -158,3 +158,53 @@ def apply_changelog(
         .otherwise(F.lit("base"))
         .alias("src"),
     )
+
+
+def gap_fill_daily(
+    obs: DataFrame,
+    key: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-series densification + forward fill: expand each key's
+    sparse daily observations to a DENSE daily spine (every calendar
+    day between the key's first and last observation) and carry the
+    last observed value forward into the gaps — the resample/ffill
+    step every balance/inventory/metric warehouse needs before
+    window math (sparse rows make "value on day X" and trailing
+    averages silently wrong).
+
+    Input: one row per (key, day) — pre-aggregate duplicates away
+    first. Output: ``(key, day_col, value_col, is_observed)`` dense per
+    key.
+
+    Scale: the spine is generated per key with ``sequence()`` (map-side
+    flatMap off a tiny min/max aggregate — never a calendar cross
+    join); the fill is one ``last(ignorenulls)`` running window per
+    key. Shuffles: min/max agg + join + window, all keyed on ``key``
+    (AQE reuses the partitioning). Span explosion is bounded by
+    calendar days, not data volume.
+    """
+    from pyspark.sql import Window as W
+
+    bounds = obs.groupBy(key).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.expr(f"sequence(_d0, _d1, interval 1 day)")
+        ).alias(day_col),
+    )
+    joined = spine.join(obs, [key, day_col], "left")
+    w = (
+        W.partitionBy(key)
+        .orderBy(day_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        key,
+        day_col,
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNotNull().alias("is_observed"),
+    )

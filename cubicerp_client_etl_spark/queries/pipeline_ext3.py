@@ -597,3 +597,70 @@ def q132_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_duplicate_spans(docs, width=5)
+
+
+# --------------------------------------------------------------------------
+# q133 — time-series gap fill (I+ extension, resample/ffill): each
+# user's last purchase value per day, densified to every calendar day
+# between the user's first and last purchase and forward-filled — the
+# densification step that makes "value on day X" / trailing averages
+# correct on sparse data. Day surfaces as yyyy-MM-dd, value as exact
+# floor(value*1e6). Posture: spine via per-key sequence() off a tiny
+# min/max aggregate (never a calendar cross join); all three shuffles
+# keyed on user_id.
+# --------------------------------------------------------------------------
+@register(
+    "q133_gap_fill",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, day, val_e6 FROM (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(floor(value * 1000000) AS BIGINT) AS val_e6,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       last_value(o.val_e6 IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_e6,
+       o.val_e6 IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN obs o USING (user_id, day)
+""",
+)
+def q133_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cubicerp_client_etl_spark.operators.history import gap_fill_daily
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("val_e6"),
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        daily.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "day", "val_e6")
+    )
+    filled = gap_fill_daily(obs, key="user_id", day_col="day", value_col="val_e6")
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "val_e6",
+        "is_observed",
+    )

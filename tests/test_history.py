@@ -67,3 +67,28 @@ def test_hash_split_partition_independent(spark):
     assert a == b
     frac = sum(1 for v in a.values() if v == "test") / len(a)
     assert 0.10 < frac < 0.28  # ~3/16 expected
+
+
+def test_gap_fill_daily_dense_and_ffilled(spark):
+    import datetime as dt
+
+    from cubicerp_client_etl_spark.operators.history import gap_fill_daily
+
+    d = dt.date
+    obs = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), 10),
+            (1, d(2024, 1, 4), 40),  # 2-day gap
+            (2, d(2024, 2, 1), 7),  # single-day key
+        ],
+        "k long, day date, v long",
+    )
+    out = gap_fill_daily(obs, key="k", day_col="day", value_col="v").collect()
+    got = {(r["k"], str(r["day"])): (r["v"], r["is_observed"]) for r in out}
+    assert got == {
+        (1, "2024-01-01"): (10, True),
+        (1, "2024-01-02"): (10, False),
+        (1, "2024-01-03"): (10, False),
+        (1, "2024-01-04"): (40, True),
+        (2, "2024-02-01"): (7, True),
+    }

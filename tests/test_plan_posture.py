@@ -389,3 +389,13 @@ def test_q132_span_dedup_no_python_no_cartesian(spark):
     plan = plan_of(spark, "q132_span_dedup")
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q133_gap_fill_no_calendar_cross_join(spark):
+    """Gap fill (q133): the day spine comes from per-key sequence()
+    (map-side flatMap off the min/max aggregate) — no cross join with a
+    calendar table, no cartesian, and every shuffle keys on user_id."""
+    plan = plan_of(spark, "q133_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
