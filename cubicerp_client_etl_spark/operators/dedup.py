@@ -276,3 +276,116 @@ def remove_duplicate_spans(
         F.coalesce(F.size("_rm"), F.lit(0)).cast("bigint").alias("n_removed"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def setsim_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering
+    (the PPJoin/AllPairs family, Xiao et al. WWW'08 / Bayardo et al.
+    WWW'07) over ``shingle_n``-gram shingle sets — the lossless
+    scalable alternative to MinHash: no hash-family false negatives,
+    same equi-join shape.
+
+    ``threshold`` is an integer fraction ``(num, den)`` (J >= num/den),
+    so every decision is exact integer arithmetic: the verify test is
+    ``(den+num)·|∩| >= num·(|a|+|b|)`` and the prefix length is
+    ``|s| - ceil(num·|s|/den) + 1`` — bit-identical across engines.
+
+    Prefix principle (lossless): order the shingle universe globally by
+    (corpus frequency, shingle) — rarest first; a pair with J >= t must
+    share at least one shingle within BOTH sets' prefixes, so the
+    candidate join only explodes prefixes (rare shingles ⇒ few
+    collisions) instead of whole sets, plus the length filter
+    ``den·min >= num·max``. Verification is exact ``array_intersect``.
+
+    Output: ``(id_a, id_b, inter, uni, jaccard_e6)``, id_a < id_b.
+
+    Scale: shingle-frequency aggregate (vocab-sized), per-doc sort by
+    a broadcastable frequency table, prefix-keyed equi-join (the
+    MinHash-LSH bucket shape — AQE handles hot shingles), verify joins
+    keyed on doc id. No all-pairs stage anywhere.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    from cubicerp_client_etl_spark.operators.curation import shingles as _sh
+
+    toks = F.split(F.col(text_col), " ")
+    base = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(F.array_distinct(_sh(toks, shingle_n))).alias("_set"),
+        )
+        .filter(F.size("_set") > 0)
+        .withColumn("_sz", F.size("_set").cast("bigint"))
+    )
+
+    freq = (
+        base.select(F.explode("_set").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").alias("_f"))
+    )
+    # per-doc shingles ordered rarest-first; prefix length
+    # p = sz - ceil(num*sz/den) + 1  (exact integer ceil-div)
+    ordered = (
+        base.select("_id", "_sz", F.explode("_set").alias("_t"))
+        .join(freq, "_t")
+        .groupBy("_id", "_sz")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_f", "_t"))),
+                lambda s: s["_t"],
+            ).alias("_ord")
+        )
+        .withColumn(
+            "_p",
+            F.col("_sz")
+            - F.expr(f"({num} * _sz + {den} - 1) div {den}")
+            + F.lit(1),
+        )
+        .select(
+            "_id",
+            "_sz",
+            F.slice("_ord", 1, F.col("_p").cast("int")).alias("_pref"),
+        )
+    )
+    pref = ordered.select(
+        "_id", "_sz", F.explode("_pref").alias("_t")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._id") < F.col("b._id"))
+            # length filter: den*min >= num*max
+            & (den * F.least("a._sz", "b._sz") >= num * F.greatest("a._sz", "b._sz")),
+        )
+        .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+        .distinct()
+    )
+    sa = base.select(F.col("_id").alias("_ida"), F.col("_set").alias("_seta"),
+                     F.col("_sz").alias("_sza"))
+    sb = base.select(F.col("_id").alias("_idb"), F.col("_set").alias("_setb"),
+                     F.col("_sz").alias("_szb"))
+    verified = (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .withColumn(
+            "inter", F.size(F.array_intersect("_seta", "_setb")).cast("bigint")
+        )
+        .withColumn("uni", F.col("_sza") + F.col("_szb") - F.col("inter"))
+        .filter((den + num) * F.col("inter") >= num * (F.col("_sza") + F.col("_szb")))
+    )
+    return verified.select(
+        F.col("_ida").alias("id_a"),
+        F.col("_idb").alias("id_b"),
+        "inter",
+        "uni",
+        F.expr("1000000 * inter div uni").alias("jaccard_e6"),
+    )

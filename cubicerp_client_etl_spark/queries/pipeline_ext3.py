@@ -664,3 +664,51 @@ def q133_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val_e6",
         "is_observed",
     )
+
+
+# --------------------------------------------------------------------------
+# q134 — exact set-similarity self-join via prefix filtering (L-dedup,
+# PPJoin/AllPairs family): all document pairs with 3-gram shingle-set
+# Jaccard >= 1/2, found WITHOUT MinHash (lossless — no hash-family
+# false negatives) and WITHOUT all-pairs (candidates only where rare
+# prefix shingles collide + length filter). All threshold arithmetic
+# is the integer fraction (1,2), bit-identical across engines. The
+# oracle brute-forces the DEFINITION (explode join on any shared
+# shingle, exact integer test) — equality proves the prefix filter is
+# lossless on real data, not just in theory.
+# --------------------------------------------------------------------------
+@register(
+    "q134_setsim_join",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
+  FROM t WHERE len(tk) >= 3
+),
+f AS (
+  SELECT doc_id, unnest(ts) AS sh, len(ts) AS sz FROM s
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS inter,
+         CAST(ANY_VALUE(a.sz) AS BIGINT) AS sza,
+         CAST(ANY_VALUE(b.sz) AS BIGINT) AS szb
+  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter,
+       sza + szb - inter AS uni,
+       1000000 * inter // (sza + szb - inter) AS jaccard_e6
+FROM pairs
+WHERE 3 * inter >= sza + szb
+""",
+)
+def q134_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.dedup import setsim_join
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return setsim_join(docs, shingle_n=3, threshold=(1, 2))

@@ -142,3 +142,52 @@ def test_span_dedup_partition_independent(spark):
     a = sorted(map(tuple, remove_duplicate_spans(df).collect()))
     b = sorted(map(tuple, remove_duplicate_spans(df.repartition(7)).collect()))
     assert a == b
+
+
+# ---- prefix-filtered set-similarity join (q134) ---------------------------
+
+
+def test_setsim_join_matches_bruteforce(spark):
+    """Losslessness of the prefix filter: the operator's result must
+    equal brute-force exact Jaccard over all pairs on randomized-ish
+    docs (deterministic seed pattern)."""
+    from cubicerp_client_etl_spark.operators.dedup import setsim_join
+
+    rows = []
+    for i in range(60):
+        base = [f"w{(i * 7 + j * (1 + i % 5)) % 37}" for j in range(15)]
+        rows.append((i, " ".join(base)))
+        if i % 10 == 0:  # planted near-dup: one token changed
+            rows.append((1000 + i, " ".join(base[:-1] + ["zz"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in setsim_join(df, shingle_n=3, threshold=(1, 2)).collect()
+    }
+
+    # brute force in python
+    def sh(t):
+        tk = t.split(" ")
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    sets = {i: sh(t) for i, t in rows if len(t.split(" ")) >= 3}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            c = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if 2 * c >= u:
+                want[(a, b)] = (c, u)
+    assert got == want and len(want) >= 6  # the planted near-dups found
+
+
+def test_setsim_join_threshold_validation(spark):
+    from cubicerp_client_etl_spark.operators.dedup import setsim_join
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        setsim_join(df, threshold=(3, 2))

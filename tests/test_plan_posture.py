@@ -399,3 +399,11 @@ def test_q133_gap_fill_no_calendar_cross_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan
+
+
+def test_q134_setsim_no_allpairs(spark):
+    """Set-similarity join (q134): candidates come from the prefix
+    equi-join — no cartesian/nested-loop anywhere in the plan."""
+    plan = plan_of(spark, "q134_setsim_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
