@@ -155,3 +155,56 @@ def pagerank_int(
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def pointer_jump_roots(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    rounds: int = 5,
+) -> DataFrame:
+    """Resolve every node of a forest to its root + depth by POINTER
+    JUMPING (path doubling): each round replaces every node's pointer
+    with its pointer's pointer and adds the distances, so ``rounds``
+    iterations cover hierarchies up to depth ``2^rounds`` in
+    ``rounds`` self-joins — the scalable form of the recursive-CTE
+    ancestor walk (which needs one join PER LEVEL and at 100 TB a
+    12-level hierarchy costs 12 shuffles; doubling costs 4).
+
+    Input: one row per node, ``parent_col`` = parent id; ROOTS point to
+    themselves. Output: ``(node_col, root, depth)`` exact integers.
+
+    Roots are fixpoints (self-pointer, distance 0), so extra rounds are
+    harmless no-ops — choose ``rounds`` ≥ log2(max expected depth).
+    Each round is one equi-join keyed on the pointer (AQE-managed);
+    lineage is cut per round with localCheckpoint, the
+    ``connected_components`` discipline.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    cur = nodes.select(
+        F.col(node_col).alias("_n"),
+        F.col(parent_col).cast("long").alias("_p"),
+        F.when(F.col(parent_col) == F.col(node_col), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("_d"),
+    )
+    for _ in range(rounds):
+        m = cur.select(
+            F.col("_n").alias("_mn"), F.col("_p").alias("_mp"), F.col("_d").alias("_md")
+        )
+        cur = (
+            cur.join(m, cur["_p"] == m["_mn"])
+            .select(
+                "_n",
+                F.col("_mp").alias("_p"),
+                (F.col("_d") + F.col("_md")).alias("_d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select(
+        F.col("_n").alias(node_col),
+        F.col("_p").alias("root"),
+        F.col("_d").alias("depth"),
+    )

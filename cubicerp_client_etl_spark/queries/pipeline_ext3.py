@@ -712,3 +712,37 @@ def q134_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return setsim_join(docs, shingle_n=3, threshold=(1, 2))
+
+
+# --------------------------------------------------------------------------
+# q135 — hierarchy resolution by pointer jumping (C-family extension):
+# customers form a synthetic forest (parent = custkey div 8; keys < 8
+# are roots) — the account/org/BOM-hierarchy shape every warehouse
+# eventually rolls up. Doubling reaches depth 2^rounds in `rounds`
+# joins (the recursive-CTE walk needs one join per LEVEL); the oracle
+# IS that per-level recursive CTE, so equality also checks the
+# doubling algebra (root fixpoints, distance addition) exactly.
+# --------------------------------------------------------------------------
+@register(
+    "q135_hierarchy_roots",
+    oracle="""
+WITH RECURSIVE w AS (
+  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, cur // 8, depth + 1 FROM w WHERE cur >= 8
+)
+SELECT node, CAST(cur AS BIGINT) AS root, depth
+FROM w WHERE cur < 8
+""",
+)
+def q135_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.graph import pointer_jump_roots
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") >= 8, F.expr("c_custkey div 8"))
+        .otherwise(F.col("c_custkey"))
+        .alias("parent"),
+    )
+    return pointer_jump_roots(cust, node_col="node", parent_col="parent", rounds=4)

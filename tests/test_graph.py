@@ -62,3 +62,27 @@ def test_pagerank_int_invariants(spark):
     # bit-determinism: a second run is identical
     r2 = {row.node: row.units for row in pagerank_int(edges, iterations=5).collect()}
     assert r == r2
+
+
+def test_pointer_jump_resolves_deep_chain(spark):
+    from cubicerp_client_etl_spark.operators.graph import pointer_jump_roots
+
+    # chain 0<-1<-2<-...<-12 (depth 12) plus a separate root 100
+    rows = [(0, 0), (100, 100)] + [(i, i - 1) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    out = {r["node"]: (r["root"], r["depth"]) for r in
+           pointer_jump_roots(df, rounds=4).collect()}
+    assert out[0] == (0, 0)
+    assert out[12] == (0, 12)  # depth 12 < 2^4
+    assert out[100] == (100, 0)
+    assert out[5] == (0, 5)
+
+
+def test_pointer_jump_rounds_beyond_depth_are_noops(spark):
+    from cubicerp_client_etl_spark.operators.graph import pointer_jump_roots
+
+    rows = [(0, 0), (1, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    a = sorted(map(tuple, pointer_jump_roots(df, rounds=2).collect()))
+    b = sorted(map(tuple, pointer_jump_roots(df, rounds=6).collect()))
+    assert a == b == [(0, 0, 0), (1, 0, 1), (2, 0, 2)]
