@@ -746,3 +746,79 @@ def q135_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent"),
     )
     return pointer_jump_roots(cust, node_col="node", parent_col="parent", rounds=4)
+
+
+# --------------------------------------------------------------------------
+# q136 — ordered funnel analysis (E-family extension, the
+# MATCH_RECOGNIZE shape): per user with at least one 'view', the first
+# view, the first 'click' strictly after it, the first 'purchase'
+# strictly after that; reached_stage = how far the user got.
+# Implemented as staged conditional-MIN aggregations joined on user_id
+# — every shuffle shares the key and no per-user event array is ever
+# materialized, so a billion-event power user costs per-row work only
+# (the collect-per-user alternative caps at executor memory). Stage
+# values are min timestamps, so determinism needs no tie-breaking.
+# --------------------------------------------------------------------------
+@register(
+    "q136_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t1, c.t2, p.t3,
+       CAST(1 + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS reached_stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+)
+def q136_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    out = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return out.select(
+        "user_id",
+        "t1",
+        "t2",
+        "t3",
+        (
+            F.lit(1)
+            + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("reached_stage"),
+    )

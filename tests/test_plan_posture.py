@@ -407,3 +407,13 @@ def test_q134_setsim_no_allpairs(spark):
     plan = plan_of(spark, "q134_setsim_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q136_funnel_all_shuffles_on_user(spark):
+    """Funnel (q136): staged conditional mins — no window over
+    unbounded event arrays, no cartesian; aggregates show map-side
+    partial min."""
+    plan = plan_of(spark, "q136_funnel")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "CollectList" not in plan and "collect_list" not in plan
