@@ -822,3 +822,54 @@ def q136_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reached_stage"),
     )
+
+
+# --------------------------------------------------------------------------
+# q137 — cohort retention matrix (D-family extension): users cohorted
+# by first-signup week; for each later week offset, how many of the
+# cohort were active (any event). The third classic engagement shape
+# next to DAU (q092) and funnels (q136). Weeks are integer epoch-day
+# div 7 (no timezone/week-start ambiguity across engines). Two keyed
+# shuffles (per-user cohort, then cohort-week rollup); the activity
+# join is user-keyed.
+# --------------------------------------------------------------------------
+@register(
+    "q137_cohort_retention",
+    oracle="""
+WITH su AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 86400000000 // 7) AS cohort_wk
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, su.cohort_wk,
+         (epoch_us(e.ts) // 86400000000 // 7) - su.cohort_wk AS wk_offset
+  FROM events e JOIN su USING (user_id)
+  WHERE (epoch_us(e.ts) // 86400000000 // 7) >= su.cohort_wk
+)
+SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+       CAST(wk_offset AS BIGINT) AS wk_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM act GROUP BY cohort_wk, wk_offset
+""",
+)
+def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000 div 7").alias("wk"),
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    act = (
+        ev.join(su, "user_id")
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"))
+        .distinct()
+    )
+    return act.groupBy("cohort_wk", "wk_offset").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
