@@ -207,3 +207,49 @@ def test_repetition_simpson_diversity_exact(spark):
     # doc 2: single token dominates completely → diversity 0
     assert out[2]["sum_sq_counts"] == 16
     assert out[2]["simpson_div_e6"] == 0
+
+
+# ---- property tests (hypothesis) ------------------------------------------
+
+
+def test_chunking_properties_randomized(spark):
+    """Chunk invariants over randomized doc lengths: chunk count
+    formula, full coverage (every token in >=1 chunk), stride spacing,
+    ragged tail only at the end."""
+    import random
+
+    rng = random.Random(42)
+    lengths = [rng.randint(1, 200) for _ in range(30)]
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = _docs(spark, rows)
+    C, S = 32, 24
+    out = {}
+    for r in chunk_documents(df, chunk_size=C, stride=S).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_tokens"]))
+    for i, n in enumerate(lengths):
+        chunks = sorted(out[i])
+        want = 1 if n <= C else 1 + -(-(n - C) // S)
+        assert len(chunks) == want, (n, chunks)
+        # coverage: last chunk must reach token n
+        last_idx, last_len = chunks[-1]
+        assert last_idx * S + last_len == n
+        # all but last are full C (when n > C)
+        for idx, ln in chunks[:-1]:
+            assert ln == C
+
+
+def test_shingle_count_property(spark):
+    import random
+
+    rng = random.Random(7)
+    lengths = [rng.randint(1, 40) for _ in range(20)]
+    rows = [(i, " ".join(f"x{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = _docs(spark, rows)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(shingles(F.split("text", " "), 5)).alias("n")
+        ).collect()
+    }
+    for i, n in enumerate(lengths):
+        assert got[i] == (n - 4 if n >= 5 else 0)
