@@ -158,3 +158,63 @@ def rate_cap_per_group(
         .filter(h < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    total_n: int,
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY ``total_n`` rows, allocated across groups proportionally
+    to group size by the largest-remainder (Hamilton) method, selected
+    within each group by smallest ``md5(key || '|' || seed)`` — the
+    deterministic form of stratified sampling ("give me exactly 100k
+    docs, same language mix as the corpus").
+
+    Quota arithmetic is exact integers: ``base_g = total_n·size_g div
+    total``; the ``total_n - Σbase`` leftover seats go to the largest
+    remainders ``(total_n·size_g) mod total`` (ties by group value —
+    fully ordered, engine-portable). Selection reuses the keyed-hash
+    rank of ``cap_per_group``.
+
+    Scale: quota computation runs on the group-cardinality table (tiny
+    by definition — single partition is fine and bounded); selection is
+    one row_number window per group over the data. Groups smaller than
+    their quota cap at their size (the shortfall is NOT redistributed —
+    callers wanting that run a second pass on the residue).
+    """
+    if total_n < 0:
+        raise ValueError("total_n must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_gc"))
+    tot = counts.agg(F.sum("_gc").alias("_tot"))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "_gc",
+        F.expr(f"CAST({total_n} AS BIGINT) * _gc div _tot").alias("_base"),
+        F.expr(f"(CAST({total_n} AS BIGINT) * _gc) % _tot").alias("_rem"),
+    )
+    wr = Window.orderBy(F.col("_rem").desc(), F.col(group_col).asc())
+    # leftover seats = total_n - Σbase; rank groups by remainder (the
+    # window is over the GROUP table — bounded rows, single partition OK)
+    leftover = F.lit(total_n).cast("bigint") - F.sum("_base").over(
+        Window.partitionBy()
+    )
+    quotas = alloc.select(
+        group_col,
+        (
+            F.col("_base")
+            + F.when(F.row_number().over(wr) <= leftover, 1).otherwise(0)
+        ).alias("_quota"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + seed))), 1, 16
+    )
+    wg = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

@@ -873,3 +873,58 @@ def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_wk", "wk_offset").agg(
         F.count("*").cast("bigint").alias("n_active")
     )
+
+
+# --------------------------------------------------------------------------
+# q138 — exact stratified sample (L-pipeline): EXACTLY 120 documents,
+# allocated across languages proportionally by largest-remainder
+# (Hamilton) quotas, selected per group by keyed hash — "same mix as
+# the corpus, exact total". All integer arithmetic (base = n·gc div
+# tot, leftovers to largest remainders, ties by group value), so the
+# oracle replays the allocation exactly. The quota window runs over
+# the group-cardinality table (bounded); the data pass is one
+# per-group rank window.
+# --------------------------------------------------------------------------
+_STRAT_N = 120
+
+
+@register(
+    "q138_stratified_sample",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS gc FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(gc) AS t FROM counts),
+alloc AS (
+  SELECT lang, gc,
+         {_STRAT_N} * gc // t AS base,
+         ({_STRAT_N} * gc) % t AS rem
+  FROM counts, tot
+),
+quotas AS (
+  SELECT lang,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+                       <= {_STRAT_N} - (SELECT SUM(base) FROM alloc)
+                     THEN 1 ELSE 0 END AS quota
+  FROM alloc
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|strat1'), 1, 16),
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.rn <= q.quota
+""",
+)
+def q138_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sampling import stratified_sample_exact
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample_exact(
+        docs, group_col="lang", key_col="doc_id", total_n=_STRAT_N, seed="strat1"
+    )

@@ -46,3 +46,46 @@ def test_weighted_mixture_realizes_blend(spark):
     assert got.get("a") == 10000  # rate 1.0 keeps every row exactly
     assert "c" not in got  # rate 0.0 drops all
     assert abs(got.get("b", 0) / 10000 - 0.5) < 0.03
+
+
+def test_stratified_exact_total_and_proportions(spark):
+    from cubicerp_client_etl_spark.operators.sampling import stratified_sample_exact
+
+    # groups 600/300/100 → quotas for n=50: base 30/15/5, no leftover
+    rows = []
+    for g, n in (("a", 600), ("b", 300), ("c", 100)):
+        rows += [(hash((g, i)) % 10**9 + i * 10**9, g) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = stratified_sample_exact(df, "g", "k", total_n=50, seed="s").collect()
+    by_g = {}
+    for r in out:
+        by_g[r["g"]] = by_g.get(r["g"], 0) + 1
+    assert sum(by_g.values()) == 50
+    assert by_g == {"a": 30, "b": 15, "c": 5}
+
+
+def test_stratified_largest_remainder_seats(spark):
+    from cubicerp_client_etl_spark.operators.sampling import stratified_sample_exact
+
+    # sizes 5/5/5, n=7: base 2 each (6), one leftover seat to the
+    # largest remainder — all remainders equal → tie-break by group
+    # value ascending gives the seat to 'a'
+    rows = [(g * 100 + i, chr(ord("a") + g)) for g in range(3) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = stratified_sample_exact(df, "g", "k", total_n=7, seed="t").collect()
+    by_g = {}
+    for r in out:
+        by_g[r["g"]] = by_g.get(r["g"], 0) + 1
+    assert sum(by_g.values()) == 7
+    assert by_g["a"] == 3 and by_g["b"] == 2 and by_g["c"] == 2
+
+
+def test_stratified_deterministic_under_partitioning(spark):
+    from cubicerp_client_etl_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(i, f"g{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    a = {r["k"] for r in stratified_sample_exact(df, "g", "k", 40, "z").collect()}
+    b = {r["k"] for r in
+         stratified_sample_exact(df.repartition(9), "g", "k", 40, "z").collect()}
+    assert a == b and len(a) == 40
