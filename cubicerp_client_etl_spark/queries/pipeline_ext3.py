@@ -928,3 +928,71 @@ def q138_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(
         docs, group_col="lang", key_col="doc_id", total_n=_STRAT_N, seed="strat1"
     )
+
+
+# --------------------------------------------------------------------------
+# q139 — frequent co-occurrence mining (D-family extension, the
+# market-basket 2-itemset shape with the Apriori prune): token pairs
+# appearing together in >= 20% of documents, with both tokens
+# individually frequent first (monotonicity: an infrequent token can't
+# be in a frequent pair — the prune that keeps the pair join from
+# exploding on a 100 TB corpus with a Zipf vocabulary). Support
+# threshold is exact integer arithmetic (5·support >= n_docs). Pair
+# generation is a doc-keyed self-join of the FILTERED token list, so
+# pair fan-out is bounded by frequent-tokens-per-doc squared, not
+# vocabulary squared.
+# --------------------------------------------------------------------------
+@register(
+    "q139_cooccurrence",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+tok AS (
+  SELECT doc_id, unnest(ts) AS t FROM d
+),
+freq AS (
+  SELECT t FROM tok, n GROUP BY t, n.n_docs
+  HAVING 5 * COUNT(*) >= n_docs
+),
+ft AS (
+  SELECT doc_id, t FROM tok WHERE t IN (SELECT t FROM freq)
+),
+pairs AS (
+  SELECT a.t AS tok_a, b.t AS tok_b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT tok_a, tok_b, support
+FROM pairs, n
+WHERE 5 * support >= n.n_docs
+""",
+)
+def q139_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    tok = docs.select("doc_id", F.explode("ts").alias("t"))
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(5 * F.col("_df") >= F.col("n_docs"))
+        .select("t")
+    )
+    ft = tok.join(F.broadcast(freq), "t")
+    a = ft.select(F.col("doc_id"), F.col("t").alias("tok_a"))
+    b = ft.select(F.col("doc_id"), F.col("t").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .filter(5 * F.col("support") >= F.col("n_docs"))
+        .select("tok_a", "tok_b", "support")
+    )
