@@ -1,0 +1,64 @@
+"""Distributed exact prefix sum (scan) — the scalable replacement for
+a single-partition global ``SUM() OVER (ORDER BY ...)`` window.
+
+A global ordered cumsum is the one aggregate Catalyst cannot
+parallelize as written: ``Window.orderBy(...)`` with no partition key
+moves EVERY row to one partition (the WindowExec warning — a
+scale-killer past dimension-table sizes). The classic two-phase scan
+fixes it:
+
+1. ``repartitionByRange`` on the scan order — each partition holds a
+   contiguous, ordered slice (reservoir-sampled boundaries absorb
+   skew);
+2. a per-partition running sum (window keyed on the partition id — the
+   shuffle is bounded and preserves slice locality);
+3. partition totals (one tiny aggregate, rows = #partitions) turned
+   into per-partition OFFSETS by a cumsum over that bounded table,
+   broadcast back and added.
+
+Exactness: keep the value in DECIMAL through every step — decimal
+addition is associative under any grouping, so the result is
+bit-identical to the single-partition form and to the oracle's global
+window. Requires a TOTAL order (pass tie-breaker columns), otherwise
+boundary placement of tied rows changes their cumulative values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exact running total of ``value_col`` in ``order_by`` order (must
+    be a total order), computed with the two-phase distributed scan.
+    Adds ``out_col``; preserves all input columns."""
+    ranged = df.repartitionByRange(*order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local", F.sum(value_col).over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    # the offsets window runs over #partitions rows — bounded, single
+    # partition is fine here by construction
+    w_off = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vtype = dict(df.dtypes)[value_col]
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0).cast(vtype)).alias("_off"),
+    )
+    joined = local.join(F.broadcast(offsets), "_pid")
+    return joined.withColumn(out_col, F.col("_local") + F.col("_off")).drop(
+        "_pid", "_local", "_off"
+    )

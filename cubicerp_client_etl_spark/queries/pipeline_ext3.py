@@ -996,3 +996,63 @@ def q139_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(5 * F.col("support") >= F.col("n_docs"))
         .select("tok_a", "tok_b", "support")
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — Pareto revenue concentration (F/E-family scale showcase):
+# parts ranked by revenue desc with an EXACT running revenue total
+# computed by the two-phase distributed scan (operators/prefix.py) —
+# never a single-partition global window — and the 80%-of-revenue flag
+# decided in pure decimal arithmetic (5·cum <= 4·total). Decimal
+# addition is associative, so the distributed scan is bit-identical to
+# the oracle's global window; (rev desc, partkey) is a total order so
+# partition boundaries can't reorder ties.
+# --------------------------------------------------------------------------
+@register(
+    "q140_pareto_scan",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+),
+scan AS (
+  SELECT l_partkey, rev_dec,
+         SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+         SUM(rev_dec) OVER () AS tot_dec
+  FROM rev
+)
+SELECT l_partkey,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(cum_dec AS DOUBLE) AS cum_revenue,
+       (5 * cum_dec <= 4 * tot_dec) AS in_top80
+FROM scan
+""",
+)
+def q140_pareto_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import dec
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("rev_dec")
+    )
+    scanned = prefix_sum(
+        rev,
+        order_by=[F.col("rev_dec").desc(), F.col("l_partkey").asc()],
+        value_col="rev_dec",
+        out_col="cum_dec",
+    )
+    total = rev.agg(F.sum("rev_dec").alias("tot_dec"))
+    return (
+        scanned.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("cum_dec").cast("double").alias("cum_revenue"),
+            (F.lit(5) * F.col("cum_dec") <= F.lit(4) * F.col("tot_dec")).alias(
+                "in_top80"
+            ),
+        )
+    )

@@ -92,3 +92,24 @@ def test_gap_fill_daily_dense_and_ffilled(spark):
         (1, "2024-01-04"): (40, True),
         (2, "2024-02-01"): (7, True),
     }
+
+
+def test_prefix_sum_matches_naive_window(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum
+
+    rows = [(i, ((i * 37) % 100) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").select(
+        "k", F.col("v").cast("decimal(18,4)").alias("v")
+    )
+    got = {
+        r["k"]: r["cum"]
+        for r in prefix_sum(df, [F.col("v").desc(), F.col("k").asc()], "v").collect()
+    }
+    w = W.orderBy(F.col("v").desc(), F.col("k").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want

@@ -417,3 +417,14 @@ def test_q136_funnel_all_shuffles_on_user(spark):
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
     assert "CollectList" not in plan and "collect_list" not in plan
+
+
+def test_q140_scan_avoids_global_single_partition_window(spark):
+    """Pareto scan (q140): the data-sized cumsum must run keyed on the
+    range-partition id — the only unpartitioned windows in the plan are
+    over the bounded partition-totals table. Assert the data window is
+    partitioned (a windowspecdefinition with _pid) and the plan has no
+    cartesian."""
+    plan = plan_of(spark, "q140_pareto_scan")
+    assert "_pid" in plan  # per-slice running sum keyed on partition id
+    assert "CartesianProduct" not in plan
