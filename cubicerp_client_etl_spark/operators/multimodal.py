@@ -109,7 +109,10 @@ def extract_features(df: DataFrame, n_features: int = 8, fake: bool = True) -> D
                     for px in pixels:
                         hist[(px * n_features) // 256] += 1
                     total = max(len(pixels), 1)
-                feats.append([round(h / total, 6) for h in hist])
+                # plain IEEE-754 division, no rounding: the ratio is then
+                # bit-identical in any engine that divides the same ints
+                # (DuckDB oracle replays it exactly for the fake path)
+                feats.append([h / total for h in hist])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

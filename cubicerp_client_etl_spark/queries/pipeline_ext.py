@@ -364,14 +364,56 @@ def q040_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q041 — multimodal feature extraction through mapInPandas (the Arrow
-# batch path). Stubbed decoder (deterministic byte-histogram features) →
-# rows-only check; unit tests pin exact feature values.
+# batch path). The stubbed decoder is a deterministic byte-histogram
+# (bucket = byte % 8, mass = count/len as plain IEEE division), so DuckDB
+# can replay it exactly over the pure-ASCII fixture text (bytes == chars,
+# verified across SFs like q042). Features are projected to per-feature
+# scalar columns — window queries return scalars only (driver
+# canonicalizer can't sort array cells).
 # --------------------------------------------------------------------------
-@register("q041_multimodal_features", oracle=None)
+@register(
+    "q041_multimodal_features",
+    oracle="""
+WITH hist AS (
+  SELECT d.doc_id,
+         ascii(substr(d.text, CAST(t.i AS INT), 1)) % 8 AS bucket,
+         COUNT(*) AS c
+  FROM documents d, UNNEST(range(1, length(d.text) + 1)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       'text/plain' AS media_type,
+       octet_length(encode(d.text)) AS byte_len,
+       COALESCE(MAX(CASE WHEN bucket = 0 THEN c END), 0)
+         / CAST(greatest(length(d.text), 1) AS DOUBLE) AS f0,
+       COALESCE(MAX(CASE WHEN bucket = 1 THEN c END), 0)
+         / CAST(greatest(length(d.text), 1) AS DOUBLE) AS f1,
+       COALESCE(MAX(CASE WHEN bucket = 2 THEN c END), 0)
+         / CAST(greatest(length(d.text), 1) AS DOUBLE) AS f2,
+       COALESCE(MAX(CASE WHEN bucket = 3 THEN c END), 0)
+         / CAST(greatest(length(d.text), 1) AS DOUBLE) AS f3,
+       COALESCE(MAX(CASE WHEN bucket = 4 THEN c END), 0)
+         / CAST(greatest(length(d.text), 1) AS DOUBLE) AS f4,
+       COALESCE(MAX(CASE WHEN bucket = 5 THEN c END), 0)
+         / CAST(greatest(length(d.text), 1) AS DOUBLE) AS f5,
+       COALESCE(MAX(CASE WHEN bucket = 6 THEN c END), 0)
+         / CAST(greatest(length(d.text), 1) AS DOUBLE) AS f6,
+       COALESCE(MAX(CASE WHEN bucket = 7 THEN c END), 0)
+         / CAST(greatest(length(d.text), 1) AS DOUBLE) AS f7
+FROM documents d LEFT JOIN hist USING (doc_id)
+GROUP BY d.doc_id, d.text
+""",
+)
 def q041_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
-    return extract_features(with_payload, n_features=8, fake=True).orderBy("doc_id")
+    feats = extract_features(with_payload, n_features=8, fake=True)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
