@@ -8,12 +8,19 @@ Prints ONE JSON line:
 Each query is timed end-to-end (plan + execute + count-style consume) on
 a warm session; the session itself (JVM startup) is excluded — that's
 harness cost, not engine cost.
+
+Per-query times are MEDIANS over $SPARK_GRAFT_BENCH_RUNS runs (default
+5): at sub-2 s per query, single-shot numbers are dominated by run-to-run
+noise (GC, JIT, page cache) — round 2 saw a +20% "regression" on an
+unchanged plan from n=1 sampling. The JSON adds a "spread" map
+(max-min per query) so noise is visible, keeping the one-line contract.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,14 +57,23 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass  # warm-up is best-effort; timing still valid without it
-    timings: dict[str, float] = {}
-    for name in names:
-        q = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = q.fn(spark, SF_DIR)
-        # consume the full result without driver-materializing rows
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    # round-robin the repeats (run 1 of every query, then run 2, ...) so
+    # a transient hiccup (GC pause, compaction) lands on different
+    # queries in different passes instead of poisoning one query's
+    # entire sample
+    for _ in range(n_runs):
+        for name in names:
+            q = REGISTRY[name]
+            t0 = time.perf_counter()
+            df = q.fn(spark, SF_DIR)
+            # consume the full result without driver-materializing rows
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -65,6 +81,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

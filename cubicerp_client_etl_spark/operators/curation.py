@@ -212,12 +212,15 @@ def chunk_documents(
         raise ValueError("chunk_size and stride must be >= 1")
     toks = _toks(text_col)
     n = F.size(toks).cast("bigint")
-    # exact integer ceil-div: (n - chunk_size + stride - 1) div stride
+    # exact integer ceil-div on the SAME `n` expression as the slice
+    # below (no re-derived SQL-string token count — a splice of the raw
+    # column name breaks on names needing backticks and can drift from
+    # the Column-API tokenization). floor-div of non-negative ints:
+    # ceil((n - chunk_size) / stride) == (n - chunk_size + stride - 1) div stride
     n_chunks = F.when(n <= F.lit(chunk_size), F.lit(1).cast("bigint")).otherwise(
         F.lit(1).cast("bigint")
-        + F.expr(
-            f"(size(split({text_col}, ' ')) - {chunk_size} + {stride} - 1) "
-            f"div {stride}"
+        + F.floor((n - F.lit(chunk_size) + F.lit(stride - 1)) / F.lit(stride)).cast(
+            "bigint"
         )
     )
     exploded = docs.select(
@@ -289,7 +292,11 @@ def compression_ratio(
     map — no shuffle, no state; CPU-bound at ~100 MB/s/core, which at
     100 TB is embarrassingly parallel compressor work.
     """
-    out_schema = f"{id_col} long, raw_len long, zlib_len long, ratio_e6 long"
+    # the id column passes through untouched, so its output type is
+    # whatever the input has (string ids, ints of any width) — not a
+    # hardcoded long
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, raw_len long, zlib_len long, ratio_e6 long"
 
     def batches(it):
         import zlib

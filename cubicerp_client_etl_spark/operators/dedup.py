@@ -39,27 +39,50 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature: (id, h0..h{k-1}).
 
     One explode + one groupBy with k min-aggregates — a single shuffle on
-    the document id. Hash family: xxhash64(shingle, seed_i), deterministic
-    across runs and cluster layouts.
+    the document id.
+
+    Hash family: the default is xxhash64(shingle, seed_i) — the fast
+    JVM-native path, deterministic across runs and cluster layouts.
+    ``portable=True`` switches to ``md5(shingle || '|' || i)`` compared
+    AS A STRING: the min over a uniformly-distributed hex string is just
+    as valid a MinHash (any total order over a uniform hash family
+    works), and md5+string-min is bit-identically replayable in any
+    engine (the DuckDB oracle for the window query replays it exactly).
+    ~2-3× slower than xxhash64 — use the default in production.
     """
     sh = (
         df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
         .distinct()
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if portable:
+        aggs = [
+            F.min(F.md5(F.concat(F.col("__sh"), F.lit(f"|{i}")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signature and self-join on (band_id, band_hash): documents
     agreeing on any full band become a candidate pair. Returns distinct
@@ -68,13 +91,23 @@ def lsh_candidate_pairs(
     The self-join key is (band_id, band_hash) — high cardinality, so the
     shuffle is well-spread; hot buckets (boilerplate docs) are the one
     skew risk, handled by AQE skew-join splitting.
+
+    ``portable=True`` pairs with ``minhash_signatures(portable=True)``:
+    the band key becomes ``md5(h_i || '|' || … )`` over the band's
+    string minhashes — engine-replayable (two docs collide iff the band's
+    minhash tuples are equal, in either family).
     """
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bh = (
+            F.md5(F.concat_ws("|", *cols))
+            if portable
+            else F.xxhash64(*cols)
+        )
         band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
+            F.struct(F.lit(b).alias("band_id"), bh.alias("band_hash"))
         )
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
@@ -184,6 +217,44 @@ def simhash_bits(text_col: Column | str, n_bits: int = 64) -> Column:
     return F.array_join(bits, "")
 
 
+def simhash_bits_portable(text_col: Column | str, n_bits: int = 16) -> Column:
+    """Engine-portable SimHash fingerprint as an ``n_bits``-char
+    '0'/'1' string.
+
+    Same vote semantics as ``simhash_bits`` (per bit: sum ±1 over token
+    hashes, keep the sign), but the per-bit hash family is
+    ``md5(token || '|' || i)`` with the ±1 drawn from the top bit of the
+    first hex digit (char >= '8' ⇔ bit set — uniform Bernoulli(½)).
+    Tokens vote with multiplicity (no distinct), matching the xxhash64
+    variant. Exact integer vote counting means any engine that computes
+    the same md5 strings produces the identical fingerprint — the DuckDB
+    oracle replays it bit-for-bit, which the xxhash64 family can't do
+    (xxhash64 exists only in Spark).
+
+    Cost: ``n_bits`` md5 calls per token vs one xxhash64 + mask
+    arithmetic — keep ``simhash_bits`` for production; this is the
+    cross-engine-checkable variant (and the default window query).
+    Map-only, whole-stage codegen; no shuffle, no Python.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n_toks = F.size(toks).cast("long")
+
+    def vote(i: int):
+        # factory, not a default arg: PySpark derives HOF arity from the
+        # Python signature INCLUDING defaults, so `lambda t, i=i` would
+        # be called as (element, index) and shadow the seed
+        return lambda t: (
+            F.substring(F.md5(F.concat(t, F.lit(f"|{i}"))), 1, 1) >= F.lit("8")
+        )
+
+    bits = []
+    for i in range(n_bits):
+        ones = F.size(F.filter(toks, vote(i))).cast("long")
+        bits.append(F.when(ones * 2 > n_toks, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
     """Hamming distance between two equal-length '0'/'1' fingerprints."""
     return F.size(
@@ -217,17 +288,24 @@ def remove_duplicate_spans(
     partition-/retry-independent and engine-portable (oracle replays
     it exactly).
 
-    Scale posture: one window over the shingle key (rank + global
-    count in the same pass — this IS the skew point: an ultra-hot
-    boilerplate shingle lands its occurrence list on one partition;
-    AQE absorbs moderate cases, and the standard mitigation — count
-    shingles first, salt or cap the pathological top — composes in
-    front of this operator), one span-explode + per-doc distinct
-    aggregate, one join back keyed on ``id_col``. Everything else is
-    map-side Catalyst HOFs; no Python anywhere.
+    Scale posture — SKEW-FREE BY CONSTRUCTION (closes the round-2
+    documented watch item): the keeper decision needs only "is this
+    occurrence the global first?" and "does the shingle repeat?", both
+    of which are PARTIAL AGGREGATES — ``count(*)`` and
+    ``min(struct(doc_id, pos))`` per shingle — so an ultra-hot
+    boilerplate shingle ("all rights reserved …" × 10⁹) map-side
+    combines down to one row per input partition instead of piling its
+    whole occurrence list onto one window partition (the earlier
+    ``row_number`` formulation's failure mode). The join back from
+    occurrences to the duplicated-shingle table is keyed on the shingle
+    — skewed keys there are split by AQE skew-join handling, which
+    applies to joins but never to windows; the table is also
+    pre-filtered to ``count > 1`` (duplicated shingles only), typically
+    a small fraction of the vocabulary. Then one span-explode + per-doc
+    distinct aggregate, one join back keyed on ``id_col``. Everything
+    else is map-side Catalyst HOFs; no Python anywhere. Posture pinned
+    (no Window over the shingle key) in tests/test_plan_posture.py.
     """
-    from pyspark.sql import Window as W
-
     if width < 1:
         raise ValueError("width must be >= 1")
     from cubicerp_client_etl_spark.operators.curation import shingles
@@ -240,14 +318,20 @@ def remove_duplicate_spans(
         F.posexplode(shingles(F.col("_t"), width)).alias("_p0", "_v"),
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_v")  # 1-based starts
 
-    w = W.partitionBy("_v").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    ranked = sh.select(
-        id_col,
-        "pos",
-        F.row_number().over(w).alias("_rn"),
-        F.count("*").over(W.partitionBy("_v")).alias("_c"),
+    dup = (
+        sh.groupBy("_v")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .filter(F.col("_c") > 1)
     )
-    marked = ranked.filter((F.col("_c") > 1) & (F.col("_rn") > 1))
+    marked = sh.join(dup, "_v").filter(
+        ~(
+            (F.col(id_col) == F.col("_first")[id_col])
+            & (F.col("pos") == F.col("_first")["pos"])
+        )
+    )
 
     removed = (
         marked.select(
@@ -278,12 +362,37 @@ def remove_duplicate_spans(
     )
 
 
+def shingle_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Corpus-wide shingle frequency table ``(shingle, n_docs)`` —
+    the observability companion to ``setsim_join``'s ``hot_cap``:
+    inspect the tail (``.orderBy(F.desc("n_docs")).limit(50)``) to see
+    which boilerplate n-grams dominate and pick a cap.
+
+    One explode + one count aggregate with map-side combine — an
+    ultra-hot shingle reduces to one row per input partition before
+    the shuffle, so the aggregate itself is skew-immune.
+    """
+    from cubicerp_client_etl_spark.operators.curation import shingles as _sh
+
+    toks = F.split(F.col(text_col), " ")
+    return (
+        docs.select(F.explode(F.array_distinct(_sh(toks, shingle_n))).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def setsim_join(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: tuple[int, int] = (1, 2),
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard set-similarity self-join via prefix filtering
     (the PPJoin/AllPairs family, Xiao et al. WWW'08 / Bayardo et al.
@@ -305,14 +414,30 @@ def setsim_join(
 
     Output: ``(id_a, id_b, inter, uni, jaccard_e6)``, id_a < id_b.
 
-    Scale: shingle-frequency aggregate (vocab-sized), per-doc sort by
-    a broadcastable frequency table, prefix-keyed equi-join (the
-    MinHash-LSH bucket shape — AQE handles hot shingles), verify joins
-    keyed on doc id. No all-pairs stage anywhere.
+    ``hot_cap`` (opt-in, LOSSY): drop shingles appearing in more than
+    ``hot_cap`` documents from the shingle universe before any join —
+    the standard boilerplate mitigation ("all rights reserved …" in
+    10⁹ docs contributes |occ|² candidate pairs through the prefix
+    join while carrying ~zero similarity signal). Jaccard is then
+    computed over the CAPPED universe — exact and engine-portable for
+    that universe (the cap is an integer doc-frequency filter any
+    engine replays), but values differ from the uncapped join by
+    construction; leave ``hot_cap=None`` when exact full-universe
+    Jaccard is required. Documents whose entire set is boilerplate
+    drop out (same as empty docs).
+
+    Scale: shingle-frequency aggregate (vocab-sized, map-side
+    combine), per-doc sort by a broadcastable frequency table,
+    prefix-keyed equi-join (the MinHash-LSH bucket shape — AQE handles
+    hot shingles; with ``hot_cap`` the pathological keys never reach
+    the join at all), verify joins keyed on doc id. No all-pairs stage
+    anywhere.
     """
     num, den = threshold
     if not (0 < num <= den):
         raise ValueError("threshold must be a fraction in (0, 1]")
+    if hot_cap is not None and hot_cap < 1:
+        raise ValueError("hot_cap must be >= 1")
     from cubicerp_client_etl_spark.operators.curation import shingles as _sh
 
     toks = F.split(F.col(text_col), " ")
@@ -330,6 +455,19 @@ def setsim_join(
         .groupBy("_t")
         .agg(F.count("*").alias("_f"))
     )
+    if hot_cap is not None:
+        # rebuild every document's set over the capped universe: sizes,
+        # prefixes, and the verify intersection must all agree on what
+        # the universe is, or the prefix filter loses its losslessness
+        # proof. One extra explode+agg, only on the opt-in path.
+        freq = freq.filter(F.col("_f") <= hot_cap)
+        base = (
+            base.select("_id", F.explode("_set").alias("_t"))
+            .join(freq.select("_t"), "_t")
+            .groupBy("_id")
+            .agg(F.array_sort(F.collect_set("_t")).alias("_set"))
+            .withColumn("_sz", F.size("_set").cast("bigint"))
+        )
     # per-doc shingles ordered rarest-first; prefix length
     # p = sz - ceil(num*sz/den) + 1  (exact integer ceil-div)
     ordered = (

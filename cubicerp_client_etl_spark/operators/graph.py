@@ -162,6 +162,7 @@ def pointer_jump_roots(
     node_col: str = "node",
     parent_col: str = "parent",
     rounds: int = 5,
+    validate: bool = False,
 ) -> DataFrame:
     """Resolve every node of a forest to its root + depth by POINTER
     JUMPING (path doubling): each round replaces every node's pointer
@@ -179,6 +180,14 @@ def pointer_jump_roots(
     Each round is one equi-join keyed on the pointer (AQE-managed);
     lineage is cut per round with localCheckpoint, the
     ``connected_components`` discipline.
+
+    The per-round join is a LEFT join: a node whose parent id is absent
+    from the input (dangling pointer — a violated contract) keeps its
+    current pointer instead of being silently DROPPED from the output
+    (the inner-join failure mode). ``validate=True`` additionally
+    asserts every returned ``root`` is a true self-fixpoint — catching
+    both dangling pointers and an insufficient ``rounds`` — at the cost
+    of one count action over a semi-join.
     """
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
@@ -195,16 +204,28 @@ def pointer_jump_roots(
             F.col("_n").alias("_mn"), F.col("_p").alias("_mp"), F.col("_d").alias("_md")
         )
         cur = (
-            cur.join(m, cur["_p"] == m["_mn"])
+            cur.join(m, cur["_p"] == m["_mn"], "left")
             .select(
                 "_n",
-                F.col("_mp").alias("_p"),
-                (F.col("_d") + F.col("_md")).alias("_d"),
+                F.coalesce(F.col("_mp"), F.col("_p")).alias("_p"),
+                (F.col("_d") + F.coalesce(F.col("_md"), F.lit(0))).alias("_d"),
             )
             .localCheckpoint(eager=False)
         )
-    return cur.select(
+    out = cur.select(
         F.col("_n").alias(node_col),
         F.col("_p").alias("root"),
         F.col("_d").alias("depth"),
     )
+    if validate:
+        fix = nodes.filter(F.col(parent_col) == F.col(node_col)).select(
+            F.col(node_col).cast("long").alias("root")
+        )
+        n_bad = out.join(fix, "root", "left_anti").count()
+        if n_bad:
+            raise ValueError(
+                f"pointer_jump_roots: {n_bad} nodes resolved to a non-root "
+                f"ancestor — dangling parent pointers in the input, or "
+                f"rounds={rounds} < log2(max depth)"
+            )
+    return out

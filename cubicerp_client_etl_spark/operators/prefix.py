@@ -37,9 +37,25 @@ def prefix_sum(
 ) -> DataFrame:
     """Exact running total of ``value_col`` in ``order_by`` order (must
     be a total order), computed with the two-phase distributed scan.
-    Adds ``out_col``; preserves all input columns."""
-    ranged = df.repartitionByRange(*order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    Adds ``out_col``; preserves all input columns.
+
+    The ``ranged`` frame feeds TWO subtrees (per-slice running sums and
+    per-pid totals). ``repartitionByRange`` samples its boundaries with
+    an RDD-id-derived seed, so two *independent* evaluations of the
+    exchange could assign different ``_pid``s and add offsets to the
+    wrong slices — a silent wrong answer. ``localCheckpoint`` (eager)
+    materializes the partitioning exactly once, so both branches read
+    the same pid assignment regardless of exchange-reuse behavior
+    (``spark.sql.exchange.reuse`` off, canonicalization misses, plan
+    changes). Costs one materialization of the input into executor
+    storage — the price of an exact scan consumed twice. Checkpoint
+    blocks are also what keeps re-running the operator deterministic —
+    see tests/test_plan_posture.py.
+    """
+    ranged = (
+        df.repartitionByRange(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = (
         Window.partitionBy("_pid")

@@ -147,6 +147,59 @@ def hyperplane_lsh_bucket(
     return df.withColumn(out_col, F.concat(*bits))
 
 
+def hyperplane_lsh_bucket_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Engine-portable random-hyperplane LSH bucket id.
+
+    Two changes vs ``hyperplane_lsh_bucket`` make the bucket key exactly
+    replayable in any engine (the DuckDB window-query oracle recomputes
+    it bit-for-bit):
+
+    * the hyperplane is Rademacher ±1 with the sign drawn from
+      ``md5(f"{m},{d}")`` (top bit of the first hex digit) instead of
+      xxhash64 — md5 is universal across engines. The ±1 signs are
+      PRECOMPUTED driver-side (hashlib gives the same md5) and embedded
+      as literal arrays: zero per-row hashing, just a dot product.
+    * the projection is computed in EXACT int64 over quantized
+      components ``floor(v[d]·1e6 + 0.5)`` — integer addition is
+      associative, so the sign test is independent of summation order
+      and of double rounding (a raw double fold could land on opposite
+      sides of 0 in different engines).
+
+    Rademacher hyperplanes are a standard valid choice for sign-LSH
+    (Achlioptas 2003 sparse random projections); recall behavior matches
+    the Gaussian variant for cosine buckets. Map-only, no shuffle.
+    """
+    import hashlib
+
+    v = as_double(vec_col)
+    qv = F.transform(v, lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("long"))
+    bits = []
+    for m in range(n_planes):
+        signs = F.array(
+            *[
+                F.lit(
+                    1
+                    if hashlib.md5(f"{m},{d}".encode()).hexdigest()[0] >= "8"
+                    else -1
+                ).cast("long")
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(qv, signs, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn(out_col, F.concat(*bits))
+
+
 def l2_norm(vec: Column) -> Column:
     """Euclidean norm via the deterministic sequential fold."""
     return F.sqrt(dot(vec, vec))

@@ -10,6 +10,15 @@ Numeric discipline (see ``functions.py``): per-row arithmetic stays in
 DOUBLE (IEEE-deterministic, identical across engines); aggregation of
 money goes through DECIMAL(18,4) so the sum is order-independent and the
 final DOUBLE cast is bit-identical in Spark and DuckDB.
+
+WINDOW OUTPUT CONTRACT: the external driver correctness-checks the
+FIRST 50 registry names in sorted order, and its canonicalizer does a
+pandas ``sort_values`` over every output column — an array/struct/map
+cell raises ``TypeError: unhashable type`` (the round-2 q041 red).
+Every window query (first 50 sorted names) must therefore return
+SCALAR columns only; serialize composites first (per-element columns,
+``md5(to_json(...))``, ``array_join``). Enforced by
+``tests/test_window_contract.py``.
 """
 
 from __future__ import annotations

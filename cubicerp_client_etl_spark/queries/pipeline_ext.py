@@ -136,10 +136,63 @@ def q031_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q032 — MinHash + LSH near-dup candidates (L-dedup2): the scale path.
-# Not ANSI-SQL-expressible (hash-family dependent) → rows-only check;
-# the unit tests assert recall against exact Jaccard instead.
+# Window variant uses the PORTABLE md5-string hash family
+# (minhash_signatures(portable=True)): min over md5 hex strings is a
+# valid MinHash under any total order, and DuckDB replays the whole
+# pipeline — shingles → 32 min-hashes → 8 band keys → bucket self-join
+# → exact-Jaccard verify — value-for-value. Production keeps the
+# xxhash64 family (recall-tested in tests/test_dedup.py).
 # --------------------------------------------------------------------------
-@register("q032_minhash_lsh_candidates", oracle=None)
+@register(
+    "q032_minhash_lsh_candidates",
+    oracle="""
+WITH dupped AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM dupped
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 3 AND i <= len(t) - 2
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+),
+hashes AS (
+  SELECT doc_id, g.i AS i, MIN(md5(sh || '|' || g.i)) AS h
+  FROM sh CROSS JOIN generate_series(0, 31) g(i)
+  GROUP BY doc_id, g.i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+  FROM hashes GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 6) >= 0.8
+""",
+)
 def q032_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # synthesize near-dups so the pipeline has something to find
@@ -148,21 +201,45 @@ def q032_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("doc_id") + 1000000
         )
     )
-    sigs = dd.minhash_signatures(dupped, "doc_id", "text", num_hashes=32)
-    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8)
+    sigs = dd.minhash_signatures(dupped, "doc_id", "text", num_hashes=32, portable=True)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8, portable=True)
     verified = dd.jaccard_pairs(dupped, pairs, "doc_id", "text")
     return verified.filter(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
-# q033 — SimHash fingerprints (L-dedup): deterministic engine-defined hash
-# family → rows-only check; unit tests pin exact values.
+# q033 — SimHash fingerprints (L-dedup): window variant uses the PORTABLE
+# md5 bit family (simhash_bits_portable, 16 bits): per bit i a token
+# votes ±1 by the top bit of md5(token || '|' || i); exact integer vote
+# counting makes the fingerprint engine-replayable — the oracle
+# recomputes it bit-for-bit in DuckDB. Production keeps the 64-bit
+# xxhash64 mask-arithmetic variant (pinned in tests/test_dedup.py).
 # --------------------------------------------------------------------------
-@register("q033_simhash", oracle=None)
+@register(
+    "q033_simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, u.t AS t
+  FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+ones AS (
+  SELECT doc_id, g.i AS i,
+         COUNT(*) FILTER (WHERE substr(md5(t || '|' || g.i), 1, 1) >= '8') AS o
+  FROM toks CROSS JOIN generate_series(0, 15) g(i)
+  GROUP BY doc_id, g.i
+)
+SELECT o.doc_id,
+       string_agg(CASE WHEN 2 * o.o > c.n THEN '1' ELSE '0' END,
+                  '' ORDER BY o.i) AS simhash
+FROM ones o JOIN counts c USING (doc_id)
+GROUP BY o.doc_id
+""",
+)
 def q033_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", dd.simhash_bits("text", 64).alias("simhash")
+        "doc_id", dd.simhash_bits_portable("text", 16).alias("simhash")
     ).orderBy("doc_id")
 
 
@@ -233,12 +310,54 @@ def q070_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q035 — LSH-bucketed near-neighbor (the scale path): hyperplane buckets
-# first, pairs only within buckets. Hash-family dependent → rows-only.
+# first, pairs only within buckets. Window variant uses the PORTABLE
+# Rademacher-md5 bucketer (hyperplane_lsh_bucket_portable): ±1 signs
+# from md5(f"{m},{d}"), projections in exact int64 over
+# floor(v·1e6 + 0.5) quantized components — the bucket key is
+# bit-identical in DuckDB, so the oracle replays bucketing AND the
+# within-bucket cosine filter. Production keeps the xxhash64 bucketer.
 # --------------------------------------------------------------------------
-@register("q035_lsh_bucketed_pairs", oracle=None)
+@register(
+    "q035_lsh_bucketed_pairs",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, m.m AS m,
+         SUM(qv[CAST(d.d AS INT) + 1] *
+             CASE WHEN substr(md5(m.m || ',' || d.d), 1, 1) >= '8'
+                  THEN 1 ELSE -1 END) AS p
+  FROM e CROSS JOIN generate_series(0, 7) m(m)
+         CROSS JOIN generate_series(0, 63) d(d)
+  GROUP BY vec_id, m.m
+),
+bucketed AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, '' ORDER BY m)
+           AS lsh_bucket
+  FROM proj GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(list_dot_product(ea.v, eb.v) /
+             sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)),
+             6) AS sim
+FROM pairs p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+WHERE list_dot_product(ea.v, eb.v) /
+      sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)) >= 0.3
+""",
+)
 def q035_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    bucketed = sim.hyperplane_lsh_bucket(emb, "embedding", n_planes=8, dim=64)
+    bucketed = sim.hyperplane_lsh_bucket_portable(emb, "embedding", n_planes=8, dim=64)
     a = bucketed.select(
         F.col("vec_id").alias("id_a"),
         sim.as_double("embedding").alias("va"),

@@ -199,6 +199,15 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
         raise ValueError("zorder_key needs at least one column")
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
+    if bits * n > 63:
+        # the top interleaved bit position is bits*n - 1; at >= 63 it
+        # reaches the int64 sign bit (and Java shifts are mod-64), which
+        # silently scrambles the Morton ordering — fail loudly instead.
+        # Per-column budget: bits <= 63 // n (e.g. 4 cols -> 15 bits).
+        raise ValueError(
+            f"bits * len(cols) must be <= 63 (got {bits}*{n}={bits * n}); "
+            f"lower bits to <= {63 // n} for {n} columns"
+        )
     casted = [c.cast("bigint") for c in cols]
 
     # bits is a compile-time int, so the fold unrolls in Python into one
@@ -232,7 +241,22 @@ def write_zorder(
     Same execution shape as ``write_clustered``: one range shuffle on
     the computed key (reservoir-sampled boundaries absorb skew), sort
     within files, no driver materialization.
+
+    ``bits`` is a layout-quality knob, not semantics, so an over-budget
+    value (bits × n_cols > 63 would hit the int64 sign bit) is clamped
+    to the per-column budget ``63 // n_cols`` with a warning rather
+    than raised — ``zorder_key`` itself raises for direct callers.
     """
+    max_bits = 63 // len(zorder_by)
+    if bits > max_bits:
+        import warnings
+
+        warnings.warn(
+            f"write_zorder: clamping bits {bits} -> {max_bits} "
+            f"({len(zorder_by)} columns, 63-bit interleave budget)",
+            stacklevel=2,
+        )
+        bits = max_bits
     z = zorder_key([F.col(c) for c in zorder_by], bits=bits)
     tmp = df.withColumn("_z", z)
     out = (

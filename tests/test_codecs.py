@@ -319,6 +319,31 @@ def test_zorder_key_interleaves_bits(spark):
     assert z == 0b011011
 
 
+def test_zorder_key_rejects_over_budget_bits(spark):
+    """ADVICE r2: bits*len(cols) > 63 reaches the int64 sign bit and
+    Java's shift-mod-64 wraparound — must raise, not silently scramble
+    the Morton ordering. write_zorder clamps instead (quality knob)."""
+    import warnings
+
+    import pytest as _pytest
+
+    from cubicerp_client_etl_spark.sinks.writers import write_zorder, zorder_key
+
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key(cols, bits=16)  # 16*4 = 64 > 63
+    assert zorder_key(cols, bits=15) is not None  # 60 <= 63 ok
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            write_zorder(df, f"{tmp}/z", ["a", "b", "c", "d"], bits=16)
+    assert any("clamping bits" in str(w.message) for w in caught)
+
+
 def test_write_zorder_prunes_both_columns(spark, tmp_path):
     """L-scale: z-order layout must give BOTH z-ordered columns
     non-trivial per-file ranges — a selective predicate on either

@@ -253,3 +253,18 @@ def test_shingle_count_property(spark):
     }
     for i, n in enumerate(lengths):
         assert got[i] == (n - 4 if n >= 5 else 0)
+
+
+def test_compression_ratio_preserves_id_type(spark):
+    """ADVICE r2: the output schema derives the id type from the input
+    instead of hardcoding long — string ids must round-trip."""
+    from cubicerp_client_etl_spark.operators.curation import compression_ratio
+
+    df = spark.createDataFrame(
+        [("a", "x y x y x y"), ("b", "unique words only here")],
+        "doc_id string, text string",
+    )
+    out = compression_ratio(df)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = {r["doc_id"]: r["ratio_e6"] for r in out.collect()}
+    assert set(rows) == {"a", "b"} and all(v > 0 for v in rows.values())

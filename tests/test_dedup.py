@@ -191,3 +191,68 @@ def test_setsim_join_threshold_validation(spark):
 
     with _pytest.raises(ValueError):
         setsim_join(df, threshold=(3, 2))
+
+
+def test_span_dedup_hot_shingle_exact(spark):
+    """Skew posture (VERDICT r2 #5): an ULTRA-HOT shingle — the same
+    5-gram in every document — must still dedup exactly: only the
+    global-first occurrence survives. The aggregate formulation
+    (count + min(struct)) handles this without a single-partition
+    occurrence list; semantics are pinned here, the plan shape in
+    test_plan_posture.py."""
+    import hashlib
+
+    from cubicerp_client_etl_spark.operators.dedup import remove_duplicate_spans
+
+    hot = "all rights reserved copyright notice"
+    rows = [(i, f"{hot} unique{i} tail{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(df, width=5).collect()}
+    assert out[0]["n_removed"] == 0  # global first keeps the span
+    assert out[0]["clean_md5"] == hashlib.md5(
+        f"{hot} unique0 tail0".encode()
+    ).hexdigest()
+    for i in range(1, 200):
+        assert out[i]["n_removed"] == 5
+        assert out[i]["clean_md5"] == hashlib.md5(
+            f"unique{i} tail{i}".encode()
+        ).hexdigest()
+
+
+def test_setsim_hot_cap_drops_boilerplate(spark):
+    """hot_cap semantics: two docs similar ONLY through a boilerplate
+    shingle shared corpus-wide stop pairing once the cap removes it;
+    genuinely similar docs still pair, with Jaccard over the capped
+    universe."""
+    from cubicerp_client_etl_spark.operators.dedup import setsim_join
+
+    boiler = "x y z"  # 3-token => one 3-gram shingle, in EVERY doc
+    rows = [(i, f"{boiler} u{i} v{i} w{i}") for i in range(30)]
+    # 100 & 101: real near-dups beyond the boilerplate
+    rows += [(100, f"{boiler} p q r s"), (101, f"{boiler} p q r t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = setsim_join(df, shingle_n=3, threshold=(1, 3), hot_cap=5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # the boilerplate shingle (in all 32 docs > cap) pairs nothing on
+    # its own; only the genuine near-dup survives
+    assert pairs == {(100, 101)}
+
+    # Jaccard is over the capped universe: 100/101 share 4 of 6 shingles
+    # uncapped (incl. boilerplate) but 3 of 5 capped
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard_e6"]
+        for r in setsim_join(df, shingle_n=3, threshold=(1, 3)).collect()
+    }
+    cappedj = {(r["id_a"], r["id_b"]): r["jaccard_e6"] for r in capped}
+    assert uncapped[(100, 101)] == 666666 and cappedj[(100, 101)] == 600000
+
+
+def test_shingle_frequencies_counts_docs(spark):
+    from cubicerp_client_etl_spark.operators.dedup import shingle_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")], "doc_id long, text string"
+    )
+    got = {r["shingle"]: r["n_docs"] for r in shingle_frequencies(df, shingle_n=3).collect()}
+    assert got["a b c"] == 2 and got["a b d"] == 1

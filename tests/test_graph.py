@@ -86,3 +86,43 @@ def test_pointer_jump_rounds_beyond_depth_are_noops(spark):
     a = sorted(map(tuple, pointer_jump_roots(df, rounds=2).collect()))
     b = sorted(map(tuple, pointer_jump_roots(df, rounds=6).collect()))
     assert a == b == [(0, 0, 0), (1, 0, 1), (2, 0, 2)]
+
+
+def test_pointer_jump_dangling_parent_not_dropped(spark):
+    """ADVICE r2: a node pointing at an id absent from the input must
+    survive to the output (left join) instead of vanishing, and
+    validate=True must flag it as a non-fixpoint root."""
+    import pytest
+
+    from cubicerp_client_etl_spark.operators.graph import pointer_jump_roots
+
+    # node 3 points at 99 which has no row — violated contract
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 99)], "node long, parent long"
+    )
+    out = {r["node"]: r["root"] for r in pointer_jump_roots(df, rounds=3).collect()}
+    assert set(out) == {1, 2, 3}  # nothing dropped
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 99  # surfaced as-is, not silently resolved
+
+    with pytest.raises(ValueError, match="non-root"):
+        pointer_jump_roots(df, rounds=3, validate=True)
+    # clean forest passes validation
+    clean = spark.createDataFrame([(1, 1), (2, 1)], "node long, parent long")
+    assert pointer_jump_roots(clean, rounds=2, validate=True).count() == 2
+
+
+def test_pointer_jump_insufficient_rounds_flagged(spark):
+    import pytest
+
+    from cubicerp_client_etl_spark.operators.graph import pointer_jump_roots
+
+    # chain of depth 8 needs rounds >= 3; rounds=1 reaches only depth 2
+    chain = [(i, max(i - 1, 0)) for i in range(9)]
+    df = spark.createDataFrame(chain, "node long, parent long")
+    with pytest.raises(ValueError, match="rounds"):
+        pointer_jump_roots(df, rounds=1, validate=True)
+    assert (
+        pointer_jump_roots(df, rounds=4, validate=True)
+        .filter("root = 0").count() == 9
+    )

@@ -113,3 +113,26 @@ def test_prefix_sum_matches_naive_window(spark):
     )
     want = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_prefix_sum_stable_across_reruns(spark):
+    """ADVICE r2 (medium): the ranged frame feeds two subtrees; pid
+    assignment must be materialized once (localCheckpoint) so repeated
+    actions over the same operator output — and fresh invocations —
+    agree exactly, independent of exchange reuse."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum
+
+    rows = [(i, ((i * 91) % 50) + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v long").select(
+        "k", F.col("v").cast("decimal(18,4)").alias("v")
+    )
+    out = prefix_sum(df, [F.col("k").asc()], "v")
+    first = sorted((r["k"], str(r["cum"])) for r in out.collect())
+    again = sorted((r["k"], str(r["cum"])) for r in out.collect())
+    fresh = sorted(
+        (r["k"], str(r["cum"]))
+        for r in prefix_sum(df, [F.col("k").asc()], "v").collect()
+    )
+    assert first == again == fresh

@@ -384,11 +384,17 @@ def test_q111_heavy_hitters_uses_takeordered(spark):
 
 
 def test_q132_span_dedup_no_python_no_cartesian(spark):
-    """Span dedup (q132): all-Catalyst (HOFs + windows + one join) —
-    zero Python stages, no cartesian blowup."""
+    """Span dedup (q132): all-Catalyst (HOFs + aggregates + joins) —
+    zero Python stages, no cartesian blowup, and NO WINDOW anywhere:
+    the first-occurrence rule is the count+min(struct) partial
+    aggregate, so an ultra-hot boilerplate shingle map-side combines
+    instead of piling its occurrence list onto one window partition
+    (VERDICT r2 #5 — the skew point is gone, not just capped)."""
     plan = plan_of(spark, "q132_span_dedup")
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan or "HashAggregate" in plan
 
 
 def test_q133_gap_fill_no_calendar_cross_join(spark):
