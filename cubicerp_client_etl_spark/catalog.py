@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401 (used via F.expr)
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -39,14 +40,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    Fixture generators have varied across rounds: events.ts has been
+    written as parquet TIMESTAMP(NANOS, adjusted-to-UTC) and as
+    TIMESTAMP(MICROS, naive). Spark 4 reads the naive form as
+    TIMESTAMP_NTZ (``spark.sql.parquet.inferTimestampNTZ.enabled``
+    defaults true), which ``unix_micros``/``window`` reject. With the
+    session TZ pinned to UTC (see ``load``), casting NTZ → LTZ
+    reinterprets the naive wall time as UTC — exactly how the DuckDB
+    oracle's ``epoch_us`` treats it, so epoch comparisons agree.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar Parquet scan (SURVEY A9): Catalyst prunes columns and
     pushes predicates into the scan; nothing is materialized here.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark rejects
-    by default; read it as a long (legacy conf) and truncate to micros —
-    the same truncation DuckDB applies, so oracles agree. Integer `div`
-    (not `/`): epoch-nanos exceed double's 2^53 mantissa.
+    events.ts has been stored as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; read it as a long (legacy conf) and truncate to
+    micros — the same truncation DuckDB applies, so oracles agree.
+    Integer `div` (not `/`): epoch-nanos exceed double's 2^53 mantissa.
+    Naive-micros fixture vintages are normalized NTZ→LTZ instead.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name!r}")
@@ -60,8 +80,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return normalize_timestamps(df)
+    return normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -36,7 +36,10 @@ def events_stream(
     The nanos-timestamp handling matches catalog.load: read ts as long,
     truncate to micros.
     """
+    from cubicerp_client_etl_spark.catalog import normalize_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file stream source requires a directory path; select the one
     # table out of the fixture dir with a glob filter
@@ -48,7 +51,7 @@ def events_stream(
     )
     if dict(static.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    return normalize_timestamps(stream)
 
 
 def run_stream_to_memory(
