@@ -225,7 +225,7 @@ FROM target t LEFT JOIN staged s ON t.pk = s.pk
 )(_merge_query("onlyupdate"))
 
 register(
-    "q027_merge_delete",
+    "q134_merge_delete",
     oracle=_MERGE_ORACLE_TEMPLATE.format(
         body="""
 SELECT COALESCE(t.pk, s.pk) AS pk,

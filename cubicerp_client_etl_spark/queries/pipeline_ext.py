@@ -563,7 +563,7 @@ def q079_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5 of every sampled frame exactly.
 # --------------------------------------------------------------------------
 @register(
-    "q042_frame_sample",
+    "q138_frame_sample",
     oracle="""
 SELECT doc_id, CAST(fi AS INT) AS frame_idx,
        md5(substr(text, CAST(fi AS INT)*64+1, 64)) AS frame_md5,
@@ -571,7 +571,7 @@ SELECT doc_id, CAST(fi AS INT) AS frame_idx,
 FROM documents, UNNEST(range(0, greatest(length(text)//64, 1), 4)) AS t(fi)
 """,
 )
-def q042_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q138_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
     frames = sample_frames(with_payload, frame_bytes=64, every_n=4, fake=True)

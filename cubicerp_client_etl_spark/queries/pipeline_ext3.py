@@ -33,7 +33,7 @@ from cubicerp_client_etl_spark.queries import register
 # pass. Oracle rebuilds the same counts via unnest + two GROUP BYs.
 # --------------------------------------------------------------------------
 @register(
-    "q122_repetition_filter",
+    "q010_repetition_filter",
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -78,7 +78,7 @@ SELECT a.doc_id, a.n_tokens, a.n_distinct, a.top_token_count,
 FROM tok_agg a JOIN bg_agg g USING (doc_id)
 """,
 )
-def q122_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_stats(docs)
 
@@ -92,7 +92,7 @@ def q122_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast hash join; the only shuffle is the final per-doc count.
 # --------------------------------------------------------------------------
 @register(
-    "q123_decontaminate",
+    "q012_decontaminate",
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -114,7 +114,7 @@ WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
 """,
 )
-def q123_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
@@ -259,8 +259,8 @@ WHERE rn = 1
 )
 
 
-@register("q126_kmeans_int", oracle=_KM_ORACLE)
-def q126_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q013_kmeans_int", oracle=_KM_ORACLE)
+def q013_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
     from cubicerp_client_etl_spark.operators.clustering import kmeans_int
 
@@ -418,7 +418,7 @@ def q129_rate_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate, and the cap window). The oracle replays the exact chain.
 # --------------------------------------------------------------------------
 @register(
-    "q130_curation_pipeline",
+    "q015_curation_pipeline",
     oracle="""
 WITH stats AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
@@ -475,7 +475,7 @@ SELECT doc_id, lang,
 FROM capped
 """,
 )
-def q130_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.dedup import exact_dedup
     from cubicerp_client_etl_spark.operators.sampling import cap_per_group
 
@@ -678,7 +678,7 @@ def q133_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lossless on real data, not just in theory.
 # --------------------------------------------------------------------------
 @register(
-    "q134_setsim_join",
+    "q027_setsim_join",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -707,7 +707,7 @@ FROM pairs
 WHERE 3 * inter >= sza + szb
 """,
 )
-def q134_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.dedup import setsim_join
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -889,7 +889,7 @@ _STRAT_N = 120
 
 
 @register(
-    "q138_stratified_sample",
+    "q042_stratified_sample",
     oracle=f"""
 WITH counts AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS gc FROM documents GROUP BY lang
@@ -921,7 +921,7 @@ FROM ranked r JOIN quotas q USING (lang)
 WHERE r.rn <= q.quota
 """,
 )
-def q138_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sampling import stratified_sample_exact
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -1009,7 +1009,7 @@ def q139_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition boundaries can't reorder ties.
 # --------------------------------------------------------------------------
 @register(
-    "q140_pareto_scan",
+    "q045_pareto_scan",
     oracle="""
 WITH rev AS (
   SELECT l_partkey,
@@ -1030,7 +1030,7 @@ SELECT l_partkey,
 FROM scan
 """,
 )
-def q140_pareto_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_pareto_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import dec
     from cubicerp_client_etl_spark.operators.prefix import prefix_sum
 

@@ -273,13 +273,13 @@ def q007_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q008_anti_join",
+    "q119_anti_join",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
-def q008_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q119_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
@@ -327,7 +327,7 @@ _BANDS = [
 
 
 @register(
-    "q010_range_band_join",
+    "q122_range_band_join",
     oracle="""
 WITH bands(band, lo, hi) AS (VALUES
   ('micro', 0.0, 1000.0), ('small', 1000.0, 10000.0),
@@ -338,7 +338,7 @@ FROM lineitem l JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice 
 GROUP BY b.band
 """,
 )
-def q010_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q122_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
     return (
@@ -384,7 +384,7 @@ def q011_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shipment. Ordering is total via (shipdate, orderkey, linenumber).
 # --------------------------------------------------------------------------
 @register(
-    "q012_window_lag",
+    "q123_window_lag",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
        date_diff('day',
@@ -394,7 +394,7 @@ FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
 """,
 )
-def q012_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q123_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
     prev = F.lag("l_shipdate").over(w)
@@ -412,7 +412,7 @@ def q012_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum exact at any depth.
 # --------------------------------------------------------------------------
 @register(
-    "q013_window_running",
+    "q126_window_running",
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -422,7 +422,7 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 """,
 )
-def q013_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q126_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -474,7 +474,7 @@ def q053_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q015 — union all with provenance tag (G1).
 # --------------------------------------------------------------------------
 @register(
-    "q015_union_all",
+    "q130_union_all",
     oracle="""
 SELECT nationkey, src, COUNT(*) AS n FROM (
   SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
@@ -483,7 +483,7 @@ SELECT nationkey, src, COUNT(*) AS n FROM (
 ) GROUP BY nationkey, src
 """,
 )
-def q015_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q130_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("src")
     )

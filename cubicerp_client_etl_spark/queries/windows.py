@@ -180,7 +180,7 @@ def q046_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the same oracle shape but keyed by session ordinal.
 # --------------------------------------------------------------------------
 @register(
-    "q045_sessionize_lag_cumsum",
+    "q140_sessionize_lag_cumsum",
     oracle="""
 WITH marked AS (
   SELECT user_id, event_id, ts, value,
@@ -202,7 +202,7 @@ SELECT user_id, sess_id, COUNT(*) AS n_events,
 FROM sessions GROUP BY user_id, sess_id
 """,
 )
-def q045_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q140_sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag(F.col("ts")).over(w))

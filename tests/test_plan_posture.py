@@ -50,7 +50,7 @@ def test_q04_topk_avoids_global_sort(spark):
 
 
 def test_q12_range_join_is_broadcast_not_cartesian(spark):
-    plan = plan_of(spark, "q010_range_band_join")
+    plan = plan_of(spark, "q122_range_band_join")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -258,7 +258,7 @@ def test_q045_sessionize_single_window_exchange(spark):
     """Lag+cumsum sessionization (q045): both window passes and the
     final session aggregate share the user_id partitioning — exactly one
     Exchange over the events table (AQE may add nothing else)."""
-    plan = plan_of(spark, "q045_sessionize_lag_cumsum")
+    plan = plan_of(spark, "q140_sessionize_lag_cumsum")
     ex = plan.count("Exchange hashpartitioning")
     assert ex <= 2, f"expected <=2 hash exchanges, saw {ex}\n{plan}"
     assert "CartesianProduct" not in plan
@@ -283,7 +283,7 @@ def test_q118_mixture_is_map_only(spark):
 def test_q119_packing_single_bucket_shuffle(spark):
     """Sequence packing (q119): exactly one hash Exchange (the bucket
     shuffle feeding applyInPandas); everything else stays map-side."""
-    plan = plan_of(spark, "q119_sequence_packing")
+    plan = plan_of(spark, "q008_sequence_packing")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
 
@@ -296,19 +296,19 @@ def test_q120_quantize_is_map_only(spark):
 def test_q122_repetition_is_map_only(spark):
     """Repetition stats (q122): pure Catalyst HOF projection — zero
     Exchange, zero Python; scans documents at (doc_id, text) only."""
-    plan = plan_of(spark, "q122_repetition_filter")
+    plan = plan_of(spark, "q010_repetition_filter")
     assert "Exchange" not in plan, plan
     assert "Python" not in plan  # no UDF fallback
     scan = plan.split("FileScan")[1].split("ReadSchema")[1].split("\n")[0]
     assert "lang" not in scan and "source" not in scan  # column pruning
 
 
-def test_q123_decontaminate_broadcasts_benchmark(spark):
+def test_q012_decontaminate_broadcasts_benchmark(spark):
     """Decontamination (q123): benchmark shingles broadcast — the
     corpus side must never shuffle before the join; the only hash
     exchanges are the benchmark-side distinct and the final per-doc
     aggregate."""
-    plan = plan_of(spark, "q123_decontaminate")
+    plan = plan_of(spark, "q012_decontaminate")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
 
@@ -334,7 +334,7 @@ def test_q126_kmeans_assignment_is_join_free(spark):
     LITERALS — the plan over embeddings must contain no join at all
     and no driver-side RDD scan (centroid collection is bounded
     O(k·dim) and feeds literals, not an ExistingRDD)."""
-    plan = plan_of(spark, "q126_kmeans_int")
+    plan = plan_of(spark, "q013_kmeans_int")
     assert "Join" not in plan, plan
     assert "Scan ExistingRDD" not in plan
     assert "Exchange" not in plan  # final assignment pass is map-only
@@ -365,7 +365,7 @@ def test_q130_pipeline_gate_fuses_with_scan(spark):
     projection fused with the scan (no stats-join shuffle); the
     decontamination side broadcasts; nothing degenerates to a
     cartesian product."""
-    plan = plan_of(spark, "q130_curation_pipeline")
+    plan = plan_of(spark, "q015_curation_pipeline")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # decontamination benchmark side
     # shuffles: dedup window + decon aggregate + cap window + anti-join
@@ -410,7 +410,7 @@ def test_q133_gap_fill_no_calendar_cross_join(spark):
 def test_q134_setsim_no_allpairs(spark):
     """Set-similarity join (q134): candidates come from the prefix
     equi-join — no cartesian/nested-loop anywhere in the plan."""
-    plan = plan_of(spark, "q134_setsim_join")
+    plan = plan_of(spark, "q027_setsim_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -431,6 +431,6 @@ def test_q140_scan_avoids_global_single_partition_window(spark):
     over the bounded partition-totals table. Assert the data window is
     partitioned (a windowspecdefinition with _pid) and the plan has no
     cartesian."""
-    plan = plan_of(spark, "q140_pareto_scan")
+    plan = plan_of(spark, "q045_pareto_scan")
     assert "_pid" in plan  # per-slice running sum keyed on partition id
     assert "CartesianProduct" not in plan

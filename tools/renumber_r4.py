@@ -51,7 +51,14 @@ MAPPING = {
 
 def main() -> None:
     assert len(MAPPING) == 16
-    assert sorted(MAPPING) == sorted(MAPPING.values())
+    # pairwise NUMBER swaps preserving each query's semantic suffix:
+    # the multiset of numeric prefixes is unchanged, every suffix rides
+    # along, and each swap has its inverse partner in the mapping.
+    assert sorted(k[:4] for k in MAPPING) == sorted(v[:4] for v in MAPPING.values())
+    swaps = {(k[:4], v[:4]) for k, v in MAPPING.items()}
+    for k, v in MAPPING.items():
+        assert k[5:] == v[5:], (k, v)
+        assert (v[:4], k[:4]) in swaps, (k, v)
     pat = re.compile(
         "|".join(re.escape(k) for k in sorted(MAPPING, key=len, reverse=True))
     )
