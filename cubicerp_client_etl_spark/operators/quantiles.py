@@ -1,0 +1,70 @@
+"""Exact distributed quantiles (discrete / type-1).
+
+``approxQuantile`` / ``percentile_approx`` are sketches — fine for
+monitoring, wrong for anything that must reproduce (dataset cut
+thresholds, dedup length caps, SLA percentiles). Spark's exact
+``percentile`` pulls every value into one aggregation buffer; a global
+``row_number`` sort is single-partition. Neither survives 100 TB.
+
+The scalable exact form factors through the value-count table:
+
+1. ``groupBy(value).count()`` — one shuffle; output is bounded by the
+   number of DISTINCT values, which for quantile-bearing columns
+   (quantities, lengths, scores, prices) is orders of magnitude below
+   the row count. (For a continuous column with ~all-distinct values,
+   quantize first — that decision is the caller's, not hidden here.)
+2. An exact running count over the value order via the two-phase scan
+   (``operators.prefix.prefix_sum`` — range partition, local cumsum,
+   broadcast offsets). No single-partition stage anywhere.
+3. The q-quantile is the smallest value whose cumulative fraction
+   reaches q: ``min(value) where cum/n >= q`` — a broadcast join of the
+   tiny quantile spec against the count table.
+
+Semantics match DuckDB's ``quantile_disc`` exactly, INCLUDING the
+floating-point edge: both engines evaluate "rank i reaches quantile q"
+as the IEEE-double comparison ``i/n >= q``, so e.g. q=0.07 over n=100
+picks rank 7 (0.07*100 rounds above 7.0 in binary, but 7/100 >= 0.07
+compares true — verified against DuckDB in tests/test_quantiles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.operators.prefix import prefix_sum
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    q_col: str = "q",
+    out_col: str = "value",
+) -> DataFrame:
+    """Exact discrete quantiles of ``value_col`` at each q in ``qs``.
+
+    Returns one row per q: ``(q_col double, out_col <value type>)`` —
+    the smallest value whose cumulative count fraction >= q (type-1 /
+    ``quantile_disc`` semantics; q=0 → min, q=1 → max). Nulls in
+    ``value_col`` are excluded, matching SQL aggregate semantics.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    vals = df.where(F.col(value_col).isNotNull())
+    counts = vals.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    cum = prefix_sum(
+        counts, order_by=[F.col(value_col)], value_col="_cnt", out_col="_cum"
+    )
+    total = counts.agg(F.sum("_cnt").cast("bigint").alias("_n"))
+    spark = df.sparkSession
+    spec = spark.createDataFrame([(float(q),) for q in qs], f"{q_col} double")
+    # broadcast (spec × 1-row total) against the bounded count table;
+    # IEEE-double cum/n >= q is the exact quantile_disc rank rule.
+    hit = cum.crossJoin(F.broadcast(spec.crossJoin(total))).where(
+        (F.col("_cum").cast("double") / F.col("_n").cast("double")) >= F.col(q_col)
+    )
+    return hit.groupBy(q_col).agg(F.min(value_col).alias(out_col))

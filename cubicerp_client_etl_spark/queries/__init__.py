@@ -54,6 +54,7 @@ def _load_all() -> None:
         pipeline_ext,
         pipeline_ext2,
         pipeline_ext3,
+        pipeline_ext4,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,218 @@
+"""Mixture-assembly & retention query wave (q141–q145): the corpus-
+construction stages that run AFTER filtering/dedup in an LLM data
+pipeline — exact token-budget selection, curriculum interleaving,
+exact quantile thresholds, incremental cross-snapshot dedup, and
+duplicate-cluster retention policy.
+
+All five are exactly replayable in DuckDB: ordering/splitting uses the
+keyed-md5 determinism of ``operators/sampling.py``, quantiles use the
+IEEE ``cum/n >= q`` rank rule both engines share, and the content
+fingerprint is a pure md5-over-sorted-tokens expression. These sit past
+the q001–q050 driver window; the sweep (tools/oracle_sweep.py)
+value-checks them at both SFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.operators.budget import (
+    interleave_round_robin,
+    token_budget_select,
+)
+from cubicerp_client_etl_spark.operators.quantiles import exact_quantiles
+from cubicerp_client_etl_spark.operators.retention import (
+    bag_of_words_key,
+    incremental_dedup,
+    keep_best_per_cluster,
+)
+from cubicerp_client_etl_spark.queries import register
+
+_BUDGETS = {"src0": 5000, "src1": 3000, "src7": 2500}
+
+
+# --------------------------------------------------------------------------
+# q141 — exact token-budget mixture (operators/budget.py). Three domains
+# get explicit character budgets, everything else budget 0; each domain
+# contributes the prefix of its md5-shuffled order that fits. One window
+# shuffle on source. Oracle: the same keyed window sum + CASE budget.
+# --------------------------------------------------------------------------
+@register(
+    "q141_token_budget_mixture",
+    oracle="""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|mix1'), doc_id
+         ) AS BIGINT) AS cum_tokens
+  FROM documents
+)
+SELECT source, doc_id, cum_tokens
+FROM ranked
+WHERE cum_tokens <= CASE source
+                      WHEN 'src0' THEN 5000
+                      WHEN 'src1' THEN 3000
+                      WHEN 'src7' THEN 2500
+                      ELSE 0 END
+""",
+)
+def q141_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = token_budget_select(
+        docs,
+        domain_col="source",
+        token_col="n_chars",
+        id_col="doc_id",
+        budget=_BUDGETS,
+        seed="mix1",
+    )
+    return out.select("source", "doc_id", F.col("cum_tokens").cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# q142 — deterministic round-robin curriculum interleave
+# (operators/budget.py): every document gets a unique global position
+# r*n_domains + domain_index under the md5-shuffled per-domain order.
+# One keyed window + a broadcast join against the 20-row domain dim.
+# --------------------------------------------------------------------------
+@register(
+    "q142_interleave_round_robin",
+    oracle="""
+WITH d AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS didx
+  FROM (SELECT DISTINCT source FROM documents)
+),
+nd AS (SELECT COUNT(*) AS n FROM d),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|curr1'), doc_id
+         ) - 1 AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.rn * nd.n + d.didx AS BIGINT) AS global_pos
+FROM r JOIN d USING (source) CROSS JOIN nd
+""",
+)
+def q142_interleave_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = interleave_round_robin(
+        docs, domain_col="source", id_col="doc_id", seed="curr1"
+    )
+    return out.select("doc_id", "source", "global_pos")
+
+
+# --------------------------------------------------------------------------
+# q143 — exact distributed quantiles (operators/quantiles.py): discrete
+# quantiles of l_quantity via value-count table + two-phase prefix scan;
+# no single-partition sort, no sketch. Oracle: DuckDB quantile_disc at
+# the same q values (independent implementation of the same semantics —
+# including the IEEE cum/n >= q rank edge at q=0.07).
+# --------------------------------------------------------------------------
+_QS = [0.0, 0.07, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+@register(
+    "q143_exact_quantiles",
+    oracle="""
+SELECT CAST(0.0  AS DOUBLE) AS q, quantile_disc(l_quantity, 0.0 ) AS qvalue FROM lineitem
+UNION ALL
+SELECT CAST(0.07 AS DOUBLE), quantile_disc(l_quantity, 0.07) FROM lineitem
+UNION ALL
+SELECT CAST(0.25 AS DOUBLE), quantile_disc(l_quantity, 0.25) FROM lineitem
+UNION ALL
+SELECT CAST(0.5  AS DOUBLE), quantile_disc(l_quantity, 0.5 ) FROM lineitem
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE), quantile_disc(l_quantity, 0.75) FROM lineitem
+UNION ALL
+SELECT CAST(0.9  AS DOUBLE), quantile_disc(l_quantity, 0.9 ) FROM lineitem
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_disc(l_quantity, 0.99) FROM lineitem
+UNION ALL
+SELECT CAST(1.0  AS DOUBLE), quantile_disc(l_quantity, 1.0 ) FROM lineitem
+""",
+)
+def q143_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_quantity", _QS, q_col="q", out_col="qvalue")
+
+
+# --------------------------------------------------------------------------
+# q144 — incremental dedup across corpus snapshots
+# (operators/retention.py): a keyed-md5 split plays "already ingested"
+# (h < '8', ~50%) vs "new batch"; the new batch is collapsed to one doc
+# per bag-of-words key and anti-joined against the seen-key set. Keys
+# only cross the join — history documents never re-materialize.
+# --------------------------------------------------------------------------
+@register(
+    "q144_incremental_dedup",
+    oracle="""
+WITH k AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS bow_key,
+         md5(CAST(doc_id AS VARCHAR) || '|snap1') AS h
+  FROM documents
+),
+old AS (SELECT DISTINCT bow_key FROM k WHERE h < '8'),
+newb AS (SELECT doc_id, bow_key FROM k WHERE h >= '8'),
+firsts AS (
+  SELECT doc_id, bow_key FROM (
+    SELECT doc_id, bow_key,
+           ROW_NUMBER() OVER (PARTITION BY bow_key ORDER BY doc_id) AS rn
+    FROM newb
+  ) WHERE rn = 1
+)
+SELECT f.doc_id, f.bow_key
+FROM firsts f
+WHERE f.bow_key NOT IN (SELECT bow_key FROM old)
+""",
+)
+def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        bag_of_words_key("text").alias("bow_key"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|snap1"))).alias("_h"),
+    )
+    seen = keyed.where(F.col("_h") < "8").select("bow_key")
+    batch = keyed.where(F.col("_h") >= "8").select("doc_id", "bow_key")
+    return incremental_dedup(batch, seen, key_col="bow_key").select(
+        "doc_id", "bow_key"
+    )
+
+
+# --------------------------------------------------------------------------
+# q145 — duplicate-cluster retention policy (operators/retention.py):
+# cluster documents by bag-of-words fingerprint, keep the longest doc
+# per cluster (ties → lowest doc_id). The "which copy survives" half of
+# dedup. One window shuffle on the cluster key.
+# --------------------------------------------------------------------------
+@register(
+    "q145_keep_best_per_cluster",
+    oracle="""
+SELECT doc_id, bow_key, n_chars
+FROM (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS bow_key,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def q145_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "n_chars", bag_of_words_key("text").alias("bow_key")
+    )
+    best = keep_best_per_cluster(
+        keyed, "bow_key", score=F.col("n_chars"), tie_breaker=F.col("doc_id")
+    )
+    return best.select("doc_id", "bow_key", "n_chars")

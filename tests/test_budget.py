@@ -1,0 +1,89 @@
+"""Unit tests for operators/budget.py (token-budget selection and
+round-robin interleaving)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.operators.budget import (
+    interleave_round_robin,
+    shuffle_key,
+    token_budget_select,
+)
+
+
+def _docs(spark):
+    rows = [
+        (i, "web" if i % 3 else "books", 10 * (1 + i % 5)) for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, domain string, toks long")
+
+
+def test_budget_selects_prefix_under_deterministic_order(spark):
+    docs = _docs(spark)
+    out = token_budget_select(
+        docs, "domain", "toks", "doc_id", budget=100, seed="s"
+    ).collect()
+    # every kept row's cumulative total is within budget
+    assert all(r.cum_tokens <= 100 for r in out)
+    # the selection is the PREFIX of the md5-shuffled order: recompute
+    # the order driver-side and check the kept set matches a greedy walk
+    ordered = (
+        docs.withColumn("_h", shuffle_key("doc_id", "s"))
+        .orderBy("domain", "_h", "doc_id")
+        .collect()
+    )
+    expect = set()
+    cum: dict[str, int] = {}
+    for r in ordered:
+        c = cum.get(r.domain, 0) + r.toks
+        cum[r.domain] = c
+        if c <= 100:
+            expect.add(r.doc_id)
+    assert {r.doc_id for r in out} == expect
+
+
+def test_budget_is_rerun_stable(spark):
+    docs = _docs(spark)
+    a = {
+        r.doc_id
+        for r in token_budget_select(
+            docs, "domain", "toks", "doc_id", budget=150
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in token_budget_select(
+            docs.repartition(7), "domain", "toks", "doc_id", budget=150
+        ).collect()
+    }
+    assert a == b
+
+
+def test_budget_mapping_unlisted_domain_gets_zero(spark):
+    docs = _docs(spark)
+    out = token_budget_select(
+        docs, "domain", "toks", "doc_id", budget={"books": 200}
+    ).collect()
+    assert out and all(r.domain == "books" for r in out)
+
+
+def test_interleave_positions_unique_and_round_robin(spark):
+    docs = _docs(spark)
+    out = interleave_round_robin(docs, "domain", "doc_id", seed="x").collect()
+    pos = [r.global_pos for r in out]
+    assert len(pos) == len(set(pos)) == 60
+    # two domains: books ≡ 0 (mod 2), web ≡ 1 (mod 2) by name order
+    for r in out:
+        assert r.global_pos % 2 == (0 if r.domain == "books" else 1)
+    # per-domain order of positions matches the md5-shuffle order
+    out_sorted = sorted(
+        (r for r in out if r.domain == "web"), key=lambda r: r.global_pos
+    )
+    web_order = (
+        docs.where(F.col("domain") == "web")
+        .withColumn("_h", shuffle_key("doc_id", "x"))
+        .orderBy("_h", "doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in out_sorted] == [r.doc_id for r in web_order]

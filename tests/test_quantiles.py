@@ -1,0 +1,47 @@
+"""Unit tests for operators/quantiles.py — exact quantiles vs DuckDB's
+quantile_disc on randomized data (the independent implementation of the
+same type-1 semantics)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from cubicerp_client_etl_spark.operators.quantiles import exact_quantiles
+
+QS = [0.0, 0.07, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def test_matches_duckdb_quantile_disc_randomized(spark):
+    rng = random.Random(42)
+    vals = [rng.randint(0, 200) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r.q: r.value
+        for r in exact_quantiles(df, "x", QS, out_col="value").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES {}) v(x)".format(
+        ",".join(f"({v})" for v in vals)
+    ))
+    for q in QS:
+        want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_min_max_and_null_exclusion(spark):
+    df = spark.createDataFrame(
+        [(5,), (None,), (1,), (9,), (None,)], "x int"
+    )
+    got = {r.q: r.value for r in exact_quantiles(df, "x", [0.0, 1.0]).collect()}
+    assert got[0.0] == 1 and got[1.0] == 9
+
+
+def test_rejects_bad_inputs(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [1.5])

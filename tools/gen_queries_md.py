@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from renumber import MAPPING  # noqa: E402
+from renumber_r4 import MAPPING as MAPPING_R4  # noqa: E402
 
 from cubicerp_client_etl_spark.queries import REGISTRY  # noqa: E402
 
@@ -19,25 +20,32 @@ from cubicerp_client_etl_spark.queries import REGISTRY  # noqa: E402
 def main() -> None:
     n_total = len(REGISTRY)
     n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
-    inv = {new: old for old, new in MAPPING.items()}
+    inv_r1 = {new: old for old, new in MAPPING.items()}
+    inv_r4 = {new: old for old, new in MAPPING_R4.items()}
+    # current name -> its round-2 name -> that name's round-1 name
+    inv = {
+        name: inv_r1[inv_r4.get(name, name)]
+        for name in REGISTRY
+        if inv_r4.get(name, name) in inv_r1
+    }
     lines = [
-        "# Query corpus index (round 2)",
+        "# Query corpus index",
         "",
-        f"{n_total} queries ({n_oracle} DuckDB-oracle-checked): 117",
-        "renumbered from round 1 plus the q118+ additions this round.",
+        f"{n_total} queries ({n_oracle} DuckDB-oracle-checked).",
         "The driver's first-50-sorted correctness window (q001–q050)",
         "holds at least one representative of every SURVEY §2 operator",
-        "family and every LLM-pipeline component. Old (round-1) names",
-        "are listed for cross-referencing CORRECTNESS_r01 / round-1",
-        "VERDICT evidence; the rename map's source of truth is",
-        "`tools/renumber.py`.",
+        "family and every LLM-pipeline component; the round-4/5 rotation",
+        "(`tools/renumber_r4.py`) swapped 8 curation-wave queries into",
+        "the window. Old (round-1) names are listed for cross-referencing",
+        "CORRECTNESS_r01 / round-1 VERDICT evidence; the rename maps'",
+        "source of truth is `tools/renumber.py` + `tools/renumber_r4.py`.",
         "",
-        "| # | name | round-1 name | oracle | bench headline | driver window |",
+        "| # | name | round-1 name (— = added later) | oracle | bench headline | driver window |",
         "|---|------|--------------|--------|----------------|---------------|",
     ]
     for i, name in enumerate(sorted(REGISTRY)):
         q = REGISTRY[name]
-        old = inv.get(name, "— (new in r2)")
+        old = inv.get(name, "—")
         lines.append(
             f"| {i + 1} | `{name}` | `{old}` | "
             f"{'DuckDB SQL' if q.oracle else 'rows-only (hash-family / stub)'} | "

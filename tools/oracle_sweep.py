@@ -101,7 +101,7 @@ def type_mismatches(sdf, con, sql: str) -> list[str]:
     return bad
 
 
-def sweep(spark, sf_dir: str) -> int:
+def sweep(spark, sf_dir: str, only: str | None = None) -> int:
     import duckdb
 
     import __spark_entry__ as e
@@ -112,6 +112,8 @@ def sweep(spark, sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     queries, oracles = e.queries(), e.oracle_sql()
+    if only:
+        queries = {n: q for n, q in queries.items() if only in n}
     fails = rows_only = 0
     for name in sorted(queries):
         if name not in oracles:
@@ -164,9 +166,15 @@ def sweep(spark, sf_dir: str) -> int:
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = SparkSession.builder.master("local[8]").getOrCreate()
-    total = sum(sweep(spark, d) for d in dirs)
+    total = sum(sweep(spark, d, only) for d in dirs)
     spark.stop()
     sys.exit(1 if total else 0)
 
