@@ -1,0 +1,79 @@
+"""Binned interval-overlap join — big×big interval joins without a
+range-condition nested loop.
+
+Spark turns a pure inequality join into BroadcastNestedLoopJoin (fine
+when one side is a handful of bands — see the q122 band join) or, for
+two large sides, a cartesian — quadratic and DOA at scale. The standard
+fix factors the range predicate through a bin equi-join:
+
+1. quantize every interval to the ``bin_width`` grid and EXPLODE it
+   over the bins it covers — an interval touching b bins emits b rows
+   (choose ``bin_width`` near the typical interval length so b stays
+   O(1));
+2. equi-join on ``(keys..., bin)`` — hash-shuffle-able, AQE-skew-safe,
+   exactly the join shape Catalyst optimizes well;
+3. re-check the EXACT overlap predicate (bins overfetch neighbors);
+4. keep each qualifying pair exactly once WITHOUT a distinct: emit
+   only in the first bin both intervals share,
+   ``bin == greatest(l_start div w, r_start div w)`` — every
+   overlapping pair shares that bin by construction, so no dedup
+   shuffle is needed.
+
+Overlap semantics are CLOSED-interval: [ls,le] meets [rs,re] iff
+``ls <= re AND rs <= le``. Bounds must be non-negative integers
+(epoch seconds/micros both fit; ``div`` truncates toward zero, which
+equals floor only for non-negative values — enforced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _binned(df: DataFrame, start: str, end: str, width: int) -> DataFrame:
+    return df.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start} div {width}"), F.expr(f"{end} div {width}")
+            )
+        ),
+    )
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """All (left, right) pairs with equal ``keys`` whose closed
+    intervals overlap, each pair exactly once. Column names of the two
+    sides must be disjoint apart from ``keys`` (rename before calling).
+
+    One hash shuffle per side on ``(keys, bin)``; no cartesian, no
+    distinct. ``bin_width`` trades explode fan-out (wide bins → few
+    rows per interval) against join selectivity (narrow bins → fewer
+    false candidates); set it near the typical interval length.
+    """
+    if bin_width < 1:
+        raise ValueError("bin_width must be >= 1")
+    overlap = set(left.columns) & set(right.columns) - set(keys)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    lb = _binned(left, l_start, l_end, bin_width)
+    rb = _binned(right, r_start, r_end, bin_width)
+    joined = lb.join(rb, on=[*keys, "_bin"])
+    first_shared = F.greatest(
+        F.expr(f"{l_start} div {bin_width}"), F.expr(f"{r_start} div {bin_width}")
+    )
+    return joined.where(
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (F.col("_bin") == first_shared)
+    ).drop("_bin")

@@ -216,3 +216,51 @@ def q145_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, "bow_key", score=F.col("n_chars"), tie_breaker=F.col("doc_id")
     )
     return best.select("doc_id", "bow_key", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# q146 — big×big interval-overlap join via bin quantization
+# (operators/interval.py): concurrent 30-minute activity windows per
+# user, counted per user. The bin equi-join keeps the plan
+# hash-shuffle-shaped (no BroadcastNestedLoopJoin between two
+# data-sized sides, no cartesian, no distinct — first-shared-bin
+# emission dedups by construction). Oracle: the plain theta self-join.
+# --------------------------------------------------------------------------
+_IV_W = 1800  # seconds; == the interval length, so each side explodes ≤2 bins
+
+
+@register(
+    "q146_interval_overlap_join",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS s,
+         epoch_us(ts) // 1000000 + {_IV_W} AS e
+  FROM events
+)
+SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.user_id
+""",
+)
+def q146_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.interval import binned_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") / F.lit(1000000)).cast("bigint").alias("s"),
+    ).withColumn("e", F.col("s") + _IV_W)
+    a = iv.select("user_id", F.col("event_id").alias("a_id"),
+                  F.col("s").alias("a_s"), F.col("e").alias("a_e"))
+    b = iv.select("user_id", F.col("event_id").alias("b_id"),
+                  F.col("s").alias("b_s"), F.col("e").alias("b_e"))
+    pairs = binned_interval_join(
+        a, b, keys=["user_id"],
+        l_start="a_s", l_end="a_e", r_start="b_s", r_end="b_e",
+        bin_width=_IV_W,
+    ).where(F.col("a_id") < F.col("b_id"))
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

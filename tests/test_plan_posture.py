@@ -434,3 +434,63 @@ def test_q140_scan_avoids_global_single_partition_window(spark):
     plan = plan_of(spark, "q045_pareto_scan")
     assert "_pid" in plan  # per-slice running sum keyed on partition id
     assert "CartesianProduct" not in plan
+
+
+def test_q141_budget_single_domain_window_shuffle(spark):
+    """Token-budget mixture (q141): ONE hash exchange (the window keyed
+    on source); budget comparison is a plain filter above it — no second
+    shuffle, no Python, no cartesian."""
+    plan = plan_of(spark, "q141_token_budget_mixture")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_q142_interleave_broadcasts_domain_dim(spark):
+    """Curriculum interleave (q142): the domain dimension (bounded,
+    one row per domain) joins broadcast; the only hash exchanges are
+    the per-domain window and the dim's own distinct — the document
+    side shuffles once."""
+    plan = plan_of(spark, "q142_interleave_round_robin")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q143_quantiles_no_data_sized_single_partition_stage(spark):
+    """Exact quantiles (q143): the row-count reduction happens FIRST
+    (partial_count before the value-key exchange), and the only
+    unpartitioned windows run over the bounded distinct-value /
+    partition-totals tables via the two-phase scan (_pid present)."""
+    plan = plan_of(spark, "q143_exact_quantiles")
+    assert "partial_count" in plan, plan
+    assert "_pid" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q144_incremental_dedup_stays_anti_join(spark):
+    """Incremental dedup (q144): the seen-keys probe is a LeftAnti
+    join on the content key — never a cartesian or a collected set."""
+    plan = plan_of(spark, "q144_incremental_dedup")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q145_retention_single_cluster_shuffle(spark):
+    """Keep-best retention (q145): one window shuffle on the cluster
+    fingerprint; the rank filter runs above it map-side."""
+    plan = plan_of(spark, "q145_keep_best_per_cluster")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q146_interval_join_is_equi_shaped(spark):
+    """Binned interval join (q146): the big×big range join must run as
+    a hash/sort-merge equi-join on (keys, bin) — never a nested-loop
+    or cartesian between two data-sized sides."""
+    plan = plan_of(spark, "q146_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
