@@ -293,3 +293,63 @@ def stream_curation(docs: DataFrame, min_tokens: int = 10,
     return gated.dropDuplicates(["_h"]).select(
         "doc_id", "lang", "n_tokens", "dup_token_frac_e6"
     )
+
+
+def stream_token_budget(
+    docs: DataFrame,
+    domain_col: str = "source",
+    token_col: str = "n_chars",
+    id_col: str = "doc_id",
+    budget: int = 5000,
+) -> DataFrame:
+    """Streaming admission control — the online twin of
+    ``operators/budget.token_budget_select``: admit documents per domain
+    until the domain's token budget is spent, then admit nothing more.
+
+    Semantics mirror the batch rule exactly: the running total counts
+    EVERY document seen (admitted or not), and a document is admitted
+    iff the total after adding it is still <= budget — so admission is
+    a prefix of the processing order, which is (arrival batch, id) —
+    deterministic for a given batch sequence (each micro-batch is
+    sorted by ``id_col`` before the state walk).
+
+    State is ONE bigint (tokens seen) per domain — bounded by domain
+    cardinality, independent of stream length; no watermark needed.
+    Arrow-batched ``applyInPandasWithState``, one pandas call per
+    (domain, micro-batch).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def gate(key, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(id_col)
+            cum = seen + pdf[token_col].cumsum()
+            admitted = pdf[cum <= budget]
+            seen += int(pdf[token_col].sum())
+            if len(admitted):
+                yield pd.DataFrame(
+                    {
+                        domain_col: admitted[domain_col],
+                        id_col: admitted[id_col],
+                        token_col: admitted[token_col],
+                        "cum_tokens": cum[cum <= budget].astype("int64"),
+                    }
+                )
+        state.update((seen,))
+
+    return docs.select(domain_col, id_col, token_col).groupBy(
+        domain_col
+    ).applyInPandasWithState(
+        gate,
+        outputStructType=(
+            f"{domain_col} string, {id_col} bigint, "
+            f"{token_col} bigint, cum_tokens bigint"
+        ),
+        stateStructType="seen bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

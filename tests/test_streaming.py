@@ -204,3 +204,38 @@ def test_stream_curation_equals_batch(spark):
     assert _sorted_rows(got, ["doc_id", "lang"]) == _sorted_rows(
         batch, ["doc_id", "lang"]
     )
+
+
+def test_stream_token_budget_matches_batch_prefix_rule(spark):
+    """The streaming admission gate admits exactly the batch prefix
+    rule applied to its processing order (doc_id within each arrival
+    batch): running total counts every doc seen; admit iff the total
+    after adding stays within budget."""
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_token_budget,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = run_stream_to_memory(
+        stream_token_budget(documents_stream(spark, sf), budget=900),
+        "tok_budget_stream",
+        output_mode="append",
+    ).collect()
+    # replay the rule driver-side: one file -> one batch, doc_id order
+    docs = sorted(
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("source", "doc_id", "n_chars")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    seen: dict[str, int] = {}
+    want = {}
+    for r in docs:
+        c = seen.get(r.source, 0) + r.n_chars
+        seen[r.source] = c
+        if c <= 900:
+            want[r.doc_id] = c
+    assert {r.doc_id: r.cum_tokens for r in out} == want
+    assert all(r.cum_tokens <= 900 for r in out)
