@@ -75,13 +75,27 @@ def main() -> None:
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
 
+    # "value" stays the sum over the ORIGINAL 7-query core so the
+    # round-over-round total remains comparable; queries added to the
+    # headline set later report their timings alongside and roll into
+    # "value_all" instead of inflating the tracked total.
+    core = {
+        "q001_pricing_summary",
+        "q006_star_join_revenue",
+        "q030_dedup_keep_latest",
+        "q034_cosine_topk",
+        "q037_text_analysis",
+        "q043_tumbling_window",
+        "q080_tpch_q3_shipping_priority",
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_wall_clock",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(t for n, t in timings.items() if n in core), 3),
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "value_all": round(sum(timings.values()), 3),
         "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -419,6 +419,7 @@ def q129_rate_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q015_curation_pipeline",
+    headline=True,
     oracle="""
 WITH stats AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,

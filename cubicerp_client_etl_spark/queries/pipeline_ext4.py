@@ -117,6 +117,7 @@ _QS = [0.0, 0.07, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 @register(
     "q143_exact_quantiles",
+    headline=True,
     oracle="""
 SELECT CAST(0.0  AS DOUBLE) AS q, quantile_disc(l_quantity, 0.0 ) AS qvalue FROM lineitem
 UNION ALL
@@ -231,6 +232,7 @@ _IV_W = 1800  # seconds; == the interval length, so each side explodes ≤2 bins
 
 @register(
     "q146_interval_overlap_join",
+    headline=True,
     oracle=f"""
 WITH iv AS (
   SELECT user_id, event_id,
