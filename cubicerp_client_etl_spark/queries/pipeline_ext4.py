@@ -266,3 +266,71 @@ def q146_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=_IV_W,
     ).where(F.col("a_id") < F.col("b_id"))
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# q147 — count-min sketch frequency estimates (operators/sketches.py):
+# a 4×64 sketch over all document tokens, probed for a fixed token set
+# alongside the exact counts. The md5 hash family makes the sketch
+# deterministic and engine-portable, so the oracle replays every bucket
+# and estimate exactly (est >= true always; width 64 keeps collisions
+# visible in the output). Sketch build = one bounded shuffle; probes
+# and sketch broadcast.
+# --------------------------------------------------------------------------
+_CMS_PROBES = ["the", "key", "value", "spark", "table", "row", "hash", "zzzz"]
+
+
+@register(
+    "q147_count_min_sketch",
+    oracle="""
+WITH flat AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+rws AS (SELECT * FROM (VALUES (0), (1), (2), (3)) r(rw)),
+cms AS (
+  SELECT rw,
+         CAST(concat('0x', substr(md5(token || '|cms1|' || rw), 1, 8)) AS BIGINT) % 64
+           AS bucket,
+         COUNT(*) AS c
+  FROM flat, rws GROUP BY 1, 2
+),
+probes AS (
+  SELECT * FROM (VALUES ('the'), ('key'), ('value'), ('spark'),
+                        ('table'), ('row'), ('hash'), ('zzzz')) p(token)
+),
+est AS (
+  SELECT p.token,
+         MIN(COALESCE(c.c, 0)) AS est_count
+  FROM probes p CROSS JOIN rws r
+  LEFT JOIN cms c
+    ON c.rw = r.rw
+   AND c.bucket = CAST(concat('0x', substr(md5(p.token || '|cms1|' || r.rw), 1, 8)) AS BIGINT) % 64
+  GROUP BY p.token
+),
+truth AS (SELECT token, COUNT(*) AS n FROM flat GROUP BY token)
+SELECT e.token AS token,
+       CAST(e.est_count AS BIGINT) AS est_count,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS true_count
+FROM est e LEFT JOIN truth t USING (token)
+""",
+)
+def q147_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cms = cms_build(tokens, depth=4, width=64, seed="1")
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "token string")
+    est = cms_estimate(cms, probes, depth=4, width=64, seed="1")
+    # exact counts for the PROBES only — the literal filter pushes into
+    # the scan; never aggregate (or broadcast) the full vocabulary here
+    truth = (
+        tokens.where(F.col("token").isin(_CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return est.join(F.broadcast(truth), on="token", how="left").select(
+        "token",
+        "est_count",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("true_count"),
+    )
