@@ -68,3 +68,52 @@ def exact_quantiles(
         (F.col("_cum").cast("double") / F.col("_n").cast("double")) >= F.col(q_col)
     )
     return hit.groupBy(q_col).agg(F.min(value_col).alias(out_col))
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    q_col: str = "q",
+    out_col: str = "value",
+) -> DataFrame:
+    """Per-group exact discrete quantiles — ``exact_quantiles`` keyed by
+    ``group_col``; one row per (group, q).
+
+    The keyed form needs no two-phase scan: the running count is a
+    window PARTITIONED BY the group, so each group's (bounded,
+    distinct-value-sized) count table stays on one partition while
+    groups spread across the cluster — the scalable shape as long as a
+    single group's distinct values fit a partition (quantize first for
+    continuous columns, same contract as the global form).
+
+    Plan: groupBy(group, value) count → group-keyed window (cum +
+    group total) → explode the q spec → min(value) per (group, q).
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    vals = df.where(F.col(value_col).isNotNull())
+    counts = vals.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(w_cum)).withColumn(
+        "_n", F.sum("_cnt").over(w_all)
+    )
+    hit = cum.withColumn(
+        q_col, F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    ).where(
+        (F.col("_cum").cast("double") / F.col("_n").cast("double")) >= F.col(q_col)
+    )
+    return hit.groupBy(group_col, q_col).agg(F.min(value_col).alias(out_col))

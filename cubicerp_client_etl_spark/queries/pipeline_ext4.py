@@ -334,3 +334,32 @@ def q147_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("true_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — per-group exact quantiles (operators/quantiles.py): document
+# length p10/median/p90 per source — the per-domain threshold table a
+# curation pass derives before filtering. Group-keyed windows over the
+# bounded (source, n_chars) count table; no global stage. Oracle:
+# grouped quantile_disc at each q.
+# --------------------------------------------------------------------------
+@register(
+    "q148_grouped_quantiles",
+    oracle="""
+SELECT source, CAST(0.1 AS DOUBLE) AS q, quantile_disc(n_chars, 0.1) AS qvalue
+FROM documents GROUP BY source
+UNION ALL
+SELECT source, CAST(0.5 AS DOUBLE), quantile_disc(n_chars, 0.5)
+FROM documents GROUP BY source
+UNION ALL
+SELECT source, CAST(0.9 AS DOUBLE), quantile_disc(n_chars, 0.9)
+FROM documents GROUP BY source
+""",
+)
+def q148_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quantiles import exact_quantiles_by
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_quantiles_by(
+        docs, "source", "n_chars", [0.1, 0.5, 0.9], q_col="q", out_col="qvalue"
+    )

@@ -494,3 +494,14 @@ def test_q146_interval_join_is_equi_shaped(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_q148_grouped_quantiles_group_keyed_windows_only(spark):
+    """Grouped quantiles (q148): every window in the plan is PARTITIONED
+    (by source) — no unpartitioned data-sized window; count reduction
+    happens before the window (partial_count present)."""
+    plan = plan_of(spark, "q148_grouped_quantiles")
+    assert "partial_count" in plan, plan
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "source" in spec, plan

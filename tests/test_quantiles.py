@@ -45,3 +45,26 @@ def test_rejects_bad_inputs(spark):
         exact_quantiles(df, "x", [])
     with pytest.raises(ValueError):
         exact_quantiles(df, "x", [1.5])
+
+
+def test_grouped_matches_duckdb_quantile_disc(spark):
+    rng = random.Random(7)
+    rows = [(f"g{rng.randint(0, 4)}", rng.randint(0, 60)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    from cubicerp_client_etl_spark.operators.quantiles import exact_quantiles_by
+
+    got = {
+        (r.g, r.q): r.value
+        for r in exact_quantiles_by(df, "g", "x", [0.1, 0.5, 0.9]).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES {}) v(g, x)".format(
+            ",".join(f"('{g}',{x})" for g, x in rows)
+        )
+    )
+    for q in [0.1, 0.5, 0.9]:
+        for g, want in con.execute(
+            f"SELECT g, quantile_disc(x, {q}) FROM t GROUP BY g"
+        ).fetchall():
+            assert got[(g, q)] == want, (g, q)
