@@ -363,3 +363,93 @@ def q148_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_by(
         docs, "source", "n_chars", [0.1, 0.5, 0.9], q_col="q", out_col="qvalue"
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — end-to-end fuzzy-dedup retention pipeline: exact Jaccard
+# set-similarity join (PPJoin prefix filter, J >= 1/2 on 3-gram
+# shingles) → connected components (min-label propagation) → one
+# survivor per near-dup cluster (longest doc, tie → lowest id). The
+# full "find near-dups, pick who lives" chain a pretraining corpus
+# runs, all equi-join/window shaped. Oracle: brute-force shingle pairs
+# + recursive-CTE reachability + the same argmax window.
+# --------------------------------------------------------------------------
+@register(
+    "q149_fuzzy_dedup_retention",
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
+  FROM t WHERE len(tk) >= 3
+),
+f AS (
+  SELECT doc_id, unnest(ts) AS sh, len(ts) AS sz FROM s
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS inter,
+         ANY_VALUE(a.sz) AS sza, ANY_VALUE(b.sz) AS szb
+  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE 3 * inter >= sza + szb
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE 3 * inter >= sza + szb
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edges.dst, reach.label FROM reach JOIN edges ON edges.src = reach.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+sized AS (SELECT component AS c2, COUNT(*) AS cluster_size FROM comp GROUP BY component),
+ranked AS (
+  SELECT comp.node AS doc_id, comp.component, sized.cluster_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY comp.component
+           ORDER BY d.n_chars DESC, comp.node
+         ) AS rn
+  FROM comp
+  JOIN sized ON comp.component = sized.c2
+  JOIN documents d ON d.doc_id = comp.node
+)
+SELECT doc_id, CAST(component AS BIGINT) AS component,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       rn = 1 AS is_survivor
+FROM ranked
+""",
+)
+def q149_fuzzy_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cubicerp_client_etl_spark.operators.dedup import setsim_join
+    from cubicerp_client_etl_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pairs = setsim_join(
+        docs.select("doc_id", "text"), shingle_n=3, threshold=(1, 2)
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    joined = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    ).join(F.broadcast(sizes), "component")
+    w = W.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    return joined.withColumn("_rn", F.row_number().over(w)).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("bigint"),
+        F.col("cluster_size").cast("bigint"),
+        (F.col("_rn") == 1).alias("is_survivor"),
+    )

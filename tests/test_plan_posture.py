@@ -505,3 +505,12 @@ def test_q148_grouped_quantiles_group_keyed_windows_only(spark):
     import re
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "source" in spec, plan
+
+
+def test_q149_fuzzy_retention_no_allpairs(spark):
+    """Fuzzy-dedup retention (q149): the similarity stage must stay
+    prefix-filtered equi-joins — no cartesian, no nested loop between
+    data-sized sides — and the retention window must be keyed."""
+    plan = plan_of(spark, "q149_fuzzy_dedup_retention")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
