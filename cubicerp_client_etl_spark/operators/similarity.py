@@ -220,3 +220,69 @@ def quantize_int8(vec: Column) -> Column:
             lambda x: F.floor(x * 127.0 / max_abs + 0.5).cast("int"),
         )
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Inverted-file ANN top-k with multi-probe search.
+
+    ``emb``: (id_col, vec_col) corpus; ``centroids``: (cid, cv) — small,
+    broadcast; ``probes``: (probe_id, pv). Every corpus vector is
+    assigned to its single nearest centroid (the inverted file); each
+    probe searches the UNION of its ``nprobe`` nearest clusters —
+    the standard recall knob: nprobe=1 is fastest, nprobe=#centroids
+    degenerates to the exact scan, in between recovers neighbors that
+    fell just across a Voronoi boundary.
+
+    Plan shape: centroid assignment is a broadcast nested-loop against
+    the k-row centroid table (bounded — never corpus×corpus) + one
+    keyed window; search is an equi-join on cid. A candidate belongs to
+    exactly one cluster, so multi-probe needs no dedup. Ties broken by
+    id for cross-engine determinism; similarities rounded to 6 dp so
+    rank order is replayable.
+    """
+    if k < 1 or nprobe < 1:
+        raise ValueError("k and nprobe must be >= 1")
+    cos_c = F.round(cosine(F.col(vec_col), F.col("cv")), 6)
+    w_assign = W.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cid"))
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, "cid", cos_c.alias("__cs"))
+        .withColumn("__crn", F.row_number().over(w_assign))
+    )
+    assigned = scored.filter(F.col("__crn") == 1).select(id_col, vec_col, "cid")
+    w_p = W.partitionBy("probe_id").orderBy(F.col("__cs").desc(), F.col("cid"))
+    probe_cids = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "probe_id",
+            "pv",
+            "cid",
+            F.round(cosine(F.col("pv"), F.col("cv")), 6).alias("__cs"),
+        )
+        .withColumn("__prn", F.row_number().over(w_p))
+        .filter(F.col("__prn") <= nprobe)
+        .select("probe_id", "pv", "cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_cids), "cid")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("pv")), 6).alias("sim"),
+        )
+    )
+    w_rank = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "sim", "rank")
+    )

@@ -453,3 +453,57 @@ def q149_fuzzy_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint"),
         (F.col("_rn") == 1).alias("is_survivor"),
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — multi-probe IVF ANN (operators/similarity.ivf_topk, nprobe=2):
+# each probe searches its TWO nearest inverted-file clusters — the
+# standard recall knob over q036's nprobe=1, recovering neighbors that
+# fell across a Voronoi boundary while still pruning the corpus scan.
+# Centroids broadcast; candidates equi-join on cluster id; no dedup
+# needed (each corpus vector lives in exactly one cluster).
+# --------------------------------------------------------------------------
+@register(
+    "q150_ivf_multiprobe",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+scored_assign AS (
+  SELECT e.vec_id, e.v, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                    sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 6) DESC,
+                    c.cid) AS crn
+  FROM e CROSS JOIN c
+),
+assigned AS (SELECT vec_id, v, cid FROM scored_assign WHERE crn = 1),
+probe_cids AS (
+  SELECT vec_id AS probe_id, v AS pv, cid
+  FROM scored_assign WHERE vec_id IN (10, 20, 30) AND crn <= 2
+),
+cand AS (
+  SELECT p.probe_id, a.vec_id,
+         ROUND(list_dot_product(a.v, p.pv) /
+               sqrt(list_dot_product(a.v, a.v) * list_dot_product(p.pv, p.pv)), 6) AS sim
+  FROM probe_cids p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+)
+SELECT probe_id, vec_id, sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+  FROM cand)
+WHERE rank <= 5
+""",
+)
+def q150_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    probes = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    return sim.ivf_topk(emb, cents, probes, k=5, nprobe=2)

@@ -59,3 +59,45 @@ def test_sketches_merge_by_sum(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_ivf_multiprobe_recall_not_below_single_probe(spark):
+    """nprobe=2 must recover at least the nprobe=1 recall against the
+    exact brute-force top-k (on the embeddings fixture)."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", sim.as_double("embedding").alias("v"))
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    probe_ids = [10, 20, 30]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    exact = sim.brute_force_topk(
+        emb.withColumnRenamed("v", "embedding"),
+        probes.select("probe_id", F.col("pv").alias("embedding")),
+        k=5,
+        id_col="vec_id",
+    )
+    truth = {
+        (r.probe_id, r.vec_id)
+        for r in exact.collect()
+        if r.probe_id != r.vec_id
+    }
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r.probe_id, r.vec_id)
+            for r in sim.ivf_topk(emb, cents, probes, k=5, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert recall(8) >= r2  # probing every cluster == the exact scan
