@@ -353,3 +353,36 @@ def stream_token_budget(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_count_min(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "1",
+) -> DataFrame:
+    """Streaming count-min sketch over document tokens — the online
+    form of ``operators/sketches.cms_build``.
+
+    Because CMS counters are ADDITIVE, the streaming build is literally
+    the same bounded groupBy running in update mode: Spark's state
+    store holds the depth×width counter grid (fixed size, independent
+    of stream length — no watermark needed), and each micro-batch's
+    partial counts merge by sum. The memory-sink/complete or
+    foreachBatch consumer reads the live sketch; estimates use the
+    batch ``cms_estimate`` unchanged on the materialized grid.
+    """
+    from cubicerp_client_etl_spark.operators.sketches import cms_bucket
+
+    tokens = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    expanded = tokens.withColumn(
+        "rw", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    )
+    return (
+        expanded.select(
+            "rw", cms_bucket(F.col("token"), F.col("rw"), width, seed).alias("bucket")
+        )
+        .groupBy("rw", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

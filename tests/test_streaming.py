@@ -239,3 +239,31 @@ def test_stream_token_budget_matches_batch_prefix_rule(spark):
             want[r.doc_id] = c
     assert {r.doc_id: r.cum_tokens for r in out} == want
     assert all(r.cum_tokens <= 900 for r in out)
+
+
+def test_stream_count_min_equals_batch_sketch(spark):
+    """The streaming CMS (stateful bounded groupBy) converges to exactly
+    the batch sketch over the same corpus — counter additivity."""
+    from cubicerp_client_etl_spark.operators.sketches import cms_build
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_count_min,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_stream_to_memory(
+        stream_count_min(documents_stream(spark, sf), depth=3, width=32, seed="s"),
+        "cms_stream",
+        output_mode="complete",
+    )
+    from pyspark.sql import functions as F
+
+    batch_tokens = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    batch = cms_build(batch_tokens, depth=3, width=32, seed="s")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
