@@ -286,3 +286,125 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", id_col, "sim", "rank")
     )
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance assembled from dot products — the
+    order-deterministic form both engines accumulate identically
+    (left-to-right folds), unlike a sum over (a-b)² in arbitrary
+    order: ||a-b||² = a·a - 2·a·b + b·b."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def pq_codebook(
+    emb: DataFrame,
+    n_codes: int = 8,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Deterministic product-quantization codebook: for each of the
+    ``m_sub`` subspaces, the ``n_codes`` codewords are the subvectors
+    of the first ``n_codes`` vectors by id (the same fixture-friendly
+    convention as the IVF centroids; swap in k-means codewords per
+    subspace for production). Output (sub_idx, code, cv) — bounded
+    m_sub × n_codes rows, always broadcastable."""
+    base = emb.filter(F.col(id_col) < n_codes)
+    return base.withColumn(
+        "sub_idx", F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1)))
+    ).select(
+        "sub_idx",
+        F.col(id_col).alias("code"),
+        F.slice(
+            F.col(vec_col), F.col("sub_idx") * sub_dim + 1, sub_dim
+        ).alias("cv"),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Encode each vector as ``m_sub`` one-byte-ish codes: per
+    subspace, the codeword minimizing squared L2 (rounded to 6 dp;
+    ties → lowest code — cross-engine deterministic). Output one row
+    per (id, sub_idx): the SQL-shaped code table ADC joins against.
+
+    Map-only against the broadcast codebook + one keyed window per
+    (id, sub) — the encode never shuffles the corpus by anything but
+    its own id. Compression: dim doubles → m_sub small ints."""
+    subs = emb.withColumn(
+        "sub_idx", F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1)))
+    ).select(
+        F.col(id_col),
+        "sub_idx",
+        F.slice(F.col(vec_col), F.col("sub_idx") * sub_dim + 1, sub_dim).alias(
+            "sv"
+        ),
+    )
+    scored = subs.join(F.broadcast(codebook), "sub_idx").withColumn(
+        "_d", F.round(sq_l2(F.col("sv"), F.col("cv")), 6)
+    )
+    w = W.partitionBy(id_col, "sub_idx").orderBy("_d", "code")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub_idx", "code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per probe, build the
+    (sub_idx, code) → squared-L2 lookup table against the RAW probe
+    subvectors (bounded m_sub × n_codes rows — broadcast), then the
+    estimated distance of a document is the SUM of its codes' lookups.
+
+    Distances are scaled to exact 1e6 integers BEFORE the sum, so the
+    aggregate is order-independent and bit-identical in any engine —
+    the float-summation trap ADC implementations usually carry. Plan:
+    codes ⋈ broadcast(LUT) equi-join → partial-agg sum keyed on
+    (probe, id) → per-probe top-k window. The corpus side touches only
+    the m_sub-int code table — the point of PQ at 100 TB: the raw
+    vectors never rescan for search."""
+    psubs = probes.withColumn(
+        "sub_idx", F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1)))
+    ).select(
+        "probe_id",
+        "sub_idx",
+        F.slice(F.col("pv"), F.col("sub_idx") * sub_dim + 1, sub_dim).alias(
+            "psv"
+        ),
+    )
+    lut = psubs.join(F.broadcast(codebook), "sub_idx").select(
+        "probe_id",
+        "sub_idx",
+        "code",
+        F.round(sq_l2(F.col("psv"), F.col("cv")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("_d_e6"),
+    )
+    est = (
+        codes.join(F.broadcast(lut), ["sub_idx", "code"])
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .groupBy("probe_id", id_col)
+        .agg(F.sum("_d_e6").cast("bigint").alias("est_dist_e6"))
+    )
+    w = W.partitionBy("probe_id").orderBy("est_dist_e6", F.col(id_col))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "est_dist_e6", "rank")
+    )

@@ -507,3 +507,83 @@ def q150_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
     return sim.ivf_topk(emb, cents, probes, k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# q151 — product-quantization ADC search (operators/similarity.py):
+# 64-dim vectors → 8 subspaces × 8 deterministic codewords; search
+# runs entirely over the code table + a per-probe broadcast lookup
+# table, with distances scaled to exact 1e6 integers before the sum so
+# the aggregate is order-independent (the float-summation trap ADC
+# implementations usually carry). The raw vectors never rescan at
+# search time — the PQ memory story at scale. Oracle replays encode,
+# LUT, and ADC exactly.
+# --------------------------------------------------------------------------
+@register(
+    "q151_pq_adc_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (SELECT unnest(generate_series(0, 7)) AS sub_idx),
+cb AS (
+  SELECT s.sub_idx, e.vec_id AS code,
+         list_slice(e.v, s.sub_idx * 8 + 1, s.sub_idx * 8 + 8) AS cv
+  FROM e CROSS JOIN subs s WHERE e.vec_id < 8
+),
+esub AS (
+  SELECT e.vec_id, s.sub_idx,
+         list_slice(e.v, s.sub_idx * 8 + 1, s.sub_idx * 8 + 8) AS sv
+  FROM e CROSS JOIN subs s
+),
+scored AS (
+  SELECT es.vec_id, es.sub_idx, cb.code,
+         ROUND(list_dot_product(es.sv, es.sv)
+               - 2 * list_dot_product(es.sv, cb.cv)
+               + list_dot_product(cb.cv, cb.cv), 6) AS d
+  FROM esub es JOIN cb ON cb.sub_idx = es.sub_idx
+),
+codes AS (
+  SELECT vec_id, sub_idx, code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, sub_idx ORDER BY d, code) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (10, 20, 30)),
+psub AS (
+  SELECT p.probe_id, s.sub_idx,
+         list_slice(p.pv, s.sub_idx * 8 + 1, s.sub_idx * 8 + 8) AS psv
+  FROM probes p CROSS JOIN subs s
+),
+lut AS (
+  SELECT ps.probe_id, ps.sub_idx, cb.code,
+         CAST(ROUND((list_dot_product(ps.psv, ps.psv)
+                     - 2 * list_dot_product(ps.psv, cb.cv)
+                     + list_dot_product(cb.cv, cb.cv)) * 1000000, 0) AS BIGINT)
+           AS d_e6
+  FROM psub ps JOIN cb ON cb.sub_idx = ps.sub_idx
+),
+est AS (
+  SELECT l.probe_id, c.vec_id, CAST(SUM(l.d_e6) AS BIGINT) AS est_dist_e6
+  FROM codes c JOIN lut l ON l.sub_idx = c.sub_idx AND l.code = c.code
+  WHERE c.vec_id <> l.probe_id
+  GROUP BY l.probe_id, c.vec_id
+)
+SELECT probe_id, vec_id, est_dist_e6, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY probe_id ORDER BY est_dist_e6, vec_id) AS rank
+  FROM est)
+WHERE rank <= 5
+""",
+)
+def q151_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double("embedding").alias("v")
+    )
+    cb = sim.pq_codebook(emb, n_codes=8, m_sub=8, sub_dim=8)
+    codes = sim.pq_encode(emb, cb, m_sub=8, sub_dim=8)
+    probes = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    return sim.pq_adc_topk(codes, cb, probes, k=5, m_sub=8, sub_dim=8)

@@ -514,3 +514,12 @@ def test_q149_fuzzy_retention_no_allpairs(spark):
     plan = plan_of(spark, "q149_fuzzy_dedup_retention")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q151_pq_search_never_rescans_raw_vectors(spark):
+    """PQ ADC (q151): the search aggregate consumes the code table +
+    broadcast LUT only — no cartesian; the (probe,id) sum shows
+    map-side partial aggregation."""
+    plan = plan_of(spark, "q151_pq_adc_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan

@@ -101,3 +101,70 @@ def test_ivf_multiprobe_recall_not_below_single_probe(spark):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1
     assert recall(8) >= r2  # probing every cluster == the exact scan
+
+
+def test_pq_encode_and_adc_match_reference(spark):
+    """PQ encode + ADC vs a driver-side numpy reference on the fixture
+    embeddings: codes are the argmin codeword per subspace, estimates
+    are the exact integer-scaled LUT sums."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", sim.as_double("embedding").alias("v"))
+    )
+    rows = {r.vec_id: np.array(r.v) for r in emb.collect()}
+    m_sub, sub_dim, n_codes = 8, 8, 8
+
+    def sub(v, s):
+        return v[s * sub_dim : (s + 1) * sub_dim]
+
+    def d6(a, b):
+        return round(float(a @ a - 2 * (a @ b) + b @ b), 6)
+
+    cb = sim.pq_codebook(emb, n_codes=n_codes, m_sub=m_sub, sub_dim=sub_dim)
+    codes = {
+        (r.vec_id, r.sub_idx): r.code
+        for r in sim.pq_encode(emb, cb, m_sub=m_sub, sub_dim=sub_dim).collect()
+    }
+    for vid, v in list(rows.items())[:20]:
+        for s in range(m_sub):
+            dists = [(d6(sub(v, s), sub(rows[c], s)), c) for c in range(n_codes)]
+            want = min(dists)[1]
+            assert codes[(vid, s)] == want, (vid, s)
+
+    probes = emb.filter(F.col("vec_id") == 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    got = sim.pq_adc_topk(
+        codes=sim.pq_encode(emb, cb, m_sub=m_sub, sub_dim=sub_dim),
+        codebook=cb,
+        probes=probes,
+        k=3,
+        m_sub=m_sub,
+        sub_dim=sub_dim,
+    ).collect()
+    pv = rows[10]
+    est = {}
+    for vid in rows:
+        if vid == 10:
+            continue
+        tot = 0
+        for s in range(m_sub):
+            c = codes[(vid, s)]
+            tot += int(
+                round(
+                    (
+                        pv[s * sub_dim : (s + 1) * sub_dim] @ pv[s * sub_dim : (s + 1) * sub_dim]
+                        - 2 * (pv[s * sub_dim : (s + 1) * sub_dim] @ sub(rows[c], s))
+                        + sub(rows[c], s) @ sub(rows[c], s)
+                    )
+                    * 1_000_000
+                )
+            )
+        est[vid] = tot
+    want_top = sorted(est.items(), key=lambda kv: (kv[1], kv[0]))[:3]
+    assert [(r.vec_id, r.est_dist_e6) for r in got] == want_top
