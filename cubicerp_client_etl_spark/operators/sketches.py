@@ -82,3 +82,33 @@ def cms_estimate(
     return joined.groupBy(token_col).agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est_count")
     )
+
+
+def occupancy_sketch(
+    tokens: DataFrame,
+    token_col: str = "token",
+    m: int = 1024,
+    seed: str = "1",
+) -> DataFrame:
+    """Linear-counting distinct sketch (Whang et al. 1990): hash every
+    value into ``m`` buckets and count how many buckets are OCCUPIED —
+    one bigint per corpus, mergeable by OR (union the occupied-bucket
+    sets). The distinct estimate is ``-m·ln(1 - occupied/m)``; this
+    operator returns the occupied count and leaves the (float) estimate
+    to the caller, because the occupancy itself is an exact integer any
+    engine reproduces — the oracle-checkable core, unlike opaque HLL
+    registers (q077's sketch is rows-only for exactly that reason).
+
+    Plan: map-side bucket projection → distinct over at most ``m``
+    values → count. The distinct's shuffle carries at most ``m`` rows
+    per partition after partial dedup — bounded state at any scale.
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    h = F.substring(
+        F.md5(F.concat(F.col(token_col), F.lit(f"|occ{seed}"))), 1, 8
+    )
+    bucket = (F.conv(h, 16, 10).cast("bigint") % m).alias("bucket")
+    return tokens.select(bucket).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied")
+    )

@@ -1,15 +1,19 @@
-"""Mixture-assembly & retention query wave (q141–q145): the corpus-
-construction stages that run AFTER filtering/dedup in an LLM data
-pipeline — exact token-budget selection, curriculum interleaving,
-exact quantile thresholds, incremental cross-snapshot dedup, and
-duplicate-cluster retention policy.
+"""Mixture-assembly, retention, and sketch/ANN query wave (q141–q151):
+the corpus-construction and retrieval stages that run AFTER
+filtering/dedup in an LLM data pipeline — exact token-budget
+selection, curriculum interleaving, exact global/grouped quantile
+thresholds, incremental cross-snapshot dedup, duplicate-cluster
+retention (including the full setsim→components→survivor chain), the
+binned big×big interval join, a portable-hash count-min sketch,
+multi-probe IVF, and product-quantization ADC search.
 
-All five are exactly replayable in DuckDB: ordering/splitting uses the
-keyed-md5 determinism of ``operators/sampling.py``, quantiles use the
-IEEE ``cum/n >= q`` rank rule both engines share, and the content
-fingerprint is a pure md5-over-sorted-tokens expression. These sit past
-the q001–q050 driver window; the sweep (tools/oracle_sweep.py)
-value-checks them at both SFs.
+All are exactly replayable in DuckDB: ordering/splitting/hashing uses
+the keyed-md5 determinism of ``operators/sampling.py``, quantiles use
+the IEEE ``cum/n >= q`` rank rule both engines share, similarity
+scores round to 6 dp with id tie-breaks, and ADC distances become
+integer micro-units before any aggregate. These sit past the
+q001–q050 driver window; the sweep (tools/oracle_sweep.py)
+value-checks them at BOTH SFs.
 """
 
 from __future__ import annotations
@@ -587,3 +591,41 @@ def q151_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
     return sim.pq_adc_topk(codes, cb, probes, k=5, m_sub=8, sub_dim=8)
+
+
+# --------------------------------------------------------------------------
+# q152 — linear-counting distinct sketch (operators/sketches.py):
+# occupied-bucket count over the document token vocabulary at m=1024,
+# next to the exact distinct — the oracle-checkable core of cardinality
+# sketching (the float estimate -m·ln(1-V) derives from `occupied`;
+# the opaque-register HLL variant is q077, rows-only by necessity).
+# Bounded distinct (≤ m values) + one exact distinct for reference.
+# --------------------------------------------------------------------------
+@register(
+    "q152_occupancy_sketch",
+    oracle="""
+WITH flat AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+occ AS (
+  SELECT COUNT(DISTINCT
+           CAST(concat('0x', substr(md5(token || '|occ1'), 1, 8)) AS BIGINT) % 1024
+         ) AS occupied
+  FROM flat
+),
+ex AS (SELECT COUNT(DISTINCT token) AS exact_distinct FROM flat)
+SELECT CAST(occ.occupied AS BIGINT) AS occupied,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+FROM occ, ex
+""",
+)
+def q152_occupancy_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sketches import occupancy_sketch
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    occ = occupancy_sketch(tokens, m=1024, seed="1")
+    exact = tokens.agg(
+        F.countDistinct("token").cast("bigint").alias("exact_distinct")
+    )
+    return occ.crossJoin(F.broadcast(exact))

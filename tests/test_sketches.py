@@ -168,3 +168,30 @@ def test_pq_encode_and_adc_match_reference(spark):
         est[vid] = tot
     want_top = sorted(est.items(), key=lambda kv: (kv[1], kv[0]))[:3]
     assert [(r.vec_id, r.est_dist_e6) for r in got] == want_top
+
+
+def test_occupancy_sketch_estimate_tracks_exact_distinct(spark):
+    """Linear-counting: occupancy equals the driver-side reference, and
+    the derived estimate lands within 15% of the true distinct count at
+    m >> n/2."""
+    import hashlib
+    import math
+    import random
+
+    from cubicerp_client_etl_spark.operators.sketches import occupancy_sketch
+
+    rng = random.Random(5)
+    toks = [f"t{rng.randint(0, 499)}" for _ in range(8000)]
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    m = 4096
+    occ = occupancy_sketch(df, m=m, seed="x").collect()[0].occupied
+    want = len(
+        {
+            int(hashlib.md5(f"{t}|occx".encode()).hexdigest()[:8], 16) % m
+            for t in set(toks)
+        }
+    )
+    assert occ == want
+    est = -m * math.log(1 - occ / m)
+    exact = len(set(toks))
+    assert abs(est - exact) / exact < 0.15
