@@ -218,3 +218,50 @@ def stratified_sample_exact(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    n: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the
+    ``n`` rows per group with the smallest integer priority
+    ``(hash32(id|seed) * 1e6) div weight`` — a row with twice the
+    weight halves its expected priority, so selection probability
+    scales ~proportionally to ``weight_col`` (the exact-integer
+    stand-in for Efraimidis–Spirakis u^(1/w) priorities, chosen
+    because integer div replays bit-identically in any engine while
+    pow/log may differ in the last ulp across libm implementations).
+
+    Importance sampling for corpus work: weight by quality score to
+    keep high-quality documents preferentially, deterministically, and
+    reproducibly on any cluster/retry. Weights must be positive
+    integers (scale fractional scores first).
+
+    One window shuffle on the group; priorities are map-side
+    expressions.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|wps" + seed))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.withColumn("_num", h32 * F.lit(1_000_000)).withColumn(
+        "_prio", F.expr(f"_num div {weight_col}")
+    )
+    w = Window.partitionBy(group_col).orderBy("_prio", id_col)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_num", "_prio", "_rn")
+    )

@@ -629,3 +629,40 @@ def q152_occupancy_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").cast("bigint").alias("exact_distinct")
     )
     return occ.crossJoin(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# q153 — weighted priority sampling (operators/sampling.py): keep the 5
+# documents per source with the smallest (hash32·1e6 div n_chars)
+# priority — deterministic importance sampling that prefers longer
+# (higher-weight) documents, with exact-integer priorities any engine
+# replays (the portable stand-in for Efraimidis–Spirakis u^(1/w)).
+# One keyed window shuffle. Oracle: the same integer arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "q153_weighted_priority_sample",
+    oracle="""
+SELECT source, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|wpsq153'), 1, 8)) AS BIGINT)
+                     * 1000000) // n_chars,
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+""",
+)
+def q153_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    out = weighted_priority_sample(
+        docs, group_col="source", weight_col="n_chars", id_col="doc_id",
+        n=5, seed="q153",
+    )
+    return out.select("source", "doc_id", "n_chars")

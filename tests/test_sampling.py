@@ -89,3 +89,39 @@ def test_stratified_deterministic_under_partitioning(spark):
     b = {r["k"] for r in
          stratified_sample_exact(df.repartition(9), "g", "k", 40, "z").collect()}
     assert a == b and len(a) == 40
+
+
+def test_weighted_priority_sample_prefers_heavy_rows(spark):
+    """Deterministic weighted sampling: rerun- and partition-stable,
+    and across many groups the selected rows' mean weight exceeds the
+    population mean (importance-sampling bias toward heavy rows)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 40}", i, rng.choice([1, 1, 1, 1, 20]))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    picked = weighted_priority_sample(
+        df, group_col="g", weight_col="w", id_col="id", n=5, seed="t"
+    )
+    got = {(r.g, r.id) for r in picked.collect()}
+    again = {
+        (r.g, r.id)
+        for r in weighted_priority_sample(
+            df.repartition(13), group_col="g", weight_col="w", id_col="id",
+            n=5, seed="t",
+        ).collect()
+    }
+    assert got == again and len(got) == 40 * 5
+    mean_w = sum(w for _, _, w in rows) / len(rows)
+    picked_ids = {i for _, i in got}
+    picked_mean = sum(w for _, i, w in rows if i in picked_ids) / len(picked_ids)
+    assert picked_mean > mean_w * 1.5
