@@ -1,11 +1,12 @@
-"""Mixture-assembly, retention, and sketch/ANN query wave (q141–q151):
+"""Mixture-assembly, retention, and sketch/ANN query wave (q141–q153):
 the corpus-construction and retrieval stages that run AFTER
 filtering/dedup in an LLM data pipeline — exact token-budget
 selection, curriculum interleaving, exact global/grouped quantile
 thresholds, incremental cross-snapshot dedup, duplicate-cluster
 retention (including the full setsim→components→survivor chain), the
-binned big×big interval join, a portable-hash count-min sketch,
-multi-probe IVF, and product-quantization ADC search.
+binned big×big interval join, portable-hash count-min and
+linear-counting sketches, multi-probe IVF, product-quantization ADC
+search, and weighted priority sampling.
 
 All are exactly replayable in DuckDB: ordering/splitting/hashing uses
 the keyed-md5 determinism of ``operators/sampling.py``, quantiles use
