@@ -318,3 +318,50 @@ def compression_ratio(
     import pandas as pd  # noqa: F811 — imported for closure scope clarity
 
     return docs.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def bigram_fluency_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM fluency scoring: each bigram occurrence contributes
+    the exact-integer conditional probability
+    ``P(w2|w1) ≈ (count(w1 w2) · 1e6) div count(w1 as head)`` from the
+    corpus itself; documents whose transitions are globally common
+    score high (fluent/boilerplate), rare-transition documents score
+    low (noise, code, other-language). The bigram upgrade of
+    ``unigram_freq_score`` and the integer stand-in for bigram-LM
+    perplexity — log-space scoring is not bit-portable across engines,
+    but these ratios order documents the same way and replay exactly.
+
+    Documents need >= 2 tokens to appear. Three shuffles, all keyed and
+    partial-agg'd: bigram histogram, head histogram, per-doc rollup;
+    the histogram joins resolve to broadcast under Zipf vocabularies.
+    """
+    base = docs.select(F.col(id_col), _toks(text_col).alias("_tk")).where(
+        F.size("_tk") >= 2
+    )
+    bg = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_tk) - 2),"
+                " i -> struct(_tk[i] AS w1, _tk[i + 1] AS w2))"
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    heads = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("_ch"))
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("_cb"))
+    scored = (
+        bg.join(pairs, ["w1", "w2"])
+        .join(heads, "w1")
+        .select(id_col, F.expr("(_cb * 1000000) div _ch").alias("_p_e6"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("_p_e6").cast("bigint").alias("sum_p_e6"),
+            F.min("_p_e6").cast("bigint").alias("min_p_e6"),
+        )
+        .select("*", F.expr("sum_p_e6 div n_bigrams").alias("avg_p_e6"))
+    )

@@ -667,3 +667,88 @@ def q153_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         n=5, seed="q153",
     )
     return out.select("source", "doc_id", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# q154 — bigram-LM fluency scoring (operators/curation.py): per-doc
+# sums of exact-integer corpus conditional probabilities
+# (c(w1,w2)·1e6 div c(w1·)) — the curation fluency signal, integer-
+# exact so the oracle replays it bit-for-bit (log-perplexity wouldn't).
+# --------------------------------------------------------------------------
+@register(
+    "q154_bigram_fluency",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+flat AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM flat),
+c1 AS (SELECT w1, COUNT(*) AS ch FROM bg GROUP BY w1),
+c12 AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+scored AS (
+  SELECT bg.doc_id, (c12.cb * 1000000) // c1.ch AS p_e6
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p_e6) AS BIGINT) AS sum_p_e6,
+       CAST(MIN(p_e6) AS BIGINT) AS min_p_e6,
+       CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS avg_p_e6
+FROM scored GROUP BY doc_id
+""",
+)
+def q154_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.curation import bigram_fluency_score
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_fluency_score(docs)
+
+
+# --------------------------------------------------------------------------
+# q155 — dedup observability report: per-source duplication profile
+# (docs, distinct exact hashes, distinct bag-of-words keys, exact- and
+# near-dup fractions as e6 integers) — the monitoring table a pipeline
+# operator watches to catch a crawler regression before it poisons a
+# training run. Two keyed aggregations, everything integer-exact.
+# --------------------------------------------------------------------------
+@register(
+    "q155_dedup_observability",
+    oracle="""
+WITH k AS (
+  SELECT source, doc_id, md5(text) AS eh,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS bk
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT eh) AS BIGINT) AS n_exact_keys,
+       CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_bow_keys,
+       CAST(1000000 * (COUNT(*) - COUNT(DISTINCT eh)) // COUNT(*) AS BIGINT)
+         AS exact_dup_frac_e6,
+       CAST(1000000 * (COUNT(*) - COUNT(DISTINCT bk)) // COUNT(*) AS BIGINT)
+         AS bow_dup_frac_e6
+FROM k GROUP BY source
+""",
+)
+def q155_dedup_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    k = docs.select(
+        "source",
+        F.md5("text").alias("eh"),
+        bag_of_words_key("text").alias("bk"),
+    )
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("eh").cast("bigint").alias("n_exact_keys"),
+        F.countDistinct("bk").cast("bigint").alias("n_bow_keys"),
+        F.expr("1000000 * (count(1) - count(DISTINCT eh)) div count(1)")
+        .cast("bigint")
+        .alias("exact_dup_frac_e6"),
+        F.expr("1000000 * (count(1) - count(DISTINCT bk)) div count(1)")
+        .cast("bigint")
+        .alias("bow_dup_frac_e6"),
+    )

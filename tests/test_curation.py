@@ -268,3 +268,28 @@ def test_compression_ratio_preserves_id_type(spark):
     assert dict(out.dtypes)["doc_id"] == "string"
     rows = {r["doc_id"]: r["ratio_e6"] for r in out.collect()}
     assert set(rows) == {"a", "b"} and all(v > 0 for v in rows.values())
+
+
+def test_bigram_fluency_reference(spark):
+    """Hand-computed bigram conditional scores on a 3-doc corpus."""
+    from cubicerp_client_etl_spark.operators.curation import (
+        bigram_fluency_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),      # bigrams: (a,b), (b,c)
+            (2, "a b a b"),    # bigrams: (a,b), (b,a), (a,b)
+            (3, "x"),          # no bigram -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_fluency_score(df).collect()}
+    # heads: a->3 (a,b)x3 ; b->2 ((b,c),(b,a))
+    # P(b|a)=3/3=1e6 ; P(c|b)=1/2=500000 ; P(a|b)=1/2=500000
+    assert set(out) == {1, 2}
+    d1, d2 = out[1], out[2]
+    assert (d1.n_bigrams, d1.sum_p_e6, d1.min_p_e6, d1.avg_p_e6) == (
+        2, 1_500_000, 500_000, 750_000)
+    assert (d2.n_bigrams, d2.sum_p_e6, d2.min_p_e6, d2.avg_p_e6) == (
+        3, 2_500_000, 500_000, 833_333)
