@@ -87,3 +87,39 @@ def test_interleave_positions_unique_and_round_robin(spark):
         .collect()
     )
     assert [r.doc_id for r in out_sorted] == [r.doc_id for r in web_order]
+
+
+def test_budget_prefix_property_randomized(spark):
+    """Property (randomized inputs): for any weights and budget, the
+    kept set per domain is exactly the maximal prefix of the
+    md5-shuffled order whose running total (counting every doc seen)
+    stays within budget."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(123)
+    for trial in range(3):
+        n = rng.randint(5, 120)
+        budget = rng.randint(1, 300)
+        rows = [
+            (i, rng.choice(["a", "b", "c"]), rng.randint(1, 60))
+            for i in range(n)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, domain string, toks long")
+        out = token_budget_select(
+            docs, "domain", "toks", "doc_id", budget=budget, seed=f"s{trial}"
+        ).collect()
+        ordered = (
+            docs.withColumn("_h", shuffle_key("doc_id", f"s{trial}"))
+            .orderBy("domain", "_h", "doc_id")
+            .collect()
+        )
+        cum: dict[str, int] = {}
+        want: dict[int, int] = {}
+        for r in ordered:
+            c = cum.get(r.domain, 0) + r.toks
+            cum[r.domain] = c
+            if c <= budget:
+                want[r.doc_id] = c
+        assert {r.doc_id: r.cum_tokens for r in out} == want, (trial, budget)

@@ -523,3 +523,20 @@ def test_q151_pq_search_never_rescans_raw_vectors(spark):
     plan = plan_of(spark, "q151_pq_adc_topk")
     assert "CartesianProduct" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_q154_bigram_fluency_partial_aggs_no_python(spark):
+    """Bigram fluency (q154): all three aggregations partial-agg before
+    their exchanges; zero Python, no cartesian."""
+    plan = plan_of(spark, "q154_bigram_fluency")
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_q155_dedup_observability_single_source_rollup(spark):
+    """Dedup observability (q155): distinct-counting expands map-side
+    (partial aggregation) and rolls up keyed on source; no Python."""
+    plan = plan_of(spark, "q155_dedup_observability")
+    assert "partial_count" in plan, plan
+    assert "Python" not in plan, plan
