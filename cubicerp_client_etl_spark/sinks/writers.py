@@ -265,3 +265,64 @@ def write_zorder(
         else tmp.repartitionByRange("_z")
     )
     out.sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    order_col: str | None = None,
+    token_col: str | None = None,
+    seed: str = "",
+) -> None:
+    """Export a curated corpus as deterministic training shards — the
+    hand-off format a trainer's data loader consumes.
+
+    * shard assignment: ``int(md5(id|seed)[:8], 16) % n_shards`` — the
+      repo's portable keyed hash, so the same document lands in the
+      same shard on any cluster, any retry, any engine that wants to
+      verify the layout;
+    * layout: ``path/_shard=<k>/`` with ONE file per shard (each shard
+      is repartition-pinned to a single task, then split out by
+      ``partitionBy``), rows ordered by ``order_col`` (default
+      ``id_col``) inside the file — parquet preserves row order, so
+      the loader streams in curriculum order without sorting;
+    * manifest: ``path/_manifest`` parquet of
+      (shard, n_rows[, n_tokens]) — what an epoch scheduler needs to
+      size and weight shards without opening them.
+
+    One shuffle (the shard repartition). Shard count bounds file count;
+    pick it near total_bytes / target_file_size.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|shard" + seed))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sharded = df.withColumn("_shard", (h % n_shards).cast("int"))
+    order = order_col if order_col is not None else id_col
+    (
+        sharded.repartition(n_shards, F.col("_shard"))
+        .sortWithinPartitions("_shard", order)
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(path)
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
+    (
+        sharded.groupBy("_shard")
+        .agg(*aggs)
+        .withColumnRenamed("_shard", "shard")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_manifest")
+    )
