@@ -103,3 +103,15 @@ def fw_render(col: Column, length: int, align: str = "ljust", fill: str = " ") -
         return F.when(F.length(s) >= length, F.substring(s, 1, length)).otherwise(padded)
     # ljust (default)
     return F.substring(F.rpad(s, length, fill), 1, length)
+
+
+def md5_hash32(key: Column) -> Column:
+    """Portable 32-bit hash: integer value of the first 8 hex chars of
+    md5(key) — the ONE definition every hash-bucketed operator must
+    share (CMS buckets, shard assignment, weighted priorities), because
+    DuckDB oracles replay it as
+    ``CAST(concat('0x', substr(md5(key), 1, 8)) AS BIGINT)`` and any
+    drift in substring width or base silently breaks cross-engine
+    equality. Callers build the salted key themselves
+    (``concat(id, lit('|salt'))``)."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")

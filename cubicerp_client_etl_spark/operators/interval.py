@@ -20,9 +20,12 @@ fix factors the range predicate through a bin equi-join:
    shuffle is needed.
 
 Overlap semantics are CLOSED-interval: [ls,le] meets [rs,re] iff
-``ls <= re AND rs <= le``. Bounds must be non-negative integers
-(epoch seconds/micros both fit; ``div`` truncates toward zero, which
-equals floor only for non-negative values — enforced).
+``ls <= re AND rs <= le``. Bounds are EXPECTED to be non-negative
+integers with start <= end (epoch seconds/micros both fit); this is a
+documented contract, not a runtime check — ``div`` truncates toward
+zero, so negative bounds still join correctly but bin 0 spans double
+width (worse selectivity), and an inverted interval feeds
+``F.sequence`` a descending range and produces garbage bins.
 """
 
 from __future__ import annotations

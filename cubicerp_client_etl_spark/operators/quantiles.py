@@ -59,7 +59,11 @@ def exact_quantiles(
     cum = prefix_sum(
         counts, order_by=[F.col(value_col)], value_col="_cnt", out_col="_cum"
     )
-    total = counts.agg(F.sum("_cnt").cast("bigint").alias("_n"))
+    # total = max cumulative count, read from prefix_sum's OUTPUT: its
+    # localCheckpoint already materialized the count table, so this
+    # aggregate reuses the checkpoint instead of re-running the input
+    # scan + groupBy a second time (counts.agg would)
+    total = cum.agg(F.max("_cum").cast("bigint").alias("_n"))
     spark = df.sparkSession
     spec = spark.createDataFrame([(float(q),) for q in qs], f"{q_col} double")
     # broadcast (spec × 1-row total) against the bounded count table;

@@ -71,8 +71,10 @@ def incremental_dedup(
     """Rows of ``new_batch`` whose ``key_col`` is absent from
     ``seen_keys`` (a one-column frame of previously-ingested keys),
     with intra-batch duplicates collapsed to the first row under
-    ``order_by`` (default: ascending ``key_col`` only — pass an
-    explicit policy for real pipelines).
+    ``order_by``. PASS A TOTAL ORDER over the batch (a unique id): the
+    default orders by ``key_col``, which ties within every key
+    partition, so when a key repeats in the batch the survivor is
+    shuffle-order-dependent — fine only when any copy is acceptable.
 
     Two keyed shuffles (intra-batch window + anti-join), both on the
     content key; Catalyst/AQE broadcast the anti-join when the seen-key

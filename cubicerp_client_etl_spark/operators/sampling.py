@@ -247,17 +247,21 @@ def weighted_priority_sample(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    h32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|wps" + seed))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    h32 = md5_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit("|wps" + seed))
+    )
+    # zero/negative weights would silently invert the policy (NULL/
+    # negative priorities sort FIRST under ascending order) — fail loud
+    # per row instead of sampling garbage
+    guard = (
+        f"CASE WHEN {weight_col} > 0 THEN {weight_col} "
+        f"ELSE raise_error('weighted_priority_sample: weights must be "
+        f"positive integers') END"
+    )
     out = df.withColumn("_num", h32 * F.lit(1_000_000)).withColumn(
-        "_prio", F.expr(f"_num div {weight_col}")
+        "_prio", F.expr(f"_num div ({guard})")
     )
     w = Window.partitionBy(group_col).orderBy("_prio", id_col)
     return (

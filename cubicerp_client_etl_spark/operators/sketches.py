@@ -30,10 +30,12 @@ from pyspark.sql import functions as F
 def cms_bucket(token: Column, row: Column, width: int, seed: str) -> Column:
     """Deterministic bucket in [0, width) for a token under hash row
     ``row`` — md5-derived, identical in any engine that computes md5."""
-    h = F.substring(
-        F.md5(F.concat(token, F.lit(f"|cms{seed}|"), row.cast("string"))), 1, 8
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    return (
+        md5_hash32(F.concat(token, F.lit(f"|cms{seed}|"), row.cast("string")))
+        % width
     )
-    return F.conv(h, 16, 10).cast("bigint") % width
 
 
 def cms_build(
@@ -105,10 +107,11 @@ def occupancy_sketch(
     """
     if m < 1:
         raise ValueError("m must be >= 1")
-    h = F.substring(
-        F.md5(F.concat(F.col(token_col), F.lit(f"|occ{seed}"))), 1, 8
-    )
-    bucket = (F.conv(h, 16, 10).cast("bigint") % m).alias("bucket")
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    bucket = (
+        md5_hash32(F.concat(F.col(token_col), F.lit(f"|occ{seed}"))) % m
+    ).alias("bucket")
     return tokens.select(bucket).distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("occupied")
     )

@@ -186,9 +186,13 @@ def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seen = keyed.where(F.col("_h") < "8").select("bow_key")
     batch = keyed.where(F.col("_h") >= "8").select("doc_id", "bow_key")
-    return incremental_dedup(batch, seen, key_col="bow_key").select(
-        "doc_id", "bow_key"
-    )
+    # order_by pins the intra-batch survivor to the LOWEST doc_id — the
+    # operator's default (the key column) is a total tie within a key
+    # partition, which would pick a shuffle-order-dependent survivor
+    # and intermittently diverge from the oracle's ORDER BY doc_id
+    return incremental_dedup(
+        batch, seen, key_col="bow_key", order_by=[F.col("doc_id")]
+    ).select("doc_id", "bow_key")
 
 
 # --------------------------------------------------------------------------

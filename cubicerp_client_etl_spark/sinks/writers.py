@@ -297,15 +297,11 @@ def write_training_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|shard" + seed))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    h = md5_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit("|shard" + seed))
+    )
     sharded = df.withColumn("_shard", (h % n_shards).cast("int"))
     order = order_col if order_col is not None else id_col
     (
@@ -318,8 +314,13 @@ def write_training_shards(
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).cast("bigint").alias("n_tokens"))
+    # build the manifest from the FILES JUST WRITTEN, not from
+    # `sharded`: re-aggregating the unmaterialized plan would rerun the
+    # entire upstream lineage (scan + curation + shuffle) a second
+    # time — at corpus scale that doubles the export job
+    written = df.sparkSession.read.parquet(path)
     (
-        sharded.groupBy("_shard")
+        written.groupBy("_shard")
         .agg(*aggs)
         .withColumnRenamed("_shard", "shard")
         .coalesce(1)

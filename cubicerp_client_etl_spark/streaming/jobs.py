@@ -323,10 +323,15 @@ def stream_token_budget(
 
     def gate(key, pdfs, state: GroupState):
         seen = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(id_col)
+        # materialize the WHOLE micro-batch before sorting: the
+        # iterator yields Arrow chunks (split at
+        # spark.sql.execution.arrow.maxRecordsPerBatch) in shuffle
+        # arrival order, so sorting each chunk independently would make
+        # admission depend on chunking — the batch must be one ordered
+        # frame for the "(arrival batch, id)" contract to hold
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(id_col)
             cum = seen + pdf[token_col].cumsum()
             admitted = pdf[cum <= budget]
             seen += int(pdf[token_col].sum())

@@ -170,6 +170,8 @@ def main() -> None:
     only = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            sys.exit("usage: oracle_sweep.py [sf_dir ...] [--only SUBSTR]")
         only = args[i + 1]
         args = args[:i] + args[i + 2 :]
     dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
