@@ -458,12 +458,14 @@ def test_q142_interleave_broadcasts_domain_dim(spark):
 
 
 def test_q143_quantiles_no_data_sized_single_partition_stage(spark):
-    """Exact quantiles (q143): the row-count reduction happens FIRST
-    (partial_count before the value-key exchange), and the only
-    unpartitioned windows run over the bounded distinct-value /
-    partition-totals tables via the two-phase scan (_pid present)."""
+    """Exact quantiles (q143): the value-count reduction runs once,
+    inside prefix_sum's checkpointed subplan — the final plan must
+    consume the CHECKPOINT (Scan ExistingRDD), not re-aggregate the
+    input, and its only windows run keyed on the two-phase scan's
+    partition id (_pid present)."""
     plan = plan_of(spark, "q143_exact_quantiles")
-    assert "partial_count" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # checkpoint reuse, no rescan
+    assert "FileScan" not in plan, plan  # input is never read twice
     assert "_pid" in plan, plan
     assert "CartesianProduct" not in plan
 
