@@ -55,6 +55,7 @@ def _load_all() -> None:
         pipeline_ext2,
         pipeline_ext3,
         pipeline_ext4,
+        pipeline_ext5,
         relational,
         relational2,
         relational3,
