@@ -14,17 +14,23 @@ per-row routing idea — cubicerpetl.py:494-537 — to corpus assembly):
   reader sees domains evenly mixed (no "all of domain A, then all of
   B"), again deterministically.
 
-Scale posture: both are ONE keyed shuffle (window partitioned by the
-domain column) plus, for interleaving, a broadcast join against the
-bounded domain dimension. The per-domain running sum keys the window on
-``domain`` — each domain's rows land on one partition. That is the
-right plan while a single domain fits a partition (tokens are counted,
-not materialized — rows are narrow); for a pathological single-domain
-corpus compose ``operators.prefix.prefix_sum`` per domain instead (the
-two-phase scan), which this module deliberately does not hide behind a
-heuristic. Ordering is the keyed-md5 determinism of
+Scale posture: a training mixture has O(10) domains, so a window
+partitioned by the domain column funnels each domain's ENTIRE row set
+through one task — the single-partition WindowExec scale-killer
+``operators/prefix.py`` documents, merely sharded ten ways. Both
+operators therefore run on ``prefix.prefix_sum_by``, the keyed
+two-phase scan: range-partition on (domain, shuffle order), per-
+(domain, partition) local sums, then a per-domain offset table whose
+size is bounded by #partitions + #domains — no stage ever holds more
+than one partition's slice of one domain, at any corpus size.
+Interleaving adds one broadcast join against the bounded domain
+dimension. Ordering is the keyed-md5 determinism of
 ``operators/sampling.py`` — retry/partitioning/cluster-independent and
-exactly replayable in the DuckDB oracle.
+exactly replayable in the DuckDB oracle (the oracle states the plain
+SQL window; the scan is bit-identical to it because decimal/bigint
+addition is associative and the order is total). NULL domains are a
+valid group in BOTH operators (null-safe joins throughout — a null
+domain selects and interleaves like any other).
 """
 
 from __future__ import annotations
@@ -33,6 +39,8 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.operators.prefix import prefix_sum_by
 
 
 def shuffle_key(id_col: Column | str, seed: str = "") -> Column:
@@ -62,15 +70,13 @@ def token_budget_select(
     a per-domain mapping (missing domains get budget 0 — explicit
     opt-in per domain, the mixture-spec reading).
 
-    One window shuffle on ``domain_col``; no Python, no collect.
+    Runs on the keyed two-phase scan (``prefix_sum_by``) — no window
+    over raw rows partitioned only by the low-cardinality domain; no
+    Python, no collect. Costs one localCheckpoint materialization of
+    the input (the price of consuming the range partitioning twice).
     """
     order = [shuffle_key(id_col, seed), F.col(id_col)]
-    w = (
-        Window.partitionBy(domain_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = docs.withColumn(cum_col, F.sum(F.col(token_col)).over(w))
+    out = prefix_sum_by(docs, [domain_col], order, token_col, out_col=cum_col)
     if isinstance(budget, Mapping):
         if not budget:
             raise ValueError("budget mapping must not be empty")
@@ -100,26 +106,41 @@ def interleave_round_robin(
     out simply leaves gaps — position order, not density, is the
     contract; gaps don't affect relative order).
 
-    Plan: one window shuffle on ``domain_col`` for the per-domain rank +
-    one broadcast join against the bounded domain dimension (distinct
-    aggregate, rows = #domains). No global window, no collect.
+    Plan: the per-domain rank is a prefix count of ones on the keyed
+    two-phase scan (``prefix_sum_by`` — no raw-row window keyed on the
+    low-cardinality domain), plus one broadcast join against the
+    bounded domain dimension (distinct aggregate, rows = #domains,
+    derived from the scan's checkpoint so the input is read once).
+    NULL is a valid domain: the dim join is null-safe and NULL sorts
+    first in the domain index (Spark's asc_nulls_first; oracle: ORDER
+    BY ... NULLS FIRST). No global window, no collect.
     """
-    doms = docs.select(F.col(domain_col)).distinct()
-    wd = Window.orderBy(domain_col)  # bounded: one row per domain
+    order = [shuffle_key(id_col, seed), F.col(id_col)]
+    ranked = prefix_sum_by(
+        docs.withColumn("_one", F.lit(1).cast("bigint")),
+        [domain_col],
+        order,
+        "_one",
+        out_col="_rn1",
+    )
+    ranked = ranked.withColumn("_rn", F.col("_rn1") - 1).drop("_one", "_rn1")
+    doms = ranked.select(F.col(domain_col)).distinct()
+    # bounded: one row per domain
+    wd = Window.orderBy(F.col(domain_col).asc_nulls_first())
     dim = doms.select(
-        F.col(domain_col),
+        F.col(domain_col).alias("_dom"),
         (F.row_number().over(wd) - 1).alias("_didx"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("_ndom"),
     )
-    w = Window.partitionBy(domain_col).orderBy(shuffle_key(id_col, seed), F.col(id_col))
-    ranked = docs.withColumn("_rn", F.row_number().over(w) - 1)
     return (
-        ranked.join(F.broadcast(dim), domain_col)
+        ranked.join(
+            F.broadcast(dim), ranked[domain_col].eqNullSafe(dim["_dom"])
+        )
         .withColumn(
             pos_col,
             (F.col("_rn").cast("bigint") * F.col("_ndom") + F.col("_didx")).cast(
                 "bigint"
             ),
         )
-        .drop("_rn", "_didx", "_ndom")
+        .drop("_dom", "_rn", "_didx", "_ndom")
     )

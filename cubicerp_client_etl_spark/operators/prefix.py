@@ -28,6 +28,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_RESERVED = ("_pid", "_local", "_off", "_ptot")
+
+
+def _guard_columns(df: DataFrame, out_col: str) -> None:
+    clash = [c for c in (*_RESERVED, out_col) if c in df.columns and c != out_col]
+    if clash:
+        raise ValueError(
+            f"prefix scan temporaries {clash} collide with input columns; "
+            "rename them first"
+        )
+
 
 def prefix_sum(
     df: DataFrame,
@@ -52,6 +63,7 @@ def prefix_sum(
     blocks are also what keeps re-running the operator deterministic —
     see tests/test_plan_posture.py.
     """
+    _guard_columns(df, out_col)
     ranged = (
         df.repartitionByRange(*order_by)
         .withColumn("_pid", F.spark_partition_id())
@@ -77,4 +89,84 @@ def prefix_sum(
     joined = local.join(F.broadcast(offsets), "_pid")
     return joined.withColumn(out_col, F.col("_local") + F.col("_off")).drop(
         "_pid", "_local", "_off"
+    )
+
+
+def prefix_sum_by(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exact running total of ``value_col`` per ``keys`` group in
+    ``order_by`` order — the KEYED two-phase scan. Adds ``out_col``;
+    preserves all input columns.
+
+    The naive form — ``SUM() OVER (PARTITION BY keys ORDER BY ...)`` —
+    funnels each key's entire row set through one task. For a
+    low-cardinality key (a training mixture has O(10) domains) that is
+    the same single-partition WindowExec scale-killer the module
+    docstring describes, just sharded ten ways: at 100 TB each domain
+    still pushes billions of rows through one partition. This keyed
+    generalization keeps every stage bounded:
+
+    1. ``repartitionByRange(keys + order)`` — each physical partition
+       holds a contiguous ordered slice; a hot key simply spans many
+       partitions. ``localCheckpoint`` pins the sampled boundaries so
+       both consuming subtrees see one pid assignment (see
+       ``prefix_sum``).
+    2. per-(key, pid) running sums — the window is partitioned by
+       ``keys + _pid``, so no task sees more than one partition's slice
+       of one key.
+    3. per-(key, pid) totals → per-key offsets. Because ranges are
+       contiguous, each key occupies a contiguous pid span, so the
+       totals table has at most ``#partitions + #keys − 1`` rows —
+       bounded regardless of data size; the offsets window over it is
+       keyed and tiny, and the join back is a broadcast.
+
+    Key columns may contain NULL: windows/groupBy treat NULL as a
+    group, and the offset join is null-safe, so NULL-keyed rows get a
+    running sum like any other group (consistent with the SQL window
+    the oracle replays). Exactness follows ``prefix_sum``: keep
+    decimals decimal, pass a total order in ``order_by``.
+    """
+    _guard_columns(df, out_col)
+    key_cols = [F.col(k) for k in keys]
+    ranged = (
+        df.repartitionByRange(*key_cols, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy(*keys, "_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local", F.sum(value_col).over(w_local))
+    totals = ranged.groupBy(*keys, "_pid").agg(F.sum(value_col).alias("_ptot"))
+    # offsets: keyed window over the bounded totals table (≤ #partitions
+    # + #keys − 1 rows by range-contiguity) — never over raw rows
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vtype = dict(df.dtypes)[value_col]
+    offsets = totals.select(
+        *keys,
+        "_pid",
+        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0).cast(vtype)).alias("_off"),
+    )
+    for k in keys:
+        offsets = offsets.withColumnRenamed(k, f"_k_{k}")
+    offsets = offsets.withColumnRenamed("_pid", "_kpid")
+    cond = local["_pid"] == offsets["_kpid"]
+    for k in keys:
+        # null-safe: NULL keys form a group like any other
+        cond = cond & local[k].eqNullSafe(offsets[f"_k_{k}"])
+    joined = local.join(F.broadcast(offsets), cond)
+    return (
+        joined.withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off", "_kpid", *[f"_k_{k}" for k in keys])
     )

@@ -41,8 +41,10 @@ _BUDGETS = {"src0": 5000, "src1": 3000, "src7": 2500}
 # --------------------------------------------------------------------------
 # q141 — exact token-budget mixture (operators/budget.py). Three domains
 # get explicit character budgets, everything else budget 0; each domain
-# contributes the prefix of its md5-shuffled order that fits. One window
-# shuffle on source. Oracle: the same keyed window sum + CASE budget.
+# contributes the prefix of its md5-shuffled order that fits. Runs on
+# the keyed two-phase scan (prefix_sum_by) — no raw-row window keyed on
+# the low-cardinality source. Oracle: the plain keyed window sum + CASE
+# budget (bit-identical: bigint addition is associative, order total).
 # --------------------------------------------------------------------------
 @register(
     "q141_token_budget_mixture",
@@ -81,13 +83,15 @@ def q141_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q142 — deterministic round-robin curriculum interleave
 # (operators/budget.py): every document gets a unique global position
 # r*n_domains + domain_index under the md5-shuffled per-domain order.
-# One keyed window + a broadcast join against the 20-row domain dim.
+# Rank = prefix count of ones on the keyed two-phase scan + a broadcast
+# join against the 20-row domain dim. NULL is a valid domain on both
+# engines (null-safe join, NULLS FIRST domain index).
 # --------------------------------------------------------------------------
 @register(
     "q142_interleave_round_robin",
     oracle="""
 WITH d AS (
-  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS didx
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source NULLS FIRST) - 1 AS didx
   FROM (SELECT DISTINCT source FROM documents)
 ),
 nd AS (SELECT COUNT(*) AS n FROM d),
@@ -100,7 +104,7 @@ r AS (
   FROM documents
 )
 SELECT r.doc_id, r.source, CAST(r.rn * nd.n + d.didx AS BIGINT) AS global_pos
-FROM r JOIN d USING (source) CROSS JOIN nd
+FROM r JOIN d ON r.source IS NOT DISTINCT FROM d.source CROSS JOIN nd
 """,
 )
 def q142_interleave_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
