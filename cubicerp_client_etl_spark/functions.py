@@ -115,3 +115,25 @@ def md5_hash32(key: Column) -> Column:
     equality. Callers build the salted key themselves
     (``concat(id, lit('|salt'))``)."""
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
+def e6_floor_ratio(c: Column, n: Column) -> Column:
+    """Exact ``floor(c * 1e6 / n)`` as BIGINT for the FULL bigint range
+    of ``c`` and ``n`` (ADVICE r5: the naive ``c * 1000000 div n``
+    aborts under ANSI once a count passes ~9.2e12 — reachable for hot
+    tokens in a ~10-trillion-token corpus).
+
+    The multiply runs in DECIMAL(38,0) (exact to 1e38). Decimal
+    division then yields the true quotient rounded HALF_UP to 6 dp, so
+    ``floor`` of it can only ever be one too HIGH (when the true
+    quotient sits within 5e-7 below an integer) — never too low — and
+    one exact-decimal comparison (``q0 * n > c * 1e6``) corrects it.
+    Verified bit-equal to Python's ``(c * 10**6) // n`` across the
+    boundary cases, including c = n = 2^63-1. DuckDB oracles keep the
+    plain ``c * 1000000 // n`` form: identical below the overflow
+    ceiling (oracle fixtures), and above it DuckDB's BIGINT multiply
+    errors rather than diverging."""
+    cm = c.cast("decimal(38,0)") * F.lit(1000000)
+    nd = n.cast("decimal(38,0)")
+    q0 = F.floor(cm / nd).cast("decimal(38,0)")
+    return F.when(q0 * nd > cm, q0 - F.lit(1)).otherwise(q0).cast("bigint")

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
 
 def _toks(col: Column | str) -> Column:
     return F.split(F.col(col) if isinstance(col, str) else col, " ")
@@ -354,7 +356,9 @@ def bigram_fluency_score(
     scored = (
         bg.join(pairs, ["w1", "w2"])
         .join(heads, "w1")
-        .select(id_col, F.expr("(_cb * 1000000) div _ch").alias("_p_e6"))
+        # exact decimal-floor ratio — corpus bigram counts can pass the
+        # ANSI bigint*1e6 ceiling (functions.e6_floor_ratio, ADVICE r5)
+        .select(id_col, e6_floor_ratio(F.col("_cb"), F.col("_ch")).alias("_p_e6"))
     )
     return (
         scored.groupBy(id_col)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
 
 def unigram_drift(
     side_a: DataFrame,
@@ -49,8 +51,14 @@ def unigram_drift(
         .crossJoin(F.broadcast(tb))
         .select(
             token_col,
-            F.expr("coalesce(_ca, 0) * 1000000 div _na").alias("p_a_e6"),
-            F.expr("coalesce(_cb, 0) * 1000000 div _nb").alias("p_b_e6"),
+            # exact decimal-floor ratio: no ANSI overflow abort past
+            # count ~9.2e12 (functions.e6_floor_ratio, ADVICE r5)
+            e6_floor_ratio(F.coalesce(F.col("_ca"), F.lit(0)), F.col("_na")).alias(
+                "p_a_e6"
+            ),
+            e6_floor_ratio(F.coalesce(F.col("_cb"), F.lit(0)), F.col("_nb")).alias(
+                "p_b_e6"
+            ),
         )
     )
     out = joined.withColumn(

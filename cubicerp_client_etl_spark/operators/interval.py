@@ -69,6 +69,11 @@ def binned_interval_join(
     overlap = set(left.columns) & set(right.columns) - set(keys)
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    # _binned would silently overwrite (and the tail drop() discard) a
+    # caller's _bin on EITHER side — the cross-side check above can't
+    # see a _bin that exists on only one input (ADVICE r5)
+    if "_bin" in left.columns or "_bin" in right.columns:
+        raise ValueError("'_bin' is reserved by binned_interval_join; rename it")
     lb = _binned(left, l_start, l_end, bin_width)
     rb = _binned(right, r_start, r_end, bin_width)
     joined = lb.join(rb, on=[*keys, "_bin"])

@@ -288,9 +288,15 @@ def write_training_shards(
       ``partitionBy``), rows ordered by ``order_col`` (default
       ``id_col``) inside the file — parquet preserves row order, so
       the loader streams in curriculum order without sorting;
-    * manifest: ``path/_manifest`` parquet of
+    * manifest: SIBLING parquet dataset ``path + ".manifest"`` of
       (shard, n_rows[, n_tokens]) — what an epoch scheduler needs to
-      size and weight shards without opening them.
+      size and weight shards without opening them. A sibling, not a
+      nested ``_manifest`` directory: the stated consumer is a trainer
+      loader that may glob ``path/**/*.parquet`` without honoring
+      Spark's leading-underscore convention, and nesting would feed it
+      manifest rows as documents (ADVICE r5). Every shard 0..n-1 gets
+      a manifest row — an empty shard writes no parquet directory but
+      still reports n_rows = 0, so the scheduler sees the full layout.
 
     One shuffle (the shard repartition). Shard count bounds file count;
     pick it near total_bytes / target_file_size.
@@ -319,11 +325,16 @@ def write_training_shards(
     # entire upstream lineage (scan + curation + shuffle) a second
     # time — at corpus scale that doubles the export job
     written = df.sparkSession.read.parquet(path)
+    spine = df.sparkSession.range(n_shards).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    counts = written.groupBy("_shard").agg(*aggs).withColumnRenamed("_shard", "shard")
+    zeros = {c: F.coalesce(F.col(c), F.lit(0).cast("bigint")) for c in counts.columns
+             if c != "shard"}
     (
-        written.groupBy("_shard")
-        .agg(*aggs)
-        .withColumnRenamed("_shard", "shard")
+        spine.join(counts, "shard", "left")
+        .withColumns(zeros)
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/_manifest")
+        .parquet(f"{path}.manifest")
     )

@@ -30,3 +30,25 @@ def test_drift_rejects_bad_topk(spark):
     df = spark.createDataFrame([("x",)], "token string")
     with pytest.raises(ValueError):
         unigram_drift(df, df, top_k=0)
+
+
+def test_e6_floor_ratio_exact_across_full_bigint_range(spark):
+    """ADVICE r5: the e6 probability must not abort (ANSI overflow) or
+    drift once counts pass ~9.2e12 — exact vs Python's big-int floor
+    division across boundary cases, including c = n = 2^63 - 1."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    m = (1 << 63) - 1
+    rows = [
+        (5, 3), (1, 3), (0, 7), (999_999, 1_000_000), (1, m),
+        (m - 1, m), (m, m), (m // 2 + 1, m),
+        (123456789012345678, 987654321098765432),
+        (2_999_999_999_999, 3_000_000_000_000),  # frac 5e-7 below an int
+        (9_999_999_999_999_999, 10_000_000_000_000_000),
+    ]
+    df = spark.createDataFrame(rows, "c long, n long")
+    out = df.select("c", "n", e6_floor_ratio(F.col("c"), F.col("n")).alias("p"))
+    for r in out.collect():
+        assert r.p == (r.c * 1_000_000) // r.n, (r.c, r.n, r.p)

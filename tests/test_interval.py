@@ -62,3 +62,25 @@ def test_rejects_column_collisions_and_bad_width(spark):
         binned_interval_join(
             left, right, ["k"], "a_s", "a_e", "b_s", "b_e", bin_width=0
         )
+
+
+def test_rejects_reserved_bin_column_on_either_side(spark):
+    """ADVICE r5: a pre-existing _bin on ONE side slips past the
+    cross-side collision check but would be silently overwritten and
+    dropped — must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    left, _ = _intervals(spark, 3, 1, "a_")
+    right, _ = _intervals(spark, 3, 2, "b_")
+    with pytest.raises(ValueError, match="_bin"):
+        binned_interval_join(
+            left.withColumn("_bin", F.lit(9)),
+            right, ["k"], "a_s", "a_e", "b_s", "b_e", bin_width=10,
+        )
+    with pytest.raises(ValueError, match="_bin"):
+        binned_interval_join(
+            left,
+            right.withColumn("_bin", F.lit(9)),
+            ["k"], "a_s", "a_e", "b_s", "b_e", bin_width=10,
+        )
