@@ -83,6 +83,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    hot_band_cap: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band_id, band_hash): documents
     agreeing on any full band become a candidate pair. Returns distinct
@@ -90,13 +91,30 @@ def lsh_candidate_pairs(
 
     The self-join key is (band_id, band_hash) — high cardinality, so the
     shuffle is well-spread; hot buckets (boilerplate docs) are the one
-    skew risk, handled by AQE skew-join splitting.
+    skew risk: AQE skew-join splitting spreads the work, but a bucket
+    holding |occ| near-identical docs still EMITS |occ|² candidate
+    pairs downstream regardless of how evenly it's split.
+
+    ``hot_band_cap`` (opt-in, LOSSY — the ``setsim_join.hot_cap``
+    pattern): drop band buckets whose occupancy exceeds the cap before
+    the self-join, bounding any bucket's output at cap² pairs. A pair
+    is kept iff it shares at least one NON-hot band, so boilerplate
+    mega-clusters (every band hot) vanish instead of emitting |occ|²
+    rows; pairs of ordinary documents keep their other b−1 chances to
+    collide. The cap is plan-side: the hot-bucket table (buckets above
+    the cap — tiny by construction) broadcasts into a left-anti join,
+    so the banded frame never shuffles for the cap. Leave ``None``
+    (default, exact LSH semantics) when downstream verify+cluster is
+    expected to absorb the cluster — the oracle queries (q032/q035)
+    run uncapped.
 
     ``portable=True`` pairs with ``minhash_signatures(portable=True)``:
     the band key becomes ``md5(h_i || '|' || … )`` over the band's
     string minhashes — engine-replayable (two docs collide iff the band's
     minhash tuples are equal, in either family).
     """
+    if hot_band_cap is not None and hot_band_cap < 1:
+        raise ValueError("hot_band_cap must be >= 1")
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -112,6 +130,16 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+    if hot_band_cap is not None:
+        hot = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > hot_band_cap)
+            .drop("_occ")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -82,6 +82,41 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert not missing, f"LSH missed exact-duplicate pairs: {sorted(missing)[:5]}"
 
 
+def test_lsh_hot_band_cap_bounds_boilerplate_blowup(spark):
+    """VERDICT r5 #4 adversarial fixture: 10⁴ byte-identical documents
+    put 10⁴ ids in every band bucket — uncapped LSH emits ~5·10⁷
+    candidate pairs (|occ|²/2, the scale-killer AQE splitting cannot
+    shrink). With hot_band_cap every boilerplate bucket is dropped
+    before the self-join: candidates from the mega-cluster are ZERO
+    (sub-linear, not just sub-quadratic) while a normal duplicate pair
+    that shares no hot bucket is still found."""
+    boiler = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("all rights reserved do not redistribute this file").alias("text"),
+    )
+    # one ordinary near-dup pair with distinct shingles
+    pair = spark.createDataFrame(
+        [
+            (20_001, "the quick brown fox jumps over the lazy dog tonight"),
+            (20_002, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = boiler.unionByName(pair)
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=32, bands=8, hot_band_cap=50
+    )
+    got = cands.collect()
+    # the 10⁴-doc cluster contributes nothing; the ordinary pair survives
+    assert (20_001, 20_002) in {(r.id_a, r.id_b) for r in got}
+    assert len(got) == 1, f"expected only the ordinary pair, got {len(got)}"
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, "doc_id", hot_band_cap=0)
+
+
 # ---- duplicated-span removal (C4-style, q132) -----------------------------
 
 
