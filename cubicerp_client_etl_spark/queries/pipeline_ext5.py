@@ -62,3 +62,81 @@ def q156_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     side_a = flat.where(F.col("_is_a")).select("token")
     side_b = flat.where(~F.col("_is_a")).select("token")
     return unigram_drift(side_a, side_b, top_k=20)
+
+
+# --------------------------------------------------------------------------
+# q157 — REAL multimodal decode path (operators/multimodal.py, VERDICT
+# r5 #5): deterministic grayscale images are ENCODED as real 8-bit BMP
+# bytes (pure-stdlib codec), then extract_features(fake=False) decodes
+# the actual pixel data back out and buckets the luminance histogram —
+# the full binary-payload → decode → feature pipeline with no fake
+# step. Oracle: DuckDB replays the pixel-value arithmetic directly
+# (the BMP round-trip is the identity on pixels, pinned by unit tests),
+# so a codec bug surfaces as a value mismatch here. frac is a plain
+# IEEE division of two ints — bit-identical across engines.
+# --------------------------------------------------------------------------
+@register(
+    "q157_bmp_feature_histogram",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 50 = 0
+),
+px AS (
+  SELECT doc_id, w * h AS total, unnest(range(0, w * h)) AS i FROM d
+),
+pv AS (
+  SELECT doc_id, total,
+         (((doc_id * 131 + i * 17) % 256) * 8) // 256 AS bucket
+  FROM px
+),
+c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM pv GROUP BY doc_id, bucket),
+spine AS (
+  SELECT doc_id, total, unnest(range(0, 8)) AS bucket
+  FROM (SELECT DISTINCT doc_id, total FROM px)
+)
+SELECT s.doc_id,
+       CAST(s.bucket AS INTEGER) AS bucket,
+       COALESCE(c.cnt, 0) / CAST(s.total AS DOUBLE) AS frac
+FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
+""",
+)
+def q157_bmp_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        encode_bmp_gray,
+        extract_features,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                pxs = bytes((did * 131 + i * 17) % 256 for i in range(w * h))
+                payloads.append(encode_bmp_gray(w, h, pxs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary").selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/bmp', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'bmp', "
+        "'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT)) AS meta",
+    )
+    feats = extract_features(media, n_features=8, fake=False)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "frac")
+    ).select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("frac").alias("frac"),
+    )

@@ -32,11 +32,101 @@ def _has_pil() -> bool:
 
 
 @pytest.mark.skipif(_has_pil(), reason="PIL installed: stub gate inactive")
-def test_decode_media_raises_without_pil():
+def test_non_bmp_decode_raises_without_pil(spark):
+    """Only NON-BMP formats need the pillow extra now; the error
+    surfaces per-payload inside the task with install guidance."""
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        extract_features(None, fake=False)
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG_not_a_real_png")], "doc_id long, payload binary"
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/png', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'png', "
+        "'width', 1, 'height', 1) AS meta",
+    )
+    with pytest.raises(Exception, match="pillow"):
+        extract_features(df, fake=False).collect()
+
+
+# ---- pure-stdlib BMP real decode path (VERDICT r5 #5) ---------------------
+
+
+def _gray_bmp_df(spark, rows):
+    """rows: [(doc_id, width, height, pixels bytes)] → payload frame."""
+    from cubicerp_client_etl_spark.operators.multimodal import encode_bmp_gray
+
+    data = [(i, encode_bmp_gray(w, h, px)) for i, w, h, px in rows]
+    return spark.createDataFrame(
+        data, "doc_id long, payload binary"
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/bmp', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'bmp', "
+        "'width', NULL, 'height', NULL) AS meta",
+    )
+
+
+def test_bmp_codec_roundtrip_and_topdown():
+    import struct
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        decode_bmp_gray,
+        encode_bmp_gray,
+    )
+
+    px = bytes((7 * i + 3) % 256 for i in range(5 * 3))  # w=5 forces row pad
+    payload = encode_bmp_gray(5, 3, px)
+    assert payload[:2] == b"BM"
+    assert decode_bmp_gray(payload) == (5, 3, px)
+
+    # top-down variant (negative height) must decode to the same pixels
+    neg = bytearray(payload)
+    struct.pack_into("<i", neg, 22, -3)
+    flipped = b"".join(
+        payload[-((5 + 3) * 3):][r * 8 : r * 8 + 8] for r in (2, 1, 0)
+    )
+    td = bytes(neg[: -((5 + 3) * 3)]) + flipped
+    assert decode_bmp_gray(td) == (5, 3, px)
+
+    with pytest.raises(ValueError):
+        decode_bmp_gray(b"not a bmp at all, clearly")
+    with pytest.raises(ValueError):
+        encode_bmp_gray(2, 2, b"\x00")  # wrong pixel count
+
+
+def test_real_bmp_features_match_hand_computed(spark):
+    """fake=False executes the REAL pixel path in CI: the luminance
+    histogram of a constructed BMP equals the hand-computed one."""
+    px = bytes([0, 10, 100, 128, 200, 255, 64, 32, 16, 240, 130, 90])
+    df = _gray_bmp_df(spark, [(1, 4, 3, px)])
+    out = extract_features(df, n_features=8, fake=False).collect()
+    assert len(out) == 1
+    want = [0] * 8
+    for p in px:
+        want[(p * 8) // 256] += 1
+    assert out[0].features == [c / len(px) for c in want]
+    assert out[0].media_type == "image/bmp"
+
+
+def test_real_bmp_resize_decodes_to_target_dims(spark):
+    """fake=False resize: decode → 2D nearest-neighbor → re-encode;
+    output is a valid BMP of the target size, uniform images stay
+    uniform, and a half-and-half image keeps both halves."""
+    from cubicerp_client_etl_spark.operators.multimodal import decode_bmp_gray
+
+    uniform = bytes([77]) * (6 * 4)
+    halves = bytes([0] * 4 + [255] * 4) * 4  # left black, right white, 8x4
+    df = _gray_bmp_df(spark, [(1, 6, 4, uniform), (2, 8, 4, halves)])
+    out = {r.doc_id: r for r in resize_media(df, 4, 2, fake=False).collect()}
+    for r in out.values():
+        w, h, px = decode_bmp_gray(bytes(r.payload))
+        assert (w, h) == (4, 2) and (r.width, r.height) == (4, 2)
+    assert set(decode_bmp_gray(bytes(out[1].payload))[2]) == {77}
+    rpx = decode_bmp_gray(bytes(out[2].payload))[2]
+    assert rpx == bytes([0, 0, 255, 255] * 2)
 
 
 @pytest.mark.skipif(not _has_pil(), reason="needs optional pillow extra")
