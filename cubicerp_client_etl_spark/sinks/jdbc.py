@@ -7,9 +7,12 @@ JDBC writer (partition-parallel, batched statements, bind parameters);
 the begin/end statement hooks map to ``sessionInitStatement`` and a
 driver-side epilogue connection.
 
-Runtime-gated: the container ships no JDBC driver jar, so these raise a
-clear error instead of failing deep inside the JVM. On a real cluster,
-pass the driver class + jar via ``spark.jars``.
+Driver availability is checked up front (clear error instead of a deep
+JVM failure). The Spark distribution itself bundles Apache Derby, so
+this module has EXECUTED integration coverage against an embedded Derby
+database (tests/test_jdbc_sink.py: round-trip, query pushdown,
+partitioned parallel read, append). External servers (postgres/mysql/…)
+need their driver class + jar via ``spark.jars`` as usual.
 
 Upsert modes do NOT belong here: reprocess semantics are computed by
 ``operators.merge.apply_reprocess_mode`` against a staged read of the
@@ -45,23 +48,26 @@ def read_jdbc(
 ) -> DataFrame:
     """A1 transport: query pushdown to the source DB. For large tables
     pass partition_column/bounds so the read parallelizes — a single
-    unpartitioned JDBC read is a one-task bottleneck at scale."""
+    unpartitioned JDBC read is a one-task bottleneck at scale.
+
+    Spark rejects ``query`` + ``partitionColumn`` together (each task
+    needs the bound predicate injected into a FROM-position subquery),
+    so the partitioned path wraps the query as ``dbtable = (query) t``
+    — verified against embedded Derby in tests/test_jdbc_sink.py."""
     _check_driver(spark, driver)
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-        .option("driver", driver)
-    )
+    reader = spark.read.format("jdbc").option("url", url).option("driver", driver)
     if session_init:  # the reference's sql_begin hook
         reader = reader.option("sessionInitStatement", session_init)
     if partition_column:
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) t")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions or 8))
         )
+    else:
+        reader = reader.option("query", query)
     return reader.load()
 
 
