@@ -103,7 +103,7 @@ def q023_xmlid_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (customers with no orders) stay NULL.
 # --------------------------------------------------------------------------
 @register(
-    "q024_name_search_first_hit",
+    "q144_name_search_first_hit",
     oracle="""
 SELECT c.c_custkey,
        f.first_orderkey
@@ -113,7 +113,7 @@ LEFT JOIN (SELECT o_custkey, MIN(o_orderkey) AS first_orderkey
   ON f.o_custkey = c.c_custkey
 """,
 )
-def q024_name_search_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q144_name_search_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     # first-hit = min over the search ordering (o_orderkey); expressed as

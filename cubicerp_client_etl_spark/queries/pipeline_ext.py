@@ -84,7 +84,7 @@ def q069_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form): 3-gram shingle sets, one semi-join pass, linear in corpus size.
 # --------------------------------------------------------------------------
 @register(
-    "q031_ngram_jaccard_probe",
+    "q146_ngram_jaccard_probe",
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
@@ -111,7 +111,7 @@ FROM inter i JOIN sizes z USING (doc_id) CROSS JOIN probe_size ps
 WHERE CAST(i.n_inter AS DOUBLE) / (z.sz + ps.psz - i.n_inter) >= 0.01
 """,
 )
-def q031_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q146_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = (
         docs.select(F.col("doc_id"), F.explode(dd.shingles("text", 3)).alias("sh"))
@@ -461,7 +461,7 @@ def q071_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle checks the byte-level plumbing (octet length, head bytes in hex).
 # --------------------------------------------------------------------------
 @register(
-    "q040_multimodal_meta",
+    "q149_multimodal_meta",
     oracle="""
 SELECT doc_id,
        'text/plain' AS media_type,
@@ -470,7 +470,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q040_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q149_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(docs, "text")
     return with_payload.select(
@@ -693,7 +693,7 @@ def q072_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil(len/4) merge depth, identical arithmetic in the oracle.
 # --------------------------------------------------------------------------
 @register(
-    "q038_bpe_token_count",
+    "q147_bpe_token_count",
     oracle="""
 SELECT doc_id,
        CAST(list_aggregate(
@@ -703,7 +703,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q038_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q147_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", tx.bpe_ish_token_count("text").alias("n_bpe_tokens")

@@ -47,7 +47,8 @@ _BUDGETS = {"src0": 5000, "src1": 3000, "src7": 2500}
 # budget (bit-identical: bigint addition is associative, order total).
 # --------------------------------------------------------------------------
 @register(
-    "q141_token_budget_mixture",
+    "q017_token_budget_mixture",
+    headline=True,  # VERDICT r5 #8: track the mixture path's wall clock
     oracle="""
 WITH ranked AS (
   SELECT source, doc_id, n_chars,
@@ -66,7 +67,7 @@ WHERE cum_tokens <= CASE source
                       ELSE 0 END
 """,
 )
-def q141_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q017_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = token_budget_select(
         docs,
@@ -89,6 +90,7 @@ def q141_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q142_interleave_round_robin",
+    headline=True,  # VERDICT r5 #8: track the mixture path's wall clock
     oracle="""
 WITH d AS (
   SELECT source, ROW_NUMBER() OVER (ORDER BY source NULLS FIRST) - 1 AS didx
@@ -125,7 +127,7 @@ def q142_interleave_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QS = [0.0, 0.07, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 @register(
-    "q143_exact_quantiles",
+    "q021_exact_quantiles",
     headline=True,
     oracle="""
 SELECT CAST(0.0  AS DOUBLE) AS q, quantile_disc(l_quantity, 0.0 ) AS qvalue FROM lineitem
@@ -145,7 +147,7 @@ UNION ALL
 SELECT CAST(1.0  AS DOUBLE), quantile_disc(l_quantity, 1.0 ) FROM lineitem
 """,
 )
-def q143_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return exact_quantiles(li, "l_quantity", _QS, q_col="q", out_col="qvalue")
 
@@ -158,7 +160,7 @@ def q143_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only cross the join — history documents never re-materialize.
 # --------------------------------------------------------------------------
 @register(
-    "q144_incremental_dedup",
+    "q024_incremental_dedup",
     oracle="""
 WITH k AS (
   SELECT doc_id,
@@ -181,7 +183,7 @@ FROM firsts f
 WHERE f.bow_key NOT IN (SELECT bow_key FROM old)
 """,
 )
-def q144_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
@@ -244,7 +246,7 @@ _IV_W = 1800  # seconds; == the interval length, so each side explodes ≤2 bins
 
 
 @register(
-    "q146_interval_overlap_join",
+    "q031_interval_overlap_join",
     headline=True,
     oracle=f"""
 WITH iv AS (
@@ -260,7 +262,7 @@ FROM iv a JOIN iv b
 GROUP BY a.user_id
 """,
 )
-def q146_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.interval import binned_interval_join
 
     ev = load(spark, sf_dir, "events")
@@ -294,7 +296,7 @@ _CMS_PROBES = ["the", "key", "value", "spark", "table", "row", "hash", "zzzz"]
 
 
 @register(
-    "q147_count_min_sketch",
+    "q038_count_min_sketch",
     oracle="""
 WITH flat AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -327,7 +329,7 @@ SELECT e.token AS token,
 FROM est e LEFT JOIN truth t USING (token)
 """,
 )
-def q147_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sketches import cms_build, cms_estimate
 
     docs = load(spark, sf_dir, "documents")
@@ -388,7 +390,7 @@ def q148_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + recursive-CTE reachability + the same argmax window.
 # --------------------------------------------------------------------------
 @register(
-    "q149_fuzzy_dedup_retention",
+    "q040_fuzzy_dedup_retention",
     oracle="""
 WITH RECURSIVE t AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -437,7 +439,7 @@ SELECT doc_id, CAST(component AS BIGINT) AS component,
 FROM ranked
 """,
 )
-def q149_fuzzy_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q040_fuzzy_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from cubicerp_client_etl_spark.operators.dedup import setsim_join
@@ -533,7 +535,7 @@ def q150_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LUT, and ADC exactly.
 # --------------------------------------------------------------------------
 @register(
-    "q151_pq_adc_topk",
+    "q048_pq_adc_topk",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 subs AS (SELECT unnest(generate_series(0, 7)) AS sub_idx),
@@ -588,7 +590,7 @@ SELECT probe_id, vec_id, est_dist_e6, rank FROM (
 WHERE rank <= 5
 """,
 )
-def q151_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -649,7 +651,7 @@ def q152_occupancy_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One keyed window shuffle. Oracle: the same integer arithmetic.
 # --------------------------------------------------------------------------
 @register(
-    "q153_weighted_priority_sample",
+    "q005_weighted_priority_sample",
     oracle="""
 SELECT source, doc_id, n_chars
 FROM (
@@ -664,7 +666,7 @@ FROM (
 ) WHERE rn <= 5
 """,
 )
-def q153_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q005_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sampling import (
         weighted_priority_sample,
     )

@@ -153,10 +153,10 @@ def q004_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side first.
 # --------------------------------------------------------------------------
 @register(
-    "q005_distinct",
+    "q153_distinct",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
-def q005_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q153_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
@@ -524,7 +524,7 @@ def q016_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parts, regex — all JVM-side built-ins, zero UDFs.
 # --------------------------------------------------------------------------
 @register(
-    "q017_scalar_pack",
+    "q141_scalar_pack",
     oracle="""
 SELECT o_orderkey,
        lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS okey_padded,
@@ -538,7 +538,7 @@ SELECT o_orderkey,
 FROM orders
 """,
 )
-def q017_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q141_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

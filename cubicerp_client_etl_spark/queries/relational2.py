@@ -106,7 +106,7 @@ def q020_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join on the aggregated subquery — no per-row subquery execution.
 # --------------------------------------------------------------------------
 @register(
-    "q021_correlated_subquery",
+    "q143_correlated_subquery",
     oracle="""
 SELECT l.l_partkey, COUNT(*) AS n_heavy,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -116,7 +116,7 @@ WHERE l.l_quantity > 1.5 * (
 GROUP BY l.l_partkey
 """,
 )
-def q021_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q143_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("q26_lineitem")
     return spark.sql("""

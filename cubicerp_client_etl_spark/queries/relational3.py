@@ -104,7 +104,7 @@ _SALT = 4
 
 
 @register(
-    "q048_salted_skew_join",
+    "q151_salted_skew_join",
     oracle="""
 SELECT o.o_orderpriority,
        COUNT(*) AS n_lines,
@@ -113,7 +113,7 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """,
 )
-def q048_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q151_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(_SALT))
     )

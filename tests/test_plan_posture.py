@@ -75,7 +75,7 @@ def test_session_defaults_scale_flags(spark):
     "name",
     [
         "q001_pricing_summary",
-        "q005_distinct",
+        "q153_distinct",
         "q006_star_join_revenue",
         "q030_dedup_keep_latest",
         "q037_text_analysis",
@@ -462,14 +462,14 @@ def _raw_row_windows_keyed_only_on(plan: str, key: str) -> list[str]:
     return flagged
 
 
-def test_q141_budget_no_raw_row_domain_window(spark):
-    """Token-budget mixture (q141): runs on the KEYED two-phase scan —
+def test_q017_budget_no_raw_row_domain_window(spark):
+    """Token-budget mixture (q017): runs on the KEYED two-phase scan —
     every window in the plan carries _pid (per-(source,pid) local sums
     or the bounded offset table); no window partitioned only on the
     O(10)-cardinality source over raw rows. Input is materialized once
     (checkpoint scan, no second FileScan); budget comparison is a plain
     filter; no Python, no cartesian."""
-    plan = plan_of(spark, "q141_token_budget_mixture")
+    plan = plan_of(spark, "q017_token_budget_mixture")
     assert _raw_row_windows_keyed_only_on(plan, "source") == [], plan
     assert "_pid" in plan, plan
     assert "Scan ExistingRDD" in plan, plan  # checkpoint reuse
@@ -493,23 +493,23 @@ def test_q142_interleave_no_raw_row_domain_window(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q143_quantiles_no_data_sized_single_partition_stage(spark):
-    """Exact quantiles (q143): the value-count reduction runs once,
+def test_q021_quantiles_no_data_sized_single_partition_stage(spark):
+    """Exact quantiles (q021): the value-count reduction runs once,
     inside prefix_sum's checkpointed subplan — the final plan must
     consume the CHECKPOINT (Scan ExistingRDD), not re-aggregate the
     input, and its only windows run keyed on the two-phase scan's
     partition id (_pid present)."""
-    plan = plan_of(spark, "q143_exact_quantiles")
+    plan = plan_of(spark, "q021_exact_quantiles")
     assert "Scan ExistingRDD" in plan, plan  # checkpoint reuse, no rescan
     assert "FileScan" not in plan, plan  # input is never read twice
     assert "_pid" in plan, plan
     assert "CartesianProduct" not in plan
 
 
-def test_q144_incremental_dedup_stays_anti_join(spark):
-    """Incremental dedup (q144): the seen-keys probe is a LeftAnti
+def test_q024_incremental_dedup_stays_anti_join(spark):
+    """Incremental dedup (q024): the seen-keys probe is a LeftAnti
     join on the content key — never a cartesian or a collected set."""
-    plan = plan_of(spark, "q144_incremental_dedup")
+    plan = plan_of(spark, "q024_incremental_dedup")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
 
@@ -522,11 +522,11 @@ def test_q145_retention_single_cluster_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q146_interval_join_is_equi_shaped(spark):
-    """Binned interval join (q146): the big×big range join must run as
+def test_q031_interval_join_is_equi_shaped(spark):
+    """Binned interval join (q031): the big×big range join must run as
     a hash/sort-merge equi-join on (keys, bin) — never a nested-loop
     or cartesian between two data-sized sides."""
-    plan = plan_of(spark, "q146_interval_overlap_join")
+    plan = plan_of(spark, "q031_interval_overlap_join")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
@@ -545,20 +545,20 @@ def test_q148_grouped_quantiles_group_keyed_windows_only(spark):
         assert "source" in spec, plan
 
 
-def test_q149_fuzzy_retention_no_allpairs(spark):
-    """Fuzzy-dedup retention (q149): the similarity stage must stay
+def test_q040_fuzzy_retention_no_allpairs(spark):
+    """Fuzzy-dedup retention (q040): the similarity stage must stay
     prefix-filtered equi-joins — no cartesian, no nested loop between
     data-sized sides — and the retention window must be keyed."""
-    plan = plan_of(spark, "q149_fuzzy_dedup_retention")
+    plan = plan_of(spark, "q040_fuzzy_dedup_retention")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_q151_pq_search_never_rescans_raw_vectors(spark):
-    """PQ ADC (q151): the search aggregate consumes the code table +
+def test_q048_pq_search_never_rescans_raw_vectors(spark):
+    """PQ ADC (q048): the search aggregate consumes the code table +
     broadcast LUT only — no cartesian; the (probe,id) sum shows
     map-side partial aggregation."""
-    plan = plan_of(spark, "q151_pq_adc_topk")
+    plan = plan_of(spark, "q048_pq_adc_topk")
     assert "CartesianProduct" not in plan, plan
     assert "partial_sum" in plan, plan
 
