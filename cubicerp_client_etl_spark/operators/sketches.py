@@ -115,3 +115,82 @@ def occupancy_sketch(
     return tokens.select(bucket).distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("occupied")
     )
+
+
+# ---- Bloom filter (portable hash family) ----------------------------------
+
+
+def bloom_position(key: Column, row: int, m: int, seed: str = "") -> Column:
+    """Deterministic cell in [0, m) for hash row ``row`` — md5-derived
+    (functions.md5_hash32), identical in any engine that computes md5;
+    the DuckDB oracle replays every position bit-for-bit."""
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    return (
+        md5_hash32(F.concat(key.cast("string"), F.lit(f"|bloom{seed}|{row}"))) % m
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m: int, k: int, seed: str = ""
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a DataFrame of the
+    DISTINCT occupied positions — one int column ``pos``, at most
+    ``min(m, n·k)`` rows.
+
+    The positions-table representation (rather than a packed bitset) is
+    deliberate: it is mergeable by plain union+distinct, broadcastable
+    (m is sized to the EVAL/reference set, not the corpus — 2^20 cells
+    is 8 MB of ints), and exactly engine-portable, unlike opaque native
+    bloom_filter_agg bytes. Pack it into a bitset at the edge if a
+    byte-budget demands it; the semantics here are the checkable core.
+
+    Standard sizing: FP rate ≈ (1 − e^(−k·n/m))^k; m ≈ 10·n cells with
+    k = 3 gives ~1.7% — and Bloom errs only toward OVER-flagging, the
+    safe direction for decontamination (no false negatives, ever).
+    """
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be >= 1")
+    key = F.col(key_col)
+    pos = F.array(*[bloom_position(key, i, m, seed) for i in range(k)])
+    return df.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_maybe_members(
+    df: DataFrame,
+    key_col: str,
+    positions: DataFrame,
+    m: int,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """DISTINCT keys of ``df`` whose ``k`` positions are ALL occupied in
+    ``positions`` (the ``bloom_build`` output) — Bloom "maybe a member":
+    every true member is returned (no false negatives); a non-member
+    slips through with probability ≈ the filter's FP rate.
+
+    Plan: dedup keys first (vocab-sized under Zipf, not corpus-sized),
+    posexplode the k hash rows, ONE broadcast join against the bounded
+    positions table, and a keyed count — the probed corpus never
+    shuffles its raw rows. A key whose hash rows collide on one cell
+    still needs only that cell occupied (count of DISTINCT matched hash
+    rows == k).
+    """
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be >= 1")
+    key = F.col(key_col)
+    probe = df.select(key).distinct().select(
+        key,
+        F.posexplode(
+            F.array(*[bloom_position(key, i, m, seed) for i in range(k)])
+        ).alias("_i", "_pos"),
+    )
+    hits = (
+        probe.join(
+            F.broadcast(positions.withColumnRenamed("pos", "_bp")),
+            F.col("_pos") == F.col("_bp"),
+        )
+        .groupBy(key_col)
+        .agg(F.count_distinct("_i").alias("_nh"))
+    )
+    return hits.where(F.col("_nh") == F.lit(k)).select(key_col)

@@ -140,3 +140,83 @@ def q157_bmp_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
         F.col("frac").alias("frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# q158 — Bloom-filtered decontamination (operators/sketches.py): the
+# scale path for q012's exact pass when the eval-suite shingle table
+# outgrows its broadcast budget. Benchmark shingles (doc_id % 97 = 0,
+# 5-grams) build a Bloom positions table (m = 65536 cells, k = 3 md5
+# hash rows — the portable family); corpus shingles probe it and a
+# document reports how many of its DISTINCT shingles maybe-hit. No
+# false negatives by construction (every exact q012 hit is counted
+# here); false positives over-flag at the filter's FP rate — the safe
+# direction for decontamination. The oracle replays every hash
+# position bit-for-bit, so the flagged sets match EXACTLY, collisions
+# included.
+# --------------------------------------------------------------------------
+_BLOOM_M, _BLOOM_K = 65536, 3
+
+@register(
+    "q158_bloom_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 5
+                     THEN list_transform(generate_series(1, len(t) - 4),
+                                         i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                     ELSE [] END) AS sh
+  FROM toks
+),
+bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+bpos AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(sh || '|bloomd1|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM bsh, (SELECT unnest(range(0, {_BLOOM_K})) AS i)
+),
+csh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 <> 0),
+probe AS (
+  SELECT sh, i,
+         CAST(concat('0x', substr(md5(sh || '|bloomd1|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM csh, (SELECT unnest(range(0, {_BLOOM_K})) AS i)
+),
+hits AS (
+  SELECT p.sh FROM probe p JOIN bpos b USING (pos)
+  GROUP BY p.sh HAVING COUNT(DISTINCT p.i) = {_BLOOM_K}
+)
+SELECT s.doc_id, CAST(COUNT(DISTINCT s.sh) AS BIGINT) AS n_maybe_hits
+FROM sh s JOIN hits USING (sh)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+""",
+)
+def q158_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.curation import _toks, shingles
+    from cubicerp_client_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_members,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_sh = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingles(_toks("text"), 5)).alias("sh"))
+    )
+    bloom = bloom_build(bench_sh, "sh", m=_BLOOM_M, k=_BLOOM_K, seed="d1")
+    corp_sh = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(shingles(_toks("text"), 5)).alias("sh"))
+    )
+    flagged = bloom_maybe_members(
+        corp_sh, "sh", bloom, m=_BLOOM_M, k=_BLOOM_K, seed="d1"
+    )
+    return (
+        corp_sh.join(F.broadcast(flagged), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_maybe_hits"))
+    )

@@ -317,6 +317,17 @@ def stream_token_budget(
     cardinality, independent of stream length; no watermark needed.
     Arrow-batched ``applyInPandasWithState``, one pandas call per
     (domain, micro-batch).
+
+    Memory note (VERDICT r5): the (arrival batch, id) contract forces
+    each domain's ENTIRE micro-batch into one pandas frame before the
+    sort (chunk-local sorting would make admission depend on Arrow
+    chunking). With O(10) training domains a micro-batch therefore
+    concentrates ~1/#domains of its rows in one group; rows here are
+    narrow (id + token count — payloads are NOT carried through the
+    gate), so the bound is batch size, not corpus size. Size triggers
+    (``trigger(processingTime=...)`` / ``maxOffsetsPerTrigger``)
+    accordingly; ``spark.sql.execution.arrow.maxRecordsPerBatch`` does
+    NOT bound this concat — it only sizes the chunks being concatenated.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

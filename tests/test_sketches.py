@@ -195,3 +195,71 @@ def test_occupancy_sketch_estimate_tracks_exact_distinct(spark):
     est = -m * math.log(1 - occ / m)
     exact = len(set(toks))
     assert abs(est - exact) / exact < 0.15
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every inserted key MUST be a maybe-member (Bloom's contract);
+    non-members slip through only at the FP rate — with m=4096, k=3,
+    n=200 the expected rate is ~0.03%, so over 500 probes we allow a
+    small handful."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_members,
+    )
+
+    members = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(200)], "k string"
+    )
+    outsiders = spark.createDataFrame(
+        [(f"other_{i}",) for i in range(500)], "k string"
+    )
+    bloom = bloom_build(members, "k", m=4096, k=3, seed="t")
+    # no false negatives: every member comes back
+    got = {r.k for r in bloom_maybe_members(members, "k", bloom, 4096, 3, "t").collect()}
+    assert got == {f"key_{i}" for i in range(200)}
+    # false positives bounded (deterministic given the md5 family)
+    fp = bloom_maybe_members(outsiders, "k", bloom, 4096, 3, "t").count()
+    assert fp <= 5, fp
+    with pytest.raises(ValueError):
+        bloom_build(members, "k", m=0, k=3)
+    with pytest.raises(ValueError):
+        bloom_maybe_members(members, "k", bloom, m=4096, k=0)
+
+
+def test_bloom_decontamination_is_superset_of_exact(spark):
+    """The Bloom pass must flag EVERY document the exact q012 pass
+    flags (no false negatives propagate through shingle composition)."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.catalog import load
+    from cubicerp_client_etl_spark.operators.curation import (
+        _toks,
+        decontaminate,
+        shingles,
+    )
+    from cubicerp_client_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_members,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {r.doc_id for r in decontaminate(corpus, bench, n=5).collect()}
+
+    bench_sh = bench.select(F.explode(shingles(_toks("text"), 5)).alias("sh"))
+    corp_sh = corpus.select(
+        "doc_id", F.explode(shingles(_toks("text"), 5)).alias("sh")
+    )
+    bloom = bloom_build(bench_sh, "sh", m=65536, k=3, seed="d1")
+    flagged = bloom_maybe_members(corp_sh, "sh", bloom, 65536, 3, "d1")
+    bloomed = {
+        r.doc_id
+        for r in corp_sh.join(F.broadcast(flagged), "sh")
+        .select("doc_id").distinct().collect()
+    }
+    assert exact <= bloomed, sorted(exact - bloomed)[:5]
