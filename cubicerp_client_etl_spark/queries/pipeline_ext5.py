@@ -220,3 +220,97 @@ def q158_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("sh").alias("n_maybe_hits"))
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — VALUE-CHECKED multimodal resize (upgrades q079's rows-only
+# evidence): deterministic BMPs (pixel = f(doc_id, x, y)) go through
+# resize_media(fake=False) — stdlib decode, real 2D nearest-neighbor
+# resample, stdlib re-encode — and the OUTPUT payload is decoded back
+# to pixels and hex-dumped. The oracle recomputes the resampled pixel
+# grid arithmetically (sx = x*sw div tw, sy = y*sh div th), so both the
+# codec round-trip and the resample indexing are value-verified
+# cross-engine. Subset: doc_id % 101 = 0 keeps the binary stage small
+# while the plumbing stays the real mapInPandas pipeline.
+# --------------------------------------------------------------------------
+_RZ_TW, _RZ_TH = 4, 3
+
+@register(
+    "q159_bmp_resize_verified",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, 6 + doc_id % 5 AS sw, 4 + doc_id % 3 AS sh
+  FROM documents WHERE doc_id % 101 = 0
+),
+px AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, {_RZ_TW * _RZ_TH}), i ->
+             printf('%02x',
+               (doc_id * 131
+                + (LEAST((i // {_RZ_TW}) * sh // {_RZ_TH}, sh - 1) * sw
+                   + LEAST((i % {_RZ_TW}) * sw // {_RZ_TW}, sw - 1)) * 17
+               ) % 256)),
+           '') AS px_hex
+  FROM d
+)
+SELECT doc_id,
+       CAST({_RZ_TW} AS INTEGER) AS width,
+       CAST({_RZ_TH} AS INTEGER) AS height,
+       px_hex
+FROM px
+""",
+)
+def q159_bmp_resize_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        decode_bmp_gray,
+        encode_bmp_gray,
+        resize_media,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 101 == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sw, sh = 6 + did % 5, 4 + did % 3
+                pxs = bytes((did * 131 + i * 17) % 256 for i in range(sw * sh))
+                payloads.append(encode_bmp_gray(sw, sh, pxs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary").selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/bmp', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'bmp', "
+        "'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT)) AS meta",
+    )
+    resized = resize_media(media, _RZ_TW, _RZ_TH, fake=False)
+
+    def dump(batches):
+        for pdf in batches:
+            hexes = []
+            for payload in pdf["payload"]:
+                w, h, pxs = decode_bmp_gray(bytes(payload))
+                assert (w, h) == (_RZ_TW, _RZ_TH)
+                hexes.append(pxs.hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "px_hex": hexes,
+                }
+            )
+
+    return resized.mapInPandas(
+        dump, "doc_id bigint, width int, height int, px_hex string"
+    )

@@ -123,3 +123,50 @@ def test_budget_prefix_property_randomized(spark):
             if c <= budget:
                 want[r.doc_id] = c
         assert {r.doc_id: r.cum_tokens for r in out} == want, (trial, budget)
+
+
+def test_budget_single_hot_domain_spreads_and_stays_exact(spark):
+    """The reason prefix_sum_by exists: ONE domain holding every row
+    (the boilerplate/web-dump shape) must still compute the exact
+    running sum — and must NOT funnel all rows through a single window
+    partition. Correctness vs a driver-side walk; spread verified by
+    the physical plan's windows all carrying _pid."""
+    rows = [(i, "web", (i * 7) % 23 + 1) for i in range(5_000)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, toks long")
+    out = token_budget_select(
+        docs, "domain", "toks", "doc_id", budget=3_000, seed="hot"
+    )
+    got = {r.doc_id: r.cum_tokens for r in out.collect()}
+    ordered = (
+        docs.withColumn("_h", shuffle_key("doc_id", "hot"))
+        .orderBy("_h", "doc_id")
+        .collect()
+    )
+    cum, want = 0, {}
+    for r in ordered:
+        cum += r.toks
+        if cum <= 3_000:
+            want[r.doc_id] = cum
+    assert got == want
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
+
+
+def test_null_domain_is_a_valid_group_in_both_operators(spark):
+    """ADVICE r5: NULL domains must neither be dropped (interleave's
+    old inner join) nor treated inconsistently between the two
+    operators."""
+    rows = [(1, None, 10), (2, None, 20), (3, "a", 5), (4, "a", 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, toks long")
+    sel = token_budget_select(docs, "domain", "toks", "doc_id", budget=100)
+    assert {r.doc_id for r in sel.collect()} == {1, 2, 3, 4}
+    inter = interleave_round_robin(docs, "domain", "doc_id").collect()
+    assert {r.doc_id for r in inter} == {1, 2, 3, 4}  # nothing dropped
+    pos = [r.global_pos for r in inter]
+    assert len(pos) == len(set(pos)) == 4
+    # NULL sorts first in the domain index (asc_nulls_first) -> didx 0
+    for r in inter:
+        assert r.global_pos % 2 == (0 if r.domain is None else 1)
