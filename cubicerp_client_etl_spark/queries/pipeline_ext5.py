@@ -314,3 +314,63 @@ def q159_bmp_resize_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         dump, "doc_id bigint, width int, height int, px_hex string"
     )
+
+
+# --------------------------------------------------------------------------
+# q160 — BPE vocabulary induction (operators/bpe.py): learn 5 merges
+# from the corpus word histogram. The corpus is scanned once; each
+# round is Catalyst over the bounded vocab table plus a 1-row argmax
+# pull (the q013-kmeans iterative pattern). Fully oracled: the padded
+# symbol-string representation makes a merge round a plain string
+# replace, which Spark and DuckDB execute identically, so the oracle
+# unrolls all 5 rounds as CTEs and reproduces the merge table
+# bit-for-bit (ties break (count DESC, left, right) in binary
+# collation on both engines).
+# --------------------------------------------------------------------------
+_BPE_K = 5
+
+
+def _bpe_oracle(k: int) -> str:
+    ctes = [
+        "w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        "v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, "
+        "COUNT(*) AS cnt FROM w WHERE len(w) > 0 GROUP BY 1)",
+    ]
+    sels = []
+    for r in range(k):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT s.a AS a, s.b AS b, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_transform(generate_series(1, len(sl) - 1),
+                       i -> struct_pack(a := sl[i], b := sl[i + 1]))) AS s
+    FROM (SELECT cnt, string_split(trim(sym), ' ') AS sl FROM v{r})
+    WHERE len(sl) >= 2
+  ) GROUP BY s.a, s.b)"""
+        )
+        ctes.append(
+            f"b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r + 1} AS (SELECT replace(sym, ' ' || a || ' ' || b || ' ', "
+            f"' ' || a || b || ' ') AS sym, cnt FROM v{r} CROSS JOIN b{r})"
+        )
+        sels.append(
+            f"SELECT CAST({r} AS INTEGER) AS rank, a AS left_sym, b AS right_sym, "
+            f"a || b AS merged, CAST(c AS BIGINT) AS cnt FROM b{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@register("q160_bpe_vocab_induction", oracle=_bpe_oracle(_BPE_K))
+def q160_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.bpe import bpe_learn
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    merges = bpe_learn(docs, "text", num_merges=_BPE_K)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left_sym"], m["right_sym"], m["merged"], m["cnt"])
+            for m in merges
+        ],
+        "rank int, left_sym string, right_sym string, merged string, cnt bigint",
+    )
