@@ -136,3 +136,49 @@ def test_prefix_sum_stable_across_reruns(spark):
         for r in prefix_sum(df, [F.col("k").asc()], "v").collect()
     )
     assert first == again == fresh
+
+
+def test_prefix_sum_by_matches_naive_keyed_window(spark):
+    """prefix_sum_by (the keyed two-phase scan behind q017/q142) must
+    bit-match the naive PARTITION BY window on decimals, including NULL
+    keys as their own group and keys that span many range partitions."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum_by
+
+    rows = [
+        (i, None if i % 11 == 0 else f"d{i % 3}", ((i * 37) % 100) + 1)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "k long, dom string, v long").select(
+        "k", "dom", F.col("v").cast("decimal(18,4)").alias("v")
+    )
+    got = {
+        r["k"]: str(r["cum"])
+        for r in prefix_sum_by(df, ["dom"], [F.col("k").asc()], "v").collect()
+    }
+    w = W.partitionBy("dom").orderBy(F.col("k").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = {
+        r["k"]: str(r["cum"])
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_prefix_scan_guards_reserved_columns(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.prefix import (
+        prefix_sum,
+        prefix_sum_by,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "k long, v long, _pid long")
+    with pytest.raises(ValueError, match="_pid"):
+        prefix_sum(df, [F.col("k")], "v")
+    with pytest.raises(ValueError, match="_pid"):
+        prefix_sum_by(df, ["k"], [F.col("k")], "v")
