@@ -330,13 +330,15 @@ def q159_bmp_resize_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 5
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_ctes(k: int) -> str:
+    """The shared k-round merge chain (q160 + q161): vocab v0..vk carry
+    (w, sym, cnt); b0..b{k-1} are the per-round argmax merges."""
     ctes = [
-        "w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
-        "v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, "
-        "COUNT(*) AS cnt FROM w WHERE len(w) > 0 GROUP BY 1)",
+        "wtok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        "h AS (SELECT w, COUNT(*) AS cnt FROM wtok WHERE len(w) > 0 GROUP BY w)",
+        "v0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, "
+        "cnt FROM h)",
     ]
-    sels = []
     for r in range(k):
         ctes.append(
             f"""p{r} AS (
@@ -351,17 +353,22 @@ def _bpe_oracle(k: int) -> str:
             f"b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)"
         )
         ctes.append(
-            f"v{r + 1} AS (SELECT replace(sym, ' ' || a || ' ' || b || ' ', "
+            f"v{r + 1} AS (SELECT w, replace(sym, ' ' || a || ' ' || b || ' ', "
             f"' ' || a || b || ' ') AS sym, cnt FROM v{r} CROSS JOIN b{r})"
         )
-        sels.append(
-            f"SELECT CAST({r} AS INTEGER) AS rank, a AS left_sym, b AS right_sym, "
-            f"a || b AS merged, CAST(c AS BIGINT) AS cnt FROM b{r}"
-        )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+    return ",\n".join(ctes)
 
 
-@register("q160_bpe_vocab_induction", oracle=_bpe_oracle(_BPE_K))
+def _bpe_learn_oracle(k: int) -> str:
+    sels = [
+        f"SELECT CAST({r} AS INTEGER) AS rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, CAST(c AS BIGINT) AS cnt FROM b{r}"
+        for r in range(k)
+    ]
+    return "WITH " + _bpe_ctes(k) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@register("q160_bpe_vocab_induction", oracle=_bpe_learn_oracle(_BPE_K))
 def q160_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.bpe import bpe_learn
 
@@ -373,4 +380,56 @@ def q160_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in merges
         ],
         "rank int, left_sym string, right_sym string, merged string, cnt bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# q161 — BPE corpus tokenization (the APPLY path): segment the learned
+# vocab with q160's merges, then tokenize every document by a BROADCAST
+# join of its words against the segmented-vocab table — each distinct
+# word is segmented once, the corpus never runs per-row Python. Output:
+# per-document BPE token count vs whitespace word count (the
+# sequence-length table a packing/budget stage consumes). Oracle:
+# the same unrolled merge chain, segmented lengths joined per document.
+# --------------------------------------------------------------------------
+@register(
+    "q161_bpe_tokenize_corpus",
+    oracle="WITH "
+    + _bpe_ctes(_BPE_K)
+    + f""",
+seg AS (
+  SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM v{_BPE_K}
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT t.doc_id,
+       CAST(SUM(s.n_sub) AS BIGINT) AS n_bpe_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM (SELECT doc_id, w FROM tok WHERE len(w) > 0) t
+JOIN seg s USING (w)
+GROUP BY t.doc_id
+""",
+)
+def q161_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment_vocab,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_learn(docs.select("text"), "text", num_merges=_BPE_K)
+    seg = bpe_segment_vocab(docs.select("text"), merges, "text").select(
+        "w", F.size("tokens").alias("n_sub")
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    return (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
     )
