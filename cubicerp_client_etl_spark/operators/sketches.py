@@ -194,3 +194,37 @@ def bloom_maybe_members(
         .agg(F.count_distinct("_i").alias("_nh"))
     )
     return hits.where(F.col("_nh") == F.lit(k)).select(key_col)
+
+
+def bloom_bitset(positions: DataFrame, m: int) -> list[bool]:
+    """Materialize a ``bloom_build`` positions table as an m-element
+    boolean bitset on the driver — bounded O(m) regardless of corpus
+    size (the centroids-as-literals pattern, q013). Embedded as ONE
+    ``array<boolean>`` literal, a probe is an O(1) ``element_at`` —
+    the stateless map-side form a streaming gate needs (no join, no
+    state store), under the SAME portable md5 family as the batch
+    filter, so stream and batch flag identical keys."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    bits = [False] * m
+    for r in positions.collect():
+        bits[int(r.pos)] = True
+    return bits
+
+
+def bloom_bitset_maybe_member(
+    key: Column, bits: list[bool], k: int, seed: str = ""
+) -> Column:
+    """Map-side Bloom probe of one key against a ``bloom_bitset``
+    literal: true iff all ``k`` md5 positions are occupied. Pure
+    Catalyst (k O(1) array probes per key), usable inside HOF lambdas
+    over shingle arrays and on streams."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    m = len(bits)
+    lit = F.lit(bits)
+    probe = None
+    for i in range(k):
+        hit = F.element_at(lit, (bloom_position(key, i, m, seed) + 1).cast("int"))
+        probe = hit if probe is None else probe & hit
+    return probe

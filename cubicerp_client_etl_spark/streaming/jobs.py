@@ -402,3 +402,38 @@ def stream_count_min(
         .groupBy("rw", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def stream_decontaminate_bloom(
+    docs: DataFrame,
+    bits: list[bool],
+    k: int = 3,
+    seed: str = "",
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming decontamination gate — the online twin of the
+    Bloom-filtered batch pass (q158): drop any arriving document one of
+    whose token ``n``-gram shingles maybe-hits the benchmark Bloom.
+
+    ``bits`` is the ``sketches.bloom_bitset`` of the eval suite
+    (bounded O(m), built batch-side) embedded as ONE array<boolean>
+    LITERAL, so the gate is a pure map-side Catalyst expression —
+    ``exists(shingles, s -> all k element_at probes)`` — with no state
+    store, no joins, append-mode safe, and the SAME portable md5
+    family as the batch filter: stream and batch flag identical
+    documents (the equivalence test pins it). No false negatives
+    (Bloom contract): everything the exact decontamination pass drops
+    is dropped here too; over-dropping is bounded by the FP rate.
+    """
+    from cubicerp_client_etl_spark.operators.curation import _toks, shingles
+    from cubicerp_client_etl_spark.operators.sketches import (
+        bloom_bitset_maybe_member,
+    )
+
+    sh = shingles(_toks(text_col), n)
+    flagged = F.exists(
+        sh, lambda s: bloom_bitset_maybe_member(s, bits, k, seed)
+    )
+    return docs.where(~flagged).select(id_col, text_col)

@@ -267,3 +267,50 @@ def test_stream_count_min_equals_batch_sketch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_bloom_decontaminate_equals_batch_and_covers_exact(spark):
+    """The streaming Bloom gate (stateless bitset-literal probe) must
+    drop EXACTLY the documents the batch Bloom pass flags (same
+    portable md5 family), and — Bloom contract — everything the exact
+    decontamination pass flags is dropped too."""
+    from cubicerp_client_etl_spark.operators.curation import (
+        _toks,
+        decontaminate,
+        shingles,
+    )
+    from cubicerp_client_etl_spark.operators.sketches import (
+        bloom_bitset,
+        bloom_build,
+    )
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_decontaminate_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench_sh = bench.select(F.explode(shingles(_toks("text"), 5)).alias("sh"))
+    bits = bloom_bitset(bloom_build(bench_sh, "sh", m=65536, k=3, seed="d1"), 65536)
+
+    got = run_stream_to_memory(
+        stream_decontaminate_bloom(
+            documents_stream(spark, sf).where(F.col("doc_id") % 97 != 0),
+            bits, k=3, seed="d1",
+        ),
+        "bloom_gate_stream",
+        output_mode="append",
+    )
+    stream_clean = {r.doc_id for r in got.collect()}
+    batch_clean = {
+        r.doc_id
+        for r in stream_decontaminate_bloom(corpus, bits, k=3, seed="d1").collect()
+    }
+    assert stream_clean == batch_clean
+    # no false negatives: exact-pass contaminated docs are all dropped
+    exact_flagged = {r.doc_id for r in decontaminate(corpus, bench, n=5).collect()}
+    assert not (stream_clean & exact_flagged)
+    assert stream_clean  # the gate is not degenerate (keeps clean docs)
