@@ -433,3 +433,129 @@ def q161_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q162 — ANN recall evaluation report (L-sim eval harness): recall@5 of
+# IVF multi-probe vs the exact cosine top-5, per nprobe ∈ {1, 2, 4} —
+# the accuracy/cost curve an index operator ships with (nprobe is the
+# recall knob; at nprobe = #centroids IVF degenerates to exact). Both
+# sides are deterministic (6-dp rounded sims, id tie-breaks), so the
+# recall numbers are exact values, not estimates, and the oracle
+# replays the whole report. Spark shape: exact side broadcasts probes
+# over one corpus stream; IVF side is the q150 equi-join per nprobe;
+# the report is a bounded join of two ≤(probes×5)-row frames.
+# --------------------------------------------------------------------------
+_RECALL_NPROBES = (1, 2, 4)
+
+
+def _recall_oracle() -> str:
+    base = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+scored_assign AS (
+  SELECT e.vec_id, e.v, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                    sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 6) DESC,
+                    c.cid) AS crn
+  FROM e CROSS JOIN c
+),
+assigned AS (SELECT vec_id, v, cid FROM scored_assign WHERE crn = 1),
+probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (10, 20, 30)),
+ex AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY ROUND(list_dot_product(e.v, p.pv) /
+                      sqrt(list_dot_product(e.v, e.v) * list_dot_product(p.pv, p.pv)), 6) DESC,
+                      e.vec_id) AS rank
+    FROM e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id)
+  WHERE rank <= 5)"""
+    parts, sels = [], []
+    for np_ in _RECALL_NPROBES:
+        parts.append(f""",
+pc{np_} AS (
+  SELECT vec_id AS probe_id, v AS pv, cid FROM scored_assign
+  WHERE vec_id IN (10, 20, 30) AND crn <= {np_}
+),
+cand{np_} AS (
+  SELECT p.probe_id, a.vec_id,
+         ROUND(list_dot_product(a.v, p.pv) /
+               sqrt(list_dot_product(a.v, a.v) * list_dot_product(p.pv, p.pv)), 6) AS sim
+  FROM pc{np_} p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+),
+ivf{np_} AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+    FROM cand{np_})
+  WHERE rank <= 5
+),
+h{np_} AS (
+  SELECT i.probe_id, COUNT(*) AS n FROM ivf{np_} i
+  JOIN ex USING (probe_id, vec_id) GROUP BY i.probe_id
+)""")
+        sels.append(
+            f"SELECT p.probe_id, CAST({np_} AS INTEGER) AS nprobe, "
+            f"CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits, "
+            f"COALESCE(h.n, 0) / 5.0 AS recall "
+            f"FROM probes p LEFT JOIN h{np_} h USING (probe_id)"
+        )
+    return base + "".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@register("q162_ann_recall_report", oracle=_recall_oracle())
+def q162_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    embd = emb.select("vec_id", sim.as_double("embedding").alias("v"))
+    cents = embd.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    probes_d = embd.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    probes_raw = emb.filter(F.col("vec_id").isin(10, 20, 30)).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+    w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        sim.brute_force_topk(emb, probes_raw, k=6)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 5)
+        .select("probe_id", "vec_id")
+    )
+    ivf_parts = [
+        sim.ivf_topk(embd, cents, probes_d, k=5, nprobe=np_)
+        .select("probe_id", "vec_id")
+        .withColumn("nprobe", F.lit(np_).cast("int"))
+        for np_ in _RECALL_NPROBES
+    ]
+    ivf_all = ivf_parts[0]
+    for p in ivf_parts[1:]:
+        ivf_all = ivf_all.unionByName(p)
+    hits = (
+        ivf_all.join(exact, ["probe_id", "vec_id"])
+        .groupBy("probe_id", "nprobe")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    spine = probes_d.select("probe_id").crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(n,) for n in _RECALL_NPROBES], "nprobe int"
+            )
+        )
+    )
+    return spine.join(hits, ["probe_id", "nprobe"], "left").select(
+        "probe_id",
+        "nprobe",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce(F.col("_n"), F.lit(0)) / F.lit(5.0)).alias("recall"),
+    )
