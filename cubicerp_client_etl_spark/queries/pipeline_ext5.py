@@ -559,3 +559,95 @@ def q162_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_hits"),
         (F.coalesce(F.col("_n"), F.lit(0)) / F.lit(5.0)).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — corpus datacard (observability capstone): the per-source
+# "datasheet" table a training-data release ships with — document and
+# token counts, corpus share, exact-dup fraction, dominant language
+# (deterministic tie-break), mean document length. All exact integer
+# arithmetic (e6 shares via bigint div — counts here are far below the
+# e6 ceiling, and the oracle replays the same div), one pass over the
+# corpus plus a broadcast of the 1-row totals.
+# --------------------------------------------------------------------------
+@register(
+    "q163_corpus_datacard",
+    oracle="""
+WITH base AS (
+  SELECT source, lang, doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_toks,
+         md5(text) AS h
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(n_toks) AS n_tokens,
+         SUM(n_chars) AS n_chars,
+         COUNT(DISTINCT h) AS n_distinct
+  FROM base GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS t FROM per_source),
+langs AS (
+  SELECT source, lang FROM (
+    SELECT source, lang, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn
+    FROM base GROUP BY source, lang)
+  WHERE rn = 1
+)
+SELECT p.source,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(1000000 * p.n_tokens // tot.t AS BIGINT) AS token_share_e6,
+       CAST(1000000 * (p.n_docs - p.n_distinct) // p.n_docs AS BIGINT) AS dup_frac_e6,
+       l.lang AS top_lang,
+       CAST(p.n_chars // p.n_docs AS BIGINT) AS mean_chars
+FROM per_source p JOIN langs l USING (source) CROSS JOIN tot
+""",
+)
+def q163_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.count_distinct("h").alias("n_distinct"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("t"))
+    # dominant language: aggregate first (bounded source×lang table),
+    # then a window over it — never over raw rows
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wl = W.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    top_lang = (
+        lang_counts.withColumn("_rn", F.row_number().over(wl))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_source.join(F.broadcast(top_lang), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("1000000 * n_tokens div t").cast("bigint").alias(
+                "token_share_e6"
+            ),
+            F.expr("1000000 * (n_docs - n_distinct) div n_docs")
+            .cast("bigint")
+            .alias("dup_frac_e6"),
+            "top_lang",
+            F.expr("n_chars_sum div n_docs").cast("bigint").alias("mean_chars"),
+        )
+    )
