@@ -651,3 +651,97 @@ def q163_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_chars_sum div n_docs").cast("bigint").alias("mean_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q164 — deterministic negative sampling (contrastive-training data
+# prep): each anchor document draws k pseudo-random negatives via hash
+# buckets — anchor i's target bucket is md5-derived, the negative is
+# the bucket member minimizing a (anchor, candidate) pairing hash.
+# Fully deterministic (retry/cluster/engine-independent), and the join
+# fan-out is bounded by bucket size (~n/B) at ANY corpus size — never
+# probes × corpus. Self-pairs are excluded; a probe whose bucket holds
+# only itself yields no row for that draw (deterministic on both
+# engines). All portable md5 arithmetic — the oracle replays every
+# bucket and every argmin.
+# --------------------------------------------------------------------------
+_NEG_B, _NEG_K = 256, 3
+
+@register(
+    "q164_negative_sampling",
+    oracle=f"""
+WITH members AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|ring1'), 1, 8)) AS BIGINT)
+           % {_NEG_B} AS bucket,
+         doc_id
+  FROM documents
+),
+anchors AS (
+  SELECT doc_id AS anchor_id, i,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|neg' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_NEG_B} AS tb
+  FROM documents, (SELECT unnest(range(0, {_NEG_K})) AS i)
+  WHERE doc_id % 211 = 0
+),
+cand AS (
+  SELECT a.anchor_id, a.i, m.doc_id AS neg_id,
+         md5(CAST(a.anchor_id AS VARCHAR) || '|pick|' || CAST(m.doc_id AS VARCHAR)) AS ph
+  FROM anchors a JOIN members m ON m.bucket = a.tb
+  WHERE m.doc_id <> a.anchor_id
+)
+SELECT anchor_id, CAST(i AS INTEGER) AS i, neg_id FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY anchor_id, i ORDER BY ph, neg_id) AS rn
+  FROM cand)
+WHERE rn = 1
+""",
+)
+def q164_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    members = docs.select(
+        (md5_hash32(F.concat(F.col("doc_id").cast("string"), F.lit("|ring1")))
+         % _NEG_B).alias("bucket"),
+        "doc_id",
+    )
+    draws = spark.createDataFrame([(i,) for i in range(_NEG_K)], "i int")
+    anchors = (
+        docs.where(F.col("doc_id") % 211 == 0)
+        .crossJoin(F.broadcast(draws))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "i",
+            (md5_hash32(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|neg"),
+                    F.col("i").cast("string"),
+                )
+            ) % _NEG_B).alias("tb"),
+        )
+    )
+    cand = (
+        anchors.join(members, anchors["tb"] == members["bucket"])
+        .where(F.col("doc_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "i",
+            F.col("doc_id").alias("neg_id"),
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("|pick|"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("ph"),
+        )
+    )
+    w = W.partitionBy("anchor_id", "i").orderBy("ph", "neg_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("anchor_id", "i", "neg_id")
+    )
