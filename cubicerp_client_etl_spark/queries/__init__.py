@@ -56,6 +56,7 @@ def _load_all() -> None:
         pipeline_ext3,
         pipeline_ext4,
         pipeline_ext5,
+        pipeline_ext6,
         relational,
         relational2,
         relational3,
