@@ -137,3 +137,20 @@ def e6_floor_ratio(c: Column, n: Column) -> Column:
     nd = n.cast("decimal(38,0)")
     q0 = F.floor(cm / nd).cast("decimal(38,0)")
     return F.when(q0 * nd > cm, q0 - F.lit(1)).otherwise(q0).cast("bigint")
+
+
+def isqrt_exact(c: Column) -> Column:
+    """Exact integer square root ``floor(sqrt(c))`` as BIGINT for
+    0 <= c < 2^53 (covers token counts far past the 100 TB corpus).
+
+    ``floor(sqrt(double))`` alone is off by at most one step in either
+    direction (one-ulp sqrt error landing on an integer boundary), so
+    a single exact-integer correction each way pins it — the same
+    floor-correct discipline as ``e6_floor_ratio``. DuckDB replays the
+    identical expression, so oracles match bit-for-bit."""
+    s0 = F.floor(F.sqrt(c.cast("double"))).cast("bigint")
+    return (
+        s0
+        + F.when((s0 + 1) * (s0 + 1) <= c, 1).otherwise(0)
+        - F.when(s0 * s0 > c, 1).otherwise(0)
+    )

@@ -144,3 +144,67 @@ def interleave_round_robin(
         )
         .drop("_dom", "_rn", "_didx", "_ndom")
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Temperature-scaled mixture allocation at α = 1/2: each domain's
+    sampling weight is ``isqrt(domain_token_count)`` — the square-root
+    temperature flattening multilingual/multi-domain pipelines use
+    (mT5's α-scaled mixing, XLM-R's exponent-smoothed sampling) so head
+    domains stop drowning tail domains — then ``budget`` slots are
+    split across domains by exact largest-remainder apportionment on
+    those weights (every slot assigned, deterministic ties by domain).
+
+    Returns one row per domain: ``(domain_col, c_tokens, w, share_e6,
+    target)`` with Σ target = budget exactly.
+
+    All arithmetic is exact integer (``isqrt_exact`` + floor ratios +
+    remainder ranking), so a DuckDB oracle replays it bit-for-bit.
+    Scale: one keyed aggregation over the corpus (map-side partial
+    sums); everything after runs on the O(#domains) result — the
+    windows below are over that bounded aggregate, never raw rows.
+    """
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio, isqrt_exact
+
+    c = docs.groupBy(domain_col).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("c_tokens")
+    )
+    w = c.withColumn("w", isqrt_exact(F.col("c_tokens")))
+    tot = w.agg(F.sum("w").cast("bigint").alias("_tw"))
+    a = w.join(F.broadcast(tot)).select(
+        domain_col,
+        "c_tokens",
+        "w",
+        e6_floor_ratio(F.col("w"), F.col("_tw")).alias("share_e6"),
+        # integer div; truncation == floor because operands are >= 0
+        F.expr(f"CAST({int(budget)} AS BIGINT) * w div _tw").alias("_base"),
+        ((F.lit(budget).cast("bigint") * F.col("w")) % F.col("_tw")).alias(
+            "_rem"
+        ),
+    )
+    # bounded-by-construction windows: input is the per-domain aggregate
+    w_rank = Window.orderBy(F.col("_rem").desc(), F.col(domain_col))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        a.withColumn("_short", F.lit(budget) - F.sum("_base").over(w_all))
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .select(
+            domain_col,
+            "c_tokens",
+            "w",
+            "share_e6",
+            (
+                F.col("_base")
+                + F.when(F.col("_rank") <= F.col("_short"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("target"),
+        )
+    )

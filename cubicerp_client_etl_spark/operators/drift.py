@@ -70,3 +70,58 @@ def unigram_drift(
         "delta_e6",
     )
     return out.orderBy(F.col("delta_e6").desc(), token_col).limit(top_k)
+
+
+def source_overlap_matrix(
+    sh: "DataFrame", group_col: str = "source", sh_col: str = "sh"
+) -> "DataFrame":
+    """Pairwise shingle-set overlap between corpus groups (sources,
+    snapshots, languages): for each unordered group pair, the distinct-
+    shingle intersection plus exact e6 Jaccard and per-side containment
+    — the release-datasheet view of "how much of source B is already in
+    source A" (catches mirror sites, re-crawls, and licensing overlap
+    before training).
+
+    ``sh``: (group_col, sh_col) rows, one per group×shingle — need not
+    be distinct (deduped here).
+
+    Scale: one distinct (keyed shuffle on the shingle hash), one
+    equi-join on the shingle restricted to ``a < b`` group order —
+    never all-pairs on rows — then a #group²-bounded aggregate; the
+    per-group size table broadcasts. Pairs with empty intersection are
+    omitted (they carry no signal and would need a cross join to
+    enumerate).
+    """
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    d = sh.select(
+        F.col(group_col).alias("_g"), F.col(sh_col).alias("_sh")
+    ).distinct()
+    sizes = d.groupBy("_g").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = d.select(F.col("_g").alias("source_a"), "_sh")
+    b = d.select(F.col("_g").alias("source_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_g").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_g").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            "sz_a",
+            "sz_b",
+            e6_floor_ratio(
+                F.col("n_inter"),
+                F.col("sz_a") + F.col("sz_b") - F.col("n_inter"),
+            ).alias("jaccard_e6"),
+            e6_floor_ratio(F.col("n_inter"), F.col("sz_a")).alias("cont_a_e6"),
+            e6_floor_ratio(F.col("n_inter"), F.col("sz_b")).alias("cont_b_e6"),
+        )
+    )

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cubicerp_client_etl_spark.operators.prefix import prefix_sum_by
+
 
 def pack_sequences(
     df: DataFrame,
@@ -98,3 +100,48 @@ def pack_sequences(
         return pdf[["id", "n_tokens", "bucket", "seq_id", "seq_pos", "oversize"]]
 
     return src.groupBy("bucket").applyInPandas(pack, schema=out_schema)
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    bucket_width: int,
+    batch_size: int,
+    seed: str = "",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the dynamic-batching layout
+    trainers use to cut padding waste: documents are bucketed by
+    length band (``tokens div bucket_width``), deterministically
+    shuffled WITHIN their band (md5 of the id, so similar-length docs
+    still mix across sources/time), and cut into fixed-size batches in
+    that order. Padding cost of a batch is then bounded by the band
+    width instead of the corpus-wide max length.
+
+    Returns one row per document: all input columns plus ``bucket``
+    and ``batch_id`` (0-based within the bucket).
+
+    Scale: the per-bucket running count rides
+    ``prefix.prefix_sum_by`` — the keyed two-phase scan — NOT a
+    ``row_number() OVER (PARTITION BY bucket)``: length bands are
+    low-cardinality (hundreds), so the naive window would funnel each
+    band's full row set through one task at corpus scale. The oracle
+    states the plain SQL window; the scan is value-identical because
+    the (md5, id) order is total.
+    """
+    base = df.withColumn(
+        "bucket", F.expr(f"CAST({tokens_col} div {int(bucket_width)} AS BIGINT)")
+    ).withColumn(
+        "_sk",
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))),
+    )
+    counted = prefix_sum_by(
+        base.withColumn("_one", F.lit(1).cast("bigint")),
+        keys=["bucket"],
+        order_by=[F.col("_sk"), F.col(id_col)],
+        value_col="_one",
+        out_col="_rn",
+    )
+    return counted.withColumn(
+        "batch_id", F.expr(f"CAST((_rn - 1) div {int(batch_size)} AS BIGINT)")
+    ).drop("_one", "_sk", "_rn")

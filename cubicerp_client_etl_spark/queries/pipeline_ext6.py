@@ -146,3 +146,278 @@ def q165_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_int(allq, k=_SD_K, iterations=_SD_ITER)
     removed = semantic_dedup(allq, assign, tau_num=9, tau_den=10)
     return removed.orderBy("vec_id")
+
+# --------------------------------------------------------------------------
+# q166 — model-based quality filter (operators/classifier.py): the
+# fastText/CCNet-style hashed-bag-of-words linear classifier as pure
+# relational algebra — explode tokens, hash to one of 1024 buckets,
+# broadcast-join the integer weight table, one keyed sum per document,
+# threshold at 0. Reported per source: docs scored, docs kept, exact
+# e6 keep rate, and the summed score (integer, order-independent).
+# The weight table here is the deterministic hash-derived fixture
+# (derived_weights); production swaps in trained int-quantized weights
+# by reading parquet — same plan. Oracle replays hash, weights, sum,
+# and threshold exactly.
+# --------------------------------------------------------------------------
+_QC_BUCKETS = 1024
+
+
+@register(
+    "q166_quality_classifier",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(token || '|qcls'), 1, 8)) AS BIGINT)
+           % {_QC_BUCKETS} AS bucket
+  FROM tok
+),
+w AS (
+  SELECT g.b AS bucket,
+         CAST(concat('0x', substr(md5(CAST(g.b AS VARCHAR) || '|qclsw'), 1, 8))
+              AS BIGINT) % 2001 - 1000 AS w
+  FROM (SELECT unnest(generate_series(0, {_QC_BUCKETS - 1})) AS b) g
+),
+scored AS (
+  SELECT b.doc_id, ANY_VALUE(b.source) AS source,
+         CAST(SUM(w.w) AS BIGINT) AS score
+  FROM b JOIN w USING (bucket)
+  GROUP BY b.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS keep_e6,
+       CAST(SUM(score) AS BIGINT) AS sum_score
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+)
+def q166_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.classifier import (
+        derived_weights,
+        score_documents,
+    )
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    weights = derived_weights(spark, _QC_BUCKETS, "qclsw")
+    scored = score_documents(docs, weights, _QC_BUCKETS, "qcls")
+    keep = F.sum(F.when(F.col("score") >= 0, 1).otherwise(0)).cast("bigint")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            keep.alias("n_keep"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            e6_floor_ratio(F.col("n_keep"), F.col("n_docs")).alias("keep_e6"),
+            "sum_score",
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q167 — temperature-scaled mixture allocation (operators/budget.py
+# temperature_mixture): per-domain sampling weights at α = 1/2
+# (isqrt of the domain token count — the mT5/XLM-R smoothing that
+# keeps head domains from drowning tails), then 10,000 curriculum
+# slots apportioned by exact largest-remainder so Σ target == budget.
+# Exact integer end-to-end: isqrt_exact's floor-corrected root, floor
+# ratios, remainder ranking — the oracle replays every step. Scale:
+# one keyed corpus aggregation; all windows run over the O(#domains)
+# aggregate (bounded by construction, per the corpus plan invariant).
+# --------------------------------------------------------------------------
+_TM_BUDGET = 10000
+
+
+@register(
+    "q167_temperature_mixture",
+    oracle=f"""
+WITH c AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c_tokens
+  FROM documents GROUP BY source
+),
+s0 AS (
+  SELECT source, c_tokens,
+         CAST(floor(sqrt(CAST(c_tokens AS DOUBLE))) AS BIGINT) AS s0
+  FROM c
+),
+w AS (
+  SELECT source, c_tokens,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= c_tokens THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > c_tokens THEN 1 ELSE 0 END) AS w
+  FROM s0
+),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+a AS (
+  SELECT source, c_tokens, w,
+         CAST(w * 1000000 // t.tw AS BIGINT) AS share_e6,
+         CAST({_TM_BUDGET} * w // t.tw AS BIGINT) AS base,
+         CAST({_TM_BUDGET} * w % t.tw AS BIGINT) AS rem
+  FROM w CROSS JOIN t
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk,
+         {_TM_BUDGET} - SUM(base) OVER () AS short
+  FROM a
+)
+SELECT source, c_tokens, w, share_e6,
+       CAST(base + (CASE WHEN rnk <= short THEN 1 ELSE 0 END) AS BIGINT)
+         AS target
+FROM r
+ORDER BY source
+""",
+)
+def q167_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.budget import temperature_mixture
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return temperature_mixture(
+        docs, "source", "n_tokens", budget=_TM_BUDGET
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q168 — length-bucketed dynamic batching (operators/packing.py
+# length_bucketed_batches): documents split into 16-token length
+# bands, deterministically shuffled within each band, cut into
+# 32-doc batches; the report is the per-batch padding datasheet —
+# docs, max/sum tokens, exact e6 padding-waste fraction (what the
+# trainer saves vs corpus-wide max-length padding). The per-band
+# running count rides the KEYED two-phase prefix scan, not a raw-row
+# window (length bands are low-cardinality — the q141-class
+# scale-killer the corpus-plan invariant guards). The oracle states
+# the plain SQL window; the scan is value-identical (total order).
+# --------------------------------------------------------------------------
+@register(
+    "q168_length_bucketed_batches",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, CAST(n_tokens // 16 AS BIGINT) AS bucket,
+         md5(CAST(doc_id AS VARCHAR) || '|lenbatch') AS sk
+  FROM d
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY sk, doc_id) AS rn
+  FROM b
+),
+g AS (
+  SELECT bucket, CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+  FROM r GROUP BY bucket, CAST((rn - 1) // 32 AS BIGINT)
+)
+SELECT bucket, batch_id, n_docs, max_tokens, sum_tokens,
+       CAST((max_tokens * n_docs - sum_tokens) * 1000000
+            // (max_tokens * n_docs) AS BIGINT) AS pad_waste_e6
+FROM g
+ORDER BY bucket, batch_id
+""",
+)
+def q168_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    assigned = length_bucketed_batches(
+        docs, "doc_id", "n_tokens", bucket_width=16, batch_size=32,
+        seed="lenbatch",
+    )
+    return (
+        assigned.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            e6_floor_ratio(
+                F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"),
+                F.col("max_tokens") * F.col("n_docs"),
+            ).alias("pad_waste_e6"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q169 — cross-source overlap matrix (operators/drift.py
+# source_overlap_matrix): for every source pair, the distinct 3-gram
+# shingle intersection with exact e6 Jaccard and per-side containment
+# — the datasheet view that catches mirror sites / re-crawls /
+# licensing overlap between corpus sources before training. Shingle
+# semantics shared with the dedup stack (operators/dedup.shingles;
+# oracle CTE replays it as in q032). Scale: distinct on the shingle
+# key, one equi-join on shingle with a < b group order, #sources²-
+# bounded output; size table broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q169_source_overlap_matrix",
+    oracle="""
+WITH toks AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 3 AND i <= len(t) - 2
+  UNION
+  SELECT DISTINCT source, array_to_string(t, ' ') AS sh
+  FROM toks WHERE len(t) < 3
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(n_inter * 1000000 // (sa.sz + sb.sz - n_inter) AS BIGINT)
+         AS jaccard_e6,
+       CAST(n_inter * 1000000 // sa.sz AS BIGINT) AS cont_a_e6,
+       CAST(n_inter * 1000000 // sb.sz AS BIGINT) AS cont_b_e6
+FROM inter
+JOIN sz sa ON sa.source = inter.source_a
+JOIN sz sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b
+""",
+)
+def q169_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.dedup import shingles
+    from cubicerp_client_etl_spark.operators.drift import source_overlap_matrix
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", shingles("text", n=3).alias("shs")
+    )
+    sh = docs.select("source", F.explode("shs").alias("sh"))
+    return source_overlap_matrix(sh).orderBy("source_a", "source_b")
