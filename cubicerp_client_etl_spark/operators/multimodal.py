@@ -295,3 +295,112 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# ---- pure-stdlib 16-bit PCM WAV codec (audio path) ------------------------
+
+
+def encode_wav_pcm16(sample_rate: int, samples: "list[int]") -> bytes:
+    """Serialize mono 16-bit signed PCM ``samples`` as a real RIFF/WAVE
+    file via the stdlib ``wave`` module — the dependency-free REAL
+    audio container, the same role ``encode_bmp_gray`` plays for
+    images. Values must lie in [-32768, 32767]."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> "tuple[int, list[int]]":
+    """Parse a mono 16-bit PCM WAV payload back to
+    ``(sample_rate, samples)``. Raises ``ValueError`` (with guidance)
+    on any other encoding — compressed audio needs an optional extra,
+    exactly like non-BMP images."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError(
+                    "only mono 16-bit PCM WAV is decodable without the "
+                    "optional audio extra (got "
+                    f"{w.getnchannels()}ch/{8 * w.getsampwidth()}bit)"
+                )
+            n = w.getnframes()
+            rate = w.getframerate()
+            raw = w.readframes(n)
+    except wave.Error as exc:
+        raise ValueError(
+            f"payload is not a WAV container ({exc}); compressed audio "
+            "formats need an optional decoder extra"
+        ) from exc
+    return rate, list(struct.unpack(f"<{n}h", raw))
+
+
+def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-payload audio feature extraction via Arrow-batched
+    ``mapInPandas`` — the audio twin of ``extract_features``.
+
+    With ``fake=False`` the payload is REALLY decoded (mono PCM16 WAV,
+    pure stdlib) and the features are exact integers over the decoded
+    samples, so a DuckDB oracle that replays the sample arithmetic
+    value-checks the whole binary → decode → feature chain:
+
+    * ``n_samples``, ``duration_us`` = n·10⁶ // rate (exact integer),
+    * ``peak`` = max |x|,
+    * ``rms`` = isqrt(Σx² // n) (math.isqrt — exact),
+    * ``zero_crossings`` = #{i : sign(x_i) ≠ sign(x_{i+1})}, sign(0)=+.
+
+    The fake path derives the same schema from raw payload bytes
+    (no container parse) so the plumbing is testable on any binary.
+    Scale: pure map — no shuffle, no state; the decoded samples never
+    leave the Arrow batch (features only go forward).
+    """
+    import math
+
+    out_schema = (
+        "doc_id bigint, sample_rate bigint, n_samples bigint, "
+        "duration_us bigint, peak bigint, rms bigint, zero_crossings bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "duration_us",
+                "peak", "rms", "zero_crossings",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if fake:
+                    rate = 16000
+                    xs = [v - 128 for v in b]  # bytes as crude samples
+                else:
+                    rate, xs = decode_wav_pcm16(b)
+                n = len(xs)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_us"].append(n * 1_000_000 // rate)
+                rows["peak"].append(max((abs(x) for x in xs), default=0))
+                rows["rms"].append(
+                    math.isqrt(sum(x * x for x in xs) // n) if n else 0
+                )
+                rows["zero_crossings"].append(
+                    sum(
+                        1
+                        for i in range(n - 1)
+                        if (xs[i] >= 0) != (xs[i + 1] >= 0)
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=out_schema)

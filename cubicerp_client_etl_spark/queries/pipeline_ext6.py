@@ -421,3 +421,81 @@ def q169_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.select("source", F.explode("shs").alias("sh"))
     return source_overlap_matrix(sh).orderBy("source_a", "source_b")
+
+
+# --------------------------------------------------------------------------
+# q170 — REAL audio decode path (operators/multimodal.py WAV codec):
+# deterministic PCM16 waveforms are ENCODED as real RIFF/WAVE bytes
+# (stdlib `wave`), then audio_features(fake=False) parses the actual
+# container back and derives exact-integer features — samples,
+# duration_us, peak, isqrt RMS, zero crossings. The audio twin of
+# q157's BMP chain: the oracle replays the waveform arithmetic
+# directly (the WAV round-trip is the identity on samples, pinned by
+# unit tests), so a codec bug surfaces as a value mismatch. Scale:
+# synth + decode are both pure map stages (mapInPandas), no shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q170_wav_audio_features",
+    oracle="""
+WITH sz AS (SELECT doc_id, 160 + doc_id % 40 AS n FROM documents),
+samp AS (
+  SELECT doc_id, n, g.i AS i,
+         ((doc_id * 31 + g.i * 7919) % 65536) - 32768 AS x
+  FROM sz CROSS JOIN generate_series(0, 198) g(i)
+  WHERE g.i < n
+),
+zc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN xp IS NOT NULL AND (xp >= 0) <> (x >= 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM (SELECT doc_id, i, x,
+               LAG(x) OVER (PARTITION BY doc_id ORDER BY i) AS xp
+        FROM samp)
+  GROUP BY doc_id
+),
+agg AS (
+  SELECT doc_id, ANY_VALUE(n) AS n, MAX(abs(x)) AS peak,
+         CAST(SUM(x * x) // ANY_VALUE(n) AS BIGINT) AS v
+  FROM samp GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id, n, peak, v,
+         CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS s0
+  FROM agg
+)
+SELECT s.doc_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000000 // 16000 AS BIGINT) AS duration_us,
+       CAST(peak AS BIGINT) AS peak,
+       CAST(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN 1 ELSE 0 END)
+               - (CASE WHEN s0 * s0 > v THEN 1 ELSE 0 END) AS BIGINT) AS rms,
+       zc.zero_crossings
+FROM s JOIN zc ON zc.doc_id = s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def q170_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 160 + d % 40
+                xs = [((d * 31 + i * 7919) % 65536) - 32768 for i in range(n)]
+                payloads.append(encode_wav_pcm16(16000, xs))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    wav = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return audio_features(wav, fake=False).orderBy("doc_id")

@@ -201,3 +201,60 @@ def test_extract_features_shape_and_mass(spark):
         assert len(r["features"]) == 8
         # histogram mass sums to ~1 (rounding to 6dp per bucket)
         assert abs(sum(r["features"]) - 1.0) < 1e-4
+
+
+# ---- audio path (WAV PCM16, pure stdlib) ----------------------------------
+
+
+def test_wav_codec_roundtrip_and_errors():
+    import math
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    payload = encode_wav_pcm16(8000, samples)
+    rate, back = decode_wav_pcm16(payload)
+    assert (rate, back) == (8000, samples)
+    # empty stream round-trips too
+    assert decode_wav_pcm16(encode_wav_pcm16(44100, [])) == (44100, [])
+    with pytest.raises(ValueError, match="not a WAV container"):
+        decode_wav_pcm16(b"\x00\x01\x02 definitely not RIFF")
+    assert math.isqrt(4) == 2  # keep the import honest
+
+
+def test_audio_features_real_path_hand_computed(spark):
+    import math
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    xs = [100, -100, 100, -100, 0, 50]
+    df = spark.createDataFrame(
+        [(1, encode_wav_pcm16(16000, xs))], "doc_id long, payload binary"
+    )
+    r = audio_features(df, fake=False).collect()[0]
+    n = len(xs)
+    assert r["n_samples"] == n
+    assert r["sample_rate"] == 16000
+    assert r["duration_us"] == n * 1_000_000 // 16000
+    assert r["peak"] == 100
+    assert r["rms"] == math.isqrt(sum(x * x for x in xs) // n)
+    # sign pattern + - + - + + : crossings at 3 transitions... compute:
+    zc = sum(1 for i in range(n - 1) if (xs[i] >= 0) != (xs[i + 1] >= 0))
+    assert r["zero_crossings"] == zc
+
+
+def test_audio_features_fake_path_runs_on_any_binary(spark):
+    from cubicerp_client_etl_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [(7, b"arbitrary bytes")], "doc_id long, payload binary"
+    )
+    r = audio_features(df, fake=True).collect()[0]
+    assert r["n_samples"] == 15
+    assert r["sample_rate"] == 16000
