@@ -437,3 +437,53 @@ def stream_decontaminate_bloom(
         sh, lambda s: bloom_bitset_maybe_member(s, bits, k, seed)
     )
     return docs.where(~flagged).select(id_col, text_col)
+
+
+def stream_quality_classify(
+    docs: DataFrame,
+    weights: "list[int]",
+    salt: str,
+    threshold: int = 0,
+) -> DataFrame:
+    """Streaming twin of the batch quality classifier
+    (``operators/classifier.score_documents``) — model-based filtering
+    as a STATELESS map-side expression, the same literal-embedding
+    trick as ``stream_decontaminate_bloom``'s bitset.
+
+    The batch operator scores via explode → broadcast join → per-doc
+    sum; on a stream that aggregation would need state. Instead the
+    bucket→weight table (bounded: O(n_buckets), exactly what the batch
+    side broadcasts) embeds as ONE array literal indexed by bucket id,
+    and the score folds over the token array in Catalyst:
+    ``aggregate(transform(tokens, t -> w[bucket(t)]), 0, +)`` — no
+    joins, no state store, no watermark, append-mode safe, and
+    bit-equal to the batch score (integer sum, total fold order
+    irrelevant under associativity... integer addition is associative,
+    so ANY fold order gives the batch sum). Equivalence is pinned by
+    tests/test_streaming.py.
+
+    ``weights[b]`` is the weight of bucket ``b``; pass the collected
+    column of ``classifier.derived_weights`` (or trained weights) —
+    n_buckets is ``len(weights)``.
+    """
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    n_buckets = len(weights)
+    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    toks = F.split(F.col("text"), " ")
+    score = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                w_arr,
+                (
+                    md5_hash32(F.concat(t, F.lit(f"|{salt}"))) % n_buckets + 1
+                ).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.withColumn("score", score).where(
+        F.col("score") >= threshold
+    ).drop("text")

@@ -314,3 +314,44 @@ def test_stream_bloom_decontaminate_equals_batch_and_covers_exact(spark):
     exact_flagged = {r.doc_id for r in decontaminate(corpus, bench, n=5).collect()}
     assert not (stream_clean & exact_flagged)
     assert stream_clean  # the gate is not degenerate (keeps clean docs)
+
+
+def test_stream_quality_classify_matches_batch(spark):
+    from cubicerp_client_etl_spark.operators.classifier import (
+        derived_weights,
+        score_documents,
+    )
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_quality_classify,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_buckets = 256
+    wdf = derived_weights(spark, n_buckets, "sqc")
+    weights = [0] * n_buckets
+    for r in wdf.collect():
+        weights[r["bucket"]] = r["w"]
+
+    got = run_stream_to_memory(
+        stream_quality_classify(
+            documents_stream(spark, sf).select("doc_id", "text"),
+            weights,
+            salt="sqc-tok",
+            threshold=0,
+        ),
+        "quality_stream",
+        output_mode="append",
+    )
+    stream_scores = {(r.doc_id, r.score) for r in got.collect()}
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    batch = score_documents(docs, wdf, n_buckets, "sqc-tok")
+    batch_scores = {
+        (r.doc_id, r.score) for r in batch.collect() if r.score >= 0
+    }
+    assert stream_scores == batch_scores
+    assert stream_scores  # gate keeps something
+    # and drops something (otherwise the threshold is vacuous here)
+    assert len(batch_scores) < docs.count()
