@@ -38,6 +38,17 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """DISTINCT (id, sh) shingle rows — the set-form of ``shingles``
+    that the exact-Jaccard joins consume (same tokenization/fallback,
+    so truth sets and MinHash signatures see identical shingles)."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    ).distinct()
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -269,3 +269,49 @@ def weighted_priority_sample(
         .filter(F.col("_rn") <= n)
         .drop("_num", "_prio", "_rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 900), ("val", 50), ("test", 50)),
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment — the split
+    every released corpus ships with. Adds ``split_col``; no rows are
+    dropped, so the splits PARTITION the input by construction
+    (disjoint + exhaustive — the property audit crews re-verify by
+    hand when a split was done with rand()).
+
+    Each row's bucket is ``md5_hash32(id | salt) mod Σ shares``; split
+    boundaries are the running share totals, so a (name, share) spec of
+    (900, 50, 50) is an exact 90/5/5 per-mille partition in expectation
+    with membership a pure function of the id — stable across reruns,
+    partitioning, cluster size, and engine (the DuckDB oracle replays
+    the same bucket arithmetic). Hashing the ID rather than rand()
+    also keeps membership stable under corpus APPEND: old rows never
+    migrate between splits when new data arrives.
+
+    Scale: one map-side projection, no shuffle, no state.
+    """
+    if not splits:
+        raise ValueError("splits must not be empty")
+    if any(s <= 0 for _, s in splits):
+        raise ValueError("split shares must be positive")
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    total = sum(s for _, s in splits)
+    bucket = (
+        md5_hash32(F.concat(F.col(id_col).cast("string"), F.lit("|split" + salt)))
+        % total
+    )
+    expr = None
+    acc = 0
+    for name, share in splits[:-1]:
+        acc += share
+        cond = bucket < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)

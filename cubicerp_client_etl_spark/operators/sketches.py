@@ -228,3 +228,83 @@ def bloom_bitset_maybe_member(
         hit = F.element_at(lit, (bloom_position(key, i, m, seed) + 1).cast("int"))
         probe = hit if probe is None else probe & hit
     return probe
+
+
+# ---- HyperLogLog (portable, exact-integer estimate) -----------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+_HLL_RBITS = 32 - HLL_P  # low bits feeding the rank (rho)
+_HLL_RMAX = _HLL_RBITS + 1  # rho when the low bits are all zero
+# Flajolet et al. 2007 bias constant for m = 64 (alpha_64 = 0.709
+# exactly, by the paper's table), scaled e6 so the estimate is integer
+HLL_ALPHA_E6 = 709_000
+
+
+def hll_registers(df: DataFrame, key_col: str, seed: str = "1") -> DataFrame:
+    """HyperLogLog register table over ``df[key_col]`` — ALL ``HLL_M``
+    rows ``(bucket int, m_rho int)``, absent buckets as 0 (Flajolet,
+    Fusy, Gandouet, Meunier 2007).
+
+    Unlike opaque native HLL bytes (q077's approx_count_distinct is
+    rows-only for that reason), this register table is the repo's
+    portable-hash form: bucket = top ``HLL_P`` bits of md5_hash32,
+    rho = leading-zero rank of the remaining bits — every register is
+    an exact integer DuckDB recomputes bit-for-bit, and registers
+    merge across shards/streams by a further max (the HLL merge law).
+
+    Plan: one map-side projection + a 64-group max (map-side partial) —
+    the shuffle carries at most m rows per partition at any scale.
+    """
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    h = md5_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"|hll{seed}"))
+    )
+    b = df.select(h.alias("_h")).select(
+        F.expr(f"_h div {1 << _HLL_RBITS}").cast("int").alias("bucket"),
+        F.expr(f"_h % {1 << _HLL_RBITS}").alias("_r"),
+    )
+    rho = b.select(
+        "bucket",
+        F.when(F.col("_r") == 0, F.lit(_HLL_RMAX))
+        .otherwise(F.lit(_HLL_RMAX) - F.length(F.conv(F.col("_r").cast("string"), 10, 2)))
+        .cast("int")
+        .alias("_rho"),
+    )
+    maxed = rho.groupBy("bucket").agg(F.max("_rho").alias("_mr"))
+    allb = df.sparkSession.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        allb.join(F.broadcast(maxed), "bucket", "left")
+        .select("bucket", F.coalesce(F.col("_mr"), F.lit(0)).cast("int").alias("m_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Collapse an ``hll_registers`` table to one row
+    ``(m, v_zero, denom, hll_est)`` — the raw HLL estimate in EXACT
+    integer arithmetic: the harmonic-mean denominator Σ 2^(-M[j]) is
+    kept as the integer Σ 2^(RMAX - M[j]) (common denominator 2^RMAX),
+    so ``hll_est = (alpha_e6 · m² · 2^RMAX) // (denom · 10^6)`` is one
+    exact integer division — no floats anywhere, bit-replayable in any
+    engine. ``v_zero`` (empty registers) is reported so callers can
+    apply the small-range linear-counting correction (the float-free
+    occupancy form lives in ``occupancy_sketch``).
+    """
+    num = HLL_ALPHA_E6 * HLL_M * HLL_M * (1 << _HLL_RMAX)
+    return registers.agg(
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("m_rho") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_zero"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - m_rho)"))
+        .cast("bigint")
+        .alias("denom"),
+    ).select(
+        "m",
+        "v_zero",
+        "denom",
+        F.expr(f"CAST({num} AS BIGINT) div (denom * 1000000)")
+        .cast("bigint")
+        .alias("hll_est"),
+    )

@@ -1,0 +1,158 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+SIGMOD 2003 — "Winnowing: Local Algorithms for Document
+Fingerprinting").
+
+The copy-detection fingerprint MOSS uses: hash every character k-gram
+of the normalized text, slide a window of ``w`` consecutive k-gram
+hashes over the document, and record the MINIMUM hash of each window
+(rightmost position on ties). The selected (position, hash) set is a
+guaranteed-coverage fingerprint — any shared substring of length
+``k + w - 1`` between two documents yields at least one shared
+fingerprint — with expected density 2/(w+1), so it is both local
+(per-document, no corpus state) and tunable.
+
+This rounds out the repo's fingerprint family: whole-doc md5
+(``text.fingerprint``), token-set md5 (``retention``), SimHash bit
+votes (``dedup``), MinHash shingle sketches (``dedup``) — winnowing is
+the POSITIONAL one, the only member that localizes *where* the overlap
+is, which is what plagiarism/citation/provenance tooling needs.
+
+Spark shape (100 TB posture): normalization and k-gram expansion are
+pure map stages; the window minimum is a frame window PARTITIONED BY
+the document id — a high-cardinality key, so no task ever holds more
+than one document's grams (the opposite of the q141-class
+low-cardinality trap) — and the per-row fan-out is bounded by document
+length. No corpus-wide state, no self-join, one keyed exchange.
+
+Engine portability: the hash is the repo's md5_hash32 family, and the
+(min-hash, rightmost-position) pair is packed into ONE bigint key
+``h * 2^31 + (2^31 - pos)`` so a single MIN aggregate implements the
+"smallest hash, rightmost tie" rule exactly — DuckDB replays the whole
+selection bit-for-bit (reference has no fingerprinting surface; this
+extends cubicerpetl.py:494-537's per-row mapping toward provenance).
+
+The pack is exact: h < 2^32 and pos >= 1 keep the key strictly below
+2^63; integer div/mod unpack it losslessly (``div``/``%`` — never
+doubles, which lose integers past 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_POW31 = 2_147_483_648  # 2^31: pack base for (hash, rightmost-pos)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Winnowing canonical form: lowercase, whitespace runs collapsed
+    to one space, outer whitespace trimmed (so formatting edits don't
+    shift fingerprints)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint set.
+
+    Returns ``(id_col, n_grams bigint, pos bigint, fp_hash bigint)``:
+    one row per selected fingerprint — ``pos`` is the 1-based k-gram
+    position in the normalized text, ``fp_hash`` the md5_hash32 of that
+    k-gram. Documents shorter than ``k`` chars contribute one gram (the
+    whole normalized text), so every document gets >= 1 fingerprint.
+
+    Selection rule (the paper's robust-winnowing minimum): for every
+    window start ``s`` in [1, max(n_grams - w + 1, 1)] take the k-gram
+    with the smallest hash in positions [s, s + w - 1], rightmost on
+    ties; the fingerprint set is the distinct selections.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    for tmp in ("_norm", "_ng", "_i", "_h", "_ck", "_mc"):
+        if tmp in docs.columns:
+            raise ValueError(f"winnow temporary column {tmp!r} collides with input")
+    d = docs.select(
+        id_col,
+        normalize_text(text_col).alias("_norm"),
+    ).withColumn("_ng", F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1)))
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    grams = d.select(
+        id_col,
+        "_ng",
+        F.explode(F.sequence(F.lit(1), F.col("_ng"))).alias("_i"),
+        "_norm",
+    ).select(
+        id_col,
+        "_ng",
+        "_i",
+        md5_hash32(
+            F.concat(F.col("_norm").substr(F.col("_i"), F.lit(k)), F.lit("|win"))
+        ).alias("_h"),
+    )
+    # pack (hash, rightmost-pos) so MIN picks smallest hash then largest
+    # position: pos >= 1 keeps the key < 2^63 even at h = 2^32 - 1
+    packed = grams.withColumn(
+        "_ck",
+        F.col("_h") * F.lit(_POW31) + (F.lit(_POW31) - F.col("_i")),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    starts = packed.withColumn("_mc", F.min("_ck").over(win)).where(
+        F.col("_i") <= F.greatest(F.col("_ng") - F.lit(w - 1), F.lit(1))
+    )
+    return starts.select(
+        id_col,
+        F.col("_ng").cast("bigint").alias("n_grams"),
+        (F.lit(_POW31) - F.expr(f"_mc % {_POW31}")).cast("bigint").alias("pos"),
+        F.expr(f"_mc div {_POW31}").cast("bigint").alias("fp_hash"),
+    ).distinct()
+
+
+def fingerprint_digest(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collapse a fingerprint set to one row per document:
+    ``(id_col, n_grams, n_fp, fp_digest)`` where ``fp_digest`` is the
+    md5 of the 'pos:hash' pairs sorted as strings (binary UTF-8 order —
+    identical in Spark's array_sort and DuckDB's ORDER BY)."""
+    pair = F.format_string("%d:%d", F.col("pos"), F.col("fp_hash"))
+    return (
+        fps.select(id_col, "n_grams", pair.alias("_p"))
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("_p"))).cast("binary")
+            ).alias("fp_digest"),
+        )
+    )
+
+
+def shared_fingerprint_pairs(
+    fps: DataFrame, id_col: str = "doc_id", min_shared: int = 2
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` fingerprint HASHES
+    (position-independent — winnowing guarantees any shared run of
+    ``k + w - 1`` chars shares a hash, so this is the copy-candidate
+    join). Equi-join on the hash value — bucketed like LSH bands, never
+    all-pairs; a boilerplate hash shared by |occ| docs fans out |occ|²,
+    the same hot-bucket exposure ``lsh_candidate_pairs`` documents
+    (cap upstream if the corpus has giant boilerplate)."""
+    a = fps.select(F.col(id_col).alias("id_a"), "fp_hash")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("fp_hash").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

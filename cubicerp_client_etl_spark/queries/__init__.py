@@ -57,6 +57,7 @@ def _load_all() -> None:
         pipeline_ext4,
         pipeline_ext5,
         pipeline_ext6,
+        pipeline_ext7,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,701 @@
+"""Round-6 extension wave 2 (q171+): positional fingerprinting,
+portable-HLL cardinality, deterministic corpus splits, DSIR importance
+weighting, BM25 retrieval, tokenizer-fertility observability, LSH
+quality auditing, embedding moment statistics.
+
+Same corpus discipline as the rest of the registry: exact integer /
+IEEE-deterministic arithmetic so every query carries a DuckDB oracle
+the driver can hash-compare, and every operator keeps the shape that
+survives 100 TB — per-document windows on high-cardinality keys,
+bounded broadcast dimensions, equi-joins on hash buckets, no raw-row
+windows on low-cardinality keys, no all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.queries import register
+
+# --------------------------------------------------------------------------
+# q171 — Winnowing fingerprints (operators/winnow.py; Schleimer et al.
+# 2003): the POSITIONAL member of the fingerprint family — char-8-gram
+# hashes, window-4 minima with rightmost tie-break, per-document digest.
+# The (hash, rightmost-pos) pair is packed into one bigint so a single
+# MIN window implements the selection rule exactly; DuckDB replays the
+# identical pack/unpack arithmetic, so the digest is a value-level check
+# of every selected fingerprint. Scale: window partitioned by doc_id
+# (high cardinality), fan-out bounded by doc length, one keyed exchange.
+# --------------------------------------------------------------------------
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+@register(
+    "q171_winnowing_fingerprints",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, greatest(len(t) - {_WINNOW_K - 1}, 1) AS ng, s.i AS i,
+         CAST(concat('0x',
+              substr(md5(substr(t, s.i, {_WINNOW_K}) || '|win'), 1, 8))
+           AS BIGINT) AS h
+  FROM d CROSS JOIN generate_series(1, 640) s(i)
+  WHERE s.i <= greatest(len(t) - {_WINNOW_K - 1}, 1)
+),
+c AS (
+  SELECT doc_id, ng, i,
+         h * 2147483648 + (2147483648 - i) AS ck
+  FROM g
+),
+m AS (
+  SELECT doc_id, ng, i,
+         MIN(ck) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WINNOW_W - 1} FOLLOWING) AS mc
+  FROM c
+),
+sel AS (
+  SELECT DISTINCT doc_id, ng,
+         mc // 2147483648 AS mh,
+         2147483648 - (mc % 2147483648) AS rpos
+  FROM m
+  WHERE i <= greatest(ng - {_WINNOW_W - 1}, 1)
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(ng) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fp,
+       md5(string_agg(rpos || ':' || mh, ','
+                      ORDER BY rpos || ':' || mh)) AS fp_digest
+FROM sel
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q171_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.winnow import (
+        fingerprint_digest,
+        winnow_fingerprints,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W)
+    return fingerprint_digest(fps, "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q172 — Portable HyperLogLog (operators/sketches.py hll_registers /
+# hll_estimate; Flajolet et al. 2007): the ORACLE-CHECKABLE HLL —
+# q077's native approx_count_distinct sketch is opaque bytes (rows-only
+# forever), while this register table is the repo's md5 hash family and
+# the estimate is one exact integer division (harmonic-mean denominator
+# kept as Σ 2^(RMAX−M[j])), so DuckDB replays registers AND estimate
+# bit-for-bit. Reported next to the exact distinct count so the query
+# doubles as the sketch's accuracy datasheet. Scale: map projection +
+# 64-group max (map-side partial); registers merge by max across
+# shards/streams.
+# --------------------------------------------------------------------------
+@register(
+    "q172_hll_portable_cardinality",
+    oracle="""
+WITH h AS (
+  SELECT CAST(concat('0x',
+           substr(md5(CAST(user_id AS VARCHAR) || '|hll1'), 1, 8))
+         AS BIGINT) AS h
+  FROM events
+),
+b AS (SELECT h // 67108864 AS bucket, h % 67108864 AS r FROM h),
+rho AS (
+  SELECT bucket,
+         MAX(CASE WHEN r = 0 THEN 27 ELSE 27 - length(bin(r)) END) AS m_rho
+  FROM b GROUP BY bucket
+),
+regs AS (
+  SELECT g.i AS bucket, COALESCE(rho.m_rho, 0) AS m_rho
+  FROM generate_series(0, 63) g(i) LEFT JOIN rho ON rho.bucket = g.i
+),
+agg AS (
+  SELECT CAST(64 AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+         CAST(SUM(CAST(1 AS BIGINT) << (27 - m_rho)) AS BIGINT) AS denom
+  FROM regs
+),
+est AS (
+  SELECT m, v_zero, denom,
+         CAST(389776872046592000 // (denom * 1000000) AS BIGINT) AS hll_est
+  FROM agg
+),
+ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT m, v_zero, denom, hll_est, n_exact,
+       CAST(abs(hll_est - n_exact) * 1000000 // n_exact AS BIGINT) AS err_e6
+FROM est CROSS JOIN ex
+""",
+)
+def q172_hll_portable_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    est = hll_estimate(hll_registers(ev, "user_id", seed="1"))
+    exact = ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    return est.join(F.broadcast(exact)).select(
+        "m",
+        "v_zero",
+        "denom",
+        "hll_est",
+        "n_exact",
+        e6_floor_ratio(
+            F.abs(F.col("hll_est") - F.col("n_exact")), F.col("n_exact")
+        ).alias("err_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q173 — Deterministic corpus split datasheet (operators/sampling.py
+# hash_split): the train/val/test partition every released corpus ships
+# with — membership a pure function of md5(doc_id|salt), so the split
+# is stable under reruns, repartitioning, engine swap, AND corpus
+# append (old rows never migrate). Disjoint + exhaustive by
+# construction (no row dropped, buckets partition [0, 1000)). Output is
+# the per-split release datasheet: doc/token counts, e6 share, id
+# range. Scale: the split itself is a map-side projection (no
+# shuffle); the datasheet is one keyed agg over 3 groups.
+# --------------------------------------------------------------------------
+@register(
+    "q173_hash_split_datasheet",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CASE
+           WHEN b < 900 THEN 'train'
+           WHEN b < 950 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_toks
+  FROM (
+    SELECT doc_id, text,
+           CAST(concat('0x',
+             substr(md5(CAST(doc_id AS VARCHAR) || '|splitr6'), 1, 8))
+           AS BIGINT) % 1000 AS b
+    FROM documents)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) * 1000000 // ANY_VALUE(tot.n) AS BIGINT) AS share_e6,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM s CROSS JOIN tot
+GROUP BY split
+ORDER BY split
+""",
+)
+def q173_hash_split_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.sampling import hash_split
+    from cubicerp_client_etl_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    split = hash_split(docs, "doc_id", salt="r6").select(
+        "doc_id", "split", token_count("text").cast("bigint").alias("n_toks")
+    )
+    tot = split.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        split.join(F.broadcast(tot))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            e6_floor_ratio(F.count(F.lit(1)), F.first("_n")).alias("share_e6"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# q174 — DSIR importance weighting (operators/dsir.py; Xie et al.
+# NeurIPS 2023): hashed-unigram importance resampling weights — target
+# model = the English slice, raw model = the whole corpus; each doc
+# scores the integer sum of its tokens' per-bucket e6 log-likelihood
+# ratios (one ln per BUCKET rounded once — the q039 idf precedent —
+# then pure integer sums, order-independent). Top-50 most target-like
+# docs. Scale: B-row weight table broadcast; map-side bucketing; one
+# keyed agg — no corpus-sized state anywhere.
+# --------------------------------------------------------------------------
+_DSIR_B = 256
+
+
+@register(
+    "q174_dsir_importance_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, u.t AS t
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+  WHERE len(trim(text)) > 0
+),
+bt AS (
+  SELECT doc_id, lang, source,
+         CAST(concat('0x', substr(md5(t || '|dsir'), 1, 8)) AS BIGINT)
+           % {_DSIR_B} AS b
+  FROM tok
+),
+rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM bt GROUP BY b),
+tgtc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+         FROM bt WHERE lang = 'en' GROUP BY b),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM bt) AS tr,
+         (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS tt
+),
+w AS (
+  SELECT g.i AS b,
+         CAST(round(ln(
+           (CAST(COALESCE(tc, 0) + 1 AS DOUBLE) * (tr + {_DSIR_B})) /
+           (CAST(COALESCE(rc, 0) + 1 AS DOUBLE) * (tt + {_DSIR_B}))
+         ) * 1000000) AS BIGINT) AS llr_e6
+  FROM generate_series(0, {_DSIR_B - 1}) g(i)
+  LEFT JOIN rawc ON rawc.b = g.i
+  LEFT JOIN tgtc ON tgtc.b = g.i
+  CROSS JOIN tots
+)
+SELECT bt.doc_id,
+       ANY_VALUE(bt.source) AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(w.llr_e6) AS BIGINT) AS weight_e6
+FROM bt JOIN w ON w.b = bt.b
+GROUP BY bt.doc_id
+ORDER BY weight_e6 DESC, doc_id
+LIMIT 50
+""",
+)
+def q174_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_doc_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    weights = dsir_bucket_weights(
+        toks, toks.where(F.col("lang") == "en"), "t", n_buckets=_DSIR_B
+    )
+    scores = dsir_doc_scores(
+        toks, weights, ["doc_id", "source"], "t", n_buckets=_DSIR_B
+    )
+    return (
+        scores.select("doc_id", "source", "n_toks", "weight_e6")
+        .orderBy(F.col("weight_e6").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q175 — BM25 ranked retrieval (operators/retrieval.py; Okapi BM25,
+# k1 = 1.2, b = 0.75): the lexical-search leg next to the vector ANN
+# stack — eval-leakage triage and corpus audit by keyword probe. The
+# tf saturation is EXACT rational arithmetic (multiplied through by
+# 10·L: tf_part = 22·L·tf / (10·L·tf + 3·L + 9·dl·N), one
+# e6_floor_ratio); idf is the Lucene-shaped ln((N+1)/(df+0.5)) rounded
+# once to e6 per TERM (the q039 precedent), then every doc score is an
+# integer sum — order-independent, oracle-replayed bit-for-bit.
+# Scale: postings for non-probe terms never shuffle; probe dims and
+# totals broadcast; top-k is TakeOrdered.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("vector", "hash", "stream")
+
+
+@register(
+    "q175_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, u.t AS t
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+  WHERE len(trim(text)) > 0
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE t IN ('vector', 'hash', 'stream')
+  GROUP BY doc_id, t
+),
+dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+idf AS (
+  SELECT t,
+         CAST(round(ln(CAST(n + 1 AS DOUBLE) / (df + 0.5)) * 1000000)
+           AS BIGINT) AS idf_e6
+  FROM dft CROSS JOIN tot
+),
+scored AS (
+  SELECT tf.doc_id,
+         idf.idf_e6 *
+           (22 * tot.l * tf.tf * 1000000
+            // (10 * tot.l * tf.tf + 3 * tot.l + 9 * dl.dl * tot.n)) AS s_e12
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf ON idf.t = tf.t
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       CAST(SUM(s_e12) AS BIGINT) AS score_e12
+FROM scored
+GROUP BY doc_id
+ORDER BY score_e12 DESC, doc_id
+LIMIT 10
+""",
+)
+def q175_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+# --------------------------------------------------------------------------
+# q176 — Tokenizer fertility by language (reuses the q160/q161 BPE
+# chain): the release datasheet tokenizer teams publish — per language,
+# BPE tokens per word (fertility) and chars per BPE token — the metric
+# that exposes when a vocab trained on English shreds other languages
+# into character soup. Shares the exact unrolled merge-chain oracle
+# with q160/q161 (operators/bpe.py segments each distinct WORD once and
+# broadcasts the segmentation — the corpus never runs per-row Python).
+# All ratios exact e6 integers. Scale: vocab-sized dims broadcast, two
+# keyed aggs (doc then language).
+# --------------------------------------------------------------------------
+
+
+def _q176_oracle() -> str:
+    from cubicerp_client_etl_spark.queries.pipeline_ext5 import (
+        _BPE_K,
+        _bpe_ctes,
+    )
+
+    return (
+        "WITH "
+        + _bpe_ctes(_BPE_K)
+        + f""",
+seg AS (
+  SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM v{_BPE_K}
+),
+wrd AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per_doc AS (
+  SELECT t.doc_id, ANY_VALUE(t.lang) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(s.n_sub) AS BIGINT) AS n_bpe
+  FROM (SELECT doc_id, lang, w FROM wrd WHERE len(w) > 0) t
+  JOIN seg s USING (w)
+  GROUP BY t.doc_id
+),
+chars AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars FROM documents)
+SELECT p.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(c.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(p.n_bpe) * 1000000 // SUM(p.n_words) AS BIGINT)
+         AS fertility_e6,
+       CAST(SUM(c.n_chars) * 1000000 // SUM(p.n_bpe) AS BIGINT)
+         AS chars_per_token_e6
+FROM per_doc p JOIN chars c USING (doc_id)
+GROUP BY p.lang
+ORDER BY p.lang
+"""
+    )
+
+
+@register("q176_tokenizer_fertility", oracle=_q176_oracle())
+def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment_vocab,
+    )
+    from cubicerp_client_etl_spark.queries.pipeline_ext5 import _BPE_K
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    merges = bpe_learn(docs.select("text"), "text", num_merges=_BPE_K)
+    seg = bpe_segment_vocab(docs.select("text"), merges, "text").select(
+        "w", F.size("tokens").alias("n_sub")
+    )
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    per_doc = (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe"),
+        )
+    )
+    chars = docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    return (
+        per_doc.join(chars, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            e6_floor_ratio(F.col("n_bpe_tokens"), F.col("n_words")).alias(
+                "fertility_e6"
+            ),
+            e6_floor_ratio(F.col("n_chars"), F.col("n_bpe_tokens")).alias(
+                "chars_per_token_e6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q177 — LSH quality audit (precision/recall of the q032 MinHash-LSH
+# band join vs exact-Jaccard ground truth at τ = 0.5): the
+# accuracy/cost datasheet a dedup config ships with — the near-dup twin
+# of q162's ANN recall report. Ground truth = pairs sharing >= 1
+# shingle with exact integer Jaccard_e6 >= 500000 (any pair with J > 0
+# shares a shingle, so the shingle equi-join IS the exact candidate
+# universe — no all-pairs); candidates = the same portable MinHash/band
+# pipeline q032 ships. Both sides exact integers → the report's every
+# cell is oracle-replayed. Scale note: the exact side is the audit's
+# cost by nature — run it on a sample in production; the LSH side is
+# the bucketed join that scales.
+# --------------------------------------------------------------------------
+@register(
+    "q177_lsh_quality_report",
+    oracle="""
+WITH dupped AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM dupped
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 3 AND i <= len(t) - 2
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE i.n_inter * 1000000 // (za.sz + zb.sz - i.n_inter) >= 500000
+),
+hashes AS (
+  SELECT doc_id, g.i AS i, MIN(md5(sh || '|' || g.i)) AS h
+  FROM sh CROSS JOIN generate_series(0, 31) g(i)
+  GROUP BY doc_id, g.i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+  FROM hashes GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tp
+  FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT n_truth, n_cand, n_tp,
+       CAST(CASE WHEN n_cand = 0 THEN 0
+                 ELSE n_tp * 1000000 // n_cand END AS BIGINT) AS precision_e6,
+       CAST(CASE WHEN n_truth = 0 THEN 0
+                 ELSE n_tp * 1000000 // n_truth END AS BIGINT) AS recall_e6
+FROM nt CROSS JOIN nc CROSS JOIN tp
+""",
+)
+def q177_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupped = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    sh = dd.shingle_rows(dupped, "doc_id", "text", n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "id_b",
+        )
+        .where(
+            e6_floor_ratio(
+                F.col("n_inter") * 1,
+                F.col("sz_a") + F.col("sz_b") - F.col("n_inter"),
+            )
+            >= 500000
+        )
+        .select("id_a", "id_b")
+    )
+    sigs = dd.minhash_signatures(dupped, "doc_id", "text", num_hashes=32, portable=True)
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8, portable=True)
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    ncand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    tp = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tp")
+    )
+    safe = lambda num, den: F.when(den == 0, F.lit(0).cast("bigint")).otherwise(  # noqa: E731
+        e6_floor_ratio(num, den)
+    )
+    return (
+        nt.join(F.broadcast(ncand))
+        .join(F.broadcast(tp))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_tp",
+            safe(F.col("n_tp"), F.col("n_cand")).alias("precision_e6"),
+            safe(F.col("n_tp"), F.col("n_truth")).alias("recall_e6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q178 — Embedding moment statistics per label (the distribution
+# datasheet for an embedding corpus — per-class counts, centroid
+# digest, and total within-class scatter trace — what a clustering /
+# whitening / drift stage reads before touching the vectors). Vectors
+# are e3-quantized (floor(v·1000 + 0.5), the q165 quantization
+# precedent) so first and second moments are EXACT integer sums:
+# trace_css = Σ_dims (n·Σq² − (Σq)²) is n·(unnormalized variance
+# trace), computed without a mean subtraction pass — one-shot,
+# merge-friendly, catastrophic-cancellation-free. Scale: posexplode
+# (×64 bounded fan-out) + two keyed aggs, both map-side combinable;
+# bigint ceiling n < ~3e6 rows/label at e3 quantization (DECIMAL
+# discipline would lift it; the oracle errors rather than diverges
+# past the ceiling, per the e6_floor_ratio convention).
+# --------------------------------------------------------------------------
+@register(
+    "q178_embedding_moments",
+    oracle="""
+WITH q AS (
+  SELECT label, vec_id, g.i AS dim,
+         CAST(floor(CAST(embedding AS DOUBLE[])[g.i] * 1000 + 0.5)
+           AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+),
+per_dim AS (
+  SELECT label, dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS BIGINT) AS s1,
+         CAST(SUM(qv * qv) AS BIGINT) AS s2
+  FROM q GROUP BY label, dim
+)
+SELECT label,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_vecs,
+       CAST(SUM(n * s2 - s1 * s1) AS BIGINT) AS trace_css,
+       md5(string_agg(dim || ':' || (s1 // n), ',' ORDER BY dim))
+         AS centroid_digest
+FROM per_dim
+GROUP BY label
+ORDER BY label
+""",
+)
+def q178_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+    q = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint"),
+            )
+        ).alias("_d0", "qv"),
+    ).select("label", "vec_id", (F.col("_d0") + 1).alias("dim"), "qv")
+    per_dim = q.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("s2"),
+    )
+    pair = F.format_string("%d:%d", F.col("dim"), F.expr("s1 div n"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.first("n").cast("bigint").alias("n_vecs"),
+            F.sum(F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            .cast("bigint")
+            .alias("trace_css"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("dim"), pair.alias("p")))
+                        ),
+                        lambda s: s.getField("p"),
+                    ),
+                ).cast("binary")
+            ).alias("centroid_digest"),
+        )
+        .orderBy("label")
+    )
