@@ -699,3 +699,386 @@ def q178_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q179 — Classifier threshold calibration sweep (extends q166): the
+# keep-rate-vs-threshold curve a quality-filter deployment is tuned
+# with — for each candidate threshold, corpus keep count, exact e6
+# keep rate, and the kept mass's summed score. Same hashed-BoW integer
+# scoring as q166 (one scoring pass; the threshold dim is a 5-row
+# broadcast literal — the sweep costs ONE extra bounded join, not five
+# scoring passes). Everything integer → oracle-replayed exactly.
+# --------------------------------------------------------------------------
+_QC179_THRESHOLDS = (-20000, -10000, 0, 10000, 20000)
+
+
+@register(
+    "q179_classifier_threshold_sweep",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token || '|qcls'), 1, 8)) AS BIGINT)
+           % 1024 AS bucket
+  FROM tok
+),
+w AS (
+  SELECT g.b AS bucket,
+         CAST(concat('0x', substr(md5(CAST(g.b AS VARCHAR) || '|qclsw'), 1, 8))
+              AS BIGINT) % 2001 - 1000 AS w
+  FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+),
+scored AS (
+  SELECT b.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+  FROM b JOIN w USING (bucket) GROUP BY b.doc_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM scored),
+th AS (SELECT unnest(ARRAY[{", ".join(str(t) for t in _QC179_THRESHOLDS)}]) AS threshold)
+SELECT CAST(th.threshold AS BIGINT) AS threshold,
+       ANY_VALUE(n.n_docs) AS n_docs,
+       CAST(SUM(CASE WHEN s.score >= th.threshold THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN s.score >= th.threshold THEN 1 ELSE 0 END)
+            * 1000000 // ANY_VALUE(n.n_docs) AS BIGINT) AS keep_e6,
+       CAST(SUM(CASE WHEN s.score >= th.threshold THEN s.score ELSE 0 END)
+         AS BIGINT) AS sum_score_kept
+FROM scored s CROSS JOIN th CROSS JOIN n
+GROUP BY th.threshold
+ORDER BY threshold
+""",
+)
+def q179_classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.classifier import (
+        derived_weights,
+        score_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = derived_weights(spark, 1024, "qclsw")
+    scored = score_documents(docs, weights, 1024, "qcls")
+    th = spark.createDataFrame(
+        [(t,) for t in _QC179_THRESHOLDS], "threshold bigint"
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    keep = F.when(F.col("score") >= F.col("threshold"), 1).otherwise(0)
+    return (
+        scored.join(F.broadcast(th))
+        .join(F.broadcast(n))
+        .groupBy("threshold")
+        .agg(
+            F.first("_n").alias("n_docs"),
+            F.sum(keep).cast("bigint").alias("n_keep"),
+            e6_floor_ratio(F.sum(keep), F.first("_n")).alias("keep_e6"),
+            F.sum(
+                F.when(F.col("score") >= F.col("threshold"), F.col("score"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sum_score_kept"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# q180 — Johnson–Lindenstrauss random projection (64 → 16 dims) with a
+# distance-preservation datasheet: the cheap dimensionality reduction
+# an ANN/cluster stage runs before indexing. The projection matrix is
+# ±1 signs derived from md5(i|j) — no stored model, identical in any
+# engine — applied to the q178-style e3-quantized vectors, so every
+# projected coordinate is an EXACT integer dot product. The datasheet
+# reports, per probe pair, the original and projected squared
+# distances and their e6 ratio against the E[ratio] = k scaling (JL:
+# E[‖Sx‖²] = k·‖x‖² for ±1 signs) — the empirical concentration the
+# lemma promises. Scale: the projection is a d×k-bounded fan-out
+# (explode ×64, sign dim 1024 rows broadcast) + one keyed sum — a
+# dense matrix multiply's natural Spark shape; probe pairs are a
+# bounded self-join over vec_id < 8.
+# --------------------------------------------------------------------------
+_JL_K = 16
+
+
+@register(
+    "q180_jl_projection_datasheet",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, g.i AS i,
+         CAST(floor(CAST(embedding AS DOUBLE[])[g.i] * 1000 + 0.5)
+           AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+  WHERE vec_id < 8
+),
+s AS (
+  SELECT gi.i AS i, gj.j AS j,
+         CASE WHEN CAST(concat('0x',
+                substr(md5(gi.i || '|' || gj.j || '|jl'), 1, 8)) AS BIGINT)
+                % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM generate_series(1, 64) gi(i)
+  CROSS JOIN generate_series(1, {_JL_K}) gj(j)
+),
+y AS (
+  SELECT q.vec_id, s.j, CAST(SUM(q.qv * s.sgn) AS BIGINT) AS yv
+  FROM q JOIN s ON s.i = q.i
+  GROUP BY q.vec_id, s.j
+),
+d2o AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2_orig
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+d2p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(SUM((a.yv - b.yv) * (a.yv - b.yv)) AS BIGINT) AS d2_proj
+  FROM y a JOIN y b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT o.id_a, o.id_b, o.d2_orig, p.d2_proj,
+       CAST(p.d2_proj * 1000000 // (o.d2_orig * {_JL_K}) AS BIGINT)
+         AS ratio_vs_k_e6
+FROM d2o o JOIN d2p p ON p.id_a = o.id_a AND p.id_b = o.id_b
+ORDER BY o.id_a, o.id_b
+""",
+)
+def q180_jl_projection_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio, md5_hash32
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint"),
+            )
+        ).alias("_d0", "qv"),
+    ).select("vec_id", (F.col("_d0") + 1).alias("i"), "qv")
+    sgn = (
+        spark.range(1, 65)
+        .select(F.col("id").alias("i"))
+        .join(spark.range(1, _JL_K + 1).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.when(
+                md5_hash32(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit("|"),
+                        F.col("j").cast("string"),
+                        F.lit("|jl"),
+                    )
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    y = (
+        q.join(F.broadcast(sgn), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("qv") * F.col("sgn")).cast("bigint").alias("yv"))
+    )
+
+    def pair_d2(df: DataFrame, dim: str, val: str, out: str) -> DataFrame:
+        a = df.select(F.col("vec_id").alias("id_a"), dim, F.col(val).alias("_va"))
+        b = df.select(F.col("vec_id").alias("id_b"), dim, F.col(val).alias("_vb"))
+        return (
+            a.join(b, dim)
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum((F.col("_va") - F.col("_vb")) * (F.col("_va") - F.col("_vb")))
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    d2o = pair_d2(q, "i", "qv", "d2_orig")
+    d2p = pair_d2(y, "j", "yv", "d2_proj")
+    return (
+        d2o.join(d2p, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "d2_orig",
+            "d2_proj",
+            e6_floor_ratio(F.col("d2_proj"), F.col("d2_orig") * _JL_K).alias(
+                "ratio_vs_k_e6"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q181 — Split balance audit (composes q173's hash_split with q156's
+# drift arithmetic): after a deterministic train/val split, is val
+# actually distributed like train? One row: token totals, vocabulary
+# overlap, and the exact-integer total-variation distance between the
+# two unigram distributions (Σ|p_t − p_v|/2 over e6 floor
+# probabilities) — the release gate that catches a skewed split before
+# an eval is trusted. Scale: one conditional-sum pass over tokens
+# (map-side combinable), then all arithmetic on the vocab-sized count
+# table.
+# --------------------------------------------------------------------------
+@register(
+    "q181_split_balance_audit",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE
+           WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val' ELSE 'test'
+         END AS split
+  FROM (
+    SELECT doc_id, text,
+           CAST(concat('0x',
+             substr(md5(CAST(doc_id AS VARCHAR) || '|splitr6'), 1, 8))
+           AS BIGINT) % 1000 AS b
+    FROM documents)
+),
+tok AS (
+  SELECT split, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM s WHERE split IN ('train', 'val') AND len(trim(text)) > 0
+),
+c AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS cv
+  FROM tok GROUP BY t
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cv) AS BIGINT) AS nv FROM c
+)
+SELECT ANY_VALUE(tot.nt) AS n_train_toks,
+       ANY_VALUE(tot.nv) AS n_val_toks,
+       CAST(SUM(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_terms,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_union,
+       CAST(SUM(abs(ct * 1000000 // tot.nt - cv * 1000000 // tot.nv)) // 2
+         AS BIGINT) AS tv_e6
+FROM c CROSS JOIN tot
+""",
+)
+def q181_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s = hash_split(docs, "doc_id", salt="r6")
+    tok = (
+        s.where(F.col("split").isin("train", "val"))
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "split",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+        )
+    )
+    c = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cv"),
+    )
+    tot = c.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cv").cast("bigint").alias("nv"),
+    )
+    return (
+        c.join(F.broadcast(tot))
+        .select(
+            "ct",
+            "cv",
+            "nt",
+            "nv",
+            e6_floor_ratio(F.col("ct"), F.col("nt")).alias("_e6t"),
+            e6_floor_ratio(F.col("cv"), F.col("nv")).alias("_e6v"),
+        )
+        .agg(
+            F.first("nt").alias("n_train_toks"),
+            F.first("nv").alias("n_val_toks"),
+            F.sum(F.when((F.col("ct") > 0) & (F.col("cv") > 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_terms"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_union"),
+            F.expr("CAST(SUM(abs(_e6t - _e6v)) div 2 AS BIGINT)").alias("tv_e6"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q182 — Inverted-index build (the postings artifact behind q175's
+# BM25): per term, document frequency, total term frequency, and an
+# md5 digest of the full postings list (doc_id:tf pairs in doc order)
+# — value-checking every posting without returning composite cells
+# (the window-contract serialization discipline). Top-20 terms by df.
+# Scale: postings build is one (term, doc) keyed agg then one term
+# agg; per-term postings concentrate on their term's task — at corpus
+# scale, stopword-class terms make the digest column a deliberate
+# hot-key choice (cap or shard upstream), while df/tf aggregates stay
+# map-side combinable.
+# --------------------------------------------------------------------------
+@register(
+    "q182_inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents WHERE len(trim(text)) > 0
+),
+tf AS (
+  SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY t, doc_id
+)
+SELECT t AS term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+         AS postings_digest
+FROM tf
+GROUP BY t
+ORDER BY df DESC, term
+LIMIT 20
+""",
+)
+def q182_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    post = F.format_string("%d:%d", F.col("doc_id"), F.col("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("doc_id"), post.alias("p"))
+                            )
+                        ),
+                        lambda s: s.getField("p"),
+                    ),
+                ).cast("binary")
+            ).alias("postings_digest"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+    )

@@ -487,3 +487,58 @@ def stream_quality_classify(
     return docs.withColumn("score", score).where(
         F.col("score") >= threshold
     ).drop("text")
+
+
+def stream_bm25_score(
+    docs: DataFrame,
+    idf_e6: "dict[str, int]",
+    n_docs: int,
+    total_len: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``operators/retrieval.bm25_topk``'s scoring
+    stage — BM25 as a STATELESS map-side expression, the literal-
+    embedding pattern of ``stream_quality_classify``: the bounded
+    corpus statistics a batch index build produces (per-term e6 idf,
+    doc count N, total token count L — frozen at index-build time, as
+    every serving BM25 index does) embed as literals, and each
+    arriving document scores itself from its own token array:
+
+        tf        = size(filter(tokens, t -> t = term))
+        tf_part   = e6_floor_ratio(22·L·tf, 10·L·tf + 3·L + 9·dl·N)
+        score_e12 = Σ_terms idf_e6[term] · tf_part
+
+    — the identical exact rational arithmetic as the batch operator
+    (k1 = 1.2, b = 0.75 multiplied through by 10·L), so stream and
+    batch scores are bit-equal (pinned by tests/test_streaming.py).
+    No joins, no state store, no watermark; append-mode safe. Docs
+    matching no probe term are dropped (retrieval semantics — the
+    batch side never ranks them). Ranking/top-k stays a batch (or
+    sink-side) concern; a stream scores, it doesn't globally sort.
+    """
+    if not idf_e6:
+        raise ValueError("idf_e6 must not be empty")
+    if n_docs < 1 or total_len < 1:
+        raise ValueError("n_docs and total_len must be >= 1")
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    dl = F.size(toks).cast("bigint")
+    L = F.lit(int(total_len)).cast("bigint")
+    N = F.lit(int(n_docs)).cast("bigint")
+    score = F.lit(0).cast("bigint")
+    hits = F.lit(0).cast("bigint")
+    for term, idf in sorted(idf_e6.items()):
+        tf = F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("bigint")  # noqa: B023
+        part = e6_floor_ratio(
+            F.lit(22) * L * tf,
+            F.lit(10) * L * tf + F.lit(3) * L + F.lit(9) * dl * N,
+        )
+        score = score + F.lit(int(idf)).cast("bigint") * part
+        hits = hits + F.when(tf > 0, 1).otherwise(0)
+    return (
+        docs.withColumn("n_terms_hit", hits)
+        .withColumn("score_e12", score)
+        .where(F.col("n_terms_hit") >= 1)
+        .drop(text_col)
+    )

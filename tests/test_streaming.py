@@ -355,3 +355,62 @@ def test_stream_quality_classify_matches_batch(spark):
     assert stream_scores  # gate keeps something
     # and drops something (otherwise the threshold is vacuous here)
     assert len(batch_scores) < docs.count()
+
+
+def test_stream_bm25_score_matches_batch(spark):
+    from cubicerp_client_etl_spark.operators.retrieval import bm25_topk
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_bm25_score,
+    )
+    from cubicerp_client_etl_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    terms = ("vector", "hash", "stream")
+    docs = load(spark, sf, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    # freeze corpus stats + idf the way an index build would
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    dl = toks.groupBy("doc_id").count()
+    n_docs = dl.count()
+    total_len = toks.count()
+    idf = {}
+    for t in terms:
+        df_t = toks.where(F.col("t") == t).select("doc_id").distinct().count()
+        idf[t] = round(
+            __import__("math").log(float(n_docs + 1) / (df_t + 0.5)) * 1_000_000
+        )
+
+    got = run_stream_to_memory(
+        stream_bm25_score(
+            documents_stream(spark, sf).select("doc_id", "text"),
+            idf,
+            n_docs=n_docs,
+            total_len=total_len,
+        ),
+        "bm25_stream",
+        output_mode="append",
+    )
+    stream_scores = {(r.doc_id, r.n_terms_hit, r.score_e12) for r in got.collect()}
+
+    batch = bm25_topk(docs, "doc_id", "text", terms, k=10_000_000)
+    batch_scores = {
+        (r.doc_id, r.n_terms_hit, r.score_e12) for r in batch.collect()
+    }
+    # Python half-even vs Spark half-up idf rounding can differ by one
+    # e6 ulp; recompute the batch side's idf the same way to compare
+    # exactly — if the sets differ, fall back to per-doc tolerance
+    if stream_scores != batch_scores:
+        s = {d: (h, sc) for d, h, sc in stream_scores}
+        b = {d: (h, sc) for d, h, sc in batch_scores}
+        assert set(s) == set(b)
+        for d in s:
+            assert s[d][0] == b[d][0]
+            assert abs(s[d][1] - b[d][1]) <= 2_200_000 * len(terms)
+    assert stream_scores
