@@ -1082,3 +1082,172 @@ def q182_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q183 — Distributed PCA: dominant principal direction by exact-integer
+# power iteration (operators/pca.py). The corpus is scanned ONCE into
+# the d×d centered scatter matrix (one-shot n·Σqq − Σq·Σq identity —
+# no mean-subtraction pass, no cancellation); three power-iteration
+# rounds then run entirely over the bounded 4096-row matrix with
+# max-abs renormalization (v·1000 div max|v| — no sqrt, engine-exact
+# truncation), and the Rayleigh quotient gives the dominant eigenvalue
+# at the scatter scale. EVERY iterate is an exact integer vector, so
+# the oracle unrolls the full recursion (the q013/q165 CTE technique)
+# and value-checks all 64 final coordinates plus the eigenvalue.
+# Scale: the only data-sized stage is the d²-bounded Gram
+# accumulation; iterations touch nothing but the matrix.
+# --------------------------------------------------------------------------
+def _pca_oracle(iters: int = 3) -> str:
+    ctes = [
+        """q AS (
+  SELECT vec_id, g.i AS i,
+         CAST(floor(CAST(embedding AS DOUBLE[])[g.i] * 1000 + 0.5)
+           AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN generate_series(1, 64) g(i))""",
+        "s1 AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS s1 FROM q GROUP BY i)",
+        "nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM q)",
+        """cm AS (
+  SELECT x.i AS i, x.j AS j,
+         CAST((nn.n * x.sqq - si.s1 * sj.s1) // nn.n AS BIGINT) AS a
+  FROM (SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sqq
+        FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i) x
+  JOIN s1 si ON si.i = x.i
+  JOIN s1 sj ON sj.i = x.j
+  CROSS JOIN nn)""",
+        "v0 AS (SELECT g.i AS i, CAST(1000 AS BIGINT) AS v "
+        "FROM generate_series(1, 64) g(i))",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"w{r} AS (SELECT cm.i, CAST(SUM(cm.a * v.v) AS BIGINT) AS w "
+            f"FROM cm JOIN v{r} v ON v.i = cm.j GROUP BY cm.i)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT CAST(MAX(abs(w)) AS BIGINT) AS m FROM w{r})"
+        )
+        ctes.append(
+            f"""v{r + 1} AS (
+  SELECT i, CAST((CASE WHEN w < 0 THEN -1 WHEN w > 0 THEN 1 ELSE 0 END)
+                 * ((abs(w) * 1000) // m) AS BIGINT) AS v
+  FROM w{r} CROSS JOIN m{r})"""
+        )
+    ctes.append(
+        f"wf AS (SELECT cm.i, CAST(SUM(cm.a * v.v) AS BIGINT) AS w "
+        f"FROM cm JOIN v{iters} v ON v.i = cm.j GROUP BY cm.i)"
+    )
+    ctes.append(
+        f"""lam AS (
+  SELECT CAST(vw // vv AS BIGINT) AS lambda0
+  FROM (SELECT CAST(SUM(v.v * w.w) AS BIGINT) AS vw,
+               CAST(SUM(v.v * v.v) AS BIGINT) AS vv
+        FROM v{iters} v JOIN wf w USING (i)))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.i AS dim, v.v AS v, lam.lambda0
+FROM v{iters} v CROSS JOIN lam
+ORDER BY dim
+"""
+    )
+
+
+@register("q183_pca_power_iteration", oracle=_pca_oracle(3))
+def q183_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.pca import (
+        power_iteration_top,
+        quantized_dims,
+        scatter_matrix,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    dims = quantized_dims(emb, "embedding", "vec_id")
+    cm = scatter_matrix(dims, "vec_id")
+    v, lam = power_iteration_top(cm, d=64, iters=3)
+    return (
+        v.select(F.col("i").alias("dim"), F.col("v").cast("bigint").alias("v"))
+        .join(F.broadcast(lam))
+        .orderBy("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — Entity-resolution record linkage (operators/linkage.py): the
+# RECORD twin of the document dedup stack — find customer rows that
+# denote the same entity under a planted one-char typo (dirty
+# re-entries at custkey+10⁶ for custkey % 13 == 0). Fellegi–Sunter
+# shape: BLOCK on (nation, market segment) — an equi-join, never
+# all-pairs — then VERIFY candidates with levenshtein(name) <= 2 AND
+# exact balance equality (names are near-sequential, so edit distance
+# alone would false-link clean neighbors — the verify rule is the
+# realistic conjunctive one). Output: verified links with their edit
+# distance. levenshtein is JVM codegen / DuckDB built-in — the chain
+# is fully oracle-replayed.
+# --------------------------------------------------------------------------
+@register(
+    "q184_record_linkage",
+    oracle="""
+WITH dirty AS (
+  SELECT c_custkey + 1000000 AS c_custkey,
+         substr(c_name, 1, 11) || 'X' || substr(c_name, 13) AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+),
+allc AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM dirty
+),
+cand AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_name AS name_a, b.c_name AS name_b,
+         a.c_acctbal AS bal_a, b.c_acctbal AS bal_b,
+         a.c_nationkey, a.c_mktsegment
+  FROM allc a JOIN allc b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS lev,
+       c_nationkey AS nationkey, c_mktsegment AS mktsegment
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 2 AND bal_a = bal_b
+ORDER BY id_a, id_b
+""",
+)
+def q184_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.linkage import (
+        blocked_pairs,
+        verify_links,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    dirty = cust.where(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("X"),
+            F.expr("substr(c_name, 13)"),
+        ).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    allc = cust.unionByName(dirty)
+    cand = blocked_pairs(allc, "c_custkey", ["c_nationkey", "c_mktsegment"])
+    lev = F.levenshtein(F.col("c_name_a"), F.col("c_name_b"))
+    linked = verify_links(
+        cand, (lev <= 2) & (F.col("c_acctbal_a") == F.col("c_acctbal_b"))
+    )
+    return linked.select(
+        "id_a",
+        "id_b",
+        lev.cast("int").alias("lev"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).orderBy("id_a", "id_b")

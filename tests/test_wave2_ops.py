@@ -307,3 +307,84 @@ def test_bm25_validates_args(spark):
         bm25_topk(df, "doc_id", "text", ())
     with pytest.raises(ValueError):
         bm25_topk(df, "doc_id", "text", ("x",), k=0)
+
+
+# ---- PCA power iteration --------------------------------------------------
+
+
+def test_pca_power_iteration_recovers_planted_direction(spark):
+    import numpy as np
+
+    from cubicerp_client_etl_spark.operators.pca import (
+        power_iteration_top,
+        quantized_dims,
+        scatter_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 300
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    # planted dominant direction: strong signal along u + isotropic noise
+    data = rng.normal(size=(n, 1)) * u * 3.0 + rng.normal(size=(n, d)) * 0.3
+    rows = [(i, [float(x) for x in data[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    dims = quantized_dims(df, "embedding", "vec_id")
+    cm = scatter_matrix(dims, "vec_id")
+    v, lam = power_iteration_top(cm, d=d, iters=3)
+    vec = np.zeros(d)
+    for r in v.collect():
+        vec[r.i - 1] = r.v
+    lam0 = lam.collect()[0].lambda0
+
+    # numpy reference on the SAME integer scatter matrix
+    A = np.zeros((d, d))
+    for r in cm.collect():
+        A[r.i - 1, r.j - 1] = r.a
+    evals, evecs = np.linalg.eigh(A)
+    top = evecs[:, -1]
+    cos = abs(vec @ top) / (np.linalg.norm(vec) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    # Rayleigh quotient within 1% of the true dominant eigenvalue
+    assert abs(lam0 - evals[-1]) / evals[-1] < 0.01
+
+    # determinism: a rerun yields the identical integer vector
+    v2, _ = power_iteration_top(cm, d=d, iters=3)
+    assert {(r.i, r.v) for r in v2.collect()} == {
+        (r.i, r.v) for r in v.collect()
+    }
+
+
+# ---- record linkage -------------------------------------------------------
+
+
+def test_blocked_linkage_finds_planted_twins_and_keeps_null_blocks(spark):
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.linkage import (
+        blocked_pairs,
+        verify_links,
+    )
+
+    rows = [
+        (1, "Alice Smith", "NY", 100.0),
+        (2, "Alice Smyth", "NY", 100.0),   # typo twin of 1, same block
+        (3, "Alice Smith", "CA", 100.0),   # same name, different block
+        (4, "Bob Jones", "NY", 50.0),
+        (5, "Carol White", None, 75.0),
+        (6, "Carol Whyte", None, 75.0),    # twin inside the NULL block
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, st string, bal double")
+    cand = blocked_pairs(df, "id", ["st"])
+    lev = F.levenshtein("name_a", "name_b")
+    got = {
+        (r.id_a, r.id_b)
+        for r in verify_links(
+            cand, (lev <= 2) & (F.col("bal_a") == F.col("bal_b"))
+        ).collect()
+    }
+    assert got == {(1, 2), (5, 6)}  # twins linked; NULL block not dropped
+    # blocking bounded the candidate set: cross-block pair (1,3) never formed
+    cand_pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 3) not in cand_pairs
