@@ -1098,7 +1098,7 @@ def q182_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: the only data-sized stage is the d²-bounded Gram
 # accumulation; iterations touch nothing but the matrix.
 # --------------------------------------------------------------------------
-def _pca_oracle(iters: int = 3) -> str:
+def _pca_ctes(iters: int = 3) -> list[str]:
     ctes = [
         """q AS (
   SELECT vec_id, g.i AS i,
@@ -1143,9 +1143,13 @@ def _pca_oracle(iters: int = 3) -> str:
                CAST(SUM(v.v * v.v) AS BIGINT) AS vv
         FROM v{iters} v JOIN wf w USING (i)))"""
     )
+    return ctes
+
+
+def _pca_oracle(iters: int = 3) -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_pca_ctes(iters))
         + f"""
 SELECT v.i AS dim, v.v AS v, lam.lambda0
 FROM v{iters} v CROSS JOIN lam
@@ -1251,3 +1255,55 @@ def q184_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_mktsegment").alias("mktsegment"),
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# q185 — PCA explained-variance datasheet (completes q183): how much of
+# the corpus's total variance the dominant direction carries —
+# explained_e6 = λ₀·1e6 // trace(scatter/n), both at the same n·cov
+# scale, so the ratio is scale-free. The number a dim-reduction /
+# whitening decision is actually made on (near-isotropic corpora like
+# this fixture's random embeddings sit near 1/d — reported, not
+# assumed). Reuses the q183 CTE chain; the Spark side adds only a
+# trace aggregate over the bounded matrix diagonal.
+# --------------------------------------------------------------------------
+@register(
+    "q185_pca_explained_variance",
+    oracle="WITH "
+    + ",\n".join(_pca_ctes(3))
+    + """,
+tr AS (SELECT CAST(SUM(a) AS BIGINT) AS trace FROM cm WHERE i = j),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+SELECT nv.n_vecs, lam.lambda0, tr.trace,
+       CAST(lam.lambda0 * 1000000 // tr.trace AS BIGINT) AS explained_e6
+FROM lam CROSS JOIN tr CROSS JOIN nv
+""",
+)
+def q185_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.pca import (
+        power_iteration_top,
+        quantized_dims,
+        scatter_matrix,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    dims = quantized_dims(emb, "embedding", "vec_id")
+    cm = scatter_matrix(dims, "vec_id")
+    _, lam = power_iteration_top(cm, d=64, iters=3)
+    tr = cm.where(F.col("i") == F.col("j")).agg(
+        F.sum("a").cast("bigint").alias("trace")
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    return (
+        nv.join(F.broadcast(lam))
+        .join(F.broadcast(tr))
+        .select(
+            "n_vecs",
+            "lambda0",
+            "trace",
+            e6_floor_ratio(F.col("lambda0"), F.col("trace")).alias(
+                "explained_e6"
+            ),
+        )
+    )

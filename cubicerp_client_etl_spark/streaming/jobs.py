@@ -542,3 +542,40 @@ def stream_bm25_score(
         .where(F.col("n_terms_hit") >= 1)
         .drop(text_col)
     )
+
+
+def stream_hll_registers(
+    keys: DataFrame, key_col: str, seed: str = "1"
+) -> DataFrame:
+    """Streaming HyperLogLog registers — the online form of
+    ``operators/sketches.hll_registers``, exactly as
+    ``stream_count_min`` is for the CMS: HLL registers merge by MAX,
+    so the streaming build is the same bounded groupBy running in
+    update mode. The state store holds at most ``sketches.HLL_M``
+    (bucket, max-rho) rows — fixed size, independent of stream
+    length, no watermark. The consumer pads absent buckets with 0 and
+    feeds ``sketches.hll_estimate`` unchanged (batch == stream
+    registers pinned by tests/test_streaming.py).
+    """
+    from cubicerp_client_etl_spark.functions import md5_hash32
+    from cubicerp_client_etl_spark.operators import sketches as sk
+
+    rbits = 32 - sk.HLL_P
+    rmax = rbits + 1
+    h = md5_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"|hll{seed}"))
+    )
+    b = keys.select(h.alias("_h")).select(
+        F.expr(f"_h div {1 << rbits}").cast("int").alias("bucket"),
+        F.expr(f"_h % {1 << rbits}").alias("_r"),
+    )
+    rho = b.select(
+        "bucket",
+        F.when(F.col("_r") == 0, F.lit(rmax))
+        .otherwise(
+            F.lit(rmax) - F.length(F.conv(F.col("_r").cast("string"), 10, 2))
+        )
+        .cast("int")
+        .alias("_rho"),
+    )
+    return rho.groupBy("bucket").agg(F.max("_rho").alias("m_rho"))

@@ -414,3 +414,46 @@ def test_stream_bm25_score_matches_batch(spark):
             assert s[d][0] == b[d][0]
             assert abs(s[d][1] - b[d][1]) <= 2_200_000 * len(terms)
     assert stream_scores
+
+
+def test_stream_hll_registers_match_batch(spark):
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.catalog import load
+    from cubicerp_client_etl_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        events_stream,
+        run_stream_to_memory,
+        stream_hll_registers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_to_memory(
+        stream_hll_registers(
+            events_stream(spark, sf).select("user_id"), "user_id"
+        ),
+        "hll_stream",
+        output_mode="complete",
+    )
+    stream_regs = {r.bucket: r.m_rho for r in got.collect()}
+
+    batch = hll_registers(load(spark, sf, "events").select("user_id"), "user_id")
+    batch_regs = {r.bucket: r.m_rho for r in batch.collect()}
+    # batch pads absent buckets with 0; the stream materializes only
+    # occupied ones — pad and compare the full register array
+    padded = {i: stream_regs.get(i, 0) for i in range(HLL_M)}
+    assert padded == batch_regs
+
+    # and the estimate computed from the padded stream registers equals
+    # the batch estimate (the register array IS the sketch)
+    sdf = spark.createDataFrame(
+        [(i, padded[i]) for i in range(HLL_M)], "bucket int, m_rho int"
+    )
+    assert (
+        hll_estimate(sdf).collect()[0].hll_est
+        == hll_estimate(batch).collect()[0].hll_est
+    )
