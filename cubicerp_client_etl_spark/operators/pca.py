@@ -39,47 +39,94 @@ from pyspark.sql import functions as F
 V_SCALE = 1000  # max-abs of every normalized iterate
 
 
+def quantized_vectors(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-row e3-quantized integer vectors ``(id_col, qarr)``
+    (floor(v·1000 + 0.5) — round-half-up, the q165/q178 quantization).
+    Pure map projection — the array is NOT exploded, so downstream
+    outer products stay map-side."""
+    return emb.select(
+        id_col,
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint"),
+        ).alias("qarr"),
+    )
+
+
 def quantized_dims(
     emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """Explode vectors to ``(id_col, i, qv)`` rows with e3-quantized
-    integer coordinates (floor(v·1000 + 0.5) — round-half-up, the
-    q165/q178 quantization)."""
-    return emb.select(
+    """Exploded form of ``quantized_vectors``: ``(id_col, i, qv)`` rows
+    (1-based dim index) — for consumers that genuinely need one row
+    per coordinate."""
+    return quantized_vectors(emb, vec_col, id_col).select(
         id_col,
-        F.posexplode(
-            F.transform(
-                F.col(vec_col).cast("array<double>"),
-                lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint"),
-            )
-        ).alias("_d0", "qv"),
+        F.posexplode("qarr").alias("_d0", "qv"),
     ).select(id_col, (F.col("_d0") + 1).alias("i"), "qv")
 
 
-def scatter_matrix(dims: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Centered scatter matrix over ``quantized_dims`` rows:
+def scatter_matrix(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Centered scatter matrix over ``quantized_vectors`` rows:
     ``(i, j, a)`` with a = (n·Σ q_i q_j − Σq_i·Σq_j) div n — the n·cov
     scale, divided back by n so downstream products keep bigint
     headroom. All d² entries (both triangles — the consumer does plain
     matrix-vector products).
 
-    Plan: the cross-product join fans each vector out d× against its
-    own coordinates (the standard Gram accumulation — bounded d² per
-    vector, data scanned once), then ONE keyed agg on (i, j) with
-    map-side partials; first moments and n ride along in a broadcast.
+    Plan: dense Gram accumulation is the one place the built-in
+    operators genuinely lose — a self-join on the vector id shuffles
+    the whole corpus to meet rows with themselves, and a nested array
+    transform allocates d² structs per row outside vectorization — so
+    each Arrow batch computes its EXACT int64 partial QᵀQ (plus column
+    sums and count) with one numpy matmul and emits ≤ d²+d+1 partial
+    rows; the ONLY shuffle then carries #batches·d² partials, never
+    data, into the final (i, j) aggregation. Integer matmul is exact,
+    so the result is bit-identical to the relational form and to the
+    DuckDB oracle.
     """
-    a = dims.select(F.col(id_col).alias("_id"), F.col("i"), F.col("qv"))
-    b = dims.select(
-        F.col(id_col).alias("_id"), F.col("i").alias("j"), F.col("qv").alias("qw")
+    import pandas as pd  # noqa: F401 (schema doc)
+
+    def _partials(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+            d = q.shape[1]
+            g = q.T @ q  # exact int64 Gram partial
+            s1 = q.sum(axis=0)
+            i = np.repeat(np.arange(1, d + 1), d)
+            j = np.tile(np.arange(1, d + 1), d)
+            out = pd.DataFrame(
+                {"i": i, "j": j, "p": g.reshape(-1)}
+            )
+            moments = pd.DataFrame(
+                {"i": np.arange(1, d + 1), "j": np.zeros(d, dtype=np.int64),
+                 "p": s1}
+            )
+            count = pd.DataFrame({"i": [0], "j": [0], "p": [len(pdf)]})
+            yield pd.concat([out, moments, count], ignore_index=True)
+
+    parts = vecs.select("qarr").mapInPandas(
+        _partials, "i long, j long, p long"
     )
-    cross = (
-        a.join(b, "_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("qv") * F.col("qw")).cast("bigint").alias("_sqq"))
+    # the bounded (≤ d²+d+1 row) aggregate feeds three subtrees (gram,
+    # first moments, count) — pin it so the corpus is scanned ONCE
+    # (the prefix.py localCheckpoint pattern)
+    agg = (
+        parts.groupBy("i", "j")
+        .agg(F.sum("p").cast("bigint").alias("_sqq"))
+        .localCheckpoint(eager=True)
     )
-    firsts = dims.groupBy("i").agg(F.sum("qv").cast("bigint").alias("_s1"))
-    n = dims.select(F.col(id_col)).distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n")
+    cross = agg.where((F.col("i") > 0) & (F.col("j") > 0))
+    firsts = agg.where((F.col("i") > 0) & (F.col("j") == 0)).select(
+        "i", F.col("_sqq").alias("_s1")
+    )
+    n = agg.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("_sqq").alias("_n")
     )
     f_i = firsts.select(F.col("i"), F.col("_s1").alias("_s1i"))
     f_j = firsts.select(F.col("i").alias("j"), F.col("_s1").alias("_s1j"))

@@ -58,6 +58,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    dedup: bool = True,
 ) -> DataFrame:
     """Per-document winnowing fingerprint set.
 
@@ -71,6 +72,14 @@ def winnow_fingerprints(
     window start ``s`` in [1, max(n_grams - w + 1, 1)] take the k-gram
     with the smallest hash in positions [s, s + w - 1], rightmost on
     ties; the fingerprint set is the distinct selections.
+
+    ``dedup=False`` skips the global distinct (adjacent windows often
+    select the same gram, so rows repeat up to w×): the selected
+    multiset is already correct per window, and consumers that
+    aggregate per document anyway (``fingerprint_digest`` uses
+    collect_set) dedup inside their own aggregation — dropping the
+    distinct removes one corpus-wide shuffle, and the window's
+    doc-keyed exchange is reused by the downstream doc-keyed groupBy.
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
@@ -110,28 +119,33 @@ def winnow_fingerprints(
     starts = packed.withColumn("_mc", F.min("_ck").over(win)).where(
         F.col("_i") <= F.greatest(F.col("_ng") - F.lit(w - 1), F.lit(1))
     )
-    return starts.select(
+    sel = starts.select(
         id_col,
         F.col("_ng").cast("bigint").alias("n_grams"),
         (F.lit(_POW31) - F.expr(f"_mc % {_POW31}")).cast("bigint").alias("pos"),
         F.expr(f"_mc div {_POW31}").cast("bigint").alias("fp_hash"),
-    ).distinct()
+    )
+    return sel.distinct() if dedup else sel
 
 
 def fingerprint_digest(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Collapse a fingerprint set to one row per document:
     ``(id_col, n_grams, n_fp, fp_digest)`` where ``fp_digest`` is the
-    md5 of the 'pos:hash' pairs sorted as strings (binary UTF-8 order —
-    identical in Spark's array_sort and DuckDB's ORDER BY)."""
+    md5 of the distinct 'pos:hash' pairs sorted as strings (binary
+    UTF-8 order — identical in Spark's array_sort and DuckDB's ORDER
+    BY). Deduplicates inside the aggregate (collect_set), so it
+    accepts ``winnow_fingerprints(dedup=False)`` output directly —
+    one shuffle total, reusing the selection window's doc-keyed
+    exchange."""
     pair = F.format_string("%d:%d", F.col("pos"), F.col("fp_hash"))
     return (
         fps.select(id_col, "n_grams", pair.alias("_p"))
         .groupBy(id_col)
         .agg(
             F.first("n_grams").alias("n_grams"),
-            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.size(F.collect_set("_p")).cast("bigint").alias("n_fp"),
             F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_list("_p"))).cast("binary")
+                F.concat_ws(",", F.array_sort(F.collect_set("_p"))).cast("binary")
             ).alias("fp_digest"),
         )
     )

@@ -85,7 +85,9 @@ def q171_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = winnow_fingerprints(docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W)
+    fps = winnow_fingerprints(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, dedup=False
+    )
     return fingerprint_digest(fps, "doc_id").orderBy("doc_id")
 
 
@@ -1162,13 +1164,13 @@ ORDER BY dim
 def q183_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.pca import (
         power_iteration_top,
-        quantized_dims,
+        quantized_vectors,
         scatter_matrix,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    dims = quantized_dims(emb, "embedding", "vec_id")
-    cm = scatter_matrix(dims, "vec_id")
+    vecs = quantized_vectors(emb, "embedding", "vec_id")
+    cm = scatter_matrix(vecs, "vec_id")
     v, lam = power_iteration_top(cm, d=64, iters=3)
     return (
         v.select(F.col("i").alias("dim"), F.col("v").cast("bigint").alias("v"))
@@ -1283,13 +1285,13 @@ def q185_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators.pca import (
         power_iteration_top,
-        quantized_dims,
+        quantized_vectors,
         scatter_matrix,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    dims = quantized_dims(emb, "embedding", "vec_id")
-    cm = scatter_matrix(dims, "vec_id")
+    vecs = quantized_vectors(emb, "embedding", "vec_id")
+    cm = scatter_matrix(vecs, "vec_id")
     _, lam = power_iteration_top(cm, d=64, iters=3)
     tr = cm.where(F.col("i") == F.col("j")).agg(
         F.sum("a").cast("bigint").alias("trace")

@@ -317,7 +317,7 @@ def test_pca_power_iteration_recovers_planted_direction(spark):
 
     from cubicerp_client_etl_spark.operators.pca import (
         power_iteration_top,
-        quantized_dims,
+        quantized_vectors,
         scatter_matrix,
     )
 
@@ -330,8 +330,8 @@ def test_pca_power_iteration_recovers_planted_direction(spark):
     rows = [(i, [float(x) for x in data[i]]) for i in range(n)]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
-    dims = quantized_dims(df, "embedding", "vec_id")
-    cm = scatter_matrix(dims, "vec_id")
+    vecs = quantized_vectors(df, "embedding", "vec_id")
+    cm = scatter_matrix(vecs, "vec_id")
     v, lam = power_iteration_top(cm, d=d, iters=3)
     vec = np.zeros(d)
     for r in v.collect():
