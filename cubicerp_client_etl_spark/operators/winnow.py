@@ -170,3 +170,104 @@ def shared_fingerprint_pairs(
         .agg(F.count_distinct("fp_hash").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_digest_inline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """SHUFFLE-FREE winnowing digest: the whole selection — k-gram
+    hashes, per-window packed minima, dedup, digest — runs as array
+    expressions INSIDE each row (winnowing is a per-document local
+    algorithm, so nothing about it needs an exchange; the windowed
+    form in ``winnow_fingerprints`` exists for consumers that want
+    one ROW per fingerprint).
+
+    Returns ``(id_col, n_grams, n_fp, fp_digest)`` — identical values
+    to ``fingerprint_digest(winnow_fingerprints(...))``, as a pure map
+    stage: embarrassingly parallel at any corpus size, and directly
+    usable on a STREAM (no state, no watermark —
+    ``streaming/jobs.stream_winnow_digest`` wraps it). Per-row cost is
+    O(n_grams · w) slice+min work in codegen.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    for tmp in ("_norm", "_ng", "_packed", "_sel"):
+        if tmp in docs.columns:
+            raise ValueError(f"winnow temporary column {tmp!r} collides with input")
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    # Each intermediate array must be materialized as a COLUMN before a
+    # lambda references it: HOF lambda bodies are evaluated per element
+    # with no loop-invariant hoisting, so an inlined `packed` would be
+    # recomputed per window — O(ng²·w) md5 calls per row instead of
+    # O(ng) (measured 118 s vs 4 s on the 500-doc fixture). Catalyst's
+    # CollapseProject re-inlines a once-referenced projection, undoing
+    # the materialization — so every projection below references its
+    # child's array column TWICE (Catalyst does not collapse non-cheap
+    # expressions with multiple references); the unit equivalence test
+    # plus fixture runtime guard the shape.
+    norm = normalize_text(text_col)
+    d = docs.select(id_col, norm.alias("_norm"))
+    d = d.select(
+        id_col,
+        # second _norm reference (with the lambda's) blocks collapse —
+        # an inlined norm would re-run the regexp per k-gram
+        F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1)).alias("_ng"),
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1)),
+            ),
+            lambda i: md5_hash32(
+                F.concat(F.col("_norm").substr(i, F.lit(k)), F.lit("|win"))
+            )
+            * F.lit(_POW31)
+            + (F.lit(_POW31) - i),
+        ).alias("_packed"),
+    )
+    d = d.select(
+        id_col,
+        "_ng",
+        F.array_distinct(
+            F.transform(
+                # size(_packed) (== _ng) as the bound: the second
+                # _packed reference that keeps the projection boundary
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_packed") - F.lit(w - 1), F.lit(1)),
+                ),
+                # window min as an UNROLLED least of w null-safe gets
+                # (least skips the NULLs a truncated final window
+                # produces) — ~2.4× faster than array_min(slice(...)),
+                # which allocates a w-element array per window
+                lambda s: F.least(
+                    *[F.get(F.col("_packed"), s + F.lit(o) - 1) for o in range(w)]
+                )
+                if w > 1
+                else F.get(F.col("_packed"), s - 1),
+            )
+        ).alias("_sel"),
+    )
+    # unpack with bit ops — ck < 2^63 with the hash in bits 31..62, so
+    # >>31 / &(2^31-1) are exact (never a double division, which loses
+    # integers past 2^53)
+    pairs = F.transform(
+        F.col("_sel"),
+        lambda c: F.format_string(
+            "%d:%d",
+            F.lit(_POW31) - c.bitwiseAND(F.lit(_POW31 - 1)),
+            F.shiftright(c, 31),
+        ),
+    )
+    return d.select(
+        id_col,
+        F.col("_ng").cast("bigint").alias("n_grams"),
+        F.size(F.col("_sel")).cast("bigint").alias("n_fp"),
+        F.md5(F.concat_ws(",", F.array_sort(pairs)).cast("binary")).alias(
+            "fp_digest"
+        ),
+    )

@@ -79,16 +79,16 @@ ORDER BY doc_id
 """,
 )
 def q171_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cubicerp_client_etl_spark.operators.winnow import (
-        fingerprint_digest,
-        winnow_fingerprints,
-    )
+    from cubicerp_client_etl_spark.operators.winnow import winnow_digest_inline
 
+    # the shuffle-free row-local form (winnowing is a per-document
+    # local algorithm); bit-equal to the windowed
+    # winnow_fingerprints → fingerprint_digest chain, pinned by
+    # tests/test_wave2_ops.py::test_winnow_inline_digest_equals_windowed
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = winnow_fingerprints(
-        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W, dedup=False
-    )
-    return fingerprint_digest(fps, "doc_id").orderBy("doc_id")
+    return winnow_digest_inline(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -579,3 +579,18 @@ def stream_hll_registers(
         .alias("_rho"),
     )
     return rho.groupBy("bucket").agg(F.max("_rho").alias("m_rho"))
+
+
+def stream_winnow_digest(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming winnowing fingerprints — winnowing is a per-document
+    LOCAL algorithm (Schleimer et al. 2003: that is the paper's
+    point), so the stream form is simply the shuffle-free row-local
+    digest (``operators/winnow.winnow_digest_inline``) applied to the
+    stream: stateless, no watermark, append-safe, and bit-equal to
+    the batch digest (pinned by tests/test_streaming.py). Fingerprint
+    INDEXING (the shared-hash join) stays a batch/sink concern."""
+    from cubicerp_client_etl_spark.operators.winnow import winnow_digest_inline
+
+    return winnow_digest_inline(docs, id_col, text_col)

@@ -457,3 +457,30 @@ def test_stream_hll_registers_match_batch(spark):
         hll_estimate(sdf).collect()[0].hll_est
         == hll_estimate(batch).collect()[0].hll_est
     )
+
+
+def test_stream_winnow_digest_matches_batch(spark):
+    from cubicerp_client_etl_spark.catalog import load
+    from cubicerp_client_etl_spark.operators.winnow import winnow_digest_inline
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_winnow_digest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_to_memory(
+        stream_winnow_digest(
+            documents_stream(spark, sf).select("doc_id", "text")
+        ),
+        "winnow_stream",
+        output_mode="append",
+    )
+    stream_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {
+        tuple(r)
+        for r in winnow_digest_inline(
+            load(spark, sf, "documents").select("doc_id", "text")
+        ).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows

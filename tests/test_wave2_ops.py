@@ -388,3 +388,24 @@ def test_blocked_linkage_finds_planted_twins_and_keeps_null_blocks(spark):
     # blocking bounded the candidate set: cross-block pair (1,3) never formed
     cand_pairs = {(r.id_a, r.id_b) for r in cand.collect()}
     assert (1, 3) not in cand_pairs
+
+
+def test_winnow_inline_digest_equals_windowed(spark):
+    from cubicerp_client_etl_spark.operators.winnow import (
+        fingerprint_digest,
+        winnow_digest_inline,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(WIN_DOCS, "doc_id bigint, text string")
+    via_window = {
+        (r.doc_id, r.n_grams, r.n_fp, r.fp_digest)
+        for r in fingerprint_digest(
+            winnow_fingerprints(df, "doc_id", "text", dedup=False), "doc_id"
+        ).collect()
+    }
+    inline = {
+        (r.doc_id, r.n_grams, r.n_fp, r.fp_digest)
+        for r in winnow_digest_inline(df, "doc_id", "text").collect()
+    }
+    assert inline == via_window
