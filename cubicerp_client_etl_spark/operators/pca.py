@@ -67,6 +67,39 @@ def quantized_dims(
     ).select(id_col, (F.col("_d0") + 1).alias("i"), "qv")
 
 
+def gram_partials(vecs: DataFrame) -> DataFrame:
+    """Arrow-batched exact int64 moment partials over ``(.., qarr)``
+    rows: per batch, one numpy matmul emits the Gram partial QᵀQ as
+    (i, j, p) rows (1-based dims), column sums as (i, 0, s1), and the
+    row count as (0, 0, n) — ≤ d²+d+1 rows per batch, ADDITIVE, so
+    batch shards and stream micro-batches merge by a plain keyed sum
+    (``streaming/jobs.stream_gram_partials`` is literally this plus
+    update-mode state)."""
+
+    def _partials(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+            d = q.shape[1]
+            g = q.T @ q  # exact int64 Gram partial
+            s1 = q.sum(axis=0)
+            i = np.repeat(np.arange(1, d + 1), d)
+            j = np.tile(np.arange(1, d + 1), d)
+            out = pd.DataFrame({"i": i, "j": j, "p": g.reshape(-1)})
+            moments = pd.DataFrame(
+                {"i": np.arange(1, d + 1), "j": np.zeros(d, dtype=np.int64),
+                 "p": s1}
+            )
+            count = pd.DataFrame({"i": [0], "j": [0], "p": [len(pdf)]})
+            yield pd.concat([out, moments, count], ignore_index=True)
+
+    return vecs.select("qarr").mapInPandas(_partials, "i long, j long, p long")
+
+
 def scatter_matrix(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Centered scatter matrix over ``quantized_vectors`` rows:
     ``(i, j, a)`` with a = (n·Σ q_i q_j − Σq_i·Σq_j) div n — the n·cov
@@ -85,34 +118,7 @@ def scatter_matrix(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     so the result is bit-identical to the relational form and to the
     DuckDB oracle.
     """
-    import pandas as pd  # noqa: F401 (schema doc)
-
-    def _partials(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            if pdf.empty:
-                continue
-            q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
-            d = q.shape[1]
-            g = q.T @ q  # exact int64 Gram partial
-            s1 = q.sum(axis=0)
-            i = np.repeat(np.arange(1, d + 1), d)
-            j = np.tile(np.arange(1, d + 1), d)
-            out = pd.DataFrame(
-                {"i": i, "j": j, "p": g.reshape(-1)}
-            )
-            moments = pd.DataFrame(
-                {"i": np.arange(1, d + 1), "j": np.zeros(d, dtype=np.int64),
-                 "p": s1}
-            )
-            count = pd.DataFrame({"i": [0], "j": [0], "p": [len(pdf)]})
-            yield pd.concat([out, moments, count], ignore_index=True)
-
-    parts = vecs.select("qarr").mapInPandas(
-        _partials, "i long, j long, p long"
-    )
+    parts = gram_partials(vecs)
     # the bounded (≤ d²+d+1 row) aggregate feeds three subtrees (gram,
     # first moments, count) — pin it so the corpus is scanned ONCE
     # (the prefix.py localCheckpoint pattern)

@@ -1309,3 +1309,237 @@ def q185_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q186 — Vocabulary coverage curve (the OOV datasheet a tokenizer's
+# vocab size is chosen from): for each candidate vocab size V, the
+# fraction of token OCCURRENCES covered by the top-V most frequent
+# types (ties broken by token string — deterministic). The classic
+# Zipf-coverage curve, exact e6. Scale: one token-count aggregation
+# (map-side combinable); the curve arithmetic runs on the VOCAB-sized
+# count table — the rank window is over distinct types, not corpus
+# rows, and a real vocab is bounded (condition the corpus first if
+# types explode). Window-free alternative at extreme vocab: the keyed
+# prefix scan (operators/prefix.py) — documented, not needed here.
+# --------------------------------------------------------------------------
+_VOCAB_SIZES = (100, 200, 400, 800)
+
+
+@register(
+    "q186_vocab_coverage_curve",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents WHERE len(trim(text)) > 0
+),
+c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+r AS (
+  SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM c
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_occ, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c
+),
+v AS (SELECT unnest(ARRAY[{", ".join(str(v) for v in _VOCAB_SIZES)}]) AS vocab_size)
+SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       ANY_VALUE(tot.n_types) AS n_types,
+       CAST(SUM(CASE WHEN r.rk <= v.vocab_size THEN r.c ELSE 0 END)
+         AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN r.rk <= v.vocab_size THEN r.c ELSE 0 END) * 1000000
+            // ANY_VALUE(tot.n_occ) AS BIGINT) AS coverage_e6
+FROM r CROSS JOIN v CROSS JOIN tot
+GROUP BY v.vocab_size
+ORDER BY vocab_size
+""",
+)
+def q186_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+    )
+    c = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # rank window over the vocab-sized count table (bounded input —
+    # the corpus-plan invariant's aggregate-derived exemption)
+    r = c.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("c").desc(), "t"))
+    )
+    tot = c.agg(
+        F.sum("c").cast("bigint").alias("n_occ"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    v = spark.createDataFrame([(s,) for s in _VOCAB_SIZES], "vocab_size bigint")
+    cov = F.sum(
+        F.when(F.col("rk") <= F.col("vocab_size"), F.col("c")).otherwise(0)
+    )
+    return (
+        r.join(F.broadcast(v))
+        .join(F.broadcast(tot))
+        .groupBy("vocab_size")
+        .agg(
+            F.first("n_types").alias("n_types"),
+            cov.cast("bigint").alias("n_covered"),
+            e6_floor_ratio(cov, F.first("n_occ")).alias("coverage_e6"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# q187 — Retrieval quality: exact nDCG@10 of the q175 BM25 ranking
+# against a deterministic relevance rubric (a doc's relevance = how
+# many distinct probe terms it contains, 0–3 — a label any engine can
+# replay, so the whole metric is value-checkable). DCG discounts
+# 1/log2(rank+1) are the ONE float, frozen as a 10-row e6 table
+# (round once per RANK position — the q039/q174 discipline), after
+# which DCG, ideal DCG, and their ratio are exact integers. Scale:
+# ranking is q175's shape; the metric is arithmetic over two ≤10-row
+# frames.
+# --------------------------------------------------------------------------
+@register(
+    "q187_bm25_ndcg",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, u.t AS t
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+  WHERE len(trim(text)) > 0
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE t IN ('vector', 'hash', 'stream')
+  GROUP BY doc_id, t
+),
+dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+idf AS (
+  SELECT t,
+         CAST(round(ln(CAST(n + 1 AS DOUBLE) / (df + 0.5)) * 1000000)
+           AS BIGINT) AS idf_e6
+  FROM dft CROSS JOIN tot
+),
+scored AS (
+  SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS rel,
+         CAST(SUM(idf.idf_e6 *
+           (22 * tot.l * tf.tf * 1000000
+            // (10 * tot.l * tf.tf + 3 * tot.l + 9 * dl.dl * tot.n)))
+           AS BIGINT) AS score_e12
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf ON idf.t = tf.t
+  CROSS JOIN tot
+  GROUP BY tf.doc_id
+),
+disc AS (
+  SELECT g.i AS rk,
+         CAST(round(1000000.0 / log2(g.i + 1)) AS BIGINT) AS disc_e6
+  FROM generate_series(1, 10) g(i)
+),
+ranked AS (
+  SELECT doc_id, rel,
+         ROW_NUMBER() OVER (ORDER BY score_e12 DESC, doc_id) AS rk
+  FROM scored
+),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+  FROM scored
+),
+dcg AS (
+  SELECT CAST(SUM(r.rel * d.disc_e6) AS BIGINT) AS dcg_e6
+  FROM ranked r JOIN disc d ON d.rk = r.rk
+),
+idcg AS (
+  SELECT CAST(SUM(i.rel * d.disc_e6) AS BIGINT) AS idcg_e6
+  FROM ideal i JOIN disc d ON d.rk = i.rk
+)
+SELECT dcg_e6, idcg_e6,
+       CAST(dcg_e6 * 1000000 // idcg_e6 AS BIGINT) AS ndcg_e6
+FROM dcg CROSS JOIN idcg
+""",
+)
+def q187_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("l"),
+    )
+    tf = (
+        toks.where(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dft = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = dft.join(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log((F.col("n") + 1).cast("double") / (F.col("df") + F.lit(0.5)))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("idf_e6"),
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "t")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rel"),
+            F.sum(
+                F.col("idf_e6")
+                * e6_floor_ratio(
+                    F.lit(22) * F.col("l") * F.col("tf"),
+                    F.lit(10) * F.col("l") * F.col("tf")
+                    + F.lit(3) * F.col("l")
+                    + F.lit(9) * F.col("dl") * F.col("n"),
+                )
+            )
+            .cast("bigint")
+            .alias("score_e12"),
+        )
+    )
+    disc = spark.range(1, 11).select(
+        F.col("id").alias("rk"),
+        F.round(F.lit(1_000_000.0) / F.log2(F.col("id") + 1))
+        .cast("bigint")
+        .alias("disc_e6"),
+    )
+    # top-10 rank windows over the scored frame: bounded by the probe's
+    # matching docs; production would TakeOrdered-limit first
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("score_e12").desc(), "doc_id")),
+    )
+    ideal = scored.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+    )
+    dcg = ranked.join(F.broadcast(disc), "rk").agg(
+        F.sum(F.col("rel") * F.col("disc_e6")).cast("bigint").alias("dcg_e6")
+    )
+    idcg = ideal.join(F.broadcast(disc), "rk").agg(
+        F.sum(F.col("rel") * F.col("disc_e6")).cast("bigint").alias("idcg_e6")
+    )
+    return (
+        dcg.join(F.broadcast(idcg))
+        .select(
+            "dcg_e6",
+            "idcg_e6",
+            e6_floor_ratio(F.col("dcg_e6"), F.col("idcg_e6")).alias("ndcg_e6"),
+        )
+    )

@@ -594,3 +594,20 @@ def stream_winnow_digest(
     from cubicerp_client_etl_spark.operators.winnow import winnow_digest_inline
 
     return winnow_digest_inline(docs, id_col, text_col)
+
+
+def stream_gram_partials(vecs: DataFrame) -> DataFrame:
+    """Streaming PCA moment accumulation — the online form of
+    ``operators/pca.gram_partials``: the (i, j, p) moment partials are
+    ADDITIVE (a Gram matrix is a sum of per-row outer products), so
+    the streaming build is the partials map + the same bounded keyed
+    sum in update mode — the stream_count_min/stream_hll pattern. The
+    state store holds at most d²+d+1 rows regardless of stream
+    length; the materialized sums feed ``pca.scatter_matrix``'s
+    centering arithmetic / power iteration unchanged (batch == stream
+    pinned by tests/test_streaming.py)."""
+    from cubicerp_client_etl_spark.operators.pca import gram_partials
+
+    return gram_partials(vecs).groupBy("i", "j").agg(
+        F.sum("p").cast("bigint").alias("p")
+    )

@@ -484,3 +484,40 @@ def test_stream_winnow_digest_matches_batch(spark):
         ).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_stream_gram_partials_match_batch(spark):
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.pca import (
+        gram_partials,
+        quantized_vectors,
+    )
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_gram_partials,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    static = spark.read.parquet(f"{sf}/embeddings.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+    )
+    got = run_stream_to_memory(
+        stream_gram_partials(quantized_vectors(stream, "embedding", "vec_id")),
+        "gram_stream",
+        output_mode="complete",
+    )
+    stream_sums = {(r.i, r.j): r.p for r in got.collect()}
+    batch_sums = {
+        (r.i, r.j): r.p
+        for r in gram_partials(quantized_vectors(static, "embedding", "vec_id"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("bigint").alias("p"))
+        .collect()
+    }
+    assert stream_sums == batch_sums
+    assert stream_sums[(0, 0)] == static.count()  # the count cell
