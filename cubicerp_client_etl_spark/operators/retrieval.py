@@ -35,24 +35,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     terms: tuple[str, ...],
-    k: int = 10,
 ) -> DataFrame:
-    """Top-``k`` documents by BM25 score against the literal ``terms``
-    probe (k1 = 1.2, b = 0.75 — the exact-rational factoring above).
-
-    Returns ``(id_col, n_terms_hit bigint, score_e12 bigint)`` ordered
-    by score desc then id — only documents matching >= 1 term (BM25
-    retrieval semantics: non-matching docs score 0 and are not ranked).
-    """
+    """Unranked BM25 scores: ``(id_col, n_terms_hit bigint, score_e12
+    bigint)`` for every document matching >= 1 probe term (the scoring
+    stage ``bm25_topk`` ranks; rank-fusion consumers take this form
+    directly — a TakeOrdered with an unbounded k would allocate its
+    whole top-k buffer)."""
     if not terms:
         raise ValueError("terms must not be empty")
-    if k < 1:
-        raise ValueError("k must be >= 1")
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
 
     toks = docs.select(
@@ -96,12 +91,32 @@ def bm25_topk(
             ).alias("_s_e12"),
         )
     )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        F.sum("_s_e12").cast("bigint").alias("score_e12"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against the literal ``terms``
+    probe (k1 = 1.2, b = 0.75 — the exact-rational factoring above).
+
+    Returns ``(id_col, n_terms_hit bigint, score_e12 bigint)`` ordered
+    by score desc then id — only documents matching >= 1 term (BM25
+    retrieval semantics: non-matching docs score 0 and are not
+    ranked). The plan is TakeOrdered (per-partition top-k heaps), so
+    keep ``k`` result-sized; for a full ranking use ``bm25_scores``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
     return (
-        scored.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
-            F.sum("_s_e12").cast("bigint").alias("score_e12"),
-        )
+        bm25_scores(docs, id_col, text_col, terms)
         .orderBy(F.col("score_e12").desc(), id_col)
         .limit(k)
     )

@@ -1543,3 +1543,139 @@ def q187_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             e6_floor_ratio(F.col("dcg_e6"), F.col("idcg_e6")).alias("ndcg_e6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q188 — Hybrid retrieval: Reciprocal Rank Fusion of the lexical (BM25,
+# q175) and vector (exact cosine, q034) rankings — the standard hybrid-
+# search combiner (RRF, Cormack et al. 2009: score = Σ 1/(K + rank),
+# K = 60). Fixture convention: doc_id == vec_id pairs a document with
+# its embedding; the vector probe is vec 0's embedding, the lexical
+# probe the q175 term set, and either ranking may cover docs the other
+# doesn't (full-outer fusion — RRF's own semantics). Each 1/(60+r)
+# contribution is one e6 floor — after that the fused score is an
+# integer sum, and both rankings are already engine-deterministic
+# (rounded sim / integer BM25, id tie-breaks), so the whole fusion is
+# oracle-replayed. Scale: both rankings are their operators' shapes;
+# production fuses top-k lists (bounded), not full rankings — the
+# windows here rank the fixture-bounded candidate sets.
+# --------------------------------------------------------------------------
+@register(
+    "q188_hybrid_rrf_fusion",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, u.t AS t
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+  WHERE len(trim(text)) > 0
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE t IN ('vector', 'hash', 'stream')
+  GROUP BY doc_id, t
+),
+dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+idf AS (
+  SELECT t,
+         CAST(round(ln(CAST(n + 1 AS DOUBLE) / (df + 0.5)) * 1000000)
+           AS BIGINT) AS idf_e6
+  FROM dft CROSS JOIN tot
+),
+lex AS (
+  SELECT tf.doc_id,
+         CAST(SUM(idf.idf_e6 *
+           (22 * tot.l * tf.tf * 1000000
+            // (10 * tot.l * tf.tf + 3 * tot.l + 9 * dl.dl * tot.n)))
+           AS BIGINT) AS score_e12
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf ON idf.t = tf.t
+  CROSS JOIN tot
+  GROUP BY tf.doc_id
+),
+lexrank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_e12 DESC, doc_id) AS lex_rank
+  FROM lex
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_dot_product(e.v, p.pv) /
+               sqrt(list_dot_product(e.v, e.v) * list_dot_product(p.pv, p.pv)),
+               6) AS sim
+  FROM e CROSS JOIN p WHERE e.vec_id > 0
+),
+vecrank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+  FROM vec
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+            + COALESCE(1000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf_e6
+  FROM lexrank l FULL OUTER JOIN vecrank v ON v.doc_id = l.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank, rrf_e6
+FROM fused
+ORDER BY rrf_e6 DESC, doc_id
+LIMIT 10
+""",
+)
+def q188_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cubicerp_client_etl_spark.operators.retrieval import bm25_scores
+    from cubicerp_client_etl_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    lex = bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    lexrank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_e12").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    probe = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    vec = (
+        emb.where(F.col("vec_id") > 0)
+        .join(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("sim"),
+        )
+    )
+    vecrank = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("vec_rank"),
+    )
+    rrf = (
+        F.coalesce(
+            F.expr("CAST(1000000 div (60 + lex_rank) AS BIGINT)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr("CAST(1000000 div (60 + vec_rank) AS BIGINT)"), F.lit(0)
+        )
+    ).cast("bigint")
+    return (
+        lexrank.join(vecrank, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf_e6"))
+        .orderBy(F.col("rrf_e6").desc(), "doc_id")
+        .limit(10)
+    )

@@ -358,7 +358,7 @@ def test_stream_quality_classify_matches_batch(spark):
 
 
 def test_stream_bm25_score_matches_batch(spark):
-    from cubicerp_client_etl_spark.operators.retrieval import bm25_topk
+    from cubicerp_client_etl_spark.operators.retrieval import bm25_scores
     from cubicerp_client_etl_spark.streaming.jobs import (
         documents_stream,
         run_stream_to_memory,
@@ -399,7 +399,7 @@ def test_stream_bm25_score_matches_batch(spark):
     )
     stream_scores = {(r.doc_id, r.n_terms_hit, r.score_e12) for r in got.collect()}
 
-    batch = bm25_topk(docs, "doc_id", "text", terms, k=10_000_000)
+    batch = bm25_scores(docs, "doc_id", "text", terms)
     batch_scores = {
         (r.doc_id, r.n_terms_hit, r.score_e12) for r in batch.collect()
     }
