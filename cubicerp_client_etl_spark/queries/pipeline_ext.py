@@ -208,7 +208,7 @@ def q032_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q033 — SimHash fingerprints (L-dedup): window variant uses the PORTABLE
+# q183 — SimHash fingerprints (L-dedup): window variant uses the PORTABLE
 # md5 bit family (simhash_bits_portable, 16 bits): per bit i a token
 # votes ±1 by the top bit of md5(token || '|' || i); exact integer vote
 # counting makes the fingerprint engine-replayable — the oracle
@@ -216,7 +216,7 @@ def q032_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # xxhash64 mask-arithmetic variant (pinned in tests/test_dedup.py).
 # --------------------------------------------------------------------------
 @register(
-    "q033_simhash",
+    "q183_simhash",
     oracle="""
 WITH toks AS (
   SELECT doc_id, u.t AS t
@@ -236,7 +236,7 @@ FROM ones o JOIN counts c USING (doc_id)
 GROUP BY o.doc_id
 """,
 )
-def q033_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q183_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", dd.simhash_bits_portable("text", 16).alias("simhash")
@@ -584,14 +584,14 @@ def q138_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q036 — IVF-style ANN (L-sim1 scale path, oracle-checkable): vectors are
+# q184 — IVF-style ANN (L-sim1 scale path, oracle-checkable): vectors are
 # assigned to the nearest of 8 fixed centroids (the first 8 vectors) and
 # each probe searches ONLY its own cluster — the inverted-file pruning
 # that replaces the full scan at scale. Centroids broadcast; one shuffle
 # on cluster id.
 # --------------------------------------------------------------------------
 @register(
-    "q036_ivf_topk",
+    "q184_ivf_topk",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -618,7 +618,7 @@ SELECT probe_id, vec_id, sim, rank FROM (
 WHERE rank <= 5
 """,
 )
-def q036_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q184_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double("embedding").alias("v")
     )

@@ -1,4 +1,6 @@
-"""Round-6 extension wave 2 (q171+): positional fingerprinting,
+"""Round-6 extension waves (q171+ at birth; the flagships were
+later rotated into the driver window by tools/renumber_r6b.py):
+positional fingerprinting,
 portable-HLL cardinality, deterministic corpus splits, DSIR importance
 weighting, BM25 retrieval, tokenizer-fertility observability, LSH
 quality auditing, embedding moment statistics.
@@ -20,7 +22,7 @@ from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q171 — Winnowing fingerprints (operators/winnow.py; Schleimer et al.
+# q009 — Winnowing fingerprints (operators/winnow.py; Schleimer et al.
 # 2003): the POSITIONAL member of the fingerprint family — char-8-gram
 # hashes, window-4 minima with rightmost tie-break, per-document digest.
 # The (hash, rightmost-pos) pair is packed into one bigint so a single
@@ -34,7 +36,7 @@ _WINNOW_W = 4
 
 
 @register(
-    "q171_winnowing_fingerprints",
+    "q009_winnowing_fingerprints",
     oracle=f"""
 WITH d AS (
   SELECT doc_id,
@@ -78,7 +80,7 @@ GROUP BY doc_id
 ORDER BY doc_id
 """,
 )
-def q171_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q009_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.winnow import winnow_digest_inline
 
     # the shuffle-free row-local form (winnowing is a per-document
@@ -92,7 +94,7 @@ def q171_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q172 — Portable HyperLogLog (operators/sketches.py hll_registers /
+# q011 — Portable HyperLogLog (operators/sketches.py hll_registers /
 # hll_estimate; Flajolet et al. 2007): the ORACLE-CHECKABLE HLL —
 # q077's native approx_count_distinct sketch is opaque bytes (rows-only
 # forever), while this register table is the repo's md5 hash family and
@@ -104,7 +106,7 @@ def q171_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shards/streams.
 # --------------------------------------------------------------------------
 @register(
-    "q172_hll_portable_cardinality",
+    "q011_hll_portable_cardinality",
     oracle="""
 WITH h AS (
   SELECT CAST(concat('0x',
@@ -139,7 +141,7 @@ SELECT m, v_zero, denom, hll_est, n_exact,
 FROM est CROSS JOIN ex
 """,
 )
-def q172_hll_portable_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_hll_portable_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators.sketches import (
         hll_estimate,
@@ -228,7 +230,7 @@ def q173_hash_split_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q174 — DSIR importance weighting (operators/dsir.py; Xie et al.
+# q014 — DSIR importance weighting (operators/dsir.py; Xie et al.
 # NeurIPS 2023): hashed-unigram importance resampling weights — target
 # model = the English slice, raw model = the whole corpus; each doc
 # scores the integer sum of its tokens' per-bucket e6 log-likelihood
@@ -241,7 +243,7 @@ _DSIR_B = 256
 
 
 @register(
-    "q174_dsir_importance_weights",
+    "q014_dsir_importance_weights",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, lang, source, u.t AS t
@@ -283,7 +285,7 @@ ORDER BY weight_e6 DESC, doc_id
 LIMIT 50
 """,
 )
-def q174_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.dsir import (
         dsir_bucket_weights,
         dsir_doc_scores,
@@ -312,7 +314,7 @@ def q174_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q175 — BM25 ranked retrieval (operators/retrieval.py; Okapi BM25,
+# q018 — BM25 ranked retrieval (operators/retrieval.py; Okapi BM25,
 # k1 = 1.2, b = 0.75): the lexical-search leg next to the vector ANN
 # stack — eval-leakage triage and corpus audit by keyword probe. The
 # tf saturation is EXACT rational arithmetic (multiplied through by
@@ -327,7 +329,7 @@ _BM25_TERMS = ("vector", "hash", "stream")
 
 
 @register(
-    "q175_bm25_topk",
+    "q018_bm25_topk",
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, u.t AS t
@@ -370,7 +372,7 @@ ORDER BY score_e12 DESC, doc_id
 LIMIT 10
 """,
 )
-def q175_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q018_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.retrieval import bm25_topk
 
     docs = load(spark, sf_dir, "documents").where(
@@ -1019,7 +1021,7 @@ def q181_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q182 — Inverted-index build (the postings artifact behind q175's
+# q182 — Inverted-index build (the postings artifact behind q018's
 # BM25): per term, document frequency, total term frequency, and an
 # md5 digest of the full postings list (doc_id:tf pairs in doc order)
 # — value-checking every posting without returning composite cells
@@ -1087,7 +1089,7 @@ def q182_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q183 — Distributed PCA: dominant principal direction by exact-integer
+# q033 — Distributed PCA: dominant principal direction by exact-integer
 # power iteration (operators/pca.py). The corpus is scanned ONCE into
 # the d×d centered scatter matrix (one-shot n·Σqq − Σq·Σq identity —
 # no mean-subtraction pass, no cancellation); three power-iteration
@@ -1160,8 +1162,8 @@ ORDER BY dim
     )
 
 
-@register("q183_pca_power_iteration", oracle=_pca_oracle(3))
-def q183_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q033_pca_power_iteration", oracle=_pca_oracle(3))
+def q033_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.pca import (
         power_iteration_top,
         quantized_vectors,
@@ -1180,7 +1182,7 @@ def q183_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q184 — Entity-resolution record linkage (operators/linkage.py): the
+# q036 — Entity-resolution record linkage (operators/linkage.py): the
 # RECORD twin of the document dedup stack — find customer rows that
 # denote the same entity under a planted one-char typo (dirty
 # re-entries at custkey+10⁶ for custkey % 13 == 0). Fellegi–Sunter
@@ -1193,7 +1195,7 @@ def q183_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is fully oracle-replayed.
 # --------------------------------------------------------------------------
 @register(
-    "q184_record_linkage",
+    "q036_record_linkage",
     oracle="""
 WITH dirty AS (
   SELECT c_custkey + 1000000 AS c_custkey,
@@ -1224,7 +1226,7 @@ WHERE levenshtein(name_a, name_b) <= 2 AND bal_a = bal_b
 ORDER BY id_a, id_b
 """,
 )
-def q184_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.linkage import (
         blocked_pairs,
         verify_links,
@@ -1260,13 +1262,13 @@ def q184_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q185 — PCA explained-variance datasheet (completes q183): how much of
+# q185 — PCA explained-variance datasheet (completes q033): how much of
 # the corpus's total variance the dominant direction carries —
 # explained_e6 = λ₀·1e6 // trace(scatter/n), both at the same n·cov
 # scale, so the ratio is scale-free. The number a dim-reduction /
 # whitening decision is actually made on (near-isotropic corpora like
 # this fixture's random embeddings sit near 1/d — reported, not
-# assumed). Reuses the q183 CTE chain; the Spark side adds only a
+# assumed). Reuses the q033 CTE chain; the Spark side adds only a
 # trace aggregate over the bounded matrix diagonal.
 # --------------------------------------------------------------------------
 @register(
@@ -1390,14 +1392,14 @@ def q186_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q187 — Retrieval quality: exact nDCG@10 of the q175 BM25 ranking
+# q187 — Retrieval quality: exact nDCG@10 of the q018 BM25 ranking
 # against a deterministic relevance rubric (a doc's relevance = how
 # many distinct probe terms it contains, 0–3 — a label any engine can
 # replay, so the whole metric is value-checkable). DCG discounts
 # 1/log2(rank+1) are the ONE float, frozen as a 10-row e6 table
-# (round once per RANK position — the q039/q174 discipline), after
+# (round once per RANK position — the q039/q014 discipline), after
 # which DCG, ideal DCG, and their ratio are exact integers. Scale:
-# ranking is q175's shape; the metric is arithmetic over two ≤10-row
+# ranking is q018's shape; the metric is arithmetic over two ≤10-row
 # frames.
 # --------------------------------------------------------------------------
 @register(
@@ -1547,11 +1549,11 @@ def q187_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q188 — Hybrid retrieval: Reciprocal Rank Fusion of the lexical (BM25,
-# q175) and vector (exact cosine, q034) rankings — the standard hybrid-
+# q018) and vector (exact cosine, q034) rankings — the standard hybrid-
 # search combiner (RRF, Cormack et al. 2009: score = Σ 1/(K + rank),
 # K = 60). Fixture convention: doc_id == vec_id pairs a document with
 # its embedding; the vector probe is vec 0's embedding, the lexical
-# probe the q175 term set, and either ranking may cover docs the other
+# probe the q018 term set, and either ranking may cover docs the other
 # doesn't (full-outer fusion — RRF's own semantics). Each 1/(60+r)
 # contribution is one e6 floor — after that the fused score is an
 # integer sum, and both rankings are already engine-deterministic
@@ -1600,7 +1602,8 @@ lex AS (
 lexrank AS (
   SELECT doc_id,
          ROW_NUMBER() OVER (ORDER BY score_e12 DESC, doc_id) AS lex_rank
-  FROM lex
+  FROM (SELECT doc_id, score_e12 FROM lex
+        ORDER BY score_e12 DESC, doc_id LIMIT 100)
 ),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
@@ -1613,7 +1616,7 @@ vec AS (
 ),
 vecrank AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
-  FROM vec
+  FROM (SELECT doc_id, sim FROM vec ORDER BY sim DESC, doc_id LIMIT 100)
 ),
 fused AS (
   SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
@@ -1638,7 +1641,16 @@ def q188_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
-    lex = bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    # fuse bounded TOP-K lists (production RRF fuses each ranker's
+    # top-k, not full corpus rankings): TakeOrdered bounds each side,
+    # so the rank windows run over provably-limited input — the
+    # corpus-plan invariant rejects the full-ranking form as a raw-row
+    # global window (it caught exactly that in review)
+    lex = (
+        bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+        .orderBy(F.col("score_e12").desc(), "doc_id")
+        .limit(100)
+    )
     lexrank = lex.select(
         "doc_id",
         F.row_number()
@@ -1658,12 +1670,16 @@ def q188_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("v"), F.col("pv")), 6).alias("sim"),
         )
     )
-    vecrank = vec.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
-        .cast("bigint")
-        .alias("vec_rank"),
+    vecrank = (
+        vec.orderBy(F.col("sim").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+            .cast("bigint")
+            .alias("vec_rank"),
+        )
     )
     rrf = (
         F.coalesce(

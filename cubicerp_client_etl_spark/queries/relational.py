@@ -286,19 +286,19 @@ def q119_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q009 — theta self-join (C8): non-equi predicate on top of an equi key so
+# q171 — theta self-join (C8): non-equi predicate on top of an equi key so
 # the plan stays a hash join on nationkey with a residual filter, not a
 # full cartesian product (which would never survive scale).
 # --------------------------------------------------------------------------
 @register(
-    "q009_theta_self_join",
+    "q171_theta_self_join",
     oracle="""
 SELECT a.s_suppkey AS suppkey_lo, b.s_suppkey AS suppkey_hi, a.s_nationkey AS nationkey
 FROM supplier a JOIN supplier b
   ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
 """,
 )
-def q009_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q171_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     a = s.alias("a")
     b = s.alias("b")
@@ -355,11 +355,11 @@ def q122_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q011 — ranking window (E1): top-3 orders per customer. Total ordering
+# q172 — ranking window (E1): top-3 orders per customer. Total ordering
 # (tie-break on unique o_orderkey) keeps row_number deterministic.
 # --------------------------------------------------------------------------
 @register(
-    "q011_window_rank",
+    "q172_window_rank",
     oracle="""
 SELECT * FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -369,7 +369,7 @@ SELECT * FROM (
 WHERE rn <= 3
 """,
 )
-def q011_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q172_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -437,18 +437,18 @@ def q126_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q014 / q053 — rollup & cube (D4): Spark expands grouping sets in a single
+# q174 / q053 — rollup & cube (D4): Spark expands grouping sets in a single
 # shuffle (Expand + partial agg), not one pass per set.
 # --------------------------------------------------------------------------
 @register(
-    "q014_rollup",
+    "q174_rollup",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
 )
-def q014_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q174_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
@@ -554,10 +554,10 @@ def q141_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q018 — JSON scalar extraction (H14) over the events props column.
+# q175 — JSON scalar extraction (H14) over the events props column.
 # --------------------------------------------------------------------------
 @register(
-    "q018_json_extract",
+    "q175_json_extract",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -568,7 +568,7 @@ FROM events
 GROUP BY event_type
 """,
 )
-def q018_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q175_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(

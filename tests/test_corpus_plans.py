@@ -27,6 +27,12 @@ _BOUNDED_SOURCES = {
     "ObjectHashAggregate",
     "LocalTableScan",
     "EmptyRelation",
+    # a global limit / top-k bounds its OUTPUT at the literal k no
+    # matter what feeds it (a LocalLimit alone does not — per-partition
+    # k × #partitions grows with the cluster, so it stays pass-through)
+    "GlobalLimit",
+    "TakeOrderedAndProject",
+    "CollectLimit",
 }
 
 # Cardinality-NON-INCREASING (or bounded-combining) operators a bounded
@@ -56,9 +62,7 @@ _PASS_THROUGH = {
     "WindowGroupLimit",
     "RunningWindowFunction",
     "Limit",
-    "GlobalLimit",
     "LocalLimit",
-    "TakeOrderedAndProject",
     "Union",
     "Expand",
     "Subquery",

@@ -242,7 +242,7 @@ def test_all_pairs_cosine_size_guard_flips_plan(spark):
 def test_q036_ivf_centroids_broadcast_no_cartesian(spark):
     """IVF ANN (q036): centroid assignment must broadcast the (tiny)
     centroid table, never cartesian the corpus."""
-    plan = plan_of(spark, "q036_ivf_topk")
+    plan = plan_of(spark, "q184_ivf_topk")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 

@@ -34,11 +34,12 @@ def main() -> None:
         f"{n_total} queries ({n_oracle} DuckDB-oracle-checked).",
         "The driver's first-50-sorted correctness window (q001–q050)",
         "holds at least one representative of every SURVEY §2 operator",
-        "family and every LLM-pipeline component; the round-4/5 rotation",
-        "(`tools/renumber_r4.py`) swapped 8 curation-wave queries into",
-        "the window. Old (round-1) names are listed for cross-referencing",
-        "CORRECTNESS_r01 / round-1 VERDICT evidence; the rename maps'",
-        "source of truth is `tools/renumber.py` + `tools/renumber_r4.py`.",
+        "family and every LLM-pipeline component; rotations swapped the",
+        "curation wave (`tools/renumber_r6.py`) and then the round-6",
+        "fingerprint/sketch/selection/retrieval/linear-algebra flagships",
+        "(`tools/renumber_r6b.py`) into the window. Old (round-1) names",
+        "are listed for cross-referencing CORRECTNESS_r01 evidence; the",
+        "rename maps' source of truth is tools/renumber*.py.",
         "",
         "| # | name | round-1 name (— = added later) | oracle | bench headline | driver window |",
         "|---|------|--------------|--------|----------------|---------------|",
