@@ -1695,3 +1695,99 @@ def q188_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_e6").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q189 — Column statistics profiling (the ANALYZE TABLE datasheet a
+# warehouse keeps per column: null fraction, distinct count, min/max):
+# one pass over lineitem computing every column's stats as conditional
+# aggregates, unpivoted to one row per column with values rendered to
+# strings (scalar output contract). Exact: counts are integers,
+# min/max render decimals/dates with CAST AS VARCHAR in both engines.
+# Scale: ONE full-scan aggregate (all stats ride the same map-side
+# partial), plus exact distinct counts per column — expressed as
+# count_distinct in the same agg (Spark expands to expand+partial
+# aggregates; the documented approx path for wide tables is
+# approx_count_distinct / q077-style sketches).
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+
+
+@register(
+    "q189_column_stats_profile",
+    oracle="""
+WITH s AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(l_quantity) AS BIGINT) AS nn_q,
+    CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd_q,
+    CAST(MIN(l_quantity) AS VARCHAR) AS mn_q,
+    CAST(MAX(l_quantity) AS VARCHAR) AS mx_q,
+    CAST(COUNT(l_extendedprice) AS BIGINT) AS nn_p,
+    CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS nd_p,
+    CAST(MIN(l_extendedprice) AS VARCHAR) AS mn_p,
+    CAST(MAX(l_extendedprice) AS VARCHAR) AS mx_p,
+    CAST(COUNT(l_discount) AS BIGINT) AS nn_d,
+    CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS nd_d,
+    CAST(MIN(l_discount) AS VARCHAR) AS mn_d,
+    CAST(MAX(l_discount) AS VARCHAR) AS mx_d,
+    CAST(COUNT(l_shipdate) AS BIGINT) AS nn_s,
+    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS nd_s,
+    CAST(MIN(l_shipdate) AS VARCHAR) AS mn_s,
+    CAST(MAX(l_shipdate) AS VARCHAR) AS mx_s
+  FROM lineitem
+)
+SELECT col, n_rows, n_nonnull, n_distinct, min_str, max_str,
+       CAST((n_rows - n_nonnull) * 1000000 // n_rows AS BIGINT)
+         AS null_frac_e6
+FROM (
+  SELECT 'l_quantity' AS col, n_rows, nn_q AS n_nonnull, nd_q AS n_distinct,
+         mn_q AS min_str, mx_q AS max_str FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', n_rows, nn_p, nd_p, mn_p, mx_p FROM s
+  UNION ALL
+  SELECT 'l_discount', n_rows, nn_d, nd_d, mn_d, mx_d FROM s
+  UNION ALL
+  SELECT 'l_shipdate', n_rows, nn_s, nd_s, mn_s, mx_s FROM s
+)
+ORDER BY col
+""",
+)
+def q189_column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    li = load(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"nn_{c}"),
+            F.count_distinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    s = li.agg(*aggs)
+    parts = [
+        s.select(
+            F.lit(c).alias("col"),
+            "n_rows",
+            F.col(f"nn_{c}").alias("n_nonnull"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_str"),
+            F.col(f"mx_{c}").alias("max_str"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "col",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        "min_str",
+        "max_str",
+        e6_floor_ratio(F.col("n_rows") - F.col("n_nonnull"), F.col("n_rows")).alias(
+            "null_frac_e6"
+        ),
+    ).orderBy("col")
