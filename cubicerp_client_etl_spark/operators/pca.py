@@ -40,14 +40,19 @@ V_SCALE = 1000  # max-abs of every normalized iterate
 
 
 def quantized_vectors(
-    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-row e3-quantized integer vectors ``(id_col, qarr)``
+    """Per-row e3-quantized integer vectors ``(id_col, *extra, qarr)``
     (floor(v·1000 + 0.5) — round-half-up, the q165/q178 quantization).
     Pure map projection — the array is NOT exploded, so downstream
-    outer products stay map-side."""
+    outer products stay map-side; ``extra`` carries grouping columns
+    (label, source) along rather than re-joining them later."""
     return emb.select(
         id_col,
+        *extra,
         F.transform(
             F.col(vec_col).cast("array<double>"),
             lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint"),
@@ -206,5 +211,136 @@ def power_iteration_top(
             F.sum(F.col("v") * F.col("v")).cast("bigint").alias("_vv"),
         )
         .select(F.expr("CAST(_vw div _vv AS BIGINT)").alias("lambda0"))
+    )
+    return v, lam
+
+
+# ---- keyed (per-group) form ----------------------------------------------
+
+
+def gram_partials_by(vecs: DataFrame, key_col: str) -> DataFrame:
+    """Keyed ``gram_partials``: (key_col, i, j, p) moment partials per
+    group — the per-label/per-domain form (class-conditional scatter,
+    per-source embedding statistics). Same Arrow/numpy exactness; each
+    batch groups its rows by key first, so the shuffle still carries
+    only #batches·#keys-in-batch·(d²+d+1) partial rows. The keyed twin
+    of the prefix_sum→prefix_sum_by generalization."""
+
+    def _partials(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            outs = []
+            for key, grp in pdf.groupby(key_col, dropna=False, sort=False):
+                q = np.stack(grp["qarr"].to_numpy()).astype(np.int64)
+                d = q.shape[1]
+                g = q.T @ q
+                s1 = q.sum(axis=0)
+                i = np.repeat(np.arange(1, d + 1), d)
+                j = np.tile(np.arange(1, d + 1), d)
+                out = pd.DataFrame({key_col: key, "i": i, "j": j, "p": g.reshape(-1)})
+                moments = pd.DataFrame(
+                    {key_col: key, "i": np.arange(1, d + 1),
+                     "j": np.zeros(d, dtype=np.int64), "p": s1}
+                )
+                count = pd.DataFrame({key_col: [key], "i": [0], "j": [0],
+                                      "p": [len(grp)]})
+                outs += [out, moments, count]
+            yield pd.concat(outs, ignore_index=True)
+
+    ktype = dict(vecs.dtypes)[key_col]
+    return vecs.select(key_col, "qarr").mapInPandas(
+        _partials, f"{key_col} {ktype}, i long, j long, p long"
+    )
+
+
+def scatter_matrix_by(vecs: DataFrame, key_col: str) -> DataFrame:
+    """Per-group centered scatter matrices ``(key_col, i, j, a)`` —
+    ``scatter_matrix`` keyed by ``key_col`` (group cardinality bounds
+    every frame at #keys·(d²+d+1) rows; the corpus is still scanned
+    once, map-side)."""
+    parts = gram_partials_by(vecs, key_col)
+    agg = (
+        parts.groupBy(key_col, "i", "j")
+        .agg(F.sum("p").cast("bigint").alias("_sqq"))
+        .localCheckpoint(eager=True)
+    )
+    cross = agg.where((F.col("i") > 0) & (F.col("j") > 0))
+    firsts = agg.where((F.col("i") > 0) & (F.col("j") == 0)).select(
+        key_col, "i", F.col("_sqq").alias("_s1")
+    )
+    n = agg.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        key_col, F.col("_sqq").alias("_n")
+    )
+    f_i = firsts.select(key_col, "i", F.col("_s1").alias("_s1i"))
+    f_j = firsts.select(
+        key_col, F.col("i").alias("j"), F.col("_s1").alias("_s1j")
+    )
+    return (
+        cross.join(F.broadcast(f_i), [key_col, "i"])
+        .join(F.broadcast(f_j), [key_col, "j"])
+        .join(F.broadcast(n), key_col)
+        .select(
+            key_col,
+            "i",
+            "j",
+            F.expr("CAST((_n * _sqq - _s1i * _s1j) div _n AS BIGINT)").alias("a"),
+        )
+    )
+
+
+def power_iteration_top_by(
+    scatter: DataFrame, key_col: str, d: int, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Per-group dominant eigendirection — ``power_iteration_top``
+    keyed by ``key_col``: every iterate is (key, i, v), renorm divides
+    by each group's own max|v| (keyed agg + broadcast join), and the
+    Rayleigh quotient is per group. All frames bounded by #keys·d."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    keys = scatter.select(key_col).distinct()
+    dims = scatter.sparkSession.range(1, d + 1).select(
+        F.col("id").alias("i")
+    )
+    v = keys.join(dims).select(
+        key_col, "i", F.lit(V_SCALE).cast("bigint").alias("v")
+    )
+    aj = scatter.select(key_col, "i", F.col("j"), F.col("a"))
+
+    def matvec(vv: DataFrame, out: str) -> DataFrame:
+        return (
+            aj.join(
+                F.broadcast(vv.select(key_col, F.col("i").alias("j"), "v")),
+                [key_col, "j"],
+            )
+            .groupBy(key_col, "i")
+            .agg(F.sum(F.col("a") * F.col("v")).cast("bigint").alias(out))
+        )
+
+    for _ in range(iters):
+        w = matvec(v, "v")
+        m = w.groupBy(key_col).agg(
+            F.max(F.abs(F.col("v"))).cast("bigint").alias("_m")
+        )
+        v = w.join(F.broadcast(m), key_col).select(
+            key_col,
+            "i",
+            (
+                F.signum(F.col("v")).cast("bigint")
+                * F.expr(f"CAST((abs(v) * {V_SCALE}) div _m AS BIGINT)")
+            ).alias("v"),
+        )
+    w = matvec(v, "w")
+    lam = (
+        v.join(w, [key_col, "i"])
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.col("v") * F.col("w")).cast("bigint").alias("_vw"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("_vv"),
+        )
+        .select(key_col, F.expr("CAST(_vw div _vv AS BIGINT)").alias("lambda0"))
     )
     return v, lam

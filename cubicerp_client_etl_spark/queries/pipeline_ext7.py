@@ -1791,3 +1791,100 @@ def q189_column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "null_frac_e6"
         ),
     ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# q190 — Per-label PCA (the KEYED form of q033 — the same
+# generalization discipline as prefix_sum → prefix_sum_by): class-
+# conditional dominant directions and eigenvalues, one power iteration
+# chain per label, every frame bounded by #labels·d². The oracle
+# unrolls the keyed recursion (label-joined CTEs). What it's for:
+# per-class whitening, per-source embedding drift, LDA-style
+# between/within scatter inputs.
+# --------------------------------------------------------------------------
+_PCA_BY_ITERS = 2
+
+
+def _pca_by_oracle(iters: int = _PCA_BY_ITERS) -> str:
+    ctes = [
+        """q AS (
+  SELECT label, vec_id, g.i AS i,
+         CAST(floor(CAST(embedding AS DOUBLE[])[g.i] * 1000 + 0.5)
+           AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN generate_series(1, 64) g(i))""",
+        "s1 AS (SELECT label, i, CAST(SUM(qv) AS BIGINT) AS s1 "
+        "FROM q GROUP BY label, i)",
+        "nn AS (SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n "
+        "FROM q GROUP BY label)",
+        """cm AS (
+  SELECT x.label, x.i AS i, x.j AS j,
+         CAST((nn.n * x.sqq - si.s1 * sj.s1) // nn.n AS BIGINT) AS a
+  FROM (SELECT a.label, a.i AS i, b.i AS j,
+               CAST(SUM(a.qv * b.qv) AS BIGINT) AS sqq
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.label = b.label
+        GROUP BY a.label, a.i, b.i) x
+  JOIN s1 si ON si.label = x.label AND si.i = x.i
+  JOIN s1 sj ON sj.label = x.label AND sj.i = x.j
+  JOIN nn ON nn.label = x.label)""",
+        """v0 AS (
+  SELECT l.label, g.i AS i, CAST(1000 AS BIGINT) AS v
+  FROM (SELECT DISTINCT label FROM embeddings) l
+  CROSS JOIN generate_series(1, 64) g(i))""",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"w{r} AS (SELECT cm.label, cm.i, "
+            f"CAST(SUM(cm.a * v.v) AS BIGINT) AS w FROM cm "
+            f"JOIN v{r} v ON v.label = cm.label AND v.i = cm.j "
+            f"GROUP BY cm.label, cm.i)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT label, CAST(MAX(abs(w)) AS BIGINT) AS m "
+            f"FROM w{r} GROUP BY label)"
+        )
+        ctes.append(
+            f"""v{r + 1} AS (
+  SELECT w.label, w.i,
+         CAST((CASE WHEN w < 0 THEN -1 WHEN w > 0 THEN 1 ELSE 0 END)
+              * ((abs(w) * 1000) // m.m) AS BIGINT) AS v
+  FROM w{r} w JOIN m{r} m ON m.label = w.label)"""
+        )
+    ctes.append(
+        f"wf AS (SELECT cm.label, cm.i, CAST(SUM(cm.a * v.v) AS BIGINT) AS w "
+        f"FROM cm JOIN v{iters} v ON v.label = cm.label AND v.i = cm.j "
+        f"GROUP BY cm.label, cm.i)"
+    )
+    ctes.append(
+        f"""lam AS (
+  SELECT v.label, CAST(SUM(v.v * w.w) // SUM(v.v * v.v) AS BIGINT) AS lambda0
+  FROM v{iters} v JOIN wf w ON w.label = v.label AND w.i = v.i
+  GROUP BY v.label)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.label, v.i AS dim, v.v AS v, lam.lambda0
+FROM v{iters} v JOIN lam ON lam.label = v.label
+ORDER BY v.label, dim
+"""
+    )
+
+
+@register("q190_pca_by_label", oracle=_pca_by_oracle())
+def q190_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.pca import (
+        power_iteration_top_by,
+        quantized_vectors,
+        scatter_matrix_by,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = quantized_vectors(emb, "embedding", "vec_id", extra=("label",))
+    cm = scatter_matrix_by(vecs, "label")
+    v, lam = power_iteration_top_by(cm, "label", d=64, iters=_PCA_BY_ITERS)
+    return (
+        v.select("label", F.col("i").alias("dim"), F.col("v").cast("bigint").alias("v"))
+        .join(F.broadcast(lam), "label")
+        .orderBy("label", "dim")
+    )

@@ -409,3 +409,49 @@ def test_winnow_inline_digest_equals_windowed(spark):
         for r in winnow_digest_inline(df, "doc_id", "text").collect()
     }
     assert inline == via_window
+
+
+def test_keyed_pca_matches_per_group_numpy(spark):
+    import numpy as np
+
+    from cubicerp_client_etl_spark.operators.pca import (
+        power_iteration_top_by,
+        quantized_vectors,
+        scatter_matrix_by,
+    )
+
+    rng = np.random.default_rng(3)
+    d = 8
+    rows = []
+    planted = {}
+    for lbl in (0, 1):
+        u = rng.normal(size=d)
+        u /= np.linalg.norm(u)
+        planted[lbl] = u
+        data = rng.normal(size=(120, 1)) * u * 3.0 + rng.normal(size=(120, d)) * 0.3
+        for i in range(120):
+            rows.append((lbl * 1000 + i, lbl, [float(x) for x in data[i]]))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+    vecs = quantized_vectors(df, "embedding", "vec_id", extra=("label",))
+    cm = scatter_matrix_by(vecs, "label")
+    v, lam = power_iteration_top_by(cm, "label", d=d, iters=3)
+    vv = {}
+    for r in v.collect():
+        vv.setdefault(r.label, np.zeros(d))[r.i - 1] = r.v
+    lams = {r.label: r.lambda0 for r in lam.collect()}
+    for lbl in (0, 1):
+        A = np.zeros((d, d))
+        for r in cm.where(cm.label == lbl).collect():
+            A[r.i - 1, r.j - 1] = r.a
+        evals, evecs = np.linalg.eigh(A)
+        top = evecs[:, -1]
+        cos = abs(vv[lbl] @ top) / (np.linalg.norm(vv[lbl]) * np.linalg.norm(top))
+        assert cos > 0.999, (lbl, cos)
+        assert abs(lams[lbl] - evals[-1]) / evals[-1] < 0.01
+    # the two labels' planted directions differ, and so do the outputs
+    assert (
+        abs(vv[0] @ vv[1]) / (np.linalg.norm(vv[0]) * np.linalg.norm(vv[1]))
+        < 0.9
+    )
