@@ -344,3 +344,90 @@ def power_iteration_top_by(
         .select(key_col, F.expr("CAST(_vw div _vv AS BIGINT)").alias("lambda0"))
     )
     return v, lam
+
+
+def _orth_against(u: DataFrame, v: DataFrame) -> DataFrame:
+    """Exact integer Gram–Schmidt step: u' = u·(v·v) − v·(v·u) —
+    orthogonal to v up to truncation, computed entirely in bigint
+    (both inputs are max-abs-normalized, so the products stay ≤
+    V_SCALE²·d with huge headroom). Any positive scaling of u' leaves
+    the direction unchanged, so skipping the 1/(v·v) division costs
+    nothing."""
+    dots = (
+        u.join(v.select(F.col("i"), F.col("v").alias("_v1")), "i")
+        .agg(
+            F.sum(F.col("_v1") * F.col("_v1")).cast("bigint").alias("_vv"),
+            F.sum(F.col("_v1") * F.col("v")).cast("bigint").alias("_vu"),
+        )
+    )
+    return (
+        u.join(v.select(F.col("i"), F.col("v").alias("_v1")), "i")
+        .join(F.broadcast(dots))
+        .select(
+            "i",
+            (F.col("v") * F.col("_vv") - F.col("_v1") * F.col("_vu")).alias("v"),
+        )
+    )
+
+
+def power_iteration_top2(
+    scatter: DataFrame, d: int, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Top TWO principal directions: the dominant one by
+    ``power_iteration_top``, the second by power iteration with an
+    exact-integer Gram–Schmidt deflation — every iterate is projected
+    off v1 (u' = u·(v1·v1) − v1·(v1·u), pure bigint) before
+    renormalizing, so the iteration converges to the dominant
+    direction of the ORTHOGONAL complement without ever forming the
+    (non-integer) deflated matrix A − λ·v1v1ᵀ/(v1·v1).
+
+    Returns ``(dirs, lams)``: dirs = (i, v1, v2) with both directions
+    at max-abs V_SCALE; lams = one row (lambda0, lambda1) of the two
+    Rayleigh quotients. Deterministic start for u: sign-alternating
+    by dim parity (orthogonalization immediately removes any v1
+    component, so only exact parallelism — measure-zero — would
+    stall). Same bounded-frame plan shape as the top-1 form.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    v1, lam1 = power_iteration_top(scatter, d, iters)
+    v1 = v1.localCheckpoint(eager=True)  # consumed every iteration
+    spark = scatter.sparkSession
+    aj = scatter.select("i", F.col("j"), F.col("a"))
+    u = spark.range(1, d + 1).select(
+        F.col("id").alias("i"),
+        F.when(F.col("id") % 2 == 0, -V_SCALE)
+        .otherwise(V_SCALE)
+        .cast("bigint")
+        .alias("v"),
+    )
+    # per-round localCheckpoint of the 64-row iterate: renorm and the
+    # Gram–Schmidt step each reference their input twice, so an
+    # unpinned chain re-expands ~16× per iteration — exponential plan
+    # growth (the operators/graph.py per-round lesson at matrix size)
+    u = _renorm(_orth_against(u, v1)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        w = (
+            aj.join(F.broadcast(u.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("a") * F.col("v")).cast("bigint").alias("v"))
+        )
+        u = _renorm(_orth_against(_renorm(w), v1)).localCheckpoint(eager=True)
+    w = (
+        aj.join(F.broadcast(u.select(F.col("i").alias("j"), "v")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("a") * F.col("v")).cast("bigint").alias("w"))
+    )
+    lam2 = (
+        u.join(w, "i")
+        .agg(
+            F.sum(F.col("v") * F.col("w")).cast("bigint").alias("_vw"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("_vv"),
+        )
+        .select(F.expr("CAST(_vw div _vv AS BIGINT)").alias("lambda1"))
+    )
+    dirs = v1.select("i", F.col("v").alias("v1")).join(
+        u.select("i", F.col("v").alias("v2")), "i"
+    )
+    lams = lam1.join(F.broadcast(lam2))
+    return dirs, lams

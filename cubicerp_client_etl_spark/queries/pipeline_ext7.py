@@ -15,6 +15,8 @@ windows on low-cardinality keys, no all-pairs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1887,4 +1889,213 @@ def q190_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select("label", F.col("i").alias("dim"), F.col("v").cast("bigint").alias("v"))
         .join(F.broadcast(lam), "label")
         .orderBy("label", "dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q191 — Class-separability report (Fisher/LDA scatter decomposition
+# over the embedding corpus): tr(S_W) vs tr(S_T) — how much of the
+# total variance lives WITHIN classes vs between them, the one-number
+# answer to "are these labels separable in embedding space?" (near 1 =
+# labels carry no geometry; near 0 = tight, well-separated classes).
+# Exact integer form: per (label, dim) moments give css = n_l·Σq² −
+# (Σq)²; each class's normalized trace is Σ_dims css div n_l (= n_l ·
+# tr(Cov_l) up to the floor), the total likewise at N; between =
+# total − within; ratio e6. Scale: ONE map-side-combinable moment
+# aggregation (the same pass could feed q190); all later arithmetic is
+# over #labels·d rows.
+# --------------------------------------------------------------------------
+@register(
+    "q191_class_separability",
+    oracle="""
+WITH q AS (
+  SELECT label, g.i AS i,
+         CAST(floor(CAST(embedding AS DOUBLE[])[g.i] * 1000 + 0.5)
+           AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+),
+m AS (
+  SELECT label, i,
+         CAST(COUNT(*) AS BIGINT) AS n_l,
+         CAST(SUM(qv) AS BIGINT) AS s1,
+         CAST(SUM(qv * qv) AS BIGINT) AS s2
+  FROM q GROUP BY label, i
+),
+per_label AS (
+  SELECT label, ANY_VALUE(n_l) AS n_l,
+         CAST(SUM(n_l * s2 - s1 * s1) // ANY_VALUE(n_l) AS BIGINT) AS tr_w
+  FROM m GROUP BY label
+),
+tot AS (
+  SELECT CAST(SUM(cn * cs2 - cs1 * cs1) // ANY_VALUE(cn) AS BIGINT) AS tr_t,
+         ANY_VALUE(cn) AS n
+  FROM (
+    SELECT i, CAST(SUM(n_l) AS BIGINT) AS cn,
+           CAST(SUM(s1) AS BIGINT) AS cs1,
+           CAST(SUM(s2) AS BIGINT) AS cs2
+    FROM m GROUP BY i
+  )
+)
+SELECT tot.n AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_labels,
+       ANY_VALUE(tot.tr_t) AS trace_total,
+       CAST(SUM(per_label.tr_w) AS BIGINT) AS trace_within,
+       ANY_VALUE(tot.tr_t) - CAST(SUM(per_label.tr_w) AS BIGINT)
+         AS trace_between,
+       CAST(SUM(per_label.tr_w) * 1000000 // ANY_VALUE(tot.tr_t) AS BIGINT)
+         AS within_ratio_e6
+FROM per_label CROSS JOIN tot
+GROUP BY tot.n
+""",
+)
+def q191_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.pca import quantized_vectors
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantized_vectors(emb, "embedding", "vec_id", extra=("label",)).select(
+        "label", F.posexplode("qarr").alias("_d0", "qv")
+    ).select("label", (F.col("_d0") + 1).alias("i"), "qv")
+    m = q.groupBy("label", "i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_l"),
+        F.sum("qv").cast("bigint").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("s2"),
+    )
+    per_label = m.groupBy("label").agg(
+        F.first("n_l").alias("n_l"),
+        F.expr(
+            "CAST(SUM(n_l * s2 - s1 * s1) div first(n_l) AS BIGINT)"
+        ).alias("tr_w"),
+    )
+    tot = (
+        m.groupBy("i")
+        .agg(
+            F.sum("n_l").cast("bigint").alias("cn"),
+            F.sum("s1").cast("bigint").alias("cs1"),
+            F.sum("s2").cast("bigint").alias("cs2"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(cn * cs2 - cs1 * cs1) div first(cn) AS BIGINT)"
+            ).alias("tr_t"),
+            F.first("cn").cast("bigint").alias("n"),
+        )
+    )
+    return (
+        per_label.join(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n_vecs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+            F.first("tr_t").alias("trace_total"),
+            F.sum("tr_w").cast("bigint").alias("trace_within"),
+            (F.first("tr_t") - F.sum("tr_w")).cast("bigint").alias(
+                "trace_between"
+            ),
+            e6_floor_ratio(F.sum("tr_w"), F.first("tr_t")).alias(
+                "within_ratio_e6"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q192 — Top-2 PCA (operators/pca.power_iteration_top2): the second
+# principal direction by power iteration with EXACT-INTEGER
+# Gram–Schmidt deflation — every iterate is projected off v1 as
+# u·(v1·v1) − v1·(v1·u) (pure bigint; positive scaling is free) before
+# renormalizing, so the chain never forms the non-integer deflated
+# matrix A − λ·v1v1ᵀ/(v1·v1). Both directions, both Rayleigh
+# eigenvalues, all 64+64 coordinates value-checked through the fully
+# unrolled two-chain oracle. Scale: identical bounded-matrix shape as
+# q033 — the corpus is touched once (Arrow moment partials), both
+# iteration chains run on the d² matrix.
+# --------------------------------------------------------------------------
+def _pca2_oracle(iters: int = 3) -> str:
+    ctes = _pca_ctes(iters)  # v0..v{iters}, wf, lam (the v1 chain)
+    orth = """d_{tag} AS (
+  SELECT CAST(SUM(a.v * a.v) AS BIGINT) AS vv,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS vu
+  FROM v{it} a JOIN {src} b ON b.i = a.i),
+o_{tag} AS (
+  SELECT b.i, b.v * d_{tag}.vv - a.v * d_{tag}.vu AS v
+  FROM {src} b JOIN v{it} a ON a.i = b.i CROSS JOIN d_{tag}),
+om_{tag} AS (SELECT CAST(MAX(abs(v)) AS BIGINT) AS m FROM o_{tag}),
+{out} AS (
+  SELECT i, CAST((CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END)
+                 * ((abs(v) * 1000) // m) AS BIGINT) AS v
+  FROM o_{tag} CROSS JOIN om_{tag})"""
+    ctes.append(
+        "us AS (SELECT g.i AS i, CAST(CASE WHEN g.i % 2 = 0 THEN -1000 "
+        "ELSE 1000 END AS BIGINT) AS v FROM generate_series(1, 64) g(i))"
+    )
+    ctes.append(orth.format(tag="s", it=iters, src="us", out="u0"))
+    for r in range(iters):
+        ctes.append(
+            f"uw{r} AS (SELECT cm.i, CAST(SUM(cm.a * u.v) AS BIGINT) AS v "
+            f"FROM cm JOIN u{r} u ON u.i = cm.j GROUP BY cm.i)"
+        )
+        ctes.append(
+            f"uwm{r} AS (SELECT CAST(MAX(abs(v)) AS BIGINT) AS m FROM uw{r})"
+        )
+        ctes.append(
+            f"""uwn{r} AS (
+  SELECT i, CAST((CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END)
+                 * ((abs(v) * 1000) // m) AS BIGINT) AS v
+  FROM uw{r} CROSS JOIN uwm{r})"""
+        )
+        ctes.append(
+            orth.format(tag=str(r), it=iters, src=f"uwn{r}", out=f"u{r + 1}")
+        )
+    ctes.append(
+        f"uf AS (SELECT cm.i, CAST(SUM(cm.a * u.v) AS BIGINT) AS w "
+        f"FROM cm JOIN u{iters} u ON u.i = cm.j GROUP BY cm.i)"
+    )
+    ctes.append(
+        f"""lam2 AS (
+  SELECT CAST(vw // vv AS BIGINT) AS lambda1
+  FROM (SELECT CAST(SUM(u.v * w.w) AS BIGINT) AS vw,
+               CAST(SUM(u.v * u.v) AS BIGINT) AS vv
+        FROM u{iters} u JOIN uf w USING (i)))"""
+    )
+    # DuckDB INLINES non-materialized CTEs: with two iteration chains
+    # each referencing its predecessor several times, inlining
+    # re-expands the whole tree per reference (exponential — observed
+    # as fd exhaustion re-opening the parquet). MATERIALIZED pins each
+    # CTE to one evaluation, the same job localCheckpoint does on the
+    # Spark side.
+    mat = [re.sub(r"^(\s*)(\w+) AS \(", r"\1\2 AS MATERIALIZED (", c, count=1)
+           for c in ctes]
+    return (
+        "WITH "
+        + ",\n".join(mat)
+        + f"""
+SELECT v.i AS dim, v.v AS v1, u.v AS v2, lam.lambda0, lam2.lambda1
+FROM v{iters} v
+JOIN u{iters} u ON u.i = v.i
+CROSS JOIN lam CROSS JOIN lam2
+ORDER BY dim
+"""
+    )
+
+
+@register("q192_pca_top2", oracle=_pca2_oracle(3))
+def q192_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.pca import (
+        power_iteration_top2,
+        quantized_vectors,
+        scatter_matrix,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = quantized_vectors(emb, "embedding", "vec_id")
+    cm = scatter_matrix(vecs, "vec_id")
+    dirs, lams = power_iteration_top2(cm, d=64, iters=3)
+    return (
+        dirs.select(
+            F.col("i").alias("dim"),
+            F.col("v1").cast("bigint").alias("v1"),
+            F.col("v2").cast("bigint").alias("v2"),
+        )
+        .join(F.broadcast(lams))
+        .orderBy("dim")
     )

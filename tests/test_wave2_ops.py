@@ -455,3 +455,47 @@ def test_keyed_pca_matches_per_group_numpy(spark):
         abs(vv[0] @ vv[1]) / (np.linalg.norm(vv[0]) * np.linalg.norm(vv[1]))
         < 0.9
     )
+
+
+def test_pca_top2_matches_numpy_and_is_orthogonal(spark):
+    import numpy as np
+
+    from cubicerp_client_etl_spark.operators.pca import (
+        power_iteration_top2,
+        quantized_vectors,
+        scatter_matrix,
+    )
+
+    rng = np.random.default_rng(17)
+    d, n = 12, 250
+    u1 = rng.normal(size=d); u1 /= np.linalg.norm(u1)
+    u2 = rng.normal(size=d); u2 -= (u2 @ u1) * u1; u2 /= np.linalg.norm(u2)
+    data = (
+        rng.normal(size=(n, 1)) * u1 * 4.0
+        + rng.normal(size=(n, 1)) * u2 * 2.0
+        + rng.normal(size=(n, d)) * 0.2
+    )
+    rows = [(i, [float(x) for x in data[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cm = scatter_matrix(quantized_vectors(df, "embedding", "vec_id"), "vec_id")
+    dirs, lams = power_iteration_top2(cm, d=d, iters=3)
+    v1 = np.zeros(d); v2 = np.zeros(d)
+    for r in dirs.collect():
+        v1[r.i - 1] = r.v1
+        v2[r.i - 1] = r.v2
+    lr = lams.collect()[0]
+
+    A = np.zeros((d, d))
+    for r in cm.collect():
+        A[r.i - 1, r.j - 1] = r.a
+    evals, evecs = np.linalg.eigh(A)
+    t1, t2 = evecs[:, -1], evecs[:, -2]
+    cos1 = abs(v1 @ t1) / (np.linalg.norm(v1) * np.linalg.norm(t1))
+    cos2 = abs(v2 @ t2) / (np.linalg.norm(v2) * np.linalg.norm(t2))
+    assert cos1 > 0.999 and cos2 > 0.99, (cos1, cos2)
+    assert abs(lr.lambda0 - evals[-1]) / evals[-1] < 0.01
+    assert abs(lr.lambda1 - evals[-2]) / evals[-2] < 0.02
+    # integer Gram–Schmidt keeps the directions near-orthogonal
+    cos12 = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert cos12 < 0.01, cos12
+    assert lr.lambda0 > lr.lambda1
