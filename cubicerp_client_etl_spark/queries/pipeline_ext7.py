@@ -39,6 +39,7 @@ _WINNOW_W = 4
 
 @register(
     "q009_winnowing_fingerprints",
+    headline=True,  # track the round-6 wave wall-clock (rolls into value_all)
     oracle=f"""
 WITH d AS (
   SELECT doc_id,
@@ -246,6 +247,7 @@ _DSIR_B = 256
 
 @register(
     "q014_dsir_importance_weights",
+    headline=True,  # track the round-6 wave wall-clock (rolls into value_all)
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, lang, source, u.t AS t
@@ -1164,7 +1166,11 @@ ORDER BY dim
     )
 
 
-@register("q033_pca_power_iteration", oracle=_pca_oracle(3))
+@register(
+    "q033_pca_power_iteration",
+    headline=True,  # track the round-6 wave wall-clock (rolls into value_all)
+    oracle=_pca_oracle(3),
+)
 def q033_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.pca import (
         power_iteration_top,
@@ -2098,4 +2104,60 @@ def q192_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(lams))
         .orderBy("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# q193 — PCA projection apply (completes the q033/q192 train→apply
+# story): every embedding lands in the 2-D principal subspace as
+# exact-integer coordinates y_k = Σ_i q_i·v_k,i (raw-scale scores —
+# downstream consumers rescale; the direction vectors are the q192
+# outputs). The oracle replays the two full iteration chains
+# (MATERIALIZED) plus the projection join. Scale: the corpus is
+# touched by ONE explode(×d) + broadcast join against the 64-row
+# direction table + keyed sum — the standard tall-skinny matmul shape.
+# --------------------------------------------------------------------------
+@register(
+    "q193_pca_project",
+    oracle=_pca2_oracle(3).replace(
+        """
+SELECT v.i AS dim, v.v AS v1, u.v AS v2, lam.lambda0, lam2.lambda1
+FROM v3 v
+JOIN u3 u ON u.i = v.i
+CROSS JOIN lam CROSS JOIN lam2
+ORDER BY dim
+""",
+        """
+SELECT q.vec_id,
+       CAST(SUM(q.qv * v.v) AS BIGINT) AS y1,
+       CAST(SUM(q.qv * u.v) AS BIGINT) AS y2
+FROM q
+JOIN v3 v ON v.i = q.i
+JOIN u3 u ON u.i = q.i
+GROUP BY q.vec_id
+ORDER BY q.vec_id
+""",
+    ),
+)
+def q193_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.pca import (
+        power_iteration_top2,
+        quantized_dims,
+        quantized_vectors,
+        scatter_matrix,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = quantized_vectors(emb, "embedding", "vec_id")
+    cm = scatter_matrix(vecs, "vec_id")
+    dirs, _ = power_iteration_top2(cm, d=64, iters=3)
+    q = quantized_dims(emb, "embedding", "vec_id")
+    return (
+        q.join(F.broadcast(dirs), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qv") * F.col("v1")).cast("bigint").alias("y1"),
+            F.sum(F.col("qv") * F.col("v2")).cast("bigint").alias("y2"),
+        )
+        .orderBy("vec_id")
     )
