@@ -47,9 +47,13 @@ _POW31 = 2_147_483_648  # 2^31: pack base for (hash, rightmost-pos)
 def normalize_text(col: Column | str) -> Column:
     """Winnowing canonical form: lowercase, whitespace runs collapsed
     to one space, outer whitespace trimmed (so formatting edits don't
-    shift fingerprints)."""
+    shift fingerprints). COLLAPSE-THEN-TRIM, deliberately: SQL trim
+    (Spark and DuckDB alike) strips SPACES only, so trimming first
+    leaks outer tabs/newlines into the normal form as a stray space —
+    found by tests/test_winnow_property.py; collapsing first reduces
+    every whitespace run to ' ' where trim can reach it."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def winnow_fingerprints(

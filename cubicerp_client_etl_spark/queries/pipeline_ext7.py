@@ -43,7 +43,7 @@ _WINNOW_W = 4
     oracle=f"""
 WITH d AS (
   SELECT doc_id,
-         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ),
 g AS (
