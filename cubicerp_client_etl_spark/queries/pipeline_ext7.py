@@ -2161,3 +2161,213 @@ def q193_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q194 — Context-length sizing datasheet: for each candidate max_len,
+# how many documents truncate, how many tokens are lost, and the exact
+# e6 padding waste under one-doc-per-sequence — the numbers a max_len
+# choice is actually made on (packing strategies then reduce the waste
+# — q008/q168). Pure integer arithmetic over per-doc token counts ×
+# a 4-row candidate dim. Scale: one map-side token count + a bounded
+# broadcast join; the aggregate is map-side combinable.
+# --------------------------------------------------------------------------
+_MAXLENS = (32, 64, 96, 128)
+
+
+@register(
+    "q194_context_length_sizing",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_toks
+  FROM documents
+),
+ml AS (SELECT unnest(ARRAY[{", ".join(str(m) for m in _MAXLENS)}]) AS max_len)
+SELECT CAST(ml.max_len AS BIGINT) AS max_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_toks > ml.max_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(SUM(CASE WHEN d.n_toks > ml.max_len
+                     THEN d.n_toks - ml.max_len ELSE 0 END) AS BIGINT)
+         AS tokens_lost,
+       CAST(SUM(CASE WHEN d.n_toks < ml.max_len
+                     THEN ml.max_len - d.n_toks ELSE 0 END) * 1000000
+            // (COUNT(*) * ml.max_len) AS BIGINT) AS padding_waste_e6
+FROM d CROSS JOIN ml
+GROUP BY ml.max_len
+ORDER BY max_len
+""",
+)
+def q194_context_length_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        token_count("text").cast("bigint").alias("n_toks")
+    )
+    ml = spark.createDataFrame([(m,) for m in _MAXLENS], "max_len bigint")
+    over = F.col("n_toks") > F.col("max_len")
+    under = F.col("n_toks") < F.col("max_len")
+    return (
+        docs.join(F.broadcast(ml))
+        .groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_truncated"),
+            F.sum(F.when(over, F.col("n_toks") - F.col("max_len")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_lost"),
+            e6_floor_ratio(
+                F.sum(
+                    F.when(under, F.col("max_len") - F.col("n_toks")).otherwise(0)
+                ),
+                F.count(F.lit(1)) * F.first("max_len"),
+            ).alias("padding_waste_e6"),
+        )
+        .orderBy("max_len")
+    )
+
+
+# --------------------------------------------------------------------------
+# q195 — Source-concentration index (exact integer Gini over per-source
+# token mass): the one-number imbalance answer to "is this corpus
+# dominated by a few sources?" plus the per-source Lorenz rows (rank,
+# cumulative e6 share). Gini by the rank formula G = (2·Σ k·x_k) /
+# (n·Σ x_k) − (n+1)/n, kept exact as e6 with a common denominator.
+# Scale: corpus → one keyed agg; ALL window/rank work happens on the
+# #sources-row aggregate (bounded by construction).
+# --------------------------------------------------------------------------
+@register(
+    "q195_source_gini",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+           AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, toks,
+         ROW_NUMBER() OVER (ORDER BY toks, source) AS k FROM s
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(toks) AS BIGINT) AS t FROM s
+)
+SELECT r.source, CAST(r.k AS BIGINT) AS rank, r.toks,
+       CAST(SUM(r.toks) OVER (ORDER BY r.k) * 1000000 // tot.t AS BIGINT)
+         AS cum_share_e6,
+       CAST((2 * (SELECT SUM(k * toks) FROM r) * 1000000)
+            // (tot.n * tot.t) - ((tot.n + 1) * 1000000) // tot.n
+         AS BIGINT) AS gini_e6
+FROM r CROSS JOIN tot
+ORDER BY rank
+""",
+)
+def q195_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cubicerp_client_etl_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("bigint").alias("n_toks")
+    )
+    s = docs.groupBy("source").agg(F.sum("n_toks").cast("bigint").alias("toks"))
+    # rank/cumsum windows over the #sources-row aggregate — bounded
+    r = s.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("toks", "source")).cast("bigint"),
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("toks").cast("bigint").alias("t"),
+    )
+    gsum = r.agg(F.sum(F.col("rank") * F.col("toks")).cast("bigint").alias("g"))
+    cum = F.sum("toks").over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        r.join(F.broadcast(tot))
+        .join(F.broadcast(gsum))
+        .select(
+            "source",
+            "rank",
+            "toks",
+            (cum * 1_000_000).alias("_cumtoks"),
+            F.col("t"),
+            F.col("n"),
+            F.col("g"),
+        )
+        .select(
+            "source",
+            "rank",
+            "toks",
+            F.expr("CAST(_cumtoks div t AS BIGINT)").alias("cum_share_e6"),
+            F.expr(
+                "CAST((2 * g * 1000000) div (n * t) - ((n + 1) * 1000000) div n "
+                "AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q196 — Boilerplate phrase inventory: the top word-5-grams by DOCUMENT
+# frequency with their e6 doc-coverage — the "what exact strings should
+# the cleaner strip?" worklist that precedes C4-style span removal
+# (q132 removes; this DISCOVERS). Distinct (doc, gram) before counting
+# so a phrase repeated within one doc counts once. Scale: explode is
+# per-doc bounded; the count is one keyed agg (map-side combinable);
+# top-k is TakeOrdered. The gram string is the hot-key — identical to
+# the q182 postings caveat.
+# --------------------------------------------------------------------------
+@register(
+    "q196_boilerplate_phrases",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE len(trim(text)) > 0
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+           || t[i+4] AS gram
+  FROM toks CROSS JOIN generate_series(1, 4096) s(i)
+  WHERE len(t) >= 5 AND i <= len(t) - 4
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT gram,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(COUNT(*) * 1000000 // ANY_VALUE(n.n_docs) AS BIGINT)
+         AS coverage_e6
+FROM g CROSS JOIN n
+GROUP BY gram
+ORDER BY doc_freq DESC, gram
+LIMIT 20
+""",
+)
+def q196_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.dedup import shingle_rows
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.length(F.trim("text")) > 0).where(
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 5
+    )
+    g = shingle_rows(base, "doc_id", "text", n=5).withColumnRenamed("sh", "gram")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        g.join(F.broadcast(n))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+            e6_floor_ratio(F.count(F.lit(1)), F.first("n_docs")).alias(
+                "coverage_e6"
+            ),
+        )
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(20)
+    )
