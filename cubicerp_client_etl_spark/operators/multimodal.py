@@ -140,18 +140,22 @@ def decode_media(payload: bytes):
 
 def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     """Real decode to ``(width, height, row-major grayscale pixels)``:
-    stdlib BMP path first (always available), PIL for any other format
-    when the optional extra is installed, NotImplementedError with
-    install guidance otherwise."""
+    stdlib BMP and PNG paths first (always available — the PNG decoder
+    is a real zlib-inflate + 5-filter reconstruction), PIL for any
+    other format when the optional extra is installed,
+    NotImplementedError with install guidance otherwise."""
     if payload[:2] == b"BM":
         return decode_bmp_gray(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png_gray(payload)
     image_mod = _pil_image()
     if image_mod is None:
         raise NotImplementedError(
-            "non-BMP media decode needs the optional 'pillow' extra "
-            "(pip install pillow); encode payloads as 8-bit BMP "
-            "(encode_bmp_gray) for the dependency-free real path, or "
-            "use fake=True for the byte-derived stub"
+            "beyond-BMP/PNG media decode needs the optional 'pillow' "
+            "extra (pip install pillow); encode payloads as 8-bit BMP "
+            "(encode_bmp_gray) or grayscale PNG (encode_png_gray) for "
+            "the dependency-free real paths, or use fake=True for the "
+            "byte-derived stub"
         )
     img = decode_media(payload).convert("L")
     return img.width, img.height, bytes(img.getdata())
@@ -404,3 +408,183 @@ def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# ---- PNG (stdlib zlib codec, 8-bit grayscale) -----------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(
+    width: int, height: int, pixels: bytes, filter_mode: str = "mixed"
+) -> bytes:
+    """Serialize row-major grayscale ``pixels`` as a real 8-bit
+    grayscale PNG (stdlib zlib, CRC-correct chunks). ``filter_mode``:
+    'none' writes every scanline with filter 0; 'mixed' cycles filter
+    y % 5 per row (None/Sub/Up/Average/Paeth) so a decoder's ENTIRE
+    filter reconstruction surface is exercised by one image — the
+    fixture choice for q197. Byte-deterministic (fixed zlib level 6).
+    """
+    import struct
+    import zlib
+
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    if filter_mode not in ("none", "mixed"):
+        raise ValueError("filter_mode must be 'none' or 'mixed'")
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        f = (y % 5) if filter_mode == "mixed" else 0
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:  # Sub
+            raw += bytes(
+                (row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width)
+            )
+        elif f == 2:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
+        elif f == 3:  # Average
+            raw += bytes(
+                (row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(width)
+            )
+        else:  # Paeth
+            out = bytearray()
+            for x in range(width):
+                a = row[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((row[x] - pred) & 0xFF)
+            raw += out
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an 8-bit grayscale non-interlaced PNG to ``(width,
+    height, pixels)`` row-major — a REAL decoder: chunk walk, zlib
+    inflate, and full reconstruction of all five scanline filters
+    (None/Sub/Up/Average/Paeth). Raises ValueError for anything that
+    isn't 8-bit grayscale non-interlaced."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, color, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit grayscale non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (width + 1) * height:
+        raise ValueError("scanline payload size mismatch")
+    out = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        f = raw[y * (width + 1)]
+        line = raw[y * (width + 1) + 1 : (y + 1) * (width + 1)]
+        row = bytearray()
+        for x in range(width):
+            v = line[x]
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if f == 0:
+                r = v
+            elif f == 1:
+                r = v + a
+            elif f == 2:
+                r = v + b
+            elif f == 3:
+                r = v + ((a + b) >> 1)
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = v + pred
+            else:
+                raise ValueError(f"unknown PNG filter {f}")
+            row.append(r & 0xFF)
+        out += row
+        prev = bytes(row)
+    return width, height, bytes(out)
+
+
+# ---- G.711 mu-law companding (pure Catalyst integer expressions) ----------
+
+ULAW_BIAS = 132
+ULAW_CLIP = 32635
+
+
+def ulaw_encode_expr(col: str) -> "F.Column":
+    """G.711 mu-law byte [0, 255] for a 16-bit PCM sample column — the
+    telephony/8-bit-audio companding codec as a PURE INTEGER SQL
+    expression (segment index = bit_length(biased magnitude) − 8 via
+    the conv-to-binary trick, mantissa by shift/mask, sign by XOR
+    mask): whole-stage codegen, no Python in the row path, replayable
+    bit-for-bit in any engine with bin()/bitwise ops (the q198 oracle
+    does). ``col`` is a column NAME (SQL-expression builder — shifts
+    take column amounts only through the SQL surface)."""
+    a = f"(least(abs({col}), {ULAW_CLIP}) + {ULAW_BIAS})"
+    seg = f"(length(conv(cast({a} as string), 10, 2)) - 8)"
+    u = f"(shiftleft({seg}, 4) | (shiftright({a}, {seg} + 3) & 15))"
+    return F.expr(
+        f"CAST(({u}) ^ (CASE WHEN {col} < 0 THEN 127 ELSE 255 END) AS INT)"
+    )
+
+
+def ulaw_decode_expr(col: str) -> "F.Column":
+    """Inverse companding: reconstructed 16-bit PCM for a mu-law byte
+    column (~u is 255 − u on [0, 255]; mantissa re-biased and shifted
+    by the segment; sign from bit 7). Exact integers end-to-end."""
+    v = f"(255 - {col})"
+    t = (
+        f"(shiftleft(shiftleft(({v} & 15), 3) + {ULAW_BIAS}, "
+        f"shiftright(({v} & 112), 4)))"
+    )
+    return F.expr(
+        f"CAST(CASE WHEN ({v} & 128) > 0 THEN {ULAW_BIAS} - {t} "
+        f"ELSE {t} - {ULAW_BIAS} END AS INT)"
+    )

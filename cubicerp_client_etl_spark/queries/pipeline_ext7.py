@@ -2371,3 +2371,186 @@ def q196_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "gram")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q197 — REAL PNG decode path (operators/multimodal.py stdlib zlib
+# codec): deterministic grayscale images are ENCODED as real PNGs with
+# the per-row filter CYCLING through all five types (None/Sub/Up/
+# Average/Paeth — one image exercises the decoder's whole filter
+# reconstruction surface), then extract_features(fake=False) inflates
+# and reconstructs the actual pixels and buckets the luminance
+# histogram. The oracle replays the pixel arithmetic directly (the
+# codec round-trip is the identity on pixels, unit-pinned incl. each
+# filter), so a filter-reconstruction bug surfaces as a value
+# mismatch. The image twin of q157's BMP chain, one compression level
+# deeper. Scale: synth + decode are pure map stages.
+# --------------------------------------------------------------------------
+@register(
+    "q197_png_feature_histogram",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 5 + doc_id % 6 AS w, 6 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 50 = 0
+),
+px AS (
+  SELECT doc_id, w * h AS total, unnest(range(0, w * h)) AS i FROM d
+),
+pv AS (
+  SELECT doc_id, total,
+         (((doc_id * 37 + i * 101 + (i * i) % 251) % 256) * 8) // 256 AS bucket
+  FROM px
+),
+c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM pv GROUP BY doc_id, bucket),
+spine AS (
+  SELECT doc_id, total, unnest(range(0, 8)) AS bucket
+  FROM (SELECT DISTINCT doc_id, total FROM px)
+)
+SELECT s.doc_id,
+       CAST(s.bucket AS INTEGER) AS bucket,
+       COALESCE(c.cnt, 0) / CAST(s.total AS DOUBLE) AS frac
+FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
+""",
+)
+def q197_png_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        encode_png_gray,
+        extract_features,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 6, 6 + did % 5
+                pxs = bytes(
+                    (did * 37 + i * 101 + (i * i) % 251) % 256
+                    for i in range(w * h)
+                )
+                payloads.append(encode_png_gray(w, h, pxs, filter_mode="mixed"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary").selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/png', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'png', "
+        "'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT)) AS meta",
+    )
+    feats = extract_features(media, n_features=8, fake=False)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "frac")
+    ).select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("frac").alias("frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q198 — mu-law companding quality datasheet (operators/multimodal.py
+# ulaw_encode_expr/ulaw_decode_expr): the G.711 telephony codec as
+# pure Catalyst integer expressions — deterministic PCM16 waveforms
+# are companded to 8-bit mu-law and back IN SQL (no Python row path),
+# and the per-waveform report carries exact integers: max absolute
+# reconstruction error, signal/noise energy, e6 noise ratio — the
+# compression-quality datasheet an audio-ingest pipeline keeps. The
+# oracle replays encode AND decode bit-for-bit (bin()/bitwise ops),
+# so a companding bug in either engine is a value mismatch. Scale:
+# synth/transcode are map stages; one keyed agg.
+# --------------------------------------------------------------------------
+@register(
+    "q198_ulaw_companding_quality",
+    oracle="""
+WITH sz AS (
+  SELECT doc_id, 120 + doc_id % 50 AS n FROM documents WHERE doc_id % 10 = 0
+),
+samp AS (
+  SELECT doc_id, n, g.i AS i,
+         ((doc_id * 211 + g.i * 4799) % 60001) - 30000 AS x
+  FROM sz CROSS JOIN generate_series(0, 169) g(i)
+  WHERE g.i < n
+),
+enc AS (
+  SELECT doc_id, n, i, x,
+         xor((seg << 4) | ((a >> (seg + 3)) & 15),
+             CASE WHEN x < 0 THEN 127 ELSE 255 END) AS u
+  FROM (
+    SELECT doc_id, n, i, x, a, length(bin(a)) - 8 AS seg
+    FROM (SELECT doc_id, n, i, x,
+                 least(abs(x), 32635) + 132 AS a
+          FROM samp)
+  )
+),
+dec AS (
+  SELECT doc_id, n, i, x,
+         CASE WHEN (v & 128) > 0 THEN 132 - t ELSE t - 132 END AS xc
+  FROM (
+    SELECT doc_id, n, i, x, v,
+           (((v & 15) << 3) + 132) << ((v & 112) >> 4) AS t
+    FROM (SELECT doc_id, n, i, x, 255 - u AS v FROM enc)
+  )
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_samples,
+       CAST(MAX(abs(x - xc)) AS BIGINT) AS max_abs_err,
+       CAST(SUM(x * x) AS BIGINT) AS signal_sq,
+       CAST(SUM((x - xc) * (x - xc)) AS BIGINT) AS noise_sq,
+       CAST(SUM((x - xc) * (x - xc)) * 1000000 // SUM(x * x) AS BIGINT)
+         AS noise_ratio_e6
+FROM dec
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q198_ulaw_companding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        ulaw_decode_expr,
+        ulaw_encode_expr,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", (120 + F.col("doc_id") % 50).alias("n"))
+    )
+    samp = docs.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "n",
+        "i",
+        (
+            (F.col("doc_id") * 211 + F.col("i") * 4799) % 60001 - 30000
+        )
+        .cast("int")
+        .alias("x"),
+    )
+    enc = samp.withColumn("u", ulaw_encode_expr("x"))
+    dec = enc.withColumn("xc", ulaw_decode_expr("u"))
+    err = F.col("x") - F.col("xc")
+    return (
+        dec.groupBy("doc_id")
+        .agg(
+            F.first("n").cast("bigint").alias("n_samples"),
+            F.max(F.abs(err)).cast("bigint").alias("max_abs_err"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("signal_sq"),
+            F.sum(err * err).cast("bigint").alias("noise_sq"),
+            e6_floor_ratio(
+                F.sum(err * err), F.sum(F.col("x") * F.col("x"))
+            ).alias("noise_ratio_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -258,3 +258,75 @@ def test_audio_features_fake_path_runs_on_any_binary(spark):
     r = audio_features(df, fake=True).collect()[0]
     assert r["n_samples"] == 15
     assert r["sample_rate"] == 16000
+
+
+# ---- PNG codec ------------------------------------------------------------
+
+
+def test_png_round_trip_each_filter_and_errors():
+    import random
+
+    import pytest
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        _decode_gray,
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    rng = random.Random(7)
+    for w, h in ((1, 1), (3, 10), (16, 4), (31, 9)):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        for mode in ("none", "mixed"):
+            assert decode_png_gray(encode_png_gray(w, h, px, mode)) == (w, h, px)
+    # gradient rows make Sub/Up/Average/Paeth take non-trivial paths
+    w, h = 13, 10
+    px = bytes(((x * 7 + y * 31) % 256) for y in range(h) for x in range(w))
+    payload = encode_png_gray(w, h, px, "mixed")
+    assert decode_png_gray(payload) == (w, h, px)
+    # the shared real-decode dispatcher accepts PNG
+    assert _decode_gray(payload) == (w, h, px)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_gray(b"nope")
+    with pytest.raises(ValueError):
+        encode_png_gray(2, 2, b"abc")  # wrong pixel count
+    with pytest.raises(ValueError):
+        encode_png_gray(1, 1, b"a", filter_mode="bogus")
+
+
+# ---- mu-law ---------------------------------------------------------------
+
+
+def test_ulaw_known_values_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        ulaw_decode_expr,
+        ulaw_encode_expr,
+    )
+
+    # canonical G.711 pairs (reference C implementation)
+    known = [(0, 255, 0), (1, 255, 0), (-1, 127, 0), (100, 242, 104),
+             (-100, 114, -104), (5000, 171, 5116), (32767, 128, 32124),
+             (-32768, 0, -32124)]
+    df = spark.createDataFrame([(x,) for x, _, _ in known], "x int")
+    got = {
+        r.x: (r.u, r.xc)
+        for r in df.select(
+            "x", ulaw_encode_expr("x").alias("u")
+        ).select("x", "u", ulaw_decode_expr("u").alias("xc")).collect()
+    }
+    for x, u, xc in known:
+        assert got[x] == (u, xc), (x, got[x], (u, xc))
+
+    # companding idempotence: enc(dec(u)) == u for every byte — the
+    # codec's fixed-point property
+    bytes_df = spark.range(256).select(F.col("id").cast("int").alias("u"))
+    rt = bytes_df.select(
+        "u", ulaw_decode_expr("u").alias("xc")
+    ).select("u", ulaw_encode_expr("xc").alias("u2")).collect()
+    bad = [(r.u, r.u2) for r in rt if r.u != r.u2]
+    # 0x7F/0xFF both decode to 0, which re-encodes as 0xFF — the one
+    # canonical collapse in G.711 (negative zero); everything else is
+    # a fixed point
+    assert bad == [(127, 255)], bad
