@@ -2554,3 +2554,259 @@ def q198_ulaw_companding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q199 — Run-length compressibility signal: runs/chars e6 per document
+# plus the corpus roll-up per source. The ORACLE-ABLE member of the
+# compressibility family — q131's zlib ratio is rows-only forever
+# (no zlib in SQL), while run structure is exact: runs = 1 + Σ[c_i ≠
+# c_{i−1}], replayed character-for-character. Low run-ratio (long
+# repeated runs) flags the same degenerate/repetitive text the zlib
+# signal does, at whole-stage-codegen speed (one regexp-free map —
+# the change count via a split on identical-adjacent boundaries).
+# Scale: pure map + one keyed agg.
+# --------------------------------------------------------------------------
+@register(
+    "q199_rle_compressibility",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, lower(trim(text)) AS t
+  FROM documents WHERE len(trim(text)) > 0
+),
+b AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM d CROSS JOIN generate_series(2, 640) g(i)
+  WHERE g.i <= len(d.t)
+    AND substr(d.t, g.i, 1) <> substr(d.t, g.i - 1, 1)
+  GROUP BY d.doc_id
+),
+r AS (
+  SELECT d.doc_id, d.source, len(d.t) AS n_chars,
+         1 + COALESCE(b.nb, 0) AS n_runs
+  FROM d LEFT JOIN b USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_runs) AS BIGINT) AS n_runs,
+       CAST(SUM(n_runs) * 1000000 // SUM(n_chars) AS BIGINT)
+         AS run_ratio_e6,
+       CAST(MIN(n_runs * 1000000 // n_chars) AS BIGINT) AS min_doc_ratio_e6
+FROM r
+GROUP BY source
+ORDER BY source
+""",
+)
+def q199_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    t = F.lower(F.trim("text"))
+    # runs = 1 + number of adjacent-unequal boundaries: compare the
+    # string against itself shifted by one (zip of char arrays).
+    # Spark's split keeps trailing empties (limit −1), and '(?!^)'
+    # also matches at end-of-string — slice to exactly n chars or the
+    # phantom '' counts one boundary per document
+    chars = F.slice(F.split(t, "(?!^)"), 1, F.length(t))
+    boundaries = F.size(
+        F.filter(
+            F.zip_with(
+                chars,
+                F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(1))),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.length(t).cast("bigint").alias("n_chars"),
+        (F.lit(1) + boundaries).cast("bigint").alias("n_runs"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_runs").cast("bigint").alias("n_runs"),
+            e6_floor_ratio(F.sum("n_runs"), F.sum("n_chars")).alias(
+                "run_ratio_e6"
+            ),
+            F.min(
+                e6_floor_ratio(F.col("n_runs"), F.col("n_chars"))
+            )
+            .cast("bigint")
+            .alias("min_doc_ratio_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q200 — Corpus RELEASE pipeline (the release-flavored sibling of
+# q015's curation pipeline): model-based quality gate (q166 scoring,
+# keep score >= 0) → exact dedup (md5 fingerprint, keep lowest id) →
+# eval-set decontamination (drop docs sharing a word-5-gram with the
+# planted eval slice doc_id % 97 == 0) → deterministic hash split →
+# the per-(split, lang) release datacard. Every stage is a shape
+# proven at scale elsewhere in the corpus (broadcast weight join,
+# WindowGroupLimit-free min-id dedup via groupBy, broadcast anti-join
+# on shingles, map-side split); the composite's end-to-end numbers
+# are what actually ships with a release. Fully oracled.
+# --------------------------------------------------------------------------
+@register(
+    "q200_release_pipeline",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token || '|qcls'), 1, 8)) AS BIGINT)
+           % 1024 AS bucket
+  FROM tok
+),
+w AS (
+  SELECT g.b AS bucket,
+         CAST(concat('0x', substr(md5(CAST(g.b AS VARCHAR) || '|qclsw'), 1, 8))
+              AS BIGINT) % 2001 - 1000 AS w
+  FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+),
+scored AS (
+  SELECT b.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+  FROM b JOIN w USING (bucket) GROUP BY b.doc_id
+),
+kept1 AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN scored s USING (doc_id)
+  WHERE s.score >= 0
+),
+fp AS (
+  SELECT doc_id, lang, text,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM kept1
+),
+kept2 AS (
+  SELECT doc_id, lang, text
+  FROM (SELECT doc_id, lang, text,
+               MIN(doc_id) OVER (PARTITION BY f) AS keeper
+        FROM fp)
+  WHERE doc_id = keeper
+),
+etoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE doc_id % 97 = 0
+),
+eg AS (
+  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           || ' ' || t[i+4] AS gram
+  FROM etoks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 5 AND i <= len(t) - 4
+),
+ktoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM kept2
+),
+kg AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+           || t[i+4] AS gram
+  FROM ktoks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 5 AND i <= len(t) - 4
+),
+contaminated AS (SELECT DISTINCT kg.doc_id FROM kg JOIN eg USING (gram)),
+kept3 AS (
+  SELECT k.doc_id, k.lang, k.text FROM kept2 k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+final AS (
+  SELECT doc_id, lang,
+         CASE WHEN bkt < 900 THEN 'train'
+              WHEN bkt < 950 THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_toks
+  FROM (SELECT doc_id, lang, text,
+               CAST(concat('0x',
+                 substr(md5(CAST(doc_id AS VARCHAR) || '|splitr6'), 1, 8))
+               AS BIGINT) % 1000 AS bkt
+        FROM kept3)
+),
+st AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_split FROM final GROUP BY split)
+SELECT f.split, f.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.n_toks) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) * 1000000 // ANY_VALUE(st.n_split) AS BIGINT)
+         AS share_in_split_e6
+FROM final f JOIN st ON st.split = f.split
+GROUP BY f.split, f.lang
+ORDER BY f.split, f.lang
+""",
+)
+def q200_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.classifier import (
+        derived_weights,
+        score_documents,
+    )
+    from cubicerp_client_etl_spark.operators.dedup import shingle_rows
+    from cubicerp_client_etl_spark.operators.sampling import hash_split
+    from cubicerp_client_etl_spark.operators.text import fingerprint, token_count
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # 1. model-based quality gate
+    weights = derived_weights(spark, 1024, "qclsw")
+    scored = score_documents(docs, weights, 1024, "qcls")
+    kept1 = docs.join(
+        scored.where(F.col("score") >= 0).select("doc_id"), "doc_id"
+    )
+    # 2. exact dedup, keep lowest id per fingerprint (min-id via
+    # groupBy — map-side combinable, no window sort)
+    keeper = (
+        kept1.select(fingerprint("text").alias("f"), "doc_id")
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept2 = kept1.join(keeper, "doc_id")
+    # 3. decontamination against the planted eval slice
+    eval_grams = shingle_rows(
+        docs.where(F.col("doc_id") % 97 == 0).where(
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 5
+        ),
+        "doc_id",
+        "text",
+        n=5,
+    ).select("sh").distinct()
+    kg = shingle_rows(
+        kept2.where(F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 5),
+        "doc_id",
+        "text",
+        n=5,
+    )
+    contaminated = (
+        kg.join(F.broadcast(eval_grams), "sh").select("doc_id").distinct()
+    )
+    kept3 = kept2.join(contaminated, "doc_id", "left_anti")
+    # 4. deterministic split + 5. per-(split, lang) datacard
+    final = hash_split(kept3, "doc_id", salt="r6").select(
+        "doc_id", "lang", "split", token_count("text").cast("bigint").alias("n_toks")
+    )
+    st = final.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_split")
+    )
+    return (
+        final.join(F.broadcast(st), "split")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            e6_floor_ratio(F.count(F.lit(1)), F.first("n_split")).alias(
+                "share_in_split_e6"
+            ),
+        )
+        .orderBy("split", "lang")
+    )
