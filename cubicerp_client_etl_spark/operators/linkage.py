@@ -32,6 +32,13 @@ def blocked_pairs(
     form their own block rather than silently dropping — the
     ADVICE-r5 interleave lesson)."""
     rest = [c for c in df.columns if c not in block_cols and c != id_col]
+    clash = [c for c in df.columns
+             if c in (f"{r}_a" for r in rest) or c in (f"{r}_b" for r in rest)
+             or c in ("id_a", "id_b")]
+    if clash:
+        raise ValueError(
+            f"columns {clash} collide with the pair suffixes; rename them"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c) for c in block_cols],

@@ -50,6 +50,8 @@ def quantized_vectors(
     Pure map projection — the array is NOT exploded, so downstream
     outer products stay map-side; ``extra`` carries grouping columns
     (label, source) along rather than re-joining them later."""
+    if "qarr" in (id_col, *extra) or "qarr" in emb.columns:
+        raise ValueError("'qarr' is the reserved output column; rename it")
     return emb.select(
         id_col,
         *extra,

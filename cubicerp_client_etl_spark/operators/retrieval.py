@@ -48,6 +48,10 @@ def bm25_scores(
     whole top-k buffer)."""
     if not terms:
         raise ValueError("terms must not be empty")
+    if any(t != t.lower() for t in terms):
+        # the corpus side lowercases before matching; a mixed-case
+        # probe would silently match nothing
+        raise ValueError(f"probe terms must be lowercase: {terms}")
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
 
     toks = docs.select(

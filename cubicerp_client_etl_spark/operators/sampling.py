@@ -299,6 +299,9 @@ def hash_split(
         raise ValueError("splits must not be empty")
     if any(s <= 0 for _, s in splits):
         raise ValueError("split shares must be positive")
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
     from cubicerp_client_etl_spark.functions import md5_hash32
 
     total = sum(s for _, s in splits)

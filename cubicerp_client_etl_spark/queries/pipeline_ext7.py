@@ -2810,3 +2810,73 @@ def q200_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — Language-ID confusion matrix (the evaluation harness for
+# q037's marker-heuristic detector against the corpus's declared
+# labels): per (declared, detected) cell counts plus each declared
+# language's e6 hit rate — the accuracy datasheet a lang-ID gate is
+# tuned with, and the template for evaluating any swapped-in detector.
+# Scale: one map pass (the detector is pure Catalyst) + one keyed agg.
+# --------------------------------------------------------------------------
+@register(
+    "q201_langid_confusion",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT lang,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_guess
+  FROM (
+    SELECT lang,
+           len(list_filter(toks, x -> lower(x) IN ('the','a','of','and'))) AS s_en,
+           len(list_filter(toks, x -> lower(x) IN ('el','la','de','y'))) AS s_es,
+           len(list_filter(toks, x -> lower(x) IN ('der','die','das','und'))) AS s_de,
+           len(list_filter(toks, x -> lower(x) IN ('le','la','et','les'))) AS s_fr
+    FROM t)
+),
+n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM g GROUP BY lang)
+SELECT g.lang AS declared, g.lang_guess AS detected,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * 1000000 // ANY_VALUE(n.n_lang) AS BIGINT)
+         AS cell_share_e6,
+       CAST(CASE WHEN g.lang = g.lang_guess THEN 1 ELSE 0 END AS INTEGER)
+         AS is_hit
+FROM g JOIN n ON n.lang = g.lang
+GROUP BY g.lang, g.lang_guess
+ORDER BY declared, detected
+""",
+)
+def q201_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("declared"),
+        tx.language_id("text").alias("detected"),
+    )
+    n = docs.groupBy("declared").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lang")
+    )
+    return (
+        docs.join(F.broadcast(n), "declared")
+        .groupBy("declared", "detected")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            e6_floor_ratio(F.count(F.lit(1)), F.first("n_lang")).alias(
+                "cell_share_e6"
+            ),
+            F.when(F.col("declared") == F.col("detected"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_hit"),
+        )
+        .orderBy("declared", "detected")
+    )

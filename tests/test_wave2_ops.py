@@ -499,3 +499,25 @@ def test_pca_top2_matches_numpy_and_is_orthogonal(spark):
     cos12 = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
     assert cos12 < 0.01, cos12
     assert lr.lambda0 > lr.lambda1
+
+
+def test_new_operator_guards(spark):
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.linkage import blocked_pairs
+    from cubicerp_client_etl_spark.operators.pca import quantized_vectors
+    from cubicerp_client_etl_spark.operators.retrieval import bm25_scores
+    from cubicerp_client_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="duplicate split names"):
+        hash_split(df, "doc_id", splits=(("a", 1), ("a", 2)))
+    tdf = df.withColumn("text", F.lit("Vector stream"))
+    with pytest.raises(ValueError, match="lowercase"):
+        bm25_scores(tdf, "doc_id", "text", ("Vector",))
+    edf = df.withColumn("qarr", F.array(F.lit(1.0)))
+    with pytest.raises(ValueError, match="qarr"):
+        quantized_vectors(edf, "qarr", "doc_id")
+    ldf = df.withColumn("st", F.lit("x")).withColumn("name_a", F.lit("y")).withColumn("name", F.lit("z"))
+    with pytest.raises(ValueError, match="collide"):
+        blocked_pairs(ldf, "doc_id", ["st"])
