@@ -2880,3 +2880,183 @@ def q201_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared", "detected")
     )
+
+
+# --------------------------------------------------------------------------
+# q202 — IVF cell-balance report (index health for the q184/q150 ANN
+# family): per-cell occupancy + e6 share, plus the imbalance factor
+# max_cell·k/n vs the uniform ideal — the number that predicts probe
+# latency variance (a hot cell makes nprobe=1 queries scan far more
+# than n/k). Same centroid set and cosine-assignment rule as the
+# q162 recall harness, so the two reports describe the same index.
+# Scale: assignment = broadcast against the k-row centroid table +
+# per-vector window (keyed by the high-cardinality vec id); the
+# report aggregates k rows.
+# --------------------------------------------------------------------------
+@register(
+    "q202_ivf_cell_balance",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+scored_assign AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                    sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv)), 6) DESC,
+                    c.cid) AS crn
+  FROM e CROSS JOIN c
+),
+assigned AS (SELECT vec_id, cid FROM scored_assign WHERE crn = 1),
+cells AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cid
+),
+tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(MAX(n_vecs) AS BIGINT) AS mx
+  FROM cells
+)
+SELECT cells.cid, cells.n_vecs,
+       CAST(cells.n_vecs * 1000000 // tot.n AS BIGINT) AS share_e6,
+       CAST(tot.mx * tot.k * 1000000 // tot.n AS BIGINT) AS imbalance_e6
+FROM cells CROSS JOIN tot
+ORDER BY cid
+""",
+)
+def q202_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.similarity import as_double, cosine
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cos_c = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    w = W.partitionBy("vec_id").orderBy(F.col("__cs").desc(), F.col("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cos_c.alias("__cs"))
+        .withColumn("__crn", F.row_number().over(w))
+        .where(F.col("__crn") == 1)
+        .select("vec_id", "cid")
+    )
+    cells = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    tot = cells.agg(
+        F.sum("n_vecs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n_vecs").cast("bigint").alias("mx"),
+    )
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vecs",
+            e6_floor_ratio(F.col("n_vecs"), F.col("n")).alias("share_e6"),
+            e6_floor_ratio(F.col("mx") * F.col("k"), F.col("n")).alias(
+                "imbalance_e6"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------------------------------
+# q203 — LSH band-bucket skew report (the observability twin of the
+# hot_band_cap defense on lsh_candidate_pairs): bucket-size
+# distribution of the q032 band join — total buckets, singleton
+# fraction, max bucket, and the candidate-pair mass Σ m·(m−1)/2 the
+# join would emit — the report that says whether a boilerplate
+# mega-bucket is about to go quadratic BEFORE the join runs. Same
+# portable MinHash/band pipeline as q032 over the same dupped corpus.
+# Scale: signatures are one keyed agg; the report aggregates bucket
+# counts (bounded by #docs·bands).
+# --------------------------------------------------------------------------
+@register(
+    "q203_lsh_bucket_skew",
+    oracle="""
+WITH dupped AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM dupped
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 3 AND i <= len(t) - 2
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+),
+hashes AS (
+  SELECT doc_id, g.i AS i, MIN(md5(sh || '|' || g.i)) AS h
+  FROM sh CROSS JOIN generate_series(0, 31) g(i)
+  GROUP BY doc_id, g.i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+  FROM hashes GROUP BY doc_id, i // 4
+),
+buckets AS (
+  SELECT band_id, band_hash, CAST(COUNT(*) AS BIGINT) AS m
+  FROM bands GROUP BY band_id, band_hash
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+         AS BIGINT) AS singleton_e6,
+       CAST(MAX(m) AS BIGINT) AS max_bucket,
+       CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets
+""",
+)
+def q203_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupped = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    sigs = dd.minhash_signatures(
+        dupped, "doc_id", "text", num_hashes=32, portable=True
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"h{b * 4 + r}") for r in range(4)]
+                            ).cast("binary")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.band_id", "_b.band_hash")
+    buckets = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    single = F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+    return buckets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        single.cast("bigint").alias("n_singletons"),
+        e6_floor_ratio(single, F.count(F.lit(1))).alias("singleton_e6"),
+        F.max("m").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("m * (m - 1) div 2")).cast("bigint").alias("candidate_pairs"),
+    )

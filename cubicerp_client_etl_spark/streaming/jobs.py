@@ -611,3 +611,17 @@ def stream_gram_partials(vecs: DataFrame) -> DataFrame:
     return gram_partials(vecs).groupBy("i", "j").agg(
         F.sum("p").cast("bigint").alias("p")
     )
+
+
+def stream_hash_split(
+    docs: DataFrame, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Streaming twin of ``operators/sampling.hash_split`` — trivially
+    so, and that is the point: split membership is a pure function of
+    md5(id|salt), so the STREAMING split is the batch operator applied
+    unchanged (stateless map, no watermark), and a document ingested
+    today lands in the same split a batch rebuild would assign next
+    year. Equivalence pinned by tests/test_streaming.py."""
+    from cubicerp_client_etl_spark.operators.sampling import hash_split
+
+    return hash_split(docs, id_col, salt=salt)

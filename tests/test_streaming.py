@@ -521,3 +521,30 @@ def test_stream_gram_partials_match_batch(spark):
     }
     assert stream_sums == batch_sums
     assert stream_sums[(0, 0)] == static.count()  # the count cell
+
+
+def test_stream_hash_split_matches_batch(spark):
+    from cubicerp_client_etl_spark.catalog import load
+    from cubicerp_client_etl_spark.operators.sampling import hash_split
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_hash_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_to_memory(
+        stream_hash_split(
+            documents_stream(spark, sf).select("doc_id"), salt="r6"
+        ),
+        "split_stream",
+        output_mode="append",
+    )
+    stream_rows = {(r.doc_id, r.split) for r in got.collect()}
+    batch_rows = {
+        (r.doc_id, r.split)
+        for r in hash_split(
+            load(spark, sf, "documents").select("doc_id"), "doc_id", salt="r6"
+        ).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
