@@ -3060,3 +3060,163 @@ def q203_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").cast("bigint").alias("max_bucket"),
         F.sum(F.expr("m * (m - 1) div 2")).cast("bigint").alias("candidate_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q204 — SimHash Hamming-ball blocking (completes the SimHash scale
+# story: q183 computes fingerprints; this FINDS the near pairs without
+# all-pairs): split the 16-bit fingerprint into 4 chunks — by
+# pigeonhole, any pair within Hamming distance 3 shares at least one
+# chunk — equi-join on (chunk_id, chunk_value), then verify the exact
+# Hamming distance on candidates only. Planted near-dups (copies with
+# one appended token at doc_id+10⁶) must surface. The standard
+# Charikar/Manku-Jain-Sarma blocking; same portable md5 bit family as
+# q183, so DuckDB replays fingerprints, blocking AND verification.
+# Scale: fingerprints are map-only; the chunk join is bucketed (the
+# LSH-band shape — q203's skew report applies verbatim).
+# --------------------------------------------------------------------------
+@register(
+    "q204_simhash_blocking",
+    oracle="""
+WITH dupped AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, u.t AS t
+  FROM dupped, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+),
+ones AS (
+  SELECT doc_id, g.i AS i,
+         COUNT(*) FILTER (WHERE substr(md5(t || '|' || g.i), 1, 1) >= '8') AS o
+  FROM toks CROSS JOIN generate_series(0, 15) g(i)
+  GROUP BY doc_id, g.i
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+fp AS (
+  SELECT o.doc_id,
+         string_agg(CASE WHEN 2 * o.o > c.n THEN '1' ELSE '0' END, ''
+                    ORDER BY o.i) AS bits
+  FROM ones o JOIN counts c ON c.doc_id = o.doc_id
+  GROUP BY o.doc_id
+),
+chunks AS (
+  SELECT doc_id, g.c AS chunk_id, substr(bits, 1 + 4 * g.c, 4) AS chunk
+  FROM fp CROSS JOIN generate_series(0, 3) g(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+   AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST((SELECT COUNT(*) FROM generate_series(1, 16) g(i)
+               WHERE substr(fa.bits, g.i, 1) <> substr(fb.bits, g.i, 1))
+           AS BIGINT) AS hamming
+  FROM cand c
+  JOIN fp fa ON fa.doc_id = c.id_a
+  JOIN fp fb ON fb.doc_id = c.id_b
+)
+SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within3,
+       CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS BIGINT)
+         AS n_planted,
+       CAST(SUM(CASE WHEN hamming <= 3 AND id_b = id_a + 1000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS planted_found,
+       CAST(SUM(CASE WHEN hamming <= 3 AND id_b = id_a + 1000000
+                THEN 1 ELSE 0 END) * 1000000
+            // (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+         AS BIGINT) AS planted_recall_e6
+FROM ham
+""",
+)
+def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.dedup import (
+        hamming_distance,
+        simhash_bits_portable,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupped = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    fp = dupped.select(
+        "doc_id", simhash_bits_portable("text", n_bits=16).alias("bits")
+    )
+    chunks = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.substring("bits", 1 + 4 * c, 4).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("doc_id", "_c.chunk_id", "_c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("id_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("id_b"), "chunk_id", "chunk"
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("_ba"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("_bb"))
+    ham = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("_ba"), F.col("_bb"))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    # the fixture vocabulary is shared across docs, so fingerprints
+    # cluster and the pair set is DENSE — report the aggregate
+    # datasheet (counts + planted-pair recall) rather than millions of
+    # raw pairs
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    npl = docs.where(F.col("doc_id") % 7 == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    within = F.sum(F.when(F.col("hamming") <= 3, 1).otherwise(0))
+    found = F.sum(
+        F.when(
+            (F.col("hamming") <= 3) & (F.col("id_b") == F.col("id_a") + 1000000),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ham.join(F.broadcast(nc))
+        .join(F.broadcast(npl))
+        .agg(
+            F.first("n_cand").alias("n_cand"),
+            within.cast("bigint").alias("n_within3"),
+            F.first("n_planted").alias("n_planted"),
+            found.cast("bigint").alias("planted_found"),
+            e6_floor_ratio(found, F.first("n_planted")).alias(
+                "planted_recall_e6"
+            ),
+        )
+    )
