@@ -3220,3 +3220,113 @@ def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q205 — Windowed cardinality: per-hour distinct users, exact AND by
+# the portable HLL (q011's register family grouped by event-time
+# window) — the dashboard shape streaming analytics actually serves
+# ("uniques per hour"), with the sketch's per-window error measured
+# against the exact count in the same report. Registers group by
+# (window, bucket) — bounded 64·#windows state, the same merge-by-max
+# law the streaming accumulator uses. Fully oracled incl. the
+# estimate arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "q205_windowed_hll_uniques",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS w_us, user_id FROM events
+),
+h AS (
+  SELECT w_us,
+         CAST(concat('0x',
+           substr(md5(CAST(user_id AS VARCHAR) || '|hll1'), 1, 8))
+         AS BIGINT) AS h,
+         user_id
+  FROM e
+),
+rho AS (
+  SELECT w_us, h // 67108864 AS bucket,
+         MAX(CASE WHEN h % 67108864 = 0 THEN 27
+                  ELSE 27 - length(bin(h % 67108864)) END) AS m_rho
+  FROM h GROUP BY w_us, h // 67108864
+),
+regs AS (
+  SELECT w.w_us, g.i AS bucket, COALESCE(rho.m_rho, 0) AS m_rho
+  FROM (SELECT DISTINCT w_us FROM e) w
+  CROSS JOIN generate_series(0, 63) g(i)
+  LEFT JOIN rho ON rho.w_us = w.w_us AND rho.bucket = g.i
+),
+est AS (
+  SELECT w_us,
+         CAST(389776872046592000 //
+              (SUM(CAST(1 AS BIGINT) << (27 - m_rho)) * 1000000)
+           AS BIGINT) AS hll_est
+  FROM regs GROUP BY w_us
+),
+ex AS (
+  SELECT w_us, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM e GROUP BY w_us
+)
+SELECT ex.w_us AS window_start_us, ex.n_exact, est.hll_est,
+       CAST(abs(est.hll_est - ex.n_exact) * 1000000 // ex.n_exact AS BIGINT)
+         AS err_e6
+FROM ex JOIN est ON est.w_us = ex.w_us
+ORDER BY window_start_us
+""",
+)
+def q205_windowed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio, md5_hash32
+    from cubicerp_client_etl_spark.operators.sketches import HLL_M
+
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.window("ts", "1 hour").getField("start")).alias("w_us"),
+        "user_id",
+    )
+    h = md5_hash32(
+        F.concat(F.col("user_id").cast("string"), F.lit("|hll1"))
+    )
+    b = ev.select("w_us", h.alias("_h"), "user_id")
+    rho = b.select(
+        "w_us",
+        F.expr("_h div 67108864").cast("int").alias("bucket"),
+        F.when(F.expr("_h % 67108864") == 0, F.lit(27))
+        .otherwise(
+            F.lit(27)
+            - F.length(F.conv(F.expr("_h % 67108864").cast("string"), 10, 2))
+        )
+        .cast("int")
+        .alias("_rho"),
+    ).groupBy("w_us", "bucket").agg(F.max("_rho").alias("m_rho"))
+    wins = ev.select("w_us").distinct()
+    dim = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    regs = (
+        wins.join(dim)
+        .join(rho, ["w_us", "bucket"], "left")
+        .select(
+            "w_us", "bucket", F.coalesce(F.col("m_rho"), F.lit(0)).alias("m_rho")
+        )
+    )
+    est = regs.groupBy("w_us").agg(
+        F.expr(
+            "CAST(389776872046592000 div "
+            "(SUM(shiftleft(CAST(1 AS BIGINT), 27 - m_rho)) * 1000000) "
+            "AS BIGINT)"
+        ).alias("hll_est")
+    )
+    ex = ev.groupBy("w_us").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        ex.join(est, "w_us")
+        .select(
+            F.col("w_us").alias("window_start_us"),
+            "n_exact",
+            "hll_est",
+            e6_floor_ratio(
+                F.abs(F.col("hll_est") - F.col("n_exact")), F.col("n_exact")
+            ).alias("err_e6"),
+        )
+        .orderBy("window_start_us")
+    )
