@@ -3330,3 +3330,81 @@ def q205_windowed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us")
     )
+
+
+# --------------------------------------------------------------------------
+# q206 — Character-bigram entropy per language: H = −Σ p·log2 p over
+# each language's char-bigram distribution — the script-complexity /
+# degenerate-text signal (collapsed boilerplate has low entropy, real
+# prose sits in a narrow band per script). One float per bigram TYPE
+# (p·log2 p, rounded e6 once — the q174/q187 discipline), then the
+# entropy is an integer sum over the bounded type table. Scale: bigram
+# extraction is a per-doc bounded explode; counting is one
+# map-side-combinable keyed agg; everything after runs on the
+# #langs·#types aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q206_char_bigram_entropy",
+    oracle="""
+WITH d AS (
+  SELECT lang, lower(trim(text)) AS t
+  FROM documents WHERE len(trim(text)) >= 2
+),
+bg AS (
+  SELECT lang, substr(t, g.i, 2) AS b
+  FROM d CROSS JOIN generate_series(1, 639) g(i)
+  WHERE g.i <= len(t) - 1
+),
+c AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY lang, b),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY lang),
+term AS (
+  SELECT c.lang,
+         CAST(round(-(CAST(c.c AS DOUBLE) / tot.n)
+                    * log2(CAST(c.c AS DOUBLE) / tot.n) * 1000000)
+           AS BIGINT) AS h_e6
+  FROM c JOIN tot ON tot.lang = c.lang
+)
+SELECT t2.lang,
+       ANY_VALUE(tot.n) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(t2.h_e6) AS BIGINT) AS entropy_e6
+FROM term t2 JOIN tot ON tot.lang = t2.lang
+GROUP BY t2.lang
+ORDER BY t2.lang
+""",
+)
+def q206_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) >= 2
+    )
+    # materialize the normalized text before the HOF references it —
+    # an inlined lower(trim()) would re-run per bigram (the q009
+    # CollapseProject lesson); length(_t) in the bound is the second
+    # reference that keeps the projection boundary
+    d = docs.select("lang", F.lower(F.trim("text")).alias("_t"))
+    bg = d.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - 1),
+                lambda i: F.col("_t").substr(i, F.lit(2)),
+            )
+        ).alias("b"),
+    )
+    c = bg.groupBy("lang", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = c.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "n",
+        F.round(-p * F.log2(p) * 1_000_000).cast("bigint").alias("h_e6"),
+    )
+    return (
+        term.groupBy("lang")
+        .agg(
+            F.first("n").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("h_e6").cast("bigint").alias("entropy_e6"),
+        )
+        .orderBy("lang")
+    )
