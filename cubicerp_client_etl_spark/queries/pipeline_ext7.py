@@ -3408,3 +3408,249 @@ def q206_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q207 — Dedup-family recall matrix (the capstone observability report
+# for the whole dedup stack): the SAME corpus gets two kinds of
+# planted duplicates — byte-identical copies (doc_id%7 → +10⁶) and
+# perturbed copies with one appended token (doc_id%11 → +2·10⁶) — and
+# the report measures, per family × plant kind, how many planted
+# pairs each detector recovers: exact md5 fingerprint (catches
+# identical, misses perturbed BY DESIGN), MinHash-LSH bands (q032
+# config), SimHash Hamming<=3 (q204 config). The cross-family recall
+# deltas are the quantified version of "why the stack has all three
+# layers". Fully oracled: all three chains reuse their queries'
+# oracle fragments verbatim. Scale: each family is its proven shape;
+# recall checks are joins against the bounded planted-pair dims.
+# --------------------------------------------------------------------------
+@register(
+    "q207_dedup_family_recall",
+    oracle="""
+WITH dupped AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra' FROM documents WHERE doc_id % 11 = 0
+),
+plants AS (
+  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 'identical' AS kind
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 2000000, 'perturbed'
+  FROM documents WHERE doc_id % 11 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM dupped
+),
+exact_hit AS (
+  SELECT p.kind, p.id_a
+  FROM plants p
+  JOIN fp a ON a.doc_id = p.id_a
+  JOIN fp b ON b.doc_id = p.id_b AND b.f = a.f
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM dupped
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 3 AND i <= len(t) - 2
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+),
+hashes AS (
+  SELECT doc_id, g.i AS i, MIN(md5(sh || '|' || g.i)) AS h
+  FROM sh CROSS JOIN generate_series(0, 31) g(i)
+  GROUP BY doc_id, g.i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
+         md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+  FROM hashes GROUP BY doc_id, i // 4
+),
+mh_hit AS (
+  SELECT DISTINCT p.kind, p.id_a
+  FROM plants p
+  JOIN bands a ON a.doc_id = p.id_a
+  JOIN bands b ON b.doc_id = p.id_b
+   AND b.band_id = a.band_id AND b.band_hash = a.band_hash
+),
+ones AS (
+  SELECT t2.doc_id, g.i AS i,
+         COUNT(*) FILTER (WHERE substr(md5(u.t || '|' || g.i), 1, 1) >= '8') AS o,
+         COUNT(*) AS n
+  FROM toks t2, UNNEST(t2.t) AS u(t)
+  CROSS JOIN generate_series(0, 15) g(i)
+  GROUP BY t2.doc_id, g.i
+),
+sfp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN 2 * o > n THEN '1' ELSE '0' END, ''
+                    ORDER BY i) AS bits
+  FROM ones GROUP BY doc_id
+),
+sh_hit AS (
+  SELECT p.kind, p.id_a
+  FROM plants p
+  JOIN sfp a ON a.doc_id = p.id_a
+  JOIN sfp b ON b.doc_id = p.id_b
+  WHERE (SELECT COUNT(*) FROM generate_series(1, 16) g(i)
+         WHERE substr(a.bits, g.i, 1) <> substr(b.bits, g.i, 1)) <= 3
+),
+base AS (
+  SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_planted FROM plants GROUP BY kind
+),
+fams AS (
+  SELECT 'exact' AS family, kind, CAST(COUNT(*) AS BIGINT) AS found
+  FROM exact_hit GROUP BY kind
+  UNION ALL
+  SELECT 'minhash_lsh', kind, CAST(COUNT(*) AS BIGINT) FROM mh_hit GROUP BY kind
+  UNION ALL
+  SELECT 'simhash_h3', kind, CAST(COUNT(*) AS BIGINT) FROM sh_hit GROUP BY kind
+),
+spine AS (
+  SELECT f.family, b.kind, b.n_planted
+  FROM (SELECT UNNEST(['exact', 'minhash_lsh', 'simhash_h3']) AS family) f
+  CROSS JOIN base b
+)
+SELECT s.family, s.kind, s.n_planted,
+       CAST(COALESCE(f.found, 0) AS BIGINT) AS found,
+       CAST(COALESCE(f.found, 0) * 1000000 // s.n_planted AS BIGINT)
+         AS recall_e6
+FROM spine s
+LEFT JOIN fams f ON f.family = s.family AND f.kind = s.kind
+ORDER BY s.family, s.kind
+""",
+)
+def q207_dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators import dedup as dd
+    from cubicerp_client_etl_spark.operators.dedup import (
+        hamming_distance,
+        simhash_bits_portable,
+    )
+    from cubicerp_client_etl_spark.operators.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ident = docs.filter(F.col("doc_id") % 7 == 0)
+    pert = docs.filter(F.col("doc_id") % 11 == 0)
+    dupped = docs.unionByName(
+        ident.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        pert.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat("text", F.lit(" extra")).alias("text"),
+        )
+    )
+    plants = ident.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"),
+        F.lit("identical").alias("kind"),
+    ).unionByName(
+        pert.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 2000000).alias("id_b"),
+            F.lit("perturbed").alias("kind"),
+        )
+    )
+    # exact family
+    fp = dupped.select("doc_id", fingerprint("text").alias("f"))
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("f").alias("_fa"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("f").alias("_fb"))
+    exact_hit = (
+        plants.join(fa, "id_a")
+        .join(fb, "id_b")
+        .where(F.col("_fa") == F.col("_fb"))
+        .select("kind", "id_a")
+    )
+    # minhash-lsh family (q032 config)
+    sigs = dd.minhash_signatures(
+        dupped, "doc_id", "text", num_hashes=32, portable=True
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"h{b * 4 + r}") for r in range(4)]
+                            ).cast("binary")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.band_id", "_b.band_hash")
+    ba = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_hash")
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_id").alias("_bid"),
+        F.col("band_hash").alias("_bh"),
+    )
+    mh_hit = (
+        plants.join(ba, "id_a")
+        .join(bb, "id_b")
+        .where(
+            (F.col("band_id") == F.col("_bid"))
+            & (F.col("band_hash") == F.col("_bh"))
+        )
+        .select("kind", "id_a")
+        .distinct()
+    )
+    # simhash family (q204 config)
+    sfp = dupped.select(
+        "doc_id", simhash_bits_portable("text", n_bits=16).alias("bits")
+    )
+    sa = sfp.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("_ba"))
+    sb = sfp.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("_bb"))
+    sh_hit = (
+        plants.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(hamming_distance(F.col("_ba"), F.col("_bb")) <= 3)
+        .select("kind", "id_a")
+    )
+    base = plants.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    fams = (
+        exact_hit.groupBy("kind")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("found"))
+        .withColumn("family", F.lit("exact"))
+        .unionByName(
+            mh_hit.groupBy("kind")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("found"))
+            .withColumn("family", F.lit("minhash_lsh"))
+        )
+        .unionByName(
+            sh_hit.groupBy("kind")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("found"))
+            .withColumn("family", F.lit("simhash_h3"))
+        )
+    )
+    spine = (
+        spark.createDataFrame(
+            [("exact",), ("minhash_lsh",), ("simhash_h3",)], "family string"
+        )
+        .join(base)
+    )
+    return (
+        spine.join(fams, ["family", "kind"], "left")
+        .select(
+            "family",
+            "kind",
+            "n_planted",
+            F.coalesce(F.col("found"), F.lit(0)).cast("bigint").alias("found"),
+            e6_floor_ratio(
+                F.coalesce(F.col("found"), F.lit(0)), F.col("n_planted")
+            ).alias("recall_e6"),
+        )
+        .orderBy("family", "kind")
+    )
