@@ -717,7 +717,7 @@ def q147_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-k sets are identical.
 # --------------------------------------------------------------------------
 @register(
-    "q039_tfidf_top_terms",
+    "q166_tfidf_top_terms",
     oracle="""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
@@ -737,7 +737,7 @@ scored AS (
 SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3
 """,
 )
-def q039_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q166_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import tfidf_top_terms
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")

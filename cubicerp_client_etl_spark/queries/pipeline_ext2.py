@@ -458,7 +458,7 @@ r{k} AS (
 
 
 @register(
-    "q050_pagerank_int",
+    "q200_pagerank_int",
     oracle="WITH "
     + ",".join([_PR_EDGES_SQL] + [_pr_iter_sql(k) for k in range(1, 6)])
     + "\nSELECT node, units FROM r5",

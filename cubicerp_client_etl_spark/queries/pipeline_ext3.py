@@ -92,7 +92,7 @@ def q010_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast hash join; the only shuffle is the final per-doc count.
 # --------------------------------------------------------------------------
 @register(
-    "q012_decontaminate",
+    "q158_decontaminate",
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -114,7 +114,7 @@ WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
 """,
 )
-def q012_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q158_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
@@ -259,8 +259,8 @@ WHERE rn = 1
 )
 
 
-@register("q013_kmeans_int", oracle=_KM_ORACLE)
-def q013_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q165_kmeans_int", oracle=_KM_ORACLE)
+def q165_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
     from cubicerp_client_etl_spark.operators.clustering import kmeans_int
 
@@ -890,7 +890,7 @@ _STRAT_N = 120
 
 
 @register(
-    "q042_stratified_sample",
+    "q197_stratified_sample",
     oracle=f"""
 WITH counts AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS gc FROM documents GROUP BY lang
@@ -922,7 +922,7 @@ FROM ranked r JOIN quotas q USING (lang)
 WHERE r.rn <= q.quota
 """,
 )
-def q042_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q197_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sampling import stratified_sample_exact
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -1010,7 +1010,7 @@ def q139_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition boundaries can't reorder ties.
 # --------------------------------------------------------------------------
 @register(
-    "q045_pareto_scan",
+    "q170_pareto_scan",
     oracle="""
 WITH rev AS (
   SELECT l_partkey,
@@ -1031,7 +1031,7 @@ SELECT l_partkey,
 FROM scan
 """,
 )
-def q045_pareto_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q170_pareto_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import dec
     from cubicerp_client_etl_spark.operators.prefix import prefix_sum
 

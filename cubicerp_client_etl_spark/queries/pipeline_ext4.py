@@ -296,7 +296,7 @@ _CMS_PROBES = ["the", "key", "value", "spark", "table", "row", "hash", "zzzz"]
 
 
 @register(
-    "q038_count_min_sketch",
+    "q161_count_min_sketch",
     oracle="""
 WITH flat AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -329,7 +329,7 @@ SELECT e.token AS token,
 FROM est e LEFT JOIN truth t USING (token)
 """,
 )
-def q038_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q161_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sketches import cms_build, cms_estimate
 
     docs = load(spark, sf_dir, "documents")

@@ -114,8 +114,8 @@ ORDER BY vec_id
 )
 
 
-@register("q165_semantic_dedup", oracle=_SD_ORACLE)
-def q165_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q013_semantic_dedup", oracle=_SD_ORACLE)
+def q013_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
     from cubicerp_client_etl_spark.operators.clustering import kmeans_int
     from cubicerp_client_etl_spark.operators.semdedup import semantic_dedup
@@ -163,7 +163,7 @@ _QC_BUCKETS = 1024
 
 
 @register(
-    "q166_quality_classifier",
+    "q039_quality_classifier",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
@@ -198,7 +198,7 @@ GROUP BY source
 ORDER BY source
 """,
 )
-def q166_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.classifier import (
         derived_weights,
         score_documents,
@@ -435,7 +435,7 @@ def q169_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synth + decode are both pure map stages (mapInPandas), no shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q170_wav_audio_features",
+    "q045_wav_audio_features",
     oracle="""
 WITH sz AS (SELECT doc_id, 160 + doc_id % 40 AS n FROM documents),
 samp AS (
@@ -475,7 +475,7 @@ FROM s JOIN zc ON zc.doc_id = s.doc_id
 ORDER BY s.doc_id
 """,
 )
-def q170_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.multimodal import (
         audio_features,
         encode_wav_pcm16,

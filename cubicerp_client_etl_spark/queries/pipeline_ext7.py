@@ -1571,7 +1571,7 @@ def q187_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windows here rank the fixture-bounded candidate sets.
 # --------------------------------------------------------------------------
 @register(
-    "q188_hybrid_rrf_fusion",
+    "q029_hybrid_rrf_fusion",
     oracle="""
 WITH toks AS (
   SELECT doc_id, u.t AS t
@@ -1639,7 +1639,7 @@ ORDER BY rrf_e6 DESC, doc_id
 LIMIT 10
 """,
 )
-def q188_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from cubicerp_client_etl_spark.operators.retrieval import bm25_scores
@@ -2387,7 +2387,7 @@ def q196_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deeper. Scale: synth + decode are pure map stages.
 # --------------------------------------------------------------------------
 @register(
-    "q197_png_feature_histogram",
+    "q042_png_feature_histogram",
     oracle="""
 WITH d AS (
   SELECT doc_id, 5 + doc_id % 6 AS w, 6 + doc_id % 5 AS h
@@ -2412,7 +2412,7 @@ SELECT s.doc_id,
 FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
 """,
 )
-def q197_png_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_png_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from cubicerp_client_etl_spark.operators.multimodal import (
@@ -2659,7 +2659,7 @@ def q199_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are what actually ships with a release. Fully oracled.
 # --------------------------------------------------------------------------
 @register(
-    "q200_release_pipeline",
+    "q050_release_pipeline",
     oracle="""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -2746,7 +2746,7 @@ GROUP BY f.split, f.lang
 ORDER BY f.split, f.lang
 """,
 )
-def q200_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators.classifier import (
         derived_weights,

@@ -35,14 +35,14 @@ def _normalize_text_udf():
 # q029 — scalar pandas_udf vs its SQL twin.
 # --------------------------------------------------------------------------
 @register(
-    "q029_pandas_scalar_udf",
+    "q188_pandas_scalar_udf",
     oracle="""
 SELECT doc_id,
        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_md5
 FROM documents
 """,
 )
-def q029_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q188_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     normalize = _normalize_text_udf()
     return docs.select(

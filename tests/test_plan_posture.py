@@ -303,12 +303,12 @@ def test_q122_repetition_is_map_only(spark):
     assert "lang" not in scan and "source" not in scan  # column pruning
 
 
-def test_q012_decontaminate_broadcasts_benchmark(spark):
+def test_q158_decontaminate_broadcasts_benchmark(spark):
     """Decontamination (q123): benchmark shingles broadcast — the
     corpus side must never shuffle before the join; the only hash
     exchanges are the benchmark-side distinct and the final per-doc
     aggregate."""
-    plan = plan_of(spark, "q012_decontaminate")
+    plan = plan_of(spark, "q158_decontaminate")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
 
@@ -334,7 +334,7 @@ def test_q126_kmeans_assignment_is_join_free(spark):
     LITERALS — the plan over embeddings must contain no join at all
     and no driver-side RDD scan (centroid collection is bounded
     O(k·dim) and feeds literals, not an ExistingRDD)."""
-    plan = plan_of(spark, "q013_kmeans_int")
+    plan = plan_of(spark, "q165_kmeans_int")
     assert "Join" not in plan, plan
     assert "Scan ExistingRDD" not in plan
     assert "Exchange" not in plan  # final assignment pass is map-only
@@ -431,7 +431,7 @@ def test_q140_scan_avoids_global_single_partition_window(spark):
     over the bounded partition-totals table. Assert the data window is
     partitioned (a windowspecdefinition with _pid) and the plan has no
     cartesian."""
-    plan = plan_of(spark, "q045_pareto_scan")
+    plan = plan_of(spark, "q170_pareto_scan")
     assert "_pid" in plan  # per-slice running sum keyed on partition id
     assert "CartesianProduct" not in plan
 
