@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
 
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
     """Keep exactly one row per key group — the first under ``order_by``
@@ -47,6 +49,69 @@ def shingle_rows(
     return df.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
     ).distinct()
+
+
+def exact_jaccard_truth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold_e6: int = 500000,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard ground-truth pairs (id_a < id_b) at
+    ``jaccard_e6 >= threshold_e6`` over the shingle universe — the
+    expensive side of an LSH accuracy audit (any pair with J > 0 shares
+    a shingle, so the shingle equi-join IS the exact candidate
+    universe; no all-pairs).
+
+    ``df_cap`` is the scale guard (the ``lsh_candidate_pairs``
+    ``hot_band_cap`` pattern): a stopword-class shingle shared by n
+    docs emits n² intersection rows before the threshold filter, so
+    shingles with document frequency > ``df_cap`` are dropped from the
+    universe ENTIRELY — from both set sizes and intersections, keeping
+    Jaccard internally consistent over the capped universe. The trade
+    is the same as stopword removal: pairs whose overlap lives only in
+    ultra-common shingles are missed (recall loss on exactly the pairs
+    LSH banding also tends to miss), and every surviving shingle
+    contributes at most C(df_cap, 2) pair rows, making candidate mass
+    linear in corpus size. ``None`` = uncapped exact truth — audit-only;
+    run on a sample at production scale.
+    """
+    if df_cap is not None and df_cap < 1:
+        raise ValueError(f"df_cap must be >= 1 or None, got {df_cap}")
+    sh = shingle_rows(df, id_col, text_col, n=shingle_n)
+    if df_cap is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= df_cap).select("sh"), "sh")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard_e6",
+            e6_floor_ratio(
+                F.col("n_inter") * 1,
+                F.col("sz_a") + F.col("sz_b") - F.col("n_inter"),
+            ),
+        )
+        .where(F.col("jaccard_e6") >= threshold_e6)
+        .select("id_a", "id_b", "jaccard_e6")
+    )
 
 
 def minhash_signatures(

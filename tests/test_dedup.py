@@ -291,3 +291,92 @@ def test_shingle_frequencies_counts_docs(spark):
     )
     got = {r["shingle"]: r["n_docs"] for r in shingle_frequencies(df, shingle_n=3).collect()}
     assert got["a b c"] == 2 and got["a b d"] == 1
+
+
+# ---- exact-Jaccard ground truth with the df_cap hot-shingle guard ---------
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.strip().lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_jaccard_truth_df_cap_bounds_hot_shingle(spark):
+    """VERDICT r6 "what's wrong" #1 adversarial fixture: 300 docs all
+    opening with the same boilerplate 3-gram put 300 ids behind one
+    shingle — the uncapped exact-truth join emits C(300,2)=44850 pair
+    rows from that shingle alone before any threshold can prune them.
+    With df_cap the hot shingle is dropped from the universe (sizes AND
+    intersections), so the otherwise-distinct boilerplate docs share
+    nothing: at threshold_e6=1 ("any overlap") the capped truth is
+    exactly the planted pair, while the uncapped truth is the quadratic
+    mass."""
+    from cubicerp_client_etl_spark.operators.dedup import exact_jaccard_truth
+
+    boiler = [
+        (i, f"all rights reserved u{i}a u{i}b u{i}c u{i}d") for i in range(300)
+    ]
+    planted = [
+        (1001, "zeta eta theta iota kappa lambda"),
+        (1002, "zeta eta theta iota kappa lambda"),
+    ]
+    docs = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+
+    capped = exact_jaccard_truth(
+        docs, "doc_id", "text", threshold_e6=1, df_cap=50
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(1001, 1002)}
+    assert capped[0].jaccard_e6 == 1_000_000
+
+    uncapped_n = exact_jaccard_truth(
+        docs, "doc_id", "text", threshold_e6=1, df_cap=None
+    ).count()
+    assert uncapped_n >= 300 * 299 // 2  # the quadratic mass is real
+
+
+def test_exact_jaccard_truth_capped_universe_consistency(spark):
+    """Jaccard after the cap is computed over the CAPPED universe on
+    both sides of the ratio — checked cell-exact against a pure-Python
+    reference that removes hot shingles from sizes and intersections."""
+    from cubicerp_client_etl_spark.operators.dedup import exact_jaccard_truth
+
+    texts = {
+        100: "all rights reserved alpha beta gamma delta",
+        101: "all rights reserved alpha beta gamma epsilon",
+        102: "totally unrelated content lives right here now",
+    }
+    # make "all rights reserved" hot: df = 3 + 2 > cap of 4
+    texts.update({200 + i: f"all rights reserved x{i}y x{i}z" for i in range(3)})
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    cap = 4
+    freq: dict[str, int] = {}
+    for t in texts.values():
+        for s in _py_shingles(t):
+            freq[s] = freq.get(s, 0) + 1
+    sets = {
+        i: {s for s in _py_shingles(t) if freq[s] <= cap}
+        for i, t in texts.items()
+    }
+    want = {}
+    ids = sorted(sets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = inter * 10**6 // len(sets[a] | sets[b])
+    got = {
+        (r.id_a, r.id_b): r.jaccard_e6
+        for r in exact_jaccard_truth(
+            docs, "doc_id", "text", threshold_e6=1, df_cap=cap
+        ).collect()
+    }
+    assert got == want and (100, 101) in got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        exact_jaccard_truth(docs, "doc_id", "text", df_cap=0)
