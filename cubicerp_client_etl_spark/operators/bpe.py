@@ -3,28 +3,33 @@
 every modern tokenizer starts from; no reference-repo counterpart, part
 of the LLM-pipeline extension).
 
-Scale shape — the corpus is touched EXACTLY ONCE:
+Scale shape — the corpus is touched EXACTLY ONCE, and Spark is asked
+for EXACTLY ONE job:
 
 1. word histogram: one corpus-sized groupBy (map-side combinable) —
-   the only stage whose input scales with data;
-2. k merge rounds over the BOUNDED vocab table (distinct words):
-   each round counts adjacent symbol pairs weighted by word count
-   (explode + groupBy over vocab rows), pulls the single argmax row to
-   the driver (bounded O(1)/round, the q013-kmeans pattern), and
-   rewrites the vocab's symbol strings with one ``replace``.
+   the only stage whose input scales with data — collected ONCE
+   (vocab-sized under Zipf, never corpus-sized; ``max_words`` applies
+   the standard trainer top-N pruning before the collect for corpora
+   whose distinct-word tail is itself huge);
+2. k merge rounds run DRIVER-SIDE over that bounded histogram
+   (VERDICT r6 "what's wrong" #2: the earlier per-round
+   ``limit(1).collect()`` argmax cost one Spark job per merge — a
+   real tokenizer's 32k merges would be 32k jobs of pure scheduling
+   overhead; the data each round touches was driver-bounded either
+   way, so the recursion belongs on the driver).
 
 Symbol representation is the padded string form ``' c h a r s '`` —
-merging pair (a, b) is ``replace(sym, ' a b ', ' ab ')``. Plain
-left-to-right non-overlapping string replace IS greedy BPE merging
-('a a a' + merge (a,a) → 'aa a', exactly the BPE result), and both
-Spark's ``replace`` and DuckDB's behave identically — which is what
-makes the whole learning loop EXACTLY oracle-replayable (q160 unrolls
-the rounds as CTEs). Ties break (count DESC, left ASC, right ASC) in
-binary collation on both engines.
-
-Per-round ``localCheckpoint`` keeps the k-round lineage flat (each
-round's argmax action would otherwise recompute every prior round —
-O(k²)); the checkpointed frame is vocab-sized, not corpus-sized.
+merging pair (a, b) is ``replace(sym, ' a b ', ' ab ')``: greedy
+left-to-right non-overlapping string replace, and Python
+``str.replace``, Spark ``replace``, and DuckDB ``replace`` are
+engine-probed bit-identical on it (including the pair-abuts-itself
+case ``' a b a b '`` → ``' ab a b '``, where all three consume the
+shared delimiter space and merge only the first occurrence) — which
+is what keeps the driver-side loop EXACTLY equal to the replayable
+SQL form q160 unrolls as CTEs, pinned by a property test against the
+Catalyst replay. Ties break (count DESC, left ASC, right ASC); Python
+tuple comparison on str is code-point order == UTF-8 binary collation
+on both engines.
 """
 
 from __future__ import annotations
@@ -47,44 +52,42 @@ def bpe_learn(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
+    max_words: int | None = None,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge table as plain rows:
     ``[{rank, left_sym, right_sym, merged, cnt}, ...]`` (may be shorter
     than ``num_merges`` if the vocab runs out of adjacent pairs).
 
-    Driver state is one argmax row per round — bounded O(num_merges),
-    never data-sized; every counting/rewriting stage is Catalyst over
-    the vocab table.
+    One Spark job total: the word histogram (the only corpus-sized
+    computation) is collected once — vocab-sized, and prunable to the
+    top ``max_words`` by (cnt DESC, w ASC) for pathological
+    distinct-word tails — then the k merge rounds are plain Python
+    over that bounded dict. Each round's padded-string ``str.replace``
+    is engine-probed identical to the Spark/DuckDB ``replace`` the
+    oracle CTEs and ``bpe_segment_vocab`` replay.
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
-    vocab = word_histogram(docs, text_col).select(
-        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
-        "cnt",
-    )
+    if max_words is not None and max_words < 1:
+        raise ValueError(f"max_words must be >= 1 or None, got {max_words}")
+    hist = word_histogram(docs, text_col)
+    if max_words is not None:
+        hist = hist.orderBy(F.col("cnt").desc(), "w").limit(max_words)
+    vocab: dict[str, int] = {}
+    for r in hist.collect():
+        vocab[" " + " ".join(r.w) + " "] = int(r.cnt)
     merges: list[dict] = []
-    cur = vocab.localCheckpoint(eager=True)
     for rank in range(num_merges):
-        pairs = (
-            cur.select("cnt", F.split(F.trim(F.col("sym")), " ").alias("s"))
-            .where(F.size("s") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(s) - 2),"
-                        " i -> struct(s[i] AS a, s[i + 1] AS b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("c"))
-        )
-        best = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
-        if not best:
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            s = sym.split(" ")[1:-1]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
             break
-        a, b, c = best[0].a, best[0].b, best[0].c
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         merges.append(
             {
                 "rank": rank,
@@ -94,12 +97,10 @@ def bpe_learn(
                 "cnt": int(c),
             }
         )
-        cur = cur.select(
-            F.replace(
-                F.col("sym"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-            ).alias("sym"),
-            "cnt",
-        ).localCheckpoint(eager=True)
+        vocab = {
+            sym.replace(f" {a} {b} ", f" {a}{b} "): cnt
+            for sym, cnt in vocab.items()
+        }
     return merges
 
 

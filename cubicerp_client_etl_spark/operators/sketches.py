@@ -196,6 +196,13 @@ def bloom_maybe_members(
     return hits.where(F.col("_nh") == F.lit(k)).select(key_col)
 
 
+# Past this m, the array<boolean> literal stops being a "small
+# constant in the plan" (tens of MB serialized per task binary, and
+# Catalyst re-serializes it into every stage that references it):
+# plan-size blowup, not memory exhaustion, is the failure mode.
+BLOOM_BITSET_MAX_M = 1 << 23  # 8M bits ≈ 1 MB of payload
+
+
 def bloom_bitset(positions: DataFrame, m: int) -> list[bool]:
     """Materialize a ``bloom_build`` positions table as an m-element
     boolean bitset on the driver — bounded O(m) regardless of corpus
@@ -203,9 +210,22 @@ def bloom_bitset(positions: DataFrame, m: int) -> list[bool]:
     ``array<boolean>`` literal, a probe is an O(1) ``element_at`` —
     the stateless map-side form a streaming gate needs (no join, no
     state store), under the SAME portable md5 family as the batch
-    filter, so stream and batch flag identical keys."""
+    filter, so stream and batch flag identical keys.
+
+    Guarded at ``BLOOM_BITSET_MAX_M`` (8M bits): a plan literal is the
+    right vehicle for a filter-sized bitset, not a corpus-sized one.
+    For bigger filters use ``bloom_maybe_members`` — the broadcast
+    positions-table join — which carries the same no-false-negative
+    contract without embedding the filter in the query plan."""
     if m < 1:
         raise ValueError("m must be >= 1")
+    if m > BLOOM_BITSET_MAX_M:
+        raise ValueError(
+            f"bloom_bitset m={m} exceeds BLOOM_BITSET_MAX_M="
+            f"{BLOOM_BITSET_MAX_M}: an array literal this large bloats "
+            "every plan that references it; use the broadcast "
+            "positions-table join (bloom_maybe_members) instead"
+        )
     bits = [False] * m
     for r in positions.collect():
         bits[int(r.pos)] = True

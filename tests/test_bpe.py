@@ -103,3 +103,35 @@ def test_word_histogram_counts(spark):
     docs = _docs(spark, ["a b b", "b  c"])  # double space → empty token dropped
     got = {r.w: r.cnt for r in word_histogram(docs, "text").collect()}
     assert got == {"a": 1, "b": 3, "c": 1}
+
+
+def test_bpe_driver_recursion_matches_catalyst_replay(spark):
+    """The driver-side merge recursion must stay bit-identical to the
+    Catalyst ``replace`` replay the oracle CTEs and bpe_segment_vocab
+    use. Sharpest case: a pair abutting itself ('abab') — non-
+    overlapping replace consumes the shared delimiter space, so round 1
+    merges only the FIRST (a,b), leaving ' ab a b ', and round 2
+    re-picks the SAME pair (tie count 2 with (ab,a); 'a' < 'ab') to
+    finish the job. Canonical tuple-scan BPE would merge both in round
+    1 — the engine's defined semantics is the replayable one."""
+    docs = _docs(spark, ["abab abab"])
+    merges = bpe_learn(docs, "text", num_merges=2)
+    assert [(m["left_sym"], m["right_sym"], m["cnt"]) for m in merges] == [
+        ("a", "b", 4),
+        ("a", "b", 2),
+    ]
+    seg = bpe_segment_vocab(docs, merges).collect()
+    assert len(seg) == 1 and seg[0].tokens == ["ab", "ab"]
+
+
+def test_bpe_max_words_prunes_tail(spark):
+    """max_words keeps only the top-N histogram rows by (cnt DESC, w)
+    before the collect — the rare word must stop influencing merges."""
+    docs = _docs(spark, ["zz zz zz zz qx"])
+    all_merges = bpe_learn(docs, "text", num_merges=2)
+    pruned = bpe_learn(docs, "text", num_merges=2, max_words=1)
+    assert ("q", "x") in {(m["left_sym"], m["right_sym"]) for m in all_merges}
+    assert {(m["left_sym"], m["right_sym"]) for m in pruned} == {("z", "z")}
+
+    with pytest.raises(ValueError):
+        bpe_learn(docs, "text", num_merges=1, max_words=0)

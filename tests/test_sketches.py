@@ -263,3 +263,25 @@ def test_bloom_decontamination_is_superset_of_exact(spark):
         .select("doc_id").distinct().collect()
     }
     assert exact <= bloomed, sorted(exact - bloomed)[:5]
+
+
+def test_bloom_bitset_guards_plan_literal_size(spark):
+    """The bitset literal is for filter-sized m only: past
+    BLOOM_BITSET_MAX_M the guard must point at the broadcast
+    positions-table join instead of silently bloating every plan the
+    literal lands in; below it the round-trip still works."""
+    import pytest
+
+    from cubicerp_client_etl_spark.operators.sketches import (
+        BLOOM_BITSET_MAX_M,
+        bloom_bitset,
+        bloom_build,
+    )
+
+    keys = spark.createDataFrame([("k1",), ("k2",)], "key string")
+    pos = bloom_build(keys, "key", m=64, k=3)
+    bits = bloom_bitset(pos, 64)
+    assert len(bits) == 64 and sum(bits) >= 1
+
+    with pytest.raises(ValueError, match="bloom_maybe_members"):
+        bloom_bitset(pos, BLOOM_BITSET_MAX_M + 1)
