@@ -1544,19 +1544,27 @@ def q187_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q188 — Hybrid retrieval: Reciprocal Rank Fusion of the lexical (BM25,
-# q018) and vector (exact cosine, q034) rankings — the standard hybrid-
+# q029 (ex-q188) — Hybrid retrieval: Reciprocal Rank Fusion of the
+# lexical (BM25, q018) and vector rankings — the standard hybrid-
 # search combiner (RRF, Cormack et al. 2009: score = Σ 1/(K + rank),
 # K = 60). Fixture convention: doc_id == vec_id pairs a document with
 # its embedding; the vector probe is vec 0's embedding, the lexical
 # probe the q018 term set, and either ranking may cover docs the other
 # doesn't (full-outer fusion — RRF's own semantics). Each 1/(60+r)
 # contribution is one e6 floor — after that the fused score is an
-# integer sum, and both rankings are already engine-deterministic
-# (rounded sim / integer BM25, id tie-breaks), so the whole fusion is
-# oracle-replayed. Scale: both rankings are their operators' shapes;
-# production fuses top-k lists (bounded), not full rankings — the
-# windows here rank the fixture-bounded candidate sets.
+# integer sum, and both rankings are engine-deterministic (rounded sim
+# / integer BM25, id tie-breaks), so the whole fusion is
+# oracle-replayed. Scale (VERDICT r6 next-round #4): the lexical side
+# scores only docs matching ≥1 probe term, TakeOrdered to top-100; the
+# vector side goes through the IVF multi-probe index (the q184 path:
+# 32 fixed centroids, nprobe=12 — searching 3/8 of the corpus per
+# probe instead of exact full-corpus cosine), and the oracle replays
+# the IDENTICAL inverted-file search, so the driver hash gates the
+# approximate path itself. The exact-cosine fused form remains the
+# audit baseline: tests/test_wave2_ops.py measures the fused-list
+# divergence on fixtures, and a synthetic nlist=sqrt(N) experiment
+# there demonstrates the per-probe scored-candidate count growing
+# sublinearly — index build stays linear but amortizes across probes.
 # --------------------------------------------------------------------------
 @register(
     "q029_hybrid_rrf_fusion",
@@ -1602,17 +1610,40 @@ lexrank AS (
         ORDER BY score_e12 DESC, doc_id LIMIT 100)
 ),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
-vec AS (
-  SELECT e.vec_id AS doc_id,
-         ROUND(list_dot_product(e.v, p.pv) /
-               sqrt(list_dot_product(e.v, e.v) * list_dot_product(p.pv, p.pv)),
-               6) AS sim
-  FROM e CROSS JOIN p WHERE e.vec_id > 0
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 32),
+sa AS (
+  SELECT e.vec_id, e.v, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.v, c.cv) /
+                    sqrt(list_dot_product(e.v, e.v) *
+                         list_dot_product(c.cv, c.cv)), 6) DESC,
+                    c.cid) AS crn
+  FROM e CROSS JOIN c
+),
+assigned AS (SELECT vec_id, v, cid FROM sa WHERE crn = 1),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id = 0),
+pc AS (
+  SELECT c.cid, p.probe_id, p.pv FROM c CROSS JOIN p
+  ORDER BY ROUND(list_dot_product(p.pv, c.cv) /
+           sqrt(list_dot_product(p.pv, p.pv) *
+                list_dot_product(c.cv, c.cv)), 6) DESC, c.cid
+  LIMIT 12
+),
+cand AS (
+  SELECT a.vec_id AS doc_id,
+         ROUND(list_dot_product(a.v, pc.pv) /
+               sqrt(list_dot_product(a.v, a.v) *
+                    list_dot_product(pc.pv, pc.pv)), 6) AS sim
+  FROM assigned a JOIN pc ON a.cid = pc.cid
+  WHERE a.vec_id <> pc.probe_id
 ),
 vecrank AS (
-  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
-  FROM (SELECT doc_id, sim FROM vec ORDER BY sim DESC, doc_id LIMIT 100)
+  SELECT doc_id, vec_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+    FROM cand)
+  WHERE vec_rank <= 100
 ),
 fused AS (
   SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
@@ -1633,15 +1664,16 @@ def q029_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.retrieval import bm25_scores
     from cubicerp_client_etl_spark.operators.similarity import (
         as_double,
-        cosine,
+        ivf_topk,
     )
 
     docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     # fuse bounded TOP-K lists (production RRF fuses each ranker's
-    # top-k, not full corpus rankings): TakeOrdered bounds each side,
-    # so the rank windows run over provably-limited input — the
-    # corpus-plan invariant rejects the full-ranking form as a raw-row
-    # global window (it caught exactly that in review)
+    # top-k, not full corpus rankings): TakeOrdered bounds the lexical
+    # side and the IVF rank window bounds the vector side, so the rank
+    # windows run over provably-limited input — the corpus-plan
+    # invariant rejects the full-ranking form as a raw-row global
+    # window (it caught exactly that in review)
     lex = (
         bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
         .orderBy(F.col("score_e12").desc(), "doc_id")
@@ -1657,25 +1689,15 @@ def q029_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    probe = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
-    vec = (
-        emb.where(F.col("vec_id") > 0)
-        .join(F.broadcast(probe))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("sim"),
-        )
+    cents = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    vecrank = (
-        vec.orderBy(F.col("sim").desc(), "doc_id")
-        .limit(100)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
-            .cast("bigint")
-            .alias("vec_rank"),
-        )
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    vecrank = ivf_topk(emb, cents, probe, k=100, nprobe=12).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("vec_rank"),
     )
     rrf = (
         F.coalesce(
