@@ -3664,3 +3664,89 @@ def q207_dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family", "kind")
     )
+
+
+# --------------------------------------------------------------------------
+# q208 — REAL JPEG decode path (operators/jpeg.py stdlib baseline
+# codec, VERDICT r6 "missing" #2): deterministic BLOCK-UNIFORM
+# grayscale images (each 8x8 block one planted value — DC-only in DCT
+# domain, where the codec round-trip is pixel-EXACT with quant=1;
+# unit-pinned in tests/test_multimodal.py) are encoded as real JPEGs
+# with restart markers, then extract_features(fake=False) runs the
+# actual huffman entropy decode + dequant + IDCT and buckets the
+# luminance histogram. The oracle replays the planted block values'
+# pixel arithmetic directly, so an entropy/DC-prediction/IDCT/restart
+# bug surfaces as a value mismatch. The JPEG sibling of q042's
+# PNG-filter chain. Scale: synth + decode are pure map stages
+# (mapInPandas, no shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "q208_jpeg_feature_histogram",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 10 + doc_id % 7 AS w, 9 + doc_id % 6 AS h
+  FROM documents WHERE doc_id % 50 = 0
+),
+px AS (
+  SELECT doc_id, w, w * h AS total, unnest(range(0, w * h)) AS i FROM d
+),
+pv AS (
+  SELECT doc_id, total,
+         (((doc_id * 31 + ((i // w) // 8) * 17 + ((i % w) // 8) * 53) % 256)
+          * 8) // 256 AS bucket
+  FROM px
+),
+c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM pv GROUP BY doc_id, bucket),
+spine AS (
+  SELECT doc_id, total, unnest(range(0, 8)) AS bucket
+  FROM (SELECT DISTINCT doc_id, total FROM px)
+)
+SELECT s.doc_id,
+       CAST(s.bucket AS INTEGER) AS bucket,
+       COALESCE(c.cnt, 0) / CAST(s.total AS DOUBLE) AS frac
+FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
+""",
+)
+def q208_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from cubicerp_client_etl_spark.operators.jpeg import encode_jpeg_gray
+    from cubicerp_client_etl_spark.operators.multimodal import extract_features
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 10 + did % 7, 9 + did % 6
+                pxs = bytes(
+                    (did * 31 + (y // 8) * 17 + (x // 8) * 53) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(
+                    encode_jpeg_gray(w, h, pxs, quant=[1] * 64, restart_interval=2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary").selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/jpeg', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'jpeg', "
+        "'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT)) AS meta",
+    )
+    feats = extract_features(media, n_features=8, fake=False)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "frac")
+    ).select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("frac").alias("frac"),
+    )

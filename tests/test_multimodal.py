@@ -162,6 +162,50 @@ def test_real_decode_paths_with_pil(spark):
     assert out_img.size == (2, 2)
 
 
+@pytest.mark.skipif(not _has_pil(), reason="needs optional pillow extra")
+def test_jpeg_codec_interop_with_pil(spark):
+    """Cross-codec JPEG interop when pillow is present: (a) PIL decodes
+    our encoder's output to the exact pixels; (b) a PIL-encoded
+    grayscale JPEG round-trips through OUR stdlib decoder within the
+    quantization tolerance; (c) a PIL color JPEG — outside our
+    baseline-grayscale profile — still decodes end-to-end through
+    extract_features via the PIL fallback branch."""
+    import io
+
+    from PIL import Image
+
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    w, h, px = _jpeg_block_img()
+    ours = encode_jpeg_gray(w, h, px, quant=[1] * 64)
+    via_pil = Image.open(io.BytesIO(ours)).convert("L")
+    assert (via_pil.width, via_pil.height) == (w, h)
+    assert bytes(via_pil.getdata()) == px
+
+    buf = io.BytesIO()
+    Image.frombytes("L", (w, h), px).save(buf, format="JPEG", quality=100)
+    dw, dh, out = decode_jpeg_gray(buf.getvalue())
+    assert (dw, dh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 16  # q100 quant error
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), color=(120, 130, 140)).save(buf, format="JPEG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "doc_id long, payload binary"
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/jpeg', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'jpeg', "
+        "'width', 4, 'height', 4) AS meta",
+    )
+    feats = extract_features(df, n_features=4, fake=False).collect()
+    assert len(feats) == 1 and abs(sum(feats[0].features) - 1.0) < 1e-9
+
+
 def test_resize_uniform_payload_and_deterministic(spark):
     docs = attach_binary_payload(_docs(spark), "text")
     out = resize_media(docs, width=8, height=8).collect()
@@ -330,3 +374,137 @@ def test_ulaw_known_values_and_idempotence(spark):
     # canonical collapse in G.711 (negative zero); everything else is
     # a fixed point
     assert bad == [(127, 255)], bad
+
+
+# ---- pure-stdlib baseline JPEG codec (operators/jpeg.py) ------------------
+
+
+def _jpeg_block_img(w=20, h=12):
+    """Multi-block image with uniform 8x8 blocks (and cropped edge
+    blocks) — DC-only in DCT domain, so quant=[1]*64 round-trips
+    EXACTLY and every pixel is hand-predictable."""
+    vals = {(0, 0): 37, (0, 1): 128, (0, 2): 200, (1, 0): 5, (1, 1): 250, (1, 2): 99}
+    px = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            px[y * w + x] = vals[(y // 8, x // 8)]
+    return w, h, bytes(px)
+
+
+def test_jpeg_block_uniform_exact_roundtrip():
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    w, h, px = _jpeg_block_img()
+    data = encode_jpeg_gray(w, h, px, quant=[1] * 64)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert decode_jpeg_gray(data) == (w, h, px)
+    # standard Annex K tables: uniform image survives the DC quantizer
+    # exactly when (v-128) is even (Q_dc=16, DC=8*(v-128))
+    d2 = encode_jpeg_gray(16, 16, bytes([200]) * 256)
+    assert set(decode_jpeg_gray(d2)[2]) == {200}
+
+
+def test_jpeg_random_roundtrip_stuffing_and_restarts():
+    """quant=1 keeps only IDCT rounding (maxdiff <= 1 per pixel); the
+    entropy stream contains raw 0xFF bytes (stuffing exercised), and
+    DRI/RSTn segmentation decodes to the identical image."""
+    import random
+
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rnd = random.Random(42)
+    w, h = 20, 12
+    px = bytes(rnd.randrange(256) for _ in range(w * h))
+    data = encode_jpeg_gray(w, h, px, quant=[1] * 64)
+    _, _, out = decode_jpeg_gray(data)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+    assert b"\xff\x00" in data[20:-2]  # stuffed byte present
+    rst = encode_jpeg_gray(w, h, px, quant=[1] * 64, restart_interval=2)
+    assert b"\xff\xd0" in rst
+    assert decode_jpeg_gray(rst)[2] == out
+
+
+def test_jpeg_single_ac_coefficient_matches_cosine_reference():
+    """Plant exactly one AC coefficient by encoding ITS OWN inverse
+    transform: pixels = IDCT of {AC(u=1,v=0)=A} computed independently
+    here from the T.81 formula, then encode with quant=1 and decode —
+    the codec must reproduce the cosine ramp (entropy coding of a
+    nonzero AC exercised end-to-end)."""
+    import math
+
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    amp = 200.0
+    px = bytes(
+        max(0, min(255, round(
+            (1 / 4) * (1 / math.sqrt(2)) * amp
+            * math.cos((2 * x + 1) * 1 * math.pi / 16) * math.sqrt(2)
+        ) + 128))
+        for _y in range(8)
+        for x in range(8)
+    )
+    data = encode_jpeg_gray(8, 8, px, quant=[1] * 64)
+    _, _, out = decode_jpeg_gray(data)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+
+def test_jpeg_rejects_out_of_profile_with_guidance():
+    import pytest as _pytest
+
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x0b" + b"\x00" * 9)
+    # flip ncomp in a real file's SOF0 to 3 -> color guidance
+    data = bytearray(encode_jpeg_gray(8, 8, bytes(64), quant=[1] * 64))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 9] = 3
+    with _pytest.raises(ValueError, match="pillow"):
+        decode_jpeg_gray(bytes(data))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"not a jpeg")
+
+
+def test_real_jpeg_features_and_resize_through_spark(spark):
+    """The dependency-free JPEG path executes inside mapInPandas in CI:
+    extract_features(fake=False) computes the luminance histogram of
+    the DECODED pixels (hand-computed here), and resize_media
+    (fake=False) decodes the JPEG and re-encodes the resampled BMP."""
+    from cubicerp_client_etl_spark.operators.jpeg import encode_jpeg_gray
+    from cubicerp_client_etl_spark.operators.multimodal import decode_bmp_gray
+
+    w, h, px = _jpeg_block_img()
+    payload = encode_jpeg_gray(w, h, px, quant=[1] * 64)
+    df = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/jpeg', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'jpeg', "
+        f"'width', {w}, 'height', {h}) AS meta",
+    )
+    out = extract_features(df, n_features=8, fake=False).collect()
+    want = [0] * 8
+    for p in px:
+        want[(p * 8) // 256] += 1
+    assert out[0].features == [c / len(px) for c in want]
+    assert out[0].media_type == "image/jpeg"
+
+    resized = resize_media(df, width=10, height=6, fake=False).collect()
+    rw, rh, rpx = decode_bmp_gray(bytes(resized[0].payload))
+    assert (rw, rh) == (10, 6)
+    # nearest-neighbor of the block image keeps the block values
+    assert rpx[0] == 37 and rpx[9] == 200 and rpx[5 * 10] == 5
