@@ -14,6 +14,19 @@ Per-query times are MEDIANS over $SPARK_GRAFT_BENCH_RUNS runs (default
 noise (GC, JIT, page cache) — round 2 saw a +20% "regression" on an
 unchanged plan from n=1 sampling. The JSON adds a "spread" map
 (max-min per query) so noise is visible, keeping the one-line contract.
+
+Repeats are GROUPED per query (q1 x n, then q2 x n, ...), not
+round-robined. The round-7 bisect of the r5->r6 core creep (+5.9%)
+found the cause was the measurement loop, not the engine: with the
+heavy round-6 flagships (winnowing's HOF arrays, PCA's Arrow batches)
+interleaved between core samples, every core query paid the previous
+query's JIT/cache disruption — the same core 7 measured 5.6s inside
+the round-robin loop vs 4.9s grouped on the same box the same hour,
+while the r5-era code measured 5.6s under its own (10-query)
+round-robin. An explicit System.gc() between samples made it WORSE
+(+13%; stop-the-world + deopt). Grouped repeats measure each query in
+its own steady state — medians over >=5 runs already absorb the
+transient-hiccup risk that originally motivated round-robin.
 """
 
 from __future__ import annotations
@@ -59,13 +72,11 @@ def main() -> None:
                 pass  # warm-up is best-effort; timing still valid without it
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     samples: dict[str, list[float]] = {name: [] for name in names}
-    # round-robin the repeats (run 1 of every query, then run 2, ...) so
-    # a transient hiccup (GC pause, compaction) lands on different
-    # queries in different passes instead of poisoning one query's
-    # entire sample
-    for _ in range(n_runs):
-        for name in names:
-            q = REGISTRY[name]
+    # grouped repeats: each query measured in its own steady state (see
+    # module docstring for the round-7 bisect that retired round-robin)
+    for name in names:
+        q = REGISTRY[name]
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = q.fn(spark, SF_DIR)
             # consume the full result without driver-materializing rows
