@@ -159,18 +159,18 @@ def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
         try:
             return decode_jpeg_gray(payload)
         except ValueError:
-            # outside the baseline-grayscale profile: fall through to
-            # PIL (color / progressive) or the guidance error
+            # outside the baseline gray/YCbCr profile (progressive,
+            # exotic sampling): fall through to PIL or the guidance
             if _pil_image() is None:
                 raise
     image_mod = _pil_image()
     if image_mod is None:
         raise NotImplementedError(
-            "beyond-BMP/PNG/grayscale-JPEG media decode needs the "
+            "beyond-BMP/PNG/baseline-JPEG media decode needs the "
             "optional 'pillow' extra (pip install pillow); encode "
             "payloads as 8-bit BMP (encode_bmp_gray), grayscale PNG "
-            "(encode_png_gray), or baseline grayscale JPEG "
-            "(jpeg.encode_jpeg_gray) for the dependency-free real "
+            "(encode_png_gray), or baseline JPEG (jpeg.encode_jpeg_gray "
+            "/ encode_jpeg_ycc_neutral) for the dependency-free real "
             "paths, or use fake=True for the byte-derived stub"
         )
     img = decode_media(payload).convert("L")

@@ -167,9 +167,10 @@ def test_jpeg_codec_interop_with_pil(spark):
     """Cross-codec JPEG interop when pillow is present: (a) PIL decodes
     our encoder's output to the exact pixels; (b) a PIL-encoded
     grayscale JPEG round-trips through OUR stdlib decoder within the
-    quantization tolerance; (c) a PIL color JPEG — outside our
-    baseline-grayscale profile — still decodes end-to-end through
-    extract_features via the PIL fallback branch."""
+    quantization tolerance; (c) a PIL-encoded COLOR JPEG (baseline
+    4:2:0) decodes through our stdlib luma extraction, matching PIL's
+    own convert("L") within YCbCr round-trip tolerance, and runs
+    end-to-end through extract_features."""
     import io
 
     from PIL import Image
@@ -193,6 +194,9 @@ def test_jpeg_codec_interop_with_pil(spark):
 
     buf = io.BytesIO()
     Image.new("RGB", (4, 4), color=(120, 130, 140)).save(buf, format="JPEG")
+    pil_l = bytes(Image.open(io.BytesIO(buf.getvalue())).convert("L").getdata())
+    _, _, our_l = decode_jpeg_gray(buf.getvalue())
+    assert max(abs(a - b) for a, b in zip(pil_l, our_l)) <= 3
     df = spark.createDataFrame(
         [(1, buf.getvalue())], "doc_id long, payload binary"
     ).selectExpr(
@@ -467,14 +471,44 @@ def test_jpeg_rejects_out_of_profile_with_guidance():
 
     with _pytest.raises(ValueError, match="progressive"):
         decode_jpeg_gray(b"\xff\xd8\xff\xc2\x00\x0b" + b"\x00" * 9)
-    # flip ncomp in a real file's SOF0 to 3 -> color guidance
+    # flip ncomp in a real file's SOF0 to 2 (CMYK-ish oddity) -> guidance
     data = bytearray(encode_jpeg_gray(8, 8, bytes(64), quant=[1] * 64))
     sof = data.index(b"\xff\xc0")
-    data[sof + 9] = 3
+    data[sof + 9] = 2
     with _pytest.raises(ValueError, match="pillow"):
         decode_jpeg_gray(bytes(data))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"not a jpeg")
+
+
+def test_jpeg_color_container_luma_extraction():
+    """3-component YCbCr baseline JPEG — the profile real encoders emit
+    — decodes through the stdlib path by extracting the luma plane:
+    every sampling (4:4:4, 4:2:2, 4:2:0), with and without restart
+    markers, reproduces the planted Y plane within IDCT rounding; a
+    block-uniform plane at 4:2:0 is pixel-EXACT (DC-only)."""
+    import random
+
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_ycc_neutral,
+    )
+
+    rnd = random.Random(7)
+    w, h = 20, 12
+    px = bytes(rnd.randrange(256) for _ in range(w * h))
+    for samp in ((1, 1), (2, 1), (2, 2)):
+        for ri in (0, 3):
+            data = encode_jpeg_ycc_neutral(
+                w, h, px, sampling=samp, quant=[1] * 64, restart_interval=ri
+            )
+            dw, dh, out = decode_jpeg_gray(data)
+            assert (dw, dh) == (w, h)
+            assert max(abs(a - b) for a, b in zip(px, out)) <= 1, (samp, ri)
+
+    _, _, upx = _jpeg_block_img()
+    data = encode_jpeg_ycc_neutral(20, 12, upx, sampling=(2, 2), quant=[1] * 64)
+    assert decode_jpeg_gray(data)[2] == upx
 
 
 def test_real_jpeg_features_and_resize_through_spark(spark):
