@@ -537,11 +537,37 @@ def q041_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q079 — multimodal resize (L-mm1): payload → uniform width×height payload
-# through mapInPandas. The pixel resample is the stubbed step
-# (deterministic nearest-neighbor over bytes) → rows-only; unit tests pin
-# the output shape and md5s.
+# through mapInPandas. The fake resample is deterministic nearest-
+# neighbor byte indexing (b[min(int(i*step), len-1)], step = len/64
+# as ONE double then multiplied by i — IEEE-identical in DuckDB), and
+# the fixture text is pure ASCII (byte i == char i+1, verified across
+# SFs by q138), so since round 7 the oracle reconstructs every output
+# payload byte-for-byte and replays its md5 — upgraded from rows-only.
+# The empty-payload branch (b"\x00" -> 64 NUL bytes) is covered by a
+# pinned constant md5 (no NUL literals in SQL).
 # --------------------------------------------------------------------------
-@register("q079_multimodal_resize", oracle=None)
+@register(
+    "q079_multimodal_resize",
+    oracle="""
+WITH r AS (SELECT doc_id, text, length(text) AS n FROM documents),
+px AS (
+  SELECT r.doc_id, i.i,
+         substr(r.text,
+                CAST(least(floor(i.i * (CAST(r.n AS DOUBLE) / 64)),
+                           r.n - 1) AS INT) + 1, 1) AS ch
+  FROM r CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+  WHERE r.n > 0
+),
+blob AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS s FROM px GROUP BY doc_id)
+SELECT r.doc_id,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CASE WHEN r.n = 0 THEN '3b5d3c7d207e37dceeedd301e35e2e58'
+            ELSE md5(b.s) END AS payload_md5,
+       CAST(64 AS INT) AS byte_len
+FROM r LEFT JOIN blob b USING (doc_id)
+ORDER BY r.doc_id
+""",
+)
 def q079_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
