@@ -625,3 +625,46 @@ def stream_hash_split(
     from cubicerp_client_etl_spark.operators.sampling import hash_split
 
     return hash_split(docs, id_col, salt=salt)
+
+
+def stream_media_features(docs: DataFrame, n_features: int = 8) -> DataFrame:
+    """Streaming twin of the q208 multimodal chain: per-document
+    baseline JPEGs (block-uniform planted values — the family on which
+    the stdlib codec is pixel-exact) are synthesized and then REALLY
+    decoded (huffman entropy + IDCT, ``operators/jpeg.py``) into
+    luminance-histogram features, all through stateless Arrow-batched
+    ``mapInPandas`` stages that attach to a stream unchanged — media
+    feature extraction needs no state store, no watermark, and no
+    shuffle, so continuous ingestion decodes exactly like the batch
+    rebuild. Equivalence pinned by tests/test_streaming.py."""
+    import pandas as pd
+
+    from cubicerp_client_etl_spark.operators.jpeg import encode_jpeg_gray
+    from cubicerp_client_etl_spark.operators.multimodal import extract_features
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 10 + did % 7, 9 + did % 6
+                pxs = bytes(
+                    (did * 31 + (y // 8) * 17 + (x // 8) * 53) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(
+                    encode_jpeg_gray(w, h, pxs, quant=[1] * 64, restart_interval=2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/jpeg', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'jpeg', "
+        "'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT)) AS meta",
+    )
+    return extract_features(media, n_features=n_features, fake=False)

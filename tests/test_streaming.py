@@ -548,3 +548,36 @@ def test_stream_hash_split_matches_batch(spark):
         ).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_stream_media_features_matches_batch(spark):
+    """The multimodal decode chain (synthesize JPEG -> REAL entropy
+    decode -> luminance histogram) is stateless map-only, so the
+    streaming run must produce byte-identical features to the batch
+    run over the same fixture."""
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_media_features,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_to_memory(
+        stream_media_features(
+            documents_stream(spark, sf).where(F.col("doc_id") % 10 == 0)
+        ),
+        "media_feat_stream",
+        output_mode="append",
+    )
+    stream_rows = {
+        r.doc_id: (r.media_type, r.byte_len, tuple(r.features))
+        for r in got.collect()
+    }
+    batch = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("doc_id") % 10 == 0
+    )
+    batch_rows = {
+        r.doc_id: (r.media_type, r.byte_len, tuple(r.features))
+        for r in stream_media_features(batch).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
