@@ -668,3 +668,33 @@ def stream_media_features(docs: DataFrame, n_features: int = 8) -> DataFrame:
         "'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT)) AS meta",
     )
     return extract_features(media, n_features=n_features, fake=False)
+
+
+def stream_quantile_buckets(
+    vals: DataFrame,
+    value_col: str,
+    lo: int,
+    width: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Streaming twin of ``operators/quantiles.histogram_quantile_sketch``'s
+    bucket pass. Histogram counters are ADDITIVE, so the online build
+    is the same bounded groupBy in update mode: state = at most
+    ``n_buckets`` counter rows (fixed size, no watermark), micro-batch
+    partials merge by sum. The GRID (lo, width) is pinned up front —
+    production derives it from the previous corpus snapshot's min/max
+    (a new value past the edge clamps into the boundary bucket, which
+    only ever WIDENS the reported bound for the extreme quantiles,
+    never mis-orders interior ones). Quantile extraction reads the
+    materialized counter table with the same disc-rank rule as batch.
+    """
+    if width < 1 or n_buckets < 1:
+        raise ValueError("width and n_buckets must be >= 1")
+    b = F.expr(f"(CAST({value_col} AS BIGINT) - {lo}) div {width}")
+    clamped = F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), b))
+    return (
+        vals.where(F.col(value_col).isNotNull())
+        .select(clamped.cast("bigint").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -581,3 +581,48 @@ def test_stream_media_features_matches_batch(spark):
         for r in stream_media_features(batch).collect()
     }
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_stream_quantile_buckets_matches_batch(spark):
+    """Additive histogram counters: the streaming bucket table over the
+    documents fixture (token-count as the value) must equal the batch
+    groupBy on the same pinned grid, and quantiles extracted from it
+    via the disc-rank rule must bracket the exact quantile within one
+    bucket width."""
+    from cubicerp_client_etl_spark.operators.quantiles import exact_quantiles
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_quantile_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("v")
+    batch = spark.read.parquet(f"{sf}/documents.parquet").select(n_tok)
+    lo_hi = batch.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    B = 32
+    w = (lo_hi.hi - lo_hi.lo + B) // B
+    got = run_stream_to_memory(
+        stream_quantile_buckets(
+            documents_stream(spark, sf).select(n_tok), "v", lo_hi.lo, w, B
+        ),
+        "qbuckets_stream",
+        output_mode="complete",
+    )
+    stream_tbl = {r.b: r.cnt for r in got.collect()}
+    batch_tbl = {
+        r.b: r.cnt
+        for r in stream_quantile_buckets(batch, "v", lo_hi.lo, w, B).collect()
+    }
+    assert stream_tbl == batch_tbl and stream_tbl
+
+    n = sum(stream_tbl.values())
+    exact = {r.q: r.value for r in exact_quantiles(batch, "v", [0.5, 0.9]).collect()}
+    for q in (0.5, 0.9):
+        cum = 0
+        for b in sorted(stream_tbl):
+            cum += stream_tbl[b]
+            if cum / n >= q:
+                est = lo_hi.lo + b * w
+                break
+        assert est <= exact[q] < est + w, (q, est, exact[q], w)
