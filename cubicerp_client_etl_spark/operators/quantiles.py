@@ -194,3 +194,83 @@ def histogram_quantile_sketch(
         .alias(est_col),
         F.first("_w").cast("bigint").alias(bound_col),
     )
+
+
+def histogram_quantile_sketch_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    n_buckets: int = 256,
+    q_col: str = "q",
+    est_col: str = "est",
+    bound_col: str = "bound",
+) -> DataFrame:
+    """Per-group ``histogram_quantile_sketch`` — fixed memory per group
+    (B counter rows) regardless of the group's distinct-value count,
+    which is what ``exact_quantiles_by`` cannot promise for continuous
+    columns. Each group gets its own integer grid (min/max/width), so
+    bounds are as tight as that group's range allows.
+
+    Plan: one groupBy for per-group (lo, hi, n) -> broadcast back ->
+    one groupBy for (group, bucket) counts -> group-keyed cumulative
+    window over <= ``n_buckets`` rows per group (bounded by
+    construction, the ``exact_quantiles_by`` precedent) -> explode the
+    q spec -> min-bucket per (group, q). One row per (group, q):
+    ``(group, q double, est bigint, bound bigint)``.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from pyspark.sql import Window
+
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col), F.col(value_col).cast("bigint").alias("_v")
+    )
+    mm = vals.groupBy(group_col).agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    ).withColumn(
+        "_w",
+        F.expr(f"(_hi - _lo + {n_buckets}) div {n_buckets}").cast("bigint"),
+    )
+    # null-safe grid join: a NULL group (unattributed source) is a real
+    # group and must not be silently dropped by the equi-join
+    mmr = mm.withColumnRenamed(group_col, "_g")
+    bucketed = (
+        vals.join(
+            F.broadcast(mmr), F.col(group_col).eqNullSafe(F.col("_g"))
+        )
+        .select(
+            group_col,
+            F.expr("(_v - _lo) div _w").cast("bigint").alias("_b"),
+        )
+        .groupBy(group_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.withColumn("_cum", F.sum("_cnt").over(w_cum))
+        .join(F.broadcast(mmr), F.col(group_col).eqNullSafe(F.col("_g")))
+        .drop("_g")
+    )
+    hit = cum.withColumn(
+        q_col, F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    ).where(
+        (F.col("_cum").cast("double") / F.col("_n").cast("double")) >= F.col(q_col)
+    )
+    return hit.groupBy(group_col, q_col).agg(
+        (F.first("_lo") + F.min("_b") * F.first("_w"))
+        .cast("bigint")
+        .alias(est_col),
+        F.first("_w").cast("bigint").alias(bound_col),
+    )

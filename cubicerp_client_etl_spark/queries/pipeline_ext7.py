@@ -3833,3 +3833,94 @@ def q209_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# --------------------------------------------------------------------------
+# q210 — Per-source quantile sketch datasheet (operators/quantiles.py
+# histogram_quantile_sketch_by): per-domain token-length p50/p95 with
+# certified bounds — the curation-policy input (length caps per
+# source) at fixed memory per group (B counter rows), which
+# exact_quantiles_by cannot promise for continuous columns. Audit
+# columns compare each estimate to the exact per-group disc quantile;
+# `within` is deterministically true by the shared rank rule. Scale:
+# two keyed map-side-combinable aggs + a group-keyed window over
+# <= 64 bucket rows per group; NULL groups survive via the null-safe
+# grid join (unit-pinned).
+# --------------------------------------------------------------------------
+@register(
+    "q210_grouped_quantile_sketch",
+    oracle="""
+WITH v AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS v
+  FROM documents
+),
+mm AS (
+  SELECT source, MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY source
+),
+pw AS (SELECT source, lo, n, (hi - lo + 64) // 64 AS w FROM mm),
+bu AS (
+  SELECT v.source, (v.v - pw.lo) // pw.w AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v JOIN pw ON pw.source IS NOT DISTINCT FROM v.source
+  GROUP BY v.source, b
+),
+cum AS (
+  SELECT source, b, SUM(cnt) OVER (PARTITION BY source ORDER BY b) AS cum
+  FROM bu
+),
+spec AS (SELECT unnest([0.5, 0.95]) AS q),
+est AS (
+  SELECT c.source, s.q, pw.lo + MIN(c.b) * pw.w AS est, pw.w AS bound
+  FROM cum c
+  JOIN pw ON pw.source IS NOT DISTINCT FROM c.source
+  CROSS JOIN spec s
+  WHERE CAST(c.cum AS DOUBLE) / pw.n >= s.q
+  GROUP BY c.source, s.q, pw.lo, pw.w
+),
+ex AS (
+  SELECT source, 0.5 AS q, quantile_disc(v, 0.5) AS exact FROM v GROUP BY source
+  UNION ALL
+  SELECT source, 0.95, quantile_disc(v, 0.95) FROM v GROUP BY source
+)
+SELECT e.source, CAST(e.q AS DOUBLE) AS q,
+       CAST(t.est AS BIGINT) AS est_tokens,
+       CAST(e.exact AS BIGINT) AS exact_tokens,
+       CAST(abs(e.exact - t.est) AS BIGINT) AS abs_err,
+       CAST(t.bound AS BIGINT) AS bound,
+       abs(e.exact - t.est) < t.bound AS within
+FROM ex e
+JOIN est t ON t.source IS NOT DISTINCT FROM e.source AND t.q = e.q
+ORDER BY e.source, e.q
+""",
+)
+def q210_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        exact_quantiles_by,
+        histogram_quantile_sketch_by,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    qs = [0.5, 0.95]
+    sk = histogram_quantile_sketch_by(
+        docs, "source", "n_tok", qs, n_buckets=64,
+        est_col="est_tokens", bound_col="bound",
+    )
+    ex = exact_quantiles_by(docs, "source", "n_tok", qs, out_col="exact_tokens")
+    err = F.abs(F.col("exact_tokens") - F.col("est_tokens"))
+    return (
+        sk.join(ex, ["source", "q"])
+        .select(
+            "source",
+            "q",
+            "est_tokens",
+            F.col("exact_tokens").cast("bigint").alias("exact_tokens"),
+            err.cast("bigint").alias("abs_err"),
+            "bound",
+            (err < F.col("bound")).alias("within"),
+        )
+        .orderBy("source", "q")
+    )

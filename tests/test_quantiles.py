@@ -110,3 +110,34 @@ def test_histogram_quantile_sketch_bound_certified(spark):
         histogram_quantile_sketch(df, "v", [1.5])
     with pytest.raises(ValueError):
         histogram_quantile_sketch(df, "v", [0.5], n_buckets=0)
+
+
+def test_histogram_quantile_sketch_by_null_group_and_bounds(spark):
+    """Keyed sketch: per-group grids, the NULL group (unattributed
+    source) survives the null-safe grid join, and every group's exact
+    disc-quantile lies in [est, est + bound)."""
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        exact_quantiles_by,
+        histogram_quantile_sketch_by,
+    )
+
+    rows = (
+        [("a", v) for v in range(100)]
+        + [("b", v * 1000) for v in range(50)]
+        + [(None, v + 7) for v in range(30)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [0.5, 0.9]
+    sk = {
+        (r.g, r.q): (r.est, r.bound)
+        for r in histogram_quantile_sketch_by(df, "g", "v", qs, n_buckets=16).collect()
+    }
+    ex = {
+        (r.g, r.q): r.value
+        for r in exact_quantiles_by(df, "g", "v", qs).collect()
+    }
+    assert set(sk) == {(g, q) for g in ("a", "b", None) for q in qs}
+    for key, (est, bound) in sk.items():
+        assert est <= ex[key] < est + bound, (key, est, ex[key], bound)
+    # per-group grids: b's bound reflects b's (wide) range, not a's
+    assert sk[("b", 0.5)][1] > sk[("a", 0.5)][1]
