@@ -8,6 +8,7 @@ map-only stages with zero shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -207,3 +208,47 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
             F.lit(PII_PHONE),
         ),
     }
+
+
+def nfc_normalize_col(col: Column | str) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF
+    (stdlib ``unicodedata`` — Spark SQL has no normalization
+    built-in). The step every multilingual dedup/fingerprint chain
+    needs FIRST: composed ``à`` and decomposed ``a + U+0300`` are
+    different byte strings (different md5 keys, different shingles)
+    but the same text; NFC collapses them. Cross-engine: Python's
+    NFC is probe-verified byte-identical to DuckDB's
+    ``nfc_normalize`` (both implement UAX #15), so normalized-key
+    queries oracle-replay exactly. Nulls pass through as nulls."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
+def strip_html(col: Column | str) -> Column:
+    """Boilerplate HTML → text: drop <script>/<style> subtrees (their
+    CONTENT is not text), strip remaining tags, decode the five
+    standard entities, collapse whitespace. Pure whole-stage-codegen
+    regex chain (no UDF) using only the regex subset Java and RE2
+    evaluate identically (non-greedy ``.*?``, char classes — no
+    lookarounds), so the DuckDB oracle replays it verbatim. For
+    production HTML with nested CDATA/comments a real parser is the
+    optional extra; this is the deterministic 95% fast path."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

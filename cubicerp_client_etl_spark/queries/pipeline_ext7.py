@@ -3924,3 +3924,131 @@ def q210_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "q")
     )
+
+
+# --------------------------------------------------------------------------
+# q211 — Unicode NFC key collapse (operators/text.nfc_normalize_col):
+# the normalization-before-hashing step every multilingual dedup chain
+# needs. Two variants are planted per selected doc — composed ('a' ->
+# U+00E0) and decomposed ('a' -> 'a' + combining U+0300) — which are
+# different byte strings (2 raw md5 keys) but the same text; after
+# NFC both collapse to one key. Python's stdlib NFC (Arrow-batched
+# pandas UDF) is probe-verified byte-identical to DuckDB's
+# nfc_normalize (both UAX #15), so every md5 cell oracle-replays —
+# the cross-engine unicode discipline, pinned at corpus level.
+# Scale: map-only (a pandas UDF + hash, no shuffle before the agg).
+# --------------------------------------------------------------------------
+@register(
+    "q211_unicode_nfc_dedup",
+    oracle="""
+WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+var AS (
+  SELECT doc_id, 0 AS variant, replace(text, 'a', chr(224)) AS t FROM sel
+  UNION ALL
+  SELECT doc_id, 1, replace(text, 'a', 'a' || chr(768)) FROM sel
+),
+k AS (
+  SELECT doc_id, md5(t) AS raw_key, md5(nfc_normalize(t)) AS nfc_key FROM var
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT raw_key) AS BIGINT) AS n_raw_keys,
+       CAST(COUNT(DISTINCT nfc_key) AS BIGINT) AS n_nfc_keys,
+       MIN(nfc_key) AS nfc_key
+FROM k GROUP BY doc_id
+""",
+)
+def q211_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.text import nfc_normalize_col
+
+    sel = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    composed = sel.select(
+        "doc_id", F.replace(F.col("text"), F.lit("a"), F.lit("\u00e0")).alias("t")
+    )
+    decomposed = sel.select(
+        "doc_id", F.replace(F.col("text"), F.lit("a"), F.lit("a\u0300")).alias("t")
+    )
+    var = composed.unionByName(decomposed)
+    k = var.select(
+        "doc_id",
+        F.md5(F.encode(F.col("t"), "UTF-8")).alias("raw_key"),
+        F.md5(F.encode(nfc_normalize_col("t"), "UTF-8")).alias("nfc_key"),
+    )
+    return k.groupBy("doc_id").agg(
+        F.count_distinct("raw_key").cast("bigint").alias("n_raw_keys"),
+        F.count_distinct("nfc_key").cast("bigint").alias("n_nfc_keys"),
+        F.min("nfc_key").alias("nfc_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q212 — HTML boilerplate stripping (operators/text.strip_html): the
+# web-corpus extraction step — drop <script>/<style> subtrees, strip
+# tags, decode the five standard entities, collapse whitespace — as a
+# pure whole-stage-codegen regex chain (no UDF) restricted to the
+# regex subset Java and RE2 evaluate identically, replayed verbatim by
+# the oracle. The fixture documents are wrapped in a synthesized page
+# (title/script/p/div) so the stripper must remove script CONTENT,
+# not just tags, and recover the original text plus the visible
+# title/source fragments. Scale: map-only.
+# --------------------------------------------------------------------------
+@register(
+    "q212_html_strip",
+    oracle="""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><script type="text/javascript">var x = 1 &amp;&amp; 2;'
+         || '</script></head><body><p>' || text ||
+         '</p><div class="footer">source: ' || COALESCE(source, 'none') ||
+         ' &copy; 2026</div></body></html>' AS html
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g') AS t FROM page),
+s2 AS (SELECT doc_id, regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+s4 AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&amp;', '&') AS t
+  FROM s3
+),
+clean AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM s4)
+SELECT doc_id, md5(t) AS text_md5,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(t LIKE 'Doc %' AS BOOLEAN) AS has_title,
+       CAST(t NOT LIKE '%var x%' AS BOOLEAN) AS script_dropped
+FROM clean
+""",
+)
+def q212_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.text import strip_html
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                '</title><script type="text/javascript">var x = 1 &amp;&amp; 2;'
+                "</script></head><body><p>"
+            ),
+            F.col("text"),
+            F.lit('</p><div class="footer">source: '),
+            F.coalesce(F.col("source"), F.lit("none")),
+            F.lit(" &copy; 2026</div></body></html>"),
+        ).alias("html"),
+    )
+    clean = page.select("doc_id", strip_html("html").alias("t"))
+    return clean.select(
+        "doc_id",
+        F.md5(F.encode(F.col("t"), "UTF-8")).alias("text_md5"),
+        F.length("t").cast("bigint").alias("n_chars"),
+        F.col("t").startswith("Doc ").alias("has_title"),
+        (~F.col("t").contains("var x")).alias("script_dropped"),
+    )

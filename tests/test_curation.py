@@ -293,3 +293,34 @@ def test_bigram_fluency_reference(spark):
         2, 1_500_000, 500_000, 750_000)
     assert (d2.n_bigrams, d2.sum_p_e6, d2.min_p_e6, d2.avg_p_e6) == (
         3, 2_500_000, 500_000, 833_333)
+
+
+def test_nfc_normalize_col_collapses_equivalent_forms(spark):
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.text import nfc_normalize_col
+
+    df = spark.createDataFrame(
+        [(1, "àb"), (2, "àb"), (3, None), (4, "plain")],
+        "id long, t string",
+    )
+    out = {r.id: r.n for r in df.select("id", nfc_normalize_col("t").alias("n")).collect()}
+    assert out[1] == out[2] == "àb"  # decomposed == composed after NFC
+    assert out[3] is None and out[4] == "plain"
+
+
+def test_strip_html_drops_script_content_and_decodes_entities(spark):
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.text import strip_html
+
+    html = (
+        '<html><head><script a="b">var secret = 1;</script>'
+        "<style>p{color:red}</style></head>"
+        "<body><p>Hello &amp; welcome</p><b>x &lt; y</b>"
+        "<p>literal &amp;lt; stays</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    out = df.select(strip_html("h").alias("t")).collect()[0].t
+    assert out == "Hello & welcome x < y literal &lt; stays"
+    assert "secret" not in out and "color" not in out
