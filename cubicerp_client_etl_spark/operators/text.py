@@ -252,3 +252,49 @@ def strip_html(col: Column | str) -> Column:
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for crawl dedup: lowercase scheme+host, strip
+    the scheme's default port (:80 http / :443 https), drop the
+    fragment, drop ``utm_*`` tracking params, sort the remaining query
+    params, and strip trailing path slashes (bare host keeps ``/``).
+    Pure whole-stage-codegen Column chain (regexp_extract + HOF
+    filter/sort — no UDF), using only constructs DuckDB replays
+    identically (list_filter/list_sort/array_to_string), so
+    canonical-key dedup queries oracle-replay exactly. Not a full
+    WHATWG parser — percent-encoding and IDN are out of scope (the
+    optional extra's job); this is the deterministic crawl-frontier
+    fast path."""
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    after = F.regexp_replace(u, r"^[A-Za-z]+://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?#]+)", 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    pathqf = F.substring_index(after, "#", 1)  # drop fragment
+    # path+query = everything after hostport (fragment already dropped)
+    tail = F.substring(pathqf, F.length(hostport) + 1, F.lit(1 << 30))
+    path = F.substring_index(tail, "?", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        tail.contains("?"), F.substring_index(tail, "?", -1)
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -4052,3 +4052,115 @@ def q212_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").startswith("Doc ").alias("has_title"),
         (~F.col("t").contains("var x")).alias("script_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# q213 — URL canonicalization dedup (operators/text.canonical_url):
+# the crawl-frontier key — two synthesized variants per doc (mixed
+# case + default port + utm params + fragment + trailing slash vs the
+# clean form) are different raw strings but one page; canonicalization
+# collapses them 2 -> 1. Pure codegen Column chain mirrored verbatim
+# in the oracle (regexp_extract / split_part / list_filter /
+# list_sort — the Java-RE2-identical subset). Scale: map-only.
+# --------------------------------------------------------------------------
+@register(
+    "q213_url_canonicalize",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, COALESCE(source, 'none') AS src, doc_id % 7 AS ref
+  FROM documents
+),
+var AS (
+  SELECT doc_id,
+         'HTTP://WWW.' || upper(src) || '.COM:80/docs/' ||
+         CAST(doc_id AS VARCHAR) || '/?utm_campaign=x&ref=' ||
+         CAST(ref AS VARCHAR) || '&lang=en#top' AS u
+  FROM base
+  UNION ALL
+  SELECT doc_id,
+         'http://www.' || lower(src) || '.com/docs/' ||
+         CAST(doc_id AS VARCHAR) || '?lang=en&ref=' || CAST(ref AS VARCHAR)
+  FROM base
+),
+c AS (
+  SELECT doc_id, u,
+         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(u, '^[A-Za-z]+://', '') AS after
+  FROM var
+),
+c2 AS (
+  SELECT doc_id, u, scheme, after,
+         lower(regexp_extract(after, '^([^/?#]+)', 1)) AS hostport,
+         split_part(after, '#', 1) AS pathqf
+  FROM c
+),
+c3 AS (
+  SELECT doc_id, u, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         substr(pathqf, length(hostport) + 1) AS tail
+  FROM c2
+),
+c4 AS (
+  SELECT doc_id, u, scheme, host,
+         CASE WHEN regexp_replace(split_part(tail, '?', 1), '/+$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(split_part(tail, '?', 1), '/+$', '') END AS path,
+         CASE WHEN contains(tail, '?') THEN split_part(tail, '?', 2)
+              ELSE '' END AS query
+  FROM c3
+),
+c5 AS (
+  SELECT doc_id, u, scheme, host, path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS qs
+  FROM c4
+),
+k AS (
+  SELECT doc_id, md5(u) AS raw_key,
+         scheme || '://' || host || path ||
+         CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon
+  FROM c5
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT raw_key) AS BIGINT) AS n_raw_keys,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon_keys,
+       MIN(canon) AS canon_url
+FROM k GROUP BY doc_id
+""",
+)
+def q213_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.text import canonical_url
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("none")).alias("src"),
+        (F.col("doc_id") % 7).alias("ref"),
+    )
+    v0 = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW."), F.upper("src"), F.lit(".COM:80/docs/"),
+            F.col("doc_id").cast("string"), F.lit("/?utm_campaign=x&ref="),
+            F.col("ref").cast("string"), F.lit("&lang=en#top"),
+        ).alias("u"),
+    )
+    v1 = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://www."), F.lower("src"), F.lit(".com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang=en&ref="),
+            F.col("ref").cast("string"),
+        ).alias("u"),
+    )
+    k = v0.unionByName(v1).select(
+        "doc_id",
+        F.md5(F.encode(F.col("u"), "UTF-8")).alias("raw_key"),
+        canonical_url("u").alias("canon"),
+    )
+    return k.groupBy("doc_id").agg(
+        F.count_distinct("raw_key").cast("bigint").alias("n_raw_keys"),
+        F.count_distinct("canon").cast("bigint").alias("n_canon_keys"),
+        F.min("canon").alias("canon_url"),
+    )

@@ -324,3 +324,19 @@ def test_strip_html_drops_script_content_and_decodes_entities(spark):
     out = df.select(strip_html("h").alias("t")).collect()[0].t
     assert out == "Hello & welcome x < y literal &lt; stays"
     assert "secret" not in out and "color" not in out
+
+
+def test_canonical_url_collapses_variants(spark):
+    from cubicerp_client_etl_spark.operators.text import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/B/?utm_s=1&b=2&a=1#f",
+         "http://www.ex.com/A/B?a=1&b=2"),
+        ("https://Host.Org:443/", "https://host.org/"),
+        ("https://host.org", "https://host.org/"),
+        ("http://h.io/p?utm_a=1", "http://h.io/p"),
+        ("http://h.io:8080/p", "http://h.io:8080/p"),  # non-default port kept
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    for r in df.select(canonical_url("u").alias("c"), "want").collect():
+        assert r.c == r.want, (r.c, r.want)
