@@ -542,3 +542,41 @@ def test_real_jpeg_features_and_resize_through_spark(spark):
     assert (rw, rh) == (10, 6)
     # nearest-neighbor of the block image keeps the block values
     assert rpx[0] == 37 and rpx[9] == 200 and rpx[5 * 10] == 5
+
+
+def test_jpeg_codec_property_random_images():
+    """Hypothesis property: any dims (1..25 x 1..25) and pixel content
+    round-trip within IDCT rounding at quant=1, with and without
+    restart markers, gray and 4:2:0 color containers."""
+    from hypothesis import given, settings, strategies as st
+
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_ycc_neutral,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 25),
+        h=st.integers(1, 25),
+        seed=st.integers(0, 2**31),
+        ri=st.sampled_from([0, 1, 3]),
+        color=st.booleans(),
+    )
+    def check(w, h, seed, ri, color):
+        import random
+
+        rnd = random.Random(seed)
+        px = bytes(rnd.randrange(256) for _ in range(w * h))
+        if color:
+            data = encode_jpeg_ycc_neutral(
+                w, h, px, sampling=(2, 2), quant=[1] * 64, restart_interval=ri
+            )
+        else:
+            data = encode_jpeg_gray(w, h, px, quant=[1] * 64, restart_interval=ri)
+        dw, dh, out = decode_jpeg_gray(data)
+        assert (dw, dh) == (w, h)
+        assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+    check()
