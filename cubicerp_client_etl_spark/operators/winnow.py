@@ -141,7 +141,11 @@ def fingerprint_digest(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
     accepts ``winnow_fingerprints(dedup=False)`` output directly —
     one shuffle total, reusing the selection window's doc-keyed
     exchange."""
-    pair = F.format_string("%d:%d", F.col("pos"), F.col("fp_hash"))
+    # concat of casts, not format_string: java.util.Formatter is the
+    # digest chain's hot spot (same bytes for non-negative ints)
+    pair = F.concat(
+        F.col("pos").cast("string"), F.lit(":"), F.col("fp_hash").cast("string")
+    )
     return (
         fps.select(id_col, "n_grams", pair.alias("_p"))
         .groupBy(id_col)
@@ -195,7 +199,11 @@ def winnow_digest_inline(
     stage: embarrassingly parallel at any corpus size, and directly
     usable on a STREAM (no state, no watermark —
     ``streaming/jobs.stream_winnow_digest`` wraps it). Per-row cost is
-    O(n_grams · w) slice+min work in codegen.
+    O(n_grams · w) slice+min work in codegen. (A classical
+    rolling-polynomial gram hash was prototyped as a faster family and
+    measured SLOWER than this md5 form on the fixture corpus — the
+    per-element HOF overhead of a char-codes array dominates the JVM's
+    MessageDigest, so the portable md5 family stays the only one.)
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
@@ -234,37 +242,39 @@ def winnow_digest_inline(
         ).alias("_packed"),
     )
     d = d.select(
-        id_col,
-        "_ng",
-        F.array_distinct(
-            F.transform(
-                # size(_packed) (== _ng) as the bound: the second
-                # _packed reference that keeps the projection boundary
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("_packed") - F.lit(w - 1), F.lit(1)),
-                ),
-                # window min as an UNROLLED least of w null-safe gets
-                # (least skips the NULLs a truncated final window
-                # produces) — ~2.4× faster than array_min(slice(...)),
-                # which allocates a w-element array per window
-                lambda s: F.least(
-                    *[F.get(F.col("_packed"), s + F.lit(o) - 1) for o in range(w)]
-                )
-                if w > 1
-                else F.get(F.col("_packed"), s - 1),
+    id_col,
+    "_ng",
+    F.array_distinct(
+        F.transform(
+            # size(_packed) (== _ng) as the bound: the second
+            # _packed reference that keeps the projection boundary
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("_packed") - F.lit(w - 1), F.lit(1)),
+            ),
+            # window min as an UNROLLED least of w null-safe gets
+            # (least skips the NULLs a truncated final window
+            # produces) — ~2.4× faster than array_min(slice(...)),
+            # which allocates a w-element array per window
+            lambda s: F.least(
+                *[F.get(F.col("_packed"), s + F.lit(o) - 1) for o in range(w)]
             )
-        ).alias("_sel"),
+            if w > 1
+            else F.get(F.col("_packed"), s - 1),
+        )
+    ).alias("_sel"),
     )
     # unpack with bit ops — ck < 2^63 with the hash in bits 31..62, so
     # >>31 / &(2^31-1) are exact (never a double division, which loses
     # integers past 2^53)
+    # concat of casts, not format_string (java.util.Formatter): same
+    # bytes for non-negative ints at a fraction of the per-element cost
     pairs = F.transform(
         F.col("_sel"),
-        lambda c: F.format_string(
-            "%d:%d",
-            F.lit(_POW31) - c.bitwiseAND(F.lit(_POW31 - 1)),
-            F.shiftright(c, 31),
+        lambda c: F.concat(
+            (F.lit(_POW31) - c.bitwiseAND(F.lit(_POW31 - 1))).cast("string"),
+            F.lit(":"),
+            F.shiftright(c, 31).cast("string"),
         ),
     )
     return d.select(
