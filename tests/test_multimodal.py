@@ -580,3 +580,22 @@ def test_jpeg_codec_property_random_images():
         assert max(abs(a - b) for a, b in zip(px, out)) <= 1
 
     check()
+
+
+def test_jpeg_truncated_payload_raises_valueerror():
+    """Corrupt/truncated payloads must surface as ValueError (one
+    exception type for per-payload handling and the PIL fallback),
+    never a bare IndexError/struct.error from the parser."""
+    import pytest as _pytest
+
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(16, 16, bytes(range(256)), quant=[1] * 64)
+    for cut in (4, 20, len(good) // 2, len(good) - 3):
+        with _pytest.raises(ValueError):
+            decode_jpeg_gray(good[:cut])
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(good[:100] + b"\x00" * 3)  # corrupt tail
