@@ -163,14 +163,19 @@ def _decode_gray(payload: bytes) -> tuple[int, int, bytes]:
             # exotic sampling): fall through to PIL or the guidance
             if _pil_image() is None:
                 raise
+    if payload[:4] == b"GIF8":
+        from cubicerp_client_etl_spark.operators.gif import decode_gif_gray
+
+        return decode_gif_gray(payload)
     image_mod = _pil_image()
     if image_mod is None:
         raise NotImplementedError(
-            "beyond-BMP/PNG/baseline-JPEG media decode needs the "
+            "beyond-BMP/PNG/JPEG/GIF media decode needs the "
             "optional 'pillow' extra (pip install pillow); encode "
             "payloads as 8-bit BMP (encode_bmp_gray), grayscale PNG "
-            "(encode_png_gray), or baseline JPEG (jpeg.encode_jpeg_gray "
-            "/ encode_jpeg_ycc_neutral) for the dependency-free real "
+            "(encode_png_gray), baseline JPEG (jpeg.encode_jpeg_gray "
+            "/ encode_jpeg_ycc_neutral), or gray-palette GIF "
+            "(gif.encode_gif_gray) for the dependency-free real "
             "paths, or use fake=True for the byte-derived stub"
         )
     img = decode_media(payload).convert("L")

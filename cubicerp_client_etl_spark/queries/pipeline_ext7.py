@@ -4164,3 +4164,83 @@ def q213_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("canon").cast("bigint").alias("n_canon_keys"),
         F.min("canon").alias("canon_url"),
     )
+
+
+# --------------------------------------------------------------------------
+# q214 — REAL GIF decode path (operators/gif.py stdlib LZW codec):
+# deterministic per-pixel grayscale images are encoded as INTERLACED
+# GIFs with real LZW compression, then extract_features(fake=False)
+# runs the actual variable-width LZW decode + interlace reorder +
+# palette-luma mapping and buckets the histogram. Gray-palette GIF is
+# pixel-exact on ANY content (palette luma == pixel value, no DCT),
+# so the oracle replays the planted pixel arithmetic directly — an
+# LZW/interlace/palette bug surfaces as a value mismatch. Fourth
+# member of the real-codec chain (BMP q157, PNG q042, JPEG q208).
+# Scale: synth + decode are pure map stages.
+# --------------------------------------------------------------------------
+@register(
+    "q214_gif_feature_histogram",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 9 + doc_id % 8 AS w, 7 + doc_id % 9 AS h
+  FROM documents WHERE doc_id % 50 = 0
+),
+px AS (
+  SELECT doc_id, w * h AS total, unnest(range(0, w * h)) AS i FROM d
+),
+pv AS (
+  SELECT doc_id, total,
+         (((doc_id * 43 + i * 97 + (i * i) % 193) % 256) * 8) // 256 AS bucket
+  FROM px
+),
+c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM pv GROUP BY doc_id, bucket),
+spine AS (
+  SELECT doc_id, total, unnest(range(0, 8)) AS bucket
+  FROM (SELECT DISTINCT doc_id, total FROM px)
+)
+SELECT s.doc_id,
+       CAST(s.bucket AS INTEGER) AS bucket,
+       COALESCE(c.cnt, 0) / CAST(s.total AS DOUBLE) AS frac
+FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
+""",
+)
+def q214_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from cubicerp_client_etl_spark.operators.gif import encode_gif_gray
+    from cubicerp_client_etl_spark.operators.multimodal import extract_features
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 9 + did % 8, 7 + did % 9
+                pxs = bytes(
+                    (did * 43 + i * 97 + (i * i) % 193) % 256
+                    for i in range(w * h)
+                )
+                payloads.append(encode_gif_gray(w, h, pxs, interlace=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary").selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/gif', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'gif', "
+        "'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT)) AS meta",
+    )
+    feats = extract_features(media, n_features=8, fake=False)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket", "frac")
+    ).select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("frac").alias("frac"),
+    )

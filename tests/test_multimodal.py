@@ -599,3 +599,107 @@ def test_jpeg_truncated_payload_raises_valueerror():
             decode_jpeg_gray(good[:cut])
     with _pytest.raises(ValueError):
         decode_jpeg_gray(good[:100] + b"\x00" * 3)  # corrupt tail
+
+
+# ---- pure-stdlib GIF codec (operators/gif.py) -----------------------------
+
+
+def test_gif_codec_roundtrip_exact_and_guards():
+    """Gray-palette GIF round-trips PIXEL-EXACT (palette luma == pixel
+    value), interlaced and not, through real LZW including the
+    4096-entry table-overflow CLEAR path; truncation -> ValueError."""
+    import random
+
+    import pytest as _pytest
+
+    from cubicerp_client_etl_spark.operators.gif import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    rnd = random.Random(3)
+    for w, h in ((20, 12), (1, 1), (255, 3)):
+        px = bytes(rnd.randrange(256) for _ in range(w * h))
+        for il in (False, True):
+            assert decode_gif_gray(encode_gif_gray(w, h, px, interlace=il)) == (
+                w, h, px,
+            )
+    # low-entropy forces long matches and LZW table overflow
+    px = (bytes([7] * 5000) + bytes(range(256)) * 4)[: 80 * 70]
+    assert decode_gif_gray(encode_gif_gray(80, 70, px)) == (80, 70, px)
+
+    good = encode_gif_gray(16, 16, bytes(range(256)))
+    for cut in (3, 12, 100, len(good) - 2):
+        with _pytest.raises(ValueError):
+            decode_gif_gray(good[:cut])
+    with _pytest.raises(ValueError):
+        decode_gif_gray(b"NOT A GIF")
+
+
+def test_gif_color_palette_luma_and_hypothesis_roundtrip():
+    """A COLOR palette collapses to BT.601 integer luma; plus a
+    hypothesis sweep over dims/content/interlace."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from cubicerp_client_etl_spark.operators.gif import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    # hand-build a 2x1 GIF with a 2-entry color palette: red, cyan
+    head = b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+    palette = bytes((255, 0, 0, 0, 255, 255)) + b""
+    # palette flag 0x80 => size 2<<0 = 2 entries
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+    # LZW min code size 2 -> clear=4, eoi=5, width 3. Codes CLEAR,0,1,EOI
+    # packed LSB-first: 4 | 0<<3 | 1<<6 | 5<<9 = 2628 = bytes 0x44 0x0A
+    stream = bytes([0x44, 0x0A])
+    data = bytes([2, 2]) + stream + b"\x00"
+    gif = head + palette + desc + data + b"\x3b"
+    w, h, px = decode_gif_gray(gif)
+    assert (w, h) == (2, 1)
+    assert px[0] == (299 * 255 + 500) // 1000  # red -> 76
+    assert px[1] == (587 * 255 + 114 * 255 + 500) // 1000  # cyan -> 179
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 30),
+        h=st.integers(1, 30),
+        seed=st.integers(0, 2**31),
+        il=st.booleans(),
+    )
+    def check(w, h, seed, il):
+        import random
+
+        rnd = random.Random(seed)
+        px = bytes(rnd.randrange(256) for _ in range(w * h))
+        assert decode_gif_gray(encode_gif_gray(w, h, px, interlace=il)) == (
+            w, h, px,
+        )
+
+    check()
+
+
+def test_real_gif_features_through_spark(spark):
+    """The GIF decode path executes inside mapInPandas in CI via the
+    _decode_gray dispatch (extract_features fake=False)."""
+    from cubicerp_client_etl_spark.operators.gif import encode_gif_gray
+
+    w, h, px = _jpeg_block_img()
+    payload = encode_gif_gray(w, h, px, interlace=True)
+    df = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    ).selectExpr(
+        "doc_id",
+        "payload",
+        "named_struct('media_type', 'image/gif', 'byte_len', "
+        "CAST(length(payload) AS BIGINT), 'format', 'gif', "
+        f"'width', {w}, 'height', {h}) AS meta",
+    )
+    out = extract_features(df, n_features=8, fake=False).collect()
+    want = [0] * 8
+    for p in px:
+        want[(p * 8) // 256] += 1
+    assert out[0].features == [c / len(px) for c in want]
