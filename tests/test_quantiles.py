@@ -141,3 +141,34 @@ def test_histogram_quantile_sketch_by_null_group_and_bounds(spark):
         assert est <= ex[key] < est + bound, (key, est, ex[key], bound)
     # per-group grids: b's bound reflects b's (wide) range, not a's
     assert sk[("b", 0.5)][1] > sk[("a", 0.5)][1]
+
+
+def test_histogram_quantile_sketch_property(spark):
+    """Hypothesis: for any integer multiset (negatives included) and
+    any q, the exact disc quantile lies in [est, est + bound)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        histogram_quantile_sketch,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=60),
+        q=st.sampled_from([0.0, 0.1, 0.5, 0.93, 1.0]),
+        nb=st.sampled_from([1, 4, 16]),
+    )
+    def check(vals, q, nb):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        rows = histogram_quantile_sketch(df, "v", [q], n_buckets=nb).collect()
+        assert len(rows) == 1
+        est, bound = rows[0].est, rows[0].bound
+        # exact disc quantile: smallest v with rank/n >= q (q=0 -> min)
+        sv = sorted(vals)
+        n = len(sv)
+        exact = sv[0] if q == 0.0 else next(
+            sv[i] for i in range(n) if (i + 1) / n >= q
+        )
+        assert est <= exact < est + bound, (vals, q, nb, est, exact, bound)
+
+    check()
