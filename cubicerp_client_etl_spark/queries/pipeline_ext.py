@@ -414,7 +414,10 @@ FROM feat
 """,
 )
 def q037_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from cubicerp_client_etl_spark.catalog import widen_scan
+
+    # per-doc hashing/HOF work: widen the single-row-group fixture scan
+    docs = widen_scan(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",

@@ -480,7 +480,12 @@ def q015_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.dedup import exact_dedup
     from cubicerp_client_etl_spark.operators.sampling import cap_per_group
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    from cubicerp_client_etl_spark.catalog import widen_scan
+
+    # per-doc shingle/HOF work: widen the single-row-group fixture scan
+    docs = widen_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
 
     # (1) quality gate on repetition metrics — `keep` passes text/lang
     # through the same map-only projection, so the gate fuses with the

@@ -86,11 +86,18 @@ ORDER BY doc_id
 def q009_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.winnow import winnow_digest_inline
 
+    from cubicerp_client_etl_spark.catalog import widen_scan
+
     # the shuffle-free row-local form (winnowing is a per-document
     # local algorithm); bit-equal to the windowed
     # winnow_fingerprints → fingerprint_digest chain, pinned by
-    # tests/test_wave2_ops.py::test_winnow_inline_digest_equals_windowed
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # tests/test_wave2_ops.py::test_winnow_inline_digest_equals_windowed.
+    # widen_scan: the per-gram hashing is the corpus's heaviest map
+    # stage — don't let a single-row-group fixture file serialize it
+    # on one core (measured 7.6 s -> 0.9 s on local[32])
+    docs = widen_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return winnow_digest_inline(
         docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
     ).orderBy("doc_id")
