@@ -135,9 +135,18 @@ def minhash_signatures(
     works), and md5+string-min is bit-identically replayable in any
     engine (the DuckDB oracle for the window query replays it exactly).
     ~2-3× slower than xxhash64 — use the default in production.
+
+    The input is widened first (``catalog.widen_scan``): the
+    shingle-explode + per-shingle hashing is the signature build's
+    CPU wall and runs BEFORE the doc-keyed shuffle, so a narrow
+    (single-row-group-file) scan would serialize it on one core;
+    widening is a no-op on already-wide production scans.
     """
+    from cubicerp_client_etl_spark.catalog import widen_scan
+
     sh = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
+        widen_scan(df)
+        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
         .distinct()
     )
     if portable:
