@@ -45,8 +45,15 @@ def shingle_rows(
 ) -> DataFrame:
     """DISTINCT (id, sh) shingle rows — the set-form of ``shingles``
     that the exact-Jaccard joins consume (same tokenization/fallback,
-    so truth sets and MinHash signatures see identical shingles)."""
-    return df.select(
+    so truth sets and MinHash signatures see identical shingles).
+
+    Input widened first (``catalog.widen_scan``, no-op on wide scans):
+    the tokenize + shingle explode is per-row CPU work that runs
+    before any shuffle, so a narrow single-row-group scan would
+    serialize it on one core."""
+    from cubicerp_client_etl_spark.catalog import widen_scan
+
+    return widen_scan(df).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
     ).distinct()
 
