@@ -558,11 +558,14 @@ def setsim_join(
         raise ValueError("threshold must be a fraction in (0, 1]")
     if hot_cap is not None and hot_cap < 1:
         raise ValueError("hot_cap must be >= 1")
+    from cubicerp_client_etl_spark.catalog import widen_scan
     from cubicerp_client_etl_spark.operators.curation import shingles as _sh
 
     toks = F.split(F.col(text_col), " ")
+    # widen: the per-doc shingle build + sorted-set construction is
+    # CPU-heavy map work before any shuffle (no-op on wide scans)
     base = (
-        docs.select(
+        widen_scan(docs).select(
             F.col(id_col).alias("_id"),
             F.array_sort(F.array_distinct(_sh(toks, shingle_n))).alias("_set"),
         )
