@@ -328,3 +328,87 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("hll_est"),
     )
+
+
+def hll_registers_by(
+    df: DataFrame, group_col: str, key_col: str, seed: str = "1"
+) -> DataFrame:
+    """Per-group HyperLogLog register tables — ``hll_registers`` keyed
+    by ``group_col``: ALL ``HLL_M`` rows per group ``(group, bucket,
+    m_rho)``, absent buckets as 0. The distinct-per-domain production
+    shape (uniques per source/day/experiment) at fixed memory per
+    group — m register rows regardless of the group's cardinality —
+    with the same portable md5 family as the global form, so registers
+    still merge across shards/streams by max and every value
+    oracle-replays. The register spine is (distinct groups × HLL_M),
+    built by a cross join against the 64-row bucket range — bounded by
+    group count, never by data."""
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    h = md5_hash32(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"|hll{seed}"))
+    )
+    b = df.select(F.col(group_col), h.alias("_h")).select(
+        group_col,
+        F.expr(f"_h div {1 << _HLL_RBITS}").cast("int").alias("bucket"),
+        F.expr(f"_h % {1 << _HLL_RBITS}").alias("_r"),
+    )
+    rho = b.select(
+        group_col,
+        "bucket",
+        F.when(F.col("_r") == 0, F.lit(_HLL_RMAX))
+        .otherwise(
+            F.lit(_HLL_RMAX)
+            - F.length(F.conv(F.col("_r").cast("string"), 10, 2))
+        )
+        .cast("int")
+        .alias("_rho"),
+    )
+    maxed = rho.groupBy(group_col, "bucket").agg(F.max("_rho").alias("_mr"))
+    groups = df.select(group_col).distinct()
+    spine = groups.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(HLL_M).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    joined = spine.join(
+        maxed.withColumnRenamed(group_col, "_g"),
+        (F.col(group_col).eqNullSafe(F.col("_g")))
+        & (spine["bucket"] == maxed["bucket"]),
+        "left",
+    )
+    return joined.select(
+        spine[group_col],
+        spine["bucket"],
+        F.coalesce(F.col("_mr"), F.lit(0)).cast("int").alias("m_rho"),
+    )
+
+
+def hll_estimate_by(registers: DataFrame, group_col: str) -> DataFrame:
+    """Collapse ``hll_registers_by`` tables to one row per group
+    ``(group, m, v_zero, denom, hll_est)`` — the same exact-integer
+    harmonic-mean estimate as the global ``hll_estimate``, keyed."""
+    num = HLL_ALPHA_E6 * HLL_M * HLL_M * (1 << _HLL_RMAX)
+    return (
+        registers.groupBy(group_col)
+        .agg(
+            F.lit(HLL_M).cast("bigint").alias("m"),
+            F.sum(F.when(F.col("m_rho") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("v_zero"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - m_rho)"))
+            .cast("bigint")
+            .alias("denom"),
+        )
+        .select(
+            group_col,
+            "m",
+            "v_zero",
+            "denom",
+            F.expr(f"CAST({num} AS BIGINT) div (denom * 1000000)")
+            .cast("bigint")
+            .alias("hll_est"),
+        )
+    )

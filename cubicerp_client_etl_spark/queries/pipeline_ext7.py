@@ -4251,3 +4251,87 @@ def q214_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
         F.col("frac").alias("frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# q215 — Keyed HLL uniques datasheet (operators/sketches.py
+# hll_registers_by / hll_estimate_by): distinct users PER EVENT TYPE
+# at fixed memory per group (64 registers each, merge-by-max across
+# shards/streams) — the per-domain uniques production shape — reported
+# next to the exact per-group distinct count with the e6 error, so the
+# query doubles as the keyed sketch's accuracy audit. Same portable
+# md5 family and exact-integer estimate as q011; every register and
+# every estimate cell oracle-replays. Scale: map projection + keyed
+# 64-group max (map-side partial); spine = groups × 64, bounded by
+# group count. Unit-pinned equal to the global sketch run per filtered
+# group (tests/test_sketches.py).
+# --------------------------------------------------------------------------
+@register(
+    "q215_keyed_hll_uniques",
+    oracle="""
+WITH e AS (SELECT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST(concat('0x',
+           substr(md5(CAST(user_id AS VARCHAR) || '|hll1'), 1, 8))
+         AS BIGINT) AS h,
+         user_id
+  FROM e
+),
+rho AS (
+  SELECT event_type, h // 67108864 AS bucket,
+         MAX(CASE WHEN h % 67108864 = 0 THEN 27
+                  ELSE 27 - length(bin(h % 67108864)) END) AS m_rho
+  FROM h GROUP BY event_type, h // 67108864
+),
+regs AS (
+  SELECT g.event_type, s.i AS bucket, COALESCE(rho.m_rho, 0) AS m_rho
+  FROM (SELECT DISTINCT event_type FROM e) g
+  CROSS JOIN generate_series(0, 63) s(i)
+  LEFT JOIN rho ON rho.event_type IS NOT DISTINCT FROM g.event_type
+              AND rho.bucket = s.i
+),
+est AS (
+  SELECT event_type,
+         CAST(389776872046592000 //
+              (SUM(CAST(1 AS BIGINT) << (27 - m_rho)) * 1000000)
+           AS BIGINT) AS hll_est
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM e GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_exact, est.hll_est,
+       CAST(abs(est.hll_est - ex.n_exact) * 1000000 // ex.n_exact AS BIGINT)
+         AS err_e6
+FROM ex JOIN est ON est.event_type IS NOT DISTINCT FROM ex.event_type
+ORDER BY ex.event_type
+""",
+)
+def q215_keyed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    est = hll_estimate_by(
+        hll_registers_by(ev, "event_type", "user_id", seed="1"), "event_type"
+    ).select("event_type", "hll_est")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_est",
+            e6_floor_ratio(
+                F.abs(F.col("hll_est") - F.col("n_exact")), F.col("n_exact")
+            ).alias("err_e6"),
+        )
+        .orderBy("event_type")
+    )

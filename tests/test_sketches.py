@@ -285,3 +285,37 @@ def test_bloom_bitset_guards_plan_literal_size(spark):
 
     with pytest.raises(ValueError, match="bloom_maybe_members"):
         bloom_bitset(pos, BLOOM_BITSET_MAX_M + 1)
+
+
+def test_keyed_hll_equals_global_per_filtered_group(spark):
+    """hll_registers_by must give EXACTLY the registers (and hence the
+    estimate) that the global sketch gives when run on each group's
+    rows alone — the keyed form is a layout, not a new sketch."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.catalog import load
+    from cubicerp_client_etl_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id"
+    )
+    keyed = {
+        r.event_type: r.hll_est
+        for r in hll_estimate_by(
+            hll_registers_by(ev, "event_type", "user_id", seed="1"),
+            "event_type",
+        ).collect()
+    }
+    assert len(keyed) >= 2
+    for et, est in keyed.items():
+        solo = hll_estimate(
+            hll_registers(
+                ev.where(F.col("event_type") == et), "user_id", seed="1"
+            )
+        ).collect()[0]
+        assert solo.hll_est == est, (et, solo.hll_est, est)
