@@ -109,6 +109,10 @@ def widen_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (the production case: large inputs arrive as many files/row
     groups), so shipped plans don't pay a pointless shuffle at scale.
     """
+    if df.isStreaming:
+        # micro-batch partitioning is the source's business and
+        # ``.rdd`` raises on streaming frames — widening is a no-op
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

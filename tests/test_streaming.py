@@ -626,3 +626,15 @@ def test_stream_quantile_buckets_matches_batch(spark):
                 est = lo_hi.lo + b * w
                 break
         assert est <= exact[q] < est + w, (q, est, exact[q], w)
+
+
+def test_widen_scan_is_noop_on_streams(spark):
+    """widen_scan must pass streaming frames through untouched
+    (.rdd raises on them; micro-batch partitioning is the source's
+    business) — so batch operators that widen internally stay usable
+    as streaming twins."""
+    from cubicerp_client_etl_spark.catalog import widen_scan
+    from cubicerp_client_etl_spark.streaming.jobs import documents_stream
+
+    s = documents_stream(spark, "/root/testdata/sf0.001")
+    assert widen_scan(s) is s
