@@ -52,7 +52,7 @@ def bpe_learn(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
-    max_words: int | None = None,
+    max_words: int | None = 1_000_000,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge table as plain rows:
@@ -60,9 +60,11 @@ def bpe_learn(
     than ``num_merges`` if the vocab runs out of adjacent pairs).
 
     One Spark job total: the word histogram (the only corpus-sized
-    computation) is collected once — vocab-sized, and prunable to the
-    top ``max_words`` by (cnt DESC, w ASC) for pathological
-    distinct-word tails — then the k merge rounds are plain Python
+    computation) is collected once — vocab-sized, and pruned to the
+    top ``max_words`` by (cnt DESC, w ASC) — 1M by default, so a
+    pathological distinct-word tail (unsegmented text, binary junk)
+    cannot exhaust driver memory; pass ``max_words=None`` to disable
+    the cap explicitly — then the k merge rounds are plain Python
     over that bounded dict. Each round's padded-string ``str.replace``
     is engine-probed identical to the Spark/DuckDB ``replace`` the
     oracle CTEs and ``bpe_segment_vocab`` replay.

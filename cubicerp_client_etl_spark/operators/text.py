@@ -281,8 +281,12 @@ def canonical_url(col: Column | str) -> Column:
     path = F.substring_index(tail, "?", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    # after the FIRST '?' (split_part semantics — a '?' inside the
+    # query string stays in the query, matching the DuckDB oracle's
+    # split_part(tail, '?', 2))
     query = F.when(
-        tail.contains("?"), F.substring_index(tail, "?", -1)
+        tail.contains("?"),
+        F.substring(tail, F.instr(tail, "?") + 1, F.lit(1 << 30)),
     ).otherwise(F.lit(""))
     params = F.array_sort(
         F.filter(

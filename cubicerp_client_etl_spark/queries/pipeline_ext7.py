@@ -4114,7 +4114,8 @@ c4 AS (
          CASE WHEN regexp_replace(split_part(tail, '?', 1), '/+$', '') = ''
               THEN '/'
               ELSE regexp_replace(split_part(tail, '?', 1), '/+$', '') END AS path,
-         CASE WHEN contains(tail, '?') THEN split_part(tail, '?', 2)
+         CASE WHEN contains(tail, '?')
+              THEN substr(tail, instr(tail, '?') + 1)
               ELSE '' END AS query
   FROM c3
 ),

@@ -336,6 +336,9 @@ def test_canonical_url_collapses_variants(spark):
         ("https://host.org", "https://host.org/"),
         ("http://h.io/p?utm_a=1", "http://h.io/p"),
         ("http://h.io:8080/p", "http://h.io:8080/p"),  # non-default port kept
+        # a second '?' is PART of the query (after-first-'?' split) —
+        # pinned because substring_index(tail,'?',-1) would keep only 'c=3'
+        ("http://h.io/p?b=2?x&a=1", "http://h.io/p?a=1&b=2?x"),
     ]
     df = spark.createDataFrame(cases, "u string, want string")
     for r in df.select(canonical_url("u").alias("c"), "want").collect():
