@@ -31,7 +31,7 @@ _FLAG_MAPPING = [
 
 
 @register(
-    "q022_value_mapping",
+    "q213_value_mapping",
     oracle="""
 SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted'
                          WHEN 'R' THEN 'Returned'
@@ -42,7 +42,7 @@ FROM lineitem
 GROUP BY 1
 """,
 )
-def q022_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q213_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     mapping = spark.createDataFrame(
         _FLAG_MAPPING, "name string, label string, is_default boolean"
@@ -60,7 +60,7 @@ def q022_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The xml-id dim is derived deterministically from nation.
 # --------------------------------------------------------------------------
 @register(
-    "q023_xmlid_resolve",
+    "q211_xmlid_resolve",
     oracle="""
 WITH xml_dim AS (
   SELECT 'base' AS module, lower(n_name) AS name, n_nationkey AS res_id FROM nation
@@ -75,7 +75,7 @@ FROM src s LEFT JOIN xml_dim d
  AND split_part(s.xml_id, '.', 2) = d.name
 """,
 )
-def q023_xmlid_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q211_xmlid_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
     xml_dim = n.select(

@@ -318,7 +318,7 @@ def q070_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within-bucket cosine filter. Production keeps the xxhash64 bucketer.
 # --------------------------------------------------------------------------
 @register(
-    "q035_lsh_bucketed_pairs",
+    "q209_lsh_bucketed_pairs",
     oracle="""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -355,7 +355,7 @@ WHERE list_dot_product(ea.v, eb.v) /
       sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)) >= 0.3
 """,
 )
-def q035_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q209_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     bucketed = sim.hyperplane_lsh_bucket_portable(emb, "embedding", n_planes=8, dim=64)
     a = bucketed.select(
@@ -494,7 +494,7 @@ def q149_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonicalizer can't sort array cells).
 # --------------------------------------------------------------------------
 @register(
-    "q041_multimodal_features",
+    "q208_multimodal_features",
     oracle="""
 WITH hist AS (
   SELECT d.doc_id,
@@ -526,7 +526,7 @@ FROM documents d LEFT JOIN hist USING (doc_id)
 GROUP BY d.doc_id, d.text
 """,
 )
-def q041_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q208_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = attach_binary_payload(docs, "text")
     feats = extract_features(with_payload, n_features=8, fake=True)

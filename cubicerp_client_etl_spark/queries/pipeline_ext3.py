@@ -684,7 +684,7 @@ def q133_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lossless on real data, not just in theory.
 # --------------------------------------------------------------------------
 @register(
-    "q027_setsim_join",
+    "q212_setsim_join",
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -713,7 +713,7 @@ FROM pairs
 WHERE 3 * inter >= sza + szb
 """,
 )
-def q027_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q212_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.dedup import setsim_join
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")

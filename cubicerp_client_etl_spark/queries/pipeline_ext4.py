@@ -160,7 +160,7 @@ def q021_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only cross the join — history documents never re-materialize.
 # --------------------------------------------------------------------------
 @register(
-    "q024_incremental_dedup",
+    "q210_incremental_dedup",
     oracle="""
 WITH k AS (
   SELECT doc_id,
@@ -183,7 +183,7 @@ FROM firsts f
 WHERE f.bow_key NOT IN (SELECT bow_key FROM old)
 """,
 )
-def q024_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q210_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",

@@ -116,7 +116,7 @@ def q009_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shards/streams.
 # --------------------------------------------------------------------------
 @register(
-    "q011_hll_portable_cardinality",
+    "q215_hll_portable_cardinality",
     oracle="""
 WITH h AS (
   SELECT CAST(concat('0x',
@@ -151,7 +151,7 @@ SELECT m, v_zero, denom, hll_est, n_exact,
 FROM est CROSS JOIN ex
 """,
 )
-def q011_hll_portable_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q215_hll_portable_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators.sketches import (
         hll_estimate,
@@ -2404,7 +2404,7 @@ def q196_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deeper. Scale: synth + decode are pure map stages.
 # --------------------------------------------------------------------------
 @register(
-    "q042_png_feature_histogram",
+    "q214_png_feature_histogram",
     oracle="""
 WITH d AS (
   SELECT doc_id, 5 + doc_id % 6 AS w, 6 + doc_id % 5 AS h
@@ -2429,7 +2429,7 @@ SELECT s.doc_id,
 FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
 """,
 )
-def q042_png_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q214_png_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from cubicerp_client_etl_spark.operators.multimodal import (
@@ -3688,7 +3688,7 @@ def q207_dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (mapInPandas, no shuffle).
 # --------------------------------------------------------------------------
 @register(
-    "q208_jpeg_feature_histogram",
+    "q041_jpeg_feature_histogram",
     oracle="""
 WITH d AS (
   SELECT doc_id, 10 + doc_id % 7 AS w, 9 + doc_id % 6 AS h
@@ -3714,7 +3714,7 @@ SELECT s.doc_id,
 FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
 """,
 )
-def q208_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from cubicerp_client_etl_spark.operators.jpeg import encode_jpeg_gray
@@ -3773,7 +3773,7 @@ def q208_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket rows; shard sketches merge by count-sum + min/min + max/max.
 # --------------------------------------------------------------------------
 @register(
-    "q209_quantile_sketch_audit",
+    "q035_quantile_sketch_audit",
     oracle="""
 WITH c AS (
   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -3810,7 +3810,7 @@ FROM ex e JOIN est ON est.q = e.q
 ORDER BY q
 """,
 )
-def q209_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quantiles import (
         exact_quantiles,
         histogram_quantile_sketch,
@@ -3855,7 +3855,7 @@ def q209_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid join (unit-pinned).
 # --------------------------------------------------------------------------
 @register(
-    "q210_grouped_quantile_sketch",
+    "q024_grouped_quantile_sketch",
     oracle="""
 WITH v AS (
   SELECT source,
@@ -3901,7 +3901,7 @@ JOIN est t ON t.source IS NOT DISTINCT FROM e.source AND t.q = e.q
 ORDER BY e.source, e.q
 """,
 )
-def q210_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quantiles import (
         exact_quantiles_by,
         histogram_quantile_sketch_by,
@@ -3946,7 +3946,7 @@ def q210_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: map-only (a pandas UDF + hash, no shuffle before the agg).
 # --------------------------------------------------------------------------
 @register(
-    "q211_unicode_nfc_dedup",
+    "q023_unicode_nfc_dedup",
     oracle="""
 WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 var AS (
@@ -3964,7 +3964,7 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 """,
 )
-def q211_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import nfc_normalize_col
 
     sel = (
@@ -4003,7 +4003,7 @@ def q211_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # title/source fragments. Scale: map-only.
 # --------------------------------------------------------------------------
 @register(
-    "q212_html_strip",
+    "q027_html_strip",
     oracle="""
 WITH page AS (
   SELECT doc_id,
@@ -4032,7 +4032,7 @@ SELECT doc_id, md5(t) AS text_md5,
 FROM clean
 """,
 )
-def q212_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import strip_html
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
@@ -4071,7 +4071,7 @@ def q212_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list_sort — the Java-RE2-identical subset). Scale: map-only.
 # --------------------------------------------------------------------------
 @register(
-    "q213_url_canonicalize",
+    "q022_url_canonicalize",
     oracle="""
 WITH base AS (
   SELECT doc_id, COALESCE(source, 'none') AS src, doc_id % 7 AS ref
@@ -4138,7 +4138,7 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 """,
 )
-def q213_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import canonical_url
 
     base = load(spark, sf_dir, "documents").select(
@@ -4187,7 +4187,7 @@ def q213_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: synth + decode are pure map stages.
 # --------------------------------------------------------------------------
 @register(
-    "q214_gif_feature_histogram",
+    "q042_gif_feature_histogram",
     oracle="""
 WITH d AS (
   SELECT doc_id, 9 + doc_id % 8 AS w, 7 + doc_id % 9 AS h
@@ -4212,7 +4212,7 @@ SELECT s.doc_id,
 FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
 """,
 )
-def q214_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from cubicerp_client_etl_spark.operators.gif import encode_gif_gray
@@ -4268,7 +4268,7 @@ def q214_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group (tests/test_sketches.py).
 # --------------------------------------------------------------------------
 @register(
-    "q215_keyed_hll_uniques",
+    "q011_keyed_hll_uniques",
     oracle="""
 WITH e AS (SELECT event_type, user_id FROM events),
 h AS (
@@ -4310,7 +4310,7 @@ FROM ex JOIN est ON est.event_type IS NOT DISTINCT FROM ex.event_type
 ORDER BY ex.event_type
 """,
 )
-def q215_keyed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_keyed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators.sketches import (
         hll_estimate_by,

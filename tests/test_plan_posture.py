@@ -410,7 +410,7 @@ def test_q133_gap_fill_no_calendar_cross_join(spark):
 def test_q134_setsim_no_allpairs(spark):
     """Set-similarity join (q134): candidates come from the prefix
     equi-join — no cartesian/nested-loop anywhere in the plan."""
-    plan = plan_of(spark, "q027_setsim_join")
+    plan = plan_of(spark, "q212_setsim_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -506,10 +506,10 @@ def test_q021_quantiles_no_data_sized_single_partition_stage(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q024_incremental_dedup_stays_anti_join(spark):
+def test_q210_incremental_dedup_stays_anti_join(spark):
     """Incremental dedup (q024): the seen-keys probe is a LeftAnti
     join on the content key — never a cartesian or a collected set."""
-    plan = plan_of(spark, "q024_incremental_dedup")
+    plan = plan_of(spark, "q210_incremental_dedup")
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
 
