@@ -208,3 +208,90 @@ def temperature_mixture(
             .alias("target"),
         )
     )
+
+
+def epoch_allocation(
+    docs: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): split a token budget
+    EVENLY across domains, but cap every domain at ``max_epochs``
+    repeats of its fresh data — past ~4 epochs repeated tokens stop
+    buying loss — and give the budget the capped (data-poor) domains
+    hand back to the domains that still have headroom.
+
+    Exact integer arithmetic throughout so a DuckDB oracle replays it
+    bit-for-bit: even split by largest-remainder (ties by domain name),
+    one floor-proportional-to-headroom redistribution pass (≤ D−1
+    tokens may remain unallocated — reported, never silently lost).
+
+    Returns one row per domain: ``(domain, c_tokens, share, allocated,
+    full_epochs, partial_tokens, epochs_e6)`` where ``allocated =
+    full_epochs·c_tokens + partial_tokens`` and ``epochs_e6`` is the
+    repeat factor ×10⁶ (floor).
+
+    Scale: one keyed corpus aggregation (map-side combine); everything
+    downstream — the even split, the cap, the redistribution — runs on
+    the O(#domains) aggregate, with windows only over that bounded
+    frame (prover-checkable).
+    """
+    if budget < 0 or max_epochs < 1:
+        raise ValueError("budget must be >= 0 and max_epochs >= 1")
+    c = docs.groupBy(domain_col).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("c_tokens")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_name = Window.orderBy(domain_col)
+    b = F.lit(int(budget)).cast("bigint")
+    share = (
+        c.withColumn("_d", F.count(F.lit(1)).over(w_all))
+        .withColumn("_rk", F.row_number().over(w_name))
+        .withColumn(
+            "share",
+            F.expr(f"CAST({int(budget)} AS BIGINT) div _d")
+            + F.when(F.col("_rk") <= b % F.col("_d"), 1).otherwise(0),
+        )
+        .withColumn("_cap", F.lit(int(max_epochs)).cast("bigint") * F.col("c_tokens"))
+        .withColumn("used1", F.least(F.col("share"), F.col("_cap")))
+        .withColumn("head", F.col("_cap") - F.col("used1"))
+    )
+    # returned-by-capped-domains pool and total headroom: windows over
+    # the bounded per-domain frame
+    pool = (
+        share.withColumn("_unused", F.sum(F.col("share") - F.col("used1")).over(w_all))
+        .withColumn("_thead", F.sum("head").over(w_all))
+        .withColumn(
+            "extra",
+            F.when(
+                F.col("_thead") > 0,
+                F.expr("(_unused * head) div _thead"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .withColumn("allocated", F.col("used1") + F.col("extra"))
+    )
+    return pool.select(
+        domain_col,
+        "c_tokens",
+        "share",
+        "allocated",
+        F.when(F.col("c_tokens") > 0, F.expr("allocated div c_tokens"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("full_epochs"),
+        F.when(F.col("c_tokens") > 0, F.col("allocated") % F.col("c_tokens"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("partial_tokens"),
+        F.when(
+            F.col("c_tokens") > 0,
+            F.expr("(allocated * 1000000) div c_tokens"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("epochs_e6"),
+    )

@@ -30,7 +30,7 @@ Scale posture (the design constraint for every function here):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.functions import e6_floor_ratio
@@ -368,4 +368,86 @@ def bigram_fluency_score(
             F.min("_p_e6").cast("bigint").alias("min_p_e6"),
         )
         .select("*", F.expr("sum_p_e6 div n_bigrams").alias("avg_p_e6"))
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Vocabulary-growth datasheet (Heaps' law / Good–Turing audit):
+    split the corpus into ``n_buckets`` ingestion slices by ``id_col``
+    order and report, per slice, the exact cumulative token count,
+    cumulative vocabulary size, newly-seen word count, and cumulative
+    SINGLETON count (words seen exactly once so far — Good–Turing's
+    N₁, whose ratio to tokens estimates unseen-mass; all returned as
+    exact integers so the consumer fits Heaps' V≈K·nᵝ or computes
+    N₁/N without any float leaving the engine).
+
+    A corpus whose vocab_cum keeps growing near-linearly is unsegmented
+    or noisy (OCR junk, binary spill); a collapsing n1_cum flags a
+    saturating (heavily duplicated) crawl — the two datasheet reads
+    this exists for.
+
+    Scale: one token explode + two keyed aggregations (map-side
+    combinable); the per-(word, slice) cumulative runs in a window
+    partitioned by the WORD (high cardinality); every bucket-level
+    window is over the O(n_buckets) aggregate — prover-bounded.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    nb = int(n_buckets)
+    hi = docs.agg((F.max(F.col(id_col)) + 1).alias("_hi"))
+    toks = (
+        docs.join(F.broadcast(hi))
+        .select(
+            F.least(
+                F.lit(nb - 1),
+                F.expr(f"({id_col} * {nb}) div _hi"),
+            )
+            .cast("int")
+            .alias("b"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    wc = toks.groupBy("w", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # dense (word × bucket) grid via per-word explode — no cross join
+    grid = (
+        wc.groupBy("w")
+        .agg(F.min("b").alias("_fb"))
+        .select("w", "_fb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"))
+        .join(wc, ["w", "b"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    w_word = Window.partitionBy("w").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cc", F.sum("c").over(w_word))
+    per_b = (
+        cum.groupBy("b")
+        .agg(
+            F.sum("c").cast("bigint").alias("tokens"),
+            F.sum(F.when(F.col("_fb") == F.col("b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("vocab_new"),
+            F.sum(F.when(F.col("cc") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1_cum"),
+        )
+    )
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_b.withColumn("tokens_cum", F.sum("tokens").over(w_b).cast("bigint"))
+        .withColumn("vocab_cum", F.sum("vocab_new").over(w_b).cast("bigint"))
+        .select(
+            F.col("b").alias("bucket"),
+            "tokens",
+            "tokens_cum",
+            "vocab_new",
+            "vocab_cum",
+            "n1_cum",
+        )
     )

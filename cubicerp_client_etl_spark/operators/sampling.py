@@ -318,3 +318,115 @@ def hash_split(
     last = F.lit(splits[-1][0])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def bucketed_negative_sample(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    anchor_id: str,
+    cand_id: str,
+    exclude_on: str | None = None,
+    k: int = 4,
+    n_buckets: int = 32,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor, pick ``k`` pseudo-random negatives from the candidate
+    pool WITHOUT the cross join a naive "rank all candidates per
+    anchor" implies.
+
+    Construction: candidates are hashed into ``n_buckets`` buckets
+    (``md5_hash32(cand_id|seed) mod n_buckets``); each anchor probes
+    ``k`` buckets (``md5_hash32(anchor_id|j|seed) mod n_buckets`` for
+    ``j = 1..k``) and takes the candidate with the SMALLEST md5 of the
+    (anchor, candidate, probe) triple inside each probed bucket,
+    skipping candidates that match the anchor's ``exclude_on`` column
+    (same label / same document — the positives). Two probes of one
+    anchor can land in the same bucket and (since each probe re-ranks
+    by its own hash) can pick the same negative — callers wanting
+    distinct-per-anchor negatives dedup ``(anchor, neg_id)`` and read
+    the collision rate off the audit; with ``n_buckets ≫ k`` the
+    collision probability is ≈ k²/(2·n_buckets).
+
+    Deterministic and engine-portable (keyed md5 everywhere, the module
+    discipline), so a DuckDB oracle replays every pick exactly. A probe
+    whose bucket holds no admissible candidate yields no row (reported
+    by the caller's audit, never silently resampled — resampling would
+    break determinism).
+
+    Scale posture: the probe→bucket join is an equi-join on the bucket
+    id; per-probe candidate work is one bucket ≈ |candidates|/n_buckets
+    rows, so total candidate rows ≈ |anchors|·k·|candidates|/n_buckets.
+    Size ``n_buckets ≈ |candidates|/c`` for a constant per-bucket c and
+    the whole stage is LINEAR in the corpus; the per-(anchor,probe)
+    top-1 is a min-struct aggregate (map-side combinable), not a window
+    over raw rows.
+
+    Returns ``(anchor_id, probe, neg_id)`` with ``probe ∈ 1..k``.
+    """
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    if k < 1 or n_buckets < 1:
+        raise ValueError("k >= 1 and n_buckets >= 1 required")
+    sfx = "|" + seed
+    probes = anchors.select(
+        F.col(anchor_id).alias("_aid"),
+        *(
+            [F.col(exclude_on).alias("_axl")]
+            if exclude_on is not None
+            else []
+        ),
+        F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("probe"),
+    ).withColumn(
+        "_bkt",
+        F.pmod(
+            md5_hash32(
+                F.concat(
+                    F.col("_aid").cast("string"),
+                    F.lit("|"),
+                    F.col("probe").cast("string"),
+                    F.lit(sfx),
+                )
+            ),
+            F.lit(int(n_buckets)),
+        ),
+    )
+    pool = candidates.select(
+        F.col(cand_id).alias("_cid"),
+        *(
+            [F.col(exclude_on).alias("_cxl")]
+            if exclude_on is not None
+            else []
+        ),
+    ).withColumn(
+        "_bkt",
+        F.pmod(
+            md5_hash32(F.concat(F.col("_cid").cast("string"), F.lit(sfx))),
+            F.lit(int(n_buckets)),
+        ),
+    )
+    joined = probes.join(pool, "_bkt").where(F.col("_aid") != F.col("_cid"))
+    if exclude_on is not None:
+        joined = joined.where(
+            ~F.col("_axl").eqNullSafe(F.col("_cxl"))
+        )
+    pick = F.md5(
+        F.concat(
+            F.col("_aid").cast("string"),
+            F.lit("|"),
+            F.col("_cid").cast("string"),
+            F.lit("|"),
+            F.col("probe").cast("string"),
+            F.lit(sfx),
+        )
+    )
+    return (
+        joined.select("_aid", "probe", F.struct(pick.alias("_h"), F.col("_cid")).alias("_s"))
+        .groupBy("_aid", "probe")
+        .agg(F.min("_s").alias("_m"))
+        .select(
+            F.col("_aid").alias(anchor_id),
+            "probe",
+            F.col("_m._cid").alias("neg_id"),
+        )
+    )

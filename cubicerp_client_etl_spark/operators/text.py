@@ -210,6 +210,48 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
     }
 
 
+# Candidate payment-card number: 13-19 digits, optional single space or
+# dash between digits, on word boundaries. Kept to the Java/RE2-common
+# regex subset so the DuckDB oracle replays extraction identically.
+PII_CARD_CANDIDATE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_valid(digits: Column | str) -> Column:
+    """Luhn checksum over a digits-only string (ISO/IEC 7812): from the
+    RIGHTMOST digit, double every second digit (subtracting 9 when the
+    double exceeds 9) and require the sum ≡ 0 (mod 10). Pure Catalyst
+    HOF (``aggregate`` over ``sequence``) — JVM-side, codegen'd, zero
+    shuffle; DuckDB replays it with ``list_sum`` over ``range`` using
+    the identical per-position CASE, so card validation is value-level
+    oracle-checkable. Length outside 13..19 → false."""
+    c = F.col(digits) if isinstance(digits, str) else digits
+    rev = F.reverse(c)
+    n = F.length(c)
+
+    def term(i: Column) -> Column:
+        d = F.substring(rev, i, F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(i % 2 == 1, d).otherwise(
+            F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        )
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + term(i)
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def card_candidates(col: Column | str) -> Column:
+    """Array of digits-only payment-card candidates extracted from free
+    text (separators stripped); validate each with ``luhn_valid``.
+    Regex extraction + HOF transform — map-only at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(PII_CARD_CANDIDATE), F.lit(0)),
+        lambda s: F.regexp_replace(s, "[ -]", ""),
+    )
+
+
 def nfc_normalize_col(col: Column | str) -> Column:
     """Unicode NFC normalization as an Arrow-batched pandas UDF
     (stdlib ``unicodedata`` — Spark SQL has no normalization

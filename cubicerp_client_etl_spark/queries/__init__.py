@@ -58,6 +58,7 @@ def _load_all() -> None:
         pipeline_ext5,
         pipeline_ext6,
         pipeline_ext7,
+        pipeline_ext8,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,521 @@
+"""Round-8 extension wave: checksum-validated PII auditing,
+data-constrained epoch allocation, vocabulary-growth datasheets,
+sorted-neighborhood dedup blocking, and bucketed negative sampling.
+
+Same corpus discipline as the rest of the registry: exact integer /
+IEEE-deterministic arithmetic so every query carries a DuckDB oracle
+the driver can hash-compare, and every operator keeps the shape that
+survives 100 TB — keyed aggregations with map-side combine, equi-joins
+on hash buckets, windows only on high-cardinality keys or bounded
+aggregates, no all-pairs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.queries import register
+
+# --------------------------------------------------------------------------
+# q216 — Luhn-validated payment-card PII audit (operators/text.py
+# luhn_valid/card_candidates): regex extraction finds 13-19-digit card
+# CANDIDATES; the ISO/IEC 7812 Luhn checksum separates real card
+# numbers from random digit runs — the precision upgrade over the
+# reference-style regex-only scrub (redact_pii). Cards are synthesized
+# deterministically from doc_id (even ids get a VALID check digit, odd
+# ids a guaranteed-invalid one; every 5th doc also embeds the classic
+# 4111-1111-1111-1111), so the oracle replays synthesis AND detection
+# digit-for-digit. Scale: pure map-side regex + HOF arithmetic, one
+# keyed aggregation — zero extra shuffle at any corpus size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q216_pii_card_audit",
+    oracle=r"""
+WITH synth AS (
+  SELECT doc_id, source,
+         lpad(CAST(doc_id * 7919 % 100000000000000 AS VARCHAR), 15, '4') AS b15
+  FROM documents
+),
+chk AS (
+  SELECT doc_id, source, b15,
+         list_sum(list_transform(range(1, 16),
+           j -> CASE WHEN j % 2 = 0 THEN CAST(substr(reverse(b15), j, 1) AS INT)
+                     ELSE CASE WHEN 2*CAST(substr(reverse(b15), j, 1) AS INT) > 9
+                               THEN 2*CAST(substr(reverse(b15), j, 1) AS INT) - 9
+                               ELSE 2*CAST(substr(reverse(b15), j, 1) AS INT) END
+                END)) AS s
+  FROM synth
+),
+card AS (
+  SELECT doc_id, source,
+         b15 || CAST(CASE WHEN doc_id % 2 = 1
+                          THEN ((10 - s % 10) % 10 + 5) % 10
+                          ELSE (10 - s % 10) % 10 END AS VARCHAR) AS c16
+  FROM chk
+),
+txt AS (
+  SELECT doc_id, source,
+         'pay ' || substr(c16, 1, 4) || ' ' || substr(c16, 5, 4) || ' '
+                || substr(c16, 9, 4) || ' ' || substr(c16, 13, 4)
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' plus 4111 1111 1111 1111' ELSE '' END
+                || ' ref' AS text
+  FROM card
+),
+cand AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b'),
+           x -> regexp_replace(x, '[ -]', '', 'g'))) AS s
+  FROM txt
+),
+v AS (
+  SELECT doc_id, source, s,
+         length(s) BETWEEN 13 AND 19 AND
+         list_sum(list_transform(range(1, length(s) + 1),
+           i -> CASE WHEN i % 2 = 1 THEN CAST(substr(reverse(s), i, 1) AS INT)
+                     ELSE CASE WHEN 2*CAST(substr(reverse(s), i, 1) AS INT) > 9
+                               THEN 2*CAST(substr(reverse(s), i, 1) AS INT) - 9
+                               ELSE 2*CAST(substr(reverse(s), i, 1) AS INT) END
+                END)) % 10 = 0 AS ok
+  FROM cand
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cands,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+       CAST(COALESCE(SUM(DISTINCT CASE WHEN ok THEN doc_id END), 0) AS BIGINT)
+         AS valid_doc_sum
+FROM v GROUP BY source
+""",
+)
+def q216_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.text import (
+        card_candidates,
+        luhn_valid,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    b15 = F.lpad(
+        (F.col("doc_id") * 7919 % F.lit(10**14)).cast("string"), 15, "4"
+    )
+    rb = F.reverse(b15)
+
+    def _term(j):
+        d = F.substring(rb, j, F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(j % 2 == 0, d).otherwise(
+            F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        )
+
+    s = F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)), F.lit(0), lambda acc, j: acc + _term(j)
+    )
+    good = (10 - s % 10) % 10
+    chk = F.when(F.col("doc_id") % 2 == 1, (good + 5) % 10).otherwise(good)
+    c16 = F.concat(b15, chk.cast("string"))
+    text = F.concat(
+        F.lit("pay "),
+        F.concat_ws(
+            " ",
+            F.substring(c16, 1, 4),
+            F.substring(c16, 5, 4),
+            F.substring(c16, 9, 4),
+            F.substring(c16, 13, 4),
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" plus 4111 1111 1111 1111")
+        ).otherwise(F.lit("")),
+        F.lit(" ref"),
+    )
+    cands = docs.select(
+        "doc_id", "source", F.explode(card_candidates(text)).alias("s")
+    ).withColumn("ok", luhn_valid("s"))
+    return cands.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cands"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_valid"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("bigint").alias("n_invalid"),
+        F.coalesce(
+            F.sum_distinct(F.when(F.col("ok"), F.col("doc_id"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("valid_doc_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q217 — Data-constrained epoch allocation (operators/budget.py
+# epoch_allocation; Muennighoff et al. 2023): even budget split across
+# domains, ≤4 epochs of any domain's fresh data, capped domains hand
+# their surplus to domains with headroom. Four tiny domains + one
+# pooled 'web' domain make the cap bite at sf0.01 (redistribution
+# exercised) while sf0.1 allocates uncapped — both exactly replayed.
+# Scale: one keyed corpus aggregation; everything else runs on the
+# O(#domains) frame.
+# --------------------------------------------------------------------------
+
+_EPOCH_BUDGET = 120_000
+_EPOCH_MAX = 4
+
+
+@register(
+    "q217_epoch_allocation",
+    oracle=f"""
+WITH d AS (
+  SELECT CASE WHEN source IN ('src0','src1','src2','src3') THEN source
+              ELSE 'web' END AS domain,
+         len(string_split(text, ' ')) AS tok
+  FROM documents
+),
+c AS (
+  SELECT domain, CAST(sum(tok) AS BIGINT) AS c_tokens FROM d GROUP BY domain
+),
+s AS (
+  SELECT domain, c_tokens,
+         count(*) OVER () AS _d,
+         row_number() OVER (ORDER BY domain) AS _rk
+  FROM c
+),
+s2 AS (
+  SELECT *, {_EPOCH_BUDGET} // _d
+            + CASE WHEN _rk <= {_EPOCH_BUDGET} % _d THEN 1 ELSE 0 END AS share,
+         {_EPOCH_MAX} * c_tokens AS _cap
+  FROM s
+),
+s3 AS (
+  SELECT *, least(share, _cap) AS used1,
+         _cap - least(share, _cap) AS head
+  FROM s2
+),
+p AS (
+  SELECT *, sum(share - used1) OVER () AS _unused,
+         sum(head) OVER () AS _thead
+  FROM s3
+),
+f AS (
+  SELECT domain, c_tokens, share,
+         used1 + CASE WHEN _thead > 0 THEN (_unused * head) // _thead
+                      ELSE 0 END AS allocated
+  FROM p
+)
+SELECT domain, c_tokens,
+       CAST(share AS BIGINT) AS share,
+       CAST(allocated AS BIGINT) AS allocated,
+       CAST(CASE WHEN c_tokens > 0 THEN allocated // c_tokens ELSE 0 END
+            AS BIGINT) AS full_epochs,
+       CAST(CASE WHEN c_tokens > 0 THEN allocated % c_tokens ELSE 0 END
+            AS BIGINT) AS partial_tokens,
+       CAST(CASE WHEN c_tokens > 0 THEN (allocated * 1000000) // c_tokens
+            ELSE 0 END AS BIGINT) AS epochs_e6
+FROM f
+""",
+)
+def q217_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.budget import epoch_allocation
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3"),
+            F.col("source"),
+        )
+        .otherwise(F.lit("web"))
+        .alias("domain"),
+        F.size(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    return epoch_allocation(
+        docs, "domain", "tok", budget=_EPOCH_BUDGET, max_epochs=_EPOCH_MAX
+    )
+
+
+# --------------------------------------------------------------------------
+# q218 — Vocabulary-growth datasheet (operators/curation.py
+# vocab_growth; Heaps' law / Good–Turing N₁): 8 ingestion slices by
+# doc_id order; per slice the exact cumulative tokens, vocabulary,
+# newly-seen words and singletons-so-far. Scale: token explode + two
+# keyed aggs; the per-word cumulative window partitions on the word
+# (high cardinality); bucket-level windows run over the 8-row
+# aggregate (prover-bounded).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q218_vocab_growth",
+    oracle="""
+WITH hi AS (SELECT max(doc_id) + 1 AS _hi FROM documents),
+t AS (
+  SELECT least(7, (doc_id * 8) // _hi) AS b,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents, hi
+),
+t2 AS (SELECT b, w FROM t WHERE len(w) > 0),
+wc AS (SELECT w, b, CAST(count(*) AS BIGINT) AS c FROM t2 GROUP BY w, b),
+fb AS (SELECT w, min(b) AS _fb FROM wc GROUP BY w),
+grid AS (
+  SELECT fb.w, fb._fb, gb.b, coalesce(wc.c, 0) AS c
+  FROM fb CROSS JOIN range(0, 8) gb(b)
+  LEFT JOIN wc ON wc.w = fb.w AND wc.b = gb.b
+),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY w ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM grid
+),
+pb AS (
+  SELECT b,
+         CAST(sum(c) AS BIGINT) AS tokens,
+         CAST(sum(CASE WHEN _fb = b THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
+         CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_cum
+  FROM cum GROUP BY b
+)
+SELECT CAST(b AS INT) AS bucket, tokens,
+       CAST(sum(tokens) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS tokens_cum,
+       vocab_new,
+       CAST(sum(vocab_new) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_cum,
+       n1_cum
+FROM pb
+""",
+)
+def q218_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.curation import vocab_growth
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = vocab_growth(docs, "text", "doc_id", n_buckets=8)
+    return out.select(
+        "bucket", "tokens", "tokens_cum", "vocab_new", "vocab_cum", "n1_cum"
+    )
+
+
+# --------------------------------------------------------------------------
+# q219 — Sorted-neighborhood dedup blocking (operators/dedup.py
+# sorted_neighborhood_pairs; Hernández & Stolfo 1995): candidates from
+# a window-4 slide over the lower(text) sort order, sharded by 2-char
+# prefix blocks with exact boundary recovery, then exact 3-shingle
+# Jaccard verification on candidates only. Scale: the within-block
+# window partitions on the prefix block (block_cap bounds a
+# pathological block); the next-block lookup runs on the distinct-
+# block aggregate; verify joins touch candidate pairs only.
+# --------------------------------------------------------------------------
+
+_SNM_W = 4
+_SNM_P = 2
+_SNM_KEYLEN = 64  # bounded sort key: at corpus scale you sort 64-byte
+#                   keys, never full documents (ties broken by doc_id)
+_SNM_TAU = 0.5
+
+
+@register(
+    "q219_sorted_neighborhood",
+    headline=True,
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id AS _id, substr(lower(text), 1, {_SNM_KEYLEN}) AS _k,
+         substr(lower(text), 1, {_SNM_P}) AS _blk
+  FROM documents
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY _blk ORDER BY _k, _id) AS _rn
+  FROM base
+),
+within AS (
+  SELECT a._id AS id_a, b._id AS id_b, 'window' AS via
+  FROM rn a JOIN rn b
+    ON a._blk = b._blk
+   AND b._rn > a._rn AND b._rn <= a._rn + {_SNM_W - 1}
+),
+blocks AS (SELECT _blk, max(_rn) AS _n FROM rn GROUP BY _blk),
+ordd AS (
+  SELECT _blk, _n, row_number() OVER (ORDER BY _blk) AS _ord FROM blocks
+),
+adj AS (
+  SELECT a._blk, b._blk AS _blk_next
+  FROM ordd a JOIN ordd b ON b._ord = a._ord + 1
+),
+tails AS (
+  SELECT adj._blk_next AS _jblk, rn._id AS id_a, rn._rn AS _trn, blocks._n AS _tn
+  FROM rn JOIN adj ON adj._blk = rn._blk
+  JOIN blocks ON blocks._blk = rn._blk
+  WHERE rn._rn > blocks._n - {_SNM_W - 1}
+),
+heads AS (
+  SELECT _blk AS _jblk, _id AS id_b, _rn AS _hrn FROM rn WHERE _rn <= {_SNM_W - 1}
+),
+boundary AS (
+  SELECT t.id_a, h.id_b, 'boundary' AS via
+  FROM tails t JOIN heads h ON h._jblk = t._jblk
+  WHERE h._hrn <= {_SNM_W - 1} - (t._tn - t._trn)
+),
+pairs AS (
+  SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, via
+  FROM (SELECT * FROM within UNION ALL SELECT * FROM boundary)
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 3 AND i <= len(t) - 2
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pd AS (SELECT DISTINCT id_a, id_b FROM pairs),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pd p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+  GROUP BY p.id_a, p.id_b
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         ROUND(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 6) AS j
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+)
+SELECT p.via,
+       CAST(COUNT(*) AS BIGINT) AS n_cands,
+       CAST(SUM(CASE WHEN jac.j >= {_SNM_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_verified,
+       CAST(COALESCE(SUM(CASE WHEN jac.j >= {_SNM_TAU}
+                         THEN p.id_a * 1000000 + p.id_b END), 0) AS BIGINT)
+         AS verified_key_sum
+FROM pairs p
+LEFT JOIN jac ON jac.id_a = p.id_a AND jac.id_b = p.id_b
+GROUP BY p.via
+""",
+)
+def q219_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.catalog import widen_scan
+    from cubicerp_client_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    # widen the narrow fixture scan: the shingle explode in the verify
+    # stage is per-row CPU work that runs before any shuffle
+    docs = widen_scan(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = sorted_neighborhood_pairs(
+        docs,
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, _SNM_KEYLEN),
+        window=_SNM_W,
+        prefix_len=_SNM_P,
+        block_cap=10_000,
+    )
+    ver = jaccard_pairs(
+        docs, pairs.select("id_a", "id_b").distinct(), "doc_id", "text", 3
+    )
+    j = pairs.join(ver, ["id_a", "id_b"], "left")
+    return j.groupBy("via").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cands"),
+        F.sum(F.when(F.col("jaccard") >= _SNM_TAU, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_verified"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("jaccard") >= _SNM_TAU,
+                    F.col("id_a") * 1_000_000 + F.col("id_b"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("verified_key_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q220 — Bucketed negative sampling for contrastive training
+# (operators/sampling.py bucketed_negative_sample): every embedding
+# anchors k=4 probes into 32 hash buckets and takes the md5-smallest
+# different-label candidate per probe — deterministic negatives with
+# NO per-anchor corpus scan (the naive form is a cross join). Scale:
+# equi-join on bucket id, min-struct aggregate (map-side combinable);
+# total candidate rows ≈ |anchors|·k·|pool|/n_buckets — linear with
+# n_buckets ∝ |pool|.
+# --------------------------------------------------------------------------
+
+_NEG_K = 4
+_NEG_B = 32
+
+
+@register(
+    "q220_contrastive_negatives",
+    oracle=f"""
+WITH a AS (SELECT vec_id AS aid, label FROM embeddings),
+probes AS (
+  SELECT aid, label, t.j AS probe,
+         CAST(concat('0x', substr(md5(aid || '|' || t.j || '|'), 1, 8))
+              AS BIGINT) % {_NEG_B} AS _bkt
+  FROM a CROSS JOIN range(1, {_NEG_K + 1}) t(j)
+),
+pool AS (
+  SELECT vec_id AS cid, label AS clabel,
+         CAST(concat('0x', substr(md5(vec_id || '|'), 1, 8))
+              AS BIGINT) % {_NEG_B} AS _bkt
+  FROM embeddings
+),
+joined AS (
+  SELECT p.aid, p.label, p.probe, c.cid,
+         md5(p.aid || '|' || c.cid || '|' || p.probe || '|') AS pick
+  FROM probes p JOIN pool c ON c._bkt = p._bkt
+  WHERE p.aid <> c.cid AND p.label <> c.clabel
+),
+best AS (
+  SELECT aid, label, probe, min_by(cid, pick) AS neg_id
+  FROM joined GROUP BY aid, label, probe
+)
+SELECT label,
+       CAST(COUNT(DISTINCT aid) AS BIGINT) AS n_anchors,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(DISTINCT neg_id) AS BIGINT) AS n_distinct_negs,
+       CAST(SUM(aid * 10000000 + probe * 1000000 + neg_id) AS BIGINT)
+         AS key_sum
+FROM best GROUP BY label
+""",
+)
+def q220_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sampling import (
+        bucketed_negative_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    negs = bucketed_negative_sample(
+        emb,
+        emb,
+        anchor_id="vec_id",
+        cand_id="vec_id",
+        exclude_on="label",
+        k=_NEG_K,
+        n_buckets=_NEG_B,
+    )
+    lab = emb.select(F.col("vec_id"), F.col("label"))
+    return (
+        negs.join(lab, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").cast("bigint").alias("n_anchors"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.countDistinct("neg_id").cast("bigint").alias("n_distinct_negs"),
+            F.sum(
+                F.col("vec_id") * 10_000_000
+                + F.col("probe") * 1_000_000
+                + F.col("neg_id")
+            )
+            .cast("bigint")
+            .alias("key_sum"),
+        )
+    )

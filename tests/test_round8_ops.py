@@ -1,0 +1,323 @@
+"""Round-8 operator tests: Luhn PII, epoch allocation, vocab growth,
+sorted-neighborhood blocking, bucketed negative sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- Luhn ----
+
+
+def _py_luhn(s: str) -> bool:
+    if not (13 <= len(s) <= 19):
+        return False
+    t = 0
+    for i, ch in enumerate(s[::-1], 1):
+        d = int(ch)
+        if i % 2 == 1:
+            t += d
+        else:
+            dd = 2 * d
+            t += dd - 9 if dd > 9 else dd
+    return t % 10 == 0
+
+
+def test_luhn_valid_matches_reference(spark):
+    from cubicerp_client_etl_spark.operators.text import luhn_valid
+
+    cases = [
+        "4111111111111111",  # classic Visa test number — valid
+        "4111111111111112",  # off-by-one check digit — invalid
+        "79927398713",       # valid Luhn but 11 digits — too short
+        "4222222222222",     # 13-digit Visa test number — valid
+        "1234567890123456789",  # 19 digits
+        "12345678901234567890",  # 20 digits — too long
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r.s: r.ok for r in df.select("s", luhn_valid("s").alias("ok")).collect()}
+    for c in cases:
+        assert got[c] == _py_luhn(c), c
+
+
+def test_card_candidates_extract_and_strip(spark):
+    from cubicerp_client_etl_spark.operators.text import card_candidates
+
+    df = spark.createDataFrame(
+        [("pay 4111 1111 1111 1111 or 4222-2222-2222-2 ok 123",)], "t string"
+    )
+    (row,) = df.select(card_candidates("t").alias("c")).collect()
+    assert row.c == ["4111111111111111", "4222222222222"]
+
+
+# ---------------------------------------------------- epoch allocation ----
+
+
+def test_epoch_allocation_caps_and_redistributes(spark):
+    from cubicerp_client_etl_spark.operators.budget import epoch_allocation
+
+    # 'tiny' holds 10 tokens (cap 40 at max_epochs=4), 'big' holds 1000.
+    # budget=200 → even split 100/100; tiny caps at 40, hands back 60;
+    # big's headroom is 3900 → extra = 60*3900 div 3900 = 60 → 160.
+    rows = [("tiny", 10), ("big", 1000)]
+    df = spark.createDataFrame(rows, "domain string, tok int")
+    out = {
+        r.domain: r
+        for r in epoch_allocation(df, "domain", "tok", budget=200, max_epochs=4)
+        .collect()
+    }
+    t, b = out["tiny"], out["big"]
+    assert (t.share, t.allocated, t.full_epochs, t.partial_tokens) == (100, 40, 4, 0)
+    assert t.epochs_e6 == 4_000_000
+    assert (b.share, b.allocated) == (100, 160)
+    assert (b.full_epochs, b.partial_tokens) == (0, 160)
+    assert b.epochs_e6 == 160_000
+
+
+def test_epoch_allocation_no_cap_no_redistribution(spark):
+    from cubicerp_client_etl_spark.operators.budget import epoch_allocation
+
+    df = spark.createDataFrame([("a", 500), ("b", 700)], "domain string, tok int")
+    out = {r.domain: r for r in
+           epoch_allocation(df, "domain", "tok", budget=301, max_epochs=4).collect()}
+    # largest-remainder even split: 301 div 2 = 150, first domain by name +1
+    assert out["a"].share == 151 and out["b"].share == 150
+    assert out["a"].allocated == 151 and out["b"].allocated == 150
+    assert sum(r.allocated for r in out.values()) == 301
+
+
+def test_epoch_allocation_all_capped_leaves_pool_unallocated(spark):
+    from cubicerp_client_etl_spark.operators.budget import epoch_allocation
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "domain string, tok int")
+    out = {r.domain: r for r in
+           epoch_allocation(df, "domain", "tok", budget=1000, max_epochs=2).collect()}
+    # every domain caps; no headroom anywhere → extra 0, surplus reported
+    assert out["a"].allocated == 2 and out["b"].allocated == 4
+    assert out["a"].full_epochs == 2 and out["b"].full_epochs == 2
+
+
+def test_epoch_allocation_rejects_bad_args(spark):
+    from cubicerp_client_etl_spark.operators.budget import epoch_allocation
+
+    df = spark.createDataFrame([("a", 1)], "domain string, tok int")
+    with pytest.raises(ValueError):
+        epoch_allocation(df, "domain", "tok", budget=-1)
+    with pytest.raises(ValueError):
+        epoch_allocation(df, "domain", "tok", budget=10, max_epochs=0)
+
+
+# -------------------------------------------------------- vocab growth ----
+
+
+def test_vocab_growth_hand_computed(spark):
+    from cubicerp_client_etl_spark.operators.curation import vocab_growth
+
+    # ids 0..3, 2 buckets: bucket = (id*2) div 4 → {0,1}->0, {2,3}->1
+    rows = [
+        (0, "a b a"),   # bucket 0: a×2 b×1
+        (1, "b c"),     # bucket 0: b c
+        (2, "c d"),     # bucket 1: c d
+        (3, "d d e"),   # bucket 1: d×2 e
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bucket: r for r in vocab_growth(df, n_buckets=2).collect()}
+    b0, b1 = out[0], out[1]
+    assert (b0.tokens, b0.tokens_cum) == (5, 5)
+    assert (b1.tokens, b1.tokens_cum) == (5, 10)
+    # new words: b0 {a,b,c}, b1 {d,e}
+    assert (b0.vocab_new, b0.vocab_cum) == (3, 3)
+    assert (b1.vocab_new, b1.vocab_cum) == (2, 5)
+    # singletons so far: after b0 → c (a=2,b=2); after b0+b1 → e (c=2,d=3)
+    assert b0.n1_cum == 1
+    assert b1.n1_cum == 1
+
+
+def test_vocab_growth_rejects_bad_args(spark):
+    from cubicerp_client_etl_spark.operators.curation import vocab_growth
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        vocab_growth(df, n_buckets=0)
+
+
+# ---------------------------------------------- sorted neighborhood ----
+
+
+def _global_snm_reference(rows, window):
+    """Brute-force classic SNM: global sort, each row pairs with its
+    window-1 successors."""
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    pairs = set()
+    for i, (ida, _) in enumerate(order):
+        for j in range(i + 1, min(i + window, len(order))):
+            idb = order[j][0]
+            pairs.add((min(ida, idb), max(ida, idb)))
+    return pairs
+
+
+def test_snm_matches_global_reference_when_blocks_are_big_enough(spark):
+    from cubicerp_client_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # 3 prefix blocks ('aa','ab','ba'), each ≥ window rows → the
+    # blocked + boundary construction must equal the global slide
+    rows = [
+        (1, "aa alpha"), (2, "aa beta"), (3, "aa gamma"), (4, "aa zeta"),
+        (5, "ab one"), (6, "ab two"), (7, "ab three"), (8, "ab four"),
+        (9, "ba x"), (10, "ba y"), (11, "ba z"), (12, "ba w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", F.col("k"), window=3, prefix_len=2
+        ).collect()
+    }
+    assert got == _global_snm_reference(rows, 3)
+
+
+def test_snm_boundary_pairs_labeled_and_exact(spark):
+    from cubicerp_client_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(1, "aa p"), (2, "aa q"), (3, "aa r"),
+            (4, "bb p"), (5, "bb q"), (6, "bb r")]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = sorted_neighborhood_pairs(
+        df, "doc_id", F.col("k"), window=3, prefix_len=2
+    ).collect()
+    boundary = {(r.id_a, r.id_b) for r in out if r.via == "boundary"}
+    # global order 1,2,3,4,5,6 with w=3: cross pairs are (2,4),(3,4),(3,5)
+    assert boundary == {(2, 4), (3, 4), (3, 5)}
+
+
+def test_snm_block_cap_truncates_hot_block(spark):
+    from cubicerp_client_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # one hot prefix with 50 rows; cap at 5 → candidates only among the
+    # 5 smallest keys of the block
+    rows = [(i, f"zz {i:03d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    out = sorted_neighborhood_pairs(
+        df, "doc_id", F.col("k"), window=3, prefix_len=2, block_cap=5
+    ).collect()
+    ids = {r.id_a for r in out} | {r.id_b for r in out}
+    assert ids <= {0, 1, 2, 3, 4}
+    assert len(out) == 3 + 2 + 1 + 1  # w-1 successors within 5 rows
+
+
+def test_snm_rejects_bad_args(spark):
+    from cubicerp_client_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, k string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "doc_id", F.col("k"), window=1)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "doc_id", F.col("k"), prefix_len=0)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "doc_id", F.col("k"), window=4, block_cap=2)
+
+
+# ------------------------------------------- bucketed negative sample ----
+
+
+def test_negative_sample_excludes_self_and_label(spark):
+    from cubicerp_client_etl_spark.operators.sampling import (
+        bucketed_negative_sample,
+    )
+
+    rows = [(i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = bucketed_negative_sample(
+        df, df, "vec_id", "vec_id", exclude_on="label", k=4, n_buckets=8
+    ).collect()
+    lab = {i: i % 3 for i in range(60)}
+    assert out, "sampler produced no rows"
+    for r in out:
+        assert r.neg_id != r.vec_id
+        assert lab[r.neg_id] != lab[r.vec_id]
+        assert 1 <= r.probe <= 4
+    # at most one pick per (anchor, probe)
+    keys = [(r.vec_id, r.probe) for r in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_negative_sample_is_deterministic(spark):
+    from cubicerp_client_etl_spark.operators.sampling import (
+        bucketed_negative_sample,
+    )
+
+    rows = [(i, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, label int").repartition(7)
+    a = sorted(
+        map(tuple, bucketed_negative_sample(
+            df, df, "vec_id", "vec_id", exclude_on="label", k=3, n_buckets=4
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, bucketed_negative_sample(
+            df.repartition(2), df.repartition(13), "vec_id", "vec_id",
+            exclude_on="label", k=3, n_buckets=4
+        ).collect())
+    )
+    assert a == b
+
+
+def test_negative_sample_matches_bruteforce_spec(spark):
+    """Per (anchor, probe): the md5-smallest admissible candidate in the
+    probed bucket — replicated in plain Python."""
+    import hashlib
+
+    from cubicerp_client_etl_spark.operators.sampling import (
+        bucketed_negative_sample,
+    )
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n, k, nb = 30, 2, 4
+    lab = {i: i % 2 for i in range(n)}
+    want = {}
+    for aid in range(n):
+        for j in range(1, k + 1):
+            bkt = h32(f"{aid}|{j}|") % nb
+            cands = [
+                c for c in range(n)
+                if h32(f"{c}|") % nb == bkt and c != aid and lab[c] != lab[aid]
+            ]
+            if cands:
+                want[(aid, j)] = min(
+                    cands,
+                    key=lambda c: hashlib.md5(f"{aid}|{c}|{j}|".encode()).hexdigest(),
+                )
+    df = spark.createDataFrame(
+        [(i, lab[i]) for i in range(n)], "vec_id long, label int"
+    )
+    got = {
+        (r.vec_id, r.probe): r.neg_id
+        for r in bucketed_negative_sample(
+            df, df, "vec_id", "vec_id", exclude_on="label", k=k, n_buckets=nb
+        ).collect()
+    }
+    assert got == want
+
+
+def test_negative_sample_rejects_bad_args(spark):
+    from cubicerp_client_etl_spark.operators.sampling import (
+        bucketed_negative_sample,
+    )
+
+    df = spark.createDataFrame([(1, 0)], "vec_id long, label int")
+    with pytest.raises(ValueError):
+        bucketed_negative_sample(df, df, "vec_id", "vec_id", k=0)
+    with pytest.raises(ValueError):
+        bucketed_negative_sample(df, df, "vec_id", "vec_id", n_buckets=0)
