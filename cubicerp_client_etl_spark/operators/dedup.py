@@ -266,9 +266,14 @@ def jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
+    # merge-join hints: Catalyst size-estimates the post-explode shingle
+    # tables from the (tiny) parquet scan and tries to BROADCAST them —
+    # measured OOM at 10× docs (a multi-million-row build side). SMJ is
+    # the safe shape at any corpus size; AQE still downgrades to a
+    # broadcast when a side is genuinely small at runtime.
     inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
+        pairs.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -707,18 +712,24 @@ def sorted_neighborhood_pairs(
     rn = base.withColumn("_rn", F.row_number().over(w_blk)).where(
         F.col("_rn") <= block_cap
     )
-    a = rn.select(
-        F.col("_blk"), F.col("_rn"), F.col("_id").alias("id_a"),
-    )
-    b = rn.select(
-        F.col("_blk"), F.col("_rn").alias("_rnb"), F.col("_id").alias("id_b"),
-    )
+    # within-block slide via lead() — one window pass, LINEAR in block
+    # size (a blocked self-join filtered on rn-distance generates
+    # O(block²) rows before the filter; with boilerplate-duplicated
+    # corpora the blocks grow and that form explodes — measured
+    # non-terminating at 10× duplicated docs, caught in round 8)
+    w_cap = W.partitionBy("_blk").orderBy("_rn")
+    lead_cols = [
+        F.lead("_id", d).over(w_cap).alias(f"_l{d}") for d in range(1, window)
+    ]
     within = (
-        a.join(b, "_blk")
-        .where(
-            (F.col("_rnb") > F.col("_rn"))
-            & (F.col("_rnb") <= F.col("_rn") + (window - 1))
+        rn.select(F.col("_id").alias("id_a"), *lead_cols)
+        .select(
+            "id_a",
+            F.explode(
+                F.array(*[F.col(f"_l{d}") for d in range(1, window)])
+            ).alias("id_b"),
         )
+        .where(F.col("id_b").isNotNull())
         .select("id_a", "id_b", F.lit("window").alias("via"))
     )
     # ordinal of each DISTINCT block (bounded aggregate -> global

@@ -389,7 +389,8 @@ SELECT p.via,
        CAST(SUM(CASE WHEN jac.j >= {_SNM_TAU} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_verified,
        CAST(COALESCE(SUM(CASE WHEN jac.j >= {_SNM_TAU}
-                         THEN p.id_a * 1000000 + p.id_b END), 0) AS BIGINT)
+                         THEN CAST(p.id_a AS DECIMAL(38,0)) * 1000000 + p.id_b
+                         END), 0) AS DECIMAL(38,0))
          AS verified_key_sum
 FROM pairs p
 LEFT JOIN jac ON jac.id_a = p.id_a AND jac.id_b = p.id_b
@@ -423,16 +424,20 @@ def q219_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("jaccard") >= _SNM_TAU, 1).otherwise(0))
         .cast("bigint")
         .alias("n_verified"),
+        # decimal pair keys: bigint ids × 1e6 summed over many pairs
+        # overflows int64 (hit at 10× shifted ids) — decimal(38,0) is
+        # exact at any id scale
         F.coalesce(
             F.sum(
                 F.when(
                     F.col("jaccard") >= _SNM_TAU,
-                    F.col("id_a") * 1_000_000 + F.col("id_b"),
+                    F.col("id_a").cast("decimal(38,0)") * 1_000_000
+                    + F.col("id_b"),
                 )
             ),
             F.lit(0),
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("verified_key_sum"),
     )
 
@@ -482,7 +487,8 @@ SELECT label,
        CAST(COUNT(DISTINCT aid) AS BIGINT) AS n_anchors,
        CAST(COUNT(*) AS BIGINT) AS n_hits,
        CAST(COUNT(DISTINCT neg_id) AS BIGINT) AS n_distinct_negs,
-       CAST(SUM(aid * 10000000 + probe * 1000000 + neg_id) AS BIGINT)
+       CAST(SUM(CAST(aid AS DECIMAL(38,0)) * 10000000
+                + probe * 1000000 + neg_id) AS DECIMAL(38,0))
          AS key_sum
 FROM best GROUP BY label
 """,
@@ -511,11 +517,11 @@ def q220_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_hits"),
             F.countDistinct("neg_id").cast("bigint").alias("n_distinct_negs"),
             F.sum(
-                F.col("vec_id") * 10_000_000
+                F.col("vec_id").cast("decimal(38,0)") * 10_000_000
                 + F.col("probe") * 1_000_000
                 + F.col("neg_id")
             )
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("key_sum"),
         )
     )

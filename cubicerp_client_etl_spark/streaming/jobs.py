@@ -698,3 +698,30 @@ def stream_quantile_buckets(
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def stream_pii_card_audit(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the q216 Luhn PII audit: per document,
+    extract payment-card candidates and split them into checksum-valid
+    and invalid counts. Pure codegen regex + HOF arithmetic
+    (``operators/text.card_candidates``/``luhn_valid``) — stateless
+    map-only, so it attaches to a stream unchanged (append mode, no
+    watermark, no state store) and scanning the live firehose costs
+    exactly what the batch scan costs. Batch-equivalence pinned by
+    tests/test_streaming.py."""
+    from cubicerp_client_etl_spark.operators.text import (
+        card_candidates,
+        luhn_valid,
+    )
+
+    cands = F.transform(
+        card_candidates("text"),
+        lambda s: F.when(luhn_valid(s), 1).otherwise(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(cands).cast("bigint").alias("n_cands"),
+        F.aggregate(cands, F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("n_valid"),
+    ).withColumn("n_invalid", F.col("n_cands") - F.col("n_valid"))

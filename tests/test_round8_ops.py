@@ -321,3 +321,47 @@ def test_negative_sample_rejects_bad_args(spark):
         bucketed_negative_sample(df, df, "vec_id", "vec_id", k=0)
     with pytest.raises(ValueError):
         bucketed_negative_sample(df, df, "vec_id", "vec_id", n_buckets=0)
+
+
+# ------------------------------------------------------ streaming twin ----
+
+
+def test_stream_pii_card_audit_matches_batch(spark):
+    """The Luhn audit is stateless map-only: streaming output must be
+    row-identical to the batch run over the same fixture (card texts
+    planted so the counts are non-trivial)."""
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_pii_card_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plant = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("pay 4111 1111 1111 1111 and 4111111111111112 ref "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    got = run_stream_to_memory(
+        stream_pii_card_audit(
+            documents_stream(spark, sf).withColumn("text", plant)
+        ),
+        "pii_stream",
+        output_mode="append",
+    )
+    stream_rows = {
+        r.doc_id: (r.n_cands, r.n_valid, r.n_invalid) for r in got.collect()
+    }
+    batch = (
+        spark.read.parquet(f"{sf}/documents.parquet").withColumn("text", plant)
+    )
+    batch_rows = {
+        r.doc_id: (r.n_cands, r.n_valid, r.n_invalid)
+        for r in stream_pii_card_audit(batch).collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
+    # planted docs carry one valid + one invalid card
+    planted = [v for k, v in batch_rows.items() if k % 3 == 0]
+    assert planted and all(v[1] >= 1 and v[2] >= 1 for v in planted)
