@@ -412,3 +412,53 @@ def hll_estimate_by(registers: DataFrame, group_col: str) -> DataFrame:
             .alias("hll_est"),
         )
     )
+
+
+def hll_set_algebra(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    seed: str = "1",
+) -> DataFrame:
+    """HLL set algebra over two key columns: estimate |A|, |B|,
+    |A∪B| (register max-merge — the HLL merge law) and |A∩B| by
+    inclusion–exclusion — the join-cardinality / key-overlap probe a
+    planner or data-quality audit runs BEFORE paying for the join
+    (does this fact's FK actually hit that dimension? how many new
+    users does tomorrow's shard add?).
+
+    Returns one row ``(m, est_a, est_b, est_union, est_inter_raw,
+    est_inter)`` — ``est_inter_raw`` keeps the raw inclusion–exclusion
+    value (negative when sketch error exceeds the true overlap, the
+    known HLL-intersection caveat); ``est_inter`` clamps at 0. Exact
+    integer arithmetic end-to-end (same register/estimate form as
+    ``hll_registers``/``hll_estimate``), so every value replays in a
+    DuckDB oracle.
+
+    Scale: each side is one map projection + m-group max (map-side
+    partial); everything after runs on m-row register tables —
+    constant memory however large the inputs.
+    """
+    ra = hll_registers(df_a, key_a, seed=seed)
+    rb = hll_registers(df_b, key_b, seed=seed)
+    merged = (
+        ra.select("bucket", F.col("m_rho").alias("_ra"))
+        .join(rb.select("bucket", F.col("m_rho").alias("_rb")), "bucket")
+        .select("bucket", F.greatest("_ra", "_rb").alias("m_rho"))
+    )
+    ea = hll_estimate(ra).select(
+        F.col("m"), F.col("hll_est").alias("est_a")
+    )
+    eb = hll_estimate(rb).select(F.col("hll_est").alias("est_b"))
+    eu = hll_estimate(merged).select(F.col("hll_est").alias("est_union"))
+    out = ea.join(F.broadcast(eb)).join(F.broadcast(eu))
+    raw = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return out.select(
+        "m",
+        "est_a",
+        "est_b",
+        "est_union",
+        raw.cast("bigint").alias("est_inter_raw"),
+        F.greatest(raw, F.lit(0)).cast("bigint").alias("est_inter"),
+    )

@@ -525,3 +525,137 @@ def q220_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("key_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q221 — HLL join-cardinality probe (operators/sketches.hll_set_algebra):
+# register max-merge gives |A∪B|, inclusion–exclusion gives |A∩B| — the
+# pre-join key-overlap estimate (how many customers actually ordered?)
+# at m-register memory however large both sides are. Reported next to
+# the exact counts so the query doubles as the estimator's accuracy
+# datasheet (est_inter_raw keeps the sign — the documented HLL-
+# intersection caveat). Every register and every division is exact
+# integer arithmetic the oracle replays bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q221_hll_join_cardinality",
+    oracle="""
+WITH ha AS (
+  SELECT CAST(concat('0x',
+           substr(md5(CAST(o_custkey AS VARCHAR) || '|hll1'), 1, 8))
+         AS BIGINT) AS h
+  FROM orders
+),
+hb AS (
+  SELECT CAST(concat('0x',
+           substr(md5(CAST(c_custkey AS VARCHAR) || '|hll1'), 1, 8))
+         AS BIGINT) AS h
+  FROM customer
+),
+ra AS (
+  SELECT bucket, MAX(m_rho) AS m_rho FROM (
+    SELECT h // 67108864 AS bucket,
+           CASE WHEN h % 67108864 = 0 THEN 27
+                ELSE 27 - length(bin(h % 67108864)) END AS m_rho
+    FROM ha) GROUP BY bucket
+),
+rb AS (
+  SELECT bucket, MAX(m_rho) AS m_rho FROM (
+    SELECT h // 67108864 AS bucket,
+           CASE WHEN h % 67108864 = 0 THEN 27
+                ELSE 27 - length(bin(h % 67108864)) END AS m_rho
+    FROM hb) GROUP BY bucket
+),
+ga AS (
+  SELECT g.i AS bucket, COALESCE(ra.m_rho, 0) AS m_rho
+  FROM generate_series(0, 63) g(i) LEFT JOIN ra ON ra.bucket = g.i
+),
+gb AS (
+  SELECT g.i AS bucket, COALESCE(rb.m_rho, 0) AS m_rho
+  FROM generate_series(0, 63) g(i) LEFT JOIN rb ON rb.bucket = g.i
+),
+gu AS (
+  SELECT ga.bucket, greatest(ga.m_rho, gb.m_rho) AS m_rho
+  FROM ga JOIN gb ON gb.bucket = ga.bucket
+),
+ea AS (
+  SELECT CAST(389776872046592000 //
+           (SUM(CAST(1 AS BIGINT) << (27 - m_rho)) * 1000000) AS BIGINT)
+         AS est_a
+  FROM ga
+),
+eb AS (
+  SELECT CAST(389776872046592000 //
+           (SUM(CAST(1 AS BIGINT) << (27 - m_rho)) * 1000000) AS BIGINT)
+         AS est_b
+  FROM gb
+),
+eu AS (
+  SELECT CAST(389776872046592000 //
+           (SUM(CAST(1 AS BIGINT) << (27 - m_rho)) * 1000000) AS BIGINT)
+         AS est_union
+  FROM gu
+),
+ex AS (
+  SELECT CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+           AS exact_a,
+         CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT)
+           AS exact_b,
+         CAST((SELECT COUNT(DISTINCT o.o_custkey) FROM orders o
+               JOIN customer c ON c.c_custkey = o.o_custkey) AS BIGINT)
+           AS exact_inter
+)
+SELECT CAST(64 AS BIGINT) AS m, est_a, est_b, est_union,
+       CAST(est_a + est_b - est_union AS BIGINT) AS est_inter_raw,
+       CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT) AS est_inter,
+       exact_a, exact_b, exact_inter,
+       CAST(abs(greatest(est_a + est_b - est_union, 0) - exact_inter)
+            * 1000000 // exact_inter AS BIGINT) AS inter_err_e6
+FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ex
+""",
+)
+def q221_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sketches import hll_set_algebra
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    est = hll_set_algebra(orders, "o_custkey", cust, "c_custkey", seed="1")
+    exact = (
+        orders.agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("exact_a")
+        )
+        .join(
+            F.broadcast(
+                cust.agg(
+                    F.count_distinct("c_custkey").cast("bigint").alias("exact_b")
+                )
+            )
+        )
+        .join(
+            F.broadcast(
+                orders.join(
+                    cust, orders.o_custkey == cust.c_custkey
+                ).agg(
+                    F.count_distinct("o_custkey")
+                    .cast("bigint")
+                    .alias("exact_inter")
+                )
+            )
+        )
+    )
+    return est.join(F.broadcast(exact)).select(
+        "m",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_inter_raw",
+        "est_inter",
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        F.expr("abs(est_inter - exact_inter) * 1000000 div exact_inter")
+        .cast("bigint")
+        .alias("inter_err_e6"),
+    )

@@ -365,3 +365,47 @@ def test_stream_pii_card_audit_matches_batch(spark):
     # planted docs carry one valid + one invalid card
     planted = [v for k, v in batch_rows.items() if k % 3 == 0]
     assert planted and all(v[1] >= 1 and v[2] >= 1 for v in planted)
+
+
+# -------------------------------------------------------- HLL algebra ----
+
+
+def test_hll_set_algebra_self_union_is_identity(spark):
+    """Max-merging a register table with itself is a no-op, so
+    est_union == est_a == est_b and est_inter == est_a."""
+    from cubicerp_client_etl_spark.operators.sketches import hll_set_algebra
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    (r,) = hll_set_algebra(df, "k", df, "k").collect()
+    assert r.est_union == r.est_a == r.est_b
+    assert r.est_inter == r.est_a
+    assert r.est_inter_raw == r.est_a
+
+
+def test_hll_set_algebra_subset_and_disjoint(spark):
+    from cubicerp_client_etl_spark.operators.sketches import hll_set_algebra
+
+    sub = spark.range(200).select(F.col("id").alias("k"))
+    full = spark.range(1000).select(F.col("id").alias("k"))
+    (r,) = hll_set_algebra(sub, "k", full, "k").collect()
+    # A ⊆ B → union register table == B's → est_union == est_b,
+    # est_inter == est_a exactly (register identity, not approximation)
+    assert r.est_union == r.est_b
+    assert r.est_inter == r.est_a
+    disj = spark.range(1000, 2000).select(F.col("id").alias("k"))
+    (d,) = hll_set_algebra(sub, "k", disj, "k").collect()
+    # disjoint: inclusion–exclusion error is bounded by sketch error;
+    # clamp keeps the reported intersection non-negative
+    assert d.est_inter >= 0
+    assert d.est_inter == max(d.est_inter_raw, 0)
+
+
+def test_hll_set_algebra_estimates_are_in_hll_error_range(spark):
+    from cubicerp_client_etl_spark.operators.sketches import hll_set_algebra
+
+    a = spark.range(3000).select(F.col("id").alias("k"))
+    b = spark.range(1500, 4500).select(F.col("id").alias("k"))
+    (r,) = hll_set_algebra(a, "k", b, "k").collect()
+    # m=64 → relative error ~1.04/√64 ≈ 13%; allow 3σ
+    assert abs(r.est_union - 4500) / 4500 < 0.4
+    assert abs(r.est_inter - 1500) / 1500 < 1.0  # intersection compounds error
