@@ -62,3 +62,35 @@ def verify_links(
     split out so the candidate count and the verified count can both
     be observed (blocking recall vs verify precision)."""
     return pairs.where(predicate)
+
+
+def soundex_portable(col: Column | str) -> Column:
+    """Portable Soundex blocking key: first letter + three digits from
+    the classic letter→code map, adjacent equal codes collapsed,
+    vowels dropped after collapsing, zero-padded. The PHONETIC blocking
+    key for name-matching (SMITH and SMYTH block together before the
+    edit-distance verify).
+
+    Deliberately the h/w-as-vowel VARIANT (H and W map to 0 like
+    vowels) rather than ANSI Soundex's "h/w do not separate codes"
+    rule: the variant is expressible as a pure translate/regexp chain
+    in the RE2-safe subset BOTH Spark and DuckDB execute identically
+    (no backreferences — runs collapse via one replace per digit), so
+    blocking keys oracle-replay exactly. Spark's built-in ``F.soundex``
+    implements the ANSI rule and has no DuckDB twin — don't mix the
+    two. Non-letters are stripped first; an empty/garbage name yields
+    ``"000"`` (its own block). Pure codegen, map-only at any scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    codes = F.translate(
+        u, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"
+    )
+    coll = codes
+    for d in "0123456":
+        coll = F.regexp_replace(coll, d + "+", d)
+    body = F.replace(
+        F.substring(coll, 2, F.lit(1 << 30)), F.lit("0"), F.lit("")
+    )
+    return F.concat(first, F.rpad(F.substring(body, 1, 3), 3, "0"))

@@ -659,3 +659,192 @@ def q221_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("inter_err_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# q222 — Matryoshka truncation recall audit (L-sim family): rank top-10
+# neighbors with the FULL 64-dim embedding and again with only the
+# first 32 dims (the Matryoshka-representation deployment trick: store/
+# search half the vector, verify the recall cost before shipping it).
+# Both rankings are exact rounded-cosine + id tie-break (the q034
+# discipline), so the oracle replays every rank and the overlap counts
+# hash-check. Scale: probes broadcast, corpus streamed once per
+# ranking; the overlap join touches 10 rows per probe per side.
+# --------------------------------------------------------------------------
+
+_MRL_K = 10
+_MRL_DIMS = 32
+
+
+@register(
+    "q222_matryoshka_recall",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(embedding[1:{_MRL_DIMS}] AS DOUBLE[]) AS vt
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS probe_id, v AS pv, vt AS pvt FROM e WHERE vec_id % 100 = 7
+),
+full_rank AS (
+  SELECT probe_id, vec_id, rank FROM (
+    SELECT p.probe_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+             ROUND(list_dot_product(e.v, p.pv) /
+                   sqrt(list_dot_product(e.v, e.v) *
+                        list_dot_product(p.pv, p.pv)), 6) DESC,
+             e.vec_id) AS rank
+    FROM e CROSS JOIN probes p
+    WHERE e.vec_id <> p.probe_id)
+  WHERE rank <= {_MRL_K}
+),
+trunc_rank AS (
+  SELECT probe_id, vec_id, rank FROM (
+    SELECT p.probe_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+             ROUND(list_dot_product(e.vt, p.pvt) /
+                   sqrt(list_dot_product(e.vt, e.vt) *
+                        list_dot_product(p.pvt, p.pvt)), 6) DESC,
+             e.vec_id) AS rank
+    FROM e CROSS JOIN probes p
+    WHERE e.vec_id <> p.probe_id)
+  WHERE rank <= {_MRL_K}
+)
+SELECT f.probe_id,
+       CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.vec_id) * 1000000 // {_MRL_K} AS BIGINT) AS recall_e6
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON t.probe_id = f.probe_id AND t.vec_id = f.vec_id
+GROUP BY f.probe_id
+""",
+)
+def q222_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def topk(vec_expr):
+        corpus = emb.select("vec_id", vec_expr.alias("embedding"))
+        probes = corpus.filter(F.col("vec_id") % 100 == 7).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        out = sim.brute_force_topk(corpus, probes, k=_MRL_K + 1)
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        return (
+            out.filter(F.col("vec_id") != F.col("probe_id"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _MRL_K)
+            .select("probe_id", "vec_id")
+        )
+
+    full = topk(F.col("embedding"))
+    trunc = topk(F.slice(F.col("embedding"), 1, _MRL_DIMS))
+    t = trunc.select("probe_id", F.col("vec_id").alias("_tv"))
+    return (
+        full.join(
+            t,
+            (t.probe_id == full.probe_id) & (F.col("_tv") == full.vec_id),
+            "left",
+        )
+        .drop(t.probe_id)
+        .groupBy("probe_id")
+        .agg(
+            F.count("_tv").cast("bigint").alias("n_overlap"),
+            F.expr(f"CAST(count(_tv) * 1000000 div {_MRL_K} AS BIGINT)").alias(
+                "recall_e6"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q223 — Phonetic (Soundex) blocking for record linkage
+# (operators/linkage.soundex_portable): surnames synthesized
+# deterministically from custkey out of a 12-name panel chosen so each
+# phonetic key mixes true near-matches (SMITH/SMYTH, lev 1) with
+# decoys that share the sound but not the spelling (SMOOT, lev 3) —
+# the precision/recall anatomy of phonetic blocking, verified by
+# edit distance on candidates only. The blocking key chain is the
+# RE2-safe translate/regexp form both engines execute identically, so
+# every key, pair and verdict oracle-replays. Scale: equi-join on
+# (soundex, nation, segment); verify touches candidates only.
+# --------------------------------------------------------------------------
+
+_SDX_NAMES = [
+    "SMITH", "SMYTH", "SMOOT", "JOHNSON", "JONSON", "JANSEN",
+    "MEYER", "MAYER", "MOYER", "SCHMIDT", "SCHMITT", "SCHMID",
+]
+
+
+@register(
+    "q223_soundex_blocking",
+    oracle=f"""
+WITH rec AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         (['{"','".join(_SDX_NAMES)}'])[(c_custkey % 12) + 1] AS surname
+  FROM customer
+),
+keyed AS (
+  SELECT *, substr(u,1,1) || rpad(substr(
+           replace(substr(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
+               translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         '01230120022455012623010202'),
+               '0+','0','g'),'1+','1','g'),'2+','2','g'),'3+','3','g'),
+               '4+','4','g'),'5+','5','g'),'6+','6','g'),
+           2), '0', ''), 1, 3), 3, '0') AS sdx
+  FROM (SELECT *, upper(regexp_replace(surname, '[^A-Za-z]', '', 'g')) AS u
+        FROM rec)
+),
+cand AS (
+  SELECT a.sdx, a.surname AS sa, b.surname AS sb
+  FROM keyed a JOIN keyed b
+    ON a.sdx = b.sdx
+   AND a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+)
+SELECT sdx,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN levenshtein(sa, sb) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lev0,
+       CAST(SUM(CASE WHEN levenshtein(sa, sb) BETWEEN 1 AND 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       CAST(SUM(CASE WHEN levenshtein(sa, sb) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_far
+FROM cand GROUP BY sdx
+""",
+)
+def q223_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.linkage import (
+        blocked_pairs,
+        soundex_portable,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    rec = cust.withColumn(
+        "surname",
+        F.element_at(
+            F.array(*[F.lit(n) for n in _SDX_NAMES]),
+            (F.col("c_custkey") % 12 + 1).cast("int"),
+        ),
+    ).withColumn("sdx", soundex_portable("surname"))
+    cand = blocked_pairs(
+        rec, "c_custkey", ["sdx", "c_nationkey", "c_mktsegment"]
+    )
+    lev = F.levenshtein(F.col("surname_a"), F.col("surname_b"))
+    return cand.groupBy("sdx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(lev == 0, 1).otherwise(0)).cast("bigint").alias("n_lev0"),
+        F.sum(F.when((lev >= 1) & (lev <= 2), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near"),
+        F.sum(F.when(lev > 2, 1).otherwise(0)).cast("bigint").alias("n_far"),
+    )

@@ -409,3 +409,38 @@ def test_hll_set_algebra_estimates_are_in_hll_error_range(spark):
     # m=64 → relative error ~1.04/√64 ≈ 13%; allow 3σ
     assert abs(r.est_union - 4500) / 4500 < 0.4
     assert abs(r.est_inter - 1500) / 1500 < 1.0  # intersection compounds error
+
+
+# ------------------------------------------------------------ soundex ----
+
+
+def _py_soundex_variant(name: str) -> str:
+    """Pure-Python reference of the h/w-as-vowel portable variant."""
+    u = "".join(ch for ch in name.upper() if ch.isalpha())
+    table = dict(zip("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"))
+    codes = "".join(table[ch] for ch in u)
+    coll = []
+    for ch in codes:
+        if not coll or coll[-1] != ch:
+            coll.append(ch)
+    body = "".join(coll)[1:].replace("0", "")
+    return (u[:1]) + (body[:3]).ljust(3, "0")
+
+
+def test_soundex_portable_matches_reference(spark):
+    from cubicerp_client_etl_spark.operators.linkage import soundex_portable
+
+    names = ["SMITH", "SMYTH", "SMOOT", "JOHNSON", "JONSON", "JANSEN",
+             "MEYER", "MAYER", "PFISTER", "Washington", "O'Brien",
+             "de la Cruz", "", "42", "Tymczak", "Ashcraft"]
+    df = spark.createDataFrame([(n,) for n in names], "n string")
+    got = {r.n: r.s for r in
+           df.select("n", soundex_portable("n").alias("s")).collect()}
+    for n in names:
+        assert got[n] == _py_soundex_variant(n), (n, got[n])
+    # the variant groups the phonetic families the blocking relies on
+    assert got["SMITH"] == got["SMYTH"] == got["SMOOT"]
+    assert got["JOHNSON"] == got["JONSON"] == got["JANSEN"]
+    # and h/w-as-vowel is a DOCUMENTED divergence from ANSI soundex
+    # (ASHCRAFT: ANSI A261 — h does not separate s/c; variant A226)
+    assert got["Ashcraft"] == "A226"
