@@ -158,7 +158,7 @@ def q157_bmp_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_M, _BLOOM_K = 65536, 3
 
 @register(
-    "q012_bloom_decontaminate",
+    "q216_bloom_decontaminate",
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -195,7 +195,7 @@ WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
 """,
 )
-def q012_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q216_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.curation import _toks, shingles
     from cubicerp_client_etl_spark.operators.sketches import (
         bloom_build,
@@ -393,7 +393,7 @@ def q160_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same unrolled merge chain, segmented lengths joined per document.
 # --------------------------------------------------------------------------
 @register(
-    "q038_bpe_tokenize_corpus",
+    "q220_bpe_tokenize_corpus",
     oracle="WITH "
     + _bpe_ctes(_BPE_K)
     + f""",
@@ -411,7 +411,7 @@ JOIN seg s USING (w)
 GROUP BY t.doc_id
 """,
 )
-def q038_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q220_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.bpe import (
         bpe_learn,
         bpe_segment_vocab,

@@ -114,8 +114,8 @@ ORDER BY vec_id
 )
 
 
-@register("q013_semantic_dedup", oracle=_SD_ORACLE)
-def q013_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q217_semantic_dedup", oracle=_SD_ORACLE)
+def q217_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
     from cubicerp_client_etl_spark.operators.clustering import kmeans_int
     from cubicerp_client_etl_spark.operators.semdedup import semantic_dedup
@@ -163,7 +163,7 @@ _QC_BUCKETS = 1024
 
 
 @register(
-    "q039_quality_classifier",
+    "q221_quality_classifier",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
@@ -198,7 +198,7 @@ GROUP BY source
 ORDER BY source
 """,
 )
-def q039_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q221_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.classifier import (
         derived_weights,
         score_documents,

@@ -1574,7 +1574,7 @@ def q187_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sublinearly — index build stays linear but amortizes across probes.
 # --------------------------------------------------------------------------
 @register(
-    "q029_hybrid_rrf_fusion",
+    "q219_hybrid_rrf_fusion",
     oracle="""
 WITH toks AS (
   SELECT doc_id, u.t AS t
@@ -1665,7 +1665,7 @@ ORDER BY rrf_e6 DESC, doc_id
 LIMIT 10
 """,
 )
-def q029_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q219_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from cubicerp_client_etl_spark.operators.retrieval import bm25_scores
@@ -2676,7 +2676,7 @@ def q199_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are what actually ships with a release. Fully oracled.
 # --------------------------------------------------------------------------
 @register(
-    "q050_release_pipeline",
+    "q223_release_pipeline",
     oracle="""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -2763,7 +2763,7 @@ GROUP BY f.split, f.lang
 ORDER BY f.split, f.lang
 """,
 )
-def q050_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q223_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators.classifier import (
         derived_weights,

@@ -33,7 +33,7 @@ from cubicerp_client_etl_spark.queries import register
 
 
 @register(
-    "q216_pii_card_audit",
+    "q012_pii_card_audit",
     oracle=r"""
 WITH synth AS (
   SELECT doc_id, source,
@@ -94,7 +94,7 @@ SELECT source,
 FROM v GROUP BY source
 """,
 )
-def q216_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import (
         card_candidates,
         luhn_valid,
@@ -165,7 +165,7 @@ _EPOCH_MAX = 4
 
 
 @register(
-    "q217_epoch_allocation",
+    "q013_epoch_allocation",
     oracle=f"""
 WITH d AS (
   SELECT CASE WHEN source IN ('src0','src1','src2','src3') THEN source
@@ -216,7 +216,7 @@ SELECT domain, c_tokens,
 FROM f
 """,
 )
-def q217_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q013_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.budget import epoch_allocation
 
     docs = load(spark, sf_dir, "documents").select(
@@ -245,7 +245,7 @@ def q217_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q218_vocab_growth",
+    "q020_vocab_growth",
     oracle="""
 WITH hi AS (SELECT max(doc_id) + 1 AS _hi FROM documents),
 t AS (
@@ -285,7 +285,7 @@ SELECT CAST(b AS INT) AS bucket, tokens,
 FROM pb
 """,
 )
-def q218_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.curation import vocab_growth
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -314,7 +314,7 @@ _SNM_TAU = 0.5
 
 
 @register(
-    "q219_sorted_neighborhood",
+    "q029_sorted_neighborhood",
     headline=True,
     oracle=f"""
 WITH base AS (
@@ -397,7 +397,7 @@ LEFT JOIN jac ON jac.id_a = p.id_a AND jac.id_b = p.id_b
 GROUP BY p.via
 """,
 )
-def q219_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.catalog import widen_scan
     from cubicerp_client_etl_spark.operators.dedup import (
         jaccard_pairs,
@@ -458,7 +458,7 @@ _NEG_B = 32
 
 
 @register(
-    "q220_contrastive_negatives",
+    "q038_contrastive_negatives",
     oracle=f"""
 WITH a AS (SELECT vec_id AS aid, label FROM embeddings),
 probes AS (
@@ -493,7 +493,7 @@ SELECT label,
 FROM best GROUP BY label
 """,
 )
-def q220_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sampling import (
         bucketed_negative_sample,
     )
@@ -540,7 +540,7 @@ def q220_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q221_hll_join_cardinality",
+    "q039_hll_join_cardinality",
     oracle="""
 WITH ha AS (
   SELECT CAST(concat('0x',
@@ -616,7 +616,7 @@ SELECT CAST(64 AS BIGINT) AS m, est_a, est_b, est_union,
 FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ex
 """,
 )
-def q221_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sketches import hll_set_algebra
 
     orders = load(spark, sf_dir, "orders").select("o_custkey")
@@ -677,7 +677,7 @@ _MRL_DIMS = 32
 
 
 @register(
-    "q222_matryoshka_recall",
+    "q044_matryoshka_recall",
     oracle=f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -720,7 +720,7 @@ LEFT JOIN trunc_rank t
 GROUP BY f.probe_id
 """,
 )
-def q222_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -781,7 +781,7 @@ _SDX_NAMES = [
 
 
 @register(
-    "q223_soundex_blocking",
+    "q050_soundex_blocking",
     oracle=f"""
 WITH rec AS (
   SELECT c_custkey, c_nationkey, c_mktsegment,
@@ -820,7 +820,7 @@ SELECT sdx,
 FROM cand GROUP BY sdx
 """,
 )
-def q223_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.linkage import (
         blocked_pairs,
         soundex_portable,

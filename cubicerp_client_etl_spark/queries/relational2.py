@@ -76,7 +76,7 @@ def q019_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one shuffle on user_id, no range explosion. Oracle = DuckDB ASOF JOIN.
 # --------------------------------------------------------------------------
 @register(
-    "q020_asof_join",
+    "q218_asof_join",
     oracle="""
 SELECT e.event_id, epoch_us(s.ts) AS signup_ts_us
 FROM events e
@@ -84,7 +84,7 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
   ON e.user_id = s.user_id AND e.ts >= s.ts
 """,
 )
-def q020_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q218_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")

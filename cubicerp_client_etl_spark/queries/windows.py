@@ -86,7 +86,7 @@ def q076_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same boundary rule (diff >= gap ⇒ new session).
 # --------------------------------------------------------------------------
 @register(
-    "q044_session_window",
+    "q222_session_window",
     oracle="""
 WITH marked AS (
   SELECT user_id, event_id, ts, value,
@@ -109,7 +109,7 @@ SELECT user_id,
 FROM sessions GROUP BY user_id, sess_id
 """,
 )
-def q044_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q222_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

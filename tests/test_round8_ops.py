@@ -444,3 +444,28 @@ def test_soundex_portable_matches_reference(spark):
     # and h/w-as-vowel is a DOCUMENTED divergence from ANSI soundex
     # (ASHCRAFT: ANSI A261 — h does not separate s/c; variant A226)
     assert got["Ashcraft"] == "A226"
+
+
+# ------------------------------------------------------- bpe cap guard ----
+
+
+def test_bpe_learn_max_words_prunes_deterministically(spark):
+    """The driver-memory guard (ADVICE r7): max_words keeps the top-N
+    words by (cnt DESC, word ASC); merges learned from the pruned
+    histogram equal merges learned from a corpus containing only those
+    words."""
+    from cubicerp_client_etl_spark.operators.bpe import bpe_learn
+
+    # 'aa bb' dominate; 30 singleton junk words form the prunable tail
+    junk = " ".join(f"junk{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa bb aa bb " + junk)], "doc_id long, text string"
+    )
+    top_only = spark.createDataFrame(
+        [(0, "aa bb aa bb aa bb")], "doc_id long, text string"
+    )
+    capped = bpe_learn(docs, num_merges=2, max_words=2)
+    want = bpe_learn(top_only, num_merges=2, max_words=None)
+    assert capped == want
+    with pytest.raises(ValueError):
+        bpe_learn(docs, num_merges=2, max_words=0)

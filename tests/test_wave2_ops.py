@@ -544,7 +544,7 @@ def test_hybrid_rrf_ivf_divergence_vs_exact_fused(spark):
     from tests.conftest import SF_SMOKE
 
     sf = SF_SMOKE
-    fused_ivf = [r.doc_id for r in REGISTRY["q029_hybrid_rrf_fusion"].fn(spark, sf).collect()]
+    fused_ivf = [r.doc_id for r in REGISTRY["q219_hybrid_rrf_fusion"].fn(spark, sf).collect()]
 
     # exact-fused baseline: same lexical side, exact cosine vector side
     from cubicerp_client_etl_spark.queries.pipeline_ext7 import _BM25_TERMS
