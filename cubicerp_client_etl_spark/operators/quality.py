@@ -92,3 +92,58 @@ def combine_reports(*reports: DataFrame) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def k_anonymize_release(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    measures: Mapping[str, Column],
+    other_label: str = "*",
+) -> DataFrame:
+    """k-anonymous aggregate release: group by the quasi-identifier
+    columns, publish groups with ≥ ``k`` rows as-is, and POOL every
+    smaller group into one catch-all row (quasi-identifiers replaced
+    by ``other_label``) — the minimum-cell-size suppression rule
+    statistical agencies apply before releasing cross-tabs, so no
+    published cell isolates fewer than k individuals.
+
+    ``measures`` maps output column name → aggregate Column (evaluated
+    per group; the catch-all row re-aggregates the SUPPRESSED GROUPS'
+    ROWS, so additive measures stay exact — use additive aggregates
+    (sum/count) for release tables). Every released row carries
+    ``n_rows`` (≥ k except possibly the catch-all, which may pool
+    fewer than k total rows — standard practice still publishes it;
+    filter it out downstream if the residual is too small).
+
+    Deterministic, exact-integer/decimal, oracle-replayable. Scale:
+    one keyed aggregation + a broadcast of the small-group keys back
+    onto the aggregate (never onto raw rows); the catch-all is a
+    second aggregate over the (bounded) suppressed-group rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
+        c.alias(name) for name, c in measures.items()
+    ]
+    # quasi-identifiers as strings so the catch-all label unions
+    # type-cleanly whatever the input types were
+    df = df.withColumns({c: F.col(c).cast("string") for c in group_cols})
+    g = df.groupBy(*group_cols).agg(*aggs)
+    released = g.where(F.col("n_rows") >= k)
+    small = g.where(F.col("n_rows") < k)
+    # re-aggregate the suppressed groups' aggregates: counts and any
+    # additive measure pool exactly; one row, labels as other_label
+    pool_aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")] + [
+        F.sum(name).alias(name) for name in measures
+    ]
+    pooled = small.agg(*pool_aggs).select(
+        *[F.lit(other_label).alias(c) for c in group_cols],
+        "n_rows",
+        *measures.keys(),
+    )
+    # emit the catch-all only when something was suppressed
+    pooled = pooled.where(F.col("n_rows").isNotNull())
+    return released.unionByName(pooled)

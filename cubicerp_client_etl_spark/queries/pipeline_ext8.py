@@ -848,3 +848,275 @@ def q050_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_near"),
         F.sum(F.when(lev > 2, 1).otherwise(0)).cast("bigint").alias("n_far"),
     )
+
+
+# --------------------------------------------------------------------------
+# q224 — k-anonymous aggregate release (operators/quality.
+# k_anonymize_release): cross-tab of customer balances by
+# (nation, segment, cohort) with the minimum-cell-size rule — cells
+# under k=4 rows pool into one '*' catch-all so no published cell
+# isolates fewer than k individuals. Additive measures (count, cents
+# sum) stay exact through the pooling. Scale: one keyed aggregation;
+# the suppression decision and the pool run on the aggregate only.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q224_k_anonymous_release",
+    oracle="""
+WITH g AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+         c_mktsegment AS segment,
+         CAST(c_custkey % 9 AS VARCHAR) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS sum_bal_cents
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+released AS (SELECT * FROM g WHERE n_rows >= 4),
+pooled AS (
+  SELECT '*' AS nation, '*' AS segment, '*' AS cohort,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         CAST(SUM(sum_bal_cents) AS BIGINT) AS sum_bal_cents
+  FROM g WHERE n_rows < 4
+  HAVING COUNT(*) > 0
+)
+SELECT * FROM released UNION ALL SELECT * FROM pooled
+""",
+)
+def q224_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import k_anonymize_release
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_custkey") % 9).alias("cohort"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("_cents"),
+    )
+    return k_anonymize_release(
+        cust,
+        ["nation", "segment", "cohort"],
+        k=4,
+        measures={"sum_bal_cents": F.sum("_cents").cast("bigint")},
+    )
+
+
+# --------------------------------------------------------------------------
+# q225 — Winsorized statistics via the mergeable quantile sketch
+# (operators/quantiles.histogram_quantile_sketch): clip lineitem price
+# cents at the sketch's p01/p99 estimates and report the clipped-tail
+# anatomy — the outlier-capping pre-processing step feature pipelines
+# run, at sketch cost (two map-side-combinable passes) instead of an
+# exact order statistic. Every threshold and sum is exact integer /
+# decimal, oracle-replayed including the sketch itself.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q225_winsorized_stats",
+    oracle="""
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n FROM c),
+pw AS (SELECT lo, hi, n, (hi - lo + 256) // 256 AS w FROM mm),
+bu AS (
+  SELECT (c.v - pw.lo) // pw.w AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c CROSS JOIN pw GROUP BY 1
+),
+cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM bu),
+spec AS (SELECT unnest([0.01, 0.99]) AS q),
+est AS (
+  SELECT s.q, pw.lo + MIN(cum.b) * pw.w AS est
+  FROM spec s CROSS JOIN cum CROSS JOIN pw
+  WHERE CAST(cum.cum AS DOUBLE) / pw.n >= s.q
+  GROUP BY s.q, pw.lo, pw.w
+),
+thr AS (
+  SELECT MIN(CASE WHEN q = 0.01 THEN est END) AS p01,
+         MIN(CASE WHEN q = 0.99 THEN est END) AS p99
+  FROM est
+)
+SELECT CAST(p01 AS BIGINT) AS p01_cents,
+       CAST(p99 AS BIGINT) AS p99_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(v) AS DECIMAL(38,0)) AS sum_cents,
+       CAST(SUM(least(greatest(v, p01), p99)) AS DECIMAL(38,0))
+         AS sum_winsorized_cents
+FROM c CROSS JOIN thr
+GROUP BY p01, p99
+""",
+)
+def q225_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        histogram_quantile_sketch,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    sk = histogram_quantile_sketch(li, "v", [0.01, 0.99], n_buckets=256)
+    thr = sk.agg(
+        F.min(F.when(F.col("q") == 0.01, F.col("est"))).alias("p01"),
+        F.min(F.when(F.col("q") == 0.99, F.col("est"))).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("p01")), F.col("p99"))
+    return (
+        li.join(F.broadcast(thr))
+        .groupBy("p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("v") < F.col("p01"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("v") > F.col("p99"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+            F.sum(F.col("v").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sum_cents"),
+            F.sum(clipped.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sum_winsorized_cents"),
+        )
+        .select(
+            F.col("p01").cast("bigint").alias("p01_cents"),
+            F.col("p99").cast("bigint").alias("p99_cents"),
+            "n",
+            "n_low",
+            "n_high",
+            "sum_cents",
+            "sum_winsorized_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q226 — Currency conversion with sparse as-of rates (C9 in its ERP
+# shape): monthly FX rates synthesized deterministically per currency
+# with ~1/3 of months MISSING, forward-filled over the bounded
+# (currency × month) grid — never a raw-row window on the 4-currency
+# key — then orders equi-join the filled dimension on
+# (currency, order month) and convert exactly (cents × rate_e6 in
+# decimal(38,0); int64 would overflow at scale-fixture ids). Orders
+# predating the first rate stay unconverted and are COUNTED, not
+# dropped. Scale: the rate dimension is bounded and broadcast; the
+# fact side is one equi-join, no shuffle beyond the final rollup.
+# --------------------------------------------------------------------------
+
+_FX_CURS = ["USD", "EUR", "JPY", "GBP"]
+
+
+@register(
+    "q226_currency_asof_conversion",
+    oracle=f"""
+WITH months AS (
+  SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
+                                INTERVAL 1 MONTH))::DATE AS m
+),
+grid AS (
+  SELECT c.cur, months.m,
+         CAST(concat('0x', substr(md5(c.cur || '|' ||
+              strftime(months.m, '%Y-%m-%d')), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT unnest(['{"','".join(_FX_CURS)}']) AS cur) c
+  CROSS JOIN months
+),
+sparse AS (
+  SELECT cur, m,
+         CASE WHEN h % 3 <> 0 THEN 500000 + (h // 3) % 1500000 END AS rate_e6
+  FROM grid
+),
+filled AS (
+  SELECT cur, m,
+         last_value(rate_e6 IGNORE NULLS) OVER (
+           PARTITION BY cur ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate_e6
+  FROM sparse
+),
+o AS (
+  SELECT o.o_orderkey,
+         (['{"','".join(_FX_CURS)}'])[(c.c_nationkey % 4) + 1] AS cur,
+         date_trunc('month', o.o_orderdate)::DATE AS m,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT o.cur,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN f.rate_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unrated,
+       CAST(SUM(o.cents) AS DECIMAL(38,0)) AS sum_local_cents,
+       CAST(SUM(CASE WHEN f.rate_e6 IS NOT NULL
+                THEN CAST(o.cents AS HUGEINT) * f.rate_e6 END)
+            AS DECIMAL(38,0)) AS sum_base_e6
+FROM o LEFT JOIN filled f ON f.cur = o.cur AND f.m = o.m
+GROUP BY o.cur
+""",
+)
+def q226_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    months = spark.sql(
+        "SELECT explode(sequence(to_date('1992-01-01'), "
+        "to_date('1998-12-01'), interval 1 month)) AS m"
+    )
+    curs = spark.createDataFrame([(c,) for c in _FX_CURS], "cur string")
+    h = md5_hash32(
+        F.concat(F.col("cur"), F.lit("|"), F.col("m").cast("string"))
+    )
+    # bigint div, never a double round-trip (module discipline)
+    _hdiv3 = F.floor(h / 3).cast("bigint")
+    sparse = curs.crossJoin(months).select(
+        "cur",
+        "m",
+        F.when(h % 3 != 0, (F.lit(500_000) + _hdiv3 % 1_500_000)).alias(
+            "rate_e6"
+        ),
+    )
+    w = (
+        Window.partitionBy("cur")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = sparse.select(
+        "cur", "m", F.last("rate_e6", ignorenulls=True).over(w).alias("rate_e6")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c in _FX_CURS]),
+            (F.col("c_nationkey") % 4 + 1).cast("int"),
+        ).alias("cur"),
+        F.trunc("o_orderdate", "month").alias("m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    j = o.join(F.broadcast(filled), ["cur", "m"], "left")
+    return j.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("rate_e6").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unrated"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_local_cents"),
+        F.sum(
+            F.when(
+                F.col("rate_e6").isNotNull(),
+                F.col("cents").cast("decimal(38,0)") * F.col("rate_e6"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_base_e6"),
+    )

@@ -469,3 +469,46 @@ def test_bpe_learn_max_words_prunes_deterministically(spark):
     assert capped == want
     with pytest.raises(ValueError):
         bpe_learn(docs, num_merges=2, max_words=0)
+
+
+# --------------------------------------------------------- k-anonymity ----
+
+
+def test_k_anonymize_release_pools_small_groups_exactly(spark):
+    from cubicerp_client_etl_spark.operators.quality import k_anonymize_release
+
+    rows = (
+        [("a", 10)] * 5   # released (n=5 >= 3)
+        + [("b", 7)] * 2  # suppressed
+        + [("c", 1)] * 1  # suppressed
+    )
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = k_anonymize_release(
+        df, ["g"], k=3, measures={"sum_v": __import__("pyspark").sql.functions.sum("v").cast("bigint")}
+    ).collect()
+    got = {r.g: (r.n_rows, r.sum_v) for r in out}
+    assert got == {"a": (5, 50), "*": (3, 15)}
+    # additivity: published totals equal the raw totals
+    assert sum(n for n, _ in got.values()) == len(rows)
+    assert sum(s for _, s in got.values()) == sum(v for _, v in rows)
+
+
+def test_k_anonymize_release_no_catchall_when_nothing_suppressed(spark):
+    from cubicerp_client_etl_spark.operators.quality import k_anonymize_release
+
+    df = spark.createDataFrame([("a", 1)] * 4, "g string, v int")
+    out = k_anonymize_release(
+        df, ["g"], k=3,
+        measures={"sum_v": F.sum("v").cast("bigint")},
+    ).collect()
+    assert [(r.g, r.n_rows) for r in out] == [("a", 4)]
+
+
+def test_k_anonymize_release_rejects_bad_args(spark):
+    from cubicerp_client_etl_spark.operators.quality import k_anonymize_release
+
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    with pytest.raises(ValueError):
+        k_anonymize_release(df, ["g"], k=0, measures={})
+    with pytest.raises(ValueError):
+        k_anonymize_release(df, [], k=2, measures={})
