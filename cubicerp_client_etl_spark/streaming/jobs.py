@@ -725,3 +725,25 @@ def stream_pii_card_audit(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_valid"),
     ).withColumn("n_invalid", F.col("n_cands") - F.col("n_valid"))
+
+
+def stream_winsorize(
+    vals: DataFrame, p_lo: int, p_hi: int, value_col: str = "value_cents"
+) -> DataFrame:
+    """Streaming twin of the q225 winsorization: clip a live value
+    stream at thresholds COMPUTED OFFLINE (the batch quantile sketch's
+    p01/p99 — pass them in as plain ints, the Bloom-gate pattern:
+    heavy statistics on yesterday's batch, a stateless map on today's
+    firehose). Pure Column arithmetic — append mode, no state store,
+    no watermark; re-deploy with fresh thresholds on whatever cadence
+    the distribution drifts. Batch-equivalence pinned by
+    tests/test_streaming-style round trip in tests/test_round8_ops.py.
+    """
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.lit(int(p_lo))), F.lit(int(p_hi)))
+    return vals.withColumn("winsorized_cents", clipped.cast("bigint")).withColumn(
+        "clipped",
+        F.when(v < p_lo, F.lit("low"))
+        .when(v > p_hi, F.lit("high"))
+        .otherwise(F.lit("none")),
+    )

@@ -512,3 +512,60 @@ def test_k_anonymize_release_rejects_bad_args(spark):
         k_anonymize_release(df, ["g"], k=0, measures={})
     with pytest.raises(ValueError):
         k_anonymize_release(df, [], k=2, measures={})
+
+
+def test_stream_winsorize_matches_batch(spark):
+    """Offline-threshold winsorization is a stateless map: the stream
+    output must equal the batch output row-for-row, with thresholds
+    taken from the batch quantile sketch."""
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        histogram_quantile_sketch,
+    )
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_winsorize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    thr = {
+        r.q: r.est
+        for r in histogram_quantile_sketch(
+            batch, "value_cents", [0.01, 0.99]
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf}/lineitem.parquet").schema
+        )
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf)
+    )
+    stream = stream.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    got = run_stream_to_memory(
+        stream_winsorize(stream, int(thr[0.01]), int(thr[0.99])),
+        "winsor_stream",
+        output_mode="append",
+    )
+    srows = {
+        (r.l_orderkey, r.l_linenumber): (r.winsorized_cents, r.clipped)
+        for r in got.collect()
+    }
+    brows = {
+        (r.l_orderkey, r.l_linenumber): (r.winsorized_cents, r.clipped)
+        for r in stream_winsorize(batch, int(thr[0.01]), int(thr[0.99])).collect()
+    }
+    assert srows == brows and srows
+    assert {v[1] for v in brows.values()} >= {"none"}
