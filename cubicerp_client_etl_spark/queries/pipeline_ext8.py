@@ -1120,3 +1120,165 @@ def q226_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("decimal(38,0)")
         .alias("sum_base_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# q227 — Co-purchase triangle census (operators/graph.triangle_stats;
+# Suri & Vassilvitskii 2011 degree orientation): parts bought in the
+# same order form an edge; triangles measure co-purchase cohesion.
+# Orientation bounds each node's out-degree at O(√m), so the wedge
+# join emits O(m^{3/2}) worst-case instead of the Σd² a naive
+# adjacency self-join hits on hub parts. Exact integers end-to-end;
+# the oracle replays orientation, wedges and closures verbatim.
+# Per-order edge fan is bounded (orders hold ≤ 7 lines).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q227_copurchase_triangles",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+         greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x
+),
+ed AS (
+  SELECT e.u, e.v, du.d AS du, dv.d AS dv
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+),
+oriented AS (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+  FROM ed
+),
+wedges AS (
+  SELECT o1.b AS b1, o2.b AS b2
+  FROM oriented o1 JOIN oriented o2 ON o2.a = o1.a
+  WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedges w JOIN oriented c ON c.a = w.b1 AND c.b = w.b2
+),
+tot AS (
+  SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+         CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+         CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST(CASE WHEN n_wedges > 0
+            THEN (3 * n_triangles * 1000000) // n_wedges
+            ELSE 0 END AS BIGINT) AS clustering_e6
+FROM tot CROSS JOIN tri
+""",
+)
+def q227_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.graph import triangle_stats
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_stats(edges)
+
+
+# --------------------------------------------------------------------------
+# q228 — Geo neighbor join via grid-cell blocking (operators/geo.
+# grid_neighbor_pairs): customers get deterministic micro-degree
+# coordinates; every pair within 0.2° (planar, exact integer d²) is
+# found through the 3×3 cell equi-join — the spatial member of the
+# blocking family (LSH: hash buckets; SNM: sort order; ER: soundex;
+# here: space). No all-pairs, no window; the oracle replays cells,
+# probes and the exact verify.
+# --------------------------------------------------------------------------
+
+_GEO_R = 200_000  # 0.2 degrees in micro-degrees
+
+
+@register(
+    "q228_geo_neighbor_join",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(concat('0x', substr(md5('x|' || c_custkey), 1, 8)) AS BIGINT)
+           % 360000000 AS x,
+         CAST(concat('0x', substr(md5('y|' || c_custkey), 1, 8)) AS BIGINT)
+           % 170000000 AS y
+  FROM customer
+),
+base AS (
+  SELECT id, x, y, x // {_GEO_R} AS cx, y // {_GEO_R} AS cy FROM pts
+),
+probes AS (
+  SELECT b.id AS id_a, b.x AS xa, b.y AS ya,
+         b.cx + dx.d AS cx, b.cy + dy.d AS cy
+  FROM base b
+  CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+  CROSS JOIN (VALUES (-1), (0), (1)) dy(d)
+),
+cand AS (
+  SELECT DISTINCT p.id_a, h.id AS id_b,
+         (p.xa - h.x) * (p.xa - h.x) + (p.ya - h.y) * (p.ya - h.y) AS d2
+  FROM probes p JOIN base h ON h.cx = p.cx AND h.cy = p.cy
+  WHERE p.id_a < h.id
+    AND (p.xa - h.x) * (p.xa - h.x) + (p.ya - h.y) * (p.ya - h.y)
+        <= CAST({_GEO_R} AS BIGINT) * {_GEO_R}
+)
+SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(MIN(d2), 0) AS BIGINT) AS min_dist2,
+       CAST(COALESCE(SUM(CAST(d2 AS HUGEINT)), 0) AS DECIMAL(38,0))
+         AS sum_dist2,
+       CAST(COALESCE(SUM(CAST(id_a AS DECIMAL(38,0)) * 1000000 + id_b), 0)
+            AS DECIMAL(38,0)) AS pair_key_sum
+FROM cand
+""",
+)
+def q228_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import md5_hash32
+    from cubicerp_client_etl_spark.operators.geo import grid_neighbor_pairs
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            md5_hash32(F.concat(F.lit("x|"), F.col("c_custkey").cast("string")))
+            % 360_000_000
+        ).alias("x"),
+        (
+            md5_hash32(F.concat(F.lit("y|"), F.col("c_custkey").cast("string")))
+            % 170_000_000
+        ).alias("y"),
+    )
+    pairs = grid_neighbor_pairs(pts, "id", "x", "y", max_dist=_GEO_R)
+    n_points = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.min("dist2"), F.lit(0)).cast("bigint").alias("min_dist2"),
+            F.coalesce(F.sum(F.col("dist2").cast("decimal(38,0)")), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("sum_dist2"),
+            F.coalesce(
+                F.sum(
+                    F.col("id_a").cast("decimal(38,0)") * 1_000_000
+                    + F.col("id_b")
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("pair_key_sum"),
+        )
+        .join(F.broadcast(n_points))
+        .select("n_points", "n_pairs", "min_dist2", "sum_dist2", "pair_key_sum")
+    )

@@ -569,3 +569,97 @@ def test_stream_winsorize_matches_batch(spark):
     }
     assert srows == brows and srows
     assert {v[1] for v in brows.values()} >= {"none"}
+
+
+# ---------------------------------------------------------- triangles ----
+
+
+def test_triangle_stats_known_graphs(spark):
+    from cubicerp_client_etl_spark.operators.graph import triangle_stats
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    (r,) = triangle_stats(k4).collect()
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.clustering_e6 == 1_000_000
+
+    # directed duplicates + self-loops normalize away
+    messy = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 1)], "src long, dst long"
+    )
+    (m,) = triangle_stats(messy).collect()
+    assert (m.n_edges, m.n_triangles) == (3, 1)
+
+    # triangle-free bipartite K2,3: wedges but no closures
+    bip = spark.createDataFrame(
+        [(a, b) for a in (0, 1) for b in (10, 11, 12)], "src long, dst long"
+    )
+    (bp,) = triangle_stats(bip).collect()
+    assert bp.n_triangles == 0 and bp.n_wedges > 0
+
+
+def test_triangle_stats_matches_bruteforce_on_random_graph(spark):
+    import itertools
+
+    from cubicerp_client_etl_spark.operators.graph import triangle_stats
+
+    # deterministic pseudo-random graph on 24 nodes
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(24), 2)
+        if (a * 7919 + b * 104729) % 5 == 0
+    ]
+    adj = {n: set() for n in range(24)}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(range(24), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    (r,) = triangle_stats(df).collect()
+    assert r.n_triangles == want
+
+
+# ------------------------------------------------------- geo blocking ----
+
+
+def test_grid_neighbor_pairs_matches_bruteforce(spark):
+    import itertools
+
+    from cubicerp_client_etl_spark.operators.geo import grid_neighbor_pairs
+
+    pts = [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(120)]
+    R = 90
+    want = set()
+    for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2):
+        d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+        if d2 <= R * R:
+            want.add((min(i, j), max(i, j), d2))
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r.id_a, r.id_b, r.dist2)
+        for r in grid_neighbor_pairs(df, "id", "x", "y", max_dist=R).collect()
+    }
+    assert got == want and want
+    # a cell larger than max_dist is also complete
+    got2 = {
+        (r.id_a, r.id_b, r.dist2)
+        for r in grid_neighbor_pairs(
+            df, "id", "x", "y", max_dist=R, cell_size=250
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_grid_neighbor_pairs_rejects_bad_args(spark):
+    from cubicerp_client_etl_spark.operators.geo import grid_neighbor_pairs
+
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    with pytest.raises(ValueError):
+        grid_neighbor_pairs(df, "id", "x", "y", max_dist=0)
+    with pytest.raises(ValueError):
+        grid_neighbor_pairs(df, "id", "x", "y", max_dist=100, cell_size=50)
