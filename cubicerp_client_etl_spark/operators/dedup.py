@@ -682,11 +682,16 @@ def sorted_neighborhood_pairs(
     deterministic and engine-portable.
 
     Scale posture: the within-block window partitions on the prefix
-    block — a pathological key choice (every record sharing one
-    prefix) would funnel the corpus through one partition, so blocks
-    larger than ``block_cap`` keep only their first ``block_cap`` rows
-    in candidate generation (the ``lsh_candidate_pairs.hot_band_cap``
-    recall/cost dial; pick ``prefix_len`` so blocks stay ≪ the cap).
+    block, and computing ``row_number`` funnels each block's FULL row
+    set through one task BEFORE the cap filter — so ``prefix_len`` is
+    the primary scale dial (longer prefix → exponentially more,
+    smaller blocks; size it so blocks hold thousands of rows, not
+    millions), while ``block_cap`` is the secondary dial that bounds
+    CANDIDATE volume when a hot block slips through (the
+    ``lsh_candidate_pairs.hot_band_cap`` recall/cost trade). A key
+    whose distribution defeats any prefix length (all records
+    identical) needs a different blocking family — that is a data
+    property, not a knob.
     The next-block lookup runs on the distinct-block AGGREGATE
     (bounded by construction — prover-checkable), never on raw rows.
     Candidate volume is ≤ n·(window−1) + #blocks·(window−1)², linear
