@@ -274,3 +274,38 @@ def histogram_quantile_sketch_by(
         .alias(est_col),
         F.first("_w").cast("bigint").alias(bound_col),
     )
+
+
+def cdf_transform(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "cdf_e6",
+) -> DataFrame:
+    """Exact empirical-CDF (quantile-normalization) transform: every
+    row gains ``out_col`` = ⌊10⁶ · P(X ≤ x)⌋ — the rank-based feature
+    scaling ML pipelines use when magnitudes are meaningless but order
+    matters (and the exact form of sklearn's QuantileTransformer).
+
+    Factors through the value-count table like ``exact_quantiles``:
+    distinct-value counts (one shuffle, bounded by #distinct), exact
+    running count via the two-phase ``prefix_sum`` scan (no
+    single-partition stage), then ONE equi-join back on the value —
+    never a window over raw rows. Exact integer e6 arithmetic,
+    engine-replayable. Quantize continuous columns first (the
+    ``exact_quantiles`` contract).
+    """
+    vals = df.where(F.col(value_col).isNotNull())
+    counts = vals.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    cum = prefix_sum(
+        counts, order_by=[F.col("_v")], value_col="_c", out_col="_cum"
+    )
+    tot = vals.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    cdf = cum.join(F.broadcast(tot)).select(
+        "_v",
+        F.expr("(_cum * 1000000) div _n").cast("bigint").alias(out_col),
+    )
+    return df.join(
+        cdf, F.col(value_col).eqNullSafe(F.col("_v")), "left"
+    ).drop("_v")

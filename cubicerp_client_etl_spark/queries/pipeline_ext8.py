@@ -1282,3 +1282,48 @@ def q228_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_points))
         .select("n_points", "n_pairs", "min_dist2", "sum_dist2", "pair_key_sum")
     )
+
+
+# --------------------------------------------------------------------------
+# q229 — Empirical-CDF feature transform (operators/quantiles.
+# cdf_transform): quantile-normalize lineitem quantities and roll the
+# transformed values up per return flag — the rank-based scaling step
+# (sklearn QuantileTransformer's exact form) built on the value-count
+# table + two-phase prefix scan + one join back, never a window over
+# raw rows. Exact e6 integers; the oracle replays the CDF and rollup.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q229_cdf_transform",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+),
+c AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY q),
+cum AS (SELECT q, SUM(c) OVER (ORDER BY q) AS cum FROM c),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+cdf AS (SELECT q, CAST((cum * 1000000) // n AS BIGINT) AS cdf_e6
+        FROM cum CROSS JOIN tot)
+SELECT v.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(cdf.cdf_e6) AS BIGINT) AS min_cdf_e6,
+       CAST(MAX(cdf.cdf_e6) AS BIGINT) AS max_cdf_e6,
+       CAST(SUM(cdf.cdf_e6) // COUNT(*) AS BIGINT) AS mean_cdf_e6
+FROM v JOIN cdf ON cdf.q = v.q
+GROUP BY v.l_returnflag
+""",
+)
+def q229_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quantiles import cdf_transform
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    t = cdf_transform(li, "q")
+    return t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("cdf_e6").cast("bigint").alias("min_cdf_e6"),
+        F.max("cdf_e6").cast("bigint").alias("max_cdf_e6"),
+        F.expr("CAST(sum(cdf_e6) div count(1) AS BIGINT)").alias("mean_cdf_e6"),
+    )

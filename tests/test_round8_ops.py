@@ -663,3 +663,26 @@ def test_grid_neighbor_pairs_rejects_bad_args(spark):
         grid_neighbor_pairs(df, "id", "x", "y", max_dist=0)
     with pytest.raises(ValueError):
         grid_neighbor_pairs(df, "id", "x", "y", max_dist=100, cell_size=50)
+
+
+# ------------------------------------------------------ cdf transform ----
+
+
+def test_cdf_transform_exact_values(spark):
+    from cubicerp_client_etl_spark.operators.quantiles import cdf_transform
+
+    # values 1,1,2,5 → P(X<=1)=.5, P(X<=2)=.75, P(X<=5)=1
+    df = spark.createDataFrame([(1,), (1,), (2,), (5,)], "v long")
+    got = sorted(
+        (r.v, r.cdf_e6) for r in cdf_transform(df, "v").collect()
+    )
+    assert got == [(1, 500000), (1, 500000), (2, 750000), (5, 1000000)]
+
+
+def test_cdf_transform_null_safe(spark):
+    from cubicerp_client_etl_spark.operators.quantiles import cdf_transform
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "v long")
+    got = {r.v: r.cdf_e6 for r in cdf_transform(df, "v").collect()}
+    # nulls pass through untransformed; CDF over the 2 non-null rows
+    assert got[1] == 500000 and got[3] == 1000000 and got[None] is None
