@@ -129,7 +129,7 @@ def q144_name_search_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation dim get created with a provenance tag. Anti-join, no driver loop.
 # --------------------------------------------------------------------------
 @register(
-    "q025_insert_if_absent",
+    "q227_insert_if_absent",
     oracle="""
 WITH dim AS (SELECT DISTINCT c_nationkey AS nationkey, 'existing' AS origin FROM customer),
      incoming AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
@@ -139,7 +139,7 @@ SELECT i.nationkey, 'created' AS origin
 FROM incoming i WHERE i.nationkey NOT IN (SELECT nationkey FROM dim)
 """,
 )
-def q025_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q227_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
     dim = c.select(F.col("c_nationkey").alias("nationkey")).distinct().withColumn(
@@ -188,7 +188,7 @@ def _merge_query(mode: str):
 
 
 register(
-    "q026_merge_update",
+    "q228_merge_update",
     oracle=_MERGE_ORACLE_TEMPLATE.format(
         body="""
 SELECT COALESCE(t.pk, s.pk) AS pk,

@@ -418,7 +418,7 @@ def q129_rate_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate, and the cap window). The oracle replays the exact chain.
 # --------------------------------------------------------------------------
 @register(
-    "q015_curation_pipeline",
+    "q224_curation_pipeline",
     headline=True,
     oracle="""
 WITH stats AS (
@@ -476,7 +476,7 @@ SELECT doc_id, lang,
 FROM capped
 """,
 )
-def q015_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q224_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.dedup import exact_dedup
     from cubicerp_client_etl_spark.operators.sampling import cap_per_group
 

@@ -19,7 +19,7 @@ from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q216 — Luhn-validated payment-card PII audit (operators/text.py
+# q012 (birth q216) — Luhn-validated payment-card PII audit (operators/text.py
 # luhn_valid/card_candidates): regex extraction finds 13-19-digit card
 # CANDIDATES; the ISO/IEC 7812 Luhn checksum separates real card
 # numbers from random digit runs — the precision upgrade over the
@@ -150,7 +150,7 @@ def q012_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q217 — Data-constrained epoch allocation (operators/budget.py
+# q013 (birth q217) — Data-constrained epoch allocation (operators/budget.py
 # epoch_allocation; Muennighoff et al. 2023): even budget split across
 # domains, ≤4 epochs of any domain's fresh data, capped domains hand
 # their surplus to domains with headroom. Four tiny domains + one
@@ -234,7 +234,7 @@ def q013_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q218 — Vocabulary-growth datasheet (operators/curation.py
+# q020 (birth q218) — Vocabulary-growth datasheet (operators/curation.py
 # vocab_growth; Heaps' law / Good–Turing N₁): 8 ingestion slices by
 # doc_id order; per slice the exact cumulative tokens, vocabulary,
 # newly-seen words and singletons-so-far. Scale: token explode + two
@@ -296,7 +296,7 @@ def q020_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q219 — Sorted-neighborhood dedup blocking (operators/dedup.py
+# q029 (birth q219) — Sorted-neighborhood dedup blocking (operators/dedup.py
 # sorted_neighborhood_pairs; Hernández & Stolfo 1995): candidates from
 # a window-4 slide over the lower(text) sort order, sharded by 2-char
 # prefix blocks with exact boundary recovery, then exact 3-shingle
@@ -443,7 +443,7 @@ def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q220 — Bucketed negative sampling for contrastive training
+# q038 (birth q220) — Bucketed negative sampling for contrastive training
 # (operators/sampling.py bucketed_negative_sample): every embedding
 # anchors k=4 probes into 32 hash buckets and takes the md5-smallest
 # different-label candidate per probe — deterministic negatives with
@@ -528,7 +528,7 @@ def q038_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q221 — HLL join-cardinality probe (operators/sketches.hll_set_algebra):
+# q039 (birth q221) — HLL join-cardinality probe (operators/sketches.hll_set_algebra):
 # register max-merge gives |A∪B|, inclusion–exclusion gives |A∩B| — the
 # pre-join key-overlap estimate (how many customers actually ordered?)
 # at m-register memory however large both sides are. Reported next to
@@ -662,7 +662,7 @@ def q039_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q222 — Matryoshka truncation recall audit (L-sim family): rank top-10
+# q044 (birth q222) — Matryoshka truncation recall audit (L-sim family): rank top-10
 # neighbors with the FULL 64-dim embedding and again with only the
 # first 32 dims (the Matryoshka-representation deployment trick: store/
 # search half the vector, verify the recall cost before shipping it).
@@ -762,7 +762,7 @@ def q044_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q223 — Phonetic (Soundex) blocking for record linkage
+# q050 (birth q223) — Phonetic (Soundex) blocking for record linkage
 # (operators/linkage.soundex_portable): surnames synthesized
 # deterministically from custkey out of a 12-name panel chosen so each
 # phonetic key mixes true near-matches (SMITH/SMYTH, lev 1) with
@@ -851,7 +851,7 @@ def q050_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q224 — k-anonymous aggregate release (operators/quality.
+# q015 (birth q224) — k-anonymous aggregate release (operators/quality.
 # k_anonymize_release): cross-tab of customer balances by
 # (nation, segment, cohort) with the minimum-cell-size rule — cells
 # under k=4 rows pool into one '*' catch-all so no published cell
@@ -862,7 +862,7 @@ def q050_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q224_k_anonymous_release",
+    "q015_k_anonymous_release",
     oracle="""
 WITH g AS (
   SELECT CAST(c_nationkey AS VARCHAR) AS nation,
@@ -885,7 +885,7 @@ pooled AS (
 SELECT * FROM released UNION ALL SELECT * FROM pooled
 """,
 )
-def q224_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import k_anonymize_release
 
     cust = load(spark, sf_dir, "customer").select(
@@ -905,7 +905,7 @@ def q224_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q225 — Winsorized statistics via the mergeable quantile sketch
+# q016 (birth q225) — Winsorized statistics via the mergeable quantile sketch
 # (operators/quantiles.histogram_quantile_sketch): clip lineitem price
 # cents at the sketch's p01/p99 estimates and report the clipped-tail
 # anatomy — the outlier-capping pre-processing step feature pipelines
@@ -916,7 +916,7 @@ def q224_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q225_winsorized_stats",
+    "q016_winsorized_stats",
     oracle="""
 WITH c AS (
   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -953,7 +953,7 @@ FROM c CROSS JOIN thr
 GROUP BY p01, p99
 """,
 )
-def q225_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quantiles import (
         histogram_quantile_sketch,
     )
@@ -1000,7 +1000,7 @@ def q225_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q226 — Currency conversion with sparse as-of rates (C9 in its ERP
+# q019 (birth q226) — Currency conversion with sparse as-of rates (C9 in its ERP
 # shape): monthly FX rates synthesized deterministically per currency
 # with ~1/3 of months MISSING, forward-filled over the bounded
 # (currency × month) grid — never a raw-row window on the 4-currency
@@ -1016,7 +1016,7 @@ _FX_CURS = ["USD", "EUR", "JPY", "GBP"]
 
 
 @register(
-    "q226_currency_asof_conversion",
+    "q019_currency_asof_conversion",
     oracle=f"""
 WITH months AS (
   SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
@@ -1060,7 +1060,7 @@ FROM o LEFT JOIN filled f ON f.cur = o.cur AND f.m = o.m
 GROUP BY o.cur
 """,
 )
-def q226_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import md5_hash32
 
     months = spark.sql(
@@ -1123,7 +1123,7 @@ def q226_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# q227 — Co-purchase triangle census (operators/graph.triangle_stats;
+# q025 (birth q227) — Co-purchase triangle census (operators/graph.triangle_stats;
 # Suri & Vassilvitskii 2011 degree orientation): parts bought in the
 # same order form an edge; triangles measure co-purchase cohesion.
 # Orientation bounds each node's out-degree at O(√m), so the wedge
@@ -1135,7 +1135,7 @@ def q226_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "q227_copurchase_triangles",
+    "q025_copurchase_triangles",
     oracle="""
 WITH e AS (
   SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
@@ -1178,7 +1178,7 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
 FROM tot CROSS JOIN tri
 """,
 )
-def q227_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q025_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.graph import triangle_stats
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1193,7 +1193,7 @@ def q227_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q228 — Geo neighbor join via grid-cell blocking (operators/geo.
+# q026 (birth q228) — Geo neighbor join via grid-cell blocking (operators/geo.
 # grid_neighbor_pairs): customers get deterministic micro-degree
 # coordinates; every pair within 0.2° (planar, exact integer d²) is
 # found through the 3×3 cell equi-join — the spatial member of the
@@ -1206,7 +1206,7 @@ _GEO_R = 200_000  # 0.2 degrees in micro-degrees
 
 
 @register(
-    "q228_geo_neighbor_join",
+    "q026_geo_neighbor_join",
     oracle=f"""
 WITH pts AS (
   SELECT c_custkey AS id,
@@ -1244,7 +1244,7 @@ SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
 FROM cand
 """,
 )
-def q228_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import md5_hash32
     from cubicerp_client_etl_spark.operators.geo import grid_neighbor_pairs
 
@@ -1285,7 +1285,7 @@ def q228_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q229 — Empirical-CDF feature transform (operators/quantiles.
+# q046 (birth q229) — Empirical-CDF feature transform (operators/quantiles.
 # cdf_transform): quantile-normalize lineitem quantities and roll the
 # transformed values up per return flag — the rank-based scaling step
 # (sklearn QuantileTransformer's exact form) built on the value-count
@@ -1295,7 +1295,7 @@ def q228_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q229_cdf_transform",
+    "q046_cdf_transform",
     oracle="""
 WITH v AS (
   SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
@@ -1314,7 +1314,7 @@ FROM v JOIN cdf ON cdf.q = v.q
 GROUP BY v.l_returnflag
 """,
 )
-def q229_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quantiles import cdf_transform
 
     li = load(spark, sf_dir, "lineitem").select(

@@ -498,7 +498,7 @@ def q130_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers both set ops.
 # --------------------------------------------------------------------------
 @register(
-    "q016_intersect_except",
+    "q225_intersect_except",
     oracle="""
 SELECT nationkey, 'both' AS tag FROM
   (SELECT c_nationkey AS nationkey FROM customer
@@ -509,7 +509,7 @@ SELECT nationkey, 'customer_only' AS tag FROM
    EXCEPT SELECT s_nationkey FROM supplier)
 """,
 )
-def q016_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q225_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     both = c.intersect(s).withColumn("tag", F.lit("both"))

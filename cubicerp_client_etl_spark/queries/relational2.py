@@ -41,7 +41,7 @@ def q055_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dayofweek: Spark is 1=Sunday, DuckDB dayofweek is 0=Sunday → +1.
 # --------------------------------------------------------------------------
 @register(
-    "q019_date_pack",
+    "q226_date_pack",
     oracle="""
 SELECT o_orderkey,
        strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week,
@@ -54,7 +54,7 @@ SELECT o_orderkey,
 FROM orders
 """,
 )
-def q019_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q226_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
     return o.select(

@@ -131,7 +131,7 @@ def q222_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate, broadcast back via crossJoin.
 # --------------------------------------------------------------------------
 @register(
-    "q046_header_footer_broadcast",
+    "q229_header_footer_broadcast",
     oracle="""
 WITH hf AS (
   SELECT min_by(strftime(l_shipdate, '%Y-%m-%d'),
@@ -151,7 +151,7 @@ FROM lineitem l CROSS JOIN hf
 GROUP BY 1, 2, 3, 4
 """,
 )
-def q046_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q229_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
     # fold the payload (shipdate) into the order key so min_by/max_by

@@ -701,7 +701,7 @@ def stream_quantile_buckets(
 
 
 def stream_pii_card_audit(docs: DataFrame) -> DataFrame:
-    """Streaming twin of the q216 Luhn PII audit: per document,
+    """Streaming twin of the q012 Luhn PII audit: per document,
     extract payment-card candidates and split them into checksum-valid
     and invalid counts. Pure codegen regex + HOF arithmetic
     (``operators/text.card_candidates``/``luhn_valid``) — stateless
@@ -730,7 +730,7 @@ def stream_pii_card_audit(docs: DataFrame) -> DataFrame:
 def stream_winsorize(
     vals: DataFrame, p_lo: int, p_hi: int, value_col: str = "value_cents"
 ) -> DataFrame:
-    """Streaming twin of the q225 winsorization: clip a live value
+    """Streaming twin of the q016 winsorization: clip a live value
     stream at thresholds COMPUTED OFFLINE (the batch quantile sketch's
     p01/p99 — pass them in as plain ints, the Bloom-gate pattern:
     heavy statistics on yesterday's batch, a stateless map on today's

@@ -365,7 +365,7 @@ def test_q130_pipeline_gate_fuses_with_scan(spark):
     projection fused with the scan (no stats-join shuffle); the
     decontamination side broadcasts; nothing degenerates to a
     cartesian product."""
-    plan = plan_of(spark, "q015_curation_pipeline")
+    plan = plan_of(spark, "q224_curation_pipeline")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # decontamination benchmark side
     # shuffles: dedup window + decon aggregate + cap window + anti-join
