@@ -147,3 +147,57 @@ def k_anonymize_release(
     # emit the catch-all only when something was suppressed
     pooled = pooled.where(F.col("n_rows").isNotNull())
     return released.unionByName(pooled)
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — pinned integer constants
+# so the audit is float-free and engine-identical (they sum to 999995;
+# the 5e-6 shortfall is the floor, documented not hidden)
+BENFORD_E6 = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit (Benford's law) audit of a positive integer column —
+    the classic fraud / fabricated-data screen for financial amounts:
+    naturally-occurring multiplicative quantities lead with digit d at
+    probability log10(1+1/d); fabricated or truncated data doesn't.
+
+    Returns one row per digit 1-9: observed count, observed share
+    (e6 floor), the pinned Benford expectation, and |obs − exp|; plus
+    the consumer can sum the deviation column for a single screening
+    stat. Exact integers end-to-end (expectations are pinned e6
+    literals, never a runtime log), so the audit oracle-replays.
+    Rows with NULL or non-positive values are excluded (Benford is
+    undefined there) — screen them separately with ``row_rule_report``.
+
+    Scale: first digit is string arithmetic on the value (map-only);
+    one 9-group aggregate with map-side combine. Nothing else.
+    """
+    v = df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0)).select(
+        F.substring(F.col(value_col).cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("_d")
+    )
+    counts = v.groupBy("_d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, BENFORD_E6[d - 1]) for d in range(1, 10)],
+        "_d int, expected_e6 bigint",
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        expected.join(counts, "_d", "left")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("_d").alias("digit"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr("(coalesce(n, 0) * 1000000) div _n")
+            .cast("bigint")
+            .alias("observed_e6"),
+            "expected_e6",
+            F.abs(
+                F.expr("(coalesce(n, 0) * 1000000) div _n") - F.col("expected_e6")
+            )
+            .cast("bigint")
+            .alias("abs_dev_e6"),
+        )
+    )

@@ -1327,3 +1327,49 @@ def q046_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cdf_e6").cast("bigint").alias("max_cdf_e6"),
         F.expr("CAST(sum(cdf_e6) div count(1) AS BIGINT)").alias("mean_cdf_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# q230 — Benford first-digit audit (operators/quality.benford_audit):
+# the fraud / fabricated-data screen on order totals — naturally
+# multiplicative amounts lead with digit d at log10(1+1/d);
+# expectations are PINNED e6 integer literals so the audit is
+# float-free and the oracle replays every share and deviation.
+# Map-only + one 9-group aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q230_benford_audit",
+    oracle="""
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders
+  WHERE o_totalprice > 0
+),
+c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY d),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM v),
+exp AS (
+  SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+                        (4, 96910), (5, 79181), (6, 66946),
+                        (7, 57991), (8, 51152), (9, 45757)) e(d, expected_e6)
+)
+SELECT exp.d AS digit,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST((COALESCE(c.n, 0) * 1000000) // tot.t AS BIGINT) AS observed_e6,
+       CAST(exp.expected_e6 AS BIGINT) AS expected_e6,
+       CAST(abs((COALESCE(c.n, 0) * 1000000) // tot.t - exp.expected_e6)
+            AS BIGINT) AS abs_dev_e6
+FROM exp LEFT JOIN c ON c.d = exp.d CROSS JOIN tot
+""",
+)
+def q230_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import benford_audit
+
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    return benford_audit(orders, "cents")

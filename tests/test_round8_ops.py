@@ -686,3 +686,29 @@ def test_cdf_transform_null_safe(spark):
     got = {r.v: r.cdf_e6 for r in cdf_transform(df, "v").collect()}
     # nulls pass through untransformed; CDF over the 2 non-null rows
     assert got[1] == 500000 and got[3] == 1000000 and got[None] is None
+
+
+# ------------------------------------------------------------- benford ----
+
+
+def test_benford_audit_exact_counts_and_constants(spark):
+    import math
+
+    from cubicerp_client_etl_spark.operators.quality import (
+        BENFORD_E6,
+        benford_audit,
+    )
+
+    # the pinned constants ARE floor(log10(1+1/d)*1e6)
+    for d in range(1, 10):
+        assert BENFORD_E6[d - 1] == math.floor(math.log10(1 + 1 / d) * 1e6)
+    # hand fixture: digits 1,1,2,9; zeros/nulls/negatives excluded
+    df = spark.createDataFrame(
+        [(10,), (199,), (25,), (9,), (0,), (None,), (-3,)], "v long"
+    )
+    out = {r.digit: (r.n, r.observed_e6) for r in benford_audit(df, "v").collect()}
+    assert len(out) == 9
+    assert out[1] == (2, 500000)
+    assert out[2] == (1, 250000)
+    assert out[9] == (1, 250000)
+    assert out[5] == (0, 0)
