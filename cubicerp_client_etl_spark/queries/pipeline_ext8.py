@@ -1373,3 +1373,78 @@ def q230_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return benford_audit(orders, "cents")
+
+
+# --------------------------------------------------------------------------
+# q231 — Time-weighted average value per user (D-family extension):
+# each event's value holds until the user's NEXT event, so the honest
+# per-user mean weights by holding time (TWAP — the metering/billing
+# aggregation), not by event count. lead() over the (high-cardinality)
+# user partition gives exact integer micro-second holding intervals;
+# the last event of a user has no successor and is excluded from the
+# weighted mean by construction (reported via n_open). Exact integer
+# value-cents × micros products in decimal(38,0); the final integer
+# division relies on the non-negative value domain (truncation ==
+# floor), which the events fixture guarantees.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q231_time_weighted_average",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS t_next
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN t_next IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open,
+       CAST(COALESCE(SUM(CASE WHEN t_next IS NOT NULL
+                          THEN t_next - t END), 0) AS BIGINT) AS held_us,
+       CAST(CASE WHEN SUM(CASE WHEN t_next IS NOT NULL THEN t_next - t END) > 0
+            THEN SUM(CASE WHEN t_next IS NOT NULL
+                     THEN CAST(cents AS HUGEINT) * (t_next - t) END)
+                 // SUM(CASE WHEN t_next IS NOT NULL THEN t_next - t END)
+            ELSE 0 END AS BIGINT) AS twap_cents
+FROM e GROUP BY user_id
+""",
+)
+def q231_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    e = ev.withColumn("t_next", F.lead("t").over(w))
+    held = F.when(F.col("t_next").isNotNull(), F.col("t_next") - F.col("t"))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("t_next").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_open"),
+        F.coalesce(F.sum(held), F.lit(0)).cast("bigint").alias("held_us"),
+        F.when(
+            F.sum(held) > 0,
+            (
+                F.sum(
+                    F.when(
+                        F.col("t_next").isNotNull(),
+                        F.col("cents").cast("decimal(38,0)")
+                        * (F.col("t_next") - F.col("t")),
+                    )
+                )
+                / F.sum(held)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("twap_cents"),
+    )
