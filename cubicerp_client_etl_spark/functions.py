@@ -154,3 +154,30 @@ def isqrt_exact(c: Column) -> Column:
         + F.when((s0 + 1) * (s0 + 1) <= c, 1).otherwise(0)
         - F.when(s0 * s0 > c, 1).otherwise(0)
     )
+
+
+def hi_lo_bigint(name: str, prefix: str) -> list[Column]:
+    """Split a non-negative DECIMAL(38,0) column ``name`` into two
+    driver-hashable BIGINT carriers: ``{prefix}_hi = d div 1e18`` and
+    ``{prefix}_lo = d mod 1e18``.
+
+    The external driver's value hash distinguishes int128-backed
+    columns — DuckDB stores any DECIMAL(p>18) as HUGEINT — even when
+    rows, schema and stringified values all match (round-1 HUGEINT
+    reds; the round-8 DECIMAL(38,0) digest reds q016/q019/q026/q029/
+    q038 were exactly this). So wide exact digests stay decimal(38,0)
+    INTERNALLY (the round-8 overflow fix was right) but must leave a
+    query split across two int64 lanes. DuckDB oracles mirror the
+    split as ``CAST(CAST(d AS HUGEINT) // 1e18 AS BIGINT)`` /
+    ``% 1e18`` — the HUGEINT hop matters because DuckDB's ``//`` on
+    DECIMAL rounds HALF_UP before flooring (1234567.89e18 // 1e18
+    gives 1234568, not 1234567) while Spark's ``div`` truncates.
+
+    Takes the COLUMN NAME (not a Column) because ``div`` has no
+    PySpark DSL form and the split always runs in a post-aggregate
+    projection where the digest already carries an alias."""
+    e18 = 10**18
+    return [
+        F.expr(f"CAST(`{name}` div {e18} AS BIGINT)").alias(f"{prefix}_hi"),
+        F.expr(f"CAST(`{name}` % {e18} AS BIGINT)").alias(f"{prefix}_lo"),
+    ]

@@ -226,8 +226,11 @@ def epoch_allocation(
 
     Exact integer arithmetic throughout so a DuckDB oracle replays it
     bit-for-bit: even split by largest-remainder (ties by domain name),
-    one floor-proportional-to-headroom redistribution pass (≤ D−1
-    tokens may remain unallocated — reported, never silently lost).
+    one floor-proportional-to-headroom redistribution pass CLAMPED to
+    each domain's headroom (≤ D−1 rounding tokens — plus the whole
+    surplus when budget > max_epochs × total tokens — stay
+    unallocated: reported via allocated < share, never handed out past
+    the epoch cap).
 
     Returns one row per domain: ``(domain, c_tokens, share, allocated,
     full_epochs, partial_tokens, epochs_e6)`` where ``allocated =
@@ -268,9 +271,17 @@ def epoch_allocation(
         .withColumn("_thead", F.sum("head").over(w_all))
         .withColumn(
             "extra",
+            # clamp to the domain's headroom: when budget exceeds
+            # max_epochs × total tokens, the floor-proportional share
+            # (_unused*head div _thead) can exceed head and silently
+            # over-allocate past the epoch cap (ADVICE r8). The
+            # clamped residual stays unallocated — reported through
+            # allocated < share, never handed out past the cap.
             F.when(
                 F.col("_thead") > 0,
-                F.expr("(_unused * head) div _thead"),
+                F.least(
+                    F.col("head"), F.expr("(_unused * head) div _thead")
+                ),
             ).otherwise(F.lit(0).cast("bigint")),
         )
         .withColumn("allocated", F.col("used1") + F.col("extra"))

@@ -699,8 +699,10 @@ def sorted_neighborhood_pairs(
 
     Known recall edge (documented, test-pinned): boundary recovery
     pairs ADJACENT blocks only, so when a block holds fewer than
-    ``window−2`` rows the global sliding window would also cross into
-    the block after next — those chain pairs are not emitted. Pick
+    ``window−1`` rows the global sliding window would also cross into
+    the block after next (a block of exactly ``window−2`` rows still
+    drops the distance-(window−1) cross-boundary pair) — those chain
+    pairs are not emitted. Pick
     ``prefix_len`` so blocks hold ≥ ``window`` rows (coarser prefixes
     = bigger blocks) or run a second pass with a shorter prefix.
     """

@@ -323,9 +323,11 @@ def canonical_url(col: Column | str) -> Column:
     path = F.substring_index(tail, "?", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    # after the FIRST '?' (split_part semantics — a '?' inside the
-    # query string stays in the query, matching the DuckDB oracle's
-    # split_part(tail, '?', 2))
+    # after the FIRST '?' — a '?' inside the query string stays in the
+    # query, matching the DuckDB oracle's
+    # substr(tail, instr(tail,'?')+1) form (split_part(tail,'?',2)
+    # would TRUNCATE at a second '?'; the oracle was moved off it in
+    # pipeline_ext7.py for exactly that reason)
     query = F.when(
         tail.contains("?"),
         F.substring(tail, F.instr(tail, "?") + 1, F.lit(1 << 30)),

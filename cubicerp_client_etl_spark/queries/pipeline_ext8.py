@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.functions import hi_lo_bigint
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
@@ -200,7 +201,8 @@ p AS (
 ),
 f AS (
   SELECT domain, c_tokens, share,
-         used1 + CASE WHEN _thead > 0 THEN (_unused * head) // _thead
+         used1 + CASE WHEN _thead > 0
+                      THEN least(head, (_unused * head) // _thead)
                       ELSE 0 END AS allocated
   FROM p
 )
@@ -383,18 +385,24 @@ jac AS (
   FROM inter i
   JOIN sizes za ON za.doc_id = i.id_a
   JOIN sizes zb ON zb.doc_id = i.id_b
+),
+agg AS (
+  SELECT p.via,
+         CAST(COUNT(*) AS BIGINT) AS n_cands,
+         CAST(SUM(CASE WHEN jac.j >= {_SNM_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_verified,
+         CAST(COALESCE(SUM(CASE WHEN jac.j >= {_SNM_TAU}
+                           THEN CAST(p.id_a AS DECIMAL(38,0)) * 1000000 + p.id_b
+                           END), 0) AS HUGEINT)
+           AS _ks
+  FROM pairs p
+  LEFT JOIN jac ON jac.id_a = p.id_a AND jac.id_b = p.id_b
+  GROUP BY p.via
 )
-SELECT p.via,
-       CAST(COUNT(*) AS BIGINT) AS n_cands,
-       CAST(SUM(CASE WHEN jac.j >= {_SNM_TAU} THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_verified,
-       CAST(COALESCE(SUM(CASE WHEN jac.j >= {_SNM_TAU}
-                         THEN CAST(p.id_a AS DECIMAL(38,0)) * 1000000 + p.id_b
-                         END), 0) AS DECIMAL(38,0))
-         AS verified_key_sum
-FROM pairs p
-LEFT JOIN jac ON jac.id_a = p.id_a AND jac.id_b = p.id_b
-GROUP BY p.via
+SELECT via, n_cands, n_verified,
+       CAST(_ks // 1000000000000000000 AS BIGINT) AS verified_key_hi,
+       CAST(_ks % 1000000000000000000 AS BIGINT) AS verified_key_lo
+FROM agg
 """,
 )
 def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,14 +427,17 @@ def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, pairs.select("id_a", "id_b").distinct(), "doc_id", "text", 3
     )
     j = pairs.join(ver, ["id_a", "id_b"], "left")
-    return j.groupBy("via").agg(
+    agg = j.groupBy("via").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cands"),
         F.sum(F.when(F.col("jaccard") >= _SNM_TAU, 1).otherwise(0))
         .cast("bigint")
         .alias("n_verified"),
         # decimal pair keys: bigint ids × 1e6 summed over many pairs
-        # overflows int64 (hit at 10× shifted ids) — decimal(38,0) is
-        # exact at any id scale
+        # overflows int64 (hit at 10× shifted ids) — decimal(38,0)
+        # stays exact at any id scale; the OUTPUT carrier is split
+        # into two bigints because the driver's hash distinguishes
+        # int128-backed values (DuckDB DECIMAL(p>18)) even when they
+        # stringify identically (tools/oracle_sweep.py:8-14)
         F.coalesce(
             F.sum(
                 F.when(
@@ -438,40 +449,55 @@ def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         )
         .cast("decimal(38,0)")
-        .alias("verified_key_sum"),
+        .alias("_ks"),
+    )
+    return agg.select(
+        "via",
+        "n_cands",
+        "n_verified",
+        *hi_lo_bigint("_ks", "verified_key"),
     )
 
 
 # --------------------------------------------------------------------------
 # q038 (birth q220) — Bucketed negative sampling for contrastive training
 # (operators/sampling.py bucketed_negative_sample): every embedding
-# anchors k=4 probes into 32 hash buckets and takes the md5-smallest
+# anchors k=4 probes into hash buckets and takes the md5-smallest
 # different-label candidate per probe — deterministic negatives with
 # NO per-anchor corpus scan (the naive form is a cross join). Scale:
 # equi-join on bucket id, min-struct aggregate (map-side combinable);
-# total candidate rows ≈ |anchors|·k·|pool|/n_buckets — linear with
-# n_buckets ∝ |pool|.
+# total candidate rows ≈ |anchors|·k·|pool|/n_buckets. The bucket
+# count is DERIVED from the pool (greatest(32, pool div 64) — one
+# cheap count job) so per-probe work stays a constant ~64 candidates
+# and the whole stage is linear at any corpus size; a FIXED bucket
+# count is the measured anti-example (README 100× table: 32 buckets
+# does not complete at 100×, pool-proportional buckets run 0.8 s).
 # --------------------------------------------------------------------------
 
 _NEG_K = 4
-_NEG_B = 32
+_NEG_B_MIN = 32
+_NEG_PER_BUCKET = 64
 
 
 @register(
     "q038_contrastive_negatives",
     oracle=f"""
-WITH a AS (SELECT vec_id AS aid, label FROM embeddings),
+WITH nb AS (
+  SELECT greatest({_NEG_B_MIN}, count(*) // {_NEG_PER_BUCKET}) AS b
+  FROM embeddings
+),
+a AS (SELECT vec_id AS aid, label FROM embeddings),
 probes AS (
   SELECT aid, label, t.j AS probe,
          CAST(concat('0x', substr(md5(aid || '|' || t.j || '|'), 1, 8))
-              AS BIGINT) % {_NEG_B} AS _bkt
-  FROM a CROSS JOIN range(1, {_NEG_K + 1}) t(j)
+              AS BIGINT) % nb.b AS _bkt
+  FROM a CROSS JOIN range(1, {_NEG_K + 1}) t(j) CROSS JOIN nb
 ),
 pool AS (
   SELECT vec_id AS cid, label AS clabel,
          CAST(concat('0x', substr(md5(vec_id || '|'), 1, 8))
-              AS BIGINT) % {_NEG_B} AS _bkt
-  FROM embeddings
+              AS BIGINT) % nb.b AS _bkt
+  FROM embeddings CROSS JOIN nb
 ),
 joined AS (
   SELECT p.aid, p.label, p.probe, c.cid,
@@ -482,15 +508,20 @@ joined AS (
 best AS (
   SELECT aid, label, probe, min_by(cid, pick) AS neg_id
   FROM joined GROUP BY aid, label, probe
+),
+agg AS (
+  SELECT label,
+         CAST(COUNT(DISTINCT aid) AS BIGINT) AS n_anchors,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(COUNT(DISTINCT neg_id) AS BIGINT) AS n_distinct_negs,
+         CAST(SUM(CAST(aid AS DECIMAL(38,0)) * 10000000
+                  + probe * 1000000 + neg_id) AS HUGEINT) AS _ks
+  FROM best GROUP BY label
 )
-SELECT label,
-       CAST(COUNT(DISTINCT aid) AS BIGINT) AS n_anchors,
-       CAST(COUNT(*) AS BIGINT) AS n_hits,
-       CAST(COUNT(DISTINCT neg_id) AS BIGINT) AS n_distinct_negs,
-       CAST(SUM(CAST(aid AS DECIMAL(38,0)) * 10000000
-                + probe * 1000000 + neg_id) AS DECIMAL(38,0))
-         AS key_sum
-FROM best GROUP BY label
+SELECT label, n_anchors, n_hits, n_distinct_negs,
+       CAST(_ks // 1000000000000000000 AS BIGINT) AS key_sum_hi,
+       CAST(_ks % 1000000000000000000 AS BIGINT) AS key_sum_lo
+FROM agg
 """,
 )
 def q038_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +530,9 @@ def q038_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # size buckets from the pool (one cheap count job) so per-probe
+    # candidate work is a constant ~_NEG_PER_BUCKET rows at ANY scale
+    n_buckets = max(_NEG_B_MIN, emb.count() // _NEG_PER_BUCKET)
     negs = bucketed_negative_sample(
         emb,
         emb,
@@ -506,10 +540,10 @@ def q038_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_id="vec_id",
         exclude_on="label",
         k=_NEG_K,
-        n_buckets=_NEG_B,
+        n_buckets=n_buckets,
     )
     lab = emb.select(F.col("vec_id"), F.col("label"))
-    return (
+    agg = (
         negs.join(lab, "vec_id")
         .groupBy("label")
         .agg(
@@ -522,8 +556,15 @@ def q038_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.col("neg_id")
             )
             .cast("decimal(38,0)")
-            .alias("key_sum"),
+            .alias("_ks"),
         )
+    )
+    return agg.select(
+        "label",
+        "n_anchors",
+        "n_hits",
+        "n_distinct_negs",
+        *hi_lo_bigint("_ks", "key_sum"),
     )
 
 
@@ -940,17 +981,25 @@ thr AS (
   SELECT MIN(CASE WHEN q = 0.01 THEN est END) AS p01,
          MIN(CASE WHEN q = 0.99 THEN est END) AS p99
   FROM est
+),
+agg AS (
+  SELECT CAST(p01 AS BIGINT) AS p01_cents,
+         CAST(p99 AS BIGINT) AS p99_cents,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         CAST(SUM(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS _sc,
+         CAST(SUM(CAST(least(greatest(v, p01), p99) AS HUGEINT)) AS HUGEINT)
+           AS _swc
+  FROM c CROSS JOIN thr
+  GROUP BY p01, p99
 )
-SELECT CAST(p01 AS BIGINT) AS p01_cents,
-       CAST(p99 AS BIGINT) AS p99_cents,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-       CAST(SUM(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-       CAST(SUM(v) AS DECIMAL(38,0)) AS sum_cents,
-       CAST(SUM(least(greatest(v, p01), p99)) AS DECIMAL(38,0))
-         AS sum_winsorized_cents
-FROM c CROSS JOIN thr
-GROUP BY p01, p99
+SELECT p01_cents, p99_cents, n, n_low, n_high,
+       CAST(_sc // 1000000000000000000 AS BIGINT) AS sum_cents_hi,
+       CAST(_sc % 1000000000000000000 AS BIGINT) AS sum_cents_lo,
+       CAST(_swc // 1000000000000000000 AS BIGINT) AS sum_winsorized_hi,
+       CAST(_swc % 1000000000000000000 AS BIGINT) AS sum_winsorized_lo
+FROM agg
 """,
 )
 def q016_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,10 +1031,10 @@ def q016_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_high"),
             F.sum(F.col("v").cast("decimal(38,0)"))
             .cast("decimal(38,0)")
-            .alias("sum_cents"),
+            .alias("_sc"),
             F.sum(clipped.cast("decimal(38,0)"))
             .cast("decimal(38,0)")
-            .alias("sum_winsorized_cents"),
+            .alias("_swc"),
         )
         .select(
             F.col("p01").cast("bigint").alias("p01_cents"),
@@ -993,8 +1042,8 @@ def q016_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_low",
             "n_high",
-            "sum_cents",
-            "sum_winsorized_cents",
+            *hi_lo_bigint("_sc", "sum_cents"),
+            *hi_lo_bigint("_swc", "sum_winsorized"),
         )
     )
 
@@ -1047,17 +1096,25 @@ o AS (
          date_trunc('month', o.o_orderdate)::DATE AS m,
          CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+agg AS (
+  SELECT o.cur,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN f.rate_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unrated,
+         CAST(SUM(CAST(o.cents AS HUGEINT)) AS HUGEINT) AS _slc,
+         CAST(SUM(CASE WHEN f.rate_e6 IS NOT NULL
+                  THEN CAST(o.cents AS HUGEINT) * f.rate_e6 END)
+              AS HUGEINT) AS _sbe
+  FROM o LEFT JOIN filled f ON f.cur = o.cur AND f.m = o.m
+  GROUP BY o.cur
 )
-SELECT o.cur,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CASE WHEN f.rate_e6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_unrated,
-       CAST(SUM(o.cents) AS DECIMAL(38,0)) AS sum_local_cents,
-       CAST(SUM(CASE WHEN f.rate_e6 IS NOT NULL
-                THEN CAST(o.cents AS HUGEINT) * f.rate_e6 END)
-            AS DECIMAL(38,0)) AS sum_base_e6
-FROM o LEFT JOIN filled f ON f.cur = o.cur AND f.m = o.m
-GROUP BY o.cur
+SELECT cur, n_orders, n_unrated,
+       CAST(_slc // 1000000000000000000 AS BIGINT) AS sum_local_hi,
+       CAST(_slc % 1000000000000000000 AS BIGINT) AS sum_local_lo,
+       CAST(_sbe // 1000000000000000000 AS BIGINT) AS sum_base_e6_hi,
+       CAST(_sbe % 1000000000000000000 AS BIGINT) AS sum_base_e6_lo
+FROM agg
 """,
 )
 def q019_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,14 +1160,14 @@ def q019_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("cents"),
     )
     j = o.join(F.broadcast(filled), ["cur", "m"], "left")
-    return j.groupBy("cur").agg(
+    agg = j.groupBy("cur").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.when(F.col("rate_e6").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_unrated"),
         F.sum(F.col("cents").cast("decimal(38,0)"))
         .cast("decimal(38,0)")
-        .alias("sum_local_cents"),
+        .alias("_slc"),
         F.sum(
             F.when(
                 F.col("rate_e6").isNotNull(),
@@ -1118,7 +1175,14 @@ def q019_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
         .cast("decimal(38,0)")
-        .alias("sum_base_e6"),
+        .alias("_sbe"),
+    )
+    return agg.select(
+        "cur",
+        "n_orders",
+        "n_unrated",
+        *hi_lo_bigint("_slc", "sum_local"),
+        *hi_lo_bigint("_sbe", "sum_base_e6"),
     )
 
 
@@ -1233,15 +1297,22 @@ cand AS (
   WHERE p.id_a < h.id
     AND (p.xa - h.x) * (p.xa - h.x) + (p.ya - h.y) * (p.ya - h.y)
         <= CAST({_GEO_R} AS BIGINT) * {_GEO_R}
+),
+agg AS (
+  SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(MIN(d2), 0) AS BIGINT) AS min_dist2,
+         CAST(COALESCE(SUM(CAST(d2 AS HUGEINT)), 0) AS HUGEINT) AS _sd,
+         CAST(COALESCE(SUM(CAST(id_a AS HUGEINT) * 1000000 + id_b), 0)
+              AS HUGEINT) AS _pk
+  FROM cand
 )
-SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(COALESCE(MIN(d2), 0) AS BIGINT) AS min_dist2,
-       CAST(COALESCE(SUM(CAST(d2 AS HUGEINT)), 0) AS DECIMAL(38,0))
-         AS sum_dist2,
-       CAST(COALESCE(SUM(CAST(id_a AS DECIMAL(38,0)) * 1000000 + id_b), 0)
-            AS DECIMAL(38,0)) AS pair_key_sum
-FROM cand
+SELECT n_points, n_pairs, min_dist2,
+       CAST(_sd // 1000000000000000000 AS BIGINT) AS sum_dist2_hi,
+       CAST(_sd % 1000000000000000000 AS BIGINT) AS sum_dist2_lo,
+       CAST(_pk // 1000000000000000000 AS BIGINT) AS pair_key_hi,
+       CAST(_pk % 1000000000000000000 AS BIGINT) AS pair_key_lo
+FROM agg
 """,
 )
 def q026_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1268,7 +1339,7 @@ def q026_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.min("dist2"), F.lit(0)).cast("bigint").alias("min_dist2"),
             F.coalesce(F.sum(F.col("dist2").cast("decimal(38,0)")), F.lit(0))
             .cast("decimal(38,0)")
-            .alias("sum_dist2"),
+            .alias("_sd"),
             F.coalesce(
                 F.sum(
                     F.col("id_a").cast("decimal(38,0)") * 1_000_000
@@ -1277,10 +1348,16 @@ def q026_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             )
             .cast("decimal(38,0)")
-            .alias("pair_key_sum"),
+            .alias("_pk"),
         )
         .join(F.broadcast(n_points))
-        .select("n_points", "n_pairs", "min_dist2", "sum_dist2", "pair_key_sum")
+        .select(
+            "n_points",
+            "n_pairs",
+            "min_dist2",
+            *hi_lo_bigint("_sd", "sum_dist2"),
+            *hi_lo_bigint("_pk", "pair_key"),
+        )
     )
 
 
@@ -1383,9 +1460,10 @@ def q230_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # user partition gives exact integer micro-second holding intervals;
 # the last event of a user has no successor and is excluded from the
 # weighted mean by construction (reported via n_open). Exact integer
-# value-cents × micros products in decimal(38,0); the final integer
-# division relies on the non-negative value domain (truncation ==
-# floor), which the events fixture guarantees.
+# value-cents × micros products in decimal(38,0); the final division
+# is integer `div` (floor), matching the oracle's `//` bit-for-bit on
+# the non-negative domain — plain `/` would round HALF_UP to 6 dp
+# before the cast and diverge near integer boundaries (ADVICE r8).
 # --------------------------------------------------------------------------
 
 
@@ -1425,24 +1503,34 @@ def q231_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     e = ev.withColumn("t_next", F.lead("t").over(w))
     held = F.when(F.col("t_next").isNotNull(), F.col("t_next") - F.col("t"))
-    return e.groupBy("user_id").agg(
+    agg = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.when(F.col("t_next").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_open"),
         F.coalesce(F.sum(held), F.lit(0)).cast("bigint").alias("held_us"),
+        F.sum(
+            F.when(
+                F.col("t_next").isNotNull(),
+                F.col("cents").cast("decimal(38,0)")
+                * (F.col("t_next") - F.col("t")),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("_wsum"),
+    )
+    # integer `div` on the decimal weighted sum — the repo's exact-
+    # integer discipline. Plain `/` would round HALF_UP to 6 dp before
+    # the bigint cast, diverging from the oracle's floor `//` whenever
+    # the true quotient sits within 5e-7 below an integer (ADVICE r8).
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_open",
+        "held_us",
         F.when(
-            F.sum(held) > 0,
-            (
-                F.sum(
-                    F.when(
-                        F.col("t_next").isNotNull(),
-                        F.col("cents").cast("decimal(38,0)")
-                        * (F.col("t_next") - F.col("t")),
-                    )
-                )
-                / F.sum(held)
-            ).cast("bigint"),
+            F.col("held_us") > 0,
+            F.expr("CAST(_wsum div held_us AS BIGINT)"),
         )
         .otherwise(F.lit(0))
         .cast("bigint")

@@ -69,3 +69,38 @@ def test_rows_only_queries_run(name, spark):
     df = q.fn(spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_int128_rule_pinned():
+    """The sweep's driver-unhashable rule: HUGEINT/unsigned AND any
+    DECIMAL(p>18) — DuckDB backs those with int128 storage, which the
+    external driver's hash distinguishes even when values stringify
+    identically (round-1 HUGEINT reds; round-8 DECIMAL(38,0) digest
+    reds q016/q019/q026/q029/q038)."""
+    from tools.oracle_sweep import _int128_backed
+
+    assert _int128_backed("HUGEINT")
+    assert _int128_backed("UBIGINT")
+    assert _int128_backed("DECIMAL(38,0)")
+    assert _int128_backed("DECIMAL(19,4)")
+    assert _int128_backed("DECIMAL(38,0)[]")
+    assert not _int128_backed("DECIMAL(18,2)")
+    assert not _int128_backed("DECIMAL(12,2)")
+    assert not _int128_backed("BIGINT")
+    assert not _int128_backed("VARCHAR")
+
+
+def test_no_oracle_emits_int128(duck):
+    """Pre-commit guard: DESCRIBE every registered oracle and fail if
+    ANY output column is int128-backed — this is what would have turned
+    the round-8 canonicalization reds into a local failure."""
+    from tools.oracle_sweep import _int128_backed
+
+    offenders = []
+    for name in ORACLE_QUERIES:
+        for col, typ, *_ in duck.execute(
+            f"DESCRIBE {REGISTRY[name].oracle}"
+        ).fetchall():
+            if _int128_backed(typ):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, f"driver-unhashable oracle outputs: {offenders}"

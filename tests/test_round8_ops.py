@@ -99,6 +99,28 @@ def test_epoch_allocation_all_capped_leaves_pool_unallocated(spark):
     assert out["a"].full_epochs == 2 and out["b"].full_epochs == 2
 
 
+def test_epoch_allocation_never_exceeds_cap_when_overbudgeted(spark):
+    from cubicerp_client_etl_spark.operators.budget import epoch_allocation
+
+    # ADVICE r8: budget > max_epochs × total tokens used to over-
+    # allocate — extra = (_unused*head) div _thead could exceed head
+    # (verified: c_tokens=100, max_epochs=2, budget=300 with a capped
+    # sibling → allocated 298, epochs_e6 2.98M > 2M). The redistribution
+    # is now clamped to each domain's headroom.
+    rows = [("a", 1), ("b", 100)]
+    df = spark.createDataFrame(rows, "domain string, tok int")
+    out = {r.domain: r for r in
+           epoch_allocation(df, "domain", "tok", budget=300, max_epochs=2)
+           .collect()}
+    for r in out.values():
+        assert r.allocated <= 2 * r.c_tokens, r
+        assert r.epochs_e6 <= 2_000_000, r
+    # a caps at 2, b caps at 200: total allocated 202, surplus 98 stays
+    # unallocated (reported via allocated < share), never over the cap
+    assert out["a"].allocated == 2 and out["b"].allocated == 200
+    assert sum(r.allocated for r in out.values()) == 202
+
+
 def test_epoch_allocation_rejects_bad_args(spark):
     from cubicerp_client_etl_spark.operators.budget import epoch_allocation
 
@@ -194,6 +216,31 @@ def test_snm_boundary_pairs_labeled_and_exact(spark):
     boundary = {(r.id_a, r.id_b) for r in out if r.via == "boundary"}
     # global order 1,2,3,4,5,6 with w=3: cross pairs are (2,4),(3,4),(3,5)
     assert boundary == {(2, 4), (3, 4), (3, 5)}
+
+
+def test_snm_recall_edge_block_of_window_minus_2_drops_chain_pair(spark):
+    from cubicerp_client_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # Documented recall edge (bound corrected in ADVICE r8): boundary
+    # recovery pairs ADJACENT blocks only, so chain pairs into the
+    # block-after-next are lost whenever a block holds fewer than
+    # window−1 rows. A middle block of exactly window−2 rows still
+    # drops the distance-(window−1) pair — here (3,6) at window=4.
+    rows = [(1, "aa p"), (2, "aa q"), (3, "aa r"),
+            (4, "bb p"), (5, "bb q"),
+            (6, "cc p"), (7, "cc q"), (8, "cc r")]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", F.col("k"), window=4, prefix_len=2
+        ).collect()
+    }
+    want_global = _global_snm_reference(rows, 4)
+    assert want_global - got == {(3, 6)}
+    assert got <= want_global
 
 
 def test_snm_block_cap_truncates_hot_block(spark):

@@ -79,6 +79,23 @@ def _spark_type_to_duck(simple: str) -> str | None:
 
 _ALWAYS_BAD = ("HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
 
+# DuckDB backs DECIMAL(p>18) with int128 storage, and the driver's
+# hash is int128-SENSITIVE: the round-8 reds (q016/q019/q026/q029/
+# q038) were DECIMAL(38,0) digest columns whose rows, schema and
+# stringified values all matched — only the storage width differed.
+# Any int128-backed output column is therefore driver-unhashable and
+# must fail the sweep loudly (wide digests leave a query as bigint
+# hi/lo carriers — functions.hi_lo_bigint).
+_DEC_RE = re.compile(r"DECIMAL\((\d+),\s*(\d+)\)", re.IGNORECASE)
+
+
+def _int128_backed(duck_type: str) -> bool:
+    up = duck_type.upper()
+    if any(b in up for b in _ALWAYS_BAD):
+        return True
+    m = _DEC_RE.search(up)
+    return bool(m and int(m.group(1)) > 18)
+
 
 def type_mismatches(sdf, con, sql: str) -> list[str]:
     """Columns whose DuckDB oracle type differs from the Spark type
@@ -94,8 +111,8 @@ def type_mismatches(sdf, con, sql: str) -> list[str]:
             continue  # column-name check happens separately
         want = _spark_type_to_duck(f.dataType.simpleString())
         got = _DUCK_TO_FAMILY.get(dt.upper(), dt.upper())
-        if any(b in dt.upper() for b in _ALWAYS_BAD):
-            bad.append(f"{f.name}: oracle {dt} (int128/unsigned)")
+        if _int128_backed(dt):
+            bad.append(f"{f.name}: oracle {dt} (int128/unsigned — driver-unhashable)")
         elif want is not None and got != want:
             bad.append(f"{f.name}: spark {f.dataType.simpleString()} vs oracle {dt}")
     return bad
