@@ -31,7 +31,7 @@ _FLAG_MAPPING = [
 
 
 @register(
-    "q213_value_mapping",
+    "q022_value_mapping",
     oracle="""
 SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted'
                          WHEN 'R' THEN 'Returned'
@@ -42,7 +42,7 @@ FROM lineitem
 GROUP BY 1
 """,
 )
-def q213_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     mapping = spark.createDataFrame(
         _FLAG_MAPPING, "name string, label string, is_default boolean"

@@ -33,7 +33,7 @@ from cubicerp_client_etl_spark.queries import register
 # pass. Oracle rebuilds the same counts via unnest + two GROUP BYs.
 # --------------------------------------------------------------------------
 @register(
-    "q010_repetition_filter",
+    "q177_repetition_filter",
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -78,7 +78,7 @@ SELECT a.doc_id, a.n_tokens, a.n_distinct, a.top_token_count,
 FROM tok_agg a JOIN bg_agg g USING (doc_id)
 """,
 )
-def q010_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q177_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_stats(docs)
 

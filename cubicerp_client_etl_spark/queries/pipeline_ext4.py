@@ -127,7 +127,7 @@ def q142_interleave_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QS = [0.0, 0.07, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 @register(
-    "q021_exact_quantiles",
+    "q230_exact_quantiles",
     headline=True,
     oracle="""
 SELECT CAST(0.0  AS DOUBLE) AS q, quantile_disc(l_quantity, 0.0 ) AS qvalue FROM lineitem
@@ -147,7 +147,7 @@ UNION ALL
 SELECT CAST(1.0  AS DOUBLE), quantile_disc(l_quantity, 1.0 ) FROM lineitem
 """,
 )
-def q021_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q230_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return exact_quantiles(li, "l_quantity", _QS, q_col="q", out_col="qvalue")
 
@@ -246,7 +246,7 @@ _IV_W = 1800  # seconds; == the interval length, so each side explodes ≤2 bins
 
 
 @register(
-    "q031_interval_overlap_join",
+    "q231_interval_overlap_join",
     headline=True,
     oracle=f"""
 WITH iv AS (
@@ -262,7 +262,7 @@ FROM iv a JOIN iv b
 GROUP BY a.user_id
 """,
 )
-def q031_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q231_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.interval import binned_interval_join
 
     ev = load(spark, sf_dir, "events")
@@ -390,7 +390,7 @@ def q148_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + recursive-CTE reachability + the same argmax window.
 # --------------------------------------------------------------------------
 @register(
-    "q040_fuzzy_dedup_retention",
+    "q217_fuzzy_dedup_retention",
     oracle="""
 WITH RECURSIVE t AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -439,7 +439,7 @@ SELECT doc_id, CAST(component AS BIGINT) AS component,
 FROM ranked
 """,
 )
-def q040_fuzzy_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q217_fuzzy_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from cubicerp_client_etl_spark.operators.dedup import setsim_join
@@ -651,7 +651,7 @@ def q152_occupancy_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One keyed window shuffle. Oracle: the same integer arithmetic.
 # --------------------------------------------------------------------------
 @register(
-    "q005_weighted_priority_sample",
+    "q096_weighted_priority_sample",
     oracle="""
 SELECT source, doc_id, n_chars
 FROM (
@@ -666,7 +666,7 @@ FROM (
 ) WHERE rn <= 5
 """,
 )
-def q005_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q096_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sampling import (
         weighted_priority_sample,
     )

@@ -520,7 +520,7 @@ def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side is the bucketed join that scales unchanged.
 # --------------------------------------------------------------------------
 @register(
-    "q177_lsh_quality_report",
+    "q010_lsh_quality_report",
     oracle="""
 WITH dupped AS (
   SELECT doc_id, text FROM documents
@@ -586,7 +586,7 @@ SELECT n_truth, n_cand, n_tp,
 FROM nt CROSS JOIN nc CROSS JOIN tp
 """,
 )
-def q177_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators import dedup as dd
 
@@ -4071,7 +4071,7 @@ def q027_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list_sort — the Java-RE2-identical subset). Scale: map-only.
 # --------------------------------------------------------------------------
 @register(
-    "q022_url_canonicalize",
+    "q213_url_canonicalize",
     oracle="""
 WITH base AS (
   SELECT doc_id, COALESCE(source, 'none') AS src, doc_id % 7 AS ref
@@ -4138,7 +4138,7 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 """,
 )
-def q022_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q213_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import canonical_url
 
     base = load(spark, sf_dir, "documents").select(

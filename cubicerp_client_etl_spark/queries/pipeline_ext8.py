@@ -1417,7 +1417,7 @@ def q046_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q230_benford_audit",
+    "q021_benford_audit",
     oracle="""
 WITH v AS (
   SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
@@ -1441,7 +1441,7 @@ SELECT exp.d AS digit,
 FROM exp LEFT JOIN c ON c.d = exp.d CROSS JOIN tot
 """,
 )
-def q230_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import benford_audit
 
     orders = load(spark, sf_dir, "orders").select(
@@ -1468,7 +1468,7 @@ def q230_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q231_time_weighted_average",
+    "q031_time_weighted_average",
     oracle="""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS t,
@@ -1491,7 +1491,7 @@ SELECT user_id,
 FROM e GROUP BY user_id
 """,
 )
-def q231_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",

@@ -194,7 +194,7 @@ def q96_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (nation, year) after one orders⋈lineitem shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q096_tpch_q9_product_profit",
+    "q005_tpch_q9_product_profit",
     oracle=f"""
 SELECT sn.n_name AS nation,
        EXTRACT(year FROM o.o_orderdate) AS o_year,

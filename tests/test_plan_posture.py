@@ -296,7 +296,7 @@ def test_q120_quantize_is_map_only(spark):
 def test_q122_repetition_is_map_only(spark):
     """Repetition stats (q122): pure Catalyst HOF projection — zero
     Exchange, zero Python; scans documents at (doc_id, text) only."""
-    plan = plan_of(spark, "q010_repetition_filter")
+    plan = plan_of(spark, "q177_repetition_filter")
     assert "Exchange" not in plan, plan
     assert "Python" not in plan  # no UDF fallback
     scan = plan.split("FileScan")[1].split("ReadSchema")[1].split("\n")[0]
@@ -499,7 +499,7 @@ def test_q021_quantiles_no_data_sized_single_partition_stage(spark):
     consume the CHECKPOINT (Scan ExistingRDD), not re-aggregate the
     input, and its only windows run keyed on the two-phase scan's
     partition id (_pid present)."""
-    plan = plan_of(spark, "q021_exact_quantiles")
+    plan = plan_of(spark, "q230_exact_quantiles")
     assert "Scan ExistingRDD" in plan, plan  # checkpoint reuse, no rescan
     assert "FileScan" not in plan, plan  # input is never read twice
     assert "_pid" in plan, plan
@@ -526,7 +526,7 @@ def test_q031_interval_join_is_equi_shaped(spark):
     """Binned interval join (q031): the big×big range join must run as
     a hash/sort-merge equi-join on (keys, bin) — never a nested-loop
     or cartesian between two data-sized sides."""
-    plan = plan_of(spark, "q031_interval_overlap_join")
+    plan = plan_of(spark, "q231_interval_overlap_join")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
@@ -549,7 +549,7 @@ def test_q040_fuzzy_retention_no_allpairs(spark):
     """Fuzzy-dedup retention (q040): the similarity stage must stay
     prefix-filtered equi-joins — no cartesian, no nested loop between
     data-sized sides — and the retention window must be keyed."""
-    plan = plan_of(spark, "q040_fuzzy_dedup_retention")
+    plan = plan_of(spark, "q217_fuzzy_dedup_retention")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 

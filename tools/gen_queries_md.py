@@ -33,13 +33,18 @@ def main() -> None:
         "",
         f"{n_total} queries ({n_oracle} DuckDB-oracle-checked).",
         "The driver's first-50-sorted correctness window (q001–q050)",
-        "holds at least one representative of every SURVEY §2 operator",
-        "family and every LLM-pipeline component; rotations swapped the",
-        "curation wave (`tools/renumber_r6.py`) and then the round-6",
-        "fingerprint/sketch/selection/retrieval/linear-algebra flagships",
-        "(`tools/renumber_r6b.py`) into the window. Old (round-1) names",
-        "are listed for cross-referencing CORRECTNESS_r01 evidence; the",
-        "rename maps' source of truth is tools/renumber*.py.",
+        "holds a representative of each MAJOR SURVEY §2 family (scan/",
+        "filter/join/agg/window/dedup/sketch/similarity/text/multimodal/",
+        "lookup) and of every LLM-pipeline component; some niche",
+        "sub-operators (xml-id resolve, name-search, insert-if-absent,",
+        "merge modes) are out-of-window between rotations and keep",
+        "sweep + pytest coverage plus driver hashes under earlier names.",
+        "A per-round rotation treadmill (`tools/renumber_r*.py`, pairwise",
+        "number swaps with audit headers) cycles never-driver-hashed",
+        "queries in. Old (round-1) names are listed for cross-referencing",
+        "CORRECTNESS_r01 evidence; the rename maps' source of truth is",
+        "tools/renumber*.py, and each round's old→new table is in that",
+        "round's CHANGES_r*.md.",
         "",
         "| # | name | round-1 name (— = added later) | oracle | bench headline | driver window |",
         "|---|------|--------------|--------|----------------|---------------|",
