@@ -71,12 +71,19 @@ def main() -> None:
             except Exception:
                 pass  # warm-up is best-effort; timing still valid without it
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    # Two flagships are genuinely unstable run-to-run (round-8 judge
+    # re-run: SNM spread 22.5 s over median 4.1 s — first run pays the
+    # block-window shuffle + JIT cold; PCA's many small jobs amplify
+    # any GC pause). More samples, not a different plan: their plans
+    # are shuffle-bounded and prover-verified.
+    noisy = {"q029_sorted_neighborhood", "q033_pca_power_iteration"}
     samples: dict[str, list[float]] = {name: [] for name in names}
     # grouped repeats: each query measured in its own steady state (see
     # module docstring for the round-7 bisect that retired round-robin)
     for name in names:
         q = REGISTRY[name]
-        for _ in range(n_runs):
+        runs = max(n_runs, 9) if name in noisy else n_runs
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = q.fn(spark, SF_DIR)
             # consume the full result without driver-materializing rows
@@ -85,6 +92,20 @@ def main() -> None:
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+    # self-labeling load pollution: a spread over 2x the median means
+    # the box was contended (or a first-run cliff) — the round-8
+    # driver bench "3.2x core regression" was exactly such a run and
+    # cost a bisect to disprove. Surfaced in the JSON and on stderr.
+    load_warnings = sorted(
+        n for n, s in samples.items()
+        if statistics.median(s) > 0 and max(s) - min(s) > 2 * statistics.median(s)
+    )
+    if load_warnings:
+        print(
+            f"WARNING: spread > 2x median for {load_warnings} — "
+            "treat this run's absolute numbers as load-polluted",
+            file=sys.stderr,
+        )
 
     # "value" stays the sum over the ORIGINAL 7-query core so the
     # round-over-round total remains comparable; queries added to the
@@ -106,6 +127,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "load_warnings": load_warnings,
         "value_all": round(sum(timings.values()), 3),
         "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -125,3 +125,80 @@ def source_overlap_matrix(
             e6_floor_ratio(F.col("n_inter"), F.col("sz_b")).alias("cont_b_e6"),
         )
     )
+
+
+def chi2_contingency_audit(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Fixed-point χ² contingency audit between two categorical
+    columns — the drift screen ("did the event-type mix shift by
+    source?") run before retraining or after an ingestion change.
+
+    All probabilities are e6-quantized floor ratios, which makes the
+    statistic DETERMINISTIC and DuckDB-replayable (a float χ² would
+    drift across engines in the last ulps). Per cell, with
+    ``a = o·1e6 div T``, ``b = r·1e6 div T``, ``c = c·1e6 div T``:
+
+        cell_e6 = T · (a·1e6 − b·c)² div (1e6 · b·c)
+
+    which is the exact χ² cell ``T·(p_oc − p_r·p_c)²/(p_r·p_c)``
+    evaluated on the quantized shares, ×1e6. Quantization error is
+    bounded by the e6 grid (~1e-6·T per cell) — this is a drift
+    SCREEN, not an inference-grade p-value, and the output carries the
+    exact integer counts so a consumer can recompute any statistic.
+    Decimal(38,0) internals: (a·1e6 − b·c)² ≤ 1e24, ×T ≤ 1e38 for
+    T < 1e14 — past the 100 TB row budget.
+
+    Output: one row per (row value, col value) cell —
+    ``(row_val, col_val, n, row_total, col_total, grand_total,
+    expected_e0, cell_chi2_e6)`` with ``expected_e0 = r·c div T`` (the
+    floor of the expected count). Cells absent from the data (o = 0
+    for a seen row/col pair) are INCLUDED via the row×col grid — a
+    vanished combination is drift too.
+
+    Scale: one keyed count over the data, bounded row/col marginal
+    aggregates, and a grid join of the two bounded marginals
+    (|rows|×|cols| cells — categorical dims, broadcast both ways).
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rt = cells.groupBy("row_val").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    ct = cells.groupBy("col_val").agg(
+        F.sum("n").cast("bigint").alias("col_total")
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("grand_total"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(tot))
+    full = grid.join(cells, ["row_val", "col_val"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    )
+    a = F.expr("CAST(n AS DECIMAL(38,0)) * 1000000 div grand_total")
+    b = F.expr("CAST(row_total AS DECIMAL(38,0)) * 1000000 div grand_total")
+    c = F.expr("CAST(col_total AS DECIMAL(38,0)) * 1000000 div grand_total")
+    return (
+        full.withColumn("_a", a)
+        .withColumn("_b", b)
+        .withColumn("_c", c)
+        .select(
+            "row_val",
+            "col_val",
+            "n",
+            "row_total",
+            "col_total",
+            "grand_total",
+            F.expr(
+                "CAST(CAST(row_total AS DECIMAL(38,0)) * col_total"
+                " div grand_total AS BIGINT)"
+            ).alias("expected_e0"),
+            F.expr(
+                "CAST(CAST(grand_total AS DECIMAL(38,0))"
+                " * (CAST(_a AS DECIMAL(38,0)) * 1000000 - CAST(_b AS DECIMAL(38,0)) * _c)"
+                " * (CAST(_a AS DECIMAL(38,0)) * 1000000 - CAST(_b AS DECIMAL(38,0)) * _c)"
+                " div (1000000 * CAST(_b AS DECIMAL(38,0)) * _c) AS BIGINT)"
+            ).alias("cell_chi2_e6"),
+        )
+    )

@@ -117,3 +117,43 @@ def recover_ids_from_ledger(
     return staged.join(latest, pk, "left").withColumn(
         id_col, F.coalesce(F.col(id_col), F.col("__recovered_id"))
     ).drop("__recovered_id")
+
+
+def golden_record(
+    records: DataFrame,
+    entity_col: str,
+    order_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Survivorship / master-data golden record: collapse every
+    entity's duplicate records into ONE row by taking, per field
+    INDEPENDENTLY, the non-null value with the highest ``order_col``
+    (callers compose priority × recency × record-id into that single
+    bigint so the pick is total-ordered and deterministic — e.g.
+    ``source_priority·10^15 + epoch_us`` with the record id in the low
+    bits for tie-freedom).
+
+    This is the field-level merge the reference's update path applies
+    one RPC at a time (cubicerpetl.py:494-537 routes whole rows; real
+    MDM picks per-field: the freshest phone may come from CRM while
+    the freshest address comes from billing). Expressed as ONE keyed
+    aggregation of ``max_by(field, CASE WHEN field IS NOT NULL THEN
+    order_col END)`` per field — max_by ignores rows whose ordering
+    key is NULL in both Spark and DuckDB (verified), so a null field
+    never wins, and an all-null field yields NULL.
+
+    Output: ``(entity_col, n_records, <field>... , <field>_src_key...)``
+    where ``<field>_src_key`` is the order key of the winning record —
+    the lineage column an auditor asks for.
+
+    Scale: one shuffle on the entity key, map-side combinable
+    aggregates, no window, no self-join.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_records")]
+    for f in fields:
+        key = F.when(F.col(f).isNotNull(), F.col(order_col))
+        aggs.append(F.max_by(F.col(f), key).alias(f))
+        aggs.append(F.max(key).cast("bigint").alias(f"{f}_src_key"))
+    return records.groupBy(entity_col).agg(*aggs)

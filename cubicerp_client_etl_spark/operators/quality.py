@@ -201,3 +201,62 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             .alias("abs_dev_e6"),
         )
     )
+
+
+def key_skew_audit(
+    df: DataFrame, key_col: str, top_k: int = 5
+) -> DataFrame:
+    """Shuffle-skew pre-flight: the per-key row distribution a planner
+    needs BEFORE hash-partitioning a join/agg on ``key_col``. Returns
+    the ``top_k`` heaviest keys, each row also carrying the global
+    summary (denormalized so the output is one scalar-only frame):
+
+    ``(rank, key, key_rows, share_e6, n_keys, n_rows, skew_ratio_e6)``
+
+    where ``skew_ratio_e6 = max_key_rows · n_keys · 1e6 div n_rows``
+    (the heaviest key's multiple of the mean, ×1e6 — 1e6 means
+    perfectly even). A ratio past the executor-partition budget says
+    salt this key or let AQE skew-split it; the top-k rows name the
+    keys to salt.
+
+    Scale: one keyed count (map-side combinable), a top-k
+    (TakeOrdered, never a global sort), and 1-row/bounded broadcast
+    joins — the audit costs one scan regardless of corpus size.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("key_rows")
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+        F.max("key_rows").cast("bigint").alias("_max"),
+    )
+    top = counts.orderBy(F.col("key_rows").desc(), F.col("key")).limit(top_k)
+    # rank over the top-k frame only (GlobalLimit-bounded — prover ok)
+    w = Window.orderBy(F.col("key_rows").desc(), F.col("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(summary))
+        .select(
+            "rank",
+            F.col("key").cast("string").alias("key"),
+            "key_rows",
+            # decimal-routed floors: key_rows*1e6 and _max*n_keys*1e6
+            # overflow bigint under ANSI on trillion-row/billion-key
+            # inputs (the e6_floor_ratio rationale, ADVICE r5)
+            F.expr(
+                "CAST(CAST(key_rows AS DECIMAL(38,0)) * 1000000"
+                " div n_rows AS BIGINT)"
+            ).alias("share_e6"),
+            "n_keys",
+            "n_rows",
+            F.expr(
+                "CAST(CAST(_max AS DECIMAL(38,0)) * n_keys * 1000000"
+                " div n_rows AS BIGINT)"
+            ).alias("skew_ratio_e6"),
+        )
+    )

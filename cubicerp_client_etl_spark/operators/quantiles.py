@@ -309,3 +309,60 @@ def cdf_transform(
     return df.join(
         cdf, F.col(value_col).eqNullSafe(F.col("_v")), "left"
     ).drop("_v")
+
+
+def gini_concentration(df: DataFrame, value_col: str) -> DataFrame:
+    """Exact Gini coefficient of a non-negative integer column — the
+    concentration audit for token/byte budgets (how unevenly is the
+    corpus spread over documents/sources?). Returns ONE row:
+    ``(n_rows, n_distinct, gini_e6)`` with
+
+        gini_e6 = floor((2·S − (n+1)·T) · 1e6 / (n·T))
+
+    where ``S = Σ rank_i·x_i`` over values in ascending order and
+    ``T = Σ x_i``. Ties are exact: a block of ``c`` equal values ``v``
+    starting after cumulative count ``p`` contributes
+    ``v·(c·p + c·(c+1)/2)`` — the closed form of the rank sum, so no
+    per-row ranking is ever materialized.
+
+    Scale: the same value-count-table discipline as
+    ``cdf_transform`` — one keyed count (map-side combinable), a
+    prefix scan over the BOUNDED distinct-value table, and a 1-row
+    aggregate. S and the products run in decimal(38,0) (S can reach
+    ~n·v_max·n — far past int64 on trillion-row corpora); the output
+    ratio is an integer ``div``. Requires x ≥ 0 (Gini's domain);
+    raises nothing at runtime — negative inputs are the caller's
+    contract violation and simply produce an out-of-range ratio.
+    """
+    vals = df.where(F.col(value_col).isNotNull())
+    counts = vals.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    cum = prefix_sum(counts, order_by=[F.col("_v")], value_col="_c", out_col="_cum")
+    # DOUBLED rank-sum closed form per tie block (p = cum − c, the
+    # count BEFORE the block): 2·Σrank·v over the block is
+    # v·(2·c·p + c·(c+1)) — staying in the 2S form end-to-end avoids
+    # any /2 intermediate (c·(c+1) is decimal; a bigint half would
+    # overflow once a single value repeats ~4e9 times)
+    contrib = cum.select(
+        (
+            F.col("_v").cast("decimal(38,0)")
+            * (
+                F.lit(2)
+                * F.col("_c").cast("decimal(38,0)")
+                * (F.col("_cum") - F.col("_c"))
+                + F.col("_c").cast("decimal(38,0)") * (F.col("_c") + 1)
+            )
+        ).alias("_s2"),
+        (F.col("_v").cast("decimal(38,0)") * F.col("_c")).alias("_t"),
+        F.col("_c"),
+    )
+    return contrib.agg(
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST((CAST(sum(_s2) AS DECIMAL(38,0))"
+            " - (sum(_c) + 1) * CAST(sum(_t) AS DECIMAL(38,0))) * 1000000"
+            " div (sum(_c) * CAST(sum(_t) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("gini_e6"),
+    )

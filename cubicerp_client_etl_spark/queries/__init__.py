@@ -59,6 +59,7 @@ def _load_all() -> None:
         pipeline_ext6,
         pipeline_ext7,
         pipeline_ext8,
+        pipeline_ext9,
         relational,
         relational2,
         relational3,

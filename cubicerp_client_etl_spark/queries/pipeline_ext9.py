@@ -1,0 +1,387 @@
+"""Round-9 extension wave: behavioral analytics (funnel, cohort
+retention, Markov transitions), operational scale audits (shuffle-skew
+pre-flight, Gini concentration), master-data survivorship (golden
+record), and the fixed-point χ² contingency drift screen.
+
+Same corpus discipline as the rest of the registry: exact integer /
+e6-fixed-point arithmetic so every query carries a DuckDB oracle the
+driver can hash-compare, and every operator keeps the shape that
+survives 100 TB — keyed aggregations with map-side combine, windows
+only on high-cardinality keys or bounded aggregates, bounded-dim grid
+joins, no all-pairs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.queries import register
+
+# --------------------------------------------------------------------------
+# q232 — Funnel analysis (operators/behavior.funnel_report): earliest-
+# completion view → click → purchase funnel over the events stream,
+# with exact e6 step conversions and total time-to-step. Scale: K
+# conditional min-aggs chained by equi-joins on the user key; the
+# report windows run over the K-row per-step aggregate.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register(
+    "q232_funnel_analysis",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ty FROM events
+),
+s1 AS (SELECT u, min(t) AS t1 FROM e WHERE ty = '{_FUNNEL_STEPS[0]}' GROUP BY u),
+s2 AS (
+  SELECT e.u, min(e.t) AS t2
+  FROM e JOIN s1 ON s1.u = e.u
+  WHERE e.ty = '{_FUNNEL_STEPS[1]}' AND e.t > s1.t1 GROUP BY e.u
+),
+s3 AS (
+  SELECT e.u, min(e.t) AS t3
+  FROM e JOIN s2 ON s2.u = e.u
+  WHERE e.ty = '{_FUNNEL_STEPS[2]}' AND e.t > s2.t2 GROUP BY e.u
+),
+pu AS (
+  SELECT s1.u, s1.t1, s2.t2, s3.t3
+  FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u
+),
+steps AS (
+  SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_type,
+         CAST(count(t1) AS BIGINT) AS n_users,
+         CAST(0 AS BIGINT) AS sum_elapsed_us
+  FROM pu
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STEPS[1]}', CAST(count(t2) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN t2 IS NOT NULL THEN t2 - t1 END), 0)
+              AS BIGINT)
+  FROM pu
+  UNION ALL
+  SELECT 3, '{_FUNNEL_STEPS[2]}', CAST(count(t3) AS BIGINT),
+         CAST(COALESCE(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t1 END), 0)
+              AS BIGINT)
+  FROM pu
+),
+w AS (
+  SELECT *,
+         first_value(n_users) OVER (ORDER BY step) AS _first,
+         lag(n_users) OVER (ORDER BY step) AS _prev
+  FROM steps
+)
+SELECT CAST(step AS INT) AS step, step_type, n_users,
+       CAST(CASE WHEN _first > 0 THEN n_users * 1000000 // _first
+                 ELSE 0 END AS BIGINT) AS conv_from_first_e6,
+       CAST(CASE WHEN _prev IS NULL THEN 1000000
+                 WHEN _prev > 0 THEN n_users * 1000000 // _prev
+                 ELSE 0 END AS BIGINT) AS conv_from_prev_e6,
+       sum_elapsed_us
+FROM w
+""",
+)
+def q232_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import funnel_report
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t_us"), "event_type"
+    )
+    return funnel_report(ev, "user_id", "t_us", "event_type", _FUNNEL_STEPS)
+
+
+# --------------------------------------------------------------------------
+# q233 — Cohort retention matrix (operators/behavior.cohort_retention):
+# users cohorted by first-event week; per (cohort, offset) cell the
+# exact distinct-active count and e6 retention share. Scale: two keyed
+# aggs + one equi-join on the user key; rollup on the bounded
+# (cohort × offset) grid.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q233_cohort_retention",
+    oracle="""
+WITH ev AS (
+  SELECT user_id AS u,
+         (epoch_us(ts) // 86400000000) // 7 AS p
+  FROM events
+),
+first AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+active AS (SELECT DISTINCT u, p FROM ev),
+cell AS (
+  SELECT f.cohort, a.p - f.cohort AS period_offset,
+         CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+  FROM active a JOIN first f ON f.u = a.u
+  GROUP BY f.cohort, a.p - f.cohort
+),
+sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+       FROM first GROUP BY cohort)
+SELECT CAST(cell.cohort AS BIGINT) AS cohort,
+       CAST(period_offset AS BIGINT) AS period_offset,
+       cohort_size, n_active,
+       CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_e6
+FROM cell JOIN sz ON sz.cohort = cell.cohort
+""",
+)
+def q233_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import cohort_retention
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+    return cohort_retention(ev, "user_id", "t_us", period_days=7)
+
+
+# --------------------------------------------------------------------------
+# q234 — Markov transition matrix (operators/behavior.transition_matrix):
+# per-user event-type bigram counts with exact e6 row-normalized
+# probabilities — the session-model / anomaly-screen input. Scale: one
+# lead() window on the high-cardinality user key; bounded
+# (from × to) rollup; broadcast normalization.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q234_markov_transitions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM e WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_e6
+FROM c JOIN t ON t.from_type = c.from_type
+""",
+)
+def q234_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import transition_matrix
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_type",
+    )
+    return transition_matrix(
+        ev, "user_id", "t_us", "event_type", order_col="event_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# q235 — Shuffle-skew pre-flight audit (operators/quality.key_skew_audit):
+# the per-key distribution a planner reads BEFORE hash-partitioning a
+# join on l_partkey — top heavy keys to salt, and the max/mean skew
+# ratio that says whether AQE skew-split will fire. Scale: one keyed
+# count + TakeOrdered top-k + 1-row broadcast; one scan total.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q235_shuffle_skew_audit",
+    oracle="""
+WITH counts AS (
+  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS key_rows
+  FROM lineitem GROUP BY l_partkey
+),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(key_rows) AS BIGINT) AS n_rows,
+         CAST(max(key_rows) AS BIGINT) AS _max
+  FROM counts
+),
+top AS (
+  SELECT key, key_rows,
+         row_number() OVER (ORDER BY key_rows DESC, key) AS rank
+  FROM counts QUALIFY rank <= 5
+)
+SELECT CAST(rank AS INT) AS rank,
+       CAST(key AS VARCHAR) AS key,
+       key_rows,
+       CAST(CAST(key_rows AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+         AS share_e6,
+       n_keys, n_rows,
+       CAST(CAST(_max AS HUGEINT) * n_keys * 1000000 // n_rows AS BIGINT)
+         AS skew_ratio_e6
+FROM top CROSS JOIN summary
+""",
+)
+def q235_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import key_skew_audit
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    return key_skew_audit(li, "l_partkey", top_k=5)
+
+
+# --------------------------------------------------------------------------
+# q236 — Gini concentration audit (operators/quantiles.gini_concentration):
+# exact Gini of the per-document character budget — the "is 1% of the
+# corpus 90% of the bytes?" screen before mixture weighting. Scale:
+# value-count table + prefix scan over the bounded distinct-value
+# frame (the cdf_transform discipline); decimal(38,0) rank-sum
+# internals, bigint e6 output.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q236_gini_concentration",
+    oracle="""
+WITH c AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY n_chars
+),
+cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM c),
+contrib AS (
+  SELECT CAST(v AS HUGEINT) * (2 * c * (cum - c) + c * (c + 1)) AS s2,
+         CAST(v AS HUGEINT) * c AS t, c
+  FROM cum
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST((sum(s2) - (sum(c) + 1) * sum(t)) * 1000000
+            // (sum(c) * sum(t)) AS BIGINT) AS gini_e6
+FROM contrib
+""",
+)
+def q236_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        gini_concentration,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("n_chars")
+    return gini_concentration(docs, "n_chars")
+
+
+# --------------------------------------------------------------------------
+# q237 — Golden-record survivorship (operators/merge.golden_record):
+# three deterministic "systems" (crm > billing > web priority) emit a
+# contact record per customer with synthesized nulls and recencies;
+# per field the freshest non-null value wins INDEPENDENTLY (the
+# master-data merge the reference's update path does row-at-a-time
+# over RPC, cubicerpetl.py:494-537). max_by with a null-masked
+# composite key — verified identical null semantics in Spark and
+# DuckDB. Scale: one keyed aggregation, no window, no self-join.
+# --------------------------------------------------------------------------
+
+_GR_SYSTEMS = [("crm", 3), ("billing", 2), ("web", 1)]
+
+
+@register(
+    "q237_golden_record",
+    oracle=f"""
+WITH recs AS (
+  SELECT c_custkey AS entity, s.src, s.pri,
+         CAST(concat('0x', substr(md5(s.src || '|' || c_custkey), 1, 8))
+              AS BIGINT) AS h
+  FROM customer
+  CROSS JOIN (VALUES {", ".join(f"('{s}', {p})" for s, p in _GR_SYSTEMS)})
+             s(src, pri)
+),
+fields AS (
+  SELECT entity, src, pri,
+         CAST(pri AS BIGINT) * 1000000000 + h % 1000000 AS ok,
+         CASE WHEN h % 4 = 0 THEN NULL
+              ELSE 'ph-' || CAST(h % 10000 AS VARCHAR) END AS phone,
+         CASE WHEN h % 5 = 0 THEN NULL
+              ELSE src || '-' || CAST(h % 100 AS VARCHAR) END AS segment
+  FROM recs
+)
+SELECT entity,
+       CAST(count(*) AS BIGINT) AS n_records,
+       max_by(phone, CASE WHEN phone IS NOT NULL THEN ok END) AS phone,
+       CAST(max(CASE WHEN phone IS NOT NULL THEN ok END) AS BIGINT)
+         AS phone_src_key,
+       max_by(segment, CASE WHEN segment IS NOT NULL THEN ok END) AS segment,
+       CAST(max(CASE WHEN segment IS NOT NULL THEN ok END) AS BIGINT)
+         AS segment_src_key
+FROM fields GROUP BY entity
+""",
+)
+def q237_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import md5_hash32
+    from cubicerp_client_etl_spark.operators.merge import golden_record
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    systems = spark.createDataFrame(_GR_SYSTEMS, "src string, pri int")
+    recs = cust.crossJoin(F.broadcast(systems)).select(
+        F.col("c_custkey").alias("entity"),
+        "src",
+        "pri",
+        md5_hash32(
+            F.concat(F.col("src"), F.lit("|"), F.col("c_custkey").cast("string"))
+        ).alias("h"),
+    )
+    fields = recs.select(
+        "entity",
+        (F.col("pri").cast("bigint") * 1_000_000_000 + F.col("h") % 1_000_000)
+        .alias("ok"),
+        F.when(F.col("h") % 4 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("ph-"), (F.col("h") % 10_000).cast("string"))
+        ).alias("phone"),
+        F.when(F.col("h") % 5 == 0, F.lit(None)).otherwise(
+            F.concat(F.col("src"), F.lit("-"), (F.col("h") % 100).cast("string"))
+        ).alias("segment"),
+    )
+    return golden_record(fields, "entity", "ok", ["phone", "segment"])
+
+
+# --------------------------------------------------------------------------
+# q238 — χ² contingency drift screen (operators/drift.chi2_contingency_audit):
+# source × language mix over the documents corpus, every cell (absent
+# combinations included — a vanished language IS drift) with its
+# e6-quantized χ² contribution and exact counts. Scale: one keyed
+# count + bounded-marginal grid join, broadcast both ways.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q238_chi2_drift",
+    oracle="""
+WITH cells AS (
+  SELECT source AS row_val, lang AS col_val, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+rt AS (SELECT row_val, CAST(sum(n) AS BIGINT) AS row_total
+       FROM cells GROUP BY row_val),
+ct AS (SELECT col_val, CAST(sum(n) AS BIGINT) AS col_total
+       FROM cells GROUP BY col_val),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand_total FROM cells),
+grid AS (SELECT * FROM rt CROSS JOIN ct CROSS JOIN tot),
+fullg AS (
+  SELECT g.row_val, g.col_val, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+         g.row_total, g.col_total, g.grand_total
+  FROM grid g LEFT JOIN cells c
+    ON c.row_val = g.row_val AND c.col_val = g.col_val
+),
+q AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * 1000000 // grand_total AS a,
+         CAST(row_total AS HUGEINT) * 1000000 // grand_total AS b,
+         CAST(col_total AS HUGEINT) * 1000000 // grand_total AS c
+  FROM fullg
+)
+SELECT row_val, col_val, n, row_total, col_total, grand_total,
+       CAST(CAST(row_total AS HUGEINT) * col_total // grand_total AS BIGINT)
+         AS expected_e0,
+       CAST(CAST(grand_total AS HUGEINT)
+            * (a * 1000000 - b * c) * (a * 1000000 - b * c)
+            // (1000000 * b * c) AS BIGINT) AS cell_chi2_e6
+FROM q
+""",
+)
+def q238_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.drift import (
+        chi2_contingency_audit,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("source", "lang")
+    return chi2_contingency_audit(docs, "source", "lang")

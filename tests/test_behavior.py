@@ -1,0 +1,281 @@
+"""Unit semantics for the round-9 behavioral / audit / survivorship
+operators: funnel, cohort retention, Markov transitions, skew audit,
+Gini concentration, golden record, χ² contingency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- funnel ----
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "u long, t long, ty string")
+
+
+def test_funnel_steps_earliest_completion(spark):
+    from cubicerp_client_etl_spark.operators.behavior import funnel_steps
+
+    rows = [
+        # user 1 completes: view@10, click@20, purchase@30 (decoys around)
+        (1, 5, "click"),       # click BEFORE first view must not count
+        (1, 10, "view"),
+        (1, 20, "click"),
+        (1, 30, "purchase"),
+        # user 2 stalls after click
+        (2, 10, "view"),
+        (2, 15, "click"),
+        # user 3 never views (purchase alone) → not in output
+        (3, 10, "purchase"),
+    ]
+    out = {
+        r.u: r
+        for r in funnel_steps(
+            _ev(spark, rows), "u", "t", "ty", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1].t1_us, out[1].t2_us, out[1].t3_us) == (10, 20, 30)
+    assert (out[2].t1_us, out[2].t2_us, out[2].t3_us) == (10, 15, None)
+
+
+def test_funnel_steps_greedy_earliest_is_order_correct(spark):
+    from cubicerp_client_etl_spark.operators.behavior import funnel_steps
+
+    # two views: taking the EARLIEST view (t=10) still allows the
+    # click at t=15; an implementation anchoring on the later view
+    # (t=20) would miss it
+    rows = [(1, 10, "view"), (1, 20, "view"), (1, 15, "click")]
+    out = funnel_steps(_ev(spark, rows), "u", "t", "ty", ["view", "click"]).collect()
+    assert (out[0].t1_us, out[0].t2_us) == (10, 15)
+
+
+def test_funnel_report_conversions_exact(spark):
+    from cubicerp_client_etl_spark.operators.behavior import funnel_report
+
+    rows = []
+    for u in range(4):  # 4 users view
+        rows.append((u, 10, "view"))
+    for u in range(3):  # 3 click
+        rows.append((u, 20, "click"))
+    rows.append((0, 30, "purchase"))  # 1 purchases
+    rep = {
+        r.step: r
+        for r in funnel_report(
+            _ev(spark, rows), "u", "t", "ty", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert rep[1].n_users == 4 and rep[1].conv_from_first_e6 == 1_000_000
+    assert rep[2].n_users == 3
+    assert rep[2].conv_from_first_e6 == 750_000
+    assert rep[2].conv_from_prev_e6 == 750_000
+    assert rep[3].n_users == 1
+    assert rep[3].conv_from_first_e6 == 250_000
+    assert rep[3].conv_from_prev_e6 == 333_333  # floor(1e6/3)
+    assert rep[2].sum_elapsed_us == 30  # 3 users x 10us
+    assert rep[3].sum_elapsed_us == 20  # 1 user x 20us
+
+
+def test_funnel_rejects_bad_steps(spark):
+    from cubicerp_client_etl_spark.operators.behavior import funnel_steps
+
+    df = _ev(spark, [(1, 1, "a")])
+    with pytest.raises(ValueError):
+        funnel_steps(df, "u", "t", "ty", ["a"])
+    with pytest.raises(ValueError):
+        funnel_steps(df, "u", "t", "ty", ["a", "a"])
+
+
+# ----------------------------------------------------- cohort retention ----
+
+
+def test_cohort_retention_matrix_exact(spark):
+    from cubicerp_client_etl_spark.operators.behavior import cohort_retention
+
+    day = 86_400_000_000
+    rows = [
+        # cohort week 0: users 1,2; user 1 returns week 1; none week 2
+        (1, 0 * day), (2, 3 * day), (1, 8 * day),
+        # cohort week 1: user 3 only
+        (3, 7 * day),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long")
+    out = {
+        (r.cohort, r.period_offset): r
+        for r in cohort_retention(df, "u", "t", period_days=7).collect()
+    }
+    assert out[(0, 0)].cohort_size == 2 and out[(0, 0)].n_active == 2
+    assert out[(0, 0)].retention_e6 == 1_000_000
+    assert out[(0, 1)].n_active == 1 and out[(0, 1)].retention_e6 == 500_000
+    assert out[(1, 0)].cohort_size == 1
+    assert (0, 2) not in out  # empty cells are absent, not zero rows
+
+
+def test_cohort_retention_rejects_bad_period(spark):
+    from cubicerp_client_etl_spark.operators.behavior import cohort_retention
+
+    df = spark.createDataFrame([(1, 1)], "u long, t long")
+    with pytest.raises(ValueError):
+        cohort_retention(df, "u", "t", period_days=0)
+
+
+# --------------------------------------------------- markov transitions ----
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from cubicerp_client_etl_spark.operators.behavior import transition_matrix
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a→b, b→a
+        (2, 1, "a"), (2, 2, "b"),                 # a→b
+        (3, 1, "a"), (3, 2, "c"),                 # a→c
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, ty string")
+    out = {
+        (r.from_type, r.to_type): r
+        for r in transition_matrix(df, "u", "t", "ty").collect()
+    }
+    assert out[("a", "b")].n == 2 and out[("a", "c")].n == 1
+    assert out[("a", "b")].p_e6 == 666_666  # floor(2e6/3)
+    assert out[("a", "c")].p_e6 == 333_333
+    assert out[("b", "a")].n == 1 and out[("b", "a")].p_e6 == 1_000_000
+    # last event per user contributes no row
+    assert ("c", None) not in out and ("a", None) not in out
+
+
+def test_transition_matrix_tie_break_by_order_col(spark):
+    from cubicerp_client_etl_spark.operators.behavior import transition_matrix
+
+    # same timestamp: order_col (event id) breaks the tie
+    rows = [(1, 10, 1, "x"), (1, 10, 2, "y")]
+    df = spark.createDataFrame(rows, "u long, t long, eid long, ty string")
+    out = transition_matrix(df, "u", "t", "ty", order_col="eid").collect()
+    assert [(r.from_type, r.to_type) for r in out] == [("x", "y")]
+
+
+# ----------------------------------------------------------- skew audit ----
+
+
+def test_key_skew_audit_stats_exact(spark):
+    from cubicerp_client_etl_spark.operators.quality import key_skew_audit
+
+    # key 'hot' 6 rows, 'a' 2, 'b' 1, 'c' 1 → 10 rows, 4 keys, max 6
+    rows = [("hot",)] * 6 + [("a",)] * 2 + [("b",)] * 1 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_audit(df, "k", top_k=2).collect()
+    assert [r.rank for r in out] == [1, 2]
+    assert out[0].key == "hot" and out[0].key_rows == 6
+    assert out[0].share_e6 == 600_000
+    assert out[0].n_keys == 4 and out[0].n_rows == 10
+    # skew = max*keys*1e6 div rows = 6*4*1e6/10 = 2.4e6 (2.4x mean)
+    assert out[0].skew_ratio_e6 == 2_400_000
+    assert out[1].key == "a"  # ties under top-k broken by key asc
+
+
+def test_key_skew_audit_rejects_bad_k(spark):
+    from cubicerp_client_etl_spark.operators.quality import key_skew_audit
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError):
+        key_skew_audit(df, "k", top_k=0)
+
+
+# --------------------------------------------------------------- gini ----
+
+
+def test_gini_known_values(spark):
+    from cubicerp_client_etl_spark.operators.quantiles import gini_concentration
+
+    eq = spark.createDataFrame([(5,)] * 8, "x long")
+    assert gini_concentration(eq, "x").collect()[0].gini_e6 == 0
+    one = spark.createDataFrame([(0,), (0,), (0,), (100,)], "x long")
+    assert gini_concentration(one, "x").collect()[0].gini_e6 == 750_000
+    ramp = spark.createDataFrame([(v,) for v in range(1, 11)], "x long")
+    r = gini_concentration(ramp, "x").collect()[0]
+    assert (r.n_rows, r.n_distinct, r.gini_e6) == (10, 10, 300_000)
+
+
+def test_gini_ties_match_untied_rank_sum(spark):
+    from cubicerp_client_etl_spark.operators.quantiles import gini_concentration
+
+    # with ties, any rank assignment among equal values gives the same
+    # sum — pin the closed form against a brute-force python replay
+    vals = [3, 1, 3, 2, 3, 1, 10]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = gini_concentration(df, "x").collect()[0]
+    s = sorted(vals)
+    n, t = len(s), sum(s)
+    s_rank = sum((i + 1) * x for i, x in enumerate(s))
+    want = (2 * s_rank - (n + 1) * t) * 1_000_000 // (n * t)
+    assert got.gini_e6 == want
+
+
+# ------------------------------------------------------- golden record ----
+
+
+def test_golden_record_per_field_independent_and_null_safe(spark):
+    from cubicerp_client_etl_spark.operators.merge import golden_record
+
+    rows = [
+        # entity 1: freshest phone from key 30 (null segment there);
+        # freshest segment from key 20
+        (1, 10, "p-old", "s-old"),
+        (1, 20, None, "s-new"),
+        (1, 30, "p-new", None),
+        # entity 2: all phones null → NULL phone, NULL src key
+        (2, 10, None, "s-x"),
+    ]
+    df = spark.createDataFrame(rows, "e long, ok long, phone string, seg string")
+    out = {
+        r.e: r
+        for r in golden_record(df, "e", "ok", ["phone", "seg"]).collect()
+    }
+    assert out[1].phone == "p-new" and out[1].phone_src_key == 30
+    assert out[1].seg == "s-new" and out[1].seg_src_key == 20
+    assert out[1].n_records == 3
+    assert out[2].phone is None and out[2].phone_src_key is None
+    assert out[2].seg == "s-x"
+
+
+def test_golden_record_rejects_empty_fields(spark):
+    from cubicerp_client_etl_spark.operators.merge import golden_record
+
+    df = spark.createDataFrame([(1, 1)], "e long, ok long")
+    with pytest.raises(ValueError):
+        golden_record(df, "e", "ok", [])
+
+
+# ------------------------------------------------------------- chi2 ----
+
+
+def test_chi2_zero_under_exact_independence(spark):
+    from cubicerp_client_etl_spark.operators.drift import chi2_contingency_audit
+
+    # perfectly independent 2x2 (each cell = row*col/T exactly)
+    rows = (
+        [("r1", "c1")] * 4 + [("r1", "c2")] * 4
+        + [("r2", "c1")] * 2 + [("r2", "c2")] * 2
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_contingency_audit(df, "r", "c").collect()
+    assert len(out) == 4
+    assert all(r.cell_chi2_e6 == 0 for r in out)
+    assert {r.expected_e0 for r in out} == {4, 2}
+
+
+def test_chi2_flags_dependence_and_includes_absent_cells(spark):
+    from cubicerp_client_etl_spark.operators.drift import chi2_contingency_audit
+
+    # r1 only ever c1, r2 only ever c2 → maximal dependence
+    rows = [("r1", "c1")] * 5 + [("r2", "c2")] * 5
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {
+        (r.row_val, r.col_val): r
+        for r in chi2_contingency_audit(df, "r", "c").collect()
+    }
+    assert len(out) == 4  # grid includes the two absent cells
+    assert out[("r1", "c2")].n == 0 and out[("r1", "c2")].cell_chi2_e6 > 0
+    # for this table chi2 = T: each cell contributes T/4 = 2.5
+    total = sum(r.cell_chi2_e6 for r in out.values())
+    assert abs(total - 10_000_000) <= 4  # e6 quantization, ≤1 ulp/cell
