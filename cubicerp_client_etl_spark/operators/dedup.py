@@ -780,3 +780,75 @@ def sorted_neighborhood_pairs(
         F.greatest("id_a", "id_b").alias("id_b"),
         "via",
     ).distinct()
+
+
+def hamming_candidates(
+    df: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    max_hamming: int,
+) -> DataFrame:
+    """Hamming-radius candidate pairs over banded bit fingerprints
+    (aHash/SimHash-style): explode the bands, equi-join records that
+    share ANY (band index, band value), and verify the exact Hamming
+    distance on candidates only with ``bit_count(xor)``.
+
+    COMPLETE for ``max_hamming < len(band_cols)`` (pigeonhole: fewer
+    flipped bits than bands forces one untouched band); beyond that
+    the band join is best-effort recall — same contract as SimHash
+    pigeonhole blocking (``simhash_candidate_pairs``), documented, and
+    callers widen by re-banding rather than by all-pairs.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= max_hamming``.
+
+    Scale: the join is an equi-join on (band index, value) — candidate
+    volume is Σ_buckets |occ|², bounded by how often full bands
+    collide, never an all-pairs; the verify is integer xor/popcount on
+    candidate rows only.
+    """
+    if not band_cols:
+        raise ValueError("band_cols must be non-empty")
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    base = df.select(F.col(id_col).alias("_id"), *band_cols)
+    bands = base.select(
+        "_id",
+        F.posexplode(F.array(*[F.col(b) for b in band_cols])).alias(
+            "_bi", "_bv"
+        ),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a._bi") == F.col("b._bi"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = base.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(b).alias(f"_a{i}") for i, b in enumerate(band_cols)],
+    )
+    fb = base.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(b).alias(f"_b{i}") for i, b in enumerate(band_cols)],
+    )
+    ham = None
+    for i in range(len(band_cols)):
+        term = F.bit_count(
+            F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}"))
+        ).cast("bigint")
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

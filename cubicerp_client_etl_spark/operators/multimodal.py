@@ -609,3 +609,81 @@ def ulaw_decode_expr(col: str) -> "F.Column":
         f"CAST(CASE WHEN ({v} & 128) > 0 THEN {ULAW_BIAS} - {t} "
         f"ELSE {t} - {ULAW_BIAS} END AS INT)"
     )
+
+
+def image_ahash_bands(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual average-hash (aHash) of image payloads, emitted as
+    FOUR 16-bit bands — the multimodal member of the blocking family
+    (LSH: hash buckets, SNM: sort order, Soundex: phonetics, grid:
+    space; here: pixel structure).
+
+    Decode runs in Arrow-batched ``mapInPandas`` over the same stdlib
+    codecs as ``extract_features`` (8-bit BMP / grayscale PNG / JPEG /
+    GIF; PIL only for exotic formats). The hash is the classic 8×8
+    average hash, exact-integer end-to-end so a DuckDB oracle can
+    replay it on synthesized pixels:
+
+    - cell of pixel (x, y) = (x·8 div w, y·8 div h) — integer block
+      bucketing, no resampling filter;
+    - cell value = pixel sum div pixel count;
+    - bit(cell) = 1 iff cell value ≥ (total pixel sum div (w·h));
+    - ``band{b} = Σ bit(cell_idx)·2^(cell_idx − 16b)`` for cell_idx in
+      [16b, 16b+16), cell_idx = cy·8 + cx.
+
+    Four 16-bit bands instead of one 64-bit word keep every value
+    comfortably inside BIGINT (bit 63 would wrap the sign) and are
+    exactly the blocking unit :func:`~cubicerp_client_etl_spark.
+    operators.dedup.hamming_candidates` joins on — by pigeonhole, any
+    pair within Hamming distance 3 shares at least one band.
+
+    Returns the input columns minus the payload, plus
+    ``(width, height, band0, band1, band2, band3)``.
+
+    Scale: pure map (no shuffle); one Python decode per image inside
+    Arrow batches — the honest cost of binary decode, identical to the
+    feature-extraction path.
+    """
+    import pandas as pd
+
+    keep = [c for c in df.columns if c != payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in keep}
+            meta: dict[str, list] = {
+                "width": [], "height": [],
+                "band0": [], "band1": [], "band2": [], "band3": [],
+            }
+            for i in range(len(pdf)):
+                w, h, px = _decode_gray(bytes(pdf[payload_col].iloc[i]))
+                total = sum(px)
+                n = w * h
+                gmean = total // n
+                sums = [0] * 64
+                cnts = [0] * 64
+                for y in range(h):
+                    cy = y * 8 // h
+                    base = y * w
+                    for x in range(w):
+                        c = cy * 8 + (x * 8 // w)
+                        sums[c] += px[base + x]
+                        cnts[c] += 1
+                bands = [0, 0, 0, 0]
+                for c in range(64):
+                    if cnts[c] and sums[c] // cnts[c] >= gmean:
+                        bands[c // 16] |= 1 << (c % 16)
+                for col in keep:
+                    rows[col].append(pdf[col].iloc[i])
+                meta["width"].append(w)
+                meta["height"].append(h)
+                for b in range(4):
+                    meta[f"band{b}"].append(bands[b])
+            yield pd.DataFrame({**rows, **meta})
+
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {in_schema[c]}" for c in keep]
+        + ["width int", "height int"]
+        + [f"band{b} bigint" for b in range(4)]
+    )
+    return df.mapInPandas(batches, out_schema)

@@ -385,3 +385,144 @@ def q238_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("source", "lang")
     return chi2_contingency_audit(docs, "source", "lang")
+
+
+# --------------------------------------------------------------------------
+# q239 — Image perceptual-hash near-dup (operators/multimodal.
+# image_ahash_bands + operators/dedup.hamming_candidates): the
+# MULTIMODAL member of the blocking family. Deterministic 16×16
+# grayscale BMPs are synthesized per sampled doc (pairs share a
+# pattern seed; the odd variant perturbs 5 cells), encoded and decoded
+# through the real stdlib BMP codec in Arrow mapInPandas, aHashed to
+# four 16-bit bands, and paired through the band equi-join with exact
+# bit_count(xor) verification — complete for Hamming ≤ 3 by
+# pigeonhole. The oracle replays pixels, cell means, bits, bands,
+# blocking and popcounts in SQL. Scale: decode+hash is a pure map;
+# candidates are Σ_buckets |occ|² over 16-bit band values, never
+# all-pairs.
+# --------------------------------------------------------------------------
+
+_PH_SAMPLE = 25  # hash every 25th doc
+
+
+@register(
+    "q239_image_phash_neardup",
+    oracle=f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_PH_SAMPLE} = 0),
+cells AS (
+  SELECT doc_id, cy.i AS cy, cx.i AS cx,
+         (doc_id // 50 * 37 + cy.i * 29 + cx.i * 71) % 247
+         + CASE WHEN (doc_id // {_PH_SAMPLE}) % 2 = 1
+                 AND (cx.i + cy.i) % 11 = 0 THEN 9 ELSE 0 END AS v
+  FROM ids
+  CROSS JOIN generate_series(0, 7) cy(i)
+  CROSS JOIN generate_series(0, 7) cx(i)
+),
+gm AS (SELECT doc_id, sum(v) // 64 AS gmean FROM cells GROUP BY doc_id),
+bits AS (
+  SELECT c.doc_id, c.cy * 8 + c.cx AS idx,
+         CASE WHEN c.v >= g.gmean THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN gm g ON g.doc_id = c.doc_id
+),
+bands AS (
+  SELECT doc_id, idx // 16 AS bi,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << (idx % 16))) AS BIGINT) AS bv
+  FROM bits GROUP BY doc_id, idx // 16
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+fp AS (
+  SELECT doc_id,
+         max(CASE WHEN bi = 0 THEN bv END) AS b0,
+         max(CASE WHEN bi = 1 THEN bv END) AS b1,
+         max(CASE WHEN bi = 2 THEN bv END) AS b2,
+         max(CASE WHEN bi = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+            + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3))
+            AS BIGINT) AS hamming
+  FROM cand c
+  JOIN fp fa ON fa.doc_id = c.id_a
+  JOIN fp fb ON fb.doc_id = c.id_b
+),
+sel AS (SELECT * FROM ham WHERE hamming <= 3),
+agg AS (
+  SELECT hamming,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN id_a // 50 = id_b // 50 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same_seed,
+         CAST(COALESCE(sum(CAST(id_a AS HUGEINT) * 1000000 + id_b), 0)
+              AS HUGEINT) AS _pk
+  FROM sel GROUP BY hamming
+)
+SELECT hamming, n_pairs, n_same_seed,
+       CAST(_pk // 1000000000000000000 AS BIGINT) AS pair_key_hi,
+       CAST(_pk % 1000000000000000000 AS BIGINT) AS pair_key_lo
+FROM agg
+""",
+)
+def q239_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from cubicerp_client_etl_spark.functions import hi_lo_bigint
+    from cubicerp_client_etl_spark.operators.dedup import hamming_candidates
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        encode_bmp_gray,
+        image_ahash_bands,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _PH_SAMPLE == 0)
+        .select("doc_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, variant = did // 50, (did // _PH_SAMPLE) % 2
+                px = bytes(
+                    (seed * 37 + (y // 2) * 29 + (x // 2) * 71) % 247
+                    + (
+                        9
+                        if variant == 1 and ((x // 2) + (y // 2)) % 11 == 0
+                        else 0
+                    )
+                    for y in range(16)
+                    for x in range(16)
+                )
+                payloads.append(encode_bmp_gray(16, 16, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id bigint, payload binary")
+    fp = image_ahash_bands(media, "payload")
+    pairs = hamming_candidates(
+        fp, "doc_id", ["band0", "band1", "band2", "band3"], max_hamming=3
+    )
+    agg = pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.expr("id_a div 50") == F.expr("id_b div 50"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_same_seed"),
+        F.coalesce(
+            F.sum(F.col("id_a").cast("decimal(38,0)") * 1_000_000 + F.col("id_b")),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("_pk"),
+    )
+    return agg.select(
+        "hamming", "n_pairs", "n_same_seed", *hi_lo_bigint("_pk", "pair_key")
+    )

@@ -279,3 +279,51 @@ def test_chi2_flags_dependence_and_includes_absent_cells(spark):
     # for this table chi2 = T: each cell contributes T/4 = 2.5
     total = sum(r.cell_chi2_e6 for r in out.values())
     assert abs(total - 10_000_000) <= 4  # e6 quantization, ≤1 ulp/cell
+
+
+# ------------------------------------------------- image phash neardup ----
+
+
+def test_image_ahash_bands_known_pattern(spark):
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        encode_bmp_gray,
+        image_ahash_bands,
+    )
+
+    # 16x16: left half dark (0), right half bright (200) → bits set on
+    # cells with cx >= 4 in every row: each 16-bit band covers two rows
+    # of 8 cells → per row pattern 0b1111000011110000... cells cx>=4 →
+    # bits 4..7 and 12..15 of each band
+    px = bytes((200 if x >= 8 else 0) for _ in range(16) for x in range(16))
+    payload = encode_bmp_gray(16, 16, px)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = image_ahash_bands(df, "payload").collect()[0]
+    assert (out.width, out.height) == (16, 16)
+    want = sum(1 << b for b in [4, 5, 6, 7, 12, 13, 14, 15])
+    assert (out.band0, out.band1, out.band2, out.band3) == (want,) * 4
+
+
+def test_hamming_candidates_complete_within_pigeonhole(spark):
+    from cubicerp_client_etl_spark.operators.dedup import hamming_candidates
+
+    rows = [
+        (1, 0b1010, 0b1100, 0b0001, 0b0000),
+        (2, 0b1010, 0b1100, 0b0011, 0b0000),  # hamming 1 vs id 1
+        (3, 0b0101, 0b0011, 0b1110, 0b1111),  # far from both
+    ]
+    df = spark.createDataFrame(rows, "id long, b0 long, b1 long, b2 long, b3 long")
+    out = hamming_candidates(df, "id", ["b0", "b1", "b2", "b3"], max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_hamming_candidates_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from cubicerp_client_etl_spark.operators.dedup import hamming_candidates
+
+    df = spark.createDataFrame([(1, 0)], "id long, b0 long")
+    with _pytest.raises(ValueError):
+        hamming_candidates(df, "id", [], 1)
+    with _pytest.raises(ValueError):
+        hamming_candidates(df, "id", ["b0"], -1)
