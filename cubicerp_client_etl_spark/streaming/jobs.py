@@ -747,3 +747,70 @@ def stream_winsorize(
         .when(v > p_hi, F.lit("high"))
         .otherwise(F.lit("none")),
     )
+
+
+def stream_transition_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/behavior.transition_matrix``:
+    per-user event-type transition counts with the cross-batch edge
+    carried in state.
+
+    State is ONE (last_t, last_event_id, last_type) triple per user —
+    bounded by user cardinality, independent of stream length. Each
+    micro-batch is materialized per user and sorted by (t, event_id)
+    before the walk (chunk-local order would make the bigram sequence
+    depend on Arrow chunking); the FIRST event of a batch pairs with
+    the state's last event, so transitions never drop at batch
+    boundaries. Contract: per-user arrival must be time-ordered ACROSS
+    micro-batches (the standard ordered-ingest assumption every
+    stateful sequence operator carries) — a late event would emit the
+    bigram out of order rather than re-sorting history.
+
+    Emits (from_type, to_type, n) deltas per (user, micro-batch) in
+    append mode; the downstream rollup ``groupBy(from,to).sum(n)`` —
+    run as a batch over the sink or a second streaming agg — equals
+    the batch operator's counts (equivalence-tested).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def walk(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["t", "event_id"]
+        )
+        tys = pdf["event_type"].tolist()
+        if state.exists:
+            frm = [state.get[2], *tys[:-1]]
+            to = tys
+        else:
+            frm = tys[:-1]
+            to = tys[1:]
+        counts: dict[tuple, int] = {}
+        for a, b in zip(frm, to):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        state.update(
+            (int(pdf["t"].iloc[-1]), int(pdf["event_id"].iloc[-1]), tys[-1])
+        )
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "from_type": [a for a, _ in counts],
+                    "to_type": [b for _, b in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+        "event_type",
+    ).groupBy("user_id").applyInPandasWithState(
+        walk,
+        outputStructType="from_type string, to_type string, n bigint",
+        stateStructType="last_t bigint, last_eid bigint, last_ty string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -638,3 +638,34 @@ def test_widen_scan_is_noop_on_streams(spark):
 
     s = documents_stream(spark, "/root/testdata/sf0.001")
     assert widen_scan(s) is s
+
+
+def test_stream_transition_counts_equals_batch(spark):
+    from cubicerp_client_etl_spark.operators.behavior import transition_matrix
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        stream_transition_counts,
+    )
+
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_stream_to_memory(
+        stream_transition_counts(stream), "transitions", output_mode="append"
+    )
+    rolled = {
+        (r.from_type, r.to_type): r.n
+        for r in got.groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_type",
+    )
+    batch = {
+        (r.from_type, r.to_type): r.n
+        for r in transition_matrix(
+            ev, "user_id", "t_us", "event_type", order_col="event_id"
+        ).collect()
+    }
+    assert rolled == batch
