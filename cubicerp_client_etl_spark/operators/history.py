@@ -208,3 +208,77 @@ def gap_fill_daily(
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         F.col(value_col).isNotNull().alias("is_observed"),
     )
+
+
+def running_balance_audit(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[Column],
+    delta_col: str,
+) -> DataFrame:
+    """Stock-ledger running balance per key — the ERP inventory audit:
+    walk each key's movements in ``order_cols`` order (must be a total
+    order within keys), accumulate ``delta_col``, and report per key:
+
+    ``(key, n_moves, total_in, total_out, final_balance, min_balance,
+    n_breach_moves)``
+
+    where ``n_breach_moves`` counts movements that left the balance
+    negative (an outbound booked before its receipt — the oversell /
+    phantom-stock signal the reference's reconciliation fields chase
+    per-row, cubicerpetl.py:775-787) and ``min_balance`` is the worst
+    excursion.
+
+    Scale: ONE window pass partitioned by the stock key — at warehouse
+    scale the key (part/SKU) is high-cardinality and grows with the
+    business, so the window is prover-compliant; the rollup is the
+    same keyed aggregate. No self-join, no driver state. Exact bigint
+    deltas (quantize units/cents first).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = F.col(delta_col)
+    bal = df.withColumn("_bal", F.sum(d).over(w))
+    return bal.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.sum(F.when(d > 0, d).otherwise(0)).cast("bigint").alias("total_in"),
+        F.sum(F.when(d < 0, -d).otherwise(0)).cast("bigint").alias("total_out"),
+        F.sum(d).cast("bigint").alias("final_balance"),
+        F.min("_bal").cast("bigint").alias("min_balance"),
+        F.sum(F.when(F.col("_bal") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_breach_moves"),
+    )
+
+
+def as_known_at(
+    df: DataFrame,
+    key_col: str,
+    ingest_col: str,
+    as_of: Column,
+    fields: Sequence[str],
+) -> DataFrame:
+    """Bitemporal read: reconstruct, per key, the LATEST version whose
+    ``ingest_col`` (system/transaction time) is <= ``as_of`` — "what
+    did we believe about this key at time T", the query a restatement
+    audit or a point-in-time regulatory report needs. Keys with no
+    version ingested by ``as_of`` yield no row (they were unknown).
+
+    ``ingest_col`` must be a total order within keys (compose a
+    version counter into the low bits when ingest timestamps can tie).
+    Returns ``(key, known_ingest, <fields...>)`` where ``known_ingest``
+    is the winning version's ingest key.
+
+    Scale: one filter + one keyed max_by aggregation (map-side
+    combinable) — never a window over the version history, never a
+    per-key sort. The same call with ``as_of = lit(+inf)`` gives the
+    final state; diffing the two IS the restatement audit (one
+    equi-join on the key).
+    """
+    mask = F.when(F.col(ingest_col) <= as_of, F.col(ingest_col))
+    filt = df.where(F.col(ingest_col) <= as_of)
+    return filt.groupBy(key_col).agg(
+        F.max(mask).cast("bigint").alias("known_ingest"),
+        *[F.max_by(F.col(f), mask).alias(f) for f in fields],
+    )

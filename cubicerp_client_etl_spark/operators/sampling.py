@@ -430,3 +430,49 @@ def bucketed_negative_sample(
             F.col("_m._cid").alias("neg_id"),
         )
     )
+
+
+def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
+    """Kish effective sample size of a non-negative weight column —
+    the one-row audit run before weighted sampling / importance
+    reweighting ships: ``ESS = (Σw)² / Σw²`` collapses toward 1 when a
+    few rows dominate the weight mass (the estimator variance blows
+    up by n/ESS).
+
+    Exact integer arithmetic: (Σw)² and Σw² run in DECIMAL(38,0)
+    (safe to Σw < 1e19 — a 100 TB corpus weighted by token counts sums
+    to ~1e16), the ESS itself is an integer ``div``, and the shares
+    are e6 floors. Output:
+
+    ``(n_rows, ess, ess_share_e6, max_w, top_w_share_e6)``
+
+    Scale: one map-side-combinable aggregate — a single scan, no
+    shuffle beyond the 1-row combine.
+    """
+    w = F.col(weight_col).cast("decimal(38,0)")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(w).cast("decimal(38,0)").alias("_sw"),
+        F.sum(w * w).cast("decimal(38,0)").alias("_sw2"),
+        F.max(F.col(weight_col)).cast("bigint").alias("max_w"),
+    )
+    return agg.select(
+        "n_rows",
+        # CASE guards: an all-zero weight column is a caller bug but
+        # must report ess=0, not abort the job under ANSI div-by-zero
+        F.expr(
+            "CAST(CASE WHEN _sw2 > 0 THEN (_sw * _sw) div _sw2"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ess"),
+        F.expr(
+            "CAST(CASE WHEN _sw2 > 0 THEN"
+            " (_sw * _sw) * 1000000 div (_sw2 * n_rows)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("ess_share_e6"),
+        "max_w",
+        F.expr(
+            "CAST(CASE WHEN _sw > 0 THEN"
+            " CAST(max_w AS DECIMAL(38,0)) * 1000000 div _sw"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("top_w_share_e6"),
+    )

@@ -526,3 +526,235 @@ def q239_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "hamming", "n_pairs", "n_same_seed", *hi_lo_bigint("_pk", "pair_key")
     )
+
+
+# --------------------------------------------------------------------------
+# q240 — Stock-ledger running balance (operators/history.
+# running_balance_audit): every lineitem is a stock movement of its
+# part (returns restock, everything else ships out), walked in
+# (shipdate, orderkey, linenumber) order; per part the exact final /
+# minimum balance and the count of movements that left stock negative
+# — the oversell audit the reference's reconciliation fields chase
+# per-row. Scale: ONE window partitioned by the high-cardinality part
+# key + the same keyed rollup; no self-join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q240_stock_ledger_balance",
+    oracle="""
+WITH mv AS (
+  SELECT l_partkey,
+         CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+              ELSE -CAST(l_quantity AS BIGINT) END AS d,
+         l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+),
+bal AS (
+  SELECT l_partkey, d,
+         sum(d) OVER (PARTITION BY l_partkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS _bal
+  FROM mv
+)
+SELECT l_partkey,
+       CAST(count(*) AS BIGINT) AS n_moves,
+       CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS total_in,
+       CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT) AS total_out,
+       CAST(sum(d) AS BIGINT) AS final_balance,
+       CAST(min(_bal) AS BIGINT) AS min_balance,
+       CAST(sum(CASE WHEN _bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach_moves
+FROM bal GROUP BY l_partkey
+""",
+)
+def q240_stock_ledger_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.history import (
+        running_balance_audit,
+    )
+
+    mv = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_returnflag") == "R", F.col("l_quantity").cast("bigint")
+        )
+        .otherwise(-F.col("l_quantity").cast("bigint"))
+        .alias("d"),
+    )
+    return running_balance_audit(
+        mv,
+        "l_partkey",
+        [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "d",
+    )
+
+
+# --------------------------------------------------------------------------
+# q241 — Bitemporal as-known-at restatement audit (operators/history.
+# as_known_at): orders carry a synthesized ingest delay (valid time =
+# order date, system time = ingest day); every 7th order is RESTATED
+# +5% thirty days after first ingest. The audit reconstructs the state
+# known at 1996-01-01 and diffs it against the final state, per order
+# year — the point-in-time regulatory report. Scale: two keyed max_by
+# aggregations + one equi-join on the order key; never a window over
+# version history.
+# --------------------------------------------------------------------------
+
+_BT_ASOF_DAY = 9496  # epoch days of 1996-01-01
+
+
+@register(
+    "q241_bitemporal_restatement",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k, year(o_orderdate) AS yr,
+         (epoch_us(o_orderdate) // 86400000000)
+         + CAST(concat('0x', substr(md5('ig|' || o_orderkey), 1, 8))
+                AS BIGINT) % 20 AS ing_day,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+vers AS (
+  SELECT k, yr, ing_day * 10 + 1 AS ing, cents FROM v1
+  UNION ALL
+  SELECT k, yr, (ing_day + 30) * 10 + 2 AS ing, cents + cents // 20
+  FROM v1 WHERE k % 7 = 0
+),
+known AS (
+  SELECT k, max(ing) AS known_ing, max_by(cents, ing) AS known_cents
+  FROM vers WHERE ing <= {_BT_ASOF_DAY * 10 + 9} GROUP BY k
+),
+final AS (
+  SELECT k, yr, max_by(cents, ing) AS final_cents FROM vers GROUP BY k, yr
+),
+agg AS (
+  SELECT f.yr,
+         CAST(count(kn.k) AS BIGINT) AS n_known,
+         CAST(sum(CASE WHEN kn.known_ing % 10 = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_restated_applied,
+         CAST(sum(CASE WHEN kn.k IS NOT NULL
+                        AND kn.known_cents <> f.final_cents
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pending_restate,
+         CAST(COALESCE(sum(CAST(kn.known_cents AS HUGEINT)), 0) AS HUGEINT)
+           AS _skc
+  FROM final f LEFT JOIN known kn ON kn.k = f.k
+  GROUP BY f.yr
+)
+SELECT CAST(yr AS INT) AS yr, n_known, n_restated_applied,
+       n_pending_restate,
+       CAST(_skc // 1000000000000000000 AS BIGINT) AS known_cents_hi,
+       CAST(_skc % 1000000000000000000 AS BIGINT) AS known_cents_lo
+FROM agg
+""",
+)
+def q241_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import hi_lo_bigint, md5_hash32
+    from cubicerp_client_etl_spark.operators.history import as_known_at
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").alias("yr"),
+        (
+            F.expr("unix_micros(o_orderdate) div 86400000000")
+            + md5_hash32(
+                F.concat(F.lit("ig|"), F.col("o_orderkey").cast("string"))
+            )
+            % 20
+        ).alias("ing_day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    v1 = orders.select(
+        "k", "yr", (F.col("ing_day") * 10 + 1).alias("ing"), "cents"
+    )
+    v2 = orders.where(F.col("k") % 7 == 0).select(
+        "k",
+        "yr",
+        ((F.col("ing_day") + 30) * 10 + 2).alias("ing"),
+        (F.col("cents") + F.expr("cents div 20")).alias("cents"),
+    )
+    vers = v1.unionByName(v2)
+    known = as_known_at(
+        vers, "k", "ing", F.lit(_BT_ASOF_DAY * 10 + 9), ["cents"]
+    ).select(
+        F.col("k"),
+        F.col("known_ingest").alias("known_ing"),
+        F.col("cents").alias("known_cents"),
+    )
+    final = vers.groupBy("k", "yr").agg(
+        F.max_by("cents", "ing").alias("final_cents")
+    )
+    agg = (
+        final.join(known, "k", "left")
+        .groupBy("yr")
+        .agg(
+            F.count("known_ing").cast("bigint").alias("n_known"),
+            F.sum(F.when(F.col("known_ing") % 10 == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_restated_applied"),
+            F.sum(
+                F.when(
+                    F.col("known_ing").isNotNull()
+                    & (F.col("known_cents") != F.col("final_cents")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pending_restate"),
+            F.coalesce(
+                F.sum(F.col("known_cents").cast("decimal(38,0)")), F.lit(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("_skc"),
+        )
+    )
+    return agg.select(
+        F.col("yr").cast("int").alias("yr"),
+        "n_known",
+        "n_restated_applied",
+        "n_pending_restate",
+        *hi_lo_bigint("_skc", "known_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q242 — Effective-sample-size audit (operators/sampling.
+# effective_sample_size): Kish ESS of length-proportional document
+# weights — the estimator-variance screen run before any weighted
+# sampling ships (ESS ≪ n means a few giants dominate). One map-side
+# combinable aggregate; decimal(38,0) square sums; e6 shares.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q242_effective_sample_size",
+    oracle="""
+WITH w AS (SELECT CAST(n_chars AS HUGEINT) AS w FROM documents),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         sum(w) AS sw, sum(w * w) AS sw2,
+         CAST(max(w) AS BIGINT) AS max_w
+  FROM w
+)
+SELECT n_rows,
+       CAST(CASE WHEN sw2 > 0 THEN (sw * sw) // sw2 ELSE 0 END AS BIGINT)
+         AS ess,
+       CAST(CASE WHEN sw2 > 0 THEN (sw * sw) * 1000000 // (sw2 * n_rows)
+                 ELSE 0 END AS BIGINT) AS ess_share_e6,
+       max_w,
+       CAST(CASE WHEN sw > 0 THEN CAST(max_w AS HUGEINT) * 1000000 // sw
+                 ELSE 0 END AS BIGINT) AS top_w_share_e6
+FROM agg
+""",
+)
+def q242_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("n_chars")
+    return effective_sample_size(docs, "n_chars")

@@ -327,3 +327,76 @@ def test_hamming_candidates_rejects_bad_args(spark):
         hamming_candidates(df, "id", [], 1)
     with _pytest.raises(ValueError):
         hamming_candidates(df, "id", ["b0"], -1)
+
+
+# ------------------------------------------------- stock ledger balance ----
+
+
+def test_running_balance_audit_exact(spark):
+    from cubicerp_client_etl_spark.operators.history import (
+        running_balance_audit,
+    )
+
+    rows = [
+        # part 1: +10, -4, -8 (breach at -2), +5 → final 3, min -2
+        (1, 1, 10), (1, 2, -4), (1, 3, -8), (1, 4, 5),
+        # part 2: never negative
+        (2, 1, 5), (2, 2, -3),
+    ]
+    df = spark.createDataFrame(rows, "pk long, seq long, d long")
+    out = {
+        r.pk: r
+        for r in running_balance_audit(
+            df, "pk", [F.col("seq")], "d"
+        ).collect()
+    }
+    assert (out[1].n_moves, out[1].total_in, out[1].total_out) == (4, 15, 12)
+    assert (out[1].final_balance, out[1].min_balance) == (3, -2)
+    assert out[1].n_breach_moves == 1
+    assert out[2].n_breach_moves == 0 and out[2].min_balance == 2
+
+
+# ------------------------------------------------------- bitemporal ----
+
+
+def test_as_known_at_picks_latest_ingested_version(spark):
+    from cubicerp_client_etl_spark.operators.history import as_known_at
+
+    rows = [
+        (1, 10, "v1"), (1, 20, "v2"), (1, 30, "v3"),
+        (2, 25, "only"),       # ingested after as_of → key unknown
+    ]
+    df = spark.createDataFrame(rows, "k long, ing long, val string")
+    out = {
+        r.k: r
+        for r in as_known_at(df, "k", "ing", F.lit(20), ["val"]).collect()
+    }
+    assert set(out) == {1}
+    assert out[1].known_ingest == 20 and out[1].val == "v2"
+    # as_of beyond everything = final state
+    fin = {r.k: r for r in as_known_at(df, "k", "ing", F.lit(10**9), ["val"]).collect()}
+    assert fin[1].val == "v3" and fin[2].val == "only"
+
+
+# -------------------------------------------------- effective sample size ----
+
+
+def test_effective_sample_size_known_values(spark):
+    from cubicerp_client_etl_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    # equal weights → ESS = n, share 1e6
+    eq = spark.createDataFrame([(7,)] * 5, "w long")
+    r = effective_sample_size(eq, "w").collect()[0]
+    assert (r.n_rows, r.ess, r.ess_share_e6) == (5, 5, 1_000_000)
+    # one dominant weight → ESS collapses toward 1
+    dom = spark.createDataFrame([(1,), (1,), (1,), (997,)], "w long")
+    r = effective_sample_size(dom, "w").collect()[0]
+    # (1000)^2 // (3 + 994009) = 1000000 // 994012 = 1
+    assert r.ess == 1 and r.max_w == 997
+    assert r.top_w_share_e6 == 997_000
+    # all-zero weights: report 0, never ANSI-abort
+    z = spark.createDataFrame([(0,), (0,)], "w long")
+    r = effective_sample_size(z, "w").collect()[0]
+    assert (r.ess, r.ess_share_e6, r.top_w_share_e6) == (0, 0, 0)
