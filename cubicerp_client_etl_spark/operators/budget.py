@@ -306,3 +306,77 @@ def epoch_allocation(
         .otherwise(F.lit(0).cast("bigint"))
         .alias("epochs_e6"),
     )
+
+
+def prorate_exact(
+    lines: DataFrame,
+    key_col: str,
+    amount_col: str,
+    weight_col: str,
+    order_col: str,
+    out_col: str = "alloc",
+) -> DataFrame:
+    """Exact largest-remainder proration — the ERP allocation rule:
+    distribute each key's integer ``amount_col`` (a header-level
+    discount/freight/tax in cents, constant within the key) over its
+    lines proportionally to ``weight_col``, so that the per-key sum of
+    allocations EQUALS the amount to the cent (floating prorating
+    never does; the reference leaves the header/line mismatch to
+    manual reconciliation).
+
+    Per key with total weight W: ``base_i = floor(A·w_i / W)``; the
+    shortfall ``r = A − Σ base`` (0 ≤ r < #lines) goes one unit each
+    to the r largest fractional remainders ``(A·w_i) mod W``, ties
+    broken by ``order_col`` — fully deterministic. Degenerate W = 0
+    (all-zero weights) books the whole amount on the first line by
+    ``order_col`` so the invariant Σalloc = A still holds.
+
+    Adds ``out_col``; preserves input columns. Products run in
+    DECIMAL(38,0) (A·w overflows int64 once cents × token-scale
+    weights meet). Scale: two windows partitioned by the
+    high-cardinality document key (sum + rank) — the per-document
+    line fan is bounded (an invoice has tens of lines), so no
+    single-partition hazard; no self-join.
+    """
+    w_key = Window.partitionBy(key_col)
+    a = F.col(amount_col).cast("decimal(38,0)")
+    wgt = F.col(weight_col).cast("decimal(38,0)")
+    with_tot = lines.withColumn("_W", F.sum(wgt).over(w_key))
+    base = F.when(
+        F.col("_W") > 0, F.expr(f"(CAST({amount_col} AS DECIMAL(38,0))"
+                                f" * {weight_col}) div _W")
+    ).otherwise(F.lit(0)).cast("bigint")
+    frac = F.when(
+        F.col("_W") > 0,
+        (a * wgt - base.cast("decimal(38,0)") * F.col("_W")).cast("bigint"),
+    ).otherwise(F.lit(0))
+    staged = (
+        with_tot.withColumn("_base", base)
+        .withColumn("_frac", frac)
+        .withColumn("_short", (a - F.sum("_base").over(w_key)).cast("bigint"))
+    )
+    w_rank = Window.partitionBy(key_col).orderBy(
+        F.col("_frac").desc(), F.col(order_col)
+    )
+    return (
+        staged.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_W") > 0,
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0),
+            )
+            .otherwise(
+                # W = 0: whole amount on the first line by order_col
+                F.when(
+                    F.row_number()
+                    .over(Window.partitionBy(key_col).orderBy(order_col))
+                    == 1,
+                    F.col(amount_col),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint"),
+        )
+        .drop("_W", "_base", "_frac", "_short", "_rk")
+    )

@@ -100,3 +100,72 @@ def insert_if_absent(
     )
     created = missing.select(key, *[c.alias(n) for n, c in create_cols.items()])
     return dim.unionByName(created, allowMissingColumns=True)
+
+
+def longest_prefix_match(
+    records: DataFrame,
+    key_col: str,
+    rules: DataFrame,
+    prefix_col: str,
+    rule_fields: list[str],
+) -> DataFrame:
+    """Longest-prefix-match join — the routing/tariff/account-hierarchy
+    lookup: each record matches the rule with the LONGEST ``prefix_col``
+    that prefixes its ``key_col`` (phone prefix → rate, account code →
+    rollup node, the reference's value-mapping generalized from exact
+    keys to hierarchical ones).
+
+    Implementation without a theta-join: records explode their key's
+    prefixes of lengths 1..max(rule prefix length) — a CONSTANT fan-out
+    bounded by the rules dim, measured once with one tiny aggregate on
+    the bounded rules frame — equi-join rules on the prefix, and keep
+    the longest match per record with one keyed max_by aggregation.
+    Ties cannot occur (one prefix per length per record; rule prefixes
+    are unique by contract — duplicated rule prefixes raise).
+
+    Returns ``(key_col, match_len, <rule_fields...>)`` — matched
+    records only; callers left-join it back to keep non-matches.
+
+    Scale: fan-out = max rule prefix length (a dim property, constant
+    in corpus size); the join is an equi-join against a broadcastable
+    rules dim; the longest-match pick is a map-side-combinable max_by
+    on the record key. No window, no cross join.
+    """
+    if not rule_fields:
+        raise ValueError("rule_fields must be non-empty")
+    # bounded-dim aggregates: one tiny job each (the q038 count()
+    # pattern) — rules dims are catalog-sized by contract
+    n_rules, n_distinct, max_len = rules.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(prefix_col),
+        F.max(F.length(prefix_col)),
+    ).first()
+    if n_rules != n_distinct:
+        raise ValueError("duplicate rule prefixes: longest match is ambiguous")
+    if not max_len:
+        raise ValueError("rules frame is empty")
+    probes = records.select(
+        F.col(key_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.length(F.col(key_col)), F.lit(int(max_len))),
+                ),
+                lambda i: F.substring(F.col(key_col), 1, i),
+            )
+        ).alias("_pfx"),
+    )
+    joined = probes.join(
+        F.broadcast(
+            rules.select(F.col(prefix_col).alias("_pfx"), *rule_fields)
+        ),
+        "_pfx",
+    )
+    return joined.groupBy(key_col).agg(
+        F.max(F.length("_pfx")).cast("int").alias("match_len"),
+        *[
+            F.max_by(F.col(f), F.length("_pfx")).alias(f)
+            for f in rule_fields
+        ],
+    )

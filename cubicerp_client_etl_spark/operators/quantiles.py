@@ -366,3 +366,56 @@ def gini_concentration(df: DataFrame, value_col: str) -> DataFrame:
             " div (sum(_c) * CAST(sum(_t) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_e6"),
     )
+
+
+def mad_outlier_screen(
+    df: DataFrame, value_col: str, k: int = 3
+) -> DataFrame:
+    """Robust outlier screen via the Median Absolute Deviation: one row
+
+    ``(n, median, mad, lo_fence, hi_fence, n_low, n_high)``
+
+    with ``fences = median ± k·MAD`` (integer k — the float 0.6745
+    normal-consistency constant is deliberately NOT applied: the screen
+    stays exact-integer and engine-replayable; calibrate k instead).
+    MAD is the median of |x − median|, so one wild value cannot drag
+    the fence the way a stddev screen lets it (50% breakdown point vs
+    0 for mean ± kσ).
+
+    Exact discrete medians from the value-count prefix scan
+    (:func:`exact_quantiles` semantics, the ``quantile_disc`` rank
+    rule), both broadcast back as 1-row dims. Scale: two bounded
+    value-count passes + one counting aggregate — no raw-row window,
+    no sort of the data itself.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vals = df.where(F.col(value_col).isNotNull())
+    med = exact_quantiles(vals, value_col, [0.5], out_col="_med").select("_med")
+    dev = vals.join(F.broadcast(med)).select(
+        F.abs(F.col(value_col) - F.col("_med")).alias("_d")
+    )
+    mad = exact_quantiles(dev, "_d", [0.5], out_col="_mad").select("_mad")
+    return (
+        vals.join(F.broadcast(med))
+        .join(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("_med").cast("bigint").alias("median"),
+            F.first("_mad").cast("bigint").alias("mad"),
+            (F.first("_med") - k * F.first("_mad")).cast("bigint").alias("lo_fence"),
+            (F.first("_med") + k * F.first("_mad")).cast("bigint").alias("hi_fence"),
+            F.sum(
+                F.when(F.col(value_col) < F.col("_med") - k * F.col("_mad"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                F.when(F.col(value_col) > F.col("_med") + k * F.col("_mad"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high"),
+        )
+    )

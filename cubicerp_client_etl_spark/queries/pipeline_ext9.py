@@ -758,3 +758,285 @@ def q242_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("n_chars")
     return effective_sample_size(docs, "n_chars")
+
+
+# --------------------------------------------------------------------------
+# q243 — Longest-prefix rule match (operators/lookups.longest_prefix_match):
+# the routing/tariff lookup — account codes match the LONGEST rule
+# prefix (nation-level rules for every nation; deeper nation+segment
+# rules for even nations only, so both depths are exercised). The
+# reference's value-mapping generalized from exact keys to
+# hierarchical ones. Scale: constant prefix fan-out (bounded by the
+# rules dim), broadcast rules join, keyed max_by pick.
+# --------------------------------------------------------------------------
+
+_LPM_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "q243_longest_prefix_match",
+    oracle=f"""
+WITH segs AS (
+  SELECT seg, CAST(row_number() OVER (ORDER BY seg) AS BIGINT) AS sidx
+  FROM (SELECT unnest(['{"','".join(_LPM_SEGS)}']) AS seg)
+),
+rules AS (
+  SELECT CAST(n_nationkey AS VARCHAR) || '-' AS pfx,
+         CAST(10 + n_nationkey AS BIGINT) AS rate
+  FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey AS VARCHAR) || '-' || s.seg || '-' AS pfx,
+         CAST(1000 + n_nationkey * 10 + s.sidx AS BIGINT) AS rate
+  FROM nation CROSS JOIN segs s
+  WHERE n_nationkey % 2 = 0
+),
+recs AS (
+  SELECT c_custkey,
+         CAST(c_nationkey AS VARCHAR) || '-' || c_mktsegment || '-'
+           || CAST(c_custkey % 97 AS VARCHAR) AS code
+  FROM customer
+),
+m AS (
+  SELECT r.c_custkey,
+         CAST(max(length(ru.pfx)) AS INT) AS match_len,
+         max_by(ru.rate, length(ru.pfx)) AS rate
+  FROM recs r JOIN rules ru
+    ON substr(r.code, 1, length(ru.pfx)) = ru.pfx
+  GROUP BY r.c_custkey
+)
+SELECT rate, match_len,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(c_custkey) AS BIGINT) AS key_sum
+FROM m GROUP BY rate, match_len
+""",
+)
+def q243_longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.lookups import (
+        longest_prefix_match,
+    )
+
+    nation = load(spark, sf_dir, "nation").select("n_nationkey")
+    segs = spark.createDataFrame(
+        [(s, i + 1) for i, s in enumerate(sorted(_LPM_SEGS))],
+        "seg string, sidx long",
+    )
+    l1 = nation.select(
+        F.concat(F.col("n_nationkey").cast("string"), F.lit("-")).alias("pfx"),
+        (F.lit(10) + F.col("n_nationkey")).cast("bigint").alias("rate"),
+    )
+    l2 = (
+        nation.where(F.col("n_nationkey") % 2 == 0)
+        .crossJoin(F.broadcast(segs))
+        .select(
+            F.concat(
+                F.col("n_nationkey").cast("string"),
+                F.lit("-"),
+                F.col("seg"),
+                F.lit("-"),
+            ).alias("pfx"),
+            (F.lit(1000) + F.col("n_nationkey") * 10 + F.col("sidx"))
+            .cast("bigint")
+            .alias("rate"),
+        )
+    )
+    rules = l1.unionByName(l2)
+    recs = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit("-"),
+            F.col("c_mktsegment"),
+            F.lit("-"),
+            (F.col("c_custkey") % 97).cast("string"),
+        ).alias("code"),
+    )
+    m = longest_prefix_match(recs, "code", rules, "pfx", ["rate"])
+    j = recs.join(m, "code")
+    return j.groupBy("rate", "match_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q244 — Exact largest-remainder proration (operators/budget.prorate_exact):
+# a 2% header discount (cents) prorated over each order's lines
+# proportional to extended price, summing EXACTLY to the header amount
+# per order — the ERP allocation rule floating prorating never
+# satisfies. Rolled up by order priority with both sides of the
+# invariant (Σ header amounts = Σ allocations) in the output. Scale:
+# two windows on the high-cardinality order key (bounded line fan),
+# no self-join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q244_discount_proration",
+    oracle="""
+WITH hdr AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 50
+           AS disc_cents
+  FROM orders
+),
+ln AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM lineitem
+),
+j AS (
+  SELECT h.o_orderkey, h.o_orderpriority, h.disc_cents, ln.l_linenumber, ln.w
+  FROM hdr h JOIN ln ON ln.l_orderkey = h.o_orderkey
+),
+tot AS (
+  SELECT *, sum(w) OVER (PARTITION BY o_orderkey) AS tw FROM j
+),
+staged AS (
+  SELECT *,
+         CASE WHEN tw > 0
+              THEN CAST(CAST(disc_cents AS HUGEINT) * w // tw AS BIGINT)
+              ELSE 0 END AS base,
+         CASE WHEN tw > 0
+              THEN CAST(CAST(disc_cents AS HUGEINT) * w % tw AS BIGINT)
+              ELSE 0 END AS frac
+  FROM tot
+),
+short AS (
+  SELECT *, disc_cents - sum(base) OVER (PARTITION BY o_orderkey) AS r,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY frac DESC, l_linenumber) AS rk,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY l_linenumber) AS first_rk
+  FROM staged
+),
+alloc AS (
+  SELECT o_orderkey, o_orderpriority, disc_cents, l_linenumber,
+         CASE WHEN tw > 0 THEN base + CASE WHEN rk <= r THEN 1 ELSE 0 END
+              WHEN first_rk = 1 THEN disc_cents ELSE 0 END AS alloc
+  FROM short
+),
+per_order AS (
+  SELECT o_orderkey, o_orderpriority, disc_cents,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(alloc) AS BIGINT) AS alloc_sum,
+         CAST(max(alloc) AS BIGINT) AS max_line_alloc
+  FROM alloc GROUP BY o_orderkey, o_orderpriority, disc_cents
+),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(n_lines) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(disc_cents AS HUGEINT)) AS HUGEINT) AS _hd,
+         CAST(sum(CAST(alloc_sum AS HUGEINT)) AS HUGEINT) AS _al,
+         CAST(sum(CASE WHEN alloc_sum <> disc_cents THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_invariant_breaks,
+         CAST(max(max_line_alloc) AS BIGINT) AS max_line_alloc
+  FROM per_order GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders, n_lines,
+       CAST(_hd // 1000000000000000000 AS BIGINT) AS header_cents_hi,
+       CAST(_hd % 1000000000000000000 AS BIGINT) AS header_cents_lo,
+       CAST(_al // 1000000000000000000 AS BIGINT) AS alloc_cents_hi,
+       CAST(_al % 1000000000000000000 AS BIGINT) AS alloc_cents_lo,
+       n_invariant_breaks, max_line_alloc
+FROM agg
+""",
+)
+def q244_discount_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import hi_lo_bigint
+    from cubicerp_client_etl_spark.operators.budget import prorate_exact
+
+    hdr = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 50 AS BIGINT)"
+        ).alias("disc_cents"),
+    )
+    ln = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+    )
+    j = hdr.join(ln, hdr.o_orderkey == ln.l_orderkey).drop("l_orderkey")
+    alloc = prorate_exact(
+        j, "o_orderkey", "disc_cents", "w", "l_linenumber", out_col="alloc"
+    )
+    per_order = alloc.groupBy("o_orderkey", "o_orderpriority", "disc_cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("alloc").cast("bigint").alias("alloc_sum"),
+        F.max("alloc").cast("bigint").alias("max_line_alloc"),
+    )
+    agg = per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum(F.col("disc_cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_hd"),
+        F.sum(F.col("alloc_sum").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_al"),
+        F.sum(
+            F.when(F.col("alloc_sum") != F.col("disc_cents"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_invariant_breaks"),
+        F.max("max_line_alloc").cast("bigint").alias("max_line_alloc"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_lines",
+        *hi_lo_bigint("_hd", "header_cents"),
+        *hi_lo_bigint("_al", "alloc_cents"),
+        "n_invariant_breaks",
+        "max_line_alloc",
+    )
+
+
+# --------------------------------------------------------------------------
+# q245 — MAD robust outlier screen (operators/quantiles.mad_outlier_screen):
+# median ± k·MAD fences over lineitem price cents — the 50%-breakdown
+# outlier gate a mean±kσ screen cannot be (one wild value drags σ).
+# Exact discrete medians from two bounded value-count prefix scans;
+# integer k keeps the screen float-free and oracle-replayable.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q245_mad_outlier_screen",
+    oracle="""
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+med AS (SELECT quantile_disc(v, 0.5) AS m FROM c),
+dev AS (SELECT abs(c.v - med.m) AS d FROM c CROSS JOIN med),
+mad AS (SELECT quantile_disc(d, 0.5) AS md FROM dev)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(med.m AS BIGINT) AS median,
+       CAST(mad.md AS BIGINT) AS mad,
+       CAST(med.m - 3 * mad.md AS BIGINT) AS lo_fence,
+       CAST(med.m + 3 * mad.md AS BIGINT) AS hi_fence,
+       CAST(sum(CASE WHEN c.v < med.m - 3 * mad.md THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN c.v > med.m + 3 * mad.md THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+FROM c CROSS JOIN med CROSS JOIN mad
+GROUP BY med.m, mad.md
+""",
+)
+def q245_mad_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        mad_outlier_screen,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    return mad_outlier_screen(li, "v", k=3)

@@ -400,3 +400,117 @@ def test_effective_sample_size_known_values(spark):
     z = spark.createDataFrame([(0,), (0,)], "w long")
     r = effective_sample_size(z, "w").collect()[0]
     assert (r.ess, r.ess_share_e6, r.top_w_share_e6) == (0, 0, 0)
+
+
+# ---------------------------------------------- longest prefix match ----
+
+
+def test_longest_prefix_match_picks_deepest_rule(spark):
+    from cubicerp_client_etl_spark.operators.lookups import (
+        longest_prefix_match,
+    )
+
+    rules = spark.createDataFrame(
+        [("1-", 10), ("1-B-", 20), ("2-", 30)], "pfx string, rate long"
+    )
+    recs = spark.createDataFrame(
+        [("1-B-77",), ("1-X-5",), ("2-Q",), ("9-Z",)], "code string"
+    )
+    out = {
+        r.code: r
+        for r in longest_prefix_match(recs, "code", rules, "pfx", ["rate"])
+        .collect()
+    }
+    assert out["1-B-77"].rate == 20 and out["1-B-77"].match_len == 4
+    assert out["1-X-5"].rate == 10 and out["1-X-5"].match_len == 2
+    assert out["2-Q"].rate == 30
+    assert "9-Z" not in out  # no matching rule → no row
+
+
+def test_longest_prefix_match_rejects_ambiguous_rules(spark):
+    from cubicerp_client_etl_spark.operators.lookups import (
+        longest_prefix_match,
+    )
+
+    dup = spark.createDataFrame([("a-", 1), ("a-", 2)], "pfx string, rate long")
+    recs = spark.createDataFrame([("a-1",)], "code string")
+    with pytest.raises(ValueError):
+        longest_prefix_match(recs, "code", dup, "pfx", ["rate"])
+    with pytest.raises(ValueError):
+        longest_prefix_match(recs, "code", dup, "pfx", [])
+
+
+# ----------------------------------------------------- exact proration ----
+
+
+def test_prorate_exact_sums_to_amount_with_largest_remainder(spark):
+    from cubicerp_client_etl_spark.operators.budget import prorate_exact
+
+    # amount 100 over weights 1,1,1 → base 33 each, r=1 goes to the
+    # largest remainder (all tie at 1) → first line by order
+    rows = [(1, 100, 1, 1), (1, 100, 1, 2), (1, 100, 1, 3)]
+    df = spark.createDataFrame(rows, "k long, amt long, w long, ln long")
+    out = {r.ln: r.alloc for r in
+           prorate_exact(df, "k", "amt", "w", "ln").collect()}
+    assert out == {1: 34, 2: 33, 3: 33}
+
+    # proportional: amount 10 over weights 7,2,1 → exact 7,2,1
+    rows = [(1, 10, 7, 1), (1, 10, 2, 2), (1, 10, 1, 3)]
+    df = spark.createDataFrame(rows, "k long, amt long, w long, ln long")
+    out = {r.ln: r.alloc for r in
+           prorate_exact(df, "k", "amt", "w", "ln").collect()}
+    assert out == {1: 7, 2: 2, 3: 1}
+
+
+def test_prorate_exact_remainder_goes_to_largest_fraction(spark):
+    from cubicerp_client_etl_spark.operators.budget import prorate_exact
+
+    # amount 10, weights 5,4 → exact 50/9=5.55, 40/9=4.44 → base 5,4
+    # frac 5, 4... wait W=9: base=floor(50/9)=5 frac=5; floor(40/9)=4
+    # frac=4; r = 10-9 = 1 → +1 to line with frac 5 (line 1) → 6,4
+    rows = [(1, 10, 5, 1), (1, 10, 4, 2)]
+    df = spark.createDataFrame(rows, "k long, amt long, w long, ln long")
+    out = {r.ln: r.alloc for r in
+           prorate_exact(df, "k", "amt", "w", "ln").collect()}
+    assert out == {1: 6, 2: 4}
+    assert sum(out.values()) == 10
+
+
+def test_prorate_exact_zero_weights_books_first_line(spark):
+    from cubicerp_client_etl_spark.operators.budget import prorate_exact
+
+    rows = [(1, 55, 0, 2), (1, 55, 0, 1)]
+    df = spark.createDataFrame(rows, "k long, amt long, w long, ln long")
+    out = {r.ln: r.alloc for r in
+           prorate_exact(df, "k", "amt", "w", "ln").collect()}
+    assert out == {1: 55, 2: 0}
+
+
+# ------------------------------------------------------------ MAD ----
+
+
+def test_mad_outlier_screen_known_values(spark):
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        mad_outlier_screen,
+    )
+
+    # values 1..9 plus wild 1000: median (disc, of 10) = 5,
+    # deviations |v-5| = 4,3,2,1,0,1,2,3,4,995 → sorted
+    # 0,1,1,2,2,3,3,4,4,995 → p50 disc = 2 (rank 5) → MAD 2
+    # fences 5 ± 6 → [-1, 11]: only 1000 is out (high)
+    vals = list(range(1, 10)) + [1000]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = mad_outlier_screen(df, "v", k=3).collect()[0]
+    assert (r.n, r.median, r.mad) == (10, 5, 2)
+    assert (r.lo_fence, r.hi_fence) == (-1, 11)
+    assert (r.n_low, r.n_high) == (0, 1)
+
+
+def test_mad_outlier_screen_rejects_bad_k(spark):
+    from cubicerp_client_etl_spark.operators.quantiles import (
+        mad_outlier_screen,
+    )
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        mad_outlier_screen(df, "v", k=0)
