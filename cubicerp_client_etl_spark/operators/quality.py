@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -259,4 +259,49 @@ def key_skew_audit(
                 " div n_rows AS BIGINT)"
             ).alias("skew_ratio_e6"),
         )
+    )
+
+
+def cusum_alarm(
+    day_counts: DataFrame,
+    time_col: str,
+    value_col: str,
+    target: int,
+    threshold: int,
+) -> DataFrame:
+    """One-sided CUSUM changepoint alarm over a BOUNDED per-period
+    aggregate (daily counts, hourly error rates): the classic
+    sequential drift detector ``S_t = max(0, S_{t-1} + (x_t − k))``
+    evaluated in its CLOSED FORM
+
+        S_t = P_t − min_{0 ≤ j ≤ t} P_j,   P_t = Σ_{i≤t} (x_i − k)
+
+    so no recursion and no driver loop — two windows over the
+    period table, which is bounded by the time span (a year of days
+    is 365 rows however big the corpus), prover-compliant.
+
+    Returns one row per period: ``(time_col, value_col, cusum,
+    alarm)`` with ``alarm = cusum > threshold``. Exact integers; both
+    windows replay in any engine.
+
+    Callers aggregate the raw stream to per-period counts first (one
+    keyed aggregation — the only corpus-sized stage).
+    """
+    w_cum = Window.orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = F.sum(F.col(value_col) - F.lit(int(target))).over(w_cum)
+    staged = day_counts.withColumn("_p", p).withColumn(
+        # min over P_0..P_t INCLUDING the current prefix, with the
+        # virtual start P_0 = 0 folded in via least(0, ·) — the
+        # reflection identity needs j = t in range (dropping it makes
+        # S_t go negative on a first-below-target period)
+        "_pmin",
+        F.least(F.lit(0).cast("bigint"), F.min("_p").over(w_cum)),
+    )
+    return staged.select(
+        time_col,
+        value_col,
+        (F.col("_p") - F.col("_pmin")).cast("bigint").alias("cusum"),
+        ((F.col("_p") - F.col("_pmin")) > threshold).alias("alarm"),
     )

@@ -419,3 +419,39 @@ def mad_outlier_screen(
             .alias("n_high"),
         )
     )
+
+
+def weighted_median(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
+    """Exact weighted discrete median: the smallest value whose
+    cumulative WEIGHT fraction reaches 1/2 (type-1 semantics on the
+    weight measure — the cost-weighted p50 a spend analysis needs,
+    where a big invoice should pull the median more than a small one).
+
+    Same scalable shape as :func:`exact_quantiles`: weight-sum per
+    distinct value (one keyed aggregation), two-phase prefix scan over
+    the bounded value table, rank rule ``2·cum ≥ total`` evaluated in
+    exact integers (no float division at all — the q=1/2 special case
+    admits it). Rows with null or non-positive weight are excluded.
+
+    Returns one row: ``(n_rows, total_weight, weighted_median)``.
+    """
+    vals = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    counts = vals.groupBy(F.col(value_col).alias("_v")).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("_w"),
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+    )
+    cum = prefix_sum(counts, order_by=[F.col("_v")], value_col="_w", out_col="_cum")
+    tot = cum.agg(
+        F.max("_cum").cast("bigint").alias("_tw"),
+        F.sum("_c").cast("bigint").alias("_n"),
+    )
+    hit = cum.join(F.broadcast(tot)).where(2 * F.col("_cum") >= F.col("_tw"))
+    return hit.agg(
+        F.first("_n").alias("n_rows"),
+        F.first("_tw").alias("total_weight"),
+        F.min("_v").cast("bigint").alias("weighted_median"),
+    )

@@ -1040,3 +1040,101 @@ def q245_mad_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v")
     )
     return mad_outlier_screen(li, "v", k=3)
+
+
+# --------------------------------------------------------------------------
+# q246 — CUSUM changepoint alarm (operators/quality.cusum_alarm): the
+# sequential drift detector over daily error-event counts, evaluated
+# in its closed form S_t = P_t − min_{j≤t} P_j (P = prefix sums of
+# x − k) — two windows over the BOUNDED per-day aggregate, no
+# recursion, no driver loop. Exact integers; both windows replay.
+# --------------------------------------------------------------------------
+
+_CUSUM_TARGET = 70  # expected errors/day; drift accumulates above this
+_CUSUM_H = 40
+
+
+@register(
+    "q246_cusum_alarm",
+    oracle=f"""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+p AS (
+  SELECT day, n,
+         sum(n - {_CUSUM_TARGET}) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS _p
+  FROM d
+),
+s AS (
+  SELECT day, n, _p,
+         least(0, min(_p) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS _pmin
+  FROM p
+)
+SELECT CAST(day AS BIGINT) AS day, n,
+       CAST(_p - _pmin AS BIGINT) AS cusum,
+       (_p - _pmin) > {_CUSUM_H} AS alarm
+FROM s
+""",
+)
+def q246_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import cusum_alarm
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return cusum_alarm(
+        daily, "day", "n", target=_CUSUM_TARGET, threshold=_CUSUM_H
+    ).select(
+        F.col("day").cast("bigint").alias("day"), "n", "cusum", "alarm"
+    )
+
+
+# --------------------------------------------------------------------------
+# q247 — Cost-weighted median (operators/quantiles.weighted_median):
+# the quantity at which half the SPEND sits at or below — a count
+# median answers "typical line", the weight median answers "typical
+# dollar". Value-count weight table + two-phase prefix scan; the
+# q=1/2 rank rule 2·cum ≥ total runs in exact integers (no float
+# division anywhere).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q247_cost_weighted_median",
+    oracle="""
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice > 0
+),
+c AS (SELECT q, CAST(sum(w) AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY q),
+cum AS (SELECT q, c, sum(w) OVER (ORDER BY q) AS cum FROM c),
+tot AS (SELECT CAST(max(cum) AS BIGINT) AS tw, CAST(sum(c) AS BIGINT) AS n
+        FROM cum)
+SELECT n AS n_rows, tw AS total_weight,
+       CAST(min(q) AS BIGINT) AS weighted_median
+FROM cum CROSS JOIN tot
+WHERE 2 * cum >= tw
+GROUP BY n, tw
+""",
+)
+def q247_cost_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quantiles import weighted_median
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+    )
+    return weighted_median(li, "q", "w")

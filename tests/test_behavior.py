@@ -514,3 +514,60 @@ def test_mad_outlier_screen_rejects_bad_k(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError):
         mad_outlier_screen(df, "v", k=0)
+
+
+# ------------------------------------------------------------ CUSUM ----
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    from cubicerp_client_etl_spark.operators.quality import cusum_alarm
+
+    xs = [5, 5, 9, 12, 11, 4, 3, 15, 15, 15]
+    target, h = 7, 10
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, n long"
+    )
+    got = {
+        r.t: (r.cusum, r.alarm)
+        for r in cusum_alarm(df, "t", "n", target, h).collect()
+    }
+    # brute-force recurrence S_t = max(0, S_{t-1} + x - k)
+    s = 0
+    for i, x in enumerate(xs):
+        s = max(0, s + x - target)
+        assert got[i] == (s, s > h), (i, got[i], s)
+
+
+def test_cusum_resets_after_quiet_period(spark):
+    from cubicerp_client_etl_spark.operators.quality import cusum_alarm
+
+    # a burst, then deep quiet: the max(0, ...) clamp must reset the
+    # statistic so a later small bump doesn't alarm
+    xs = [20, 20, 0, 0, 0, 0, 9]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, n long"
+    )
+    out = {r.t: r for r in cusum_alarm(df, "t", "n", 8, 15).collect()}
+    assert out[1].alarm  # 12 + 12 = 24 > 15
+    assert out[6].cusum == 1 and not out[6].alarm  # reset, then 9-8
+
+
+# --------------------------------------------------- weighted median ----
+
+
+def test_weighted_median_known_values(spark):
+    from cubicerp_client_etl_spark.operators.quantiles import weighted_median
+
+    # values 1..4 with weights 1,1,1,7: half the weight (5 of 10) is
+    # reached only at value 4
+    rows = [(1, 1), (2, 1), (3, 1), (4, 7)]
+    df = spark.createDataFrame(rows, "v long, w long")
+    r = weighted_median(df, "v", "w").collect()[0]
+    assert (r.n_rows, r.total_weight, r.weighted_median) == (4, 10, 4)
+    # equal weights degenerate to the plain discrete median
+    eq = spark.createDataFrame([(v, 1) for v in [1, 2, 3, 4, 5]], "v long, w long")
+    assert weighted_median(eq, "v", "w").collect()[0].weighted_median == 3
+    # zero/negative weights are excluded
+    z = spark.createDataFrame([(1, 0), (2, 5), (9, -3)], "v long, w long")
+    r = weighted_median(z, "v", "w").collect()[0]
+    assert (r.n_rows, r.weighted_median) == (1, 2)
