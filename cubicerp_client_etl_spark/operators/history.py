@@ -282,3 +282,77 @@ def as_known_at(
         F.max(mask).cast("bigint").alias("known_ingest"),
         *[F.max_by(F.col(f), mask).alias(f) for f in fields],
     )
+
+
+def fifo_lot_matching(
+    inbound: DataFrame,
+    outbound: DataFrame,
+    key_col: str,
+    in_order: Sequence[Column],
+    out_order: Sequence[Column],
+    in_qty: str,
+    out_qty: str,
+    in_carry: Sequence[str] = (),
+    out_carry: Sequence[str] = (),
+) -> DataFrame:
+    """FIFO lot matching as an interval join of cumulative-quantity
+    ranges — the set-based form of the sequential "consume the oldest
+    lot first" walk, and the engine for FIFO cost-of-goods-sold:
+
+    each inbound lot owns the unit range ``[cum_before, cum_after)``
+    of its key's cumulative inbound quantity; each outbound demand
+    owns the analogous range of cumulative OUTBOUND quantity; FIFO
+    says demand units map to supply units IN ORDER, so the match
+    quantity between a lot and a demand is exactly the OVERLAP LENGTH
+    of their ranges. No loop, no recursion — two windows (one per
+    side, partitioned by the high-cardinality stock key) and one
+    equi-join on the key with a range-overlap residual, whose fan-out
+    is bounded per key by lots+demands actually overlapping.
+
+    Returns one row per (lot, demand) pair with positive overlap:
+    ``(key_col, <in_carry...>, <out_carry...>, matched_qty)`` plus
+    ``in_lo``/``out_lo`` (range starts — the audit columns that prove
+    order). Unfilled demand (outbound beyond total inbound) simply has
+    no supply range to overlap — callers detect it by comparing
+    matched sums to demand (exactly the reconciliation the reference's
+    ledger fields carry, cubicerpetl.py:775-787).
+
+    Quantities must be positive integers (quantize units first).
+    """
+    w_in = Window.partitionBy(key_col).orderBy(*in_order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_out = Window.partitionBy(key_col).orderBy(*out_order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lots = inbound.select(
+        F.col(key_col),
+        *[F.col(c) for c in in_carry],
+        (F.sum(in_qty).over(w_in) - F.col(in_qty)).alias("in_lo"),
+        F.sum(in_qty).over(w_in).alias("_in_hi"),
+    )
+    demands = outbound.select(
+        F.col(key_col).alias("_k2"),
+        *[F.col(c) for c in out_carry],
+        (F.sum(out_qty).over(w_out) - F.col(out_qty)).alias("out_lo"),
+        F.sum(out_qty).over(w_out).alias("_out_hi"),
+    )
+    j = lots.join(
+        demands,
+        (lots[key_col] == demands["_k2"])
+        & (F.col("in_lo") < F.col("_out_hi"))
+        & (F.col("out_lo") < F.col("_in_hi")),
+    )
+    return j.select(
+        key_col,
+        *in_carry,
+        *out_carry,
+        "in_lo",
+        "out_lo",
+        (
+            F.least(F.col("_in_hi"), F.col("_out_hi"))
+            - F.greatest(F.col("in_lo"), F.col("out_lo"))
+        )
+        .cast("bigint")
+        .alias("matched_qty"),
+    )

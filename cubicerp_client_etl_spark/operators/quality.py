@@ -305,3 +305,61 @@ def cusum_alarm(
         (F.col("_p") - F.col("_pmin")).cast("bigint").alias("cusum"),
         ((F.col("_p") - F.col("_pmin")) > threshold).alias("alarm"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut_e6: int = 800_000,
+    b_cut_e6: int = 950_000,
+) -> DataFrame:
+    """ABC (Pareto) classification — the inventory/portfolio rule:
+    rank keys by total value descending, classify the keys covering
+    the first ``a_cut_e6`` (default 80%) of cumulative value as 'A',
+    through ``b_cut_e6`` (default 95%) as 'B', the tail as 'C'. A
+    key's class is decided by its cumulative share INCLUDING itself
+    (the key that crosses the 80% line is still an A — standard
+    practice), ties broken by key for determinism.
+
+    Returns one row per key: ``(key_col, value, rank, cum_value,
+    cum_share_e6, abc_class)``. Exact integers: cumulative sums in
+    bigint, shares as decimal-routed e6 floors.
+
+    Scale: one keyed aggregation (map-side combine), then the ordered
+    prefix runs over the AGGREGATE — bounded by construction (the
+    distinct-key table), the same prover-checkable shape as the
+    CDF/Gini value-count scans. No raw-row global sort.
+    """
+    if not 0 < a_cut_e6 < b_cut_e6 <= 1_000_000:
+        raise ValueError("need 0 < a_cut_e6 < b_cut_e6 <= 1e6")
+    agg = df.groupBy(key_col).agg(
+        F.sum(F.col(value_col)).cast("bigint").alias("value")
+    )
+    w = Window.orderBy(F.col("value").desc(), F.col(key_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        agg.withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("value").desc(), F.col(key_col))
+        ).cast("bigint"))
+        .withColumn("cum_value", F.sum("value").over(w).cast("bigint"))
+        .withColumn("_tot", F.sum("value").over(w_all))
+    )
+    share = F.expr(
+        "CAST(CAST(cum_value AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)"
+    )
+    return staged.select(
+        key_col,
+        "value",
+        "rank",
+        "cum_value",
+        share.alias("cum_share_e6"),
+        F.when(share <= a_cut_e6, F.lit("A"))
+        .when(share <= b_cut_e6, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -1138,3 +1138,182 @@ def q247_cost_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w"),
     )
     return weighted_median(li, "q", "w")
+
+
+# --------------------------------------------------------------------------
+# q248 — FIFO cost of goods sold (operators/history.fifo_lot_matching):
+# FIFO lot consumption expressed as an interval join of cumulative-
+# quantity ranges — the set-based form of "consume the oldest lot
+# first", no loop, no recursion. Returns (restock lots = inbound,
+# shipments = outbound) matches per part with exact matched units and
+# lot-costed cents; unfilled demand falls out of the reconciliation.
+# Scale: two windows on the high-cardinality part key + one equi-join
+# on the key with a range residual (per-part fan bounded by movements
+# per part).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q248_fifo_cogs",
+    oracle="""
+WITH inb AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS unit_cents,
+         sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING) AS in_hi
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+lots AS (SELECT *, in_hi - qty AS in_lo FROM inb),
+outb AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS oqty,
+         sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING) AS out_hi
+  FROM lineitem WHERE l_returnflag <> 'R'
+),
+dem AS (SELECT *, out_hi - oqty AS out_lo FROM outb),
+m AS (
+  SELECT lots.l_partkey,
+         least(lots.in_hi, dem.out_hi)
+           - greatest(lots.in_lo, dem.out_lo) AS matched_qty,
+         lots.unit_cents
+  FROM lots JOIN dem
+    ON dem.l_partkey = lots.l_partkey
+   AND lots.in_lo < dem.out_hi AND dem.out_lo < lots.in_hi
+),
+tot_out AS (
+  SELECT l_partkey, CAST(sum(oqty) AS BIGINT) AS demand_qty
+  FROM dem GROUP BY l_partkey
+),
+agg AS (
+  SELECT m.l_partkey,
+         CAST(count(*) AS BIGINT) AS n_matches,
+         CAST(sum(matched_qty) AS BIGINT) AS matched_qty,
+         CAST(sum(CAST(matched_qty AS HUGEINT) * unit_cents) AS HUGEINT)
+           AS _cogs
+  FROM m GROUP BY m.l_partkey
+)
+SELECT t.l_partkey,
+       CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(a.matched_qty, 0) AS BIGINT) AS matched_qty,
+       CAST(t.demand_qty - COALESCE(a.matched_qty, 0) AS BIGINT)
+         AS unfilled_qty,
+       CAST(COALESCE(a._cogs, 0) // 1000000000000000000 AS BIGINT)
+         AS cogs_cents_hi,
+       CAST(COALESCE(a._cogs, 0) % 1000000000000000000 AS BIGINT)
+         AS cogs_cents_lo
+FROM tot_out t LEFT JOIN agg a ON a.l_partkey = t.l_partkey
+""",
+)
+def q248_fifo_cogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import hi_lo_bigint
+    from cubicerp_client_etl_spark.operators.history import fifo_lot_matching
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div CAST(l_quantity AS BIGINT)"
+        ).alias("unit_cents"),
+    )
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    inbound = li.where(F.col("l_returnflag") == "R")
+    outbound = li.where(F.col("l_returnflag") != "R").withColumnRenamed(
+        "qty", "oqty"
+    )
+    matches = fifo_lot_matching(
+        inbound,
+        outbound,
+        "l_partkey",
+        in_order=order,
+        out_order=order,
+        in_qty="qty",
+        out_qty="oqty",
+        in_carry=["unit_cents"],
+    )
+    agg = matches.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("matched_qty").cast("bigint").alias("matched_qty"),
+        F.sum(
+            F.col("matched_qty").cast("decimal(38,0)") * F.col("unit_cents")
+        )
+        .cast("decimal(38,0)")
+        .alias("_cogs"),
+    )
+    tot_out = outbound.groupBy("l_partkey").agg(
+        F.sum("oqty").cast("bigint").alias("demand_qty")
+    )
+    j = tot_out.join(agg, "l_partkey", "left")
+    return j.select(
+        "l_partkey",
+        F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        F.coalesce("matched_qty", F.lit(0)).cast("bigint").alias("matched_qty"),
+        (F.col("demand_qty") - F.coalesce("matched_qty", F.lit(0)))
+        .cast("bigint")
+        .alias("unfilled_qty"),
+        F.coalesce(F.col("_cogs"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("_cogs2"),
+    ).select(
+        "l_partkey",
+        "n_matches",
+        "matched_qty",
+        "unfilled_qty",
+        *hi_lo_bigint("_cogs2", "cogs_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q249 — ABC (Pareto) inventory classification (operators/quality.
+# abc_classification): parts ranked by revenue; the keys covering the
+# first 80% of cumulative revenue are A, through 95% B, tail C — the
+# warehouse-policy classifier. One keyed aggregation; the ordered
+# prefix runs over the bounded distinct-key aggregate (the CDF/Gini
+# scan shape).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q249_abc_classification",
+    oracle="""
+WITH agg AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS value
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT pk, value,
+         CAST(row_number() OVER (ORDER BY value DESC, pk) AS BIGINT) AS rank,
+         CAST(sum(value) OVER (ORDER BY value DESC, pk
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value,
+         CAST(sum(value) OVER () AS BIGINT) AS _tot
+  FROM agg
+)
+SELECT pk AS l_partkey, value, rank, cum_value,
+       CAST(CAST(cum_value AS HUGEINT) * 1000000 // _tot AS BIGINT)
+         AS cum_share_e6,
+       CASE WHEN CAST(cum_value AS HUGEINT) * 1000000 // _tot <= 800000
+            THEN 'A'
+            WHEN CAST(cum_value AS HUGEINT) * 1000000 // _tot <= 950000
+            THEN 'B' ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def q249_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import abc_classification
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return abc_classification(li, "l_partkey", "cents")

@@ -571,3 +571,62 @@ def test_weighted_median_known_values(spark):
     z = spark.createDataFrame([(1, 0), (2, 5), (9, -3)], "v long, w long")
     r = weighted_median(z, "v", "w").collect()[0]
     assert (r.n_rows, r.weighted_median) == (1, 2)
+
+
+# --------------------------------------------------------- FIFO lots ----
+
+
+def test_fifo_lot_matching_consumes_oldest_first(spark):
+    from cubicerp_client_etl_spark.operators.history import fifo_lot_matching
+
+    # part 1: lots (seq1: 10 units @5c), (seq2: 5 @7c);
+    # demands (seq1: 8), (seq2: 4) → d1 takes 8 of lot1;
+    # d2 takes 2 of lot1 + 2 of lot2; 3 units of lot2 remain
+    inb = spark.createDataFrame(
+        [(1, 1, 10, 5), (1, 2, 5, 7)], "pk long, seq long, qty long, cost long"
+    )
+    outb = spark.createDataFrame(
+        [(1, 1, 8), (1, 2, 4)], "pk long, seq long, oqty long"
+    )
+    m = fifo_lot_matching(
+        inb, outb, "pk",
+        in_order=[F.col("seq")], out_order=[F.col("seq")],
+        in_qty="qty", out_qty="oqty",
+        in_carry=["cost"], out_carry=[],
+    ).collect()
+    got = sorted((r.in_lo, r.out_lo, r.matched_qty, r.cost) for r in m)
+    assert got == [(0, 0, 8, 5), (0, 8, 2, 5), (10, 8, 2, 7)]
+    # total matched = min(supply, demand) = 12
+    assert sum(r.matched_qty for r in m) == 12
+
+
+def test_fifo_lot_matching_unfilled_demand_has_no_supply_overlap(spark):
+    from cubicerp_client_etl_spark.operators.history import fifo_lot_matching
+
+    inb = spark.createDataFrame([(1, 1, 3, 10)], "pk long, seq long, qty long, cost long")
+    outb = spark.createDataFrame([(1, 1, 9)], "pk long, seq long, oqty long")
+    m = fifo_lot_matching(
+        inb, outb, "pk",
+        in_order=[F.col("seq")], out_order=[F.col("seq")],
+        in_qty="qty", out_qty="oqty", in_carry=["cost"],
+    ).collect()
+    assert len(m) == 1 and m[0].matched_qty == 3  # 6 units unfilled
+
+
+# ---------------------------------------------------------- ABC class ----
+
+
+def test_abc_classification_thresholds(spark):
+    from cubicerp_client_etl_spark.operators.quality import abc_classification
+
+    # values 80, 12, 5, 2, 1 → cum shares .80, .92, .97, .99, 1.0
+    rows = [("a", 80), ("b", 12), ("c", 5), ("d", 2), ("e", 1)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = {r.k: r for r in abc_classification(df, "k", "v").collect()}
+    assert out["a"].abc_class == "A" and out["a"].cum_share_e6 == 800_000
+    assert out["b"].abc_class == "B"  # 92% crosses 80, within 95
+    assert out["c"].abc_class == "C" and out["d"].abc_class == "C"
+    assert [out[k].rank for k in "abcde"] == [1, 2, 3, 4, 5]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        abc_classification(df, "k", "v", a_cut_e6=900_000, b_cut_e6=800_000)
