@@ -233,3 +233,70 @@ def transition_matrix(
         "n",
         e6_floor_ratio(F.col("n"), F.col("_tot")).cast("bigint").alias("p_e6"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+    gap: int,
+    max_steps: int = 5,
+) -> DataFrame:
+    """Navigation-path signatures: sessionize each user's events by an
+    idle gap (``gap`` in the same integer units as ``ts_col``; a new
+    session starts when the inter-event gap is >= gap — the q222
+    boundary rule), then fingerprint every session by its FIRST
+    ``max_steps`` event types joined with '>' ("view>click>purchase").
+
+    Returns one row per session: ``(user_col, session_seq, n_events,
+    path)`` where ``session_seq`` numbers the user's sessions from 1.
+
+    Scale: two windows partitioned by the high-cardinality user key
+    (lag + running session counter), one window on (user, session) for
+    the step rank, then ONE keyed aggregation whose collected list is
+    capped at ``max_steps`` elements BEFORE collection (the rank
+    filter runs inside the aggregate via conditional collect) — state
+    per group is bounded by max_steps however long a bot session runs.
+    """
+    if gap < 1 or max_steps < 1:
+        raise ValueError("gap >= 1 and max_steps >= 1 required")
+    w_u = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    new_sess = F.when(
+        F.lag(ts_col).over(w_u).isNull()
+        | (F.col(ts_col) - F.lag(ts_col).over(w_u) >= gap),
+        1,
+    ).otherwise(0)
+    sessed = events.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_s = Window.partitionBy(user_col, "session_seq").orderBy(
+        ts_col, order_col
+    )
+    ranked = sessed.withColumn("_rk", F.row_number().over(w_s))
+    return ranked.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rk") <= max_steps,
+                            F.struct(
+                                F.col("_rk").alias("r"),
+                                F.col(type_col).alias("ty"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["ty"],
+            ),
+            ">",
+        ).alias("path"),
+    )

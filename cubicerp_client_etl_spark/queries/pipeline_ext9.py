@@ -1317,3 +1317,164 @@ def q249_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     return abc_classification(li, "l_partkey", "cents")
+
+
+# --------------------------------------------------------------------------
+# q250 — Session path signatures (operators/behavior.session_paths):
+# 30-minute-gap sessions fingerprinted by their first-5 event types
+# ("view>click>purchase"), rolled up to path frequencies — the
+# navigation-pattern mining behind funnel DISCOVERY (q232 measures a
+# known funnel; this finds the candidates). Scale: user-key windows,
+# per-session rank, ONE aggregation whose collected state is capped
+# at 5 elements before collection.
+# --------------------------------------------------------------------------
+
+_PATH_GAP_US = 30 * 60 * 1_000_000
+_PATH_STEPS = 5
+
+
+@register(
+    "q250_session_paths",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w >= {_PATH_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+sessed AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY t, event_id) AS rk
+  FROM sessed
+),
+per_sess AS (
+  SELECT user_id, session_seq,
+         CAST(count(*) AS BIGINT) AS n_events,
+         string_agg(event_type, '>' ORDER BY rk)
+           FILTER (WHERE rk <= {_PATH_STEPS}) AS path
+  FROM ranked GROUP BY user_id, session_seq
+)
+SELECT path,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS total_events
+FROM per_sess GROUP BY path
+""",
+)
+def q250_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import session_paths
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_type",
+    )
+    sess = session_paths(
+        ev,
+        "user_id",
+        "t_us",
+        "event_type",
+        "event_id",
+        gap=_PATH_GAP_US,
+        max_steps=_PATH_STEPS,
+    )
+    return sess.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q251 — Price–volume–mix bridge (operators/finance.price_volume_bridge):
+# decompose the 1994 → 1995 revenue change per part into volume effect
+# (prior price × quantity change, sign-factored truncation so Spark
+# div == DuckDB //) and price effect (exact residual), with new/lost
+# assortment classified; rolled up by brand. One full-outer equi-join
+# on the part key after two keyed period aggregates.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q251_price_volume_bridge",
+    oracle="""
+WITH base AS (
+  SELECT l_partkey, year(l_shipdate) AS yr,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem WHERE year(l_shipdate) IN (1994, 1995)
+  GROUP BY l_partkey, year(l_shipdate)
+),
+p AS (SELECT l_partkey, q AS q_prev, r AS rev_prev FROM base WHERE yr = 1994),
+c AS (SELECT l_partkey, q AS q_cur, r AS rev_cur FROM base WHERE yr = 1995),
+j AS (
+  SELECT COALESCE(p.l_partkey, c.l_partkey) AS l_partkey,
+         CASE WHEN p.l_partkey IS NULL THEN 'new'
+              WHEN c.l_partkey IS NULL THEN 'lost' ELSE 'both' END AS status,
+         COALESCE(q_prev, 0) AS q_prev, COALESCE(q_cur, 0) AS q_cur,
+         COALESCE(rev_prev, 0) AS rev_prev, COALESCE(rev_cur, 0) AS rev_cur
+  FROM p FULL OUTER JOIN c ON c.l_partkey = p.l_partkey
+),
+eff AS (
+  SELECT *, rev_cur - rev_prev AS delta_rev,
+         CASE WHEN status = 'both' AND q_prev > 0
+              THEN (CASE WHEN q_cur - q_prev < 0 THEN -1 ELSE 1 END)
+                   * CAST(CAST(rev_prev AS HUGEINT) * abs(q_cur - q_prev)
+                          // q_prev AS BIGINT)
+              ELSE 0 END AS volume_eff
+  FROM j
+),
+eff2 AS (
+  SELECT *, CASE WHEN status = 'both' THEN delta_rev - volume_eff
+                 ELSE 0 END AS price_eff
+  FROM eff
+)
+SELECT pt.p_brand, eff2.status,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(delta_rev) AS BIGINT) AS delta_rev,
+       CAST(sum(volume_eff) AS BIGINT) AS volume_eff,
+       CAST(sum(price_eff) AS BIGINT) AS price_eff
+FROM eff2 JOIN part pt ON pt.p_partkey = eff2.l_partkey
+GROUP BY pt.p_brand, eff2.status
+""",
+)
+def q251_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        price_volume_bridge,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("r"),
+    ).where(F.col("yr").isin(1994, 1995))
+    base = li.groupBy("l_partkey", "yr").agg(
+        F.sum("q").cast("bigint").alias("q"),
+        F.sum("r").cast("bigint").alias("r"),
+    )
+    prev = base.where(F.col("yr") == 1994)
+    cur = base.where(F.col("yr") == 1995)
+    bridge = price_volume_bridge(prev, cur, "l_partkey", "q", "r")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = bridge.join(
+        F.broadcast(part), bridge.l_partkey == part.p_partkey
+    )
+    return j.groupBy("p_brand", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("delta_rev").cast("bigint").alias("delta_rev"),
+        F.sum("volume_eff").cast("bigint").alias("volume_eff"),
+        F.sum("price_eff").cast("bigint").alias("price_eff"),
+    )

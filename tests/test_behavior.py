@@ -630,3 +630,64 @@ def test_abc_classification_thresholds(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         abc_classification(df, "k", "v", a_cut_e6=900_000, b_cut_e6=800_000)
+
+
+# -------------------------------------------------------- session paths ----
+
+
+def test_session_paths_gap_split_and_step_cap(spark):
+    from cubicerp_client_etl_spark.operators.behavior import session_paths
+
+    rows = [
+        # user 1: session 1 = a,b,c,d,e,f (6 events, path caps at 5);
+        # then a 100us idle gap → session 2 = b,a
+        (1, 10, 1, "a"), (1, 11, 2, "b"), (1, 12, 3, "c"),
+        (1, 13, 4, "d"), (1, 14, 5, "e"), (1, 15, 6, "f"),
+        (1, 200, 7, "b"), (1, 201, 8, "a"),
+        (2, 10, 9, "x"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, eid long, ty string")
+    out = {
+        (r.u, r.session_seq): r
+        for r in session_paths(
+            df, "u", "t", "ty", "eid", gap=100, max_steps=5
+        ).collect()
+    }
+    assert out[(1, 1)].path == "a>b>c>d>e" and out[(1, 1)].n_events == 6
+    assert out[(1, 2)].path == "b>a" and out[(1, 2)].n_events == 2
+    assert out[(2, 1)].path == "x"
+    with pytest.raises(ValueError):
+        session_paths(df, "u", "t", "ty", "eid", gap=0)
+
+
+# ------------------------------------------------- price-volume bridge ----
+
+
+def test_price_volume_bridge_decomposition_exact(spark):
+    from cubicerp_client_etl_spark.operators.finance import (
+        price_volume_bridge,
+    )
+
+    prev = spark.createDataFrame(
+        [("p1", 10, 1000), ("p2", 4, 400), ("gone", 1, 50)],
+        "k string, q long, r long",
+    )
+    cur = spark.createDataFrame(
+        [("p1", 15, 1800), ("p2", 2, 260), ("fresh", 3, 90)],
+        "k string, q long, r long",
+    )
+    out = {r.k: r for r in
+           price_volume_bridge(prev, cur, "k", "q", "r").collect()}
+    # p1: vol = 1000*5//10 = 500, price = 800-500 = 300; sums exactly
+    assert (out["p1"].volume_eff, out["p1"].price_eff) == (500, 300)
+    assert out["p1"].delta_rev == 800
+    # p2: dq = -2 → vol = -(400*2//4) = -200; price = -140+200 = 60
+    assert (out["p2"].volume_eff, out["p2"].price_eff) == (-200, 60)
+    assert out["p2"].delta_rev == -140
+    # decomposition identity holds for every 'both' key
+    for r in out.values():
+        if r.status == "both":
+            assert r.volume_eff + r.price_eff == r.delta_rev, r
+    assert out["fresh"].status == "new" and out["fresh"].delta_rev == 90
+    assert out["gone"].status == "lost" and out["gone"].delta_rev == -50
+    assert out["gone"].volume_eff == 0 and out["gone"].price_eff == 0
