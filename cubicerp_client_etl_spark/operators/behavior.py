@@ -300,3 +300,49 @@ def session_paths(
             ">",
         ).alias("path"),
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: Column,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Maximum simultaneous open intervals, per reporting bucket — the
+    capacity question (peak concurrent sessions / connections / jobs).
+
+    Classic boundary walk, distributed: every interval emits +1 at
+    ``start_col`` and −1 at ``end_col``; the running sum over the
+    global (time, delta) order — ends before starts at the same tick,
+    the half-open [start, end) convention — is the concurrency curve;
+    the per-bucket max of the curve is the answer.
+
+    The running sum is GLOBAL, so it runs on the two-phase scan
+    (``prefix.prefix_sum``: range partition, per-slice sums, broadcast
+    offsets) — never a single-partition window over corpus-sized
+    boundaries. ``bucket`` is evaluated against the boundary's
+    timestamp column (pass e.g. ``F.expr("t div 86400000000")``
+    against the emitted ``t`` column).
+
+    Returns one row per bucket: ``(bucket_name, n_boundaries,
+    peak_concurrency)``.
+    """
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum
+
+    starts = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).cast("bigint").alias("d")
+    )
+    ends = intervals.select(
+        F.col(end_col).alias("t"), F.lit(-1).cast("bigint").alias("d")
+    )
+    bounds = starts.unionByName(ends)
+    # order: time, then delta ASC so -1 (ends) apply before +1 (starts)
+    # at the same tick — half-open interval semantics
+    cum = prefix_sum(
+        bounds, order_by=[F.col("t"), F.col("d")], value_col="d", out_col="_c"
+    )
+    return cum.groupBy(bucket.alias(bucket_name)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+        F.max("_c").cast("bigint").alias("peak_concurrency"),
+    )

@@ -363,3 +363,61 @@ def abc_classification(
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact per-group OLS trend line — "is this part's revenue
+    rising?" answered with the closed-form least-squares slope on
+    integer (x, y):
+
+        slope_e6     = (n·Σxy − Σx·Σy) · 1e6 div (n·Σx² − (Σx)²)
+        intercept_e6 = (Σy·Σx² − Σx·Σxy) · 1e6 div (n·Σx² − (Σx)²)
+
+    All five sufficient statistics are map-side-combinable sums; the
+    products run in DECIMAL(38,0) so nothing overflows below ~1e19
+    scale sums; the divisions are integer ``div`` (truncation toward
+    zero in BOTH engines — numerators can be negative, so oracles
+    must use a truncating division form, NOT ``//``; see the q251
+    sign discipline — here the oracle replays Spark's div via
+    sign-factored floor).
+
+    Degenerate groups (n < 2 or zero x-variance) report NULL slope —
+    reported, never a div-by-zero abort. Returns one row per group:
+    ``(group_cols..., n, sum_y, slope_e6, intercept_e6)``.
+
+    Scale: ONE keyed aggregation. Nothing else.
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("_sx"),
+        F.sum(y).cast("decimal(38,0)").alias("_sy"),
+        F.sum(x * x).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(x * y).cast("decimal(38,0)").alias("_sxy"),
+    )
+    det = F.expr("n * _sxx - _sx * _sx")
+    return agg.select(
+        *group_cols,
+        "n",
+        F.col("_sy").cast("bigint").alias("sum_y"),
+        F.when(
+            (F.col("n") >= 2) & (det != 0),
+            F.expr(
+                "CAST((n * _sxy - _sx * _sy) * 1000000"
+                " div (n * _sxx - _sx * _sx) AS BIGINT)"
+            ),
+        ).alias("slope_e6"),
+        F.when(
+            (F.col("n") >= 2) & (det != 0),
+            F.expr(
+                "CAST((_sy * _sxx - _sx * _sxy) * 1000000"
+                " div (n * _sxx - _sx * _sx) AS BIGINT)"
+            ),
+        ).alias("intercept_e6"),
+    )

@@ -1478,3 +1478,152 @@ def q251_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("volume_eff").cast("bigint").alias("volume_eff"),
         F.sum("price_eff").cast("bigint").alias("price_eff"),
     )
+
+
+# --------------------------------------------------------------------------
+# q252 — Peak concurrent sessions (operators/behavior.peak_concurrency):
+# the capacity question, answered with the boundary walk — +1/−1
+# deltas, global running sum via the TWO-PHASE SCAN (prefix.prefix_sum
+# — never a single-partition window over corpus-sized boundaries),
+# per-day max. Sessions are the 30-minute-gap kind; a session's
+# interval is [first event, last event + 1us) so single-event
+# sessions still occupy their tick.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q252_peak_concurrency",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w >= {_PATH_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+sessed AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+),
+iv AS (
+  SELECT user_id, sess, min(t) AS s, max(t) + 1 AS e
+  FROM sessed GROUP BY user_id, sess
+),
+bounds AS (
+  SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT e AS t, CAST(-1 AS BIGINT) AS d FROM iv
+),
+cum AS (
+  SELECT t, d, sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+  FROM bounds
+)
+SELECT CAST(t // 86400000000 AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_boundaries,
+       CAST(max(c) AS BIGINT) AS peak_concurrency
+FROM cum GROUP BY t // 86400000000
+""",
+)
+def q252_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import peak_concurrency
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+    )
+    w_u = W.partitionBy("user_id").orderBy("t", "event_id")
+    new_sess = F.when(
+        F.lag("t").over(w_u).isNull()
+        | (F.col("t") - F.lag("t").over(w_u) >= _PATH_GAP_US),
+        1,
+    ).otherwise(0)
+    sessed = ev.withColumn(
+        "sess",
+        F.sum(new_sess).over(
+            W.partitionBy("user_id")
+            .orderBy("t", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    iv = sessed.groupBy("user_id", "sess").agg(
+        F.min("t").alias("s"), (F.max("t") + 1).alias("e")
+    )
+    return peak_concurrency(
+        iv, "s", "e", F.expr("t div 86400000000"), bucket_name="day"
+    ).select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_boundaries",
+        "peak_concurrency",
+    )
+
+
+# --------------------------------------------------------------------------
+# q253 — Per-brand revenue trend (operators/quality.grouped_ols_trend):
+# exact closed-form OLS slope/intercept over (month index, monthly
+# revenue cents) per brand — one keyed aggregation of five sufficient
+# statistics, decimal(38,0) products, truncating integer division
+# replayed sign-factored in the oracle (numerators go negative for
+# falling brands; DuckDB // floors while Spark div truncates).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q253_brand_revenue_trend",
+    oracle="""
+WITH m AS (
+  SELECT pt.p_brand,
+         (year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS x,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem JOIN part pt ON pt.p_partkey = lineitem.l_partkey
+  GROUP BY pt.p_brand, x
+),
+agg AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM m GROUP BY p_brand
+),
+d AS (
+  SELECT *, n * sxx - sx * sx AS det,
+         (n * sxy - sx * sy) * 1000000 AS s_num,
+         (sy * sxx - sx * sxy) * 1000000 AS i_num
+  FROM agg
+)
+SELECT p_brand, n, CAST(sy AS BIGINT) AS sum_y,
+       CASE WHEN n >= 2 AND det <> 0 THEN
+         CAST(CASE WHEN s_num < 0 THEN -((-s_num) // det)
+                   ELSE s_num // det END AS BIGINT) END AS slope_e6,
+       CASE WHEN n >= 2 AND det <> 0 THEN
+         CAST(CASE WHEN i_num < 0 THEN -((-i_num) // det)
+                   ELSE i_num // det END AS BIGINT) END AS intercept_e6
+FROM d
+""",
+)
+def q253_brand_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import grouped_ols_trend
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
+        ).alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "x")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    return grouped_ols_trend(monthly, ["p_brand"], "x", "y")

@@ -691,3 +691,69 @@ def test_price_volume_bridge_decomposition_exact(spark):
     assert out["fresh"].status == "new" and out["fresh"].delta_rev == 90
     assert out["gone"].status == "lost" and out["gone"].delta_rev == -50
     assert out["gone"].volume_eff == 0 and out["gone"].price_eff == 0
+
+
+# ----------------------------------------------------- peak concurrency ----
+
+
+def test_peak_concurrency_boundary_walk(spark):
+    from cubicerp_client_etl_spark.operators.behavior import peak_concurrency
+
+    # intervals (all in bucket 0): [0,10) [5,15) [5,8) → peak 3 at t=5;
+    # [20,25) alone after → stays within same bucket, peak still 3;
+    # half-open: [10,12) starting exactly when [0,10) ends must not
+    # overlap it
+    rows = [(0, 10), (5, 15), (5, 8), (10, 12), (20, 25)]
+    df = spark.createDataFrame(rows, "s long, e long")
+    out = peak_concurrency(
+        df, "s", "e", F.expr("t div 100"), bucket_name="b"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].peak_concurrency == 3
+    assert out[0].n_boundaries == 10
+
+
+def test_peak_concurrency_half_open_no_phantom_overlap(spark):
+    from cubicerp_client_etl_spark.operators.behavior import peak_concurrency
+
+    # back-to-back [0,5) [5,10): never 2 concurrent
+    df = spark.createDataFrame([(0, 5), (5, 10)], "s long, e long")
+    out = peak_concurrency(df, "s", "e", F.lit(0), bucket_name="b").collect()
+    assert out[0].peak_concurrency == 1
+
+
+# ------------------------------------------------------------ OLS trend ----
+
+
+def test_grouped_ols_trend_exact_line(spark):
+    from cubicerp_client_etl_spark.operators.quality import grouped_ols_trend
+
+    # perfect line y = 3x + 7 → slope 3e6, intercept 7e6
+    rows = [("g", x, 3 * x + 7) for x in range(10)]
+    # falling line y = -2x + 100 → negative slope (tests div vs floor)
+    rows += [("f", x, -2 * x + 100) for x in range(10)]
+    # degenerate: single point
+    rows += [("one", 5, 42)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in grouped_ols_trend(df, ["g"], "x", "y").collect()}
+    assert (out["g"].slope_e6, out["g"].intercept_e6) == (3_000_000, 7_000_000)
+    assert (out["f"].slope_e6, out["f"].intercept_e6) == (-2_000_000, 100_000_000)
+    assert out["one"].slope_e6 is None and out["one"].intercept_e6 is None
+    assert out["one"].n == 1 and out["one"].sum_y == 42
+
+
+def test_grouped_ols_trend_truncation_matches_python(spark):
+    from cubicerp_client_etl_spark.operators.quality import grouped_ols_trend
+
+    # noisy integer points: pin against the closed form with Python
+    # int() truncation-toward-zero on the signed quotient
+    pts = [(0, 13), (1, 9), (2, 17), (3, 4), (4, 21)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts], "g string, x long, y long")
+    r = grouped_ols_trend(df, ["g"], "x", "y").collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+    det = n * sxx - sx * sx
+    want_slope = int((n * sxy - sx * sy) * 1_000_000 / det) if det else None
+    # int() truncates toward zero like Spark div
+    assert r.slope_e6 == want_slope
