@@ -1155,6 +1155,7 @@ def q247_cost_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q248_fifo_cogs",
+    headline=True,
     oracle="""
 WITH inb AS (
   SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
