@@ -382,38 +382,72 @@ def mad_outlier_screen(
     the fence the way a stddev screen lets it (50% breakdown point vs
     0 for mean ± kσ).
 
-    Exact discrete medians from the value-count prefix scan
-    (:func:`exact_quantiles` semantics, the ``quantile_disc`` rank
-    rule), both broadcast back as 1-row dims. Scale: two bounded
-    value-count passes + one counting aggregate — no raw-row window,
-    no sort of the data itself.
+    ONE corpus scan total: the value-count table carries everything —
+    the median (weighted rank rule on the count prefix), the MAD
+    (deviation values |v − m| are a FUNCTION of the distinct values,
+    so the deviation count table is a regroup of the value counts,
+    never a second raw-row pass), and the fence-breach counts (sums of
+    counts beyond the fences). The integer ``2·cum ≥ n`` form of the
+    q = 1/2 rank rule matches ``quantile_disc`` exactly with no float
+    edge. The two prefix scans run over BOUNDED distinct-value tables.
+    (The original two-corpus-pass composition measured 7.9 s at sf0.1
+    — the rework amortizes to the one scan it mathematically needs.)
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     vals = df.where(F.col(value_col).isNotNull())
-    med = exact_quantiles(vals, value_col, [0.5], out_col="_med").select("_med")
-    dev = vals.join(F.broadcast(med)).select(
-        F.abs(F.col(value_col) - F.col("_med")).alias("_d")
+    counts = vals.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
     )
-    mad = exact_quantiles(dev, "_d", [0.5], out_col="_mad").select("_mad")
+    cum = prefix_sum(counts, order_by=[F.col("_v")], value_col="_c", out_col="_cum")
+    tot = cum.agg(F.max("_cum").cast("bigint").alias("_n"))
+    med = (
+        cum.join(F.broadcast(tot))
+        .where(2 * F.col("_cum") >= F.col("_n"))
+        .agg(F.min("_v").cast("bigint").alias("_med"))
+    )
+    # deviation counts from the COUNT TABLE (|v-m| regroups distinct
+    # values; two v can share a deviation, so re-aggregate)
+    devc = (
+        cum.join(F.broadcast(med))
+        .groupBy(F.abs(F.col("_v") - F.col("_med")).alias("_d"))
+        .agg(F.sum("_c").cast("bigint").alias("_c"))
+    )
+    dcum = prefix_sum(devc, order_by=[F.col("_d")], value_col="_c", out_col="_cum")
+    mad = (
+        dcum.join(F.broadcast(tot))
+        .where(2 * F.col("_cum") >= F.col("_n"))
+        .agg(F.min("_d").cast("bigint").alias("_mad"))
+    )
     return (
-        vals.join(F.broadcast(med))
+        cum.join(F.broadcast(med))
         .join(F.broadcast(mad))
+        .join(F.broadcast(tot))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.first("_med").cast("bigint").alias("median"),
-            F.first("_mad").cast("bigint").alias("mad"),
+            F.first("_n").alias("n"),
+            F.first("_med").alias("median"),
+            F.first("_mad").alias("mad"),
             (F.first("_med") - k * F.first("_mad")).cast("bigint").alias("lo_fence"),
             (F.first("_med") + k * F.first("_mad")).cast("bigint").alias("hi_fence"),
-            F.sum(
-                F.when(F.col(value_col) < F.col("_med") - k * F.col("_mad"), 1)
-                .otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_v") < F.col("_med") - k * F.col("_mad"),
+                        F.col("_c"),
+                    )
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("n_low"),
-            F.sum(
-                F.when(F.col(value_col) > F.col("_med") + k * F.col("_mad"), 1)
-                .otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_v") > F.col("_med") + k * F.col("_mad"),
+                        F.col("_c"),
+                    )
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("n_high"),
