@@ -356,3 +356,65 @@ def fifo_lot_matching(
         .cast("bigint")
         .alias("matched_qty"),
     )
+
+
+def maintain_aggregate(
+    summary: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    count_col: str,
+    sum_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance for an ADDITIVE aggregate table:
+    fold a changelog of row inserts ('I') and deletes ('D') into a
+    pre-aggregated summary WITHOUT recomputing from the fact table —
+    the nightly-rollup-to-streaming-rollup upgrade path, and the only
+    shape that holds when the fact table is 100 TB and the delta is a
+    million rows.
+
+    ``summary`` has one row per key group with ``count_col`` and the
+    additive ``sum_cols``; ``changes`` carries RAW rows with the same
+    measure columns plus ``op_col`` ∈ {'I','D'}. The delta aggregate
+    signs every measure (+1 insert, −1 delete), one full-outer join on
+    the keys merges it in, and groups whose maintained count reaches 0
+    DISAPPEAR (the invariant that keeps maintain ∘ maintain ≡
+    recompute); a maintained count below 0 raises no error — it is the
+    caller's over-delete and surfaces as a negative count rather than
+    silent clamping (auditable, like the reference's ledger
+    philosophy).
+
+    Scale: ONE keyed aggregation over the (small) changelog + ONE
+    equi-join against the summary — cost is O(|delta| + |touched
+    groups|), independent of the fact-table size. Additive measures
+    only (count/sum; min/max/distinct need re-aggregation of the
+    group and are deliberately out of contract).
+    """
+    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign).cast("bigint").alias("_dc"),
+        *[
+            F.sum(sign * F.col(c)).cast("bigint").alias(f"_d_{c}")
+            for c in sum_cols
+        ],
+    )
+    j = summary.join(delta, list(keys), "full_outer")
+    maintained = j.select(
+        *keys,
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("_dc"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias(c)
+            for c in sum_cols
+        ],
+    )
+    return maintained.where(F.col(count_col) != 0)

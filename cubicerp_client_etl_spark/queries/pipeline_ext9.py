@@ -1628,3 +1628,153 @@ def q253_brand_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("bigint").alias("y"))
     )
     return grouped_ols_trend(monthly, ["p_brand"], "x", "y")
+
+
+# --------------------------------------------------------------------------
+# q254 — Incremental aggregate maintenance (operators/history.
+# maintain_aggregate): fold a deterministic changelog (every 9th
+# lineitem deleted, every 7th re-inserted with doubled quantity) into
+# the pre-aggregated (returnflag, linestatus) summary WITHOUT touching
+# the fact table — cost O(|delta| + touched groups) at any fact size.
+# The query PROVES maintain ≡ recompute by building both sides and
+# diffing: the output is the maintained summary plus a recompute_match
+# flag per group (all true). Scale: one changelog agg + one summary
+# join; the recompute side exists only as the fixture's truth.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q254_incremental_aggregate",
+    oracle="""
+WITH fact AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+summary AS (
+  SELECT rf, ls, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM fact GROUP BY rf, ls
+),
+chg AS (
+  SELECT rf, ls, qty, cents, 'D' AS op FROM fact
+  WHERE (l_orderkey * 10 + l_linenumber) % 9 = 0
+  UNION ALL
+  SELECT rf, ls, qty * 2, cents, 'I' AS op FROM fact
+  WHERE (l_orderkey * 10 + l_linenumber) % 7 = 0
+),
+delta AS (
+  SELECT rf, ls,
+         CAST(sum(CASE WHEN op = 'D' THEN -1 ELSE 1 END) AS BIGINT) AS dc,
+         CAST(sum(CASE WHEN op = 'D' THEN -qty ELSE qty END) AS BIGINT)
+           AS dq,
+         CAST(sum(CASE WHEN op = 'D' THEN -cents ELSE cents END) AS BIGINT)
+           AS dcents
+  FROM chg GROUP BY rf, ls
+),
+maintained AS (
+  SELECT COALESCE(s.rf, d.rf) AS rf, COALESCE(s.ls, d.ls) AS ls,
+         COALESCE(s.n_rows, 0) + COALESCE(d.dc, 0) AS n_rows,
+         COALESCE(s.sum_qty, 0) + COALESCE(d.dq, 0) AS sum_qty,
+         COALESCE(s.sum_cents, 0) + COALESCE(d.dcents, 0) AS sum_cents
+  FROM summary s FULL OUTER JOIN delta d ON d.rf = s.rf AND d.ls = s.ls
+),
+m2 AS (SELECT * FROM maintained WHERE n_rows <> 0),
+recompute AS (
+  SELECT rf, ls, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM (
+    SELECT rf, ls, qty, cents FROM fact
+    WHERE (l_orderkey * 10 + l_linenumber) % 9 <> 0
+    UNION ALL
+    SELECT rf, ls, qty * 2, cents FROM fact
+    WHERE (l_orderkey * 10 + l_linenumber) % 7 = 0
+    UNION ALL
+    -- rows hit by BOTH rules: the delete removed the original, the
+    -- insert added the doubled copy; recompute must mirror the
+    -- changelog exactly — original removed (first branch), doubled
+    -- copy present (second branch). Nothing extra needed; this
+    -- placeholder branch is empty by construction.
+    SELECT rf, ls, qty, cents FROM fact WHERE 1 = 0
+  ) GROUP BY rf, ls
+)
+SELECT m2.rf AS l_returnflag, m2.ls AS l_linestatus,
+       m2.n_rows, m2.sum_qty, m2.sum_cents,
+       (r.n_rows = m2.n_rows AND r.sum_qty = m2.sum_qty
+        AND r.sum_cents = m2.sum_cents) AS recompute_match
+FROM m2 JOIN recompute r ON r.rf = m2.rf AND r.ls = m2.ls
+""",
+)
+def q254_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.history import maintain_aggregate
+
+    fact = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 9).alias("_m9"),
+        ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 7).alias("_m7"),
+    )
+    summary = fact.groupBy("rf", "ls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("qty").cast("bigint").alias("sum_qty"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    dels = fact.where(F.col("_m9") == 0).select(
+        "rf", "ls", "qty", "cents", F.lit("D").alias("op")
+    )
+    ins = fact.where(F.col("_m7") == 0).select(
+        "rf",
+        "ls",
+        (F.col("qty") * 2).alias("qty"),
+        "cents",
+        F.lit("I").alias("op"),
+    )
+    changes = dels.unionByName(ins).withColumnsRenamed(
+        {"qty": "sum_qty", "cents": "sum_cents"}
+    )
+    maintained = maintain_aggregate(
+        summary,
+        changes,
+        keys=["rf", "ls"],
+        count_col="n_rows",
+        sum_cols=["sum_qty", "sum_cents"],
+    )
+    recompute = (
+        fact.where(F.col("_m9") != 0)
+        .select("rf", "ls", "qty", "cents")
+        .unionByName(
+            fact.where(F.col("_m7") == 0).select(
+                "rf", "ls", (F.col("qty") * 2).alias("qty"), "cents"
+            )
+        )
+        .groupBy("rf", "ls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("r_n"),
+            F.sum("qty").cast("bigint").alias("r_q"),
+            F.sum("cents").cast("bigint").alias("r_c"),
+        )
+    )
+    return (
+        maintained.join(recompute, ["rf", "ls"])
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("ls").alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+            "sum_cents",
+            (
+                (F.col("r_n") == F.col("n_rows"))
+                & (F.col("r_q") == F.col("sum_qty"))
+                & (F.col("r_c") == F.col("sum_cents"))
+            ).alias("recompute_match"),
+        )
+    )

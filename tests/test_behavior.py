@@ -757,3 +757,42 @@ def test_grouped_ols_trend_truncation_matches_python(spark):
     want_slope = int((n * sxy - sx * sy) * 1_000_000 / det) if det else None
     # int() truncates toward zero like Spark div
     assert r.slope_e6 == want_slope
+
+
+# ------------------------------------------------ incremental aggregate ----
+
+
+def test_maintain_aggregate_matches_recompute_and_drops_empty_groups(spark):
+    from cubicerp_client_etl_spark.operators.history import maintain_aggregate
+
+    summary = spark.createDataFrame(
+        [("a", 2, 10), ("b", 1, 5), ("c", 3, 30)],
+        "k string, n_rows long, sum_v long",
+    )
+    # a: +1 row (v=7); b: delete its only row → group disappears;
+    # d: brand-new group; c untouched
+    changes = spark.createDataFrame(
+        [("a", 7, "I"), ("b", 5, "D"), ("d", 9, "I")],
+        "k string, sum_v long, op string",
+    )
+    out = {
+        r.k: r
+        for r in maintain_aggregate(
+            summary, changes, ["k"], "n_rows", ["sum_v"]
+        ).collect()
+    }
+    assert (out["a"].n_rows, out["a"].sum_v) == (3, 17)
+    assert "b" not in out  # count hit 0 → group disappears
+    assert (out["c"].n_rows, out["c"].sum_v) == (3, 30)  # untouched survives
+    assert (out["d"].n_rows, out["d"].sum_v) == (1, 9)   # new group appears
+
+
+def test_maintain_aggregate_overdelete_surfaces_negative_count(spark):
+    from cubicerp_client_etl_spark.operators.history import maintain_aggregate
+
+    summary = spark.createDataFrame([("a", 1, 5)], "k string, n_rows long, sum_v long")
+    changes = spark.createDataFrame(
+        [("a", 5, "D"), ("a", 5, "D")], "k string, sum_v long, op string"
+    )
+    out = maintain_aggregate(summary, changes, ["k"], "n_rows", ["sum_v"]).collect()
+    assert len(out) == 1 and out[0].n_rows == -1  # auditable, not clamped
