@@ -169,3 +169,50 @@ def longest_prefix_match(
             for f in rule_fields
         ],
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the SKEWED (large, hot-keyed) side
+    into ``n_salts`` sub-keys and replicate the other side once per
+    salt, so a hot key's rows spread across ``n_salts`` tasks instead
+    of funneling through one. Result is row-identical to
+    ``skewed.join(other, key, how)`` — salting only changes the
+    partitioning, never the matches (equivalence is test-pinned).
+
+    When to reach for it: AQE's skew-join split already handles most
+    skew at runtime, but it can only split what one join key allows —
+    a SINGLE key holding more rows than an executor's memory still
+    needs the key itself subdivided, which is exactly what the salt
+    does. ``operators/quality.key_skew_audit`` names the keys and the
+    ratio; this operator is the remedy. Supported ``how``: 'inner'
+    and 'left' (semantics where the replicated side is the lookup
+    side; other join types need per-type null handling and are out of
+    contract).
+
+    Cost: the other side is replicated ``n_salts`` × (keep it the
+    broadcast-scale side); the skewed side gains one cheap column.
+    The salt is ``pmod(xxhash64(monotonically-varying row id), n)`` —
+    spreading is what matters, determinism of the ASSIGNMENT is not a
+    correctness input (matches are identical for any assignment).
+    """
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r} (inner/left)")
+    s = skewed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+    o = other.withColumn(
+        "_salt",
+        # no cast around the generator (explode can't nest in
+        # expressions); the join condition coerces int salt vs long
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    return s.join(o, [key, "_salt"], how).drop("_salt")

@@ -338,3 +338,36 @@ def write_training_shards(
         .write.mode("overwrite")
         .parquet(f"{path}.manifest")
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a hash-BUCKETED (and optionally per-bucket sorted)
+    managed table — the co-located-join layout: two tables bucketed on
+    the same key with the same bucket count join WITHOUT a shuffle on
+    either side (Catalyst reads the bucketing as a satisfied
+    HashPartitioning requirement), and per-bucket sorting additionally
+    removes the sort under a SortMergeJoin. At 100 TB this is how the
+    recurring fact⋈fact join (orders⋈lineitem every night) stops
+    paying its dominant exchange: pay the layout once at write time,
+    reuse it every read.
+
+    Plain parquet paths cannot carry bucketing metadata — Spark only
+    honors it through the catalog, hence ``saveAsTable``. The
+    Exchange elimination is pinned by
+    ``tests/test_plan_posture.py::test_bucketed_join_eliminates_exchanges``.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -796,3 +796,39 @@ def test_maintain_aggregate_overdelete_surfaces_negative_count(spark):
     )
     out = maintain_aggregate(summary, changes, ["k"], "n_rows", ["sum_v"]).collect()
     assert len(out) == 1 and out[0].n_rows == -1  # auditable, not clamped
+
+
+# ----------------------------------------------------------- salted join ----
+
+
+def test_salted_join_equivalent_to_plain_join(spark):
+    from cubicerp_client_etl_spark.operators.lookups import salted_join
+
+    # hot key: 'h' holds 500 of 520 rows; dim has 3 keys, one unmatched
+    rows = [("h", i) for i in range(500)] + [("a", i) for i in range(10)] \
+         + [("x", i) for i in range(10)]
+    skewed = spark.createDataFrame(rows, "k string, v long")
+    dim = spark.createDataFrame(
+        [("h", 1), ("a", 2), ("z", 3)], "k string, r long"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.r)
+            for r in salted_join(skewed, dim, "k", n_salts=8, how=how)
+            .select("k", "v", "r").collect()
+        )
+        want = sorted(
+            (r.k, r.v, r.r)
+            for r in skewed.join(dim, "k", how).select("k", "v", "r").collect()
+        )
+        assert got == want, how
+
+
+def test_salted_join_rejects_bad_args(spark):
+    from cubicerp_client_etl_spark.operators.lookups import salted_join
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", 0)
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", 4, how="full")

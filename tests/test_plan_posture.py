@@ -578,3 +578,44 @@ def test_q155_dedup_observability_single_source_rollup(spark):
     plan = plan_of(spark, "q155_dedup_observability")
     assert "partial_count" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_bucketed_join_eliminates_exchanges(spark):
+    """Co-located join via bucketBy: two tables bucketed on the same
+    key with the same bucket count must SortMergeJoin with ZERO
+    Exchange operators (the bucketing satisfies the join's
+    HashPartitioning requirement on both sides) — the pay-the-layout-
+    once shape for a recurring fact-to-fact join at 100 TB. The same
+    join over plain parquet carries two Exchanges; both facts pinned."""
+    from cubicerp_client_etl_spark.catalog import load
+    from cubicerp_client_etl_spark.sinks.writers import write_bucketed_table
+
+    orders = load(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    # AQE may still plan tiny sides as broadcast: disable the
+    # broadcast threshold so the bucketing (not size) decides the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(orders, "t_orders_b", ["o_orderkey"], 8,
+                             sort_cols=["o_orderkey"])
+        write_bucketed_table(li, "t_lineitem_b", ["l_orderkey"], 8,
+                             sort_cols=["l_orderkey"])
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        bucketed = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan_b, plan_b
+        assert "SortMergeJoin" in plan_b, plan_b
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        plan_p = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan_p, plan_p
+        # same rows either way — layout is a physical property only
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
