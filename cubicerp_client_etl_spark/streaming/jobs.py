@@ -814,3 +814,72 @@ def stream_transition_counts(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_funnel_progress(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Streaming twin of ``operators/behavior.funnel_steps``: per-user
+    greedy earliest-completion funnel state maintained across
+    micro-batches.
+
+    State is ONE timestamp per funnel step per user (K bigints —
+    bounded by user cardinality × K, independent of stream length).
+    Each micro-batch is materialized per user and sorted by
+    (t, event_id); the greedy walk then matches the batch operator
+    EXACTLY under the ordered-ingest contract (per-user arrival is
+    time-ordered across batches — the same contract as
+    ``stream_transition_counts``): the first step-1 event sets t1,
+    the first step-k event strictly after t(k-1) sets tk, and a set
+    step never regresses (greedy-earliest is optimal for unbounded
+    windows, the batch operator's own argument).
+
+    Emits the user's current (t1..tK) row per (user, micro-batch) in
+    update mode; the LAST row per user equals the batch
+    ``funnel_steps`` output (equivalence-tested).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate step types: {steps}")
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(steps)
+    idx = {s: i for i, s in enumerate(steps)}
+    out_cols = [f"t{i + 1}_us" for i in range(k)]
+
+    def walk(key, pdfs, state: GroupState):
+        ts = list(state.get) if state.exists else [None] * k
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["t", "event_id"]
+        )
+        for t, ty in zip(pdf["t"], pdf["event_type"]):
+            i = idx.get(ty)
+            if i is None or ts[i] is not None:
+                continue
+            if i == 0:
+                ts[0] = int(t)
+            elif ts[i - 1] is not None and int(t) > ts[i - 1]:
+                ts[i] = int(t)
+        state.update(tuple(ts))
+        if ts[0] is not None:  # users who never hit step 1 emit nothing
+            yield pd.DataFrame(
+                {"user_id": [key[0]], **{c: [ts[i]] for i, c in enumerate(out_cols)}}
+            )
+
+    return events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+        "event_type",
+    ).groupBy("user_id").applyInPandasWithState(
+        walk,
+        outputStructType="user_id bigint, " + ", ".join(
+            f"{c} bigint" for c in out_cols
+        ),
+        stateStructType=", ".join(f"s{i} bigint" for i in range(k)),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -669,3 +669,32 @@ def test_stream_transition_counts_equals_batch(spark):
         ).collect()
     }
     assert rolled == batch
+
+
+def test_stream_funnel_progress_equals_batch(spark):
+    from cubicerp_client_etl_spark.operators.behavior import funnel_steps
+    from cubicerp_client_etl_spark.streaming.jobs import stream_funnel_progress
+
+    steps = ["view", "click", "purchase"]
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_stream_to_memory(
+        stream_funnel_progress(stream, steps), "funnel_prog",
+        output_mode="update",
+    )
+    # update mode may emit several rows per user; the LAST (most
+    # complete: t columns only ever get set) is max_by any set count —
+    # steps are monotone so max t3, then t2, then t1 picks it
+    final = got.groupBy("user_id").agg(
+        F.max("t1_us").alias("t1_us"),
+        F.max("t2_us").alias("t2_us"),
+        F.max("t3_us").alias("t3_us"),
+    )
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_type",
+    )
+    batch = funnel_steps(ev, "user_id", "t_us", "event_type", steps)
+    f = {r.user_id: (r.t1_us, r.t2_us, r.t3_us) for r in final.collect()}
+    b = {r.user_id: (r.t1_us, r.t2_us, r.t3_us) for r in batch.collect()}
+    assert f == b
