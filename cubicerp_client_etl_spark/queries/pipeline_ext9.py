@@ -1778,3 +1778,119 @@ def q254_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recompute_match"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q255 — Nested document assembly (the API-export shape): each order
+# is assembled into ONE canonical document string — header fields plus
+# its lines sorted by line number — exactly what the reference pushes
+# row-at-a-time over RPC (cubicerpetl.py:739-811), here as one keyed
+# collect with a CANONICAL serialization (explicit concat, never
+# engine-native to_json — Spark and DuckDB render JSON differently)
+# hashed per document and rolled up per priority. Scale: one shuffle
+# on the order key; per-order line fan is bounded (an order holds
+# tens of lines), so the collected array is bounded per group.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q255_nested_order_export",
+    oracle="""
+WITH ln AS (
+  SELECT l_orderkey,
+         l_linenumber || ',' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+           || ',' || CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS VARCHAR) AS line_s,
+         l_linenumber
+  FROM lineitem
+),
+doc AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         o.o_orderkey || '|' || o.o_orderstatus || '|'
+           || CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) AS VARCHAR)
+           || '|' || COALESCE(string_agg(ln.line_s, ';'
+                              ORDER BY ln.l_linenumber, ln.line_s), '')
+           AS body,
+         CAST(count(ln.l_orderkey) AS BIGINT) AS n_lines
+  FROM orders o LEFT JOIN ln ON ln.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderpriority
+),
+h AS (
+  SELECT o_orderpriority, n_lines,
+         CAST(concat('0x', substr(md5(body), 1, 8)) AS BIGINT) AS doc_h
+  FROM doc
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(doc_h) AS BIGINT) AS doc_hash_sum
+FROM h GROUP BY o_orderpriority
+""",
+)
+def q255_nested_order_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import md5_hash32
+
+    ln = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            ",",
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("bigint").cast("string"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+        ).alias("line_s"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    assembled = (
+        orders.join(ln, orders.o_orderkey == ln.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .agg(
+            F.count("l_orderkey").cast("bigint").alias("n_lines"),
+            # sorted-by-linenumber canonical body: collect bounded
+            # per-order structs, array_sort by the leading int field
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("l_orderkey").isNotNull(),
+                                F.struct(
+                                    F.col("l_linenumber").alias("n"),
+                                    F.col("line_s").alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                ";",
+            ).alias("lines_s"),
+        )
+    )
+    doc = assembled.select(
+        "o_orderpriority",
+        "n_lines",
+        md5_hash32(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderstatus"),
+                F.lit("|"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                .cast("string"),
+                F.lit("|"),
+                F.col("lines_s"),
+            )
+        ).alias("doc_h"),
+    )
+    return doc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("doc_h").cast("bigint").alias("doc_hash_sum"),
+    )
