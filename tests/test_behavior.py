@@ -832,3 +832,35 @@ def test_salted_join_rejects_bad_args(spark):
         salted_join(df, df, "k", 0)
     with pytest.raises(ValueError):
         salted_join(df, df, "k", 4, how="full")
+
+
+# ----------------------------------------------------------- hi/lo split ----
+
+
+def test_hi_lo_bigint_roundtrips_wide_decimals(spark):
+    """The round-9 digest-carrier fix: a non-negative DECIMAL(38,0)
+    splits into two BIGINT lanes that reconstruct it exactly, and the
+    split matches DuckDB's HUGEINT // and % (the oracle-side form —
+    DuckDB's // on DECIMAL rounds HALF_UP before flooring and must
+    NOT be used)."""
+    import duckdb
+
+    from cubicerp_client_etl_spark.functions import hi_lo_bigint
+
+    cases = [0, 1, 10**18 - 1, 10**18, 10**18 + 1,
+             1234567890123456789012345, 10**36 + 7]
+    df = spark.createDataFrame(
+        [(str(c),) for c in cases], "s string"
+    ).select(F.col("s").cast("decimal(38,0)").alias("_d"))
+    got = {
+        int(r.v_hi) * 10**18 + int(r.v_lo): (r.v_hi, r.v_lo)
+        for r in df.select(*hi_lo_bigint("_d", "v"), F.col("_d")).collect()
+    }
+    assert set(got) == set(cases)
+    con = duckdb.connect()
+    for c in cases:
+        hi, lo = con.execute(
+            f"SELECT CAST(CAST('{c}' AS HUGEINT) // 1000000000000000000 AS BIGINT),"
+            f" CAST(CAST('{c}' AS HUGEINT) % 1000000000000000000 AS BIGINT)"
+        ).fetchone()
+        assert got[c] == (hi, lo), c
