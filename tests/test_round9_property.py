@@ -175,3 +175,134 @@ def test_maintain_aggregate_equals_recompute_property(spark, base, changelog):
     # sum_v of an all-deleted-then-gone group is irrelevant; compare
     # only surviving groups
     assert got == want
+
+
+# ------------------------------------------------------------- funnel ----
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),   # user
+                  st.integers(min_value=0, max_value=40),  # ts
+                  st.sampled_from(["a", "b", "c", "x"])),  # type
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_funnel_steps_matches_bruteforce_property(spark, events):
+    """Greedy earliest-completion equals the brute-force minimum over
+    all valid step assignments (greedy is optimal for unbounded
+    windows) — checked per user on random event soups with ties.
+    Ties between steps at the same ts: strict > ordering, so a step-2
+    event at exactly t1 never counts (both sides enforce it)."""
+    from cubicerp_client_etl_spark.operators.behavior import funnel_steps
+
+    # de-dup (u, t) collisions to keep the reference simple: keep the
+    # first type seen per (u, t)
+    seen = {}
+    for u, t, ty in events:
+        seen.setdefault((u, t), ty)
+    rows = [(u, t, ty) for (u, t), ty in seen.items()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "u long, t long, ty string")
+    got = {
+        r.u: (r.t1_us, r.t2_us, r.t3_us)
+        for r in funnel_steps(df, "u", "t", "ty", ["a", "b", "c"]).collect()
+    }
+    # brute force: earliest a; earliest b > t1; earliest c > t2
+    by_user: dict[int, list] = {}
+    for u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        t1 = min((t for t, ty in evs if ty == "a"), default=None)
+        if t1 is None:
+            assert u not in got
+            continue
+        t2 = min((t for t, ty in evs if ty == "b" and t > t1), default=None)
+        t3 = (
+            min((t for t, ty in evs if ty == "c" and t > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        assert got[u] == (t1, t2, t3), (u, got[u], (t1, t2, t3))
+
+
+# -------------------------------------------------------------- CUSUM ----
+
+
+@_SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+    st.integers(min_value=0, max_value=20),
+)
+def test_cusum_property_vs_recurrence(spark, xs, target):
+    from cubicerp_client_etl_spark.operators.quality import cusum_alarm
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t long, n long"
+    )
+    got = {r.t: r.cusum for r in cusum_alarm(df, "t", "n", target, 10).collect()}
+    s = 0
+    for i, x in enumerate(xs):
+        s = max(0, s + x - target)
+        assert got[i] == s, (i, got[i], s)
+
+
+# --------------------------------------------------------------- Gini ----
+
+
+@_SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=30)
+)
+def test_gini_property_vs_python(spark, vals):
+    from cubicerp_client_etl_spark.operators.quantiles import gini_concentration
+
+    if sum(vals) == 0:
+        return  # T=0: division undefined — the operator's domain excludes it
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = gini_concentration(df, "x").collect()[0]
+    s = sorted(vals)
+    n, t = len(s), sum(s)
+    s_rank = sum((i + 1) * x for i, x in enumerate(s))
+    want = (2 * s_rank - (n + 1) * t) * 1_000_000 // (n * t)
+    assert got.gini_e6 == want
+    assert got.n_rows == n and got.n_distinct == len(set(vals))
+
+
+# ------------------------------------------------------------ Hamming ----
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(*[st.integers(min_value=0, max_value=0xFFFF)] * 4),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_hamming_candidates_complete_property(spark, fps):
+    """Pigeonhole completeness: with 4 bands and max_hamming=3, EVERY
+    pair within Hamming distance 3 must be found (and nothing beyond
+    reported)."""
+    from cubicerp_client_etl_spark.operators.dedup import hamming_candidates
+
+    rows = [(i, *bands) for i, bands in enumerate(fps)]
+    df = spark.createDataFrame(rows, "id long, b0 long, b1 long, b2 long, b3 long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_candidates(
+            df, "id", ["b0", "b1", "b2", "b3"], max_hamming=3
+        ).collect()
+    }
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = sum(bin(a ^ b).count("1") for a, b in zip(fps[i], fps[j]))
+            if h <= 3:
+                assert got.get((i, j)) == h, (i, j, h, got.get((i, j)))
+            else:
+                assert (i, j) not in got or got[(i, j)] <= 3
