@@ -451,3 +451,63 @@ def vocab_growth(
             "n1_cum",
         )
     )
+
+
+def boilerplate_shingle_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    shingle_n: int = 3,
+    df_ratio_e6: int = 500_000,
+) -> DataFrame:
+    """Cross-document boilerplate detector: a shingle that appears in
+    at least ``df_ratio_e6``/1e6 of a SOURCE's documents is boilerplate
+    (site templates, navigation chrome, licence footers — the text a
+    scraped corpus repeats per origin and a training set must not
+    memorize). Per document, the share of its shingles that are
+    boilerplate — the strip/keep signal downstream filters consume.
+
+    The threshold test is the EXACT integer cross-multiplication
+    ``df · 1e6 ≥ ratio · n_docs`` — no division, no float, no floor
+    asymmetry to replay. Returns one row per document:
+    ``(id_col, source_col, n_shingles, n_boiler, boiler_ratio_e6)``.
+
+    Scale: shingle explode (distinct per doc — the MinHash input
+    shape), one (source, shingle) doc-frequency aggregation, a
+    broadcast of the bounded per-source doc counts, and one join back
+    on (source, shingle) — candidate volume is the shingle table, the
+    same mass every dedup pass already touches. No windows, no
+    all-pairs.
+    """
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.dedup import shingle_rows
+
+    if not 0 < df_ratio_e6 <= 1_000_000:
+        raise ValueError("df_ratio_e6 must be in (0, 1e6]")
+    sh = shingle_rows(
+        docs.select(id_col, text_col), id_col, text_col, n=shingle_n
+    ).join(docs.select(id_col, source_col), id_col)
+    n_docs = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nd")
+    )
+    freq = sh.groupBy(source_col, "sh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    marked = freq.join(F.broadcast(n_docs), source_col).withColumn(
+        "_boiler",
+        F.col("_df") * 1_000_000 >= F.lit(int(df_ratio_e6)) * F.col("_nd"),
+    )
+    j = sh.join(marked.select(source_col, "sh", "_boiler"), [source_col, "sh"])
+    return j.groupBy(id_col, source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler"),
+        e6_floor_ratio(
+            F.sum(F.when(F.col("_boiler"), 1).otherwise(0)),
+            F.count(F.lit(1)),
+        )
+        .cast("bigint")
+        .alias("boiler_ratio_e6"),
+    )

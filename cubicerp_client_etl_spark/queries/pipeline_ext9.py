@@ -1894,3 +1894,88 @@ def q255_nested_order_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_lines").cast("bigint").alias("n_lines"),
         F.sum("doc_h").cast("bigint").alias("doc_hash_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q256 — Cross-document boilerplate audit (operators/curation.
+# boilerplate_shingle_report): shingles present in ≥ half a source's
+# documents are template chrome; per doc the boilerplate share, rolled
+# up per source. Exact integer cross-multiplication threshold (no
+# division); the shingle mass is the same table every dedup pass
+# already touches. Oracle replays tokenization, DF marking and the
+# per-doc shares with the established q029 shingle SQL shape.
+# --------------------------------------------------------------------------
+
+_BP_RATIO_E6 = 500_000
+
+
+@register(
+    "q256_boilerplate_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE len(t) >= 3 AND i <= len(t) - 2
+  UNION
+  SELECT DISTINCT doc_id, source, array_to_string(t, ' ') AS sh
+  FROM toks WHERE len(t) < 3
+),
+nd AS (SELECT source, CAST(count(*) AS BIGINT) AS _nd
+       FROM documents GROUP BY source),
+freq AS (SELECT source, sh, CAST(count(*) AS BIGINT) AS _df
+         FROM sh GROUP BY source, sh),
+marked AS (
+  SELECT f.source, f.sh,
+         f._df * 1000000 >= {_BP_RATIO_E6} * nd._nd AS b
+  FROM freq f JOIN nd ON nd.source = f.source
+),
+j AS (
+  SELECT s.doc_id, s.source, m.b
+  FROM sh s JOIN marked m ON m.source = s.source AND m.sh = s.sh
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) * 1000000 // count(*)
+              AS BIGINT) AS ratio_e6
+  FROM j GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(sum(n_boiler) AS BIGINT) AS n_boiler,
+       CAST(sum(ratio_e6) // count(*) AS BIGINT) AS mean_ratio_e6,
+       CAST(sum(CASE WHEN ratio_e6 >= {_BP_RATIO_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_heavy_docs
+FROM per_doc GROUP BY source
+""",
+)
+def q256_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.curation import (
+        boilerplate_shingle_report,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    rep = boilerplate_shingle_report(
+        docs, "doc_id", "text", "source", shingle_n=3,
+        df_ratio_e6=_BP_RATIO_E6,
+    )
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+        F.sum("n_boiler").cast("bigint").alias("n_boiler"),
+        F.expr("CAST(sum(boiler_ratio_e6) div count(1) AS BIGINT)").alias(
+            "mean_ratio_e6"
+        ),
+        F.sum(
+            F.when(F.col("boiler_ratio_e6") >= _BP_RATIO_E6, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_heavy_docs"),
+    )

@@ -864,3 +864,36 @@ def test_hi_lo_bigint_roundtrips_wide_decimals(spark):
             f" CAST(CAST('{c}' AS HUGEINT) % 1000000000000000000 AS BIGINT)"
         ).fetchone()
         assert got[c] == (hi, lo), c
+
+
+# --------------------------------------------------------- boilerplate ----
+
+
+def test_boilerplate_shingle_report_marks_shared_template(spark):
+    from cubicerp_client_etl_spark.operators.curation import (
+        boilerplate_shingle_report,
+    )
+
+    # 4 docs in one source; "copy right footer" appears in 3 of 4
+    # (75% >= 50% → boilerplate); each doc also has unique content
+    rows = [
+        (1, "alpha beta gamma copy right footer", "s"),
+        (2, "delta epsilon zeta copy right footer", "s"),
+        (3, "eta theta iota copy right footer", "s"),
+        (4, "kappa lambda mu nu xi", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_shingle_report(
+            df, "doc_id", "text", "source", shingle_n=3
+        ).collect()
+    }
+    # doc 1: 4 shingles ("alpha beta gamma" .. "copy right footer");
+    # only "copy right footer" is shared by >= 2 docs... by 3 of 4
+    assert out[1].n_shingles == 4 and out[1].n_boiler == 1
+    assert out[1].boiler_ratio_e6 == 250_000
+    assert out[4].n_boiler == 0 and out[4].boiler_ratio_e6 == 0
+    with pytest.raises(ValueError):
+        boilerplate_shingle_report(df, "doc_id", "text", "source",
+                                   df_ratio_e6=0)
