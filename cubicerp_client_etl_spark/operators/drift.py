@@ -202,3 +202,52 @@ def chi2_contingency_audit(
             ).alias("cell_chi2_e6"),
         )
     )
+
+
+def association_strength(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Cramér's V on top of :func:`chi2_contingency_audit` — the
+    NORMALIZED association strength between two categoricals (0 =
+    independent, 1e6 = fully determined), comparable across tables of
+    different size and shape, which raw χ² is not:
+
+        V = sqrt( χ² / (n · (min(r, c) − 1)) )
+        v_e6 = isqrt_exact( χ²_e6 · 1e6 div (n·k) )
+
+    — the e6/e12 units line up so the only non-integer step is the
+    floor-corrected integer square root (``functions.isqrt_exact``,
+    replayed in oracles as the same floor±1-corrected expression).
+    Degenerate tables (min(r,c) = 1: a constant column) report
+    v_e6 = 0 with the χ² still carried.
+
+    Returns ONE row: ``(n, r_levels, c_levels, chi2_e6, cramers_v_e6)``.
+    Scale: the χ² grid machinery (one keyed count + bounded marginal
+    grid) plus a bounded rollup.
+    """
+    from cubicerp_client_etl_spark.functions import isqrt_exact
+
+    cells = chi2_contingency_audit(df, row_col, col_col)
+    agg = cells.agg(
+        F.first("grand_total").cast("bigint").alias("n"),
+        F.count_distinct("row_val").cast("bigint").alias("r_levels"),
+        F.count_distinct("col_val").cast("bigint").alias("c_levels"),
+        F.sum("cell_chi2_e6").cast("bigint").alias("chi2_e6"),
+    )
+    k = F.least(F.col("r_levels"), F.col("c_levels")) - 1
+    ratio = F.expr(
+        "CAST(CAST(chi2_e6 AS DECIMAL(38,0)) * 1000000"
+        " div (n * (least(r_levels, c_levels) - 1)) AS BIGINT)"
+    )
+    return agg.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        "chi2_e6",
+        F.when(k >= 1, isqrt_exact(ratio))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("cramers_v_e6"),
+    )

@@ -1979,3 +1979,79 @@ def q256_boilerplate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_heavy_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q257 — Association strength (operators/drift.association_strength):
+# Cramér's V between order priority and order status — the normalized
+# is-this-column-predictive screen (raw χ² grows with n; V is
+# comparable across tables). e6/e12 fixed point + the floor-corrected
+# integer sqrt, every step oracle-replayed.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q257_association_strength",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS row_val, o_orderstatus AS col_val,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT row_val, CAST(sum(n) AS BIGINT) AS row_total
+       FROM cells GROUP BY row_val),
+ct AS (SELECT col_val, CAST(sum(n) AS BIGINT) AS col_total
+       FROM cells GROUP BY col_val),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand_total FROM cells),
+grid AS (SELECT * FROM rt CROSS JOIN ct CROSS JOIN tot),
+fullg AS (
+  SELECT g.row_val, g.col_val, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+         g.row_total, g.col_total, g.grand_total
+  FROM grid g LEFT JOIN cells c
+    ON c.row_val = g.row_val AND c.col_val = g.col_val
+),
+q AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * 1000000 // grand_total AS a,
+         CAST(row_total AS HUGEINT) * 1000000 // grand_total AS b,
+         CAST(col_total AS HUGEINT) * 1000000 // grand_total AS c
+  FROM fullg
+),
+contrib AS (
+  SELECT grand_total, row_val, col_val,
+         CAST(CAST(grand_total AS HUGEINT)
+              * (a * 1000000 - b * c) * (a * 1000000 - b * c)
+              // (1000000 * b * c) AS BIGINT) AS cell_chi2_e6
+  FROM q
+),
+agg AS (
+  SELECT CAST(max(grand_total) AS BIGINT) AS n,
+         CAST(count(DISTINCT row_val) AS BIGINT) AS r_levels,
+         CAST(count(DISTINCT col_val) AS BIGINT) AS c_levels,
+         CAST(sum(cell_chi2_e6) AS BIGINT) AS chi2_e6
+  FROM contrib
+),
+rooted AS (
+  SELECT *,
+         CAST(CAST(chi2_e6 AS HUGEINT) * 1000000
+              // (n * (least(r_levels, c_levels) - 1)) AS BIGINT) AS ratio,
+         CAST(floor(sqrt(CAST(CAST(CAST(chi2_e6 AS HUGEINT) * 1000000
+              // (n * (least(r_levels, c_levels) - 1)) AS BIGINT)
+              AS DOUBLE))) AS BIGINT) AS s0
+  FROM agg
+)
+SELECT n, r_levels, c_levels, chi2_e6,
+       CAST(CASE WHEN least(r_levels, c_levels) >= 2 THEN
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= ratio THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > ratio THEN 1 ELSE 0 END)
+       ELSE 0 END AS BIGINT) AS cramers_v_e6
+FROM rooted
+""",
+)
+def q257_association_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.drift import association_strength
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return association_strength(orders, "o_orderpriority", "o_orderstatus")

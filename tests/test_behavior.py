@@ -897,3 +897,33 @@ def test_boilerplate_shingle_report_marks_shared_template(spark):
     with pytest.raises(ValueError):
         boilerplate_shingle_report(df, "doc_id", "text", "source",
                                    df_ratio_e6=0)
+
+
+# ------------------------------------------------- association strength ----
+
+
+def test_association_strength_extremes(spark):
+    from cubicerp_client_etl_spark.operators.drift import association_strength
+
+    # perfect determination: row decides col → V = 1e6 (χ² = n·k)
+    det = [("r1", "c1")] * 5 + [("r2", "c2")] * 5
+    r = association_strength(
+        spark.createDataFrame(det, "r string, c string"), "r", "c"
+    ).collect()[0]
+    # e6 quantization: V within one ulp of 1e6
+    assert r.cramers_v_e6 >= 999_999, r
+    # exact independence → V = 0
+    ind = (
+        [("r1", "c1")] * 4 + [("r1", "c2")] * 4
+        + [("r2", "c1")] * 2 + [("r2", "c2")] * 2
+    )
+    r = association_strength(
+        spark.createDataFrame(ind, "r string, c string"), "r", "c"
+    ).collect()[0]
+    assert r.cramers_v_e6 == 0 and r.chi2_e6 == 0
+    # degenerate: constant column → k = 0 → V defined as 0
+    const = [("r1", "c1")] * 3 + [("r2", "c1")] * 3
+    r = association_strength(
+        spark.createDataFrame(const, "r string, c string"), "r", "c"
+    ).collect()[0]
+    assert r.cramers_v_e6 == 0 and r.c_levels == 1
