@@ -89,46 +89,63 @@ def funnel_report(
     rates against step 1 and against the previous step (exact e6 floor
     ratios), and the exact total time from step 1 for users who
     reached the step (sum, not median: order-independent and
-    map-combinable)."""
+    map-combinable).
+
+    All K counts and elapsed sums come from ONE ``.agg`` over the
+    per-user frame (the K-join funnel chain is planned and executed
+    once, not once per step), then a ``stack`` unpivots the 1-row
+    aggregate to per-step rows — K separate whole-frame aggregations
+    would re-execute the chain K times (K² join stages). Because every
+    step's count is a COLUMN of that single row, the conversion ratios
+    need no window at all: first/prev are sibling columns."""
     per_user = funnel_steps(events, user_col, ts_col, type_col, steps)
-    rows = []
-    for k, s in enumerate(steps, start=1):
+    aggs = []
+    for k in range(1, len(steps) + 1):
         t = F.col(f"t{k}_us")
-        rows.append(
-            per_user.agg(
-                F.lit(k).cast("int").alias("step"),
-                F.lit(s).alias("step_type"),
-                F.count(t).cast("bigint").alias("n_users"),
-                F.coalesce(
-                    F.sum(F.when(t.isNotNull(), t - F.col("t1_us"))), F.lit(0)
-                )
-                .cast("bigint")
-                .alias("sum_elapsed_us"),
+        aggs.append(F.count(t).cast("bigint").alias(f"_n{k}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(t.isNotNull(), t - F.col("t1_us"))), F.lit(0)
             )
+            .cast("bigint")
+            .alias(f"_e{k}")
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    w_first = Window.orderBy("step").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    one = per_user.agg(*aggs)
+    for k in range(1, len(steps) + 1):
+        n_k, n_1 = F.col(f"_n{k}"), F.col("_n1")
+        one = one.withColumn(
+            f"_cf{k}",
+            F.when(n_1 > 0, e6_floor_ratio(n_k, n_1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        if k == 1:
+            cp = F.lit(1_000_000).cast("bigint")
+        else:
+            prev = F.col(f"_n{k - 1}")
+            cp = (
+                F.when(prev > 0, e6_floor_ratio(n_k, prev))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            )
+        one = one.withColumn(f"_cp{k}", cp)
+    stacked = ", ".join(
+        f"{k}, '{s.replace(chr(39), chr(39) * 2)}', _n{k}, _cf{k}, _cp{k}, _e{k}"
+        for k, s in enumerate(steps, start=1)
     )
-    w_prev = Window.orderBy("step")
-    # windows over the K-row per-step aggregate — bounded by construction
-    first_n = F.first("n_users").over(w_first)
-    prev_n = F.lag("n_users").over(w_prev)
+    out = one.select(
+        F.expr(
+            f"stack({len(steps)}, {stacked})"
+            " AS (step, step_type, n_users, conv_from_first_e6,"
+            " conv_from_prev_e6, sum_elapsed_us)"
+        )
+    )
     return out.select(
-        "step",
+        F.col("step").cast("int").alias("step"),
         "step_type",
         "n_users",
-        F.when(first_n > 0, e6_floor_ratio(F.col("n_users"), first_n))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("conv_from_first_e6"),
-        F.when(prev_n.isNull(), F.lit(1_000_000))
-        .when(prev_n > 0, e6_floor_ratio(F.col("n_users"), prev_n))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("conv_from_prev_e6"),
+        "conv_from_first_e6",
+        "conv_from_prev_e6",
         "sum_elapsed_us",
     )
 
@@ -323,10 +340,23 @@ def peak_concurrency(
     offsets) — never a single-partition window over corpus-sized
     boundaries. ``bucket`` is evaluated against the boundary's
     timestamp column (pass e.g. ``F.expr("t div 86400000000")``
-    against the emitted ``t`` column).
+    against the emitted ``t`` column) and must produce an INTEGRAL
+    value (it is cast to bigint to build the dense bucket axis).
 
-    Returns one row per bucket: ``(bucket_name, n_boundaries,
-    peak_concurrency)``.
+    The per-bucket answer is ``max(carry-in level, per-boundary max)``:
+    the carry-in — the number of intervals already open when the
+    bucket begins, i.e. the sum of all deltas in earlier buckets — is
+    a real candidate for the bucket's peak (a bucket whose first event
+    is an end would otherwise report level−1), and buckets fully
+    covered by open intervals but containing no boundaries of their
+    own still exist: the output is DENSE over [min bucket, max bucket]
+    (empty covered buckets report ``n_boundaries = 0`` and the
+    carried-in level). Both fixes run on bounded frames — the bucket
+    grid and the 2-row span aggregate — so nothing here scales with
+    raw boundary count.
+
+    Returns one row per bucket in the span: ``(bucket_name,
+    n_boundaries, peak_concurrency)``.
     """
     from cubicerp_client_etl_spark.operators.prefix import prefix_sum
 
@@ -342,7 +372,42 @@ def peak_concurrency(
     cum = prefix_sum(
         bounds, order_by=[F.col("t"), F.col("d")], value_col="d", out_col="_c"
     )
-    return cum.groupBy(bucket.alias(bucket_name)).agg(
+    # bucket grid: one row per non-empty bucket — bounded by #buckets
+    grid = cum.groupBy(bucket.cast("bigint").alias("_b")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
-        F.max("_c").cast("bigint").alias("peak_concurrency"),
+        F.max("_c").cast("bigint").alias("_maxc"),
+        F.sum("d").cast("bigint").alias("_sumd"),
     )
+    # carry-in = level at bucket entry — windows run over the BOUNDED
+    # grid aggregate (never over raw boundaries, never over the
+    # generated dense axis: the plan prover requires every global
+    # window's input to be provably bounded)
+    w_carry = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("_b")
+    staged = grid.withColumn(
+        "_carry",
+        F.coalesce(F.sum("_sumd").over(w_carry), F.lit(0).cast("bigint")),
+    ).withColumn("_next", F.lead("_b").over(w_next))
+    nonempty = staged.select(
+        F.col("_b").alias(bucket_name),
+        "n_boundaries",
+        F.greatest(F.col("_maxc"), F.col("_carry"))
+        .cast("bigint")
+        .alias("peak_concurrency"),
+    )
+    # gap-fill AFTER the windows: buckets between consecutive non-empty
+    # buckets hold the constant carried level (carry-in + this bucket's
+    # net delta); the explode sits at the top of the plan, feeding no
+    # window
+    gaps = staged.where(
+        F.col("_next").isNotNull() & (F.col("_next") > F.col("_b") + 1)
+    ).select(
+        F.explode(
+            F.sequence(F.col("_b") + 1, F.col("_next") - 1)
+        ).alias(bucket_name),
+        F.lit(0).cast("bigint").alias("n_boundaries"),
+        (F.col("_carry") + F.col("_sumd"))
+        .cast("bigint")
+        .alias("peak_concurrency"),
+    )
+    return nonempty.unionByName(gaps)

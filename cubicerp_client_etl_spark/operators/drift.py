@@ -151,6 +151,16 @@ def chi2_contingency_audit(
     Decimal(38,0) internals: (a·1e6 − b·c)² ≤ 1e24, ×T ≤ 1e38 for
     T < 1e14 — past the 100 TB row budget.
 
+    QUANTIZATION FLOOR: a marginal share rarer than 1-in-1e6
+    (``row_total·1e6 < grand_total``) quantizes to b = 0 (likewise c),
+    which would zero the χ² divisor. Such cells report
+    ``cell_chi2_e6 = NULL`` — explicitly, on BOTH engines (the Spark
+    expr and every oracle carry the same ``b·c > 0`` guard; an
+    unguarded oracle would abort on division-by-zero in DuckDB while
+    Spark silently NULLed under non-ANSI). NULL here means "below the
+    e6 resolution", not zero drift; downstream sums skip NULLs in both
+    engines identically.
+
     Output: one row per (row value, col value) cell —
     ``(row_val, col_val, n, row_total, col_total, grand_total,
     expected_e0, cell_chi2_e6)`` with ``expected_e0 = r·c div T`` (the
@@ -195,10 +205,12 @@ def chi2_contingency_audit(
                 " div grand_total AS BIGINT)"
             ).alias("expected_e0"),
             F.expr(
-                "CAST(CAST(grand_total AS DECIMAL(38,0))"
+                "CASE WHEN _b > 0 AND _c > 0 THEN"
+                " CAST(CAST(grand_total AS DECIMAL(38,0))"
                 " * (CAST(_a AS DECIMAL(38,0)) * 1000000 - CAST(_b AS DECIMAL(38,0)) * _c)"
                 " * (CAST(_a AS DECIMAL(38,0)) * 1000000 - CAST(_b AS DECIMAL(38,0)) * _c)"
                 " div (1000000 * CAST(_b AS DECIMAL(38,0)) * _c) AS BIGINT)"
+                " ELSE NULL END"
             ).alias("cell_chi2_e6"),
         )
     )
@@ -237,9 +249,15 @@ def association_strength(
         F.sum("cell_chi2_e6").cast("bigint").alias("chi2_e6"),
     )
     k = F.least(F.col("r_levels"), F.col("c_levels")) - 1
+    # the k >= 1 guard is folded INTO the division (not only the outer
+    # when): a degenerate single-level column makes the divisor 0 —
+    # NULL under Spark non-ANSI but an ABORT under ANSI mode, and the
+    # oracle's mirrored CTE would error in DuckDB before any outer CASE
     ratio = F.expr(
-        "CAST(CAST(chi2_e6 AS DECIMAL(38,0)) * 1000000"
+        "CASE WHEN least(r_levels, c_levels) >= 2 THEN"
+        " CAST(CAST(chi2_e6 AS DECIMAL(38,0)) * 1000000"
         " div (n * (least(r_levels, c_levels) - 1)) AS BIGINT)"
+        " ELSE 0 END"
     )
     return agg.select(
         "n",

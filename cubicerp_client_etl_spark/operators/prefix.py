@@ -92,6 +92,60 @@ def prefix_sum(
     )
 
 
+def prefix_sum_multi(
+    df: DataFrame,
+    order_by: list[Column],
+    value_cols: list[str],
+    out_cols: list[str],
+) -> DataFrame:
+    """Exact running totals of SEVERAL value columns in one two-phase
+    scan — same machinery as :func:`prefix_sum`, but the ranged
+    checkpoint, the per-slice window, and the broadcast offset join are
+    paid ONCE for all columns instead of once per column. Use when a
+    query needs e.g. both a cumulative value and a cumulative count
+    over the same total order (rank = prefix sum of ones), as
+    ``quality.abc_classification`` does.
+    """
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must pair up")
+    for out_col in out_cols:
+        _guard_columns(df, out_col)
+    ranged = (
+        df.repartitionByRange(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged
+    for v, o in zip(value_cols, out_cols):
+        local = local.withColumn(f"_local_{o}", F.sum(v).over(w_local))
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_ptot_{o}") for v, o in zip(value_cols, out_cols)]
+    )
+    # offsets window runs over #partitions rows — bounded by construction
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    dtypes = dict(df.dtypes)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(
+                F.sum(f"_ptot_{o}").over(w_off), F.lit(0).cast(dtypes[v])
+            ).alias(f"_off_{o}")
+            for v, o in zip(value_cols, out_cols)
+        ],
+    )
+    joined = local.join(F.broadcast(offsets), "_pid")
+    for o in out_cols:
+        joined = joined.withColumn(o, F.col(f"_local_{o}") + F.col(f"_off_{o}"))
+    return joined.drop(
+        "_pid", *[f"_local_{o}" for o in out_cols], *[f"_off_{o}" for o in out_cols]
+    )
+
+
 def prefix_sum_by(
     df: DataFrame,
     keys: list[str],

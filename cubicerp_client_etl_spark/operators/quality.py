@@ -327,27 +327,32 @@ def abc_classification(
     bigint, shares as decimal-routed e6 floors.
 
     Scale: one keyed aggregation (map-side combine), then the ordered
-    prefix runs over the AGGREGATE — bounded by construction (the
-    distinct-key table), the same prover-checkable shape as the
-    CDF/Gini value-count scans. No raw-row global sort.
+    prefix runs through the TWO-PHASE scan (``prefix.prefix_sum_multi``
+    on (value desc, key): range partition, per-slice sums, broadcast
+    offsets) — rank is the prefix sum of ones over the same order, and
+    the grand total arrives as a broadcast 1-row aggregate. No
+    un-partitioned WindowExec anywhere: for a corpus-scaled key (every
+    l_partkey at SF100k) the aggregate itself is billions of rows, so
+    the global-window form this replaces would funnel them through ONE
+    task — the exact hazard the module's siblings (gini, MAD, weighted
+    median) already route around.
     """
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum_multi
+
     if not 0 < a_cut_e6 < b_cut_e6 <= 1_000_000:
         raise ValueError("need 0 < a_cut_e6 < b_cut_e6 <= 1e6")
     agg = df.groupBy(key_col).agg(
         F.sum(F.col(value_col)).cast("bigint").alias("value")
     )
-    w = Window.orderBy(F.col("value").desc(), F.col(key_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    scanned = prefix_sum_multi(
+        agg.withColumn("_one", F.lit(1).cast("bigint")),
+        order_by=[F.col("value").desc(), F.col(key_col)],
+        value_cols=["value", "_one"],
+        out_cols=["cum_value", "rank"],
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    staged = (
-        agg.withColumn("rank", F.row_number().over(
-            Window.orderBy(F.col("value").desc(), F.col(key_col))
-        ).cast("bigint"))
-        .withColumn("cum_value", F.sum("value").over(w).cast("bigint"))
-        .withColumn("_tot", F.sum("value").over(w_all))
+    total = agg.agg(F.sum("value").cast("bigint").alias("_tot"))
+    staged = scanned.crossJoin(F.broadcast(total)).withColumn(
+        "cum_value", F.col("cum_value").cast("bigint")
     )
     share = F.expr(
         "CAST(CAST(cum_value AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)"

@@ -372,9 +372,11 @@ q AS (
 SELECT row_val, col_val, n, row_total, col_total, grand_total,
        CAST(CAST(row_total AS HUGEINT) * col_total // grand_total AS BIGINT)
          AS expected_e0,
-       CAST(CAST(grand_total AS HUGEINT)
-            * (a * 1000000 - b * c) * (a * 1000000 - b * c)
-            // (1000000 * b * c) AS BIGINT) AS cell_chi2_e6
+       CASE WHEN b > 0 AND c > 0 THEN
+         CAST(CAST(grand_total AS HUGEINT)
+              * (a * 1000000 - b * c) * (a * 1000000 - b * c)
+              // (1000000 * b * c) AS BIGINT)
+       ELSE NULL END AS cell_chi2_e6
 FROM q
 """,
 )
@@ -1521,11 +1523,34 @@ bounds AS (
 cum AS (
   SELECT t, d, sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
   FROM bounds
+),
+grid AS (
+  SELECT CAST(t // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_boundaries,
+         CAST(max(c) AS BIGINT) AS max_c,
+         CAST(sum(d) AS BIGINT) AS sum_d
+  FROM cum GROUP BY 1
+),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM grid),
+dense AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span),
+j AS (
+  SELECT dense.day,
+         CAST(COALESCE(g.n_boundaries, 0) AS BIGINT) AS n_boundaries,
+         g.max_c,
+         CAST(COALESCE(g.sum_d, 0) AS BIGINT) AS sum_d
+  FROM dense LEFT JOIN grid g ON g.day = dense.day
+),
+w AS (
+  SELECT day, n_boundaries, max_c,
+         CAST(COALESCE(sum(sum_d) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS carry_in
+  FROM j
 )
-SELECT CAST(t // 86400000000 AS BIGINT) AS day,
-       CAST(count(*) AS BIGINT) AS n_boundaries,
-       CAST(max(c) AS BIGINT) AS peak_concurrency
-FROM cum GROUP BY t // 86400000000
+SELECT CAST(day AS BIGINT) AS day, n_boundaries,
+       CAST(greatest(COALESCE(max_c, carry_in), carry_in) AS BIGINT)
+         AS peak_concurrency
+FROM w
 """,
 )
 def q252_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2019,9 +2044,11 @@ q AS (
 ),
 contrib AS (
   SELECT grand_total, row_val, col_val,
-         CAST(CAST(grand_total AS HUGEINT)
-              * (a * 1000000 - b * c) * (a * 1000000 - b * c)
-              // (1000000 * b * c) AS BIGINT) AS cell_chi2_e6
+         CASE WHEN b > 0 AND c > 0 THEN
+           CAST(CAST(grand_total AS HUGEINT)
+                * (a * 1000000 - b * c) * (a * 1000000 - b * c)
+                // (1000000 * b * c) AS BIGINT)
+         ELSE NULL END AS cell_chi2_e6
   FROM q
 ),
 agg AS (
@@ -2033,11 +2060,14 @@ agg AS (
 ),
 rooted AS (
   SELECT *,
-         CAST(CAST(chi2_e6 AS HUGEINT) * 1000000
-              // (n * (least(r_levels, c_levels) - 1)) AS BIGINT) AS ratio,
-         CAST(floor(sqrt(CAST(CAST(CAST(chi2_e6 AS HUGEINT) * 1000000
-              // (n * (least(r_levels, c_levels) - 1)) AS BIGINT)
-              AS DOUBLE))) AS BIGINT) AS s0
+         CASE WHEN least(r_levels, c_levels) >= 2 THEN
+           CAST(CAST(chi2_e6 AS HUGEINT) * 1000000
+                // (n * (least(r_levels, c_levels) - 1)) AS BIGINT)
+         ELSE 0 END AS ratio,
+         CAST(floor(sqrt(CAST(CASE WHEN least(r_levels, c_levels) >= 2 THEN
+           CAST(CAST(chi2_e6 AS HUGEINT) * 1000000
+                // (n * (least(r_levels, c_levels) - 1)) AS BIGINT)
+         ELSE 0 END AS DOUBLE))) AS BIGINT) AS s0
   FROM agg
 )
 SELECT n, r_levels, c_levels, chi2_e6,

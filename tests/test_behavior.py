@@ -281,6 +281,28 @@ def test_chi2_flags_dependence_and_includes_absent_cells(spark):
     assert abs(total - 10_000_000) <= 4  # e6 quantization, ≤1 ulp/cell
 
 
+def test_chi2_below_quantization_floor_reports_null_not_abort(spark):
+    from cubicerp_client_etl_spark.operators.drift import chi2_contingency_audit
+
+    # a 1-row level in a >1e6-row table quantizes its marginal share to
+    # b = 0 (1·1e6 div 1000001 = 0): the cell χ² divisor would be zero.
+    # Guarded → NULL (below e6 resolution), never a div-by-zero abort,
+    # and the common rows still carry real values.
+    df = spark.range(1_000_001).select(
+        F.when(F.col("id") == 0, "rare").otherwise("common").alias("r"),
+        F.when(F.col("id") % 2 == 0, "c1").otherwise("c2").alias("c"),
+    )
+    out = {
+        (x.row_val, x.col_val): x
+        for x in chi2_contingency_audit(df, "r", "c").collect()
+    }
+    assert len(out) == 4
+    assert out[("rare", "c1")].cell_chi2_e6 is None
+    assert out[("rare", "c2")].cell_chi2_e6 is None
+    assert out[("common", "c1")].cell_chi2_e6 is not None
+    assert out[("common", "c2")].cell_chi2_e6 is not None
+
+
 # ------------------------------------------------- image phash neardup ----
 
 
@@ -720,6 +742,56 @@ def test_peak_concurrency_half_open_no_phantom_overlap(spark):
     df = spark.createDataFrame([(0, 5), (5, 10)], "s long, e long")
     out = peak_concurrency(df, "s", "e", F.lit(0), bucket_name="b").collect()
     assert out[0].peak_concurrency == 1
+
+
+def test_peak_concurrency_carry_in_when_bucket_opens_with_an_end(spark):
+    from cubicerp_client_etl_spark.operators.behavior import peak_concurrency
+
+    # [0,150) spans buckets 0 and 1 (bucket = t div 100); bucket 1's
+    # ONLY boundary is the end at t=150 (level drops 1→0 there), but
+    # the interval was open the whole time — its peak is the CARRIED-IN
+    # level 1, not the post-boundary 0
+    df = spark.createDataFrame([(0, 150)], "s long, e long")
+    out = {
+        r.b: r
+        for r in peak_concurrency(
+            df, "s", "e", F.expr("t div 100"), bucket_name="b"
+        ).collect()
+    }
+    assert out[0].peak_concurrency == 1
+    assert out[1].peak_concurrency == 1 and out[1].n_boundaries == 1
+
+
+def test_peak_concurrency_empty_covered_bucket_is_emitted(spark):
+    from cubicerp_client_etl_spark.operators.behavior import peak_concurrency
+
+    # [0,250) covers bucket 1 entirely with NO boundary inside it —
+    # the bucket must still appear, reporting the carried-in level
+    df = spark.createDataFrame([(0, 250)], "s long, e long")
+    out = {
+        r.b: r
+        for r in peak_concurrency(
+            df, "s", "e", F.expr("t div 100"), bucket_name="b"
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[1].n_boundaries == 0 and out[1].peak_concurrency == 1
+    assert out[2].peak_concurrency == 1  # end-only bucket, carry-in 1
+
+
+def test_peak_concurrency_carry_in_plus_new_start_stacks(spark):
+    from cubicerp_client_etl_spark.operators.behavior import peak_concurrency
+
+    # [0,150) carried into bucket 1 where [110,120) opens → peak 2
+    df = spark.createDataFrame([(0, 150), (110, 120)], "s long, e long")
+    out = {
+        r.b: r
+        for r in peak_concurrency(
+            df, "s", "e", F.expr("t div 100"), bucket_name="b"
+        ).collect()
+    }
+    assert out[0].peak_concurrency == 1
+    assert out[1].peak_concurrency == 2
 
 
 # ------------------------------------------------------------ OLS trend ----

@@ -115,6 +115,36 @@ def test_prefix_sum_matches_naive_window(spark):
     assert got == want
 
 
+def test_prefix_sum_multi_matches_naive_windows(spark):
+    """Two running totals (value + ones-as-rank) from ONE ranged
+    checkpoint must match two independent global windows exactly —
+    the shape abc_classification rides."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum_multi
+
+    rows = [(i, ((i * 37) % 100) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").withColumn(
+        "one", F.lit(1).cast("bigint")
+    )
+    order = [F.col("v").desc(), F.col("k").asc()]
+    got = {
+        r["k"]: (r["cum_v"], r["rank"])
+        for r in prefix_sum_multi(
+            df, order, ["v", "one"], ["cum_v", "rank"]
+        ).collect()
+    }
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["k"]: (r["cum_v"], r["rank"])
+        for r in df.withColumn("cum_v", F.sum("v").over(w))
+        .withColumn("rank", F.sum("one").over(w))
+        .collect()
+    }
+    assert got == want
+
+
 def test_prefix_sum_stable_across_reruns(spark):
     """ADVICE r2 (medium): the ranged frame feeds two subtrees; pid
     assignment must be materialized once (localCheckpoint) so repeated
