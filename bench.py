@@ -31,8 +31,10 @@ transient-hiccup risk that originally motivated round-robin.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -46,6 +48,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
+
+def load_flags(samples: dict[str, list[float]]) -> list[str]:
+    """Queries whose samples carry a load-pollution signature, TWO
+    rules (round-9 judge finding: rule 1 alone let an 18.2 s median
+    through unflagged because the load inflated the median it compared
+    to):
+
+    1. ``max − min > 2·median`` — contended box or first-run cliff;
+    2. ``median > 2·min`` — a clean best run next to a fat median IS
+       the background-load signature: the plan demonstrably runs at
+       ``min(s)``, so a median far above it is the box, not the engine.
+    """
+    flagged = []
+    for n, s in samples.items():
+        med = statistics.median(s)
+        if (med > 0 and max(s) - min(s) > 2 * med) or (
+            min(s) > 0 and med > 2 * min(s)
+        ):
+            flagged.append(n)
+    return sorted(flagged)
 
 
 def main() -> None:
@@ -92,20 +115,36 @@ def main() -> None:
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
-    # self-labeling load pollution: a spread over 2x the median means
-    # the box was contended (or a first-run cliff) — the round-8
-    # driver bench "3.2x core regression" was exactly such a run and
-    # cost a bisect to disprove. Surfaced in the JSON and on stderr.
-    load_warnings = sorted(
-        n for n, s in samples.items()
-        if statistics.median(s) > 0 and max(s) - min(s) > 2 * statistics.median(s)
-    )
+    load_warnings = load_flags(samples)
     if load_warnings:
         print(
-            f"WARNING: spread > 2x median for {load_warnings} — "
-            "treat this run's absolute numbers as load-polluted",
+            f"WARNING: load-polluted samples for {load_warnings} "
+            "(spread > 2x median, or median > 2x best run) — "
+            "treat this run's absolute numbers as suspect; best-run "
+            "times are in the 'best' map",
             file=sys.stderr,
         )
+    best = {n: round(min(s), 3) for n, s in samples.items()}
+    # previous round's recorded medians, so a reader can spot
+    # inflation without a judge re-run: highest-numbered BENCH_r*.json
+    # sitting next to this script
+    prev: dict[str, float] = {}
+    prev_round = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if cands:
+        prev_round, path = max(cands)
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            # the driver wraps bench's own JSON under "parsed"
+            prev = doc.get("parsed", doc).get("queries", {}) or {}
+        except (OSError, ValueError, AttributeError):
+            prev, prev_round = {}, None
 
     # "value" stays the sum over the ORIGINAL 7-query core so the
     # round-over-round total remains comparable; queries added to the
@@ -127,7 +166,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "best": best,
         "load_warnings": load_warnings,
+        "prev_round": prev_round,
+        "prev_medians": {n: prev[n] for n in timings if n in prev},
         "value_all": round(sum(timings.values()), 3),
         "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

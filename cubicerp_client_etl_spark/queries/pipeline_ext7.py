@@ -253,7 +253,7 @@ _DSIR_B = 256
 
 
 @register(
-    "q014_dsir_importance_weights",
+    "q239_dsir_importance_weights",
     headline=True,  # track the round-6 wave wall-clock (rolls into value_all)
     oracle=f"""
 WITH tok AS (
@@ -296,7 +296,7 @@ ORDER BY weight_e6 DESC, doc_id
 LIMIT 50
 """,
 )
-def q014_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q239_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.dsir import (
         dsir_bucket_weights,
         dsir_doc_scores,
@@ -1198,7 +1198,7 @@ def q033_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is fully oracle-replayed.
 # --------------------------------------------------------------------------
 @register(
-    "q036_record_linkage",
+    "q087_record_linkage",
     oracle="""
 WITH dirty AS (
   SELECT c_custkey + 1000000 AS c_custkey,
@@ -1229,7 +1229,7 @@ WHERE levenshtein(name_a, name_b) <= 2 AND bal_a = bal_b
 ORDER BY id_a, id_b
 """,
 )
-def q036_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q087_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.linkage import (
         blocked_pairs,
         verify_links,

@@ -166,7 +166,7 @@ _EPOCH_MAX = 4
 
 
 @register(
-    "q013_epoch_allocation",
+    "q248_epoch_allocation",
     oracle=f"""
 WITH d AS (
   SELECT CASE WHEN source IN ('src0','src1','src2','src3') THEN source
@@ -218,7 +218,7 @@ SELECT domain, c_tokens,
 FROM f
 """,
 )
-def q013_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q248_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.budget import epoch_allocation
 
     docs = load(spark, sf_dir, "documents").select(
@@ -480,7 +480,7 @@ _NEG_PER_BUCKET = 64
 
 
 @register(
-    "q038_contrastive_negatives",
+    "q094_contrastive_negatives",
     oracle=f"""
 WITH nb AS (
   SELECT greatest({_NEG_B_MIN}, count(*) // {_NEG_PER_BUCKET}) AS b
@@ -524,7 +524,7 @@ SELECT label, n_anchors, n_hits, n_distinct_negs,
 FROM agg
 """,
 )
-def q038_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q094_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sampling import (
         bucketed_negative_sample,
     )
@@ -581,7 +581,7 @@ def q038_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q039_hll_join_cardinality",
+    "q100_hll_join_cardinality",
     oracle="""
 WITH ha AS (
   SELECT CAST(concat('0x',
@@ -657,7 +657,7 @@ SELECT CAST(64 AS BIGINT) AS m, est_a, est_b, est_union,
 FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ex
 """,
 )
-def q039_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q100_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.sketches import hll_set_algebra
 
     orders = load(spark, sf_dir, "orders").select("o_custkey")
@@ -718,7 +718,7 @@ _MRL_DIMS = 32
 
 
 @register(
-    "q044_matryoshka_recall",
+    "q102_matryoshka_recall",
     oracle=f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -761,7 +761,7 @@ LEFT JOIN trunc_rank t
 GROUP BY f.probe_id
 """,
 )
-def q044_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q102_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -957,7 +957,7 @@ def q015_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q016_winsorized_stats",
+    "q232_winsorized_stats",
     oracle="""
 WITH c AS (
   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -1002,7 +1002,7 @@ SELECT p01_cents, p99_cents, n, n_low, n_high,
 FROM agg
 """,
 )
-def q016_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q232_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quantiles import (
         histogram_quantile_sketch,
     )
@@ -1065,7 +1065,7 @@ _FX_CURS = ["USD", "EUR", "JPY", "GBP"]
 
 
 @register(
-    "q019_currency_asof_conversion",
+    "q234_currency_asof_conversion",
     oracle=f"""
 WITH months AS (
   SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
@@ -1117,7 +1117,7 @@ SELECT cur, n_orders, n_unrated,
 FROM agg
 """,
 )
-def q019_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q234_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import md5_hash32
 
     months = spark.sql(
@@ -1199,7 +1199,7 @@ def q019_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "q025_copurchase_triangles",
+    "q254_copurchase_triangles",
     oracle="""
 WITH e AS (
   SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
@@ -1242,7 +1242,7 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
 FROM tot CROSS JOIN tri
 """,
 )
-def q025_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q254_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.graph import triangle_stats
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1270,7 +1270,7 @@ _GEO_R = 200_000  # 0.2 degrees in micro-degrees
 
 
 @register(
-    "q026_geo_neighbor_join",
+    "q244_geo_neighbor_join",
     oracle=f"""
 WITH pts AS (
   SELECT c_custkey AS id,
@@ -1315,7 +1315,7 @@ SELECT n_points, n_pairs, min_dist2,
 FROM agg
 """,
 )
-def q026_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q244_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import md5_hash32
     from cubicerp_client_etl_spark.operators.geo import grid_neighbor_pairs
 
@@ -1372,7 +1372,7 @@ def q026_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q046_cdf_transform",
+    "q105_cdf_transform",
     oracle="""
 WITH v AS (
   SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
@@ -1391,7 +1391,7 @@ FROM v JOIN cdf ON cdf.q = v.q
 GROUP BY v.l_returnflag
 """,
 )
-def q046_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q105_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quantiles import cdf_transform
 
     li = load(spark, sf_dir, "lineitem").select(

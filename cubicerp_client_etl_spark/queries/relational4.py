@@ -343,7 +343,7 @@ def q86_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final agg on (nation, nation, year) — a few hundred groups.
 # --------------------------------------------------------------------------
 @register(
-    "q087_tpch_q7_volume_shipping",
+    "q036_tpch_q7_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l.l_shipdate) AS l_year,

@@ -32,7 +32,7 @@ def _normalize_text_udf():
 
 
 # --------------------------------------------------------------------------
-# q029 — scalar pandas_udf vs its SQL twin.
+# q188 — scalar pandas_udf vs its SQL twin.
 # --------------------------------------------------------------------------
 @register(
     "q188_pandas_scalar_udf",

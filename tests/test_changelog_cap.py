@@ -106,3 +106,19 @@ def test_cap_rejects_bad_n(spark):
         cap_per_group(df, "grp", "doc_id", n=0)
     with pytest.raises(ValueError):
         rate_cap_per_group(df, "grp", "doc_id", n=0)
+
+
+def test_bench_load_flags_catch_inflated_median():
+    """Round-9 judge finding: q029's driver samples (median 18.2 s,
+    best 2.2 s) passed the old spread>2x-median rule because the load
+    inflated the median itself. Both signatures must now flag."""
+    import bench
+
+    # inflated median, clean best run (the round-9 q029 shape)
+    assert bench.load_flags({"q": [2.2, 17.9, 18.2, 18.5, 22.8]}) == ["q"]
+    # classic wide spread around a sane median
+    assert bench.load_flags({"q": [1.0, 1.1, 1.2, 1.1, 9.0]}) == ["q"]
+    # healthy samples: tight spread, median near best
+    assert bench.load_flags({"q": [1.0, 1.05, 1.1, 1.02, 1.08]}) == []
+    # mild first-run JIT cliff (<2x) must NOT false-positive
+    assert bench.load_flags({"q": [1.9, 1.0, 1.05, 1.1, 1.02]}) == []

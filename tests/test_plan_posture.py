@@ -160,7 +160,7 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
 def test_q95_tpch_q6_pushdown_single_stage(spark):
     """Q6 must be the minimal shape: all three predicates pushed into
     the scan, one partial+final agg, no shuffle beyond the 1-row final."""
-    plan = plan_of(spark, "q094_tpch_q6_forecast_revenue")
+    plan = plan_of(spark, "q038_tpch_q6_forecast_revenue")
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
