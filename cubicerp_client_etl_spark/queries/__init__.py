@@ -60,6 +60,7 @@ def _load_all() -> None:
         pipeline_ext7,
         pipeline_ext8,
         pipeline_ext9,
+        pipeline_ext10,
         relational,
         relational2,
         relational3,

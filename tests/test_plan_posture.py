@@ -619,3 +619,29 @@ def test_bucketed_join_eliminates_exchanges(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_join_zero_exchange_below_join_at_sf01(spark):
+    """The registered q259_bucketed_colocated_join at sf0.1: the
+    SortMergeJoin over the bucketed fact tables must see ZERO Exchange
+    below it (the bucketing satisfies both sides' HashPartitioning
+    requirement); the only exchange in the whole query is the final
+    groupBy rollup's. Pins the scale remedy on the real 600k-row
+    fixture, not just the sf0.001 smoke."""
+    from cubicerp_client_etl_spark.queries.pipeline_ext10 import (
+        bucketed_fact_tables,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = bucketed_fact_tables(spark, "/root/testdata/sf0.1")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        rolled = joined.groupBy("o_orderpriority").count()
+        plan_r = rolled._jdf.queryExecution().executedPlan().toString()
+        # exactly one exchange: the rollup's own hash partitioning
+        assert plan_r.count("Exchange") == 1, plan_r
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
