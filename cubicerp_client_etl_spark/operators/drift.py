@@ -269,3 +269,81 @@ def association_strength(
         .cast("bigint")
         .alias("cramers_v_e6"),
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    bucket_col: str,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    population over a shared (bounded) bucketing — THE standard ML
+    feature-monitoring drift score (PSI < 0.1 stable, 0.1–0.25 watch,
+    > 0.25 act, read against psi_e12/1e12):
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    Add-one smoothing on counts makes absent buckets finite (a bucket
+    that vanished IS drift and must contribute, not NULL out):
+    ``p_b = (c_b + 1) / (n + B)`` with B the bucket-grid size. Numeric
+    discipline: shares are e6 floors; the ONLY float step is one ln
+    per bucket of an integer ratio, rounded to e6 (the DSIR/idf
+    precedent) — contributions multiply back to e12 integers, so the
+    oracle replays every row.
+
+    Returns one row per bucket in the union grid:
+    ``(bucket, n_base, n_cur, p_e6, q_e6, llr_e6, psi_contrib_e12)``.
+    Scale: two keyed counts (map-side combine), a bounded full-outer
+    grid join, two broadcast 1-row totals.
+    """
+    cb = base.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base")
+    )
+    cc = cur.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cur")
+    )
+    grid = (
+        cb.join(cc, "bucket", "full_outer")
+        .withColumn("n_base", F.coalesce("n_base", F.lit(0)).cast("bigint"))
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)).cast("bigint"))
+    )
+    tots = grid.agg(
+        F.sum("n_base").cast("bigint").alias("_na"),
+        F.sum("n_cur").cast("bigint").alias("_nc"),
+        F.count(F.lit(1)).cast("bigint").alias("_B"),
+    )
+    g = grid.crossJoin(F.broadcast(tots))
+    p_e6 = F.expr(
+        "CAST((n_base + 1) * CAST(1000000 AS DECIMAL(38,0))"
+        " div (_na + _B) AS BIGINT)"
+    )
+    q_e6 = F.expr(
+        "CAST((n_cur + 1) * CAST(1000000 AS DECIMAL(38,0))"
+        " div (_nc + _B) AS BIGINT)"
+    )
+    # ln of an integer ratio — smoothed, so both sides are >= 1/(n+B)
+    llr_e6 = F.round(
+        F.log(
+            (
+                (F.col("n_base") + 1).cast("double")
+                * (F.col("_nc") + F.col("_B")).cast("double")
+            )
+            / (
+                (F.col("n_cur") + 1).cast("double")
+                * (F.col("_na") + F.col("_B")).cast("double")
+            )
+        )
+        * 1_000_000
+    ).cast("bigint")
+    staged = g.select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        p_e6.alias("p_e6"),
+        q_e6.alias("q_e6"),
+        llr_e6.alias("llr_e6"),
+    )
+    return staged.withColumn(
+        "psi_contrib_e12",
+        ((F.col("p_e6") - F.col("q_e6")) * F.col("llr_e6")).cast("bigint"),
+    )

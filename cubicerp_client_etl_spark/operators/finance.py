@@ -9,7 +9,7 @@ integer discipline the rest of the engine uses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -91,4 +91,173 @@ def price_volume_bridge(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("price_eff"),
+    )
+
+
+def ar_aging_buckets(
+    docs: DataFrame,
+    date_col: str,
+    amount_col: str,
+    entity_col: str,
+    as_of: Column | None = None,
+    bounds: tuple[int, ...] = (30, 60, 90),
+) -> DataFrame:
+    """Accounts-receivable aging — the collections report: open
+    documents bucketed by age at the as-of date (default: the day
+    after the newest document, broadcast from a 1-row aggregate so the
+    report is pure data, no wall clock — wall-clock reads would break
+    replay and the oracle).
+
+    ``bounds`` are inclusive upper day-edges: the default makes
+    buckets '0-30', '31-60', '61-90', '91+'. Age is exact integer
+    ``datediff`` in days.
+
+    Returns one row per bucket:
+    ``(bucket, n_docs, n_entities, total_cents)``.
+
+    Scale: one broadcast 1-row as-of join, one CASE, one keyed
+    aggregation with map-side combine. Nothing else.
+    """
+    d = F.to_date(F.col(date_col))
+    if as_of is None:
+        asof_row = docs.agg(
+            F.date_add(F.max(d), 1).alias("_asof")
+        )
+        staged = docs.crossJoin(F.broadcast(asof_row))
+        asof = F.col("_asof")
+    else:
+        staged = docs
+        asof = as_of
+    age = F.datediff(asof, d)
+    prev = 0
+    expr = None
+    for b in bounds:
+        lbl = F.lit(f"{prev}-{b}")
+        cond = age <= b
+        expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
+        prev = b + 1
+    expr = expr.otherwise(F.lit(f"{prev}+"))
+    return (
+        staged.groupBy(expr.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.col(entity_col)).cast("bigint").alias(
+                "n_entities"
+            ),
+            F.sum(F.col(amount_col)).cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+def three_way_match(
+    po: DataFrame,
+    receipt: DataFrame,
+    invoice: DataFrame,
+    key_cols: list[str],
+    qty_col: str = "qty",
+    price_col: str = "price_cents",
+) -> DataFrame:
+    """Three-way match — the procurement control: purchase order,
+    goods receipt, and supplier invoice reconciled line-by-line.
+    Each input carries ``key_cols + (qty_col, price_cols)``; the match
+    joins the three on the keys and classifies every line:
+
+    - ``matched``        — receipt qty == PO qty AND invoice price ==
+      PO price AND invoice qty == receipt qty
+    - ``qty_mismatch``   — a quantity disagrees (short/over receipt,
+      or invoice billing more than received)
+    - ``price_mismatch`` — invoice unit price differs from PO
+    - ``both``           — quantity AND price disagree
+    - ``missing_receipt`` / ``missing_invoice`` — the document never
+      arrived (left-join nulls), the lines a payables team must chase
+
+    Returns one row per PO line: ``(key_cols..., po_qty, rcv_qty,
+    inv_qty, po_price_cents, inv_price_cents, match_status,
+    qty_gap, price_gap_cents)`` with integer gaps (invoice − PO).
+
+    Scale: two equi-joins on the line key (high cardinality) — AQE
+    reuses the hash partitioning across both; per-row CASE after.
+    """
+    p = po.select(
+        *key_cols,
+        F.col(qty_col).cast("bigint").alias("po_qty"),
+        F.col(price_col).cast("bigint").alias("po_price_cents"),
+    )
+    r = receipt.select(
+        *key_cols, F.col(qty_col).cast("bigint").alias("rcv_qty")
+    )
+    i = invoice.select(
+        *key_cols,
+        F.col(qty_col).cast("bigint").alias("inv_qty"),
+        F.col(price_col).cast("bigint").alias("inv_price_cents"),
+    )
+    j = p.join(r, key_cols, "left").join(i, key_cols, "left")
+    qty_bad = (
+        F.col("rcv_qty").isNotNull()
+        & F.col("inv_qty").isNotNull()
+        & (
+            (F.col("rcv_qty") != F.col("po_qty"))
+            | (F.col("inv_qty") != F.col("rcv_qty"))
+        )
+    )
+    price_bad = F.col("inv_price_cents").isNotNull() & (
+        F.col("inv_price_cents") != F.col("po_price_cents")
+    )
+    status = (
+        F.when(F.col("rcv_qty").isNull(), "missing_receipt")
+        .when(F.col("inv_qty").isNull(), "missing_invoice")
+        .when(qty_bad & price_bad, "both")
+        .when(qty_bad, "qty_mismatch")
+        .when(price_bad, "price_mismatch")
+        .otherwise("matched")
+    )
+    return j.select(
+        *key_cols,
+        "po_qty",
+        "rcv_qty",
+        "inv_qty",
+        "po_price_cents",
+        "inv_price_cents",
+        status.alias("match_status"),
+        (F.col("inv_qty") - F.col("po_qty")).cast("bigint").alias("qty_gap"),
+        (F.col("inv_price_cents") - F.col("po_price_cents"))
+        .cast("bigint")
+        .alias("price_gap_cents"),
+    )
+
+
+def duplicate_payment_screen(
+    docs: DataFrame,
+    entity_col: str,
+    amount_col: str,
+    id_col: str,
+    date_col: str,
+) -> DataFrame:
+    """Duplicate-payment screen — the classic payables audit: documents
+    sharing (entity, exact amount) under DIFFERENT ids are duplicate
+    candidates (double-keyed invoice, re-sent file, double-click).
+
+    Returns one row per candidate group (``n_docs >= 2``):
+    ``(entity_col, amount_cents, n_docs, first_id, last_id,
+    span_days)`` — the id range to pull and the day span between first
+    and last occurrence (0 = same-day double post, the highest-risk
+    case).
+
+    Scale: ONE keyed aggregation on (entity, amount) with map-side
+    combine + a HAVING. The group key is high-cardinality (entity ×
+    amount), so no skew concentration; nothing global.
+    """
+    d = F.to_date(F.col(date_col))
+    return (
+        docs.groupBy(
+            F.col(entity_col),
+            F.col(amount_col).cast("bigint").alias("amount_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(F.col(id_col)).cast("bigint").alias("first_id"),
+            F.max(F.col(id_col)).cast("bigint").alias("last_id"),
+            F.datediff(F.max(d), F.min(d)).cast("bigint").alias("span_days"),
+        )
+        .where(F.col("n_docs") >= 2)
     )

@@ -319,3 +319,70 @@ def triangle_stats(
         .cast("bigint")
         .alias("clustering_e6"),
     )
+
+
+def basket_affinity(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Market-basket pair affinity — support and lift for every item
+    pair co-occurring in at least ``min_pair_support`` baskets:
+
+        lift_e6 = n_baskets · n_ab · 1e6 div (n_a · n_b)
+
+    (> 1e6 ⇒ the pair attracts, < 1e6 ⇒ repels). Exact integers
+    end-to-end; ties and ordering are deterministic (pairs emitted as
+    ``item_a < item_b``).
+
+    Scale: items are deduped per basket FIRST (groupBy basket+item),
+    then pairs come from a self-equi-join ON the basket id — per-basket
+    fan-out is |basket|², bounded by real basket sizes (an order has
+    dozens of lines, not millions); the support prune keeps the output
+    to recurring pairs. Item totals are one keyed count; the two
+    enrichment joins are on the item key. No all-pairs across baskets
+    anywhere.
+    """
+    if min_pair_support < 1:
+        raise ValueError("min_pair_support must be >= 1")
+    items = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = items.agg(
+        F.count_distinct("_b").cast("bigint").alias("_nb")
+    )
+    item_freq = items.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_f")
+    )
+    a = items.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = items.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_support)
+    )
+    fa = item_freq.select(
+        F.col("_i").alias("item_a"), F.col("_f").alias("n_a")
+    )
+    fb = item_freq.select(
+        F.col("_i").alias("item_b"), F.col("_f").alias("n_b")
+    )
+    return (
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(_nb AS DECIMAL(38,0)) * n_ab * 1000000"
+                " div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )

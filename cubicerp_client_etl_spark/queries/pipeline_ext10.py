@@ -291,3 +291,448 @@ def q260_reference_job_lifecycle(
         F.col("total_cents").cast("bigint").alias("total_cents"),
         "action",
     )
+
+
+# --------------------------------------------------------------------------
+# q261 — AR aging buckets (operators/finance.ar_aging_buckets): open
+# (non-finished) orders bucketed by age in days at the data-derived
+# as-of date (newest order + 1 — never the wall clock), per-bucket
+# count / distinct customers / total cents. The collections report
+# every ERP ships. Scale: broadcast 1-row as-of, one CASE, one keyed
+# agg.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q261_ar_aging_buckets",
+    oracle="""
+WITH asof_d AS (
+  SELECT CAST(max(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY AS DATE)
+           AS a
+  FROM orders WHERE o_orderstatus <> 'F'
+),
+open_docs AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         date_diff('day', CAST(o_orderdate AS DATE), (SELECT a FROM asof_d))
+           AS age
+  FROM orders WHERE o_orderstatus <> 'F'
+)
+SELECT CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90'
+            ELSE '91+' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_entities,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM open_docs GROUP BY 1
+""",
+)
+def q261_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import ar_aging_buckets
+
+    docs = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") != "F")
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    return ar_aging_buckets(docs, "o_orderdate", "cents", "o_custkey")
+
+
+# --------------------------------------------------------------------------
+# q262 — Three-way match (operators/finance.three_way_match): PO /
+# goods receipt / supplier invoice reconciled per line — the
+# procurement control the reference's ledger feeds. Documents are
+# synthesized deterministically from lineitem (receipts short 1 unit
+# on every 37th line-key, invoices +1 cent on every 41st, every 53rd
+# line never receipted, every 59th never invoiced), so all six match
+# statuses appear and the oracle replays the synthesis + both joins +
+# the CASE verbatim. Scale: two equi-joins on the line key; AQE reuses
+# the hash partitioning.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q262_three_way_match",
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         l_orderkey * 10 + l_linenumber AS lk,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents
+  FROM lineitem
+),
+po AS (SELECT l_orderkey, l_linenumber, qty, price_cents FROM base),
+rcv AS (
+  SELECT l_orderkey, l_linenumber,
+         qty - CASE WHEN lk % 37 = 0 THEN 1 ELSE 0 END AS qty
+  FROM base WHERE lk % 53 <> 0
+),
+inv AS (
+  SELECT l_orderkey, l_linenumber, qty,
+         price_cents + CASE WHEN lk % 41 = 0 THEN 1 ELSE 0 END
+           AS price_cents
+  FROM base WHERE lk % 59 <> 0
+)
+SELECT p.l_orderkey, p.l_linenumber,
+       p.qty AS po_qty, r.qty AS rcv_qty, i.qty AS inv_qty,
+       p.price_cents AS po_price_cents, i.price_cents AS inv_price_cents,
+       CASE WHEN r.qty IS NULL THEN 'missing_receipt'
+            WHEN i.qty IS NULL THEN 'missing_invoice'
+            WHEN (r.qty <> p.qty OR i.qty <> r.qty)
+                 AND i.price_cents <> p.price_cents THEN 'both'
+            WHEN r.qty <> p.qty OR i.qty <> r.qty THEN 'qty_mismatch'
+            WHEN i.price_cents <> p.price_cents THEN 'price_mismatch'
+            ELSE 'matched' END AS match_status,
+       CAST(i.qty - p.qty AS BIGINT) AS qty_gap,
+       CAST(i.price_cents - p.price_cents AS BIGINT) AS price_gap_cents
+FROM po p
+LEFT JOIN rcv r ON r.l_orderkey = p.l_orderkey
+               AND r.l_linenumber = p.l_linenumber
+LEFT JOIN inv i ON i.l_orderkey = p.l_orderkey
+               AND i.l_linenumber = p.l_linenumber
+""",
+)
+def q262_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import three_way_match
+
+    base = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lk"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    po = base.select("l_orderkey", "l_linenumber", "qty", "price_cents")
+    rcv = base.where(F.col("lk") % 53 != 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("qty")
+            - F.when(F.col("lk") % 37 == 0, 1).otherwise(0)
+        ).alias("qty"),
+        "price_cents",
+    )
+    inv = base.where(F.col("lk") % 59 != 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        (
+            F.col("price_cents")
+            + F.when(F.col("lk") % 41 == 0, 1).otherwise(0)
+        ).alias("price_cents"),
+    )
+    return three_way_match(
+        po, rcv, inv, ["l_orderkey", "l_linenumber"], "qty", "price_cents"
+    )
+
+
+# --------------------------------------------------------------------------
+# q263 — PSI drift screen (operators/drift.psi_drift): Population
+# Stability Index of the document-length distribution between the
+# first ten sources (baseline) and the rest (current) over a bounded
+# n_chars div 200 bucket grid — the standard ML feature-monitoring
+# score next to the χ² (q238) and Cramér's V (q257) screens.
+# Add-one smoothing keeps vanished buckets finite; the only float step
+# is one ln per bucket of an integer ratio rounded to e6 (the
+# DSIR/idf precedent). Scale: two keyed counts + bounded grid join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q263_psi_drift",
+    oracle="""
+WITH d AS (
+  SELECT CAST(n_chars // 200 AS BIGINT) AS bucket,
+         CAST(substr(source, 4) AS INT) < 10 AS is_base
+  FROM documents
+),
+cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+       FROM d WHERE is_base GROUP BY 1),
+cc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur
+       FROM d WHERE NOT is_base GROUP BY 1),
+grid AS (
+  SELECT COALESCE(cb.bucket, cc.bucket) AS bucket,
+         CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+         CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+  FROM cb FULL JOIN cc ON cb.bucket = cc.bucket
+),
+tots AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS na,
+         CAST(sum(n_cur) AS BIGINT) AS nc,
+         CAST(count(*) AS BIGINT) AS B
+  FROM grid
+)
+SELECT g.bucket, g.n_base, g.n_cur,
+       CAST((g.n_base + 1) * CAST(1000000 AS HUGEINT) // (t.na + t.B)
+            AS BIGINT) AS p_e6,
+       CAST((g.n_cur + 1) * CAST(1000000 AS HUGEINT) // (t.nc + t.B)
+            AS BIGINT) AS q_e6,
+       CAST(round(ln((CAST(g.n_base + 1 AS DOUBLE) * (t.nc + t.B))
+                     / (CAST(g.n_cur + 1 AS DOUBLE) * (t.na + t.B)))
+                  * 1000000) AS BIGINT) AS llr_e6,
+       CAST((CAST((g.n_base + 1) * CAST(1000000 AS HUGEINT)
+                  // (t.na + t.B) AS BIGINT)
+             - CAST((g.n_cur + 1) * CAST(1000000 AS HUGEINT)
+                    // (t.nc + t.B) AS BIGINT))
+            * CAST(round(ln((CAST(g.n_base + 1 AS DOUBLE) * (t.nc + t.B))
+                            / (CAST(g.n_cur + 1 AS DOUBLE) * (t.na + t.B)))
+                         * 1000000) AS BIGINT) AS BIGINT)
+         AS psi_contrib_e12
+FROM grid g CROSS JOIN tots t
+""",
+)
+def q263_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.drift import psi_drift
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.expr("CAST(n_chars div 200 AS BIGINT)").alias("bucket"),
+        (F.substring("source", 4, 10).cast("int") < 10).alias("is_base"),
+    )
+    return psi_drift(
+        docs.where(F.col("is_base")),
+        docs.where(~F.col("is_base")),
+        "bucket",
+    )
+
+
+# --------------------------------------------------------------------------
+# q264 — RFM segmentation (operators/behavior.rfm_segmentation):
+# customers quintiled on recency / frequency / monetary by the exact
+# integer rule score = ceil(cum·5/n) over each metric's value-count
+# prefix scan, rolled up to the ≤125-cell segment grid. As-of is
+# data-derived (newest order + 1). Scale: one customer-keyed agg,
+# three bounded value-count prefix scans, bounded rollup.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q264_rfm_segmentation",
+    oracle="""
+WITH asof_d AS (
+  SELECT CAST(max(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY AS DATE) AS a
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         date_diff('day', max(CAST(o_orderdate AS DATE)),
+                   (SELECT a FROM asof_d)) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS m
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+rs AS (SELECT r, CAST(sum(count(*))
+              OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       FROM per GROUP BY r),
+fs AS (SELECT f, CAST(sum(count(*))
+              OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       FROM per GROUP BY f),
+ms AS (SELECT m, CAST(sum(count(*))
+              OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       FROM per GROUP BY m),
+scored AS (
+  SELECT per.o_custkey, per.m,
+         CAST((rs.cum * 5 + n.n - 1) // n.n AS INT) AS r_score,
+         CAST((fs.cum * 5 + n.n - 1) // n.n AS INT) AS f_score,
+         CAST((ms.cum * 5 + n.n - 1) // n.n AS INT) AS m_score
+  FROM per
+  JOIN rs ON rs.r = per.r
+  JOIN fs ON fs.f = per.f
+  JOIN ms ON ms.m = per.m
+  CROSS JOIN n
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(m) AS BIGINT) AS total_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def q264_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import rfm_segmentation
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return rfm_segmentation(orders, "o_custkey", "o_orderdate", "cents")
+
+
+# --------------------------------------------------------------------------
+# q265 — Market-basket pair affinity (operators/graph.basket_affinity):
+# support + exact e6 lift for every part pair co-bought in >= 3
+# orders. Pairs come from a self-equi-join ON the order key (per-order
+# fan-out bounded by basket size, never all-pairs across orders) —
+# the association-rule view next to the triangle census (q254 counts
+# structure, this scores attraction). Scale: per-basket dedup, one
+# basket-keyed pair join, one item-keyed count, broadcast totals.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q265_basket_affinity",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM items),
+freq AS (SELECT i, CAST(count(*) AS BIGINT) AS f FROM items GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.n_ab,
+       fa.f AS n_a, fb.f AS n_b,
+       CAST(CAST(nb.nb AS HUGEINT) * p.n_ab * 1000000
+            // (fa.f * fb.f) AS BIGINT) AS lift_e6
+FROM pairs p
+JOIN freq fa ON fa.i = p.item_a
+JOIN freq fb ON fb.i = p.item_b
+CROSS JOIN nb
+""",
+)
+def q265_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.graph import basket_affinity
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return basket_affinity(li, "l_orderkey", "l_partkey", min_pair_support=3)
+
+
+# --------------------------------------------------------------------------
+# q266 — Duplicate-payment screen (operators/finance.
+# duplicate_payment_screen): orders sharing (customer, exact total
+# cents) under different keys — the payables double-post audit. ONE
+# keyed aggregation on the high-cardinality (entity, amount) key +
+# HAVING; span_days = 0 flags the same-day double post.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q266_duplicate_payment_screen",
+    oracle="""
+SELECT o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS amount_cents,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(o_orderkey) AS BIGINT) AS first_id,
+       CAST(max(o_orderkey) AS BIGINT) AS last_id,
+       CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+                      max(CAST(o_orderdate AS DATE))) AS BIGINT)
+         AS span_days
+FROM orders
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+)
+def q266_duplicate_payment_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        duplicate_payment_screen,
+    )
+
+    docs = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return duplicate_payment_screen(
+        docs, "o_custkey", "cents", "o_orderkey", "o_orderdate"
+    )
+
+
+# --------------------------------------------------------------------------
+# q267 — 1-NN label audit (operators/similarity.brute_force_topk over
+# the labeled embeddings): every 10th vector probes the corpus for its
+# nearest non-self neighbor (rounded-cosine rank, id tie-break —
+# cross-engine deterministic); the output carries both labels and the
+# agreement flag — the leave-one-out sanity check that label structure
+# exists before training a classifier on the embedding. Scale: probes
+# broadcast, corpus streams once (the q034 shape); the label joins are
+# broadcast-size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q267_knn_label_audit",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv
+           FROM e WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT p.probe_id, p.probe_label, e.vec_id, e.label AS nn_label,
+         ROUND(list_dot_product(e.v, p.pv) /
+               sqrt(list_dot_product(e.v, e.v)
+                    * list_dot_product(p.pv, p.pv)), 6) AS sim
+  FROM e CROSS JOIN probes p
+  WHERE e.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY sim DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT probe_id, vec_id AS nn_id, sim,
+       CAST(probe_label AS INT) AS label,
+       CAST(nn_label AS INT) AS nn_label,
+       probe_label = nn_label AS label_match
+FROM ranked WHERE rk = 1
+""",
+)
+def q267_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cubicerp_client_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding")
+    top = brute_force_topk(corpus, probes, k=2)
+    w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    nn = (
+        top.where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    labels = emb.select("vec_id", "label")
+    pl = labels.select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("label")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").alias("nn_label")
+    )
+    return (
+        nn.select("probe_id", F.col("vec_id").alias("nn_id"), "sim")
+        .join(F.broadcast(pl), "probe_id")
+        .join(F.broadcast(nl), "nn_id")
+        .select(
+            "probe_id",
+            "nn_id",
+            "sim",
+            F.col("label").cast("int").alias("label"),
+            F.col("nn_label").cast("int").alias("nn_label"),
+            (F.col("label") == F.col("nn_label")).alias("label_match"),
+        )
+    )

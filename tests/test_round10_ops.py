@@ -1,0 +1,206 @@
+"""Round-10 operator semantics: AR aging, three-way match,
+duplicate-payment screen, basket affinity, PSI drift, RFM quintiles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- AR aging ----
+
+
+def test_ar_aging_buckets_edges_and_default_asof(spark):
+    from cubicerp_client_etl_spark.operators.finance import ar_aging_buckets
+
+    # newest doc 2024-03-31 → as-of 2024-04-01; ages: 1, 30, 31, 91
+    rows = [
+        (1, "2024-03-31", 100),
+        (2, "2024-03-02", 200),  # age 30 → still 0-30
+        (3, "2024-03-01", 300),  # age 31 → 31-60
+        (1, "2024-01-01", 400),  # age 91 → 91+
+    ]
+    df = spark.createDataFrame(rows, "cust long, d string, cents long")
+    out = {
+        r.bucket: r
+        for r in ar_aging_buckets(df, "d", "cents", "cust").collect()
+    }
+    assert out["0-30"].n_docs == 2 and out["0-30"].total_cents == 300
+    assert out["0-30"].n_entities == 2
+    assert out["31-60"].n_docs == 1 and out["31-60"].total_cents == 300
+    assert out["91+"].n_docs == 1 and out["91+"].total_cents == 400
+    assert "61-90" not in out
+
+
+# ------------------------------------------------------- three-way match ----
+
+
+def test_three_way_match_all_statuses(spark):
+    from cubicerp_client_etl_spark.operators.finance import three_way_match
+
+    po = spark.createDataFrame(
+        [(k, 10, 500) for k in range(1, 7)], "k long, qty long, price_cents long"
+    )
+    rcv = spark.createDataFrame(
+        [
+            (1, 10),  # matched
+            (2, 9),   # qty_mismatch (short receipt)
+            (3, 10),  # price_mismatch via invoice
+            (4, 9),   # both
+            (6, 10),  # missing_invoice
+        ],
+        "k long, qty long",
+    )
+    inv = spark.createDataFrame(
+        [
+            (1, 10, 500),
+            (2, 9, 500),
+            (3, 10, 501),
+            (4, 9, 501),
+            (5, 10, 500),  # missing_receipt takes precedence
+        ],
+        "k long, qty long, price_cents long",
+    )
+    out = {
+        r.k: r
+        for r in three_way_match(po, rcv, inv, ["k"], "qty", "price_cents").collect()
+    }
+    assert out[1].match_status == "matched"
+    assert out[2].match_status == "qty_mismatch" and out[2].qty_gap == -1
+    assert out[3].match_status == "price_mismatch"
+    assert out[3].price_gap_cents == 1
+    assert out[4].match_status == "both"
+    assert out[5].match_status == "missing_receipt"
+    assert out[6].match_status == "missing_invoice"
+
+
+def test_three_way_match_invoice_over_receipt_is_qty_mismatch(spark):
+    from cubicerp_client_etl_spark.operators.finance import three_way_match
+
+    # receipt agrees with PO but the invoice bills MORE than received
+    po = spark.createDataFrame([(1, 10, 500)], "k long, qty long, price_cents long")
+    rcv = spark.createDataFrame([(1, 10)], "k long, qty long")
+    inv = spark.createDataFrame([(1, 12, 500)], "k long, qty long, price_cents long")
+    r = three_way_match(po, rcv, inv, ["k"], "qty", "price_cents").collect()[0]
+    assert r.match_status == "qty_mismatch" and r.qty_gap == 2
+
+
+# ----------------------------------------------- duplicate payment screen ----
+
+
+def test_duplicate_payment_screen_groups_and_span(spark):
+    from cubicerp_client_etl_spark.operators.finance import (
+        duplicate_payment_screen,
+    )
+
+    rows = [
+        (7, 100, 1, "2024-01-01"),
+        (7, 100, 5, "2024-01-04"),  # dup pair, span 3
+        (7, 200, 2, "2024-01-01"),  # different amount → no group
+        (8, 100, 3, "2024-01-01"),  # different entity → no group
+        (9, 300, 4, "2024-02-01"),
+        (9, 300, 6, "2024-02-01"),  # same-day double post, span 0
+    ]
+    df = spark.createDataFrame(rows, "e long, cents long, id long, d string")
+    out = {
+        (r.e, r.amount_cents): r
+        for r in duplicate_payment_screen(df, "e", "cents", "id", "d").collect()
+    }
+    assert set(out) == {(7, 100), (9, 300)}
+    assert out[(7, 100)].n_docs == 2
+    assert (out[(7, 100)].first_id, out[(7, 100)].last_id) == (1, 5)
+    assert out[(7, 100)].span_days == 3
+    assert out[(9, 300)].span_days == 0
+
+
+# ------------------------------------------------------- basket affinity ----
+
+
+def test_basket_affinity_lift_exact_and_dedup(spark):
+    from cubicerp_client_etl_spark.operators.graph import basket_affinity
+
+    # 4 baskets; (a,b) together in 2 of them; item a repeated within
+    # basket 1 must count once
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = basket_affinity(df, "b", "i", min_pair_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b) == ("a", "b")
+    assert (r.n_ab, r.n_a, r.n_b) == (2, 3, 2)
+    # lift = n_baskets * n_ab / (n_a * n_b) = 4*2/(3*2) = 1.333...
+    assert r.lift_e6 == 1_333_333
+
+
+def test_basket_affinity_min_support_prunes(spark):
+    from cubicerp_client_etl_spark.operators.graph import basket_affinity
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "b long, i string")
+    assert basket_affinity(df, "b", "i", min_pair_support=2).count() == 0
+    assert basket_affinity(df, "b", "i", min_pair_support=1).count() == 1
+    with pytest.raises(ValueError):
+        basket_affinity(df, "b", "i", min_pair_support=0)
+
+
+# ------------------------------------------------------------- PSI drift ----
+
+
+def test_psi_drift_identical_populations_zero(spark):
+    from cubicerp_client_etl_spark.operators.drift import psi_drift
+
+    rows = [(i % 5,) for i in range(100)]
+    a = spark.createDataFrame(rows, "bucket long")
+    b = spark.createDataFrame(rows, "bucket long")
+    out = psi_drift(a, b, "bucket").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.llr_e6 == 0 and r.psi_contrib_e12 == 0
+        assert r.p_e6 == r.q_e6
+
+
+def test_psi_drift_disjoint_buckets_positive_total(spark):
+    from cubicerp_client_etl_spark.operators.drift import psi_drift
+
+    a = spark.createDataFrame([(1,)] * 50, "bucket long")
+    b = spark.createDataFrame([(2,)] * 50, "bucket long")
+    out = psi_drift(a, b, "bucket").collect()
+    assert len(out) == 2  # union grid
+    total = sum(r.psi_contrib_e12 for r in out)
+    # fully shifted distribution → PSI far above the 0.25 action line
+    assert total > 250_000 * 1_000_000
+    # smoothing keeps every contribution finite and each one positive
+    # here ((p−q) and ln(p/q) share sign)
+    assert all(r.psi_contrib_e12 > 0 for r in out)
+
+
+# ---------------------------------------------------------------- RFM ----
+
+
+def test_rfm_quintile_rule_exact(spark):
+    from cubicerp_client_etl_spark.operators.behavior import rfm_segmentation
+
+    # 5 customers, one order each on distinct days with distinct
+    # amounts: frequency ties (all f=1 → every f cum=5 → score 5);
+    # recency/monetary are clean quintiles 1..5
+    rows = [
+        (1, "2024-01-05", 500),  # most recent, highest spend
+        (2, "2024-01-04", 400),
+        (3, "2024-01-03", 300),
+        (4, "2024-01-02", 200),
+        (5, "2024-01-01", 100),
+    ]
+    df = spark.createDataFrame(rows, "cust long, d string, cents long")
+    out = rfm_segmentation(df, "cust", "d", "cents").collect()
+    cells = {(r.r_score, r.f_score, r.m_score): r for r in out}
+    # ascending rule: cust1 has smallest recency (1 day) → r=1, largest
+    # monetary → m=5; ties in f all share score 5
+    assert (1, 5, 5) in cells and cells[(1, 5, 5)].total_cents == 500
+    assert (5, 5, 1) in cells and cells[(5, 5, 1)].total_cents == 100
+    assert sum(r.n_entities for r in out) == 5
+    for r in out:
+        assert r.f_score == 5  # all-tied metric shares the top score
