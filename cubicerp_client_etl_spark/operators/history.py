@@ -418,3 +418,93 @@ def maintain_aggregate(
         ],
     )
     return maintained.where(F.col(count_col) != 0)
+
+
+def avco_inventory(
+    moves: DataFrame,
+    part_col: str,
+    seq_col: str,
+    qty_col: str,
+    price_col: str,
+) -> DataFrame:
+    """Moving-average (AVCO) inventory valuation — the other standard
+    costing method next to FIFO (:func:`fifo_lot_matching`): receipts
+    re-average the unit cost, issues consume at the CURRENT average.
+    Per part, in ``seq_col`` order, with integer state
+    ``(onhand, value_cents)``:
+
+    - receipt (qty > 0):  value += qty·price;  onhand += qty
+    - issue  (qty < 0):   cogs = value·|qty| div onhand  (floor);
+                          value −= cogs;  onhand −= |qty|
+
+    Issue cost comes from TOTAL VALUE (never a stored average) so
+    rounding never compounds: value_cents is exact at every step and
+    the final average is ``value div onhand``.
+
+    Unlike FIFO — which this module deliberately expresses as a
+    set-based interval join because lot consumption ranges are
+    order-reconstructible — AVCO is IRREDUCIBLY sequential: the floor
+    division inside every issue makes each state a non-associative
+    function of the previous one, so no prefix-sum trick recovers it.
+    The honest distributed shape is therefore a per-part ordered walk
+    in Arrow ``applyInPandas``: parts spread across the cluster
+    (high-cardinality key), each part's move list is bounded by its
+    own activity, and the Python loop touches only that bounded batch.
+    The DuckDB oracle replays the recurrence with a recursive CTE.
+
+    Requires: first move per part is a receipt and issues never exceed
+    on-hand (the caller's ledger contract — violations surface as
+    negative onhand in the output, reported not masked).
+
+    Returns one row per move: ``(part_col, seq_col, qty,
+    onhand_after, value_cents_after, cogs_cents)`` (cogs 0 on
+    receipts).
+    """
+    src = moves.select(
+        F.col(part_col).alias("part"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(qty_col).cast("long").alias("qty"),
+        F.col(price_col).cast("long").alias("price_cents"),
+    )
+    out_schema = (
+        "part long, seq long, qty long, onhand_after long, "
+        "value_cents_after long, cogs_cents long"
+    )
+
+    # no annotations on the walker: with `from __future__ import
+    # annotations` stringified hints would need pandas importable at
+    # MODULE scope for Spark's signature inspection (verify-skill gotcha)
+    def walk(pdf):
+        pdf = pdf.sort_values("seq").reset_index(drop=True)
+        onhand = 0
+        value = 0
+        oh, val, cogs = [], [], []
+        for q, p in zip(pdf["qty"], pdf["price_cents"]):
+            q, p = int(q), int(p)
+            if q >= 0:
+                value += q * p
+                onhand += q
+                cogs.append(0)
+            else:
+                u = -q
+                c = value * u // onhand if onhand else 0
+                value -= c
+                onhand -= u
+                cogs.append(c)
+            oh.append(onhand)
+            val.append(value)
+        pdf["onhand_after"] = oh
+        pdf["value_cents_after"] = val
+        pdf["cogs_cents"] = cogs
+        return pdf[
+            ["part", "seq", "qty", "onhand_after", "value_cents_after",
+             "cogs_cents"]
+        ]
+
+    return (
+        src.groupBy("part")
+        .applyInPandas(walk, schema=out_schema)
+        .withColumnRenamed("part", part_col)
+        .withColumnRenamed("seq", seq_col)
+        .withColumnRenamed("qty", qty_col)
+    )

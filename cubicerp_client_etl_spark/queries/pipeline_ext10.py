@@ -736,3 +736,102 @@ def q267_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("nn_label")).alias("label_match"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q268 — AVCO moving-average inventory (operators/history.
+# avco_inventory): the other standard costing method next to FIFO
+# (q013). Moves are synthesized from lineitem per part — every line
+# yields a receipt of qty at its unit price (seq 2k) then an issue of
+# qty div 2 (seq 2k+1), so stock accumulates and the average keeps
+# moving; first move per part is always a receipt and on-hand never
+# goes negative. The recurrence is IRREDUCIBLY sequential (floor
+# division inside every issue), so the Spark side is a per-part Arrow
+# applyInPandas walk and the oracle replays the exact recurrence with
+# a RECURSIVE CTE stepping all parts in lockstep on the per-part row
+# number. Unit price = extendedprice div qty (integer cents).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q268_avco_inventory",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT l_partkey AS part,
+         (l_orderkey * 10 + l_linenumber) AS lk,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS unit_cents
+  FROM lineitem WHERE l_partkey % 20 = 0
+),
+mv AS (
+  SELECT part, lk * 2 AS seq, q AS qty, unit_cents AS price_cents
+  FROM base
+  UNION ALL
+  SELECT part, lk * 2 + 1, -(q // 2), 0 FROM base WHERE q // 2 > 0
+),
+m AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part ORDER BY seq) AS rn
+  FROM mv
+),
+s AS (
+  SELECT part, rn, seq, qty,
+         CAST(qty AS BIGINT) AS onhand,
+         CAST(qty * price_cents AS BIGINT) AS value,
+         CAST(0 AS BIGINT) AS cogs
+  FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.part, m.rn, m.seq, m.qty,
+         CASE WHEN m.qty >= 0 THEN s.onhand + m.qty
+              ELSE s.onhand + m.qty END AS onhand,
+         CASE WHEN m.qty >= 0 THEN s.value + m.qty * m.price_cents
+              ELSE s.value - (s.value * (-m.qty) // s.onhand) END AS value,
+         CASE WHEN m.qty >= 0 THEN 0
+              ELSE s.value * (-m.qty) // s.onhand END AS cogs
+  FROM s JOIN m ON m.part = s.part AND m.rn = s.rn + 1
+)
+SELECT CAST(part AS BIGINT) AS l_partkey, CAST(seq AS BIGINT) AS seq,
+       CAST(qty AS BIGINT) AS qty,
+       CAST(onhand AS BIGINT) AS onhand_after,
+       CAST(value AS BIGINT) AS value_cents_after,
+       CAST(cogs AS BIGINT) AS cogs_cents
+FROM s
+""",
+)
+def q268_avco_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.history import avco_inventory
+
+    base = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 20 == 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lk"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " div CAST(l_quantity AS BIGINT)"
+            ).alias("unit_cents"),
+        )
+    )
+    receipts = base.select(
+        "part",
+        (F.col("lk") * 2).alias("seq"),
+        F.col("q").alias("qty"),
+        F.col("unit_cents").alias("price_cents"),
+    )
+    issues = base.where(F.expr("q div 2") > 0).select(
+        "part",
+        (F.col("lk") * 2 + 1).alias("seq"),
+        (-F.expr("q div 2")).alias("qty"),
+        F.lit(0).alias("price_cents"),
+    )
+    moves = receipts.unionByName(issues)
+    return avco_inventory(moves, "part", "seq", "qty", "price_cents").select(
+        F.col("part").cast("bigint").alias("l_partkey"),
+        F.col("seq").cast("bigint").alias("seq"),
+        F.col("qty").cast("bigint").alias("qty"),
+        "onhand_after",
+        "value_cents_after",
+        "cogs_cents",
+    )

@@ -204,3 +204,61 @@ def test_rfm_quintile_rule_exact(spark):
     assert sum(r.n_entities for r in out) == 5
     for r in out:
         assert r.f_score == 5  # all-tied metric shares the top score
+
+
+# ------------------------------------------------------------- AVCO ----
+
+
+def test_avco_hand_computed_recurrence(spark):
+    from cubicerp_client_etl_spark.operators.history import avco_inventory
+
+    # receipt 10 @ 100 → value 1000; receipt 10 @ 200 → value 3000,
+    # onhand 20 (avg 150); issue 5 → cogs = 3000*5//20 = 750, value
+    # 2250, onhand 15; issue 7 → cogs = 2250*7//15 = 1050, value 1200,
+    # onhand 8
+    rows = [
+        (1, 0, 10, 100),
+        (1, 1, 10, 200),
+        (1, 2, -5, 0),
+        (1, 3, -7, 0),
+    ]
+    df = spark.createDataFrame(rows, "p long, s long, q long, c long")
+    out = {
+        r.s: r for r in avco_inventory(df, "p", "s", "q", "c").collect()
+    }
+    assert (out[0].onhand_after, out[0].value_cents_after) == (10, 1000)
+    assert (out[1].onhand_after, out[1].value_cents_after) == (20, 3000)
+    assert (out[2].cogs_cents, out[2].value_cents_after) == (750, 2250)
+    assert (out[3].cogs_cents, out[3].onhand_after) == (1050, 8)
+
+
+def test_avco_value_conservation_property(spark):
+    """Invariant: at every step, value = Σ receipts·price − Σ cogs so
+    far (the walk tracks total value exactly; rounding never leaks)."""
+    from cubicerp_client_etl_spark.operators.history import avco_inventory
+
+    rows = []
+    for p in range(3):
+        seq = 0
+        for i in range(12):
+            q = (i * 7 + p) % 9 + 1
+            rows.append((p, seq, q, (i * 13 + 50) % 300 + 1))
+            seq += 1
+            if i % 2 == 1:
+                rows.append((p, seq, -(q // 2 + 1), 0))
+                seq += 1
+    df = spark.createDataFrame(rows, "p long, s long, q long, c long")
+    out = avco_inventory(df, "p", "s", "q", "c").collect()
+    by_part: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.p, r.s)):
+        by_part.setdefault(r.p, []).append(r)
+    src = {(p, s): (q, c) for p, s, q, c in rows}
+    for p, steps in by_part.items():
+        receipts = cogs = 0
+        for r in steps:
+            q, c = src[(p, r.s)]
+            if q > 0:
+                receipts += q * c
+            cogs += r.cogs_cents
+            assert r.value_cents_after == receipts - cogs, r
+            assert r.onhand_after >= 0, r
