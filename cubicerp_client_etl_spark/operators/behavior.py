@@ -475,3 +475,47 @@ def rfm_segmentation(
         F.count(F.lit(1)).cast("bigint").alias("n_entities"),
         F.sum("_m").cast("bigint").alias("total_cents"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str,
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Last-touch conversion attribution: every ``conversion_type``
+    event is credited to the event type IMMEDIATELY preceding it in
+    the user's stream (``direct_label`` when the conversion is the
+    user's first event). The single-touch baseline every attribution
+    debate starts from.
+
+    Returns one row per attributed source type:
+    ``(source_type, n_conversions, sum_value_floor)`` — counts and the
+    exact sum of ``floor(value)`` (IEEE-identical across engines).
+
+    Scale: ONE lag() window partitioned by the (high-cardinality) user
+    key over (ts, order) — prover-compliant — then a bounded rollup on
+    the source type.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    staged = events.withColumn("_prev_ty", F.lag(type_col).over(w))
+    conv = staged.where(F.col(type_col) == conversion_type)
+    return (
+        conv.groupBy(
+            F.coalesce(F.col("_prev_ty"), F.lit(direct_label)).alias(
+                "source_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.coalesce(F.sum(F.floor(F.col(value_col)).cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("sum_value_floor"),
+        )
+    )

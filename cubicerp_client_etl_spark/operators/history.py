@@ -508,3 +508,70 @@ def avco_inventory(
         .withColumnRenamed("seq", seq_col)
         .withColumnRenamed("qty", qty_col)
     )
+
+
+def reorder_point(
+    demand: DataFrame,
+    part_col: str,
+    day_col: str,
+    qty_col: str,
+    lead_days: int = 4,
+    z_x2: int = 4,
+) -> DataFrame:
+    """Reorder point / safety stock per part — the inventory-planning
+    closed form on exact integers:
+
+        ROP = mean_daily · lead_days + (z · σ_daily · sqrt(lead_days))
+
+    computed as ``mean·L + (z_x2 · std · isqrt(L)) div 2`` with
+    ``z_x2 = 2·z`` (half-integer z levels without floats; default
+    z = 2 ≈ 97.7% service). Statistics run over OBSERVED demand days
+    (documented: zero-demand days are not imputed — imputing them
+    needs the dense calendar per part, a deliberate non-goal here; the
+    stats are per-active-day):
+
+        mean = Σd div n
+        var  = (n·Σd² − (Σd)²) div n²      (population, floored)
+        std  = isqrt_exact(var)
+
+    Products run in DECIMAL(38,0); the square root is the
+    floor-corrected integer isqrt the oracles replay bit-for-bit.
+
+    Returns one row per part: ``(part_col, n_days, sum_qty, mean_qty,
+    var_qty, std_qty, reorder_point)``.
+
+    Scale: one (part, day) aggregation then one part aggregation —
+    both map-side combinable; nothing else.
+    """
+    import math
+
+    from cubicerp_client_etl_spark.functions import isqrt_exact
+
+    if lead_days < 1:
+        raise ValueError("lead_days must be >= 1")
+    sqrt_l = math.isqrt(lead_days)
+    daily = demand.groupBy(
+        F.col(part_col).alias("_p"), F.col(day_col).alias("_d")
+    ).agg(F.sum(F.col(qty_col)).cast("decimal(38,0)").alias("_q"))
+    agg = daily.groupBy("_p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_q").cast("decimal(38,0)").alias("_sd"),
+        F.sum(F.expr("_q * _q")).cast("decimal(38,0)").alias("_sdd"),
+    )
+    mean_q = F.expr("CAST(_sd div n_days AS BIGINT)")
+    var_q = F.expr(
+        "CAST((n_days * _sdd - _sd * _sd)"
+        " div (CAST(n_days AS DECIMAL(38,0)) * n_days) AS BIGINT)"
+    )
+    staged = agg.select(
+        F.col("_p").alias(part_col),
+        "n_days",
+        F.expr("CAST(_sd AS BIGINT)").alias("sum_qty"),
+        mean_q.alias("mean_qty"),
+        var_q.alias("var_qty"),
+    ).withColumn("std_qty", isqrt_exact(F.col("var_qty")))
+    rop = (
+        F.col("mean_qty") * lead_days
+        + F.expr(f"CAST(({z_x2} * std_qty * {sqrt_l}) div 2 AS BIGINT)")
+    )
+    return staged.withColumn("reorder_point", rop.cast("bigint"))

@@ -426,3 +426,53 @@ def grouped_ols_trend(
             ),
         ).alias("intercept_e6"),
     )
+
+
+def referential_integrity_audit(
+    pairs: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Referential-integrity audit across a set of FK relationships —
+    the load-time data contract every warehouse checks: for each
+    ``(name, child_df, fk_col, parent_df, pk_col)`` report the child
+    row count, the orphan count (child rows whose FK matches no parent
+    PK — NULL FKs count as orphans: an unparented fact is unparented
+    either way), and the exact e6 orphan share.
+
+    Returns one row per relationship:
+    ``(relationship, n_child, n_orphans, orphan_share_e6)``.
+
+    Scale: one LEFT ANTI join per relationship on the key (broadcast
+    when the parent is a dimension) + two 1-row aggregates; the union
+    is K rows for K relationships. Zero orphans is the healthy answer
+    — the audit's value is pinning that zero under the oracle hash.
+    """
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    for name, child, fk, parent, pk in pairs:
+        c = child.select(F.col(fk).alias("_fk"))
+        p = parent.select(F.col(pk).alias("_fk")).distinct()
+        total = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        orphans = c.join(p, "_fk", "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        outs.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_orphans",
+                F.when(
+                    F.col("n_child") > 0,
+                    e6_floor_ratio(F.col("n_orphans"), F.col("n_child")),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("orphan_share_e6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1,10 +1,16 @@
-"""Round-10 extension wave: the 100 TB scale REMEDIES promoted from
-unit-test-only code to registered, oracled corpus queries — the salted
-skew join (``operators/lookups.salted_join``, the remedy
+"""Round-10 extension wave.
+
+Scale REMEDIES promoted from unit-test-only code to registered,
+oracled corpus queries — the salted skew join
+(``operators/lookups.salted_join``, the remedy
 ``quality.key_skew_audit`` points at) and the bucketed co-located
 fact-to-fact join (``sinks/writers.write_bucketed_table``, the
 pay-the-layout-once shape) — plus the declared end-to-end reference
-job lifecycle as ONE oracled query.
+job lifecycle as ONE oracled query, then the ERP/analytics additions:
+AR aging, three-way match, PSI drift, RFM quintile segmentation,
+market-basket lift, the duplicate-payment screen, the 1-NN label
+audit, and AVCO moving-average inventory (the recursive-CTE-oracled
+applyInPandas walk).
 
 Same corpus discipline as the rest of the registry: exact integer /
 decimal arithmetic so every query carries a DuckDB oracle the driver
@@ -361,6 +367,7 @@ def q261_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q262_three_way_match",
+    headline=True,
     oracle="""
 WITH base AS (
   SELECT l_orderkey, l_linenumber,
@@ -518,6 +525,7 @@ def q263_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q264_rfm_segmentation",
+    headline=True,
     oracle="""
 WITH asof_d AS (
   SELECT CAST(max(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY AS DATE) AS a
@@ -834,4 +842,197 @@ def q268_avco_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "onhand_after",
         "value_cents_after",
         "cogs_cents",
+    )
+
+
+# --------------------------------------------------------------------------
+# q269 — Reorder point / safety stock (operators/history.
+# reorder_point): per-part daily-demand statistics (over observed
+# demand days) and the planning closed form ROP = mean·L + z·σ·√L with
+# L = 4, z = 2 — exact integers end-to-end: decimal(38,0) moment sums,
+# floored population variance, the floor-corrected integer sqrt
+# (functions.isqrt_exact) the oracle replays. Two keyed aggregations,
+# nothing else.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q269_reorder_point",
+    oracle="""
+WITH daily AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+agg AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_days,
+         sum(q) AS sd, sum(q * q) AS sdd
+  FROM daily GROUP BY 1
+),
+stats AS (
+  SELECT l_partkey, n_days,
+         CAST(sd AS BIGINT) AS sum_qty,
+         CAST(sd // n_days AS BIGINT) AS mean_qty,
+         CAST((n_days * sdd - sd * sd)
+              // (CAST(n_days AS HUGEINT) * n_days) AS BIGINT) AS var_qty
+  FROM agg
+),
+rooted AS (
+  SELECT *, CAST(floor(sqrt(CAST(var_qty AS DOUBLE))) AS BIGINT) AS s0
+  FROM stats
+),
+std AS (
+  SELECT l_partkey, n_days, sum_qty, mean_qty, var_qty,
+         CAST(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_qty
+                         THEN 1 ELSE 0 END)
+                 - (CASE WHEN s0 * s0 > var_qty THEN 1 ELSE 0 END)
+              AS BIGINT) AS std_qty
+  FROM rooted
+)
+SELECT l_partkey, n_days, sum_qty, mean_qty, var_qty, std_qty,
+       CAST(mean_qty * 4 + (4 * std_qty * 2) // 2 AS BIGINT)
+         AS reorder_point
+FROM std
+""",
+)
+def q269_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.history import reorder_point
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("ship_day"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return reorder_point(
+        li, "l_partkey", "ship_day", "qty", lead_days=4, z_x2=4
+    )
+
+
+# --------------------------------------------------------------------------
+# q270 — Referential-integrity audit (operators/quality.
+# referential_integrity_audit): orphan counts + exact e6 shares for
+# the four fixture FK relationships — the load-time data contract. The
+# healthy answer is four zero rows, and pinning that zero under the
+# oracle hash is the point (a broken extract shows up as a non-zero
+# orphan share before any downstream join silently drops rows). One
+# LEFT ANTI join per relationship, parents broadcast-scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q270_referential_integrity_audit",
+    oracle="""
+WITH r1 AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS n_orphans
+),
+r2 AS (
+  SELECT 'orders.o_custkey->customer',
+         CAST((SELECT count(*) FROM orders) AS BIGINT),
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT)
+),
+r3 AS (
+  SELECT 'lineitem.l_partkey->part',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+              AS BIGINT)
+),
+r4 AS (
+  SELECT 'lineitem.l_suppkey->supplier',
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+              AS BIGINT)
+),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+SELECT relationship, n_child, n_orphans,
+       CAST(CASE WHEN n_child > 0
+                 THEN CAST(n_orphans AS HUGEINT) * 1000000 // n_child
+                 ELSE 0 END AS BIGINT) AS orphan_share_e6
+FROM u
+""",
+)
+def q270_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import (
+        referential_integrity_audit,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    return referential_integrity_audit(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", orders,
+             "o_orderkey"),
+            ("orders.o_custkey->customer", orders, "o_custkey", cust,
+             "c_custkey"),
+            ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp,
+             "s_suppkey"),
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# q271 — Last-touch attribution (operators/behavior.
+# last_touch_attribution): every purchase credited to the event type
+# immediately preceding it in the user's stream ('direct' when the
+# purchase opens the stream) — counts and exact floor(value) revenue
+# per source. ONE user-partitioned lag() window + a bounded rollup;
+# the single-touch baseline next to the funnel (q016) and Markov
+# (q019) views.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q271_last_touch_attribution",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type, value
+  FROM events
+),
+lagged AS (
+  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS prev_ty
+  FROM e
+)
+SELECT COALESCE(prev_ty, 'direct') AS source_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(COALESCE(sum(CAST(floor(value) AS BIGINT)), 0) AS BIGINT)
+         AS sum_value_floor
+FROM lagged WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q271_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import (
+        last_touch_attribution,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    return last_touch_attribution(
+        ev, "user_id", "t", "event_id", "event_type", "value", "purchase"
     )

@@ -262,3 +262,88 @@ def test_avco_value_conservation_property(spark):
             cogs += r.cogs_cents
             assert r.value_cents_after == receipts - cogs, r
             assert r.onhand_after >= 0, r
+
+
+# ---------------------------------------------------------- reorder point ----
+
+
+def test_reorder_point_hand_computed(spark):
+    from cubicerp_client_etl_spark.operators.history import reorder_point
+
+    # part 1: daily demands 4, 8 → n=2, mean=6, var=((2*80)-144)/4=4,
+    # std=2, ROP = 6*4 + (4*2*2)//2 = 24+8 = 32
+    rows = [
+        (1, "d1", 3), (1, "d1", 1),   # day d1 total 4
+        (1, "d2", 8),
+        (2, "d1", 5),                  # single day → var 0, std 0
+    ]
+    df = spark.createDataFrame(rows, "p long, d string, q long")
+    out = {
+        r.p: r
+        for r in reorder_point(df, "p", "d", "q", lead_days=4, z_x2=4).collect()
+    }
+    assert out[1].n_days == 2 and out[1].mean_qty == 6
+    assert out[1].var_qty == 4 and out[1].std_qty == 2
+    assert out[1].reorder_point == 32
+    assert out[2].var_qty == 0 and out[2].reorder_point == 20
+    with pytest.raises(ValueError):
+        reorder_point(df, "p", "d", "q", lead_days=0)
+
+
+# ----------------------------------------------- referential integrity ----
+
+
+def test_referential_integrity_audit_counts_orphans_and_nulls(spark):
+    from cubicerp_client_etl_spark.operators.quality import (
+        referential_integrity_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = referential_integrity_audit(
+        [("child->parent", child, "fk", parent, "pk")]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 99 is an orphan; the NULL FK is unparented too
+    assert r.n_child == 4 and r.n_orphans == 2
+    assert r.orphan_share_e6 == 500_000
+    with pytest.raises(ValueError):
+        referential_integrity_audit([])
+
+
+# --------------------------------------------------- last-touch attribution ----
+
+
+def test_last_touch_attribution_prev_event_and_direct(spark):
+    from cubicerp_client_etl_spark.operators.behavior import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        # user 1: view → purchase (credited to view)
+        (1, 10, 1, "view", 0.0),
+        (1, 20, 2, "purchase", 9.7),
+        # user 2: purchase first (direct), then click → purchase
+        (2, 5, 3, "purchase", 3.2),
+        (2, 6, 4, "click", 0.0),
+        (2, 7, 5, "purchase", 4.9),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e long, ty string, v double")
+    out = {
+        r.source_type: r
+        for r in last_touch_attribution(
+            df, "u", "t", "e", "ty", "v", "purchase"
+        ).collect()
+    }
+    assert out["view"].n_conversions == 1
+    assert out["view"].sum_value_floor == 9  # floor(9.7)
+    assert out["direct"].n_conversions == 1
+    assert out["direct"].sum_value_floor == 3
+    assert out["click"].n_conversions == 1
+    assert out["click"].sum_value_floor == 4
+    # a purchase right after a purchase credits the previous purchase —
+    # never re-credits itself
+    assert set(out) == {"view", "direct", "click"}
