@@ -668,13 +668,19 @@ def q266_duplicate_payment_screen(
 
 # --------------------------------------------------------------------------
 # q267 — 1-NN label audit (operators/similarity.brute_force_topk over
-# the labeled embeddings): every 10th vector probes the corpus for its
-# nearest non-self neighbor (rounded-cosine rank, id tie-break —
-# cross-engine deterministic); the output carries both labels and the
-# agreement flag — the leave-one-out sanity check that label structure
-# exists before training a classifier on the embedding. Scale: probes
-# broadcast, corpus streams once (the q034 shape); the label joins are
-# broadcast-size.
+# the labeled embeddings): a FIXED-SIZE probe panel (~50 probes — the
+# sampling modulus is DERIVED from one scalar corpus count, the q038
+# bucket-rule precedent, so the panel does NOT grow with the corpus
+# and the scan stays linear at 10×/100×; a %-of-corpus panel measured
+# 29× wall at 10× — quadratic — before this rule) probes the corpus
+# for its nearest non-self neighbor (rounded-cosine rank, id
+# tie-break — cross-engine deterministic); the output carries both
+# labels and the agreement flag — the leave-one-out sanity check that
+# label structure exists before training a classifier on the
+# embedding. Scale: probes broadcast, corpus streams once (the q034
+# shape); the label joins are broadcast-size. The exhaustive-recall
+# path at scale is the IVF family (q150/q048) — this is the
+# oracle-checkable exact baseline.
 # --------------------------------------------------------------------------
 
 
@@ -683,8 +689,9 @@ def q266_duplicate_payment_screen(
     oracle="""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
+pm AS (SELECT greatest(10, count(*) // 50) AS m FROM e),
 probes AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv
-           FROM e WHERE vec_id % 10 = 0),
+           FROM e WHERE vec_id % (SELECT m FROM pm) = 0),
 scored AS (
   SELECT p.probe_id, p.probe_label, e.vec_id, e.label AS nn_label,
          ROUND(list_dot_product(e.v, p.pv) /
@@ -713,7 +720,10 @@ def q267_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 10 == 0).select(
+    # fixed-size probe panel: modulus derived from ONE scalar count so
+    # the panel stays ~50 probes at any corpus size (q038 precedent)
+    probe_mod = max(10, emb.count() // 50)
+    probes = emb.where(F.col("vec_id") % probe_mod == 0).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     corpus = emb.select("vec_id", "embedding")
