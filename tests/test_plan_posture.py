@@ -157,6 +157,48 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert got == want and got > 0
 
 
+def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
+    """Dynamic partition pruning posture (L-scale): when a partitioned
+    FACT joins a filtered DIM on the partition key, Catalyst must
+    inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters — at 100 TB this is what keeps 'join sales to the
+    last-week calendar dim' from scanning every day directory even
+    though no literal date predicate touches the fact side."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.catalog import load
+
+    events = load(spark, SF_ORACLE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day_dpp")
+    events.write.partitionBy("day").parquet(path)
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    assert len(days) >= 3
+    # calendar dim: (day, tag); the filter lives on the DIM only
+    dim = spark.createDataFrame(
+        [(d, "keep" if d in days[:2] else "drop") for d in days],
+        "day string, tag string",
+    )
+    fact = spark.read.parquet(path)
+    q = fact.join(dim.filter(F.col("tag") == "keep"), "day").groupBy(
+        "day"
+    ).count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    # partition values read back type-inferred (DATE here) — compare
+    # on the string rendering
+    got = {str(r["day"]): r["count"] for r in q.collect()}
+    want = {
+        r["day"]: r["count"]
+        for r in events.filter(F.col("day").isin(days[:2]))
+        .groupBy("day")
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) == 2
+
+
 def test_q95_tpch_q6_pushdown_single_stage(spark):
     """Q6 must be the minimal shape: all three predicates pushed into
     the scan, one partial+final agg, no shuffle beyond the 1-row final."""
