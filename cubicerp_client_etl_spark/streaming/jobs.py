@@ -883,3 +883,75 @@ def stream_funnel_progress(events: DataFrame, steps: list[str]) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/behavior.last_touch_attribution``:
+    per-user last-event-type carried in state so a conversion arriving
+    at the top of a micro-batch still credits the type that closed the
+    PREVIOUS batch.
+
+    State is ONE (last_t, last_event_id, last_type) triple per user —
+    bounded by user cardinality, independent of stream length (the
+    same state shape as ``stream_transition_counts``). Each
+    micro-batch is materialized per user and sorted by (t, event_id)
+    before the walk; the ordered-ingest contract applies (per-user
+    arrival time-ordered ACROSS batches).
+
+    Emits (source_type, n_conversions, sum_value_floor) DELTAS per
+    (user, micro-batch) in append mode; the downstream rollup
+    ``groupBy(source_type).sum(...)`` equals the batch operator
+    (equivalence-tested). 'purchase' is the conversion type; the
+    stream twin hard-codes it to keep the state schema closed —
+    parameterize at the call site by pre-mapping event types.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def walk(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["t", "event_id"]
+        )
+        prev_ty = state.get[2] if state.exists else None
+        agg: dict[str, list[int]] = {}
+        for ty, v in zip(pdf["event_type"], pdf["value"]):
+            if ty == "purchase":
+                src = prev_ty if prev_ty is not None else "direct"
+                cell = agg.setdefault(src, [0, 0])
+                cell[0] += 1
+                cell[1] += int(v // 1)  # floor(value)
+            prev_ty = ty
+        state.update(
+            (
+                int(pdf["t"].iloc[-1]),
+                int(pdf["event_id"].iloc[-1]),
+                str(pdf["event_type"].iloc[-1]),
+            )
+        )
+        if agg:
+            yield pd.DataFrame(
+                {
+                    "source_type": list(agg),
+                    "n_conversions": [c[0] for c in agg.values()],
+                    "sum_value_floor": [c[1] for c in agg.values()],
+                }
+            )
+
+    return events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+        "event_type",
+        "value",
+    ).groupBy("user_id").applyInPandasWithState(
+        walk,
+        outputStructType=(
+            "source_type string, n_conversions bigint, sum_value_floor bigint"
+        ),
+        stateStructType="last_t bigint, last_eid bigint, last_ty string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -698,3 +698,41 @@ def test_stream_funnel_progress_equals_batch(spark):
     f = {r.user_id: (r.t1_us, r.t2_us, r.t3_us) for r in final.collect()}
     b = {r.user_id: (r.t1_us, r.t2_us, r.t3_us) for r in batch.collect()}
     assert f == b
+
+
+def test_stream_last_touch_attribution_equals_batch(spark):
+    from cubicerp_client_etl_spark.operators.behavior import (
+        last_touch_attribution,
+    )
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        stream_last_touch_attribution,
+    )
+
+    stream = events_stream(spark, SF_SMOKE)
+    got = run_stream_to_memory(
+        stream_last_touch_attribution(stream), "lasttouch",
+        output_mode="append",
+    )
+    rolled = {
+        r.source_type: (r.n, r.v)
+        for r in got.groupBy("source_type")
+        .agg(
+            F.sum("n_conversions").alias("n"),
+            F.sum("sum_value_floor").alias("v"),
+        )
+        .collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    batch = {
+        r.source_type: (r.n_conversions, r.sum_value_floor)
+        for r in last_touch_attribution(
+            ev, "user_id", "t", "event_id", "event_type", "value", "purchase"
+        ).collect()
+    }
+    assert rolled == batch
