@@ -1,0 +1,198 @@
+"""Time-series forecasting and survival analytics on exact integers.
+
+The reference's jobs feed demand-planning and churn dashboards; these
+operators own the two standard first-line models:
+
+- single exponential smoothing (SES) — the irreducibly SEQUENTIAL
+  recurrence (like AVCO costing, :mod:`history.avco_inventory`): the
+  floor division inside every update makes each level a
+  non-associative function of the previous one, so the distributed
+  shape is a per-key ordered walk in Arrow ``applyInPandas`` and the
+  DuckDB oracle replays the recurrence with a RECURSIVE CTE;
+- Kaplan–Meier survival — fully SET-BASED: risk counts come from one
+  value-count prefix scan over the bounded distinct-duration table,
+  and the survival curve is carried in LOG space (e6-rounded ln per
+  step — the DSIR/idf precedent — summed by prefix scan), so no
+  cross-engine float product ever forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ses_forecast(
+    series: DataFrame,
+    key_col: str,
+    period_col: str,
+    value_col: str,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Single exponential smoothing with alpha = 1/``alpha_den`` on
+    exact integers, per key over the OBSERVED periods in order:
+
+        s_1       = x_1
+        s_t       = s_{t-1} + trunc((x_t − s_{t-1}) / alpha_den)
+
+    (TRUNCATION toward zero, the engine-portable choice: DuckDB's
+    integer ``//`` truncates on negatives — measured, part 1790's
+    first down-step — while Python's ``//`` floors, so the walker
+    sign-factors: ``d // a`` for d ≥ 0, ``-((-d) // a)`` otherwise;
+    the oracle's ``//`` then replays it verbatim. Same discipline as
+    the q251/q253 sign-factored divisions.) The one-step-ahead
+    forecast for period t is s_{t-1} — the level BEFORE seeing x_t —
+    so the output carries the honest forecast error.
+
+    Returns one row per (key, period): ``(key_col, period_col, value,
+    forecast, level, abs_err)`` with ``forecast`` NULL on each key's
+    first period (no prior level exists).
+
+    Scale: the recurrence is irreducibly sequential per key (floor
+    inside every step — no prefix-sum trick recovers it; contrast the
+    set-based FIFO/KM shapes), so this is a per-key ordered walk in
+    Arrow ``applyInPandas``: keys spread across the cluster, each
+    key's period list is bounded by the calendar, the Python loop
+    touches only that bounded batch. Oracle: RECURSIVE CTE stepping
+    all keys in lockstep on the per-key row number.
+    """
+    import pandas as pd
+
+    if alpha_den < 1:
+        raise ValueError("alpha_den must be >= 1")
+    src = series.select(
+        F.col(key_col).alias("key"),
+        F.col(period_col).cast("long").alias("period"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    out_schema = (
+        "key long, period long, value long, forecast long, "
+        "level long, abs_err long"
+    )
+
+    # no annotations on the walker (stringified-hints gotcha, see
+    # history.avco_inventory)
+    def walk(pdf):
+        pdf = pdf.sort_values("period").reset_index(drop=True)
+        level = None
+        fc, lv, ae = [], [], []
+        for x in pdf["value"]:
+            x = int(x)
+            if level is None:
+                fc.append(None)
+                ae.append(None)
+                level = x
+            else:
+                fc.append(level)
+                ae.append(abs(x - level))
+                d = x - level
+                step = d // alpha_den if d >= 0 else -((-d) // alpha_den)
+                level = level + step
+            lv.append(level)
+        pdf["forecast"] = pd.array(fc, dtype="Int64")
+        pdf["level"] = lv
+        pdf["abs_err"] = pd.array(ae, dtype="Int64")
+        return pdf[["key", "period", "value", "forecast", "level", "abs_err"]]
+
+    return (
+        src.groupBy("key")
+        .applyInPandas(walk, schema=out_schema)
+        .withColumnRenamed("key", key_col)
+        .withColumnRenamed("period", period_col)
+        .withColumnRenamed("value", value_col)
+    )
+
+
+def km_survival_curve(
+    durations: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curve on exact integers, carried in LOG
+    space. Input: one row per subject with an integer duration and an
+    event flag (1 = the event happened at ``duration``, 0 = censored
+    there — still at risk through it, then gone).
+
+    At each distinct EVENT time t (ascending):
+
+        n_t (at risk)    = #{duration >= t}
+        d_t (events)     = #{duration == t AND event = 1}
+        hazard_e6        = d_t·1e6 div n_t
+        log_surv_e6      = Σ_{t' <= t} round(ln((n_t' − d_t') / n_t') · 1e6)
+
+    — the KM product Π(1 − d/n) telescopes to a SUM of per-step logs,
+    so the only float op is one ln of an integer ratio per distinct
+    event time, e6-rounded (the DSIR/idf precedent); no cross-engine
+    float product ever accumulates. S(t) = exp(log_surv_e6 / 1e6) for
+    human reading — deliberately NOT computed in-engine (exp rounding
+    is not cross-engine-pinned; ln is the established precedent).
+    The step where everyone remaining dies (d = n) reports NULL logs
+    (the curve hits exactly 0 — log-undefined, standard KM).
+
+    Returns one row per distinct event time: ``(t, n_at_risk,
+    d_events, n_censored_at_t, hazard_e6, log_surv_e6)``.
+
+    Scale: one keyed value-count over (duration, event), one two-phase
+    prefix scan over the BOUNDED distinct-duration table (risk counts
+    = total − cumulative-before), a second bounded prefix scan for the
+    log sum. No raw-row window anywhere.
+    """
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum
+
+    vc = durations.groupBy(
+        F.col(duration_col).cast("bigint").alias("t")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_all"),
+        F.sum(
+            F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d_events"),
+    )
+    cum = prefix_sum(vc, order_by=[F.col("t")], value_col="_n_all", out_col="_cum")
+    total = cum.agg(F.max("_cum").cast("bigint").alias("_total"))
+    risk = cum.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk", (F.col("_total") - F.col("_cum") + F.col("_n_all")).cast("bigint")
+    )
+    ev = risk.where(F.col("d_events") > 0).select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        (F.col("_n_all") - F.col("d_events")).cast("bigint").alias(
+            "n_censored_at_t"
+        ),
+        F.expr(
+            "CAST(CAST(d_events AS DECIMAL(38,0)) * 1000000"
+            " div n_at_risk AS BIGINT)"
+        ).alias("hazard_e6"),
+        F.when(
+            F.col("d_events") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d_events")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * 1_000_000
+            ).cast("bigint"),
+        ).alias("_step_log_e6"),
+    )
+    # second bounded prefix scan: the cumulative log-survival. A d = n
+    # step (log-undefined: the curve hits exactly 0) can only be the
+    # LAST event time — every remaining subject ends there — so the
+    # NULL needs no forward propagation; the final when() pins it.
+    curved = prefix_sum(
+        ev,
+        order_by=[F.col("t")],
+        value_col="_step_log_e6",
+        out_col="_ls",
+    )
+    return curved.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        "n_censored_at_t",
+        "hazard_e6",
+        F.when(F.col("d_events") < F.col("n_at_risk"), F.col("_ls"))
+        .cast("bigint")
+        .alias("log_surv_e6"),
+    )

@@ -1046,3 +1046,246 @@ def q271_last_touch_attribution(
     return last_touch_attribution(
         ev, "user_id", "t", "event_id", "event_type", "value", "purchase"
     )
+
+
+# --------------------------------------------------------------------------
+# q272 — Single exponential smoothing (operators/forecast.
+# ses_forecast): per-part monthly demand smoothed with alpha = 1/4 on
+# exact integers — level updates by floor((x − s)/4), the one-step
+# forecast is the PRIOR level so the error column is honest. Like
+# AVCO (q268) the floor inside every step makes the recurrence
+# irreducibly sequential → per-part Arrow applyInPandas walk, and the
+# oracle replays it with a RECURSIVE CTE in per-part row-number
+# lockstep. Parts sampled (% 10) to bound the oracle recursion width.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q272_ses_forecast",
+    oracle="""
+WITH RECURSIVE series AS (
+  SELECT l_partkey AS key,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+           AS period,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS value
+  FROM lineitem WHERE l_partkey % 10 = 0
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY period) AS rn
+  FROM series
+),
+s AS (
+  SELECT key, rn, period, value,
+         CAST(NULL AS BIGINT) AS forecast,
+         value AS level,
+         CAST(NULL AS BIGINT) AS abs_err
+  FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.key, m.rn, m.period, m.value,
+         s.level AS forecast,
+         s.level + (m.value - s.level) // 4 AS level,
+         abs(m.value - s.level) AS abs_err
+  FROM s JOIN m ON m.key = s.key AND m.rn = s.rn + 1
+)
+SELECT CAST(key AS BIGINT) AS l_partkey, period, value,
+       CAST(forecast AS BIGINT) AS forecast,
+       CAST(level AS BIGINT) AS level,
+       CAST(abs_err AS BIGINT) AS abs_err
+FROM s
+""",
+)
+def q272_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.forecast import ses_forecast
+
+    series = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 10 == 0)
+        .groupBy(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("period"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("demand"))
+    )
+    return ses_forecast(
+        series, "l_partkey", "period", "demand", alpha_den=4
+    ).select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        "period",
+        F.col("demand").alias("value"),
+        "forecast",
+        "level",
+        "abs_err",
+    )
+
+
+# --------------------------------------------------------------------------
+# q273 — Kaplan–Meier churn survival (operators/forecast.
+# km_survival_curve): customer lifetimes = days between first and last
+# order, right-censored when the last order falls within 90 days of
+# the dataset horizon (still alive). The curve is carried in LOG
+# space — per distinct event time, risk counts from one value-count
+# prefix scan, hazard as an exact e6 floor, and the survival product
+# telescoped to a prefix SUM of e6-rounded lns (the DSIR precedent) —
+# so no cross-engine float product ever forms. The everyone-dies step
+# (d = n, curve exactly 0) reports NULL log-survival, standard KM.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q273_km_churn_survival",
+    oracle="""
+WITH horizon AS (
+  SELECT CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS h FROM orders
+),
+life AS (
+  SELECT o_custkey,
+         date_diff('day', min(CAST(o_orderdate AS DATE)),
+                   max(CAST(o_orderdate AS DATE))) AS dur,
+         CASE WHEN date_diff('day', max(CAST(o_orderdate AS DATE)),
+                             (SELECT h FROM horizon)) < 90
+              THEN 0 ELSE 1 END AS event
+  FROM orders GROUP BY o_custkey
+),
+vc AS (
+  SELECT CAST(dur AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(event) AS BIGINT) AS d_events
+  FROM life GROUP BY 1
+),
+cum AS (
+  SELECT *, CAST(sum(n_all) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS c
+  FROM vc
+),
+tot AS (SELECT CAST(sum(n_all) AS BIGINT) AS total FROM vc),
+risk AS (
+  SELECT cum.*, (tot.total - cum.c + cum.n_all) AS n_at_risk
+  FROM cum CROSS JOIN tot
+),
+ev AS (
+  SELECT t, n_at_risk, d_events,
+         CAST(n_all - d_events AS BIGINT) AS n_censored_at_t,
+         CAST(CAST(d_events AS HUGEINT) * 1000000 // n_at_risk AS BIGINT)
+           AS hazard_e6,
+         CASE WHEN d_events < n_at_risk THEN
+           CAST(round(ln(CAST(n_at_risk - d_events AS DOUBLE)
+                         / n_at_risk) * 1000000) AS BIGINT)
+         END AS step_log
+  FROM risk WHERE d_events > 0
+)
+SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_events,
+       n_censored_at_t, hazard_e6,
+       CASE WHEN d_events < n_at_risk THEN
+         CAST(sum(step_log) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              AS BIGINT)
+       END AS log_surv_e6
+FROM ev
+""",
+)
+def q273_km_churn_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.forecast import km_survival_curve
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    horizon = orders.agg(F.max("d").alias("_h"))
+    life = (
+        orders.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("dur"),
+            F.when(
+                F.datediff(F.first("_h"), F.max("d")) < 90, F.lit(0)
+            )
+            .otherwise(F.lit(1))
+            .alias("event"),
+        )
+    )
+    return km_survival_curve(life, "dur", "event")
+
+
+# --------------------------------------------------------------------------
+# q274 — Price elasticity of demand (operators/quality.
+# grouped_ols_trend over e6-ln coordinates): per brand, the log-log
+# OLS slope of part-level (unit price, total quantity) — slope_e6 IS
+# the elasticity ×1e6 (the common e6 scaling of both axes cancels in
+# dy/dx). One part-level aggregation, one e6-rounded ln per axis per
+# part (DSIR precedent), one brand-keyed closed-form OLS.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q274_price_elasticity",
+    oracle="""
+WITH pp AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS HUGEINT)
+           // CAST(sum(CAST(l.l_quantity AS BIGINT)) AS HUGEINT)
+           AS price_cents,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l GROUP BY 1
+),
+pts AS (
+  SELECT p.p_brand,
+         CAST(round(ln(CAST(pp.price_cents AS DOUBLE)) * 1000000)
+              AS BIGINT) AS x,
+         CAST(round(ln(CAST(pp.qty AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM pp JOIN part p ON p.p_partkey = pp.l_partkey
+),
+agg AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pts GROUP BY 1
+),
+d AS (
+  SELECT *, n * sxx - sx * sx AS det,
+         (n * sxy - sx * sy) * 1000000 AS s_num,
+         (sy * sxx - sx * sxy) * 1000000 AS i_num
+  FROM agg
+)
+SELECT p_brand, n, CAST(sy AS BIGINT) AS sum_y,
+       CASE WHEN n >= 2 AND det <> 0 THEN
+         CAST(CASE WHEN s_num < 0 THEN -((-s_num) // det)
+                   ELSE s_num // det END AS BIGINT) END AS slope_e6,
+       CASE WHEN n >= 2 AND det <> 0 THEN
+         CAST(CASE WHEN i_num < 0 THEN -((-i_num) // det)
+                   ELSE i_num // det END AS BIGINT) END AS intercept_e6
+FROM d
+""",
+)
+def q274_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import grouped_ols_trend
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    pp = li.groupBy("l_partkey").agg(
+        F.expr("CAST(sum(cents) div sum(qty) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.sum("qty").cast("bigint").alias("qty_total"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = pp.join(
+        F.broadcast(part), pp.l_partkey == part.p_partkey
+    ).select(
+        "p_brand",
+        F.round(F.log(F.col("price_cents").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("qty_total").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return grouped_ols_trend(pts, ["p_brand"], "x", "y")

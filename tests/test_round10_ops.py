@@ -347,3 +347,57 @@ def test_last_touch_attribution_prev_event_and_direct(spark):
     # a purchase right after a purchase credits the previous purchase —
     # never re-credits itself
     assert set(out) == {"view", "direct", "click"}
+
+
+# ----------------------------------------------------------------- SES ----
+
+
+def test_ses_forecast_hand_computed_including_negative_step(spark):
+    from cubicerp_client_etl_spark.operators.forecast import ses_forecast
+
+    # alpha 1/4: 100 → level 100; x=80: fc 100, step trunc(-20/4)=-5 →
+    # 95; x=96: fc 95, step trunc(1/4)=0 → 95 (truncation toward zero,
+    # NOT floor: floor of -20/4 is the same, but -1//4 differs — pin
+    # with x=94: step trunc(-1/4)=0 keeps 95)
+    rows = [(1, 1, 100), (1, 2, 80), (1, 3, 96), (1, 4, 94)]
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    out = {r.p: r for r in ses_forecast(df, "k", "p", "v").collect()}
+    assert out[1].forecast is None and out[1].level == 100
+    assert (out[2].forecast, out[2].level, out[2].abs_err) == (100, 95, 20)
+    assert (out[3].forecast, out[3].level) == (95, 95)
+    assert (out[4].forecast, out[4].level) == (95, 95)  # trunc(-1/4)=0
+    with pytest.raises(ValueError):
+        ses_forecast(df, "k", "p", "v", alpha_den=0)
+
+
+# -------------------------------------------------------------- KM curve ----
+
+
+def test_km_survival_hand_computed_with_censoring(spark):
+    from cubicerp_client_etl_spark.operators.forecast import km_survival_curve
+
+    # durations: events at t=2 (1 of 5 at risk), t=5 (1 of 3);
+    # censored at t=3 (drops risk set) and t=5; survivor censored at 7
+    rows = [(2, 1), (3, 0), (5, 1), (5, 0), (7, 0)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    out = {r.t: r for r in km_survival_curve(df, "dur", "ev").collect()}
+    assert set(out) == {2, 5}
+    assert out[2].n_at_risk == 5 and out[2].d_events == 1
+    assert out[2].hazard_e6 == 200_000
+    # ln(4/5)*1e6 ≈ -223144 (round)
+    assert out[2].log_surv_e6 == -223144
+    assert out[5].n_at_risk == 3 and out[5].d_events == 1
+    assert out[5].n_censored_at_t == 1
+    # cumulative: ln(4/5)+ln(2/3) ≈ -0.628609 → -628609 ± 1 rounding
+    assert abs(out[5].log_surv_e6 - (-628609)) <= 1
+
+
+def test_km_survival_everyone_dies_final_step_null_log(spark):
+    from cubicerp_client_etl_spark.operators.forecast import km_survival_curve
+
+    df = spark.createDataFrame([(1, 1), (1, 1)], "dur long, ev int")
+    out = km_survival_curve(df, "dur", "ev").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.d_events == r.n_at_risk == 2
+    assert r.hazard_e6 == 1_000_000 and r.log_surv_e6 is None
