@@ -447,10 +447,14 @@ def avco_inventory(
     division inside every issue makes each state a non-associative
     function of the previous one, so no prefix-sum trick recovers it.
     The honest distributed shape is therefore a per-part ordered walk
-    in Arrow ``applyInPandas``: parts spread across the cluster
-    (high-cardinality key), each part's move list is bounded by its
-    own activity, and the Python loop touches only that bounded batch.
-    The DuckDB oracle replays the recurrence with a recursive CTE.
+    in Arrow ``applyInPandas`` — grouped on a HASH BUCKET of the part
+    (64-way), not the part itself: parts are independent, so each
+    Arrow batch carries MANY parts' move lists sorted by (part, seq)
+    and one Python pass walks them all, resetting state at part
+    boundaries. Per-part grouping pays ~4 ms of pandas overhead per
+    group (the ses_forecast measurement); bucketing amortizes it while
+    each part's walk stays ordered. The DuckDB oracle replays the
+    recurrence with a recursive CTE.
 
     Requires: first move per part is a receipt and issues never exceed
     on-hand (the caller's ledger contract — violations surface as
@@ -465,7 +469,7 @@ def avco_inventory(
         F.col(seq_col).cast("long").alias("seq"),
         F.col(qty_col).cast("long").alias("qty"),
         F.col(price_col).cast("long").alias("price_cents"),
-    )
+    ).withColumn("_b", F.pmod(F.xxhash64("part"), F.lit(64)))
     out_schema = (
         "part long, seq long, qty long, onhand_after long, "
         "value_cents_after long, cogs_cents long"
@@ -475,11 +479,16 @@ def avco_inventory(
     # annotations` stringified hints would need pandas importable at
     # MODULE scope for Spark's signature inspection (verify-skill gotcha)
     def walk(pdf):
-        pdf = pdf.sort_values("seq").reset_index(drop=True)
+        pdf = pdf.sort_values(["part", "seq"]).reset_index(drop=True)
         onhand = 0
         value = 0
+        prev_part = None
         oh, val, cogs = [], [], []
-        for q, p in zip(pdf["qty"], pdf["price_cents"]):
+        for pk, q, p in zip(pdf["part"], pdf["qty"], pdf["price_cents"]):
+            if pk != prev_part:
+                prev_part = pk
+                onhand = 0
+                value = 0
             q, p = int(q), int(p)
             if q >= 0:
                 value += q * p
@@ -502,7 +511,7 @@ def avco_inventory(
         ]
 
     return (
-        src.groupBy("part")
+        src.groupBy("_b")
         .applyInPandas(walk, schema=out_schema)
         .withColumnRenamed("part", part_col)
         .withColumnRenamed("seq", seq_col)
