@@ -8,12 +8,15 @@ via ``cogroup().applyInPandas`` — for when the window trick doesn't
 apply (different tables, backward/forward/nearest directions,
 tolerance bounds).
 
-Scale: one shuffle of each side on the key columns (the cogroup);
-within a group, merge_asof is O(n log n) for its sort then linear.
-Key groups must fit in executor memory — true for per-user/per-entity
-event history (the intended shape); for a single giant key, fall back
-to the window formulation. Arrow moves the batches, so the Python cost
-is per-group, not per-row.
+Scale: one shuffle of each side on a 64-way HASH BUCKET of the key
+columns (the cogroup) — not the key itself: pandas pays ~4–9 ms of
+per-group overhead (measured: the per-user form ran q117 in 14 s at
+sf0.1 / 41 s at 10×; the bucketed form with ``merge_asof(by=keys)``
+runs many keys per Arrow batch and cut both). Within a batch,
+merge_asof sorts by ``on`` once and walks all key groups linearly via
+its ``by=`` parameter. A bucket's combined rows must fit in executor
+memory — buckets hold many SMALL per-entity histories (the intended
+shape); for a single giant key, fall back to the window formulation.
 """
 
 from __future__ import annotations
@@ -70,11 +73,19 @@ def asof_join(
     # whose names (and expr ids) collide with the left's — aliasing
     # forces fresh attributes that survive to the Python worker.
     r_on = f"__r_{on}"
+    bucket = "__asof_b"
+    # key columns aliased like the payload: shared attributes get
+    # deduped in transit to the Python worker (see the payload note
+    # above), and merge_asof(by=) needs the keys PRESENT on both sides
+    r_by = {k: f"__r_by_{k}" for k in by}
     right = right.select(
-        *by,
+        *[F.col(k).alias(r_by[k]) for k in by],
         F.col(on).alias(r_on),
         *[F.col(f.name).alias(f"__r_{f.name}") for f in r_fields],
+    ).withColumn(
+        bucket, F.pmod(F.xxhash64(*[r_by[k] for k in by]), F.lit(64))
     )
+    left = left.withColumn(bucket, F.pmod(F.xxhash64(*by), F.lit(64)))
 
     l_cols = [f.name for f in l_fields]
     r_carry = list(out_names.values()) + ([carry_on] if carry_on else [])
@@ -82,22 +93,26 @@ def asof_join(
     def merge(key, ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         if ldf.empty:
             return pd.DataFrame(columns=[f.name for f in out.fields])
+        # merge_asof(by=...) wants a global sort on `on`; key groups
+        # are then walked linearly inside ONE call for the whole bucket
         ldf = ldf.sort_values(on, kind="mergesort")
         if rdf.empty:
             for dst in r_carry:
                 ldf[dst] = None
-            return ldf
-        rdf = rdf[[r_on, *out_names]].rename(columns={r_on: on, **out_names})
+            return ldf[[*l_cols, *r_carry]]
+        rdf = rdf[[*r_by.values(), r_on, *out_names]].rename(
+            columns={r_on: on, **out_names, **{v: k for k, v in r_by.items()}}
+        )
         if carry_on is not None:
             rdf[carry_on] = rdf[on]
         rdf = rdf.sort_values(on, kind="mergesort")
         merged = pd.merge_asof(
-            ldf, rdf, on=on, direction=direction, tolerance=tolerance
+            ldf, rdf, on=on, by=by, direction=direction, tolerance=tolerance
         )
         return merged[[*l_cols, *r_carry]]
 
     return (
-        left.groupBy(*by)
-        .cogroup(right.groupBy(*by))
+        left.groupBy(bucket)
+        .cogroup(right.groupBy(bucket))
         .applyInPandas(merge, schema=out)
     )
