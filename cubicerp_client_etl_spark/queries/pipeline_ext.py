@@ -816,16 +816,12 @@ FROM comp JOIN sized ON comp.component = sized.c2
 def q047_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.graph import connected_components
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", sim.as_double("embedding").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
-    edges = (
-        a.join(b, F.col("ida") < F.col("idb"))  # symmetrized inside the operator
-        .filter(sim.cosine(F.col("va"), F.col("vb")) >= _CLUSTER_T)
-        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
-    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # numpy-accumulated exact pairs (same left-fold arithmetic as the
+    # HOF theta join this replaced); symmetrized inside the operator
+    edges = sim.exact_cosine_pairs(
+        emb, "vec_id", "embedding", _CLUSTER_T
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(emb.select("vec_id"), edges, node_col="vec_id")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

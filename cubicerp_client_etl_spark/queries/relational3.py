@@ -165,16 +165,16 @@ GROUP BY id_dup
 """,
 )
 def q075_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", sim.as_double("embedding").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("id_keep"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_dup"), F.col("v").alias("vb"))
-    cos = sim.cosine(F.col("va"), F.col("vb"))
+    emb = load(spark, sf_dir, "embeddings")
+    # numpy-accumulated exact pairs — same left-fold arithmetic as the
+    # HOF theta join this replaced (65 s -> seconds at sf0.1)
     return (
-        a.join(b, F.col("id_keep") < F.col("id_dup"))
-        .filter(cos >= _NEAR_DUP_T)
-        .select("id_keep", "id_dup", cos.alias("cos"))
+        sim.exact_cosine_pairs(emb, "vec_id", "embedding", _NEAR_DUP_T)
+        .select(
+            F.col("id_a").alias("id_keep"),
+            F.col("id_b").alias("id_dup"),
+            "cos",
+        )
         .groupBy(F.col("id_dup").alias("dup_vec_id"))
         .agg(
             F.count(F.lit(1)).alias("n_partners"),

@@ -258,10 +258,10 @@ def test_cluster_conf_sizing_math(spark):
 
 
 def test_all_pairs_cosine_size_guard_flips_plan(spark):
-    """VERDICT r1 #6: above max_exact_rows the all-pairs operator must
-    abandon the O(n²) theta join for the LSH bucket equi-join — visible
-    in the physical plan as the disappearance of the nested-loop/
-    cartesian operator in favor of a hash/sort-merge equi-join."""
+    """VERDICT r1 #6 (updated for the numpy exact path): below
+    max_exact_rows the operator runs the broadcast-corpus
+    MapInPandas scan (no join operator at all — and certainly no
+    nested-loop/cartesian); above it, the LSH bucket equi-join."""
     from cubicerp_client_etl_spark.operators import similarity as sim
 
     rows = [
@@ -274,11 +274,43 @@ def test_all_pairs_cosine_size_guard_flips_plan(spark):
         return d._jdf.queryExecution().executedPlan().toString()
 
     exact = plan(sim.all_pairs_cosine(df, max_exact_rows=100, dim=4))
-    assert "NestedLoop" in exact or "CartesianProduct" in exact
+    assert "MapInPandas" in exact
+    assert "NestedLoop" not in exact and "CartesianProduct" not in exact
 
     guarded = plan(sim.all_pairs_cosine(df, max_exact_rows=5, dim=4))
     assert "NestedLoop" not in guarded and "CartesianProduct" not in guarded
     assert "Join" in guarded  # bucket equi-join survives
+
+
+def test_exact_cosine_pairs_bit_identical_to_hof_fold(spark):
+    """The numpy left-fold accumulation must reproduce the Catalyst HOF
+    theta join BIT-FOR-BIT (same IEEE additions in the same order) —
+    values compared unrounded as raw doubles."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 17 - 8) / 3.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in sim.exact_cosine_pairs(df, "vec_id", "embedding", -1.1).collect()
+    }
+    a = df.select(F.col("vec_id").alias("id_a"), sim.as_double("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), sim.as_double("embedding").alias("vb"))
+    cos = sim.cosine(F.col("va"), F.col("vb"))
+    want = {
+        (r.id_a, r.id_b): r.c
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("c"))
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) == 40 * 39 // 2
+    for k in want:
+        assert got[k] == want[k], (k, got[k].hex(), want[k].hex())
 
 
 def test_q036_ivf_centroids_broadcast_no_cartesian(spark):
