@@ -9,7 +9,7 @@ integer discipline the rest of the engine uses.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -260,4 +260,105 @@ def duplicate_payment_screen(
             F.datediff(F.max(d), F.min(d)).cast("bigint").alias("span_days"),
         )
         .where(F.col("n_docs") >= 2)
+    )
+
+
+def trial_balance(
+    journal: DataFrame,
+    account_col: str,
+    debit_col: str,
+    credit_col: str,
+) -> DataFrame:
+    """Double-entry trial balance — the accounting close's first
+    control: per account, total debits, total credits, and the net
+    balance (debit − credit); plus the GLOBAL zero-sum check carried
+    on every row (``journal_imbalance_cents``: Σdebits − Σcredits over
+    the whole journal — 0 iff every entry was posted double-sided).
+
+    Returns one row per account: ``(account_col, total_debit_cents,
+    total_credit_cents, balance_cents, journal_imbalance_cents)``.
+
+    Scale: ONE keyed aggregation (map-side combine) + a broadcast
+    1-row global aggregate. Nothing else.
+    """
+    per = journal.groupBy(account_col).agg(
+        F.sum(F.col(debit_col)).cast("bigint").alias("total_debit_cents"),
+        F.sum(F.col(credit_col)).cast("bigint").alias("total_credit_cents"),
+    )
+    glob = per.agg(
+        (F.sum("total_debit_cents") - F.sum("total_credit_cents"))
+        .cast("bigint")
+        .alias("journal_imbalance_cents")
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        account_col,
+        "total_debit_cents",
+        "total_credit_cents",
+        (F.col("total_debit_cents") - F.col("total_credit_cents"))
+        .cast("bigint")
+        .alias("balance_cents"),
+        "journal_imbalance_cents",
+    )
+
+
+def budget_vs_actual(
+    actual: DataFrame,
+    budget: DataFrame,
+    group_cols: "list[str]",
+    period_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Budget-vs-actual variance with YTD cumulatives — the FP&A
+    monthly close view: per (group, period), the actual, the budget,
+    the period variance, and the year-to-date running totals of all
+    three (cumulative over the period axis within each group).
+
+    Periods ABSENT from one side report 0 for it (full-outer grid —
+    a month with budget and no actuals IS a variance). The YTD
+    cumulatives run on a window PARTITIONED BY the group over the
+    bounded period axis (months of a year — never raw rows).
+
+    Returns one row per (group, period): ``(group_cols..., period,
+    actual_cents, budget_cents, variance_cents, ytd_actual_cents,
+    ytd_budget_cents, ytd_variance_cents)``.
+
+    Scale: two keyed aggregations + one full-outer join on
+    (group, period) + one group-keyed window over the bounded period
+    grid.
+    """
+    a = actual.groupBy(
+        *group_cols, F.col(period_col).alias("period")
+    ).agg(F.sum(F.col(amount_col)).cast("bigint").alias("actual_cents"))
+    b = budget.groupBy(
+        *group_cols, F.col(period_col).alias("period")
+    ).agg(F.sum(F.col(amount_col)).cast("bigint").alias("budget_cents"))
+    grid = (
+        a.join(b, [*group_cols, "period"], "full_outer")
+        .withColumn(
+            "actual_cents",
+            F.coalesce("actual_cents", F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "budget_cents",
+            F.coalesce("budget_cents", F.lit(0)).cast("bigint"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        *group_cols,
+        "period",
+        "actual_cents",
+        "budget_cents",
+        (F.col("actual_cents") - F.col("budget_cents"))
+        .cast("bigint")
+        .alias("variance_cents"),
+        F.sum("actual_cents").over(w).cast("bigint").alias("ytd_actual_cents"),
+        F.sum("budget_cents").over(w).cast("bigint").alias("ytd_budget_cents"),
+        (F.sum("actual_cents").over(w) - F.sum("budget_cents").over(w))
+        .cast("bigint")
+        .alias("ytd_variance_cents"),
     )

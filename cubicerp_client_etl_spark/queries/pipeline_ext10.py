@@ -1289,3 +1289,240 @@ def q274_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return grouped_ols_trend(pts, ["p_brand"], "x", "y")
+
+
+# --------------------------------------------------------------------------
+# q275 — Trial balance (operators/finance.trial_balance): double-entry
+# journal synthesized from orders (each order posts debit AR / credit
+# REVENUE for the full amount, plus every third order reclasses 10% of
+# it debit REVENUE / credit DEFERRED), balanced by construction — the
+# audit proves it: per-account debits/credits/balances plus the global
+# zero-sum imbalance carried on every row. One keyed agg + a broadcast
+# 1-row global.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q275_trial_balance",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+journal AS (
+  SELECT 'AR' AS account, cents AS debit, 0 AS credit FROM o
+  UNION ALL
+  SELECT 'REVENUE', 0, cents FROM o
+  UNION ALL
+  SELECT 'REVENUE', cents // 10, 0 FROM o WHERE k % 3 = 0
+  UNION ALL
+  SELECT 'DEFERRED', 0, cents // 10 FROM o WHERE k % 3 = 0
+),
+per AS (
+  SELECT account,
+         CAST(sum(debit) AS BIGINT) AS total_debit_cents,
+         CAST(sum(credit) AS BIGINT) AS total_credit_cents
+  FROM journal GROUP BY account
+),
+gtot AS (
+  SELECT CAST(sum(total_debit_cents) - sum(total_credit_cents) AS BIGINT)
+           AS journal_imbalance_cents
+  FROM per
+)
+SELECT per.account, per.total_debit_cents, per.total_credit_cents,
+       CAST(per.total_debit_cents - per.total_credit_cents AS BIGINT)
+         AS balance_cents,
+       gtot.journal_imbalance_cents
+FROM per CROSS JOIN gtot
+""",
+)
+def q275_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import trial_balance
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    z = F.lit(0).cast("bigint")
+    journal = (
+        o.select(F.lit("AR").alias("account"), F.col("cents").alias("debit"),
+                 z.alias("credit"))
+        .unionByName(
+            o.select(F.lit("REVENUE").alias("account"), z.alias("debit"),
+                     F.col("cents").alias("credit"))
+        )
+        .unionByName(
+            o.where(F.col("k") % 3 == 0).select(
+                F.lit("REVENUE").alias("account"),
+                F.expr("cents div 10").alias("debit"),
+                z.alias("credit"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("k") % 3 == 0).select(
+                F.lit("DEFERRED").alias("account"),
+                z.alias("debit"),
+                F.expr("cents div 10").alias("credit"),
+            )
+        )
+    )
+    return trial_balance(journal, "account", "debit", "credit")
+
+
+# --------------------------------------------------------------------------
+# q276 — Budget vs actual with YTD (operators/finance.
+# budget_vs_actual): per (order priority, month of 1997), actuals from
+# orders and a synthesized budget (the 1996 month × 105% — the classic
+# prior-year-plus plan), period variance, and YTD cumulatives of all
+# three. Absent months on either side report 0 — a budgeted month with
+# no actuals IS a variance. Two keyed aggs, one full-outer grid join,
+# one group-keyed window over the bounded month axis.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q276_budget_vs_actual",
+    oracle="""
+WITH act AS (
+  SELECT o_orderpriority, CAST(month(o_orderdate) AS BIGINT) AS period,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS actual_cents
+  FROM orders WHERE year(o_orderdate) = 1997
+  GROUP BY 1, 2
+),
+bud AS (
+  SELECT o_orderpriority, CAST(month(o_orderdate) AS BIGINT) AS period,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) * 105 // 100) AS BIGINT) AS budget_cents
+  FROM orders WHERE year(o_orderdate) = 1996
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT COALESCE(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+         COALESCE(a.period, b.period) AS period,
+         CAST(COALESCE(a.actual_cents, 0) AS BIGINT) AS actual_cents,
+         CAST(COALESCE(b.budget_cents, 0) AS BIGINT) AS budget_cents
+  FROM act a FULL JOIN bud b
+    ON a.o_orderpriority = b.o_orderpriority AND a.period = b.period
+)
+SELECT o_orderpriority, period, actual_cents, budget_cents,
+       CAST(actual_cents - budget_cents AS BIGINT) AS variance_cents,
+       CAST(sum(actual_cents) OVER w AS BIGINT) AS ytd_actual_cents,
+       CAST(sum(budget_cents) OVER w AS BIGINT) AS ytd_budget_cents,
+       CAST(sum(actual_cents) OVER w - sum(budget_cents) OVER w AS BIGINT)
+         AS ytd_variance_cents
+FROM grid
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY period
+             ROWS UNBOUNDED PRECEDING)
+""",
+)
+def q276_budget_vs_actual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import budget_vs_actual
+
+    orders = load(spark, sf_dir, "orders")
+    actual = orders.where(F.year("o_orderdate") == 1997).select(
+        "o_orderpriority",
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    budget = orders.where(F.year("o_orderdate") == 1996).select(
+        "o_orderpriority",
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " * 105 div 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return budget_vs_actual(
+        actual, budget, ["o_orderpriority"], "m", "cents"
+    )
+
+
+# --------------------------------------------------------------------------
+# q277 — Zipf rank-frequency fit (quality.grouped_ols_trend over the
+# token frequency table): the corpus-linguistics datasheet — token
+# frequencies ranked by the value-count prefix scan (rank = prefix sum
+# of ones over (freq desc, token), the ABC shape, never a raw global
+# window), then the ln-ln OLS slope; a natural corpus sits near −1,
+# boilerplate/duplication bends it. One keyed count, one two-phase
+# prefix scan, one e6-ln per distinct token, one closed-form OLS.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q277_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT u.t AS token
+  FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+  WHERE length(trim(text)) > 0
+),
+freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT f, CAST(row_number() OVER (ORDER BY f DESC, token) AS BIGINT) AS r
+  FROM freq
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pts
+),
+d AS (
+  SELECT *, n * sxx - sx * sx AS det,
+         (n * sxy - sx * sy) * 1000000 AS s_num,
+         (sy * sxx - sx * sxy) * 1000000 AS i_num
+  FROM agg
+)
+SELECT n, CAST(sy AS BIGINT) AS sum_y,
+       CASE WHEN n >= 2 AND det <> 0 THEN
+         CAST(CASE WHEN s_num < 0 THEN -((-s_num) // det)
+                   ELSE s_num // det END AS BIGINT) END AS slope_e6,
+       CASE WHEN n >= 2 AND det <> 0 THEN
+         CAST(CASE WHEN i_num < 0 THEN -((-i_num) // det)
+                   ELSE i_num // det END AS BIGINT) END AS intercept_e6
+FROM d
+""",
+)
+def q277_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.prefix import prefix_sum
+    from cubicerp_client_etl_spark.operators.quality import grouped_ols_trend
+    from cubicerp_client_etl_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    ranked = prefix_sum(
+        freq.withColumn("_one", F.lit(1).cast("bigint")),
+        order_by=[F.col("f").desc(), F.col("token")],
+        value_col="_one",
+        out_col="r",
+    )
+    pts = ranked.select(
+        F.lit(1).alias("_g"),
+        F.round(F.log(F.col("r").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return grouped_ols_trend(pts, ["_g"], "x", "y").drop("_g")

@@ -401,3 +401,45 @@ def test_km_survival_everyone_dies_final_step_null_log(spark):
     r = out[0]
     assert r.d_events == r.n_at_risk == 2
     assert r.hazard_e6 == 1_000_000 and r.log_surv_e6 is None
+
+
+# --------------------------------------------------------------- finance ----
+
+
+def test_trial_balance_balances_and_imbalance_detection(spark):
+    from cubicerp_client_etl_spark.operators.finance import trial_balance
+
+    # balanced journal: AR 100 / REV 100; plus an UNBALANCED orphan
+    # debit of 7 that the global check must surface
+    rows = [
+        ("AR", 100, 0),
+        ("REV", 0, 100),
+        ("SUSPENSE", 7, 0),
+    ]
+    df = spark.createDataFrame(rows, "account string, d long, c long")
+    out = {r.account: r for r in trial_balance(df, "account", "d", "c").collect()}
+    assert out["AR"].balance_cents == 100
+    assert out["REV"].balance_cents == -100
+    assert all(r.journal_imbalance_cents == 7 for r in out.values())
+
+
+def test_budget_vs_actual_grid_and_ytd(spark):
+    from cubicerp_client_etl_spark.operators.finance import budget_vs_actual
+
+    act = spark.createDataFrame(
+        [("g", 1, 100), ("g", 2, 150)], "grp string, p long, amt long"
+    )
+    bud = spark.createDataFrame(
+        [("g", 1, 120), ("g", 3, 130)], "grp string, p long, amt long"
+    )
+    out = {
+        r.period: r
+        for r in budget_vs_actual(act, bud, ["grp"], "p", "amt").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].variance_cents == -20
+    assert out[2].budget_cents == 0 and out[2].variance_cents == 150
+    assert out[3].actual_cents == 0 and out[3].variance_cents == -130
+    assert out[3].ytd_actual_cents == 250
+    assert out[3].ytd_budget_cents == 250
+    assert out[3].ytd_variance_cents == 0
