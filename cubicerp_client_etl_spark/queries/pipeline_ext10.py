@@ -44,7 +44,7 @@ from cubicerp_client_etl_spark.queries import register
 
 
 @register(
-    "q258_salted_skew_join",
+    "q007_salted_skew_join",
     oracle="""
 SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -54,7 +54,7 @@ FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
 GROUP BY n.n_name
 """,
 )
-def q258_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q007_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.lookups import salted_join
 
     ev = load(spark, sf_dir, "events").select(
@@ -129,7 +129,7 @@ def bucketed_fact_tables(
 
 
 @register(
-    "q259_bucketed_colocated_join",
+    "q009_bucketed_colocated_join",
     oracle="""
 SELECT o.o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_items,
@@ -139,7 +139,7 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """,
 )
-def q259_bucketed_colocated_join(
+def q009_bucketed_colocated_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     a, b = bucketed_fact_tables(spark, sf_dir)
@@ -175,7 +175,7 @@ def q259_bucketed_colocated_join(
 
 
 @register(
-    "q260_reference_job_lifecycle",
+    "q005_reference_job_lifecycle",
     oracle="""
 WITH src AS (
   SELECT CAST(o_orderkey AS BIGINT) AS id,
@@ -203,7 +203,7 @@ SELECT COALESCE(s.id, t.id) AS id,
 FROM tgt t FULL JOIN src s ON s.id = t.id
 """,
 )
-def q260_reference_job_lifecycle(
+def q005_reference_job_lifecycle(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
@@ -366,7 +366,7 @@ def q261_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q262_three_way_match",
+    "q010_three_way_match",
     headline=True,
     oracle="""
 WITH base AS (
@@ -408,7 +408,7 @@ LEFT JOIN inv i ON i.l_orderkey = p.l_orderkey
                AND i.l_linenumber = p.l_linenumber
 """,
 )
-def q262_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q010_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.finance import three_way_match
 
     base = load(spark, sf_dir, "lineitem").select(
@@ -524,7 +524,7 @@ def q263_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q264_rfm_segmentation",
+    "q011_rfm_segmentation",
     headline=True,
     oracle="""
 WITH asof_d AS (
@@ -567,7 +567,7 @@ SELECT r_score, f_score, m_score,
 FROM scored GROUP BY 1, 2, 3
 """,
 )
-def q264_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q011_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.behavior import rfm_segmentation
 
     orders = load(spark, sf_dir, "orders").select(
@@ -772,7 +772,7 @@ def q267_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q268_avco_inventory",
+    "q015_avco_inventory",
     oracle="""
 WITH RECURSIVE base AS (
   SELECT l_partkey AS part,
@@ -816,7 +816,7 @@ SELECT CAST(part AS BIGINT) AS l_partkey, CAST(seq AS BIGINT) AS seq,
 FROM s
 """,
 )
-def q268_avco_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_avco_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.history import avco_inventory
 
     base = (
@@ -930,7 +930,7 @@ def q269_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q270_referential_integrity_audit",
+    "q018_referential_integrity_audit",
     oracle="""
 WITH r1 AS (
   SELECT 'lineitem.l_orderkey->orders' AS relationship,
@@ -973,7 +973,7 @@ SELECT relationship, n_child, n_orphans,
 FROM u
 """,
 )
-def q270_referential_integrity_audit(
+def q018_referential_integrity_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import (

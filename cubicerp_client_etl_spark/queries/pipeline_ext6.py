@@ -435,7 +435,7 @@ def q169_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synth + decode are both pure map stages (mapInPandas), no shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q045_wav_audio_features",
+    "q225_wav_audio_features",
     oracle="""
 WITH sz AS (SELECT doc_id, 160 + doc_id % 40 AS n FROM documents),
 samp AS (
@@ -475,7 +475,7 @@ FROM s JOIN zc ON zc.doc_id = s.doc_id
 ORDER BY s.doc_id
 """,
 )
-def q045_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q225_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.multimodal import (
         audio_features,
         encode_wav_pcm16,

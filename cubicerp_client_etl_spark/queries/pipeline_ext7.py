@@ -38,7 +38,7 @@ _WINNOW_W = 4
 
 
 @register(
-    "q009_winnowing_fingerprints",
+    "q259_winnowing_fingerprints",
     headline=True,  # track the round-6 wave wall-clock (rolls into value_all)
     oracle=f"""
 WITH d AS (
@@ -83,7 +83,7 @@ GROUP BY doc_id
 ORDER BY doc_id
 """,
 )
-def q009_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q259_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.winnow import winnow_digest_inline
 
     from cubicerp_client_etl_spark.catalog import widen_scan
@@ -340,7 +340,7 @@ _BM25_TERMS = ("vector", "hash", "stream")
 
 
 @register(
-    "q018_bm25_topk",
+    "q270_bm25_topk",
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, u.t AS t
@@ -383,7 +383,7 @@ ORDER BY score_e12 DESC, doc_id
 LIMIT 10
 """,
 )
-def q018_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q270_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.retrieval import bm25_topk
 
     docs = load(spark, sf_dir, "documents").where(
@@ -520,7 +520,7 @@ def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side is the bucketed join that scales unchanged.
 # --------------------------------------------------------------------------
 @register(
-    "q010_lsh_quality_report",
+    "q262_lsh_quality_report",
     oracle="""
 WITH dupped AS (
   SELECT doc_id, text FROM documents
@@ -586,7 +586,7 @@ SELECT n_truth, n_cand, n_tp,
 FROM nt CROSS JOIN nc CROSS JOIN tp
 """,
 )
-def q010_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q262_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators import dedup as dd
 
@@ -3855,7 +3855,7 @@ def q035_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid join (unit-pinned).
 # --------------------------------------------------------------------------
 @register(
-    "q024_grouped_quantile_sketch",
+    "q175_grouped_quantile_sketch",
     oracle="""
 WITH v AS (
   SELECT source,
@@ -3901,7 +3901,7 @@ JOIN est t ON t.source IS NOT DISTINCT FROM e.source AND t.q = e.q
 ORDER BY e.source, e.q
 """,
 )
-def q024_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q175_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quantiles import (
         exact_quantiles_by,
         histogram_quantile_sketch_by,
@@ -3946,7 +3946,7 @@ def q024_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: map-only (a pandas UDF + hash, no shuffle before the agg).
 # --------------------------------------------------------------------------
 @register(
-    "q023_unicode_nfc_dedup",
+    "q053_unicode_nfc_dedup",
     oracle="""
 WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 var AS (
@@ -3964,7 +3964,7 @@ SELECT doc_id,
 FROM k GROUP BY doc_id
 """,
 )
-def q023_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q053_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import nfc_normalize_col
 
     sel = (
@@ -4268,7 +4268,7 @@ def q042_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group (tests/test_sketches.py).
 # --------------------------------------------------------------------------
 @register(
-    "q011_keyed_hll_uniques",
+    "q264_keyed_hll_uniques",
     oracle="""
 WITH e AS (SELECT event_type, user_id FROM events),
 h AS (
@@ -4310,7 +4310,7 @@ FROM ex JOIN est ON est.event_type IS NOT DISTINCT FROM ex.event_type
 ORDER BY ex.event_type
 """,
 )
-def q011_keyed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q264_keyed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators.sketches import (
         hll_estimate_by,

@@ -247,7 +247,7 @@ def q248_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q020_vocab_growth",
+    "q081_vocab_growth",
     oracle="""
 WITH hi AS (SELECT max(doc_id) + 1 AS _hi FROM documents),
 t AS (
@@ -287,7 +287,7 @@ SELECT CAST(b AS INT) AS bucket, tokens,
 FROM pb
 """,
 )
-def q020_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q081_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.curation import vocab_growth
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -903,7 +903,7 @@ def q050_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q015_k_anonymous_release",
+    "q268_k_anonymous_release",
     oracle="""
 WITH g AS (
   SELECT CAST(c_nationkey AS VARCHAR) AS nation,
@@ -926,7 +926,7 @@ pooled AS (
 SELECT * FROM released UNION ALL SELECT * FROM pooled
 """,
 )
-def q015_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q268_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import k_anonymize_release
 
     cust = load(spark, sf_dir, "customer").select(
@@ -1417,7 +1417,7 @@ def q105_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q021_benford_audit",
+    "q093_benford_audit",
     oracle="""
 WITH v AS (
   SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
@@ -1441,7 +1441,7 @@ SELECT exp.d AS digit,
 FROM exp LEFT JOIN c ON c.d = exp.d CROSS JOIN tot
 """,
 )
-def q021_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q093_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import benford_audit
 
     orders = load(spark, sf_dir, "orders").select(

@@ -93,7 +93,7 @@ def q80_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # priority agg is 5 groups — map-side partials collapse it.
 # --------------------------------------------------------------------------
 @register(
-    "q081_tpch_q4_order_priority",
+    "q020_tpch_q4_order_priority",
     oracle="""
 SELECT o.o_orderpriority, COUNT(*) AS order_count
 FROM orders o

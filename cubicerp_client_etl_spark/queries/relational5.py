@@ -39,7 +39,7 @@ _DP_SQL = (
 # no extra shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q093_tpch_q5_local_supplier_volume",
+    "q021_tpch_q5_local_supplier_volume",
     oracle=f"""
 SELECT n.n_name, CAST(SUM({_DP_SQL}) AS DOUBLE) AS revenue
 FROM customer c
@@ -194,7 +194,7 @@ def q96_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (nation, year) after one orders⋈lineitem shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q005_tpch_q9_product_profit",
+    "q260_tpch_q9_product_profit",
     oracle=f"""
 SELECT sn.n_name AS nation,
        EXTRACT(year FROM o.o_orderdate) AS o_year,

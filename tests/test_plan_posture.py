@@ -55,8 +55,8 @@ def test_q12_range_join_is_broadcast_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q007_semi_join_stays_semi(spark):
-    plan = plan_of(spark, "q007_semi_join")
+def test_q258_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "q258_semi_join")
     assert "LeftSemi" in plan
 
 
@@ -211,7 +211,7 @@ def test_q95_tpch_q6_pushdown_single_stage(spark):
 
 
 def test_q94_tpch_q5_broadcasts_all_dims(spark):
-    plan = plan_of(spark, "q093_tpch_q5_local_supplier_volume")
+    plan = plan_of(spark, "q021_tpch_q5_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region
     assert "CartesianProduct" not in plan
 
@@ -696,7 +696,7 @@ def test_bucketed_join_eliminates_exchanges(spark):
 
 
 def test_bucketed_join_zero_exchange_below_join_at_sf01(spark):
-    """The registered q259_bucketed_colocated_join at sf0.1: the
+    """The registered q009_bucketed_colocated_join at sf0.1: the
     SortMergeJoin over the bucketed fact tables must see ZERO Exchange
     below it (the bucketing satisfies both sides' HashPartitioning
     requirement); the only exchange in the whole query is the final
