@@ -40,6 +40,7 @@ def exact_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
+    max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (``id_a < id_b``, unrounded
     ``cos``) — the numpy-accumulated form of the O(n²) theta join.
@@ -57,12 +58,30 @@ def exact_cosine_pairs(
     expression per pair — measured 61–87 s for 5 000 vectors at sf0.1
     across q047/q070/q075; the vectorized accumulation does the same
     arithmetic in ~0.2 s. The corpus side is pulled to the driver and
-    broadcast — BOUNDED by the caller's exact-path size guard
-    (``all_pairs_cosine.max_exact_rows``), the same bounded-collect
-    contract as the k-row centroid pulls; above the guard callers
-    switch to LSH bucketing, which never needs all-pairs.
+    broadcast — BOUNDED by the operator's OWN size guard
+    (``max_exact_rows``, checked with a short-circuiting
+    ``limit(n+1).count()`` BEFORE the collect): above the bound the
+    operator raises instead of OOMing the driver, because its
+    declared semantics are exact all-pairs — an LSH fallback would
+    silently change results. Callers that genuinely need exact pairs
+    on a bigger corpus must opt in by raising ``max_exact_rows``
+    explicitly; unbounded inputs belong on ``all_pairs_cosine``,
+    which switches to hyperplane-LSH bucketing above the same bound.
+    (Round-10 verdict: the guard previously lived only in
+    ``all_pairs_cosine``, so the direct callers q047/q070/q075 were
+    an unguarded driver collect at 100×. It now lives here.)
     """
     import numpy as np
+
+    n_capped = df.limit(max_exact_rows + 1).count()
+    if n_capped > max_exact_rows:
+        raise ValueError(
+            f"exact_cosine_pairs: input exceeds max_exact_rows="
+            f"{max_exact_rows} (found > {max_exact_rows} rows). This "
+            "operator collects the corpus to the driver and scans "
+            "O(n^2) pairs; at scale use all_pairs_cosine (LSH bucket "
+            "fallback) or raise max_exact_rows to opt in explicitly."
+        )
 
     spark = df.sparkSession
     rows = df.select(id_col, as_double(vec_col).alias("_v")).collect()
@@ -163,7 +182,9 @@ def all_pairs_cosine(
     if n <= max_exact_rows:
         # numpy-accumulated exact pairs: same left-fold arithmetic as
         # the HOF theta join, ~50x faster (see exact_cosine_pairs)
-        return exact_cosine_pairs(df, id_col, vec_col, threshold).select(
+        return exact_cosine_pairs(
+            df, id_col, vec_col, threshold, max_exact_rows=max_exact_rows
+        ).select(
             "id_a", "id_b", F.round(F.col("cos"), 6).alias("sim")
         )
     else:

@@ -313,6 +313,33 @@ def test_exact_cosine_pairs_bit_identical_to_hof_fold(spark):
         assert got[k] == want[k], (k, got[k].hex(), want[k].hex())
 
 
+def test_exact_cosine_pairs_guard_raises_above_bound(spark):
+    """The max_exact_rows guard lives INSIDE exact_cosine_pairs (r10
+    verdict item 2): an over-bound frame must raise BEFORE the driver
+    collect — declared-exact callers fail loudly at scale instead of
+    OOMing — and the check must short-circuit (limit(n+1).count()),
+    never a full count."""
+    import pytest
+
+    from cubicerp_client_etl_spark.operators import similarity as sim
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        sim.exact_cosine_pairs(df, "vec_id", "embedding", 0.5, max_exact_rows=11)
+    # at the bound exactly: no raise, normal results
+    got = sim.exact_cosine_pairs(
+        df, "vec_id", "embedding", -1.1, max_exact_rows=12
+    ).collect()
+    assert len(got) == 12 * 11 // 2
+    # all_pairs_cosine threads its bound through to the inner guard:
+    # n <= max_exact_rows stays on the exact path and must not raise
+    exact = sim.all_pairs_cosine(
+        df, threshold=-1.1, max_exact_rows=12, dim=4
+    ).collect()
+    assert len(exact) == 12 * 11 // 2
+
+
 def test_q036_ivf_centroids_broadcast_no_cartesian(spark):
     """IVF ANN (q036): centroid assignment must broadcast the (tiny)
     centroid table, never cartesian the corpus."""
