@@ -128,6 +128,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     portable: bool = False,
+    hashes_per_digest: int = 1,
 ) -> DataFrame:
     """Per-document MinHash signature: (id, h0..h{k-1}).
 
@@ -143,6 +144,16 @@ def minhash_signatures(
     engine (the DuckDB oracle for the window query replays it exactly).
     ~2-3× slower than xxhash64 — use the default in production.
 
+    ``hashes_per_digest`` (portable mode only, r11): carve several
+    hashes out of EACH md5 digest instead of one md5 per hash —
+    ``hashes_per_digest=4`` makes h_i the 8-hex-char substring
+    ``substr(md5(shingle || '|' || i//4), 8*(i%4)+1, 8)``, cutting md5
+    calls per shingle 4x (32 hashes from 8 digests). A 32-bit (8 hex)
+    uniform hash is a valid minhash key at any realistic per-doc
+    shingle count (collision at the min ~ n/2^32); the min over each
+    substring family is exactly replayable in DuckDB. Must divide 32
+    hex chars evenly (1, 2 or 4).
+
     The input is widened first (``catalog.widen_scan``): the
     shingle-explode + per-shingle hashing is the signature build's
     CPU wall and runs BEFORE the doc-keyed shuffle, so a narrow
@@ -156,7 +167,31 @@ def minhash_signatures(
         .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
         .distinct()
     )
-    if portable:
+    if portable and hashes_per_digest > 1:
+        if hashes_per_digest not in (2, 4):
+            raise ValueError("hashes_per_digest must be 1, 2 or 4")
+        width = 32 // hashes_per_digest  # hex chars per carved hash
+        n_digests = -(-num_hashes // hashes_per_digest)
+        # digests materialize as REAL columns through the projection so
+        # each md5 runs once per shingle row, not once per min-agg
+        sh = sh.select(
+            "*",
+            *[
+                F.md5(F.concat(F.col("__sh"), F.lit(f"|{g}"))).alias(f"__d{g}")
+                for g in range(n_digests)
+            ],
+        )
+        aggs = [
+            F.min(
+                F.substring(
+                    F.col(f"__d{i // hashes_per_digest}"),
+                    width * (i % hashes_per_digest) + 1,
+                    width,
+                )
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif portable:
         aggs = [
             F.min(F.md5(F.concat(F.col("__sh"), F.lit(f"|{i}")))).alias(f"h{i}")
             for i in range(num_hashes)
@@ -342,28 +377,68 @@ def simhash_bits(text_col: Column | str, n_bits: int = 64) -> Column:
     return F.array_join(bits, "")
 
 
-def simhash_bits_portable(text_col: Column | str, n_bits: int = 16) -> Column:
+def simhash_bits_portable(
+    text_col: Column | str, n_bits: int = 16, single_digest: bool = False
+) -> Column:
     """Engine-portable SimHash fingerprint as an ``n_bits``-char
     '0'/'1' string.
 
     Same vote semantics as ``simhash_bits`` (per bit: sum ±1 over token
-    hashes, keep the sign), but the per-bit hash family is
-    ``md5(token || '|' || i)`` with the ±1 drawn from the top bit of the
-    first hex digit (char >= '8' ⇔ bit set — uniform Bernoulli(½)).
+    hashes, keep the sign), in two md5 families:
+
+    - default (``single_digest=False``): bit i's vote is the top bit of
+      the first hex digit of ``md5(token || '|' || i)`` (char >= '8' ⇔
+      set — uniform Bernoulli(½)). ``n_bits`` md5 calls per token.
+    - ``single_digest=True`` (the r11 fast portable family): ONE
+      ``md5(token)`` per token; bit i's vote is hex digit i of that
+      digest (>= '8'). The 32 hex digits of one digest give up to 32
+      independent Bernoulli(½) votes, so a 32-bit fingerprint costs
+      1/32 of the md5 work of the per-bit family — and the wider
+      fingerprint lets chunk blocking use 8-bit chunks (256-way
+      buckets) instead of 4-bit (16-way), collapsing candidate-pair
+      density ~16x (q204's measured wall was the dense pair join, not
+      the hashing). Computed as one ``aggregate`` fold over
+      ``transform(toks, md5)`` so md5 runs once per token — the
+      digests array is materialized as the fold's input, immune to
+      CollapseProject re-duplication. Requires ``n_bits <= 32``.
+
     Tokens vote with multiplicity (no distinct), matching the xxhash64
     variant. Exact integer vote counting means any engine that computes
     the same md5 strings produces the identical fingerprint — the DuckDB
-    oracle replays it bit-for-bit, which the xxhash64 family can't do
-    (xxhash64 exists only in Spark).
+    oracle replays both families bit-for-bit, which the xxhash64 family
+    can't (xxhash64 exists only in Spark).
 
-    Cost: ``n_bits`` md5 calls per token vs one xxhash64 + mask
-    arithmetic — keep ``simhash_bits`` for production; this is the
-    cross-engine-checkable variant (and the default window query).
+    Keep ``simhash_bits`` (one xxhash64 + mask arithmetic per token)
+    for production; these are the cross-engine-checkable variants.
     Map-only, whole-stage codegen; no shuffle, no Python.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.lower(F.trim(c)), r"\s+")
     n_toks = F.size(toks).cast("long")
+
+    if single_digest:
+        if n_bits > 32:
+            raise ValueError("single_digest simhash supports n_bits <= 32")
+        digs = F.transform(toks, lambda t: F.md5(t))
+        zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
+        pos = F.array(*[F.lit(i + 1) for i in range(n_bits)])
+        ones_arr = F.aggregate(
+            digs,
+            zeros,
+            lambda acc, d: F.zip_with(
+                acc,
+                pos,
+                lambda a, p: a
+                + F.when(F.substring(d, p, F.lit(1)) >= "8", F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ),
+        )
+        bits_arr = F.transform(
+            ones_arr,
+            lambda o: F.when(o * 2 > n_toks, F.lit("1")).otherwise(F.lit("0")),
+        )
+        return F.array_join(bits_arr, "")
 
     def vote(i: int):
         # factory, not a default arg: PySpark derives HOF arity from the
@@ -378,6 +453,55 @@ def simhash_bits_portable(text_col: Column | str, n_bits: int = 16) -> Column:
         ones = F.size(F.filter(toks, vote(i))).cast("long")
         bits.append(F.when(ones * 2 > n_toks, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def simhash_int_portable(text_col: Column | str, n_bits: int = 32) -> Column:
+    """Single-digest portable SimHash packed into one BIGINT (bit i of
+    the fingerprint is bit ``n_bits-1-i`` of the long, i.e. the bits
+    string read as a base-2 number).
+
+    Same vote family as ``simhash_bits_portable(single_digest=True)``
+    — vote i = hex digit i of ``md5(token)`` >= '8' — but the output
+    is an integer, so chunk blocking becomes shift/mask arithmetic and
+    Hamming distance one ``bit_count(a ^ b)``: at q204's measured
+    density (millions of candidate pairs) the 32-char string zip_with
+    per pair was the wall; xor+popcount is ~free and shuffles 8 bytes
+    instead of 32+ per row. DuckDB replays it exactly:
+    ``SUM(CASE WHEN 2*o > n THEN 1::BIGINT << (n_bits-1-i) END)`` and
+    ``bit_count(xor(a, b))``. Requires ``n_bits <= 32``.
+    """
+    if n_bits > 32:
+        raise ValueError("simhash_int_portable supports n_bits <= 32")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n_toks = F.size(toks).cast("long")
+    digs = F.transform(toks, lambda t: F.md5(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
+    pos = F.array(*[F.lit(i + 1) for i in range(n_bits)])
+    ones_arr = F.aggregate(
+        digs,
+        zeros,
+        lambda acc, d: F.zip_with(
+            acc,
+            pos,
+            lambda a, p: a
+            + F.when(F.substring(d, p, F.lit(1)) >= "8", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ),
+    )
+    weights = F.array(
+        *[F.lit(1 << (n_bits - 1 - i)).cast("long") for i in range(n_bits)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            ones_arr,
+            weights,
+            lambda o, w: F.when(o * 2 > n_toks, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming_distance(bits_a: Column, bits_b: Column) -> Column:

@@ -3082,13 +3082,19 @@ def q203_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q204 — SimHash Hamming-ball blocking (completes the SimHash scale
 # story: q183 computes fingerprints; this FINDS the near pairs without
-# all-pairs): split the 16-bit fingerprint into 4 chunks — by
-# pigeonhole, any pair within Hamming distance 3 shares at least one
-# chunk — equi-join on (chunk_id, chunk_value), then verify the exact
-# Hamming distance on candidates only. Planted near-dups (copies with
-# one appended token at doc_id+10⁶) must surface. The standard
-# Charikar/Manku-Jain-Sarma blocking; same portable md5 bit family as
-# q183, so DuckDB replays fingerprints, blocking AND verification.
+# all-pairs): split the 32-bit fingerprint into 4 chunks of 8 bits —
+# by pigeonhole, any pair within Hamming distance 3 shares at least
+# one chunk — equi-join on (chunk_id, chunk_value), then verify the
+# exact Hamming distance on candidates only. Planted near-dups (copies
+# with one appended token at doc_id+10⁶) must surface. The standard
+# Charikar/Manku-Jain-Sarma blocking, on the r11 SINGLE-DIGEST md5
+# family (bit i = hex digit i of md5(token) — one md5 per token
+# instead of one per token·bit), so DuckDB still replays fingerprints,
+# blocking AND verification bit-for-bit. The 32-bit width is the scale
+# fix the round-10 heavy-tail audit prescribed: 4-bit chunks (16
+# buckets) made the candidate set DENSE (11.4M pairs from 5.7k docs at
+# sf0.1 — the measured wall); 8-bit chunks give 256-way buckets and
+# ~16x fewer candidates with the same Hamming<=3 guarantee.
 # Scale: fingerprints are map-only; the chunk join is bucketed (the
 # LSH-band shape — q203's skew report applies verbatim).
 # --------------------------------------------------------------------------
@@ -3105,40 +3111,40 @@ toks AS (
   SELECT doc_id, u.t AS t
   FROM dupped, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
 ),
+digs AS (SELECT doc_id, md5(t) AS d FROM toks),
 ones AS (
   SELECT doc_id, g.i AS i,
-         COUNT(*) FILTER (WHERE substr(md5(t || '|' || g.i), 1, 1) >= '8') AS o
-  FROM toks CROSS JOIN generate_series(0, 15) g(i)
+         COUNT(*) FILTER (WHERE substr(d, g.i + 1, 1) >= '8') AS o
+  FROM digs CROSS JOIN generate_series(0, 31) g(i)
   GROUP BY doc_id, g.i
 ),
 counts AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 fp AS (
   SELECT o.doc_id,
-         string_agg(CASE WHEN 2 * o.o > c.n THEN '1' ELSE '0' END, ''
-                    ORDER BY o.i) AS bits
+         CAST(SUM(CASE WHEN 2 * o.o > c.n
+                       THEN CAST(1 AS BIGINT) << (31 - o.i)
+                       ELSE 0 END) AS BIGINT) AS f
   FROM ones o JOIN counts c ON c.doc_id = o.doc_id
   GROUP BY o.doc_id
 ),
 chunks AS (
-  SELECT doc_id, g.c AS chunk_id, substr(bits, 1 + 4 * g.c, 4) AS chunk
+  SELECT doc_id, f, g.c AS chunk_id, (f >> (8 * (3 - g.c))) & 255 AS chunk
   FROM fp CROSS JOIN generate_series(0, 3) g(c)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+ham AS (
+  -- least-matching-chunk dedup: a pair is emitted ONLY from its
+  -- smallest shared chunk (earlier chunks must differ, checkable from
+  -- the carried fingerprints) -> unique by construction, no DISTINCT
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
   FROM chunks a JOIN chunks b
     ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
    AND a.doc_id < b.doc_id
-),
-ham AS (
-  SELECT c.id_a, c.id_b,
-         CAST((SELECT COUNT(*) FROM generate_series(1, 16) g(i)
-               WHERE substr(fa.bits, g.i, 1) <> substr(fb.bits, g.i, 1))
-           AS BIGINT) AS hamming
-  FROM cand c
-  JOIN fp fa ON fa.doc_id = c.id_a
-  JOIN fp fb ON fb.doc_id = c.id_b
+  WHERE (a.chunk_id <= 0 OR ((a.f >> 24) & 255) <> ((b.f >> 24) & 255))
+    AND (a.chunk_id <= 1 OR ((a.f >> 16) & 255) <> ((b.f >> 16) & 255))
+    AND (a.chunk_id <= 2 OR ((a.f >> 8) & 255) <> ((b.f >> 8) & 255))
 )
-SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
        CAST(SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_within3,
        CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0) AS BIGINT)
@@ -3153,10 +3159,7 @@ FROM ham
 """,
 )
 def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cubicerp_client_etl_spark.operators.dedup import (
-        hamming_distance,
-        simhash_bits_portable,
-    )
+    from cubicerp_client_etl_spark.operators.dedup import simhash_int_portable
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dupped = docs.unionByName(
@@ -3166,43 +3169,52 @@ def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fp = dupped.select(
-        "doc_id", simhash_bits_portable("text", n_bits=16).alias("bits")
+        "doc_id", simhash_int_portable("text", n_bits=32).alias("f")
     )
     chunks = fp.select(
         "doc_id",
+        "f",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.substring("bits", 1 + 4 * c, 4).alias("chunk"),
+                        F.shiftright(F.col("f"), 8 * (3 - c))
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk"),
                     )
                     for c in range(4)
                 ]
             )
         ).alias("_c"),
-    ).select("doc_id", "_c.chunk_id", "_c.chunk")
+    ).select("doc_id", "f", "_c.chunk_id", "_c.chunk")
     a = chunks.select(
-        F.col("doc_id").alias("id_a"), "chunk_id", "chunk"
+        F.col("doc_id").alias("id_a"), F.col("f").alias("_fa"), "chunk_id", "chunk"
     )
     b = chunks.select(
-        F.col("doc_id").alias("id_b"), "chunk_id", "chunk"
+        F.col("doc_id").alias("id_b"), F.col("f").alias("_fb"), "chunk_id", "chunk"
     )
-    cand = (
+
+    def _chunk(col: str, c: int):
+        return F.shiftright(F.col(col), 8 * (3 - c)).bitwiseAND(F.lit(255))
+
+    # least-matching-chunk dedup: a pair is emitted ONLY from its
+    # smallest shared chunk (earlier chunks must differ — checkable
+    # from the carried fingerprints), so the pair set is unique by
+    # construction: no DISTINCT shuffle, no joins back to fp, and the
+    # Hamming verify is one xor+popcount inline on the join output.
+    ham = (
         a.join(b, ["chunk_id", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("_ba"))
-    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("_bb"))
-    ham = (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        .where(
+            ((F.col("chunk_id") <= 0) | (_chunk("_fa", 0) != _chunk("_fb", 0)))
+            & ((F.col("chunk_id") <= 1) | (_chunk("_fa", 1) != _chunk("_fb", 1)))
+            & ((F.col("chunk_id") <= 2) | (_chunk("_fa", 2) != _chunk("_fb", 2)))
+        )
         .select(
             "id_a",
             "id_b",
-            hamming_distance(F.col("_ba"), F.col("_bb"))
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
             .cast("bigint")
             .alias("hamming"),
         )
@@ -3213,7 +3225,6 @@ def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw pairs
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
 
-    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     npl = docs.where(F.col("doc_id") % 7 == 0).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_planted")
     )
@@ -3224,18 +3235,17 @@ def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0)
     )
-    return (
-        ham.join(F.broadcast(nc))
-        .join(F.broadcast(npl))
-        .agg(
-            F.first("n_cand").alias("n_cand"),
-            within.cast("bigint").alias("n_within3"),
-            F.first("n_planted").alias("n_planted"),
-            found.cast("bigint").alias("planted_found"),
-            e6_floor_ratio(found, F.first("n_planted")).alias(
-                "planted_recall_e6"
-            ),
-        )
+    # the unique-by-construction pair stream feeds ONE aggregate:
+    # n_cand is its row count (the old form counted a separate
+    # cand.distinct() pass — the pair join now runs once, not twice)
+    return ham.join(F.broadcast(npl)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        within.cast("bigint").alias("n_within3"),
+        F.first("n_planted").alias("n_planted"),
+        found.cast("bigint").alias("planted_found"),
+        e6_floor_ratio(found, F.first("n_planted")).alias(
+            "planted_recall_e6"
+        ),
     )
 
 
@@ -3479,10 +3489,15 @@ sh AS (
   UNION
   SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
 ),
+shd AS (
+  SELECT doc_id, g.g AS g, md5(sh || '|' || g.g) AS dgst
+  FROM sh CROSS JOIN generate_series(0, 7) g(g)
+),
 hashes AS (
-  SELECT doc_id, g.i AS i, MIN(md5(sh || '|' || g.i)) AS h
-  FROM sh CROSS JOIN generate_series(0, 31) g(i)
-  GROUP BY doc_id, g.i
+  SELECT doc_id, g * 4 + j.j AS i,
+         MIN(substr(dgst, 8 * j.j + 1, 8)) AS h
+  FROM shd CROSS JOIN generate_series(0, 3) j(j)
+  GROUP BY doc_id, g * 4 + j.j
 ),
 bands AS (
   SELECT doc_id, CAST(i // 4 AS INT) AS band_id,
@@ -3496,13 +3511,16 @@ mh_hit AS (
   JOIN bands b ON b.doc_id = p.id_b
    AND b.band_id = a.band_id AND b.band_hash = a.band_hash
 ),
-ones AS (
-  SELECT t2.doc_id, g.i AS i,
-         COUNT(*) FILTER (WHERE substr(md5(u.t || '|' || g.i), 1, 1) >= '8') AS o,
-         COUNT(*) AS n
+tokd AS (
+  SELECT t2.doc_id, md5(u.t) AS d
   FROM toks t2, UNNEST(t2.t) AS u(t)
-  CROSS JOIN generate_series(0, 15) g(i)
-  GROUP BY t2.doc_id, g.i
+),
+ones AS (
+  SELECT doc_id, g.i AS i,
+         COUNT(*) FILTER (WHERE substr(d, g.i + 1, 1) >= '8') AS o,
+         COUNT(*) AS n
+  FROM tokd CROSS JOIN generate_series(0, 15) g(i)
+  GROUP BY doc_id, g.i
 ),
 sfp AS (
   SELECT doc_id,
@@ -3574,8 +3592,22 @@ def q207_dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("perturbed").alias("kind"),
         )
     )
+    # Every family fingerprint below is DOC-LOCAL (min over own
+    # shingles / votes over own tokens / own normalized text), and the
+    # recall joins touch only planted ids — so the builds run on the
+    # planted docs alone. Pure dead-code elimination: output identical
+    # (the oracle computes all docs and value-matches), but the Spark
+    # side skips ~2/3 of the corpus' md5/shingle work. The planted id
+    # set is closed-form in the modulus, so it's a FILTER (pushes to
+    # the scan), not a join.
+    did = F.col("doc_id")
+    planted = dupped.filter(
+        ((did < 1000000) & ((did % 7 == 0) | (did % 11 == 0)))
+        | ((did >= 1000000) & (did < 2000000) & ((did - 1000000) % 7 == 0))
+        | ((did >= 2000000) & ((did - 2000000) % 11 == 0))
+    )
     # exact family
-    fp = dupped.select("doc_id", fingerprint("text").alias("f"))
+    fp = planted.select("doc_id", fingerprint("text").alias("f"))
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("f").alias("_fa"))
     fb = fp.select(F.col("doc_id").alias("id_b"), F.col("f").alias("_fb"))
     exact_hit = (
@@ -3586,7 +3618,8 @@ def q207_dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # minhash-lsh family (q032 config)
     sigs = dd.minhash_signatures(
-        dupped, "doc_id", "text", num_hashes=32, portable=True
+        planted, "doc_id", "text", num_hashes=32, portable=True,
+        hashes_per_digest=4,
     )
     bands = sigs.select(
         "doc_id",
@@ -3623,8 +3656,11 @@ def q207_dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # simhash family (q204 config)
-    sfp = dupped.select(
-        "doc_id", simhash_bits_portable("text", n_bits=16).alias("bits")
+    sfp = planted.select(
+        "doc_id",
+        simhash_bits_portable("text", n_bits=16, single_digest=True).alias(
+            "bits"
+        ),
     )
     sa = sfp.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("_ba"))
     sb = sfp.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("_bb"))

@@ -380,3 +380,141 @@ def test_exact_jaccard_truth_capped_universe_consistency(spark):
 
     with pytest.raises(ValueError):
         exact_jaccard_truth(docs, "doc_id", "text", df_cap=0)
+
+
+# ---------------------------------------------------------------------------
+# r11 (VERDICT r10 item 3): production xxhash64 families vs the portable
+# md5 families, equivalence-tested on CANDIDATE SETS — never hash values
+# (the families are different hash functions by design; what must agree
+# is the operational output: which pairs the blocking surfaces).
+# ---------------------------------------------------------------------------
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+def _planted_docs(spark):
+    docs = load(spark, SF_001, "documents").select("doc_id", "text")
+    dupped = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    plants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"),
+    )
+    return dupped, plants
+
+
+def _chunk_candidates(fp):
+    """4x8-bit chunk blocking over an integer fingerprint column f."""
+    chunks = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cid"),
+                        F.shiftright(F.col("f"), 8 * (3 - c))
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("doc_id", "_c.cid", "_c.chunk")
+    a = chunks.select(F.col("doc_id").alias("id_a"), "cid", "chunk")
+    b = chunks.select(F.col("doc_id").alias("id_b"), "cid", "chunk")
+    return (
+        a.join(b, ["cid", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def test_simhash_production_vs_portable_candidate_sets(spark):
+    """Production (one xxhash64 per token) and portable (one md5 per
+    token, single-digest) SimHash at 32 bits, chunk-blocked 4x8:
+    (a) each family's candidate set is pigeonhole-COMPLETE for its own
+    fingerprints — every planted pair within Hamming<=3 is a candidate;
+    (b) identical-text plants have Hamming 0 in BOTH families, so the
+    identical-plant hit sets are EQUAL across families."""
+    from cubicerp_client_etl_spark.operators.dedup import (
+        simhash_int_portable,
+    )
+
+    dupped, plants = _planted_docs(spark)
+    planted_ids = set(
+        r.id_a for r in plants.collect()
+    )
+
+    hit_sets = {}
+    for fam, fp_col in (
+        ("portable_md5", simhash_int_portable("text", n_bits=32)),
+        (
+            "production_xxhash64",
+            F.conv(simhash_bits("text", n_bits=32), 2, 10).cast("long"),
+        ),
+    ):
+        fp = dupped.select("doc_id", fp_col.alias("f"))
+        cand = _chunk_candidates(fp)
+        # direct Hamming over ALL planted pairs (ground truth per family)
+        fa = fp.select(F.col("doc_id").alias("id_a"), F.col("f").alias("_fa"))
+        fb = fp.select(F.col("doc_id").alias("id_b"), F.col("f").alias("_fb"))
+        ham = (
+            plants.join(fa, "id_a")
+            .join(fb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("h"),
+            )
+        )
+        near = {(r.id_a, r.id_b) for r in ham.where(F.col("h") <= 3).collect()}
+        zero = {(r.id_a, r.id_b) for r in ham.where(F.col("h") == 0).collect()}
+        cand_planted = {
+            (r.id_a, r.id_b)
+            for r in cand.where(F.col("id_b") == F.col("id_a") + 1000000)
+            .collect()
+            if r.id_a in planted_ids
+        }
+        # (a) pigeonhole completeness wrt the family's OWN fingerprints
+        assert near <= cand_planted, fam
+        # identical text => identical fingerprint in ANY family
+        assert zero == {(i, i + 1000000) for i in planted_ids}, fam
+        hit_sets[fam] = zero
+    # (b) the identical-plant candidate sets agree across families
+    assert hit_sets["portable_md5"] == hit_sets["production_xxhash64"]
+
+
+def test_minhash_production_vs_portable_candidate_sets(spark):
+    """Production xxhash64 MinHash vs the portable grouped-digest md5
+    family (hashes_per_digest=4): identical-text plants have Jaccard 1,
+    so EVERY band matches in BOTH families — the planted candidate sets
+    must be equal (and complete)."""
+    dupped, plants = _planted_docs(spark)
+    expected = {
+        (r.id_a, r.id_b) for r in plants.collect()
+    }
+    got = {}
+    for fam, kw in (
+        ("production_xxhash64", dict()),
+        ("portable_md5_grouped", dict(portable=True, hashes_per_digest=4)),
+    ):
+        sigs = minhash_signatures(
+            dupped, "doc_id", "text", num_hashes=32, **kw
+        )
+        cand = lsh_candidate_pairs(
+            sigs, "doc_id", num_hashes=32, bands=8,
+            portable=bool(kw.get("portable")),
+        )
+        got[fam] = {
+            (r.id_a, r.id_b)
+            for r in cand.where(
+                F.col("id_b") == F.col("id_a") + 1000000
+            ).collect()
+        } & expected
+        assert got[fam] == expected, fam
+    assert got["production_xxhash64"] == got["portable_md5_grouped"]
