@@ -50,22 +50,36 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
 
 
-def load_flags(samples: dict[str, list[float]]) -> list[str]:
-    """Queries whose samples carry a load-pollution signature, TWO
+def load_flags(
+    samples: dict[str, list[float]],
+    prev_medians: dict[str, float] | None = None,
+) -> list[str]:
+    """Queries whose samples carry a load-pollution signature, THREE
     rules (round-9 judge finding: rule 1 alone let an 18.2 s median
     through unflagged because the load inflated the median it compared
-    to):
+    to; round-10 judge finding: rule 2 has a blind band just under 2x —
+    an idle-run q001 sample at median/min = 1.96 slipped through):
 
     1. ``max − min > 2·median`` — contended box or first-run cliff;
     2. ``median > 2·min`` — a clean best run next to a fat median IS
        the background-load signature: the plan demonstrably runs at
-       ``min(s)``, so a median far above it is the box, not the engine.
+       ``min(s)``, so a median far above it is the box, not the engine;
+    3. ``median > 1.5·prev_median`` — cross-round drift: last round's
+       recorded median is an independent yardstick the current box
+       can't inflate, so a fat jump on an unchanged plan flags even
+       inside rule 2's blind band. (A genuinely slower plan also
+       trips this — that's a feature: the reader compares ``best``
+       against prev to tell load from regression.)
     """
     flagged = []
+    prev_medians = prev_medians or {}
     for n, s in samples.items():
         med = statistics.median(s)
-        if (med > 0 and max(s) - min(s) > 2 * med) or (
-            min(s) > 0 and med > 2 * min(s)
+        prev = prev_medians.get(n)
+        if (
+            (med > 0 and max(s) - min(s) > 2 * med)
+            or (min(s) > 0 and med > 2 * min(s))
+            or (prev is not None and prev > 0 and med > 1.5 * prev)
         ):
             flagged.append(n)
     return sorted(flagged)
@@ -115,21 +129,16 @@ def main() -> None:
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
-    load_warnings = load_flags(samples)
-    if load_warnings:
-        print(
-            f"WARNING: load-polluted samples for {load_warnings} "
-            "(spread > 2x median, or median > 2x best run) — "
-            "treat this run's absolute numbers as suspect; best-run "
-            "times are in the 'best' map",
-            file=sys.stderr,
-        )
     best = {n: round(min(s), 3) for n, s in samples.items()}
     # previous round's recorded medians, so a reader can spot
-    # inflation without a judge re-run: highest-numbered BENCH_r*.json
-    # sitting next to this script
+    # inflation without a judge re-run: prefer the highest-numbered
+    # BENCH_LOCAL_r*.json (bench's own full output — the driver's
+    # BENCH_r*.json wrapper truncates stdout to its last 2000 chars,
+    # which cut BENCH_r10's queries map mid-object), falling back to
+    # the driver files for rounds before the local copy existed
     prev: dict[str, float] = {}
     prev_round = None
+    prev_medians_round = None
     here = os.path.dirname(os.path.abspath(__file__))
     cands = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -137,14 +146,37 @@ def main() -> None:
         if m:
             cands.append((int(m.group(1)), p))
     if cands:
-        prev_round, path = max(cands)
-        try:
-            with open(path) as fh:
-                doc = json.load(fh)
-            # the driver wraps bench's own JSON under "parsed"
-            prev = doc.get("parsed", doc).get("queries", {}) or {}
-        except (OSError, ValueError, AttributeError):
-            prev, prev_round = {}, None
+        # prev_round comes from the FILENAME (the driver records one
+        # file per round even when its 2000-char stdout wrapper
+        # truncated the payload — BENCH_r10's "parsed" is null); the
+        # medians walk DOWN the rounds until one parses, preferring
+        # each round's LOCAL twin (bench's own full output)
+        prev_round = max(cands)[0]
+        for rnd, path in sorted(cands, reverse=True):
+            local_twin = os.path.join(here, f"BENCH_LOCAL_r{rnd}.json")
+            if os.path.exists(local_twin):
+                path = local_twin
+            try:
+                with open(path) as fh:
+                    doc = json.load(fh)
+                # the driver wraps bench's own JSON under "parsed"
+                got = (doc.get("parsed") or doc).get("queries") or {}
+            except (OSError, ValueError, AttributeError):
+                got = {}
+            if got:
+                prev = got
+                prev_medians_round = rnd
+                break
+    load_warnings = load_flags(samples, prev)
+    if load_warnings:
+        print(
+            f"WARNING: load-polluted samples for {load_warnings} "
+            "(spread > 2x median, median > 2x best run, or median > "
+            f"1.5x round-{prev_round} median) — treat this run's "
+            "absolute numbers as suspect; best-run times are in the "
+            "'best' map",
+            file=sys.stderr,
+        )
 
     # "value" stays the sum over the ORIGINAL 7-query core so the
     # round-over-round total remains comparable; queries added to the
@@ -169,12 +201,25 @@ def main() -> None:
         "best": best,
         "load_warnings": load_warnings,
         "prev_round": prev_round,
+        "prev_medians_round": prev_medians_round,
         "prev_medians": {n: prev[n] for n in timings if n in prev},
         "value_all": round(sum(timings.values()), 3),
         "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
+    # full JSON also lands in a LOCAL file: the driver's BENCH_r*.json
+    # wrapper keeps only the last 2000 chars of stdout, which truncated
+    # BENCH_r10's own queries map mid-object — next round's prev-median
+    # comparison must never depend on that truncation
+    local_round = (prev_round or 0) + 1
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{local_round}.json")
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError as ex:  # timing already reported; the copy is extra
+        print(f"WARNING: could not write {local_path}: {ex}", file=sys.stderr)
     spark.stop()
 
 
