@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Standing 10x timing census over the WHOLE query corpus (judge r10
+item 6 — the manual census caught q267's quadratic probe panel before
+commit in round 10; this makes it a per-round tool).
+
+Times every registered query single-shot at a base fixture dir
+(default /root/testdata/sf0.1) and a 10x dir (default
+/root/repo/.scaledata/sf1 — build it with ``python tools/scale_up.py``),
+records per-query walls + the 10x/base ratio, diffs against the prior
+round's census, and FAILS (exit 1) when a query shows superlinear
+growth:
+
+- ``ratio > --superlinear`` (default 12.0 — fact rows grow 10x, so a
+  healthy plan's wall ratio is <= ~10 with slack for noise), or
+- ``ratio > --regress x prior round's ratio`` (default 3.0) — a query
+  whose SCALING BEHAVIOR degraded 3x since last round regressed
+  structurally even if it is still fast in absolute terms.
+
+Queries with base wall < --floor (default 0.3 s) are overhead-dominated
+and excluded from the failure rules (their ratios are noise); they are
+still recorded.
+
+Writes CENSUS_r<N>.json next to the repo root (N = prior census round
++ 1, or --out) and prints a README-embeddable markdown table of the
+top ratios.
+
+Usage:
+  python tools/scale_census.py [--only SUBSTR] [--base DIR] [--big DIR]
+                               [--out FILE] [--superlinear X]
+                               [--regress X] [--floor SEC]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def prior_census() -> tuple[int | None, dict]:
+    cands = []
+    for p in glob.glob(os.path.join(HERE, "CENSUS_r*.json")):
+        m = re.search(r"CENSUS_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return None, {}
+    rnd, path = max(cands)
+    try:
+        with open(path) as fh:
+            return rnd, json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return rnd, {}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default=os.path.join(HERE, ".scaledata/sf1"))
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--superlinear", type=float, default=12.0)
+    ap.add_argument("--regress", type=float, default=3.0)
+    ap.add_argument("--floor", type=float, default=0.3)
+    args = ap.parse_args()
+
+    if not os.path.isdir(args.big):
+        sys.exit(
+            f"{args.big} missing — build it first: python tools/scale_up.py"
+        )
+
+    from cubicerp_client_etl_spark.queries import REGISTRY
+    from cubicerp_client_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_census")
+    names = sorted(REGISTRY)
+    if args.only:
+        names = [n for n in names if args.only in n]
+
+    prev_round, prev = prior_census()
+    out_round = (prev_round or 10) + 1
+    out_path = args.out or os.path.join(HERE, f"CENSUS_r{out_round}.json")
+
+    def run(name: str, sf_dir: str) -> float | None:
+        t0 = time.perf_counter()
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:  # census must survive one bad query
+            print(f"ERROR {name} @ {sf_dir}: {ex}", file=sys.stderr)
+            return None
+        return time.perf_counter() - t0
+
+    rows: dict[str, dict] = {}
+    failures: list[str] = []
+    for i, name in enumerate(names, 1):
+        tb = run(name, args.base)
+        tg = run(name, args.big) if tb is not None else None
+        if tb is None or tg is None:
+            rows[name] = {"base": tb, "big": tg, "ratio": None}
+            failures.append(f"{name}: errored")
+            continue
+        ratio = tg / tb if tb > 0 else None
+        rows[name] = {
+            "base": round(tb, 2),
+            "big": round(tg, 2),
+            "ratio": round(ratio, 2),
+        }
+        flags = []
+        if tb >= args.floor:
+            if ratio > args.superlinear:
+                flags.append(f"superlinear: {ratio:.1f}x at 10x data")
+            pr = (prev.get(name) or {}).get("ratio")
+            if pr and pr > 0 and ratio > args.regress * pr:
+                flags.append(
+                    f"scaling regressed: {ratio:.1f}x vs r{prev_round} "
+                    f"{pr:.1f}x"
+                )
+        if flags:
+            rows[name]["flags"] = flags
+            failures.append(f"{name}: " + "; ".join(flags))
+        print(
+            f"[{i}/{len(names)}] {name}: {tb:.2f}s -> {tg:.2f}s "
+            f"({ratio:.1f}x)" + (" FLAG" if flags else ""),
+            flush=True,
+        )
+
+    doc = {
+        "round": out_round,
+        "base": args.base,
+        "big": args.big,
+        "prev_round": prev_round,
+        "floor": args.floor,
+        "superlinear": args.superlinear,
+        "regress": args.regress,
+        "queries": rows,
+        "failures": failures,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")
+    print(f"\ncensus written: {out_path}")
+
+    # README-embeddable top-ratio table (only above-floor queries)
+    ranked = sorted(
+        (
+            (n, r)
+            for n, r in rows.items()
+            if r.get("ratio") and (r.get("base") or 0) >= args.floor
+        ),
+        key=lambda kv: -kv[1]["ratio"],
+    )[:15]
+    print("\n| query | sf0.1 | 10x | ratio |")
+    print("|---|---|---|---|")
+    for n, r in ranked:
+        print(f"| {n} | {r['base']:.2f} s | {r['big']:.2f} s | {r['ratio']:.1f}x |")
+
+    if failures:
+        print("\nFAILURES:\n  " + "\n  ".join(failures), file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
