@@ -49,6 +49,13 @@ def asof_join(
     ts.alias(...))``) does not survive to the UDF — Spark/Arrow
     collapses duplicate columns before cogrouped frames are handed to
     Python.
+
+    NULL keys NEVER MATCH (ADVICE r10): ``pandas.merge_asof(by=...)``
+    treats NaN/None group keys as unmatchable, so a left row with a
+    NULL in any ``by`` column always gets NULL carries — SQL
+    equi-join semantics (and DuckDB ``ASOF JOIN`` semantics), NOT the
+    null-groups-together behavior of the pre-r10 per-key cogroup
+    form. Filter or coalesce NULL keys first if they should pair.
     """
     from pyspark.sql import functions as F
 

@@ -129,8 +129,15 @@ def funnel_report(
                 .cast("bigint")
             )
         one = one.withColumn(f"_cp{k}", cp)
+    def _sql_str(s: str) -> str:
+        # backslash is an escape character inside Spark SQL string
+        # literals, so it must be doubled BEFORE quote-doubling —
+        # otherwise a step name containing \ corrupts the stack()
+        # labels or fails to parse (ADVICE r10)
+        return s.replace("\\", "\\\\").replace("'", "''")
+
     stacked = ", ".join(
-        f"{k}, '{s.replace(chr(39), chr(39) * 2)}', _n{k}, _cf{k}, _cp{k}, _e{k}"
+        f"{k}, '{_sql_str(s)}', _n{k}, _cf{k}, _cp{k}, _e{k}"
         for k, s in enumerate(steps, start=1)
     )
     out = one.select(

@@ -65,8 +65,21 @@ def ses_forecast(
     if alpha_den < 1:
         raise ValueError("alpha_den must be >= 1")
     n_buckets = 64
+    # the output schema hardcodes `key long`, so the key is cast
+    # EXPLICITLY here (integer-key contract — a string/decimal key
+    # would otherwise surface as an Arrow conversion error or silent
+    # nulls at apply time, ADVICE r10); non-castable types fail loudly
+    # at plan time via the analyzer
+    key_type = dict(series.dtypes).get(key_col, "")
+    if key_type in ("string", "binary", "boolean") or key_type.startswith(
+        ("array", "map", "struct", "decimal")
+    ):
+        raise TypeError(
+            f"ses_forecast requires an integer {key_col!r} key "
+            f"(got {key_type}); hash or dictionary-encode the key first"
+        )
     src = series.select(
-        F.col(key_col).alias("key"),
+        F.col(key_col).cast("long").alias("key"),
         F.col(period_col).cast("long").alias("period"),
         F.col(value_col).cast("long").alias("value"),
     ).withColumn("_b", F.pmod(F.xxhash64("key"), F.lit(n_buckets)))

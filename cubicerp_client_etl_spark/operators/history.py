@@ -464,8 +464,20 @@ def avco_inventory(
     onhand_after, value_cents_after, cogs_cents)`` (cogs 0 on
     receipts).
     """
+    # `part long` is hardcoded in the output schema, so the key is cast
+    # EXPLICITLY (integer-key contract, same as ses_forecast — a
+    # string/decimal part id would otherwise fail in Arrow or null out
+    # silently, ADVICE r10)
+    part_type = dict(moves.dtypes).get(part_col, "")
+    if part_type in ("string", "binary", "boolean") or part_type.startswith(
+        ("array", "map", "struct", "decimal")
+    ):
+        raise TypeError(
+            f"avco_inventory requires an integer {part_col!r} key "
+            f"(got {part_type}); hash or dictionary-encode the key first"
+        )
     src = moves.select(
-        F.col(part_col).alias("part"),
+        F.col(part_col).cast("long").alias("part"),
         F.col(seq_col).cast("long").alias("seq"),
         F.col(qty_col).cast("long").alias("qty"),
         F.col(price_col).cast("long").alias("price_cents"),

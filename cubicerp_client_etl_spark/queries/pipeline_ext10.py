@@ -92,14 +92,18 @@ def bucketed_fact_tables(
 ) -> tuple[DataFrame, DataFrame]:
     """Write (overwrite) the bucketed orders/lineitem tables for
     ``sf_dir`` and return them as catalog-backed DataFrames. Table
-    names carry an sf_dir digest so concurrent suites at different
-    scale factors never collide in the shared warehouse."""
+    names carry an sf_dir digest AND the driver pid (ADVICE r10: the
+    sf tag alone let two concurrent suites on the SAME sf_dir race —
+    one deleting the table the other was reading; the pid scopes the
+    drop-and-rewrite to this process, at the cost of one extra table
+    per concurrent suite in the shared warehouse)."""
+    import os
     import shutil
     from urllib.parse import urlparse
 
     from cubicerp_client_etl_spark.sinks.writers import write_bucketed_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     # a managed table's location can survive from a PREVIOUS session's
     # metastore (each test/sweep session gets a fresh in-memory derby,

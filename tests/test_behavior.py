@@ -77,6 +77,24 @@ def test_funnel_report_conversions_exact(spark):
     assert rep[3].sum_elapsed_us == 20  # 1 user x 20us
 
 
+def test_funnel_report_step_names_with_sql_metachars(spark):
+    """ADVICE r10: step names reach a stack() SQL literal — backslashes
+    (Spark SQL escape char) and quotes must round-trip verbatim."""
+    from cubicerp_client_etl_spark.operators.behavior import funnel_report
+
+    tricky = ["pg\\view", "ad'click \\n"]
+    rows = [(0, 10, tricky[0]), (0, 20, tricky[1]), (1, 10, tricky[0])]
+    rep = {
+        r.step: r
+        for r in funnel_report(
+            _ev(spark, rows), "u", "t", "ty", tricky
+        ).collect()
+    }
+    assert rep[1].step_type == tricky[0]
+    assert rep[2].step_type == tricky[1]
+    assert rep[1].n_users == 2 and rep[2].n_users == 1
+
+
 def test_funnel_rejects_bad_steps(spark):
     from cubicerp_client_etl_spark.operators.behavior import funnel_steps
 

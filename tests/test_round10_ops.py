@@ -232,6 +232,38 @@ def test_avco_hand_computed_recurrence(spark):
     assert (out[3].cogs_cents, out[3].onhand_after) == (1050, 8)
 
 
+def test_walker_key_contract_int_cast_and_string_raise(spark):
+    """ADVICE r10: the Arrow walkers hardcode `key long`/`part long`
+    in their output schemas — an INT key must be cast (not Arrow-fail),
+    a STRING key must raise loudly with guidance."""
+    import pytest
+
+    from cubicerp_client_etl_spark.operators.forecast import ses_forecast
+    from cubicerp_client_etl_spark.operators.history import avco_inventory
+
+    # int (not long) keys cast cleanly end-to-end
+    ses_int = spark.createDataFrame(
+        [(1, 0, 100), (1, 1, 104)], "k int, p int, v int"
+    )
+    out = {r.p: r for r in ses_forecast(ses_int, "k", "p", "v").collect()}
+    assert out[1].forecast == 100 and out[1].level == 101
+    avco_int = spark.createDataFrame(
+        [(1, 0, 10, 100)], "p int, s int, q int, c int"
+    )
+    assert avco_inventory(avco_int, "p", "s", "q", "c").count() == 1
+
+    # string keys raise with a hash-the-key hint instead of an Arrow
+    # conversion failure / silent nulls
+    ses_str = spark.createDataFrame([("a", 0, 100)], "k string, p int, v int")
+    with pytest.raises(TypeError, match="integer"):
+        ses_forecast(ses_str, "k", "p", "v")
+    avco_str = spark.createDataFrame(
+        [("a", 0, 10, 100)], "p string, s int, q int, c int"
+    )
+    with pytest.raises(TypeError, match="integer"):
+        avco_inventory(avco_str, "p", "s", "q", "c")
+
+
 def test_avco_value_conservation_property(spark):
     """Invariant: at every step, value = Σ receipts·price − Σ cogs so
     far (the walk tracks total value exactly; rounding never leaks)."""
