@@ -526,3 +526,76 @@ def last_touch_attribution(
             .alias("sum_value_floor"),
         )
     )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    user_col: str,
+    month_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohort by their FIRST
+    month; each cohort's revenue accumulates over month offsets,
+    reported per (cohort_month, offset) as exact cents plus the
+    per-customer average — the revenue twin of the retention matrix
+    (``cohort_retention`` counts active users; LTV sums what they
+    spent).
+
+    ``month_col`` is an integer month index (e.g. yyyymm or a month
+    sequence number from months_between). Offset = month − cohort
+    month in POSITIONS OF THE OBSERVED GRID? No — calendar offset:
+    offset = month_index − cohort_index (gaps stay gaps: a cohort
+    with no revenue at offset 2 simply has no row; the cumulative sum
+    still carries through via the window over observed offsets).
+
+    Returns one row per (cohort, offset) with revenue in that offset
+    month, the RUNNING cumulative (the LTV curve), cohort size, and
+    ``cum_ltv_per_user_cents`` (floored division, exact).
+
+    Scale: one user-keyed min-aggregate (cohort assignment, broadcast
+    back by equi-join), one (cohort, offset) aggregate — both bounded
+    by calendar cardinality — and a window over the bounded cohort
+    grid. No raw-row window.
+    """
+    from pyspark.sql import Window as W
+
+    src = orders.select(
+        F.col(user_col).alias("_u"),
+        F.col(month_col).cast("long").alias("_m"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    first = src.groupBy("_u").agg(F.min("_m").alias("cohort_month"))
+    sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    grid = (
+        src.join(first, "_u")
+        .groupBy(
+            "cohort_month",
+            (F.col("_m") - F.col("cohort_month")).cast("bigint").alias(
+                "month_offset"
+            ),
+        )
+        .agg(F.sum("_v").cast("bigint").alias("revenue_cents"))
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.withColumn(
+            "cum_ltv_cents", F.sum("revenue_cents").over(w).cast("bigint")
+        )
+        .join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "revenue_cents",
+            "cum_ltv_cents",
+            "cohort_users",
+            F.expr("cum_ltv_cents div cohort_users")
+            .cast("bigint")
+            .alias("cum_ltv_per_user_cents"),
+        )
+    )

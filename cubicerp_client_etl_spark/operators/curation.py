@@ -511,3 +511,63 @@ def boilerplate_shingle_report(
         .cast("bigint")
         .alias("boiler_ratio_e6"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of the document's distinct word ``shingle_n``-grams never
+    seen in ``reference`` — the curation gate that scores an incoming
+    crawl snapshot for how much genuinely new text it adds (the
+    additive complement of the dedup family: near-dup finds what to
+    DROP, novelty ranks what's worth KEEPING).
+
+        novelty_e6 = unseen_shingles · 1e6 div distinct_shingles
+
+    Documents shorter than ``shingle_n`` tokens fall back to their
+    whole text as one shingle (the ``dedup.shingles`` rule).
+
+    Returns one row per scored doc: ``(id_col, n_shingles, n_unseen,
+    novelty_e6)``.
+
+    Scale: distinct (doc, shingle) explode on both sides, one
+    LEFT-ANTI equi-join on the shingle value (the q158/q216
+    decontamination shape — candidates only, never all-pairs), one
+    doc-keyed count. The reference side reduces to DISTINCT shingles
+    before the join, so boilerplate repetition never inflates it.
+    """
+    from cubicerp_client_etl_spark.operators.dedup import shingles
+
+    d_sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
+    ).distinct()
+    ref_sh = (
+        reference.select(F.explode(shingles(text_col, shingle_n)).alias("_sh"))
+        .distinct()
+    )
+    unseen = d_sh.join(ref_sh, "_sh", "left_anti")
+    totals = d_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel = unseen.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unseen")
+    )
+    return (
+        totals.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_unseen", F.lit(0)).cast("bigint").alias("n_unseen"),
+            F.expr(
+                "CAST(coalesce(n_unseen, 0) * 1000000 AS DECIMAL(38,0))"
+                " div n_shingles"
+            )
+            .cast("bigint")
+            .alias("novelty_e6"),
+        )
+    )

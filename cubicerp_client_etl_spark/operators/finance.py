@@ -362,3 +362,132 @@ def budget_vs_actual(
         .cast("bigint")
         .alias("ytd_variance_cents"),
     )
+
+
+def depreciation_schedule(
+    assets: DataFrame,
+    id_col: str,
+    cost_col: str,
+    life_col: str,
+) -> DataFrame:
+    """Straight-line depreciation schedule with EXACT largest-remainder
+    cents: asset cost ``cost_col`` (cents) spreads over ``life_col``
+    periods as ``cost div life`` per period, with the remainder's
+    cents landing one each on the EARLIEST periods — so the schedule
+    sums to the cost exactly (no penny drift), the invariant every
+    fixed-asset subledger audit checks first.
+
+    Returns one row per (asset, period 1..life): ``(id_col, period,
+    depreciation_cents, accum_cents, nbv_cents)``. Everything is
+    CLOSED-FORM in the period index (accum = period·base +
+    min(period, remainder)), so the explode is a pure map stage — no
+    window, no shuffle; the reference books depreciation one journal
+    row at a time (cubicerpetl.py:494 shape).
+    """
+    src = assets.select(
+        F.col(id_col),
+        F.col(cost_col).cast("bigint").alias("_cost"),
+        F.col(life_col).cast("bigint").alias("_life"),
+    ).where(F.col("_life") > 0)
+    exploded = src.select(
+        id_col,
+        "_cost",
+        "_life",
+        F.explode(F.sequence(F.lit(1), F.col("_life"))).alias("period"),
+    )
+    base = F.expr("_cost div _life")
+    rem = F.expr("_cost % _life")
+    accum = F.col("period") * base + F.least(F.col("period"), rem)
+    dep = base + F.when(F.col("period") <= rem, 1).otherwise(0)
+    return exploded.select(
+        id_col,
+        F.col("period").cast("bigint").alias("period"),
+        dep.cast("bigint").alias("depreciation_cents"),
+        accum.cast("bigint").alias("accum_cents"),
+        (F.col("_cost") - accum).cast("bigint").alias("nbv_cents"),
+    )
+
+
+def near_duplicate_invoice_screen(
+    invoices: DataFrame,
+    party_col: str,
+    id_col: str,
+    amount_col: str,
+    date_col: str,
+    amount_tol_cents: int = 100,
+    day_window: int = 7,
+    bucket_cents: int = 10_000,
+) -> DataFrame:
+    """FUZZY duplicate-payment screen — the near-amount twin of
+    ``duplicate_payment_screen`` (q266 catches exact (party, amount)
+    re-posts; this catches the re-keyed invoice that differs by a few
+    cents or a corrected date): pairs of invoices for the SAME party
+    whose amounts differ by at most ``amount_tol_cents`` (ABSOLUTE
+    cents — a percent tolerance cannot guarantee the band join below
+    stays lossless, since x% of a big invoice can exceed any fixed
+    bucket width) and whose dates are within ``day_window`` days.
+
+    Never all-pairs, and LOSSLESS by construction: amounts bucket at
+    ``bucket_cents`` (must be >= the tolerance — enforced) and each
+    invoice probes its own and the NEXT bucket, so any pair within
+    tolerance differs by at most one bucket; the exact tolerance
+    check runs on candidates only. Pairs are unique without a
+    DISTINCT shuffle (the q204 matching-key-election rule): a pair is
+    emitted only at probe key ``greatest(bucket_a, bucket_b)`` — when
+    the buckets are EQUAL the pair collides at both b and b+1 and
+    greatest keeps exactly the b collision; when they differ by one
+    the ONLY shared probe key IS the larger bucket (a probes {b_a,
+    b_a+1}, b probes {b_a+1, b_a+2} — they meet at b_a+1 alone), so
+    least() would drop the pair entirely (caught by the sf0.1 sweep:
+    boundary-straddling pairs vanished).
+
+    Returns ``(party, id_a, id_b, amount_a, amount_b, diff_cents,
+    day_gap)`` with ``id_a < id_b``.
+    """
+    if bucket_cents < amount_tol_cents:
+        raise ValueError(
+            "bucket_cents must be >= amount_tol_cents for the band "
+            "join to be lossless"
+        )
+    src = invoices.select(
+        F.col(party_col).alias("party"),
+        F.col(id_col).alias("inv_id"),
+        F.col(amount_col).cast("bigint").alias("amt"),
+        F.col(date_col).cast("date").alias("dt"),
+    ).withColumn("bkt", F.expr("amt div " + str(int(bucket_cents))))
+    a = src.select(
+        "party",
+        F.col("inv_id").alias("id_a"),
+        F.col("amt").alias("amount_a"),
+        F.col("dt").alias("dt_a"),
+        F.col("bkt").alias("bkt_a"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("probe"),
+    )
+    b = src.select(
+        "party",
+        F.col("inv_id").alias("id_b"),
+        F.col("amt").alias("amount_b"),
+        F.col("dt").alias("dt_b"),
+        F.col("bkt").alias("bkt_b"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("probe"),
+    )
+    diff = F.abs(F.col("amount_a") - F.col("amount_b"))
+    tol_ok = diff <= F.lit(int(amount_tol_cents))
+    gap = F.abs(F.datediff("dt_a", "dt_b"))
+    return (
+        a.join(b, ["party", "probe"])
+        .where(F.col("id_a") < F.col("id_b"))
+        # emit each candidate pair exactly once: at the probe key the
+        # two sides are GUARANTEED to share (see docstring)
+        .where(F.col("probe") == F.greatest("bkt_a", "bkt_b"))
+        .where(tol_ok & (gap <= day_window))
+        .select(
+            "party",
+            "id_a",
+            "id_b",
+            "amount_a",
+            "amount_b",
+            diff.cast("bigint").alias("diff_cents"),
+            gap.cast("bigint").alias("day_gap"),
+        )
+    )

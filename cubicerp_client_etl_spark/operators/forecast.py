@@ -218,3 +218,104 @@ def km_survival_curve(
         .cast("bigint")
         .alias("log_surv_e6"),
     )
+
+
+def holt_forecast(
+    series: DataFrame,
+    key_col: str,
+    period_col: str,
+    value_col: str,
+    alpha_den: int = 4,
+    beta_den: int = 4,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) on
+    exact integers, per key over the observed periods in order:
+
+        l_1 = x_1,  b_1 = 0
+        f_t = l_{t-1} + b_{t-1}            (one-step-ahead forecast)
+        l_t = f_t + trunc((x_t − f_t) / alpha_den)
+        b_t = b_{t-1} + trunc(((l_t − l_{t-1}) − b_{t-1}) / beta_den)
+
+    — the error-correction form of Holt's method with alpha =
+    1/alpha_den, beta = 1/beta_den, every division TRUNCATED toward
+    zero with the sign-factored rule that matches DuckDB's ``//`` on
+    positives and replays exactly on negatives (the ses_forecast
+    discipline; Holt extends it with the trend state the SES level
+    can't capture — a steadily growing demand series saturates SES
+    one step behind, while Holt's b_t carries the slope).
+
+    Returns one row per (key, period): ``(key_col, period_col, value,
+    forecast, level, trend, abs_err)`` with ``forecast``/``abs_err``
+    NULL on each key's first period.
+
+    Scale: same 64-way hash-bucketed Arrow walk as ses_forecast (the
+    recurrence is irreducibly sequential per key; buckets amortize
+    pandas overhead across many keys per batch). Integer-key contract:
+    the key is cast to long (raises on string/decimal). Oracle:
+    RECURSIVE CTE carrying BOTH states per key per step.
+    """
+    import pandas as pd
+
+    if alpha_den < 1 or beta_den < 1:
+        raise ValueError("alpha_den and beta_den must be >= 1")
+    key_type = dict(series.dtypes).get(key_col, "")
+    if key_type in ("string", "binary", "boolean") or key_type.startswith(
+        ("array", "map", "struct", "decimal")
+    ):
+        raise TypeError(
+            f"holt_forecast requires an integer {key_col!r} key "
+            f"(got {key_type}); hash or dictionary-encode the key first"
+        )
+    n_buckets = 64
+    src = series.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(period_col).cast("long").alias("period"),
+        F.col(value_col).cast("long").alias("value"),
+    ).withColumn("_b", F.pmod(F.xxhash64("key"), F.lit(n_buckets)))
+    out_schema = (
+        "key long, period long, value long, forecast long, "
+        "level long, trend long, abs_err long"
+    )
+
+    def _trunc(d: int, den: int) -> int:
+        return d // den if d >= 0 else -((-d) // den)
+
+    # no annotations on the walker (stringified-hints gotcha)
+    def walk(pdf):
+        pdf = pdf.sort_values(["key", "period"]).reset_index(drop=True)
+        level = trend = None
+        prev_key = None
+        fc, lv, tr, ae = [], [], [], []
+        for k, x in zip(pdf["key"], pdf["value"]):
+            x = int(x)
+            if k != prev_key:
+                prev_key = k
+                level = None
+            if level is None:
+                fc.append(None)
+                ae.append(None)
+                level, trend = x, 0
+            else:
+                f = level + trend
+                fc.append(f)
+                ae.append(abs(x - f))
+                new_level = f + _trunc(x - f, alpha_den)
+                trend = trend + _trunc((new_level - level) - trend, beta_den)
+                level = new_level
+            lv.append(level)
+            tr.append(trend)
+        pdf["forecast"] = pd.array(fc, dtype="Int64")
+        pdf["level"] = lv
+        pdf["trend"] = tr
+        pdf["abs_err"] = pd.array(ae, dtype="Int64")
+        return pdf[
+            ["key", "period", "value", "forecast", "level", "trend", "abs_err"]
+        ]
+
+    return (
+        src.groupBy("_b")
+        .applyInPandas(walk, schema=out_schema)
+        .withColumnRenamed("key", key_col)
+        .withColumnRenamed("period", period_col)
+        .withColumnRenamed("value", value_col)
+    )

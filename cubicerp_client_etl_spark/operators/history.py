@@ -596,3 +596,61 @@ def reorder_point(
         + F.expr(f"CAST(({z_x2} * std_qty * {sqrt_l}) div 2 AS BIGINT)")
     )
     return staged.withColumn("reorder_point", rop.cast("bigint"))
+
+
+def inventory_turns(
+    moves: DataFrame,
+    part_col: str,
+    seq_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Inventory-turns datasheet per part from a signed move ledger
+    (receipts > 0, issues < 0): total issued quantity against the
+    AVERAGE post-move on-hand level,
+
+        onhand_after_i = Σ_{j <= i} qty_j          (running balance)
+        turns_e6       = issued_total · 1e6 · n_moves div Σ onhand_after
+
+    — the classic turns ratio with the average carried as an exact
+    (sum, count) pair instead of a float mean. Parts whose on-hand sum
+    is 0 report NULL turns (never divide-by-zero).
+
+    Fully SET-BASED (contrast AVCO's sequential walker: turns need no
+    per-move cost state): one part-keyed ordered window for the
+    running balance, one part-keyed aggregate. Survives any move count
+    per part.
+
+    Returns one row per part: ``(part_col, n_moves, issued_qty,
+    onhand_sum, turns_e6)``.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("_p").orderBy("_s")
+    bal = moves.select(
+        F.col(part_col).alias("_p"),
+        F.col(seq_col).cast("long").alias("_s"),
+        F.col(qty_col).cast("long").alias("_q"),
+    ).withColumn("_onhand", F.sum("_q").over(w).cast("long"))
+    return (
+        bal.groupBy("_p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+            F.sum(F.when(F.col("_q") < 0, -F.col("_q")).otherwise(0))
+            .cast("bigint")
+            .alias("issued_qty"),
+            F.sum("_onhand").cast("bigint").alias("onhand_sum"),
+        )
+        .select(
+            F.col("_p").alias(part_col),
+            "n_moves",
+            "issued_qty",
+            "onhand_sum",
+            F.when(
+                F.col("onhand_sum") > 0,
+                F.expr(
+                    "CAST(issued_qty * 1000000 * n_moves AS DECIMAL(38,0))"
+                    " div onhand_sum"
+                ).cast("bigint"),
+            ).alias("turns_e6"),
+        )
+    )

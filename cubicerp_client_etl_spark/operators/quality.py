@@ -476,3 +476,58 @@ def referential_integrity_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def hhi_concentration(
+    revenue: DataFrame,
+    key_col: str,
+    value_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index over keyed revenue —
+    the antitrust-grade sibling of the Gini audit
+    (:func:`operators.quantiles.gini_concentration` measures
+    inequality of the distribution; HHI measures how much of the
+    market the biggest players hold):
+
+        share_e6_i = v_i · 1e6 div total
+        hhi_e12    = Σ share_e6_i²          (10 000-point scale × 1e8)
+
+    plus the top-``top_n`` combined share. Both engines floor the
+    per-key share identically, so the sum of squares is exact.
+
+    Returns ONE row: ``(n_keys, total_cents, hhi_e12, top_share_e6)``.
+
+    Scale: one keyed aggregate; the share math is a second pass over
+    the per-key aggregate; the top-N share comes from an ordered
+    ``limit(top_n)`` (TakeOrdered — a bounded heap, never a global
+    row_number window over the data-sized key table; rank by value
+    with key tie-break, deterministic across engines).
+    """
+    per = revenue.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(F.col(value_col).cast("bigint")).cast("bigint").alias("_v")
+    )
+    tot = per.agg(F.sum("_v").cast("bigint").alias("_total"))
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "_k",
+        "_v",
+        "_total",
+        F.expr("CAST(_v * 1000000 AS DECIMAL(38,0)) div _total")
+        .cast("bigint")
+        .alias("_sh"),
+    )
+    top = (
+        shared.orderBy(F.col("_v").desc(), F.col("_k"))
+        .limit(top_n)
+        .agg(F.sum("_sh").cast("bigint").alias("top_share_e6"))
+    )
+    return (
+        shared.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.first("_total").cast("bigint").alias("total_cents"),
+            F.sum(F.col("_sh") * F.col("_sh"))
+            .cast("bigint")
+            .alias("hhi_e12"),
+        )
+        .crossJoin(F.broadcast(top))
+    )

@@ -61,6 +61,7 @@ def _load_all() -> None:
         pipeline_ext8,
         pipeline_ext9,
         pipeline_ext10,
+        pipeline_ext11,
         relational,
         relational2,
         relational3,
