@@ -746,3 +746,24 @@ def test_bucketed_join_zero_exchange_below_join_at_sf01(spark):
         assert plan_r.count("Exchange") == 1, plan_r
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_q278_depreciation_schedule_map_only(spark):
+    """The depreciation schedule is closed-form in the period index —
+    the whole plan must be a scan + filter + explode + project: ZERO
+    exchanges (a window or per-asset shuffle here would be a
+    regression; the subledger explode has to scale as a pure map)."""
+    plan = plan_of(spark, "q278_depreciation_schedule")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_q291_fuzzy_screen_banded_equi_join(spark):
+    """The fuzzy duplicate-invoice screen must block on (party, probe
+    bucket): an equi-join, never a cartesian/nested-loop over the
+    invoice table."""
+    plan = plan_of(spark, "q291_fuzzy_dup_invoices")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
+    # the 1-row planted-count broadcast is the only nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
