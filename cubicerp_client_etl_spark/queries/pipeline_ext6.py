@@ -31,9 +31,18 @@ from cubicerp_client_etl_spark.queries import register
 # k-means recursion (unrolled CTEs, as q013), and the integer cosine
 # predicate — a value-level check on the complete SemDeDup chain.
 # --------------------------------------------------------------------------
-_SD_K = 4
+_SD_K = 4  # floor on the cell count
 _SD_ITER = 2
 _SD_DIM = 64
+# SemDeDup sizing rule (the q038/q220 derive-from-one-scalar rule,
+# r11: the standing 10x census measured the FIXED k=4 form at 27x
+# when fact rows grew 10x — cells of n/4 vectors give n^2/16 pairs,
+# the exact quadratic SemDeDup exists to avoid): the cell count
+# derives from the corpus so cells stay ~_SD_CELL vectors and the
+# within-cell pair volume stays LINEAR in n. k = max(4, n div 2000)
+# is 4 at both fixture SFs (output unchanged, driver hash stable)
+# and 27 at the 10x census fixture.
+_SD_CELL = 2000
 
 
 def _sd_dist(v: str, cv: str) -> str:
@@ -85,7 +94,7 @@ tw AS (SELECT vec_id + 1000000 AS vec_id,
 allq AS (SELECT * FROM qu UNION ALL SELECT * FROM tw),
 q AS (SELECT vec_id, list_transform(uv, x -> x + 127) AS v FROM allq),
 c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
-       FROM (SELECT * FROM q ORDER BY vec_id LIMIT {_SD_K})),"""
+       FROM (SELECT * FROM q ORDER BY vec_id\n             LIMIT (SELECT GREATEST({_SD_K}, COUNT(*) // {_SD_CELL})\n                    FROM q))),"""
     + ",".join(_sd_iter_sql(i) for i in range(1, _SD_ITER + 1))
     + f""",
 asn AS (
@@ -143,7 +152,11 @@ def q040_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     allq = quant.unionByName(twins)
-    assign = kmeans_int(allq, k=_SD_K, iterations=_SD_ITER)
+    # k derives from ONE scalar count (the q038 rule) so cells stay
+    # ~_SD_CELL vectors and pair volume is linear in n — see _SD_CELL
+    n_vecs = allq.count()
+    k = max(_SD_K, n_vecs // _SD_CELL)
+    assign = kmeans_int(allq, k=k, iterations=_SD_ITER)
     removed = semantic_dedup(allq, assign, tau_num=9, tau_den=10)
     return removed.orderBy("vec_id")
 

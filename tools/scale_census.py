@@ -45,6 +45,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Queries whose DECLARED semantics are superlinear — measured and
+# listed in their own census section, never silent, never failures:
+# the exact all-pairs cosine family is O(n^2) BY CONTRACT (its oracle
+# is the exact pair join; the LSH/IVF paths are the scale form, and
+# exact_cosine_pairs raises above max_exact_rows so at real scale
+# these fail loudly instead of running forever). Anything else that
+# grows superlinearly is a genuine failure — q040 SemDeDup was
+# EXACTLY that in this tool's first full run (fixed k=4 made cells
+# n/4 wide → n²/16 pairs, 27x at 10x; fixed by deriving k from the
+# corpus count so cells stay ~2000 vectors).
+DECLARED_SUPERLINEAR = {
+    "q047_neardup_components": "declared exact all-pairs cosine edges",
+    "q070_cosine_pairs": "declared exact all-pairs cosine",
+    "q075_embedding_near_dup": "declared exact all-pairs near-dup",
+}
+
+
 def prior_census() -> tuple[int | None, dict]:
     cands = []
     for p in glob.glob(os.path.join(HERE, "CENSUS_r*.json")):
@@ -116,7 +133,9 @@ def main() -> int:
             "ratio": round(ratio, 2),
         }
         flags = []
-        if tb >= args.floor:
+        if name in DECLARED_SUPERLINEAR:
+            rows[name]["declared"] = DECLARED_SUPERLINEAR[name]
+        elif tb >= args.floor:
             if ratio > args.superlinear:
                 flags.append(f"superlinear: {ratio:.1f}x at 10x data")
             pr = (prev.get(name) or {}).get("ratio")
