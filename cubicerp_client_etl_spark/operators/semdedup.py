@@ -98,17 +98,53 @@ def semantic_dedup(
         ),
         "_id",
     )
-    a = vecs.select(
-        F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "_c"
-    )
-    b = vecs.select(
-        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "_c"
-    )
-    pairs = a.join(b, "_c").where(F.col("_ida") < F.col("_idb"))
-    dup = pairs.where(
-        cosine_ge_int(F.col("_va"), F.col("_vb"), tau_num, tau_den)
-    )
-    return (
-        dup.groupBy(F.col("_idb").alias(id_col), F.col("_c").alias(cluster_col))
-        .agg(F.min("_ida").alias("witness"))
-    )
+    # Per-cell verify as ONE int64 numpy Gram per cluster (r11; the
+    # exact-cosine-pairs precedent DISTRIBUTED — applyInPandas groups
+    # on the cluster key, no driver collect). The arithmetic is pure
+    # INTEGERS so it is trivially bit-identical to the Catalyst HOF
+    # form (pinned by test_semdedup_numpy_matches_hof): dot <=
+    # 64·127² ≈ 1.03e6 (int8 quantization), den²·dot² <= 1e4·1.07e12
+    # ≈ 1.1e16 < 2^63, all safe in int64. The HOF form evaluated three
+    # 64-step folds PER PAIR — 56M pairs at the 10x census made the
+    # verify the q040 wall (396 s); one 2000×64 @ 64×2000 matmul per
+    # cell does the same integer ops in milliseconds.
+    tn, td = int(tau_num), int(tau_den)
+    out_schema = f"{id_col} long, {cluster_col} long, witness long"
+
+    def verify(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) < 2:
+            return _pd.DataFrame(
+                {id_col: [], cluster_col: [], "witness": []}
+            ).astype("int64")
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        ids = pdf["_id"].to_numpy(dtype=_np.int64)
+        m = _np.array([list(v) for v in pdf["_v"]], dtype=_np.int64)
+        g = m @ m.T  # exact int64 dot products
+        n2 = _np.diag(g).copy()
+        ok = (
+            (n2[:, None] > 0)
+            & (n2[None, :] > 0)
+            & (g >= 0)
+            & (td * td * g * g >= tn * tn * n2[:, None] * n2[None, :])
+        )
+        # strict upper triangle: witness candidates i < j (id order)
+        ok &= _np.tri(len(ids), k=-1, dtype=bool).T
+        j_hit = ok.any(axis=0)
+        if not j_hit.any():
+            return _pd.DataFrame(
+                {id_col: [], cluster_col: [], "witness": []}
+            ).astype("int64")
+        # smallest-id witness per removed vector (rows sorted by id)
+        first_i = ok.argmax(axis=0)
+        return _pd.DataFrame(
+            {
+                id_col: ids[j_hit],
+                cluster_col: pdf["_c"].to_numpy(dtype=_np.int64)[j_hit],
+                "witness": ids[first_i[j_hit]],
+            }
+        )
+
+    return vecs.groupBy("_c").applyInPandas(verify, schema=out_schema)

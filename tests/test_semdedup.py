@@ -89,3 +89,56 @@ def test_semantic_dedup_witness_is_smallest_id(spark):
     removed = semantic_dedup(quant, assign)
     rows = {r["vec_id"]: r["witness"] for r in removed.collect()}
     assert rows == {2: 1, 3: 1}
+
+
+def test_semdedup_numpy_matches_hof(spark):
+    """r11: the per-cell numpy int64 Gram verify must reproduce the
+    Catalyst HOF pair predicate EXACTLY (pure integer arithmetic on
+    both paths — any divergence is a bug, not rounding). Rebuilds the
+    HOF form inline and compares full (vec_id, cluster, witness)
+    row sets on a mixed fixture (duplicates, near-misses, zero-norm,
+    multiple clusters, singleton cluster)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(120):
+        base = [rnd.randint(-40, 40) for _ in range(8)]
+        rows.append((i, [x * 3 for x in base]))
+        if i % 4 == 0:  # plant a τ-near twin with a higher id
+            rows.append(
+                (1000 + i, [x * 3 + rnd.randint(-1, 1) for x in base])
+            )
+    rows.append((5000, [0] * 8))  # zero-norm: never similar
+    quant = _quant(spark, rows)
+    # twins (id 1000+i) share their base's cluster so the verify has
+    # real work; the raw id%3 rule silently separated every twin
+    assign = _assign(
+        spark, [(r[0], (r[0] % 1000) % 3) for r in rows]
+    )
+
+    got = {
+        (r.vec_id, r.cluster, r.witness)
+        for r in semantic_dedup(quant, assign, tau_num=9, tau_den=10).collect()
+    }
+
+    # reference: the original Catalyst HOF pair-join form
+    vecs = quant.join(assign, "vec_id").select(
+        F.col("vec_id").alias("_id"), F.col("qv").alias("_v"), "cluster"
+    )
+    a = vecs.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = vecs.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cluster"
+    )
+    want = {
+        (r.vec_id, r.cluster, r.witness)
+        for r in a.join(b, "cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(cosine_ge_int(F.col("_va"), F.col("_vb"), 9, 10))
+        .groupBy(F.col("_idb").alias("vec_id"), "cluster")
+        .agg(F.min("_ida").alias("witness"))
+        .collect()
+    }
+    assert got == want and len(want) > 10
