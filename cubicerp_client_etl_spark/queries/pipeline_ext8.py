@@ -726,7 +726,9 @@ WITH e AS (
   FROM embeddings
 ),
 probes AS (
-  SELECT vec_id AS probe_id, v AS pv, vt AS pvt FROM e WHERE vec_id % 100 = 7
+  SELECT vec_id AS probe_id, v AS pv, vt AS pvt FROM e
+  WHERE vec_id % GREATEST(100,
+          (SELECT COUNT(*) FROM embeddings) // 50) = 7
 ),
 full_rank AS (
   SELECT probe_id, vec_id, rank FROM (
@@ -765,10 +767,18 @@ def q102_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _mod = max(100, emb.count() // 50)
 
     def topk(vec_expr):
         corpus = emb.select("vec_id", vec_expr.alias("embedding"))
-        probes = corpus.filter(F.col("vec_id") % 100 == 7).select(
+        # FIXED-size probe panel (the q038/q267 rule): the modulus
+        # derives from ONE scalar count so probes stay ~50 at any
+        # scale — the %100 form made probes 1% OF THE CORPUS, turning
+        # the brute-force crossJoin quadratic (the standing census
+        # measured 14.5x at 10x; same class as q267's first cut).
+        # mod = 100 at both fixture SFs, so fixture outputs are
+        # unchanged.
+        probes = corpus.filter(F.col("vec_id") % _mod == 7).select(
             F.col("vec_id").alias("probe_id"), "embedding"
         )
         out = sim.brute_force_topk(corpus, probes, k=_MRL_K + 1)
