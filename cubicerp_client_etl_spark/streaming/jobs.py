@@ -955,3 +955,49 @@ def stream_last_touch_attribution(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the lineitem fixture — invoice lines
+    landing continuously (the reference's cron loop shape,
+    etl_cron.py:39-55, as a stream instead of a poll)."""
+    static = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_tax_box(lines: DataFrame) -> DataFrame:
+    """Streaming VAT box accumulator — the online form of q281's
+    tax-box summary: per (returnflag, rate_pct), the running taxable
+    base and tax cents.
+
+    Per-line tax is computed MAP-SIDE (base·rate div 100 on each line,
+    exactly as the batch query) and the running totals are one bounded
+    update-mode groupBy — state is the (flag × rate) grid (≤ a few
+    dozen rows at any stream length, no watermark needed; the same
+    additive-state argument as the CMS/HLL twins). Each filing-period
+    cutoff reads the live grid; batch==stream equivalence is pinned in
+    tests.
+    """
+    l = lines.select(
+        F.col("l_returnflag"),
+        (F.col("l_tax").cast("decimal(4,2)") * 100)
+        .cast("bigint")
+        .alias("rate_pct"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("base_cents"),
+    )
+    return (
+        l.withColumn("tax_cents", F.expr("base_cents * rate_pct div 100"))
+        .groupBy("l_returnflag", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("base_cents").cast("bigint").alias("taxable_base_cents"),
+            F.sum("tax_cents").cast("bigint").alias("tax_cents"),
+        )
+    )

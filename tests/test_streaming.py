@@ -736,3 +736,27 @@ def test_stream_last_touch_attribution_equals_batch(spark):
         ).collect()
     }
     assert rolled == batch
+
+
+def test_stream_tax_box_equals_batch(spark):
+    """The streaming VAT box grid (bounded update-mode groupBy over
+    map-side exact tax cents) must equal q281's batch rollup row-for-
+    row once the stream drains — additive state, the CMS precedent."""
+    import __spark_entry__ as e
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        lineitem_stream,
+        run_stream_to_memory,
+        stream_tax_box,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_stream_to_memory(
+        stream_tax_box(lineitem_stream(spark, sf)),
+        "tax_box_stream",
+        output_mode="complete",
+    )
+    batch = e.queries()["q281_tax_box_summary"](spark, sf)
+    cols = sorted(batch.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and len(want) > 0
