@@ -976,3 +976,132 @@ def hamming_candidates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_chunk_candidates(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "f",
+    n_bits: int = 32,
+    chunk_bits: int = 8,
+    hot_chunk_cap: int | None = None,
+) -> DataFrame:
+    """Hamming candidate pairs over INTEGER SimHash fingerprints via
+    chunk blocking (Manku-Jain-Sarma WWW'07): split the ``n_bits``
+    fingerprint into ``n_bits // chunk_bits`` chunks, equi-join on
+    (chunk index, chunk value) — by pigeonhole, any pair within Hamming
+    distance < n_chunks shares at least one chunk — and verify the
+    exact distance with one ``bit_count(xor)`` on the join output.
+
+    Every pair is emitted EXACTLY ONCE, from its least shared LIVE
+    chunk (earlier chunks must differ — checkable from the carried
+    fingerprints, so uniqueness costs a predicate, not a DISTINCT
+    shuffle). Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``,
+    UNFILTERED by distance — callers apply their own radius so the
+    candidate count itself stays observable (the q204 datasheet uses
+    it directly).
+
+    ``hot_chunk_cap`` (opt-in, LOSSY — the ``lsh_candidate_pairs.
+    hot_band_cap`` / ``setsim_join.hot_cap`` pattern): drop chunk
+    buckets whose occupancy exceeds the cap before the self-join,
+    bounding any bucket's output at cap² pairs. A pair is kept iff it
+    shares at least one NON-hot chunk — the uniqueness predicate
+    treats hot earlier chunks as "no chance there" (earlier chunks
+    must differ OR be hot), so a pair sharing hot chunk 0 and quiet
+    chunk 2 still surfaces, exactly once, from chunk 2. Boilerplate
+    mega-clusters (every shared chunk hot) vanish instead of emitting
+    |occ|² rows. The hot-bucket table is tiny by construction
+    (≤ n_chunks · n_docs / cap entries) and broadcasts into a
+    left-anti join plus a per-doc hot-flag annotation — the chunk
+    frame never shuffles for the cap.
+
+    Scale: fingerprints are map-only upstream; this join is the
+    LSH-band shape — candidate volume is Σ_buckets |occ|², never
+    all-pairs, and with the cap any single bucket's contribution is
+    bounded. Reference parity: the near-dup family the reference
+    cannot express at all (cubicerpetl.py processes dict-rows one
+    RPC at a time).
+    """
+    if n_bits % chunk_bits != 0:
+        raise ValueError("n_bits must be a multiple of chunk_bits")
+    n_chunks = n_bits // chunk_bits
+    if n_chunks < 2:
+        raise ValueError("need at least 2 chunks to block on")
+    if hot_chunk_cap is not None and hot_chunk_cap < 1:
+        raise ValueError("hot_chunk_cap must be >= 1")
+    mask = (1 << chunk_bits) - 1
+
+    def _chunk(col: str, c: int) -> Column:
+        return F.shiftright(F.col(col), chunk_bits * (n_chunks - 1 - c)).bitwiseAND(
+            F.lit(mask)
+        )
+
+    base = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_f"))
+    chunks = base.select(
+        "_id",
+        "_f",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        _chunk("_f", c).alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_f", "_c.chunk_id", "_c.chunk")
+
+    hot_flags = None
+    if hot_chunk_cap is not None:
+        hot = (
+            chunks.groupBy("chunk_id", "chunk")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > hot_chunk_cap)
+            .drop("_occ")
+        )
+        # per-doc bitmask-free hot flags: which of MY chunk slots sit in
+        # a hot bucket (shared-chunk hotness is a property of the value,
+        # and equal chunks mean equal values, so side a's flag decides)
+        hot_flags = (
+            chunks.join(F.broadcast(hot), ["chunk_id", "chunk"], "left_semi")
+            .groupBy("_id")
+            .agg(F.collect_set("chunk_id").alias("_hot"))
+        )
+        chunks = chunks.join(F.broadcast(hot), ["chunk_id", "chunk"], "left_anti")
+
+    a = chunks.select(
+        F.col("_id").alias("id_a"), F.col("_f").alias("_fa"), "chunk_id", "chunk"
+    )
+    if hot_flags is not None:
+        a = a.join(
+            F.broadcast(hot_flags.select(F.col("_id").alias("id_a"), "_hot")),
+            "id_a",
+            "left",
+        ).withColumn(
+            "_hot", F.coalesce(F.col("_hot"), F.array().cast("array<int>"))
+        )
+    b = chunks.select(
+        F.col("_id").alias("id_b"), F.col("_f").alias("_fb"), "chunk_id", "chunk"
+    )
+    # least-matching-LIVE-chunk uniqueness: emitted at chunk c iff every
+    # earlier chunk differs (uncapped) or differs-or-is-hot (capped)
+    uniq = F.lit(True)
+    for e in range(n_chunks - 1):
+        differs = _chunk("_fa", e) != _chunk("_fb", e)
+        if hot_flags is not None:
+            differs = differs | F.array_contains(F.col("_hot"), e)
+        uniq = uniq & ((F.col("chunk_id") <= e) | differs)
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(uniq)
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )

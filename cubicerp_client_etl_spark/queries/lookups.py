@@ -31,7 +31,7 @@ _FLAG_MAPPING = [
 
 
 @register(
-    "q022_value_mapping",
+    "q286_value_mapping",
     oracle="""
 SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted'
                          WHEN 'R' THEN 'Returned'
@@ -42,7 +42,7 @@ FROM lineitem
 GROUP BY 1
 """,
 )
-def q022_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q286_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     mapping = spark.createDataFrame(
         _FLAG_MAPPING, "name string, label string, is_default boolean"
@@ -255,7 +255,7 @@ SELECT pk, price, action FROM (
 # by a prior run; the ledger is derived deterministically from orders.
 # --------------------------------------------------------------------------
 @register(
-    "q028_ledger_id_recovery",
+    "q290_ledger_id_recovery",
     oracle="""
 WITH ledger AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS pk, 'info' AS level,
@@ -274,7 +274,7 @@ LEFT JOIN (SELECT pk, MAX(model_id) AS model_id FROM ledger
            WHERE level = 'info' GROUP BY pk) l ON s.pk = l.pk
 """,
 )
-def q028_ledger_id_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q290_ledger_id_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.merge import recover_ids_from_ledger
 
     o = load(spark, sf_dir, "orders")

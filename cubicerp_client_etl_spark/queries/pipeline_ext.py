@@ -144,7 +144,7 @@ def q146_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # xxhash64 family (recall-tested in tests/test_dedup.py).
 # --------------------------------------------------------------------------
 @register(
-    "q032_minhash_lsh_candidates",
+    "q082_minhash_lsh_candidates",
     oracle="""
 WITH dupped AS (
   SELECT doc_id, text FROM documents
@@ -193,7 +193,7 @@ JOIN sizes zb ON zb.doc_id = i.id_b
 WHERE ROUND(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 6) >= 0.8
 """,
 )
-def q032_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q082_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # synthesize near-dups so the pipeline has something to find
     dupped = docs.unionByName(

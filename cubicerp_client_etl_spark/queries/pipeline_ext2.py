@@ -599,7 +599,7 @@ _PACK_MAX = 1500
 
 
 @register(
-    "q008_sequence_packing",
+    "q281_sequence_packing",
     oracle=f"""
 WITH RECURSIVE t AS (
   SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_tokens,
@@ -641,7 +641,7 @@ SELECT id, n_tokens, bucket,
 FROM rec
 """,
 )
-def q008_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q281_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.packing import pack_sequences
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")

@@ -3159,7 +3159,10 @@ FROM ham
 """,
 )
 def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cubicerp_client_etl_spark.operators.dedup import simhash_int_portable
+    from cubicerp_client_etl_spark.operators.dedup import (
+        simhash_chunk_candidates,
+        simhash_int_portable,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dupped = docs.unionByName(
@@ -3171,53 +3174,12 @@ def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = dupped.select(
         "doc_id", simhash_int_portable("text", n_bits=32).alias("f")
     )
-    chunks = fp.select(
-        "doc_id",
-        "f",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("f"), 8 * (3 - c))
-                        .bitwiseAND(F.lit(255))
-                        .alias("chunk"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("_c"),
-    ).select("doc_id", "f", "_c.chunk_id", "_c.chunk")
-    a = chunks.select(
-        F.col("doc_id").alias("id_a"), F.col("f").alias("_fa"), "chunk_id", "chunk"
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("id_b"), F.col("f").alias("_fb"), "chunk_id", "chunk"
-    )
-
-    def _chunk(col: str, c: int):
-        return F.shiftright(F.col(col), 8 * (3 - c)).bitwiseAND(F.lit(255))
-
-    # least-matching-chunk dedup: a pair is emitted ONLY from its
-    # smallest shared chunk (earlier chunks must differ — checkable
-    # from the carried fingerprints), so the pair set is unique by
-    # construction: no DISTINCT shuffle, no joins back to fp, and the
-    # Hamming verify is one xor+popcount inline on the join output.
-    ham = (
-        a.join(b, ["chunk_id", "chunk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            ((F.col("chunk_id") <= 0) | (_chunk("_fa", 0) != _chunk("_fb", 0)))
-            & ((F.col("chunk_id") <= 1) | (_chunk("_fa", 1) != _chunk("_fb", 1)))
-            & ((F.col("chunk_id") <= 2) | (_chunk("_fa", 2) != _chunk("_fb", 2)))
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
-            .cast("bigint")
-            .alias("hamming"),
-        )
+    # chunk blocking + least-matching-chunk unique emission + inline
+    # Hamming verify — the shared operator (uncapped here: the oracle
+    # replays the FULL candidate set; ``hot_chunk_cap`` is the opt-in
+    # boilerplate defense, equivalence-tested in tests/test_dedup.py)
+    ham = simhash_chunk_candidates(
+        fp, id_col="doc_id", fp_col="f", n_bits=32, chunk_bits=8
     )
     # the fixture vocabulary is shared across docs, so fingerprints
     # cluster and the pair set is DENSE — report the aggregate
@@ -3809,7 +3771,7 @@ def q041_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket rows; shard sketches merge by count-sum + min/min + max/max.
 # --------------------------------------------------------------------------
 @register(
-    "q035_quantile_sketch_audit",
+    "q083_quantile_sketch_audit",
     oracle="""
 WITH c AS (
   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -3846,7 +3808,7 @@ FROM ex e JOIN est ON est.q = e.q
 ORDER BY q
 """,
 )
-def q035_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q083_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quantiles import (
         exact_quantiles,
         histogram_quantile_sketch,
@@ -4039,7 +4001,7 @@ def q053_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # title/source fragments. Scale: map-only.
 # --------------------------------------------------------------------------
 @register(
-    "q027_html_strip",
+    "q289_html_strip",
     oracle="""
 WITH page AS (
   SELECT doc_id,
@@ -4068,7 +4030,7 @@ SELECT doc_id, md5(t) AS text_md5,
 FROM clean
 """,
 )
-def q027_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q289_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import strip_html
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")

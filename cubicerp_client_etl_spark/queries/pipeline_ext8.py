@@ -34,7 +34,7 @@ from cubicerp_client_etl_spark.queries import register
 
 
 @register(
-    "q012_pii_card_audit",
+    "q282_pii_card_audit",
     oracle=r"""
 WITH synth AS (
   SELECT doc_id, source,
@@ -95,7 +95,7 @@ SELECT source,
 FROM v GROUP BY source
 """,
 )
-def q012_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q282_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.text import (
         card_candidates,
         luhn_valid,
@@ -1478,7 +1478,7 @@ def q093_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q031_time_weighted_average",
+    "q291_time_weighted_average",
     oracle="""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS t,
@@ -1501,7 +1501,7 @@ SELECT user_id,
 FROM e GROUP BY user_id
 """,
 )
-def q031_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q291_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",

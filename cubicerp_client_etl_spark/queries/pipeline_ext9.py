@@ -31,7 +31,7 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
 @register(
-    "q016_funnel_analysis",
+    "q284_funnel_analysis",
     oracle=f"""
 WITH e AS (
   SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ty FROM events
@@ -83,7 +83,7 @@ SELECT CAST(step AS INT) AS step, step_type, n_users,
 FROM w
 """,
 )
-def q016_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q284_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.behavior import funnel_report
 
     ev = load(spark, sf_dir, "events").select(
@@ -145,7 +145,7 @@ def q233_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q019_markov_transitions",
+    "q285_markov_transitions",
     oracle="""
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS t, event_id, event_type AS from_type,
@@ -163,7 +163,7 @@ SELECT c.from_type, c.to_type, c.n,
 FROM c JOIN t ON t.from_type = c.from_type
 """,
 )
-def q019_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q285_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.behavior import transition_matrix
 
     ev = load(spark, sf_dir, "events").select(
@@ -408,7 +408,7 @@ _PH_SAMPLE = 25  # hash every 25th doc
 
 
 @register(
-    "q014_image_phash_neardup",
+    "q283_image_phash_neardup",
     oracle=f"""
 WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % {_PH_SAMPLE} = 0),
 cells AS (
@@ -469,7 +469,7 @@ SELECT hamming, n_pairs, n_same_seed,
 FROM agg
 """,
 )
-def q014_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q283_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from cubicerp_client_etl_spark.functions import hi_lo_bigint
@@ -873,7 +873,7 @@ def q243_longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q026_discount_proration",
+    "q288_discount_proration",
     oracle="""
 WITH hdr AS (
   SELECT o_orderkey, o_orderpriority,
@@ -944,7 +944,7 @@ SELECT o_orderpriority, n_orders, n_lines,
 FROM agg
 """,
 )
-def q026_discount_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q288_discount_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import hi_lo_bigint
     from cubicerp_client_etl_spark.operators.budget import prorate_exact
 
@@ -1669,7 +1669,7 @@ def q253_brand_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q025_incremental_aggregate",
+    "q287_incremental_aggregate",
     oracle="""
 WITH fact AS (
   SELECT l_returnflag AS rf, l_linestatus AS ls,
@@ -1735,7 +1735,7 @@ SELECT m2.rf AS l_returnflag, m2.ls AS l_linestatus,
 FROM m2 JOIN recompute r ON r.rf = m2.rf AND r.ls = m2.ls
 """,
 )
-def q025_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q287_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.history import maintain_aggregate
 
     fact = load(spark, sf_dir, "lineitem").select(

@@ -69,7 +69,7 @@ def q001_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate and the 4-column ReadSchema into the Parquet scan.
 # --------------------------------------------------------------------------
 @register(
-    "q002_filter_project",
+    "q278_filter_project",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_extendedprice,
        strftime(l_shipdate, '%Y-%m-%d') AS ship_date
@@ -78,7 +78,7 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
   AND l_discount >= 0.05 AND l_discount <= 0.07
 """,
 )
-def q002_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q278_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= "1995-01-01")
@@ -101,7 +101,7 @@ def q002_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          ('c_name','ilike','customer')]
 # --------------------------------------------------------------------------
 @register(
-    "q003_domain_filter",
+    "q279_domain_filter",
     oracle="""
 SELECT c_custkey, c_name, c_mktsegment, c_acctbal
 FROM customer
@@ -110,7 +110,7 @@ WHERE (c_mktsegment = 'BUILDING'
   AND upper(c_name) LIKE '%' || upper('customer') || '%'
 """,
 )
-def q003_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q279_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     domain = [
         "|",
@@ -131,7 +131,7 @@ def q003_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the full table. Tie-break on the unique key for determinism.
 # --------------------------------------------------------------------------
 @register(
-    "q004_top_k",
+    "q280_top_k",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
@@ -139,7 +139,7 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10
 """,
 )
-def q004_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q280_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.select("o_orderkey", "o_custkey", "o_totalprice")

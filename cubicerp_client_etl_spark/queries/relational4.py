@@ -127,7 +127,7 @@ def q81_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orders⋈lineitem, one on custkey for the agg; top-k never global-sorts.
 # --------------------------------------------------------------------------
 @register(
-    "q082_tpch_q10_returned_items",
+    "q032_tpch_q10_returned_items",
     oracle=f"""
 SELECT c.c_custkey, c.c_name,
        CAST(SUM({_DP_SQL}) AS DOUBLE) AS revenue,
@@ -171,7 +171,7 @@ def q82_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle); second agg's key space is tiny and collapses map-side.
 # --------------------------------------------------------------------------
 @register(
-    "q083_tpch_q13_cust_distribution",
+    "q035_tpch_q13_cust_distribution",
     oracle="""
 SELECT c_count, COUNT(*) AS custdist
 FROM (
@@ -204,7 +204,7 @@ def q83_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the inner agg; AQE converts the join to broadcast at runtime.
 # --------------------------------------------------------------------------
 @register(
-    "q084_tpch_q18_large_volume",
+    "q036_tpch_q18_large_volume",
     oracle="""
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
@@ -258,7 +258,7 @@ def q84_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: part broadcasts; lineitem never shuffles at all.
 # --------------------------------------------------------------------------
 @register(
-    "q085_tpch_q19_disjunctive",
+    "q038_tpch_q19_disjunctive",
     oracle=f"""
 SELECT CAST(SUM({_DP_SQL}) AS DOUBLE) AS revenue
 FROM lineitem l
@@ -343,7 +343,7 @@ def q86_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final agg on (nation, nation, year) — a few hundred groups.
 # --------------------------------------------------------------------------
 @register(
-    "q036_tpch_q7_volume_shipping",
+    "q084_tpch_q7_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l.l_shipdate) AS l_year,
@@ -392,7 +392,7 @@ def q87_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Both sums decimal-routed so threshold comparison is exact.
 # --------------------------------------------------------------------------
 @register(
-    "q088_tpch_q11_supplier_share",
+    "q039_tpch_q11_supplier_share",
     oracle="""
 WITH sup AS (
   SELECT l_suppkey,
@@ -431,7 +431,7 @@ def q88_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a 100-ish-row aggregate — nothing global-sorts.
 # --------------------------------------------------------------------------
 @register(
-    "q089_tpch_q15_top_supplier",
+    "q044_tpch_q15_top_supplier",
     oracle=f"""
 WITH revenue AS (
   SELECT l_suppkey, CAST(SUM({_DP_SQL}) AS DOUBLE) AS total_revenue

@@ -86,7 +86,7 @@ def q94_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # push down to the Parquet scan.
 # --------------------------------------------------------------------------
 @register(
-    "q038_tpch_q6_forecast_revenue",
+    "q085_tpch_q6_forecast_revenue",
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -364,7 +364,7 @@ def q100_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # part is broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q039_tpch_q17_small_qty",
+    "q088_tpch_q17_small_qty",
     oracle="""
 WITH pa AS (
   SELECT l_partkey, SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
@@ -452,7 +452,7 @@ def q102_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q044_tpch_q21_waiting_suppliers",
+    "q089_tpch_q21_waiting_suppliers",
     oracle="""
 WITH late AS (
   SELECT l.l_orderkey, l.l_suppkey

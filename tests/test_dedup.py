@@ -518,3 +518,90 @@ def test_minhash_production_vs_portable_candidate_sets(spark):
         } & expected
         assert got[fam] == expected, fam
     assert got["production_xxhash64"] == got["portable_md5_grouped"]
+
+
+# ---- SimHash chunk blocking (shared operator behind q204) -----------------
+
+
+def test_simhash_chunk_candidates_matches_brute_force(spark):
+    """Uncapped operator == brute force over 'pairs sharing >= 1 chunk',
+    with exact Hamming values and each pair emitted EXACTLY once (the
+    least-matching-chunk predicate replaces a DISTINCT shuffle)."""
+    import random
+
+    from cubicerp_client_etl_spark.operators.dedup import simhash_chunk_candidates
+
+    rng = random.Random(42)
+    fps = [(i, rng.getrandbits(32)) for i in range(40)]
+    # force some chunk collisions so the candidate set is non-trivial
+    fps += [(100, fps[0][1] ^ 0x1), (101, fps[0][1] ^ 0x80000000)]
+    df = spark.createDataFrame(fps, "doc_id long, f long")
+
+    def chunks(f):
+        return [(c, (f >> (8 * (3 - c))) & 255) for c in range(4)]
+
+    expected = {}
+    for i, (ida, fa) in enumerate(fps):
+        for idb, fb in fps[i + 1 :]:
+            lo, hi = min(ida, idb), max(ida, idb)
+            flo = fa if ida == lo else fb
+            fhi = fb if ida == lo else fa
+            if set(chunks(flo)) & set(chunks(fhi)):
+                expected[(lo, hi)] = bin(flo ^ fhi).count("1")
+    rows = simhash_chunk_candidates(df, "doc_id", "f").collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert len(rows) == len(got), "a pair was emitted more than once"
+    assert got == expected
+
+
+def test_simhash_hot_chunk_cap_equivalence_and_boilerplate_drop(spark):
+    """Cap semantics (the lsh hot_band_cap contract, chunk flavour): a
+    pair survives iff it shares at least one NON-hot chunk — still
+    exactly once. The 200-doc identical-fingerprint cluster (every
+    bucket hot) contributes ZERO pairs; a pair sharing a hot chunk AND
+    a quiet chunk still surfaces; a pair sharing ONLY hot chunks is
+    dropped. With a huge cap the capped plan equals the uncapped one
+    bit-for-bit."""
+    import pytest
+
+    from cubicerp_client_etl_spark.operators.dedup import simhash_chunk_candidates
+
+    boiler = spark.range(200).select(
+        (F.col("id") + 1).alias("doc_id"), F.lit(0x11111111).alias("f")
+    )
+    extra = spark.createDataFrame(
+        [
+            (2001, 0x11AA5501),  # shares hot chunk0 + quiet chunk2 with 2002
+            (2002, 0x11BB5502),
+            (3001, 0x11C1D1E1),  # shares ONLY hot chunk0 with 3002
+            (3002, 0x11C2D2E2),
+        ],
+        "doc_id long, f long",
+    )
+    df = boiler.unionByName(extra)
+    capped = simhash_chunk_candidates(df, "doc_id", "f", hot_chunk_cap=50).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(2001, 2002)}
+    assert len(capped) == 1  # exactly once, via the quiet chunk
+    assert capped[0].hamming == bin(0x11AA5501 ^ 0x11BB5502).count("1")
+
+    # cap larger than any occupancy -> identical to uncapped (on a small
+    # frame where uncapped is feasible)
+    small = extra
+    unc = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_chunk_candidates(small, "doc_id", "f").collect()
+    }
+    cap = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_chunk_candidates(
+            small, "doc_id", "f", hot_chunk_cap=10_000
+        ).collect()
+    }
+    assert unc == cap
+
+    with pytest.raises(ValueError):
+        simhash_chunk_candidates(df, "doc_id", "f", hot_chunk_cap=0)
+    with pytest.raises(ValueError):
+        simhash_chunk_candidates(df, "doc_id", "f", n_bits=33)
+    with pytest.raises(ValueError):
+        simhash_chunk_candidates(df, "doc_id", "f", n_bits=8, chunk_bits=8)

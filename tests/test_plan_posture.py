@@ -27,7 +27,7 @@ def test_q01_pushdown_prune_partial_agg(spark):
 
 
 def test_q02_no_shuffle_full_pushdown(spark):
-    plan = plan_of(spark, "q002_filter_project")
+    plan = plan_of(spark, "q278_filter_project")
     assert "Exchange" not in plan  # pure scan+project, stays map-only
     assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
     assert "*(1)" in plan  # whole-stage codegen span (rendered as *(n))
@@ -44,7 +44,7 @@ def test_q07_broadcasts_dims(spark):
 
 
 def test_q04_topk_avoids_global_sort(spark):
-    plan = plan_of(spark, "q004_top_k")
+    plan = plan_of(spark, "q280_top_k")
     assert "TakeOrderedAndProject" in plan  # per-partition heaps
     assert "Exchange rangepartitioning" not in plan  # no full sort
 
@@ -202,7 +202,7 @@ def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
 def test_q95_tpch_q6_pushdown_single_stage(spark):
     """Q6 must be the minimal shape: all three predicates pushed into
     the scan, one partial+final agg, no shuffle beyond the 1-row final."""
-    plan = plan_of(spark, "q038_tpch_q6_forecast_revenue")
+    plan = plan_of(spark, "q085_tpch_q6_forecast_revenue")
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
@@ -216,7 +216,7 @@ def test_q94_tpch_q5_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q109_split_is_map_side_projection(spark):
+def test_q108_split_is_map_side_projection(spark):
     """The md5 split assignment must not shuffle rows before the count
     aggregation — it's a per-row projection (pushed-down at 100 TB)."""
     plan = plan_of(spark, "q108_hash_split_stratified")
@@ -233,7 +233,7 @@ def test_q111_heavy_hitters_aggregates_before_rank(spark):
     assert "CartesianProduct" not in plan  # share-of-total is broadcast
 
 
-def test_q112_incremental_merge_reaggregates_partials(spark):
+def test_q110_incremental_merge_reaggregates_partials(spark):
     plan = plan_of(spark, "q110_incremental_rollup")
     # both slices partial-aggregate before the union-merge
     assert plan.count("partial_sum") >= 2
@@ -340,23 +340,23 @@ def test_exact_cosine_pairs_guard_raises_above_bound(spark):
     assert len(exact) == 12 * 11 // 2
 
 
-def test_q036_ivf_centroids_broadcast_no_cartesian(spark):
-    """IVF ANN (q036): centroid assignment must broadcast the (tiny)
+def test_q184_ivf_centroids_broadcast_no_cartesian(spark):
+    """IVF ANN (q184): centroid assignment must broadcast the (tiny)
     centroid table, never cartesian the corpus."""
     plan = plan_of(spark, "q184_ivf_topk")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
-def test_q032_minhash_lsh_no_cartesian(spark):
-    """MinHash-LSH candidates (q032): band join must be an equi-join on
+def test_q082_minhash_lsh_no_cartesian(spark):
+    """MinHash-LSH candidates (q082): band join must be an equi-join on
     (band, signature) — an all-pairs cartesian would defeat the point."""
-    plan = plan_of(spark, "q032_minhash_lsh_candidates")
+    plan = plan_of(spark, "q082_minhash_lsh_candidates")
     assert "CartesianProduct" not in plan
 
 
-def test_q045_sessionize_single_window_exchange(spark):
-    """Lag+cumsum sessionization (q045): both window passes and the
+def test_q140_sessionize_single_window_exchange(spark):
+    """Lag+cumsum sessionization (q140): both window passes and the
     final session aggregate share the user_id partitioning — exactly one
     Exchange over the events table (AQE may add nothing else)."""
     plan = plan_of(spark, "q140_sessionize_lag_cumsum")
@@ -381,10 +381,10 @@ def test_q118_mixture_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_q119_packing_single_bucket_shuffle(spark):
-    """Sequence packing (q119): exactly one hash Exchange (the bucket
+def test_q281_packing_single_bucket_shuffle(spark):
+    """Sequence packing (q281): exactly one hash Exchange (the bucket
     shuffle feeding applyInPandas); everything else stays map-side."""
-    plan = plan_of(spark, "q008_sequence_packing")
+    plan = plan_of(spark, "q281_sequence_packing")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
 
@@ -394,8 +394,8 @@ def test_q120_quantize_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_q122_repetition_is_map_only(spark):
-    """Repetition stats (q122): pure Catalyst HOF projection — zero
+def test_q177_repetition_is_map_only(spark):
+    """Repetition stats (q177): pure Catalyst HOF projection — zero
     Exchange, zero Python; scans documents at (doc_id, text) only."""
     plan = plan_of(spark, "q177_repetition_filter")
     assert "Exchange" not in plan, plan
@@ -405,7 +405,7 @@ def test_q122_repetition_is_map_only(spark):
 
 
 def test_q158_decontaminate_broadcasts_benchmark(spark):
-    """Decontamination (q123): benchmark shingles broadcast — the
+    """Decontamination (q158): benchmark shingles broadcast — the
     corpus side must never shuffle before the join; the only hash
     exchanges are the benchmark-side distinct and the final per-doc
     aggregate."""
@@ -430,8 +430,8 @@ def test_q125_unigram_partial_aggs(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q126_kmeans_assignment_is_join_free(spark):
-    """k-means (q126): centroids enter the final assignment as
+def test_q165_kmeans_assignment_is_join_free(spark):
+    """k-means (q165): centroids enter the final assignment as
     LITERALS — the plan over embeddings must contain no join at all
     and no driver-side RDD scan (centroid collection is bounded
     O(k·dim) and feeds literals, not an ExistingRDD)."""
@@ -461,8 +461,8 @@ def test_q129_rate_cap_is_broadcast_map_filter(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q130_pipeline_gate_fuses_with_scan(spark):
-    """Curation pipeline (q130): the quality gate is a map-only
+def test_q224_pipeline_gate_fuses_with_scan(spark):
+    """Curation pipeline (q224): the quality gate is a map-only
     projection fused with the scan (no stats-join shuffle); the
     decontamination side broadcasts; nothing degenerates to a
     cartesian product."""
@@ -508,8 +508,8 @@ def test_q133_gap_fill_no_calendar_cross_join(spark):
     assert "Generate explode" in plan
 
 
-def test_q134_setsim_no_allpairs(spark):
-    """Set-similarity join (q134): candidates come from the prefix
+def test_q212_setsim_no_allpairs(spark):
+    """Set-similarity join (q212): candidates come from the prefix
     equi-join — no cartesian/nested-loop anywhere in the plan."""
     plan = plan_of(spark, "q212_setsim_join")
     assert "CartesianProduct" not in plan
@@ -526,8 +526,8 @@ def test_q136_funnel_all_shuffles_on_user(spark):
     assert "CollectList" not in plan and "collect_list" not in plan
 
 
-def test_q140_scan_avoids_global_single_partition_window(spark):
-    """Pareto scan (q140): the data-sized cumsum must run keyed on the
+def test_q170_scan_avoids_global_single_partition_window(spark):
+    """Pareto scan (q170): the data-sized cumsum must run keyed on the
     range-partition id — the only unpartitioned windows in the plan are
     over the bounded partition-totals table. Assert the data window is
     partitioned (a windowspecdefinition with _pid) and the plan has no
@@ -594,8 +594,8 @@ def test_q142_interleave_no_raw_row_domain_window(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q021_quantiles_no_data_sized_single_partition_stage(spark):
-    """Exact quantiles (q021): the value-count reduction runs once,
+def test_q230_quantiles_no_data_sized_single_partition_stage(spark):
+    """Exact quantiles (q230): the value-count reduction runs once,
     inside prefix_sum's checkpointed subplan — the final plan must
     consume the CHECKPOINT (Scan ExistingRDD), not re-aggregate the
     input, and its only windows run keyed on the two-phase scan's
@@ -608,7 +608,7 @@ def test_q021_quantiles_no_data_sized_single_partition_stage(spark):
 
 
 def test_q210_incremental_dedup_stays_anti_join(spark):
-    """Incremental dedup (q024): the seen-keys probe is a LeftAnti
+    """Incremental dedup (q210): the seen-keys probe is a LeftAnti
     join on the content key — never a cartesian or a collected set."""
     plan = plan_of(spark, "q210_incremental_dedup")
     assert "LeftAnti" in plan, plan
@@ -623,8 +623,8 @@ def test_q145_retention_single_cluster_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q031_interval_join_is_equi_shaped(spark):
-    """Binned interval join (q031): the big×big range join must run as
+def test_q231_interval_join_is_equi_shaped(spark):
+    """Binned interval join (q231): the big×big range join must run as
     a hash/sort-merge equi-join on (keys, bin) — never a nested-loop
     or cartesian between two data-sized sides."""
     plan = plan_of(spark, "q231_interval_overlap_join")
@@ -646,8 +646,8 @@ def test_q148_grouped_quantiles_group_keyed_windows_only(spark):
         assert "source" in spec, plan
 
 
-def test_q040_fuzzy_retention_no_allpairs(spark):
-    """Fuzzy-dedup retention (q040): the similarity stage must stay
+def test_q217_fuzzy_retention_no_allpairs(spark):
+    """Fuzzy-dedup retention (q217): the similarity stage must stay
     prefix-filtered equi-joins — no cartesian, no nested loop between
     data-sized sides — and the retention window must be keyed."""
     plan = plan_of(spark, "q217_fuzzy_dedup_retention")
@@ -748,21 +748,21 @@ def test_bucketed_join_zero_exchange_below_join_at_sf01(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
-def test_q278_depreciation_schedule_map_only(spark):
+def test_q002_depreciation_schedule_map_only(spark):
     """The depreciation schedule is closed-form in the period index —
     the whole plan must be a scan + filter + explode + project: ZERO
     exchanges (a window or per-asset shuffle here would be a
     regression; the subledger explode has to scale as a pure map)."""
-    plan = plan_of(spark, "q278_depreciation_schedule")
+    plan = plan_of(spark, "q002_depreciation_schedule")
     assert "Exchange" not in plan
     assert "Generate explode" in plan or "Generate" in plan
 
 
-def test_q291_fuzzy_screen_banded_equi_join(spark):
+def test_q031_fuzzy_screen_banded_equi_join(spark):
     """The fuzzy duplicate-invoice screen must block on (party, probe
     bucket): an equi-join, never a cartesian/nested-loop over the
     invoice table."""
-    plan = plan_of(spark, "q291_fuzzy_dup_invoices")
+    plan = plan_of(spark, "q031_fuzzy_dup_invoices")
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
     # the 1-row planted-count broadcast is the only nested-loop join

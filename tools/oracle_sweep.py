@@ -130,7 +130,8 @@ def sweep(spark, sf_dir: str, only: str | None = None) -> int:
         )
     queries, oracles = e.queries(), e.oracle_sql()
     if only:
-        queries = {n: q for n, q in queries.items() if only in n}
+        subs = [s for s in only.split(",") if s]
+        queries = {n: q for n, q in queries.items() if any(s in n for s in subs)}
     fails = rows_only = 0
     for name in sorted(queries):
         if name not in oracles:
