@@ -635,58 +635,22 @@ def shingle_frequencies(
     )
 
 
-def setsim_join(
+def _setsim_prefix_tokens(
     docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-    threshold: tuple[int, int] = (1, 2),
-    hot_cap: int | None = None,
-) -> DataFrame:
-    """EXACT Jaccard set-similarity self-join via prefix filtering
-    (the PPJoin/AllPairs family, Xiao et al. WWW'08 / Bayardo et al.
-    WWW'07) over ``shingle_n``-gram shingle sets — the lossless
-    scalable alternative to MinHash: no hash-family false negatives,
-    same equi-join shape.
-
-    ``threshold`` is an integer fraction ``(num, den)`` (J >= num/den),
-    so every decision is exact integer arithmetic: the verify test is
-    ``(den+num)·|∩| >= num·(|a|+|b|)`` and the prefix length is
-    ``|s| - ceil(num·|s|/den) + 1`` — bit-identical across engines.
-
-    Prefix principle (lossless): order the shingle universe globally by
-    (corpus frequency, shingle) — rarest first; a pair with J >= t must
-    share at least one shingle within BOTH sets' prefixes, so the
-    candidate join only explodes prefixes (rare shingles ⇒ few
-    collisions) instead of whole sets, plus the length filter
-    ``den·min >= num·max``. Verification is exact ``array_intersect``.
-
-    Output: ``(id_a, id_b, inter, uni, jaccard_e6)``, id_a < id_b.
-
-    ``hot_cap`` (opt-in, LOSSY): drop shingles appearing in more than
-    ``hot_cap`` documents from the shingle universe before any join —
-    the standard boilerplate mitigation ("all rights reserved …" in
-    10⁹ docs contributes |occ|² candidate pairs through the prefix
-    join while carrying ~zero similarity signal). Jaccard is then
-    computed over the CAPPED universe — exact and engine-portable for
-    that universe (the cap is an integer doc-frequency filter any
-    engine replays), but values differ from the uncapped join by
-    construction; leave ``hot_cap=None`` when exact full-universe
-    Jaccard is required. Documents whose entire set is boilerplate
-    drop out (same as empty docs).
-
-    Scale: shingle-frequency aggregate (vocab-sized, map-side
-    combine), per-doc sort by a broadcastable frequency table,
-    prefix-keyed equi-join (the MinHash-LSH bucket shape — AQE handles
-    hot shingles; with ``hot_cap`` the pathological keys never reach
-    the join at all), verify joins keyed on doc id. No all-pairs stage
-    anywhere.
-    """
-    num, den = threshold
-    if not (0 < num <= den):
-        raise ValueError("threshold must be a fraction in (0, 1]")
-    if hot_cap is not None and hot_cap < 1:
-        raise ValueError("hot_cap must be >= 1")
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num: int,
+    den: int,
+    hot_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The AllPairs/PPJoin prefix build shared by ``setsim_join`` and
+    the near-dup candidate datasheet (q292): returns ``(base, pref)``
+    where ``base = (_id, _set, _sz)`` holds each document's sorted
+    shingle set over the (possibly hot-capped) universe and ``pref =
+    (_id, _sz, _t)`` is the exploded rarest-first prefix tokens —
+    exactly the join key stream whose bucket occupancy decides the
+    candidate volume."""
     from cubicerp_client_etl_spark.catalog import widen_scan
     from cubicerp_client_etl_spark.operators.curation import shingles as _sh
 
@@ -746,6 +710,64 @@ def setsim_join(
     )
     pref = ordered.select(
         "_id", "_sz", F.explode("_pref").alias("_t")
+    )
+    return base, pref
+
+
+def setsim_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering
+    (the PPJoin/AllPairs family, Xiao et al. WWW'08 / Bayardo et al.
+    WWW'07) over ``shingle_n``-gram shingle sets — the lossless
+    scalable alternative to MinHash: no hash-family false negatives,
+    same equi-join shape.
+
+    ``threshold`` is an integer fraction ``(num, den)`` (J >= num/den),
+    so every decision is exact integer arithmetic: the verify test is
+    ``(den+num)·|∩| >= num·(|a|+|b|)`` and the prefix length is
+    ``|s| - ceil(num·|s|/den) + 1`` — bit-identical across engines.
+
+    Prefix principle (lossless): order the shingle universe globally by
+    (corpus frequency, shingle) — rarest first; a pair with J >= t must
+    share at least one shingle within BOTH sets' prefixes, so the
+    candidate join only explodes prefixes (rare shingles ⇒ few
+    collisions) instead of whole sets, plus the length filter
+    ``den·min >= num·max``. Verification is exact ``array_intersect``.
+
+    Output: ``(id_a, id_b, inter, uni, jaccard_e6)``, id_a < id_b.
+
+    ``hot_cap`` (opt-in, LOSSY): drop shingles appearing in more than
+    ``hot_cap`` documents from the shingle universe before any join —
+    the standard boilerplate mitigation ("all rights reserved …" in
+    10⁹ docs contributes |occ|² candidate pairs through the prefix
+    join while carrying ~zero similarity signal). Jaccard is then
+    computed over the CAPPED universe — exact and engine-portable for
+    that universe (the cap is an integer doc-frequency filter any
+    engine replays), but values differ from the uncapped join by
+    construction; leave ``hot_cap=None`` when exact full-universe
+    Jaccard is required. Documents whose entire set is boilerplate
+    drop out (same as empty docs).
+
+    Scale: shingle-frequency aggregate (vocab-sized, map-side
+    combine), per-doc sort by a broadcastable frequency table,
+    prefix-keyed equi-join (the MinHash-LSH bucket shape — AQE handles
+    hot shingles; with ``hot_cap`` the pathological keys never reach
+    the join at all), verify joins keyed on doc id. No all-pairs stage
+    anywhere.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    if hot_cap is not None and hot_cap < 1:
+        raise ValueError("hot_cap must be >= 1")
+    base, pref = _setsim_prefix_tokens(
+        docs, text_col, id_col, shingle_n, num, den, hot_cap
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (

@@ -62,6 +62,7 @@ def _load_all() -> None:
         pipeline_ext9,
         pipeline_ext10,
         pipeline_ext11,
+        pipeline_ext12,
         relational,
         relational2,
         relational3,
