@@ -194,11 +194,23 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
 def foreach_batch_job(
     stream_df: DataFrame,
     batch_fn: Callable[[DataFrame, int], None],
+    checkpoint: str | None = None,
 ) -> "object":
     """J1: run a batch pipeline per micro-batch epoch (the online-job
     runner: same transform/load code as batch jobs, exactly-once via the
-    sink's idempotent MERGE on pk + epoch id)."""
-    return stream_df.writeStream.foreachBatch(batch_fn).start()
+    sink's idempotent MERGE on pk + epoch id).
+
+    ``checkpoint`` enables crash recovery: a restarted job resumes from
+    the last committed offset and RE-DELIVERS any epoch whose sink
+    write happened but whose checkpoint commit did not (the crash
+    window) — with the SAME epoch id, which is what makes the sink's
+    id-keyed idempotent write exactly-once end-to-end. The recovery
+    pytest kills a query between sink write and commit and asserts a
+    ledger-style sink's totals survive the replay unchanged."""
+    writer = stream_df.writeStream.foreachBatch(batch_fn)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def view_purchase_interval_join(
