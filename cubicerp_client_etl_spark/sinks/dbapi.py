@@ -167,6 +167,82 @@ def dbapi_load(
     return ledger
 
 
+def merge_statements(
+    mode: str,
+    table: str,
+    stage: str,
+    pk: str,
+    cols: list[str],
+    dialect: str = "upsert",
+) -> list[str]:
+    """The mode-derived fold statement(s) ``dbapi_merge`` runs after
+    staging a batch — a pure function so every (mode x dialect) cell is
+    golden-testable without a database.
+
+    ``dialect="upsert"`` (default): ``ON CONFLICT`` / ``UPDATE ... FROM``
+    forms for targets without MERGE (duckdb 1.0, sqlite, Postgres).
+    ``dialect="merge"``: ANSI/SQL:2003 ``MERGE INTO`` forms for targets
+    WITH it (DuckDB >= 1.4, Spark SQL on Delta/Iceberg, most MPP
+    warehouses) — one statement per mode except ``delete``/``insert``
+    whose replace/append halves stay separate statements by design
+    (MERGE cannot append already-matched rows):
+
+    * ``insert``     -> plain ``INSERT ... SELECT`` (both dialects —
+                        append is dialect-free)
+    * ``update``     -> ``WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+                        THEN INSERT``
+    * ``noupdate``   -> ``WHEN NOT MATCHED THEN INSERT``
+    * ``onlyupdate`` -> ``WHEN MATCHED THEN UPDATE``
+    * ``delete``     -> ``WHEN MATCHED THEN DELETE`` then ``INSERT``
+                        (staged replaces matched)
+    """
+    from cubicerp_client_etl_spark.operators.merge import REPROCESS_MODES
+
+    if mode not in REPROCESS_MODES:
+        raise ValueError(f"unknown reprocess mode: {mode!r}")
+    if dialect not in ("upsert", "merge"):
+        raise ValueError(f"unknown dialect: {dialect!r}")
+    collist = ", ".join(cols)
+    non_pk = [c for c in cols if c != pk]
+    append = f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {stage}"
+    if mode == "insert":
+        return [append]
+    if dialect == "upsert":
+        if mode == "update":
+            sets = ", ".join(f"{c} = excluded.{c}" for c in non_pk)
+            return [f"{append} ON CONFLICT ({pk}) DO UPDATE SET {sets}"]
+        if mode == "noupdate":
+            return [f"{append} ON CONFLICT ({pk}) DO NOTHING"]
+        if mode == "onlyupdate":
+            sets = ", ".join(f"{c} = s.{c}" for c in non_pk)
+            return [
+                f"UPDATE {table} SET {sets} FROM {stage} s "
+                f"WHERE {table}.{pk} = s.{pk}"
+            ]
+        return [  # delete: staged replaces matched
+            f"DELETE FROM {table} WHERE {pk} IN (SELECT {pk} FROM {stage})",
+            append,
+        ]
+    head = (
+        f"MERGE INTO {table} USING {stage} s ON {table}.{pk} = s.{pk}"
+    )
+    upd = "WHEN MATCHED THEN UPDATE SET " + ", ".join(
+        f"{c} = s.{c}" for c in non_pk
+    )
+    ins = (
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ("
+        + ", ".join(f"s.{c}" for c in cols)
+        + ")"
+    )
+    if mode == "update":
+        return [f"{head} {upd} {ins}"]
+    if mode == "noupdate":
+        return [f"{head} {ins}"]
+    if mode == "onlyupdate":
+        return [f"{head} {upd}"]
+    return [f"{head} WHEN MATCHED THEN DELETE", append]
+
+
 def dbapi_merge(
     df: DataFrame,
     connect_factory: Callable[[], Any],
@@ -174,6 +250,7 @@ def dbapi_merge(
     pk: str,
     mode: str,
     batch_size: int = 5000,
+    dialect: str = "upsert",
 ) -> DataFrame:
     """Apply one I1 reprocess mode to a LIVE DBAPI target table as
     SET-BASED SQL — the ``MERGE INTO`` expression of
@@ -196,12 +273,17 @@ def dbapi_merge(
                         stage)`` then ``INSERT`` (staged replaces
                         matched)
 
-    On engines with real ``MERGE INTO`` (DuckDB >= 1.4, Spark SQL on
-    Delta/Iceberg, most MPP warehouses) each pair above is one MERGE
-    statement; ``ON CONFLICT``/``UPDATE ... FROM`` is the equivalent
-    realization for DBAPI targets without it (duckdb 1.0, sqlite).
-    ``update``/``noupdate`` require a PRIMARY KEY or unique index on
-    ``pk`` (that's what ON CONFLICT arbitrates on).
+    ``dialect`` picks the fold-statement family (see
+    ``merge_statements``): the default ``"upsert"`` emits the
+    ``ON CONFLICT``/``UPDATE ... FROM`` forms above for targets without
+    MERGE (duckdb 1.0, sqlite, Postgres); ``"merge"`` emits one ANSI
+    ``MERGE INTO`` statement per mode for engines with it (DuckDB >=
+    1.4, Spark SQL on Delta/Iceberg, most MPP warehouses — none ship in
+    this container, so the merge dialect is golden-pinned per cell and
+    matrix-tested through a grammar-level MERGE interpreter in
+    tests/test_dbapi_sink.py). ``update``/``noupdate`` under the upsert
+    dialect require a PRIMARY KEY or unique index on ``pk`` (that's
+    what ON CONFLICT arbitrates on).
 
     Returns the materialized per-batch ledger ``(pk, level, message)``
     — ``pk`` is ``batch:<i>`` (set-based statements trade per-row
@@ -213,16 +295,14 @@ def dbapi_merge(
     ``df.coalesce(1)``; real JDBC warehouses take partition-parallel
     writers as-is.
     """
-    from cubicerp_client_etl_spark.operators.merge import REPROCESS_MODES
-
-    if mode not in REPROCESS_MODES:
-        raise ValueError(f"unknown reprocess mode: {mode!r}")
     cols = df.columns
     if pk not in cols:
         raise ValueError(f"pk column {pk!r} not in frame: {cols}")
     collist = ", ".join(cols)
     ph = ", ".join(["?"] * len(cols))
-    non_pk = [c for c in cols if c != pk]
+    statements = merge_statements(
+        mode, table, "cubicerp_merge_stage", pk, cols, dialect
+    )
 
     def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         conn = connect_factory()
@@ -249,42 +329,8 @@ def dbapi_merge(
                             f"VALUES ({ph})",
                             rows,
                         )
-                        if mode == "insert":
-                            cur.execute(
-                                f"INSERT INTO {table} ({collist}) "
-                                f"SELECT {collist} FROM {stage}"
-                            )
-                        elif mode == "update":
-                            sets = ", ".join(
-                                f"{c} = excluded.{c}" for c in non_pk
-                            )
-                            cur.execute(
-                                f"INSERT INTO {table} ({collist}) "
-                                f"SELECT {collist} FROM {stage} "
-                                f"ON CONFLICT ({pk}) DO UPDATE SET {sets}"
-                            )
-                        elif mode == "noupdate":
-                            cur.execute(
-                                f"INSERT INTO {table} ({collist}) "
-                                f"SELECT {collist} FROM {stage} "
-                                f"ON CONFLICT ({pk}) DO NOTHING"
-                            )
-                        elif mode == "onlyupdate":
-                            sets = ", ".join(f"{c} = s.{c}" for c in non_pk)
-                            cur.execute(
-                                f"UPDATE {table} SET {sets} "
-                                f"FROM {stage} s "
-                                f"WHERE {table}.{pk} = s.{pk}"
-                            )
-                        else:  # delete: staged replaces matched
-                            cur.execute(
-                                f"DELETE FROM {table} WHERE {pk} IN "
-                                f"(SELECT {pk} FROM {stage})"
-                            )
-                            cur.execute(
-                                f"INSERT INTO {table} ({collist}) "
-                                f"SELECT {collist} FROM {stage}"
-                            )
+                        for stmt in statements:
+                            cur.execute(stmt)
                         conn.commit()
                         pks.append(label)
                         levels.append("info")
