@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cubicerp_client_etl_spark.compilers.domain import compile_domain
 from cubicerp_client_etl_spark.compilers.template import render_date_template
@@ -227,6 +228,14 @@ def load_sink(
         merged = apply_reprocess_mode(existing_target, df, job.pk_field, mode)
     else:
         merged = df.withColumn("action", F.lit("inserted"))
+    # the merged frame feeds up to THREE actions (load write, ledger
+    # append, and whatever the caller does with the returned frame);
+    # without a persist each action re-parses the extract and re-runs
+    # the merge join from scratch — measured 3x the whole pipeline on
+    # the q005 lifecycle. MEMORY_AND_DISK spills instead of evicting,
+    # so at scale this trades one extra materialization for N-1 full
+    # recomputes of the source scan + merge.
+    merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
 
     path = render_date_template(res.f_filename, job.run_date) if res.f_filename else ""
     ftp_server = (
