@@ -319,3 +319,111 @@ def holt_forecast(
         .withColumnRenamed("period", period_col)
         .withColumnRenamed("value", value_col)
     )
+
+
+def croston_forecast(
+    series: DataFrame,
+    key_col: str,
+    period_col: str,
+    value_col: str,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972, the
+    standard forecaster for slow movers — spare parts, long-tail SKUs)
+    on exact integers, per key over the observed demand periods in
+    order. Two smoothed states — demand size ``z`` and inter-demand
+    interval ``p`` — update only when demand occurs (here every
+    observed row carries demand; the interval is the PERIOD GAP to the
+    previous demand):
+
+        row 1:  z = x_1,  p undefined
+        row t:  q_t   = period_t - period_{t-1}        (gap, >= 1)
+                rate  = 1e6 * z / p   (one-step-ahead, BEFORE update;
+                                       undefined until p exists)
+                z    += trunc((x_t - z) / alpha_den)
+                p     = q_t                  on its first observation,
+                        p + trunc((q_t - p) / alpha_den)  after
+
+    — the same truncated-toward-zero division discipline as
+    ``ses_forecast``/``holt_forecast`` (DuckDB's integer ``//``
+    truncates; the walker sign-factors to match), so the recursive-CTE
+    oracle replays every state bit-for-bit. This is the corpus's first
+    THREE-state recursive oracle (z, p, and the previous period for
+    the gap).
+
+    Returns one row per (key, period): ``(key_col, period_col, value,
+    gap, size_level, interval_level, rate_e6)`` — ``gap`` NULL on each
+    key's first row, ``interval_level`` NULL until the second,
+    ``rate_e6`` (the 1e6-scaled demand-per-period forecast) NULL until
+    the third; ``size_level``/``interval_level`` are post-update.
+
+    Scale: same 64-way hash-bucketed Arrow walk as Holt (sequential
+    per key, keys independent, buckets amortize pandas overhead).
+    Integer-key contract: the key casts to long (raises on
+    string/decimal keys).
+    """
+    import pandas as pd
+
+    if alpha_den < 1:
+        raise ValueError("alpha_den must be >= 1")
+    key_type = dict(series.dtypes).get(key_col, "")
+    if key_type in ("string", "binary", "boolean") or key_type.startswith(
+        ("array", "map", "struct", "decimal")
+    ):
+        raise TypeError(
+            f"croston_forecast requires an integer {key_col!r} key "
+            f"(got {key_type}); hash or dictionary-encode the key first"
+        )
+    n_buckets = 64
+    src = series.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(period_col).cast("long").alias("period"),
+        F.col(value_col).cast("long").alias("value"),
+    ).withColumn("_b", F.pmod(F.xxhash64("key"), F.lit(n_buckets)))
+    out_schema = (
+        "key long, period long, value long, gap long, "
+        "size_level long, interval_level long, rate_e6 long"
+    )
+
+    def _trunc(d: int, den: int) -> int:
+        return d // den if d >= 0 else -((-d) // den)
+
+    # no annotations on the walker (stringified-hints gotcha)
+    def walk(pdf):
+        pdf = pdf.sort_values(["key", "period"]).reset_index(drop=True)
+        prev_key = prev_period = z = p = None
+        gaps, zs, ps, rates = [], [], [], []
+        for k, per, x in zip(pdf["key"], pdf["period"], pdf["value"]):
+            per, x = int(per), int(x)
+            if k != prev_key:
+                prev_key = k
+                prev_period = z = p = None
+            if z is None:
+                gaps.append(None)
+                rates.append(None)
+                z = x
+            else:
+                q = per - prev_period
+                gaps.append(q)
+                rates.append(1_000_000 * z // p if p is not None else None)
+                z = z + _trunc(x - z, alpha_den)
+                p = q if p is None else p + _trunc(q - p, alpha_den)
+            prev_period = per
+            zs.append(z)
+            ps.append(p)
+        pdf["gap"] = pd.array(gaps, dtype="Int64")
+        pdf["size_level"] = zs
+        pdf["interval_level"] = pd.array(ps, dtype="Int64")
+        pdf["rate_e6"] = pd.array(rates, dtype="Int64")
+        return pdf[
+            ["key", "period", "value", "gap", "size_level",
+             "interval_level", "rate_e6"]
+        ]
+
+    return (
+        src.groupBy("_b")
+        .applyInPandas(walk, schema=out_schema)
+        .withColumnRenamed("key", key_col)
+        .withColumnRenamed("period", period_col)
+        .withColumnRenamed("value", value_col)
+    )

@@ -274,3 +274,572 @@ def q292_neardup_candidate_datasheet(
         .unionByName(_bucket_stats(sh_buckets, "simhash_chunk"))
         .unionByName(_bucket_stats(ss_buckets, "setsim_prefix"))
     )
+
+
+# --------------------------------------------------------------------------
+# q293 — Croston intermittent-demand forecast (operators/forecast.
+# croston_forecast): the standard slow-mover forecaster — smoothed
+# demand SIZE and smoothed inter-demand INTERVAL, updated per observed
+# demand month, one-step-ahead rate = 1e6·z div p. Same truncated
+# integer smoothing discipline as SES (q272) and Holt (q019); the
+# oracle is the corpus's first THREE-state recursive CTE (size level,
+# interval level, previous period for the gap). Scale: 64-way
+# bucketed Arrow walk — sequential per key by nature, keys
+# independent, buckets amortize pandas overhead.
+# --------------------------------------------------------------------------
+@register(
+    "q293_croston_forecast",
+    oracle="""
+WITH RECURSIVE series AS (
+  SELECT l_partkey AS key,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+           AS period,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS value
+  FROM lineitem WHERE l_partkey % 10 = 1
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY period) AS rn
+  FROM series
+),
+s AS (
+  SELECT key, rn, period, value,
+         CAST(NULL AS BIGINT) AS gap,
+         value AS size_level,
+         CAST(NULL AS BIGINT) AS interval_level,
+         CAST(NULL AS BIGINT) AS rate_e6
+  FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.key, m.rn, m.period, m.value,
+         m.period - s.period AS gap,
+         s.size_level + (m.value - s.size_level) // 4 AS size_level,
+         CASE WHEN s.interval_level IS NULL THEN m.period - s.period
+              ELSE s.interval_level
+                   + ((m.period - s.period) - s.interval_level) // 4
+         END AS interval_level,
+         CASE WHEN s.interval_level IS NOT NULL
+              THEN 1000000 * s.size_level // s.interval_level
+         END AS rate_e6
+  FROM s JOIN m ON m.key = s.key AND m.rn = s.rn + 1
+)
+SELECT CAST(key AS BIGINT) AS l_partkey, period, value, gap,
+       CAST(size_level AS BIGINT) AS size_level,
+       CAST(interval_level AS BIGINT) AS interval_level,
+       CAST(rate_e6 AS BIGINT) AS rate_e6
+FROM s
+""",
+)
+def q293_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.forecast import croston_forecast
+
+    series = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 10 == 1)
+        .groupBy(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("period"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("demand"))
+    )
+    return croston_forecast(
+        series, "l_partkey", "period", "demand", alpha_den=4
+    ).select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        "period",
+        F.col("demand").alias("value"),
+        "gap",
+        "size_level",
+        "interval_level",
+        "rate_e6",
+    )
+
+
+# --------------------------------------------------------------------------
+# q294 — Economic order quantity (the Wilson EOQ closed form, the
+# purchasing-policy twin of q269's reorder point): per part,
+# EOQ = isqrt(2·D·S div H) with D = total demanded quantity, S = a
+# 100.00-currency fixed order cost, H = 10% of the unit retail price
+# in cents (floored, min 1) — exact integers end-to-end via the
+# floor-corrected isqrt both engines replay. Orders per horizon =
+# ceil-div of D by EOQ. Scale: one map-side-combinable keyed agg +
+# a broadcast dimension join + pure map arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "q294_eoq_order_quantity",
+    oracle="""
+WITH d AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS demand_qty
+  FROM lineitem GROUP BY l_partkey
+),
+j AS (
+  SELECT d.l_partkey, d.demand_qty,
+         greatest(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) // 10, 1) AS holding_cents
+  FROM d JOIN part ON p_partkey = d.l_partkey
+),
+r AS (
+  SELECT *, 2 * demand_qty * 10000 // holding_cents AS eoq2,
+         CAST(floor(sqrt(CAST(2 * demand_qty * 10000 // holding_cents
+              AS DOUBLE))) AS BIGINT) AS s0
+  FROM j
+),
+e AS (
+  SELECT l_partkey, demand_qty, holding_cents,
+         CAST(greatest(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= eoq2
+                                  THEN 1 ELSE 0 END)
+                          - (CASE WHEN s0 * s0 > eoq2 THEN 1 ELSE 0 END),
+                       1) AS BIGINT) AS eoq_qty
+  FROM r
+)
+SELECT l_partkey, demand_qty, holding_cents, eoq_qty,
+       CAST((demand_qty + eoq_qty - 1) // eoq_qty AS BIGINT) AS n_orders
+FROM e
+""",
+)
+def q294_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import isqrt_exact
+
+    demand = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("demand_qty"))
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.greatest(
+            F.expr(
+                "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " div 10"
+            ),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("holding_cents"),
+    )
+    j = demand.join(F.broadcast(part), "l_partkey")
+    eoq2 = F.expr("2 * demand_qty * 10000 div holding_cents")
+    eoq = F.greatest(isqrt_exact(eoq2), F.lit(1)).alias("eoq_qty")
+    return j.select(
+        "l_partkey", "demand_qty", "holding_cents", eoq
+    ).withColumn(
+        "n_orders",
+        F.expr("(demand_qty + eoq_qty - 1) div eoq_qty").cast("bigint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q295 — ABC-XYZ matrix (the planning segmentation every MRP system
+# derives): ABC = revenue Pareto class (q249's prefix-scan operator,
+# cents-exact, 80/95 cuts), XYZ = demand-variability class from the
+# coefficient of variation of MONTHLY demand (exact floored moments +
+# the floor-corrected isqrt; X: cv < 0.25, Y: < 0.55, Z: rest, e6
+# thresholds). Output: one row per occupied (abc, xyz) cell with part
+# count and revenue mass — the 9-cell grid. Scale: two keyed
+# aggregations + the two-phase prefix scan (no unpartitioned window)
+# + a broadcast total; the grid is <= 9 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q295_abc_xyz_matrix",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+abc AS (
+  SELECT pk, cents,
+         CASE WHEN CAST(sum(cents) OVER (ORDER BY cents DESC, pk
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000
+                    // (SELECT sum(cents) FROM rev) <= 800000 THEN 'A'
+              WHEN CAST(sum(cents) OVER (ORDER BY cents DESC, pk
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000
+                    // (SELECT sum(cents) FROM rev) <= 950000 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM rev
+),
+monthly AS (
+  SELECT l_partkey AS pk,
+         year(l_shipdate) * 12 + month(l_shipdate) AS mth,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+mom AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n,
+         sum(q) AS sq, sum(q * q) AS sqq
+  FROM monthly GROUP BY pk
+),
+xyz AS (
+  SELECT pk,
+         CAST(sq // n AS BIGINT) AS mean_q,
+         CAST((n * sqq - sq * sq) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+           AS var_q
+  FROM mom
+),
+rooted AS (
+  SELECT *, CAST(floor(sqrt(CAST(var_q AS DOUBLE))) AS BIGINT) AS s0
+  FROM xyz
+),
+cls AS (
+  SELECT pk, mean_q,
+         CAST(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_q THEN 1 ELSE 0 END)
+                 - (CASE WHEN s0 * s0 > var_q THEN 1 ELSE 0 END) AS BIGINT)
+           AS std_q
+  FROM rooted
+),
+graded AS (
+  SELECT pk,
+         CASE WHEN mean_q = 0 THEN 'Z'
+              WHEN CAST(std_q AS HUGEINT) * 1000000 // mean_q < 250000
+              THEN 'X'
+              WHEN CAST(std_q AS HUGEINT) * 1000000 // mean_q < 550000
+              THEN 'Y' ELSE 'Z' END AS xyz_class
+  FROM cls
+)
+SELECT abc.abc_class, graded.xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(abc.cents) AS BIGINT) AS revenue_cents
+FROM abc JOIN graded ON graded.pk = abc.pk
+GROUP BY 1, 2
+""",
+)
+def q295_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import isqrt_exact
+    from cubicerp_client_etl_spark.operators.quality import abc_classification
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mth"),
+    )
+    abc = abc_classification(li, "l_partkey", "cents", 800_000, 950_000).select(
+        "l_partkey", F.col("value").alias("cents"), "abc_class"
+    )
+    monthly = li.groupBy("l_partkey", "mth").agg(
+        F.sum("qty").cast("decimal(38,0)").alias("q")
+    )
+    mom = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("decimal(38,0)").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(38,0)").alias("sqq"),
+    )
+    # `div` (integral division) on the decimal sums — exact floors, the
+    # reorder_point discipline (decimal `/` + floor rounds HALF_UP first)
+    stats = mom.select(
+        "l_partkey",
+        F.expr("CAST(sq div n AS BIGINT)").alias("mean_q"),
+        F.expr(
+            "CAST((n * sqq - sq * sq)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("var_q"),
+    )
+    graded = stats.select(
+        "l_partkey",
+        F.when(F.col("mean_q") == 0, "Z")
+        .when(
+            e6_floor_ratio(isqrt_exact(F.col("var_q")), F.col("mean_q"))
+            < 250_000,
+            "X",
+        )
+        .when(
+            e6_floor_ratio(isqrt_exact(F.col("var_q")), F.col("mean_q"))
+            < 550_000,
+            "Y",
+        )
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(graded, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q296 — Vendor lead-time reliability (the procurement scorecard):
+# order-to-ship days per line (l_shipdate − o_orderdate), per supplier
+# — count, floored mean, floored population variance, floor-corrected
+# integer std, and the e6 on-time share (lead <= 30 days). Exact
+# decimal(38,0) moment sums (the q269 discipline applied to a JOINED
+# fact pair). Scale: one equi-join on the order key + one keyed agg —
+# both map-side-combinable after the join's shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q296_vendor_lead_time",
+    oracle="""
+WITH leads AS (
+  SELECT l_suppkey,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS HUGEINT) AS lead
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+agg AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         sum(lead) AS sl, sum(lead * lead) AS sll,
+         CAST(sum(CASE WHEN lead <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS on_time
+  FROM leads GROUP BY l_suppkey
+),
+stats AS (
+  SELECT l_suppkey, n,
+         CAST(sl // n AS BIGINT) AS mean_days,
+         CAST((n * sll - sl * sl) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+           AS var_days,
+         on_time
+  FROM agg
+),
+rooted AS (
+  SELECT *, CAST(floor(sqrt(CAST(var_days AS DOUBLE))) AS BIGINT) AS s0
+  FROM stats
+)
+SELECT l_suppkey, n, mean_days, var_days,
+       CAST(s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= var_days THEN 1 ELSE 0 END)
+               - (CASE WHEN s0 * s0 > var_days THEN 1 ELSE 0 END) AS BIGINT)
+         AS std_days,
+       CAST(on_time * 1000000 // n AS BIGINT) AS on_time_e6
+FROM rooted
+""",
+)
+def q296_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import isqrt_exact
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("order_d"),
+    )
+    leads = li.join(orders, "l_orderkey").select(
+        "l_suppkey",
+        F.datediff("ship_d", "order_d").cast("decimal(38,0)").alias("lead"),
+    )
+    agg = leads.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lead").cast("decimal(38,0)").alias("sl"),
+        F.sum(F.col("lead") * F.col("lead")).cast("decimal(38,0)").alias("sll"),
+        F.sum(F.when(F.col("lead") <= 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("on_time"),
+    )
+    return agg.select(
+        "l_suppkey",
+        "n",
+        F.expr("CAST(sl div n AS BIGINT)").alias("mean_days"),
+        F.expr(
+            "CAST((n * sll - sl * sl)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("var_days"),
+        "on_time",
+    ).select(
+        "l_suppkey",
+        "n",
+        "mean_days",
+        "var_days",
+        isqrt_exact(F.col("var_days")).alias("std_days"),
+        e6_floor_ratio(F.col("on_time"), F.col("n")).alias("on_time_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q297 — FIFO inventory aging (the balance-sheet twin of q013's FIFO
+# COGS, same move-ledger convention as q015/q022: receipts = line
+# quantities in (orderkey, linenumber) sequence, issues = half of each
+# line): the quantity REMAINING on hand per receipt layer under FIFO
+# consumption is closed-form from the layer's cumulative range and the
+# part's total issued — remaining = clamp(cum_receipts − issued, 0,
+# layer qty) — no walker needed; layers are then bucketed by receipt
+# age at the data-derived as-of date. Scale: one part-keyed running
+# window + one keyed agg + a broadcast 1-row as-of; output <= 4 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q297_fifo_inventory_aging",
+    oracle="""
+WITH base AS (
+  SELECT l_partkey AS part,
+         (l_orderkey * 10 + l_linenumber) AS lk,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(l_shipdate AS DATE) AS d
+  FROM lineitem WHERE l_partkey % 20 = 0
+),
+asof_d AS (SELECT CAST(max(d) + INTERVAL 1 DAY AS DATE) AS a FROM base),
+issued AS (
+  SELECT part, CAST(sum(q // 2) AS BIGINT) AS i
+  FROM base WHERE q // 2 > 0 GROUP BY part
+),
+layers AS (
+  SELECT part, q, d,
+         SUM(q) OVER (PARTITION BY part ORDER BY lk
+                      ROWS UNBOUNDED PRECEDING) AS r
+  FROM base
+),
+rem AS (
+  SELECT l.part, l.d,
+         greatest(0, least(l.q, l.r - COALESCE(i.i, 0))) AS remaining
+  FROM layers l LEFT JOIN issued i ON i.part = l.part
+),
+aged AS (
+  SELECT part, remaining,
+         CASE WHEN date_diff('day', d, (SELECT a FROM asof_d)) <= 90
+              THEN '000-090'
+              WHEN date_diff('day', d, (SELECT a FROM asof_d)) <= 180
+              THEN '091-180'
+              WHEN date_diff('day', d, (SELECT a FROM asof_d)) <= 365
+              THEN '181-365' ELSE '365+' END AS age_bucket
+  FROM rem WHERE remaining > 0
+)
+SELECT age_bucket,
+       CAST(count(DISTINCT part) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_layers,
+       CAST(sum(remaining) AS BIGINT) AS remaining_qty
+FROM aged GROUP BY age_bucket
+""",
+)
+def q297_fifo_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 20 == 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lk"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+    )
+    asof = base.agg(
+        F.date_add(F.max("d"), 1).alias("a")
+    )
+    issued = (
+        base.where(F.expr("q div 2") > 0)
+        .groupBy("part")
+        .agg(F.sum(F.expr("q div 2")).cast("bigint").alias("i"))
+    )
+    w = W.partitionBy("part").orderBy("lk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    layers = base.withColumn("r", F.sum("q").over(w))
+    rem = (
+        layers.join(issued, "part", "left")
+        .withColumn(
+            "remaining",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("q"), F.col("r") - F.coalesce("i", F.lit(0))),
+            ),
+        )
+        .where(F.col("remaining") > 0)
+    )
+    aged = rem.join(F.broadcast(asof)).withColumn(
+        "age_bucket",
+        F.when(F.datediff("a", "d") <= 90, "000-090")
+        .when(F.datediff("a", "d") <= 180, "091-180")
+        .when(F.datediff("a", "d") <= 365, "181-365")
+        .otherwise("365+"),
+    )
+    return aged.groupBy("age_bucket").agg(
+        F.countDistinct("part").cast("bigint").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_layers"),
+        F.sum("remaining").cast("bigint").alias("remaining_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q298 — Price waterfall / discount realization per brand (the margin
+# bridge's pricing rungs): list value (quantity x retail price), the
+# invoiced extended price, and the realized value after line discounts
+# — all on the exact e4 (hundredths-of-a-cent) basis the DECIMAL(18,4)
+# product carries, so the discounted rung is integer-exact in both
+# engines (the q001 charge discipline) — plus the e6 discount-leakage
+# share per brand. Scale: broadcast dimension join + one keyed agg.
+# --------------------------------------------------------------------------
+@register(
+    "q298_price_waterfall",
+    oracle="""
+WITH rows_ AS (
+  SELECT p_brand,
+         CAST(l_quantity AS BIGINT)
+           * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * 100 AS list_e4,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100
+           AS invoice_e4,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+              * 10000 AS BIGINT) AS realized_e4
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+agg AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(list_e4) AS BIGINT) AS list_e4,
+         CAST(sum(invoice_e4) AS BIGINT) AS invoice_e4,
+         CAST(sum(realized_e4) AS BIGINT) AS realized_e4
+  FROM rows_ GROUP BY p_brand
+)
+SELECT p_brand, n_lines, list_e4, invoice_e4, realized_e4,
+       CAST(CASE WHEN invoice_e4 > 0
+            THEN CAST(invoice_e4 - realized_e4 AS HUGEINT) * 1000000
+                 // invoice_e4
+            ELSE 0 END AS BIGINT) AS leakage_e6
+FROM agg
+""",
+)
+def q298_price_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("inv_cents"),
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+            " * 10000 AS BIGINT)"
+        ).alias("realized_e4"),
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("retail_cents"),
+    )
+    agg = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("qty") * F.col("retail_cents") * 100)
+            .cast("bigint")
+            .alias("list_e4"),
+            F.sum(F.col("inv_cents") * 100).cast("bigint").alias("invoice_e4"),
+            F.sum("realized_e4").cast("bigint").alias("realized_e4"),
+        )
+    )
+    return agg.select(
+        "p_brand",
+        "n_lines",
+        "list_e4",
+        "invoice_e4",
+        "realized_e4",
+        F.when(
+            F.col("invoice_e4") > 0,
+            e6_floor_ratio(
+                F.col("invoice_e4") - F.col("realized_e4"),
+                F.col("invoice_e4"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("leakage_e6"),
+    )

@@ -41,6 +41,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -62,20 +63,40 @@ DECLARED_SUPERLINEAR = {
 }
 
 
-def prior_census() -> tuple[int | None, dict]:
+def prior_census() -> tuple[int | None, dict, int]:
+    """Latest committed census, with its query names translated through
+    every renumber map published SINCE that round — so a renamed query
+    keeps its cross-round scaling baseline instead of silently losing
+    the 3x-regression check. Returns (round, queries, n_renamed)."""
     cands = []
     for p in glob.glob(os.path.join(HERE, "CENSUS_r*.json")):
         m = re.search(r"CENSUS_r(\d+)\.json$", p)
         if m:
             cands.append((int(m.group(1)), p))
     if not cands:
-        return None, {}
+        return None, {}, 0
     rnd, path = max(cands)
     try:
         with open(path) as fh:
-            return rnd, json.load(fh).get("queries", {})
+            queries = json.load(fh).get("queries", {})
     except (OSError, ValueError):
-        return rnd, {}
+        return rnd, {}, 0
+    renamed = 0
+    for later in sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(HERE, "tools/renumber_r*.py"))
+        if (m := re.search(r"renumber_r(\d+)\.py$", p)) and int(m.group(1)) > rnd
+    ):
+        try:
+            import importlib
+
+            mapping = importlib.import_module(f"renumber_r{later}").MAPPING
+        except Exception:  # noqa: BLE001 — older maps may not import
+            continue
+        translated = {mapping.get(n, n): r for n, r in queries.items()}
+        renamed += sum(1 for n in queries if n in mapping)
+        queries = translated
+    return rnd, queries, renamed
 
 
 def main() -> int:
@@ -109,7 +130,7 @@ def main() -> int:
     if args.only:
         names = [n for n in names if args.only in n]
 
-    prev_round, prev = prior_census()
+    prev_round, prev, n_renamed = prior_census()
     out_round = (prev_round or 10) + 1
     out_path = args.out or os.path.join(HERE, f"CENSUS_r{out_round}.json")
 
@@ -186,6 +207,40 @@ def main() -> int:
         failures = doc["failures"]
         out_path = args.merge
     else:
+        # census-over-census diff: every query present in both rounds
+        # (prev names already translated through the rename maps), with
+        # the scaling-ratio change; regressions/improvements > 1.5x are
+        # listed by name so a drifting family is visible before the 3x
+        # failure rule fires.
+        both = {
+            n: (prev[n].get("ratio"), r.get("ratio"))
+            for n, r in rows.items()
+            if n in prev
+            and prev[n].get("ratio")
+            and r.get("ratio")
+            and (r.get("base") or 0) >= args.floor
+            and (prev[n].get("base") or 0) >= args.floor
+        }
+        changes = {n: round(nr / pr, 2) for n, (pr, nr) in both.items()}
+        diff = {
+            "compared": len(both),
+            "renamed_translated": n_renamed,
+            "median_ratio_change": (
+                round(sorted(changes.values())[len(changes) // 2], 2)
+                if changes
+                else None
+            ),
+            "regressed_gt_1_5x": {
+                n: {"prev_ratio": both[n][0], "ratio": both[n][1], "change": c}
+                for n, c in sorted(changes.items(), key=lambda kv: -kv[1])
+                if c > 1.5
+            },
+            "improved_gt_1_5x": {
+                n: {"prev_ratio": both[n][0], "ratio": both[n][1], "change": c}
+                for n, c in sorted(changes.items(), key=lambda kv: kv[1])
+                if c < 1 / 1.5
+            },
+        }
         doc = {
             "round": out_round,
             "base": args.base,
@@ -194,6 +249,7 @@ def main() -> int:
             "floor": args.floor,
             "superlinear": args.superlinear,
             "regress": args.regress,
+            "diff": diff,
             "queries": rows,
             "failures": failures,
         }
