@@ -76,6 +76,7 @@ def _bucket_stats(buckets: DataFrame, family: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q292_neardup_candidate_datasheet",
+    headline=True,
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -289,6 +290,7 @@ def q292_neardup_candidate_datasheet(
 # --------------------------------------------------------------------------
 @register(
     "q293_croston_forecast",
+    headline=True,
     oracle="""
 WITH RECURSIVE series AS (
   SELECT l_partkey AS key,
