@@ -178,12 +178,12 @@ def _merge_inputs(spark: SparkSession, sf_dir: str):
     return target, staged
 
 
-def _merge_query(mode: str):
+def _merge_query(mode: str, name: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         target, staged = _merge_inputs(spark, sf_dir)
         return apply_reprocess_mode(target, staged, "pk", mode)
 
-    fn.__name__ = f"q_merge_{mode}"
+    fn.__name__ = name
     return fn
 
 
@@ -198,7 +198,7 @@ SELECT COALESCE(t.pk, s.pk) AS pk,
 FROM target t FULL OUTER JOIN staged s ON t.pk = s.pk
 """
     ).replace("%%", "%"),
-)(_merge_query("update"))
+)(_merge_query("update", "q228_merge_update"))
 
 register(
     "q059_merge_noupdate",
@@ -210,7 +210,7 @@ SELECT COALESCE(t.pk, s.pk) AS pk,
 FROM target t FULL OUTER JOIN staged s ON t.pk = s.pk
 """
     ).replace("%%", "%"),
-)(_merge_query("noupdate"))
+)(_merge_query("noupdate", "q059_merge_noupdate"))
 
 register(
     "q060_merge_onlyupdate",
@@ -222,7 +222,7 @@ SELECT t.pk AS pk,
 FROM target t LEFT JOIN staged s ON t.pk = s.pk
 """
     ).replace("%%", "%"),
-)(_merge_query("onlyupdate"))
+)(_merge_query("onlyupdate", "q060_merge_onlyupdate"))
 
 register(
     "q134_merge_delete",
@@ -235,7 +235,7 @@ SELECT COALESCE(t.pk, s.pk) AS pk,
 FROM target t FULL OUTER JOIN staged s ON t.pk = s.pk
 """
     ).replace("%%", "%"),
-)(_merge_query("delete"))
+)(_merge_query("delete", "q134_merge_delete"))
 
 register(
     "q061_merge_insert",
@@ -247,7 +247,7 @@ SELECT pk, price, action FROM (
   SELECT pk, price, 'inserted' AS action FROM staged)
 """
     ).replace("%%", "%"),
-)(_merge_query("insert"))
+)(_merge_query("insert", "q061_merge_insert"))
 
 
 # --------------------------------------------------------------------------

@@ -44,7 +44,7 @@ WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
-def q107_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     scd = scd2_intervals(
         ev, key="user_id", order_by=["ts", "event_id"], attrs=["value"]
@@ -96,7 +96,7 @@ FROM snap_old o
 FULL OUTER JOIN snap_new n ON o.l_orderkey = n.l_orderkey
 """,
 )
-def q108_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q107_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
 
     def snap(cutoff: str) -> DataFrame:
@@ -139,7 +139,7 @@ FROM customer
 GROUP BY split, c_mktsegment
 """,
 )
-def q109_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q108_hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     return (
         c.select(hash_split("c_custkey"), "c_mktsegment", "c_acctbal")
@@ -463,7 +463,7 @@ r{k} AS (
     + ",".join([_PR_EDGES_SQL] + [_pr_iter_sql(k) for k in range(1, 6)])
     + "\nSELECT node, units FROM r5",
 )
-def q117_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q200_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.graph import pagerank_int
 
     o = load(spark, sf_dir, "orders")
@@ -502,7 +502,7 @@ SELECT c_nationkey, c_mktsegment, group_size,
 FROM g
 """,
 )
-def q119_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q116_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     k = 5
     g = c.groupBy("c_nationkey", "c_mktsegment").agg(

@@ -64,7 +64,7 @@ ORDER BY revenue DESC, l.l_orderkey
 LIMIT 10
 """,
 )
-def q80_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q080_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
@@ -105,7 +105,7 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o.o_orderpriority
 """,
 )
-def q81_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
     )
@@ -144,7 +144,7 @@ ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
 """,
 )
-def q82_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q032_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders").filter(
@@ -184,7 +184,7 @@ FROM (
 GROUP BY c_count
 """,
 )
-def q83_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     cond = (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT")
@@ -222,7 +222,7 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey
 LIMIT 20
 """,
 )
-def q84_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -271,7 +271,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 20 AND 30)
 """,
 )
-def q85_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q038_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
@@ -316,7 +316,7 @@ WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE
 GROUP BY c.c_nationkey
 """,
 )
-def q86_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q086_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     avg_bal = (
@@ -359,7 +359,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
 """,
 )
-def q87_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q084_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -408,7 +408,7 @@ FROM sup s, tot t
 WHERE s.value > 1.1 * t.total / t.nsupp
 """,
 )
-def q88_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q039_tpch_q11_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     sup = li.groupBy("l_suppkey").agg(dsum("l_extendedprice").alias("value"))
     tot = li.agg(
@@ -446,7 +446,7 @@ JOIN revenue r ON s.s_suppkey = r.l_suppkey
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
 )
-def q89_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q044_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")

@@ -54,7 +54,7 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """,
 )
-def q94_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q021_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -97,7 +97,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_quantity < 24
 """,
 )
-def q95_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q085_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -146,7 +146,7 @@ SELECT o_year,
 FROM flat GROUP BY o_year
 """,
 )
-def q96_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q095_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -212,7 +212,7 @@ WHERE p.p_name LIKE '%o%'
 GROUP BY nation, o_year
 """,
 )
-def q97_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q260_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%o%"))
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -260,7 +260,7 @@ WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
 GROUP BY l.l_returnflag
 """,
 )
-def q98_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q097_tpch_q12_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
@@ -294,7 +294,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
   AND l.l_shipdate < TIMESTAMP '1996-10-01'
 """,
 )
-def q99_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q098_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
@@ -332,7 +332,7 @@ WHERE p.p_brand <> 'Brand#1'
 GROUP BY p.p_brand, p.p_type, p.p_size
 """,
 )
-def q100_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q099_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
     )
@@ -378,7 +378,7 @@ JOIN pa ON pa.l_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.2 * pa.avg_qty
 """,
 )
-def q101_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q088_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
@@ -422,7 +422,7 @@ WHERE s.s_nationkey = 3
   )
 """,
 )
-def q102_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q101_tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%o%"))
     li = load(spark, sf_dir, "lineitem").filter(
@@ -476,7 +476,7 @@ WHERE s.s_nationkey = 1
 GROUP BY s.s_name
 """,
 )
-def q103_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q089_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 1)
@@ -529,7 +529,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
 )
-def q104_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q103_pivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     piv = (
         li.groupBy("l_returnflag")
@@ -558,7 +558,7 @@ SELECT p_partkey, attr, val FROM (
 ) WHERE p_partkey <= 100
 """,
 )
-def q105_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q104_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         load(spark, sf_dir, "part")
         .filter(F.col("p_partkey") <= 100)
@@ -610,7 +610,7 @@ WHERE p.p_type = 'STANDARD'
                       WHERE e2.l_partkey = eu.l_partkey)
 """,
 )
-def q106_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = load(spark, sf_dir, "lineitem")

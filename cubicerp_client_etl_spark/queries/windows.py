@@ -246,7 +246,7 @@ JOIN events p ON p.user_id = v.user_id
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """,
 )
-def q114_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q112_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.streaming.jobs import (
         view_purchase_interval_join,
     )
