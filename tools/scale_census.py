@@ -63,15 +63,17 @@ DECLARED_SUPERLINEAR = {
 }
 
 
-def prior_census() -> tuple[int | None, dict, int]:
-    """Latest committed census, with its query names translated through
-    every renumber map published SINCE that round — so a renamed query
-    keeps its cross-round scaling baseline instead of silently losing
-    the 3x-regression check. Returns (round, queries, n_renamed)."""
+def prior_census(below: int | None = None) -> tuple[int | None, dict, int]:
+    """Latest committed census (strictly below round ``below`` when
+    given — a --merge into this round's census must NOT pick itself up
+    as the baseline), with its query names translated through every
+    renumber map published SINCE that round — so a renamed query keeps
+    its cross-round scaling baseline instead of silently losing the
+    3x-regression check. Returns (round, queries, n_renamed)."""
     cands = []
     for p in glob.glob(os.path.join(HERE, "CENSUS_r*.json")):
         m = re.search(r"CENSUS_r(\d+)\.json$", p)
-        if m:
+        if m and (below is None or int(m.group(1)) < below):
             cands.append((int(m.group(1)), p))
     if not cands:
         return None, {}, 0
@@ -107,6 +109,15 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--superlinear", type=float, default=12.0)
     ap.add_argument("--regress", type=float, default=3.0)
+    ap.add_argument(
+        "--regress-floor",
+        type=float,
+        default=4.0,
+        help="cross-round regression fires only ABOVE this absolute "
+        "ratio: a query at <= 4x on 10x data is healthy no matter how "
+        "exceptional its prior ratio was (r12: the rule's first firing "
+        "was three sublinear queries whose r11 ratios were 0.3-0.6x)",
+    )
     ap.add_argument("--floor", type=float, default=0.3)
     ap.add_argument(
         "--merge",
@@ -128,10 +139,15 @@ def main() -> int:
     spark = get_spark(app_name="scale_census")
     names = sorted(REGISTRY)
     if args.only:
-        names = [n for n in names if args.only in n]
+        subs = [s for s in args.only.split(",") if s]
+        names = [n for n in names if any(s in n for s in subs)]
 
-    prev_round, prev, n_renamed = prior_census()
-    out_round = (prev_round or 10) + 1
+    merge_round = None
+    if args.merge:
+        with open(args.merge) as fh:
+            merge_round = json.load(fh).get("round")
+    prev_round, prev, n_renamed = prior_census(below=merge_round)
+    out_round = merge_round or (prev_round or 10) + 1
     out_path = args.out or os.path.join(HERE, f"CENSUS_r{out_round}.json")
 
     def run(name: str, sf_dir: str) -> float | None:
@@ -153,11 +169,21 @@ def main() -> int:
         if ratio > args.superlinear:
             flags.append(f"superlinear: {ratio:.1f}x at 10x data")
         pr = (prev.get(name) or {}).get("ratio")
-        if pr and pr > 0 and ratio > args.regress * pr:
+        if pr and pr > 0 and ratio > args.regress * pr and ratio > args.regress_floor:
             flags.append(
                 f"scaling regressed: {ratio:.1f}x vs r{prev_round} {pr:.1f}x"
             )
         return ratio, flags
+
+    # warm the session (JVM JIT, codegen, FS cache) before the first
+    # measured sample — a --merge re-measure otherwise charges the
+    # whole cold-start to its first query's base leg
+    try:
+        REGISTRY[names[0]].fn(spark, args.base).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001 — warmup is best-effort
+        pass
 
     rows: dict[str, dict] = {}
     failures: list[str] = []
@@ -195,26 +221,10 @@ def main() -> int:
             flush=True,
         )
 
-    if args.merge:
-        with open(args.merge) as fh:
-            doc = json.load(fh)
-        doc["queries"].update(rows)
-        doc["failures"] = [
-            f
-            for f in doc.get("failures", [])
-            if f.split(":", 1)[0] not in rows
-        ] + failures
-        failures = doc["failures"]
-        out_path = args.merge
-    else:
-        # census-over-census diff: every query present in both rounds
-        # (prev names already translated through the rename maps), with
-        # the scaling-ratio change; regressions/improvements > 1.5x are
-        # listed by name so a drifting family is visible before the 3x
-        # failure rule fires.
+    def build_diff(all_rows: dict) -> dict:
         both = {
             n: (prev[n].get("ratio"), r.get("ratio"))
-            for n, r in rows.items()
+            for n, r in all_rows.items()
             if n in prev
             and prev[n].get("ratio")
             and r.get("ratio")
@@ -222,7 +232,7 @@ def main() -> int:
             and (prev[n].get("base") or 0) >= args.floor
         }
         changes = {n: round(nr / pr, 2) for n, (pr, nr) in both.items()}
-        diff = {
+        return {
             "compared": len(both),
             "renamed_translated": n_renamed,
             "median_ratio_change": (
@@ -241,6 +251,27 @@ def main() -> int:
                 if c < 1 / 1.5
             },
         }
+
+    if args.merge:
+        with open(args.merge) as fh:
+            doc = json.load(fh)
+        doc["queries"].update(rows)
+        doc["failures"] = [
+            f
+            for f in doc.get("failures", [])
+            if f.split(":", 1)[0] not in rows
+        ] + failures
+        doc["diff"] = build_diff(doc["queries"])
+        doc["regress_floor"] = args.regress_floor
+        failures = doc["failures"]
+        out_path = args.merge
+    else:
+        # census-over-census diff: every query present in both rounds
+        # (prev names already translated through the rename maps), with
+        # the scaling-ratio change; regressions/improvements > 1.5x are
+        # listed by name so a drifting family is visible before the 3x
+        # failure rule fires.
+        diff = build_diff(rows)
         doc = {
             "round": out_round,
             "base": args.base,
@@ -249,6 +280,7 @@ def main() -> int:
             "floor": args.floor,
             "superlinear": args.superlinear,
             "regress": args.regress,
+            "regress_floor": args.regress_floor,
             "diff": diff,
             "queries": rows,
             "failures": failures,
