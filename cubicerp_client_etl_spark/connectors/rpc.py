@@ -106,3 +106,98 @@ def rpc_load(
     return df.mapInPandas(
         send, schema="pk string, model_id long, level string, message string"
     )
+
+
+def rpc_apply_actions(
+    df: DataFrame,
+    transport_factory: Callable[[], Any],
+    model: str,
+    pk_col: str,
+    id_col: str = "model_id",
+    action_col: str = "action",
+    batch_size: int = 100,
+) -> DataFrame:
+    """I1 over RPC: route each merged row to the reference's verb by
+    its reprocess ACTION tag (operators.merge.apply_reprocess_mode
+    output) — ``inserted``/``updated`` rows with a recovered id get
+    ``write``, rows without get ``create``, ``deleted`` rows get
+    ``unlink``, ``kept`` rows ship nothing (cubicerpetl.py:494-537's
+    update mode: write with recovered id AND create without, unlink
+    for delete — batched per Arrow chunk instead of one RPC per row).
+
+    Returns the ledger frame ``(pk, model_id, level, message)``;
+    executor-parallel, one transport client per partition.
+    """
+    cols = [c for c in df.columns if c not in (action_col, id_col)]
+
+    def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = transport_factory()
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                pks, ids, levels, msgs = [], [], [], []
+
+                def emit(pk, result, verb):
+                    pks.append(str(pk))
+                    ids.append(result.get("id") if result.get("ok") else None)
+                    levels.append("info" if result.get("ok") else "error")
+                    msgs.append(
+                        f"Ok ({verb})"
+                        if result.get("ok")
+                        else str(result.get("error"))
+                    )
+
+                acts = chunk[action_col]
+                has_id = chunk[id_col].notna() if id_col in chunk else None
+                # creates: inserted/updated rows WITHOUT a recovered id
+                mask_create = acts.isin(["inserted", "updated"]) & ~(
+                    has_id if has_id is not None else False
+                )
+                sub = chunk[mask_create]
+                if len(sub):
+                    results = client.create_batch(
+                        model, sub[cols].to_dict("records")
+                    )
+                    for pk, r in zip(sub[pk_col], results):
+                        emit(pk, r, "create")
+                # writes: inserted/updated rows WITH a recovered id
+                mask_write = acts.isin(["inserted", "updated"]) & (
+                    has_id if has_id is not None else False
+                )
+                sub = chunk[mask_write]
+                if len(sub):
+                    updates = [
+                        (int(i), {c: row[c] for c in cols})
+                        for i, row in zip(
+                            sub[id_col], sub[cols].to_dict("records")
+                        )
+                    ]
+                    results = client.write_batch(model, updates)
+                    for pk, r in zip(sub[pk_col], results):
+                        emit(pk, r, "write")
+                # deletes
+                sub = chunk[acts == "deleted"]
+                if len(sub) and has_id is not None:
+                    idlist = [int(i) for i in sub[id_col] if pd.notna(i)]
+                    results = client.unlink(model, idlist)
+                    for pk, r in zip(sub[pk_col], results):
+                        emit(pk, r, "unlink")
+                # kept rows: ledger 'skip' without a round-trip
+                sub = chunk[acts == "kept"]
+                for pk in sub[pk_col]:
+                    pks.append(str(pk))
+                    ids.append(None)
+                    levels.append("info")
+                    msgs.append("Ok (kept, no-op)")
+                yield pd.DataFrame(
+                    {
+                        "pk": pks,
+                        "model_id": pd.array(ids, dtype="Int64"),
+                        "level": levels,
+                        "message": msgs,
+                    }
+                )
+
+    return df.mapInPandas(
+        send, schema="pk string, model_id long, level string, message string"
+    )

@@ -135,3 +135,62 @@ class XmlRpcTransport:
                         {"ok": False, "id": None, "error": fault.faultString}
                     )
             return out
+
+
+    def write_batch(
+        self, model: str, updates: list[tuple[int, dict]]
+    ) -> list[dict]:
+        """Per-id ``write`` calls with per-row fault capture — the
+        reference's update leg (cubicerpetl.py:728-746 writes one
+        record per call; here one call per ROW only because Odoo's
+        write takes one vals dict per call — the batch is the Arrow
+        chunk the caller iterates)."""
+        out = []
+        for rid, vals in updates:
+            try:
+                ok = self.execute_kw(model, "write", [[int(rid)], vals])
+                out.append({"ok": bool(ok), "id": int(rid), "error": None})
+            except xmlrpc.client.Fault as fault:
+                out.append(
+                    {"ok": False, "id": int(rid), "error": fault.faultString}
+                )
+        return out
+
+    def unlink(self, model: str, ids: list[int]) -> list[dict]:
+        """One batched ``unlink`` (the reference's delete leg,
+        cubicerpetl.py:506-517: unlink(ids) then re-insert); per-id
+        degradation on a batch fault."""
+        try:
+            ok = self.execute_kw(model, "unlink", [[int(i) for i in ids]])
+            return [
+                {"ok": bool(ok), "id": int(i), "error": None} for i in ids
+            ]
+        except xmlrpc.client.Fault:
+            out = []
+            for i in ids:
+                try:
+                    ok = self.execute_kw(model, "unlink", [[int(i)]])
+                    out.append({"ok": bool(ok), "id": int(i), "error": None})
+                except xmlrpc.client.Fault as fault:
+                    out.append(
+                        {"ok": False, "id": int(i), "error": fault.faultString}
+                    )
+            return out
+
+
+def json_config_factory(config: str) -> "XmlRpcTransport":
+    """Transport factory for the rpc_model DataSource's
+    ``transport_config`` option: a JSON object with ``url``,
+    ``database``, ``login``, ``password`` — the executor-side analogue
+    of the reference's INI bootstrap (every worker builds its own
+    authenticated client from declarative config, no pickled sockets).
+    """
+    import json
+
+    cfg = json.loads(config)
+    return XmlRpcTransport(
+        url=cfg["url"],
+        database=cfg["database"],
+        login=cfg["login"],
+        password=cfg["password"],
+    )

@@ -62,6 +62,7 @@ class RpcModelReader(DataSourceReader):
         self.model = options["model"]
         self.domain = json.loads(options.get("domain", "[]"))
         self.transport_spec = options["transport"]
+        self.transport_config = options.get("transport_config")
         self.id_lo = int(options.get("id_lo", "0"))
         self.id_hi = int(options.get("id_hi", "0"))
         self.num_partitions = int(options.get("num_partitions", "1"))
@@ -78,7 +79,15 @@ class RpcModelReader(DataSourceReader):
         ]
 
     def read(self, partition: _IdSlice) -> Iterator[tuple]:
-        transport = _load_factory(self.transport_spec)()
+        factory = _load_factory(self.transport_spec)
+        # DataSource options are the only channel to executors, and the
+        # factory name must be a zero-arg importable — endpoint config
+        # (URL, database, credentials or an INI path) rides the
+        # ``transport_config`` option string when the factory takes one
+        # argument (e.g. connectors.xmlrpc.json_config_factory)
+        transport = (
+            factory(self.transport_config) if self.transport_config else factory()
+        )
         domain = list(self.domain)
         if partition.hi > partition.lo:
             domain = [["id", ">=", partition.lo], ["id", "<", partition.hi]] + domain

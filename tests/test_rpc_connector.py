@@ -116,10 +116,23 @@ class _OdooLikeServer:
         if method == "search_read":
             domain = args[0]
             fields = kwargs.get("fields") or []
+
+            def hit(row, f, op, v):
+                x = row.get(f)
+                if op == "=":
+                    return x == v
+                if op == "!=":
+                    return x != v
+                if op == ">=":
+                    return x is not None and x >= v
+                if op == "<":
+                    return x is not None and x < v
+                raise ValueError(op)
+
             out = []
             for row in self.store.values():
                 if all(
-                    (row.get(f) == v if op == "=" else row.get(f) != v)
+                    hit(row, f, op, v)
                     for f, op, v in (tuple(leaf) for leaf in domain)
                 ):
                     out.append(
@@ -140,6 +153,22 @@ class _OdooLikeServer:
                 self.store[rid] = {"id": rid, **r}
                 ids.append(rid)
             return ids
+        if method == "write":
+            ids, vals = args[0], args[1]
+            for rid in ids:
+                if rid not in self.store:
+                    raise xmlrpc.client.Fault(4, f"missing id {rid}")
+                if vals.get("v", 0) < 0:
+                    raise xmlrpc.client.Fault(2, "ValidationError: negative v")
+                self.store[rid].update(vals)
+            return True
+        if method == "unlink":
+            for rid in args[0]:
+                if rid not in self.store:
+                    raise xmlrpc.client.Fault(4, f"missing id {rid}")
+            for rid in args[0]:
+                del self.store[rid]
+            return True
         raise xmlrpc.client.Fault(1, f"unknown method {method}")
 
 
@@ -237,5 +266,99 @@ def test_live_xmlrpc_from_ini_bootstrap(spark, tmp_path):
         t = XmlRpcTransport.from_server_spec(spec, database="erp")
         got = t.search_read("res.partner", [("active", "=", True)], ["id"])
         assert sorted(r["id"] for r in got) == [1, 3]
+    finally:
+        srv.shutdown()
+
+
+def test_live_xmlrpc_partitioned_datasource(spark):
+    """A2 at full posture over a REAL socket: the rpc_model Python
+    DataSource splits the id space into slices, each EXECUTOR builds
+    its own authenticated client from the transport_config option
+    (json_config_factory) and fetches only its slice — union equals
+    the unpartitioned read."""
+    import json as _json
+
+    from cubicerp_client_etl_spark.sources.rpc_datasource import (
+        RpcModelDataSource,
+    )
+
+    srv, state, port = _start_server()
+    try:
+        # a contiguous id range with a filterable attribute
+        for i in range(10, 30):
+            state.store[i] = {"id": i, "name": f"rec{i}", "active": i % 2 == 0}
+        spark.dataSource.register(RpcModelDataSource)
+        cfg = _json.dumps(
+            {
+                "url": f"http://127.0.0.1:{port}",
+                "database": "erp",
+                "login": "admin",
+                "password": "secret",
+            }
+        )
+        df = (
+            spark.read.format("rpc_model")
+            .option(
+                "transport",
+                "cubicerp_client_etl_spark.connectors.xmlrpc:json_config_factory",
+            )
+            .option("transport_config", cfg)
+            .option("model", "res.partner")
+            .option("domain", '[["active", "=", true]]')
+            .option("fields", "id,name")
+            .option("schema", "id long, name string")
+            .option("id_lo", "10")
+            .option("id_hi", "30")
+            .option("num_partitions", "4")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 4
+        got = sorted(r.id for r in df.collect())
+        assert got == [i for i in range(10, 30) if i % 2 == 0]
+    finally:
+        srv.shutdown()
+
+
+def test_live_xmlrpc_apply_actions_matrix(spark):
+    """I1 over RPC, end-to-end live: merged rows route to the
+    reference's verbs by action tag — create (no recovered id), write
+    (recovered id), unlink (deleted), no-op (kept) — with a failed
+    write captured as a ledger error while its neighbors commit."""
+    from cubicerp_client_etl_spark.connectors.rpc import rpc_apply_actions
+    from cubicerp_client_etl_spark.connectors.xmlrpc import XmlRpcTransport
+
+    srv, state, port = _start_server()
+    try:
+        # pre-existing target records the merge "recovered" ids for
+        state.store[50] = {"id": 50, "name": "old50", "v": 1}
+        state.store[51] = {"id": 51, "name": "old51", "v": 1}
+        state.store[52] = {"id": 52, "name": "old52", "v": 1}
+        url = f"http://127.0.0.1:{port}"
+
+        def factory(u=url):
+            return XmlRpcTransport(u, "erp", "admin", "secret")
+
+        merged = spark.createDataFrame(
+            [
+                ("a", None, "inserted", "newA", 10),
+                ("b", 50, "updated", "newB", 20),
+                ("c", 51, "updated", "newC", -9),  # server rejects v<0
+                ("d", 52, "deleted", "oldD", 0),
+                ("e", None, "kept", "keepE", 5),
+            ],
+            "pk string, model_id long, action string, name string, v long",
+        ).coalesce(1)
+        ledger = rpc_apply_actions(merged, factory, "res.partner", "pk")
+        rows = {r.pk: (r.level, r.message) for r in ledger.collect()}
+        assert rows["a"][0] == "info" and "create" in rows["a"][1]
+        assert rows["b"][0] == "info" and "write" in rows["b"][1]
+        assert rows["c"][0] == "error" and "negative v" in rows["c"][1]
+        assert rows["d"][0] == "info" and "unlink" in rows["d"][1]
+        assert rows["e"][0] == "info" and "kept" in rows["e"][1]
+        assert state.store[50]["name"] == "newB"  # write applied
+        assert state.store[51]["name"] == "old51"  # failed write untouched
+        assert 52 not in state.store  # unlinked
+        created = [r for r in state.store.values() if r.get("name") == "newA"]
+        assert len(created) == 1  # created exactly once
     finally:
         srv.shutdown()
