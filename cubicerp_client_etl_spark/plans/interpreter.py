@@ -54,6 +54,30 @@ def _ftp_transport(server):
     )
 
 
+def _rpc_transport_for(res: ResourceSpec):
+    """Transport for an etl_type='rpc' resource: a custom
+    'module:factory' (rpc_transport, the K4 surface) wins; otherwise
+    the resource's ServerSpec maps onto the stdlib Odoo-wire client
+    (database = section name, cbc_xmlrpc.get_connection's shape)."""
+    if res.rpc_transport:
+        from cubicerp_client_etl_spark.sources.rpc_datasource import _load_factory
+
+        factory = _load_factory(res.rpc_transport)
+        return (
+            factory(res.rpc_transport_config)
+            if res.rpc_transport_config
+            else factory()
+        )
+    if res.server is None or res.server.etl_type != "rpc":
+        raise ValueError(
+            f"rpc resource {res.name!r} needs rpc_transport or an "
+            "etl_type='rpc' ServerSpec"
+        )
+    from cubicerp_client_etl_spark.connectors.xmlrpc import XmlRpcTransport
+
+    return XmlRpcTransport.from_server_spec(res.server, database=res.server.name)
+
+
 # --------------------------------------------------------------------- extract
 def extract(spark: SparkSession, job: JobSpec) -> DataFrame:
     """Resource → DataFrame (SURVEY A3/A4/A6/A9 dispatch, date-templated
@@ -69,6 +93,27 @@ def extract(spark: SparkSession, job: JobSpec) -> DataFrame:
         # A7: stage the remote file into the local spool; everything
         # downstream is the normal parallel read over the staged copy.
         path = _ftp_transport(res.server).fetch(res.f_filename, job.run_date)
+
+    if res.etl_type == "rpc" and res.rpc_model:
+        # A2 declared form: the scan runs through the live transport;
+        # the domain ships to the server VERBATIM (the reference's
+        # delegation, cubicerpetl.py:314-328) — no local re-filter.
+        from cubicerp_client_etl_spark.connectors.rpc import rpc_extract
+
+        df = rpc_extract(
+            spark,
+            _rpc_transport_for(res),
+            res.rpc_model,
+            domain=list(res.domain),
+            fields=[c.name for c in res.columns],
+            schema=res.rpc_schema or None,
+        )
+        for k, v in res.row_default_value.items():
+            if k in df.columns:
+                df = df.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
+            else:
+                df = df.withColumn(k, F.lit(v))
+        return df
 
     if job.job_type == "online" and job.input_payload_b64 is not None:
         # A6: inline payload fed through the same parsers as files
@@ -224,6 +269,18 @@ def load_sink(
     the merged frame (with the per-row action tag) for inspection."""
     res = job.load
     mode = job.transform.reprocess
+    # C4 shape: the target's recovered server ids (model_id) are load
+    # METADATA, not merge payload — pull the (pk -> model_id) map out
+    # before the merge (staged rows never carry one) and re-attach it
+    # for the RPC load's write/unlink routing.
+    id_map = None
+    if (
+        existing_target is not None
+        and "model_id" in existing_target.columns
+        and "model_id" not in df.columns
+    ):
+        id_map = existing_target.select(job.pk_field, "model_id")
+        existing_target = existing_target.drop("model_id")
     if existing_target is not None:
         merged = apply_reprocess_mode(existing_target, df, job.pk_field, mode)
     else:
@@ -236,6 +293,40 @@ def load_sink(
     # so at scale this trades one extra materialization for N-1 full
     # recomputes of the source scan + merge.
     merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if res.etl_type == "rpc" and res.rpc_model:
+        # I1 over RPC (the reference's primary load, cubicerpetl.py:
+        # 494-537): merged rows route to create/write/unlink by their
+        # action tag through the live transport; the returned ledger
+        # carries the SERVER's per-row outcome, which is what the run
+        # ledger records (not the plan's optimistic action).
+        from cubicerp_client_etl_spark.connectors.rpc import rpc_apply_actions
+
+        out = merged
+        if id_map is not None and "model_id" not in out.columns:
+            out = out.join(id_map, job.pk_field, "left")
+        if "model_id" not in out.columns:
+            out = out.withColumn("model_id", F.lit(None).cast("long"))
+        rpc_ledger = rpc_apply_actions(
+            out,
+            lambda res=res: _rpc_transport_for(res),
+            res.rpc_model,
+            pk_col=job.pk_field,
+        )
+        rpc_ledger = rpc_ledger.persist(StorageLevel.MEMORY_AND_DISK)
+        rpc_ledger.count()  # ship exactly once
+        if job.ledger_path:
+            ledger = build_ledger(
+                rpc_ledger,
+                job_id=hash(job.name) % (2**31),
+                pk_col="pk",
+                level_col="level",
+                message_col="message",
+                model=res.name,
+                model_id_col="model_id",
+            )
+            write_ledger(ledger, job.ledger_path)
+        return merged
 
     path = render_date_template(res.f_filename, job.run_date) if res.f_filename else ""
     ftp_server = (

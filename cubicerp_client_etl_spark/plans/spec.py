@@ -98,6 +98,19 @@ class ResourceSpec:
     sql_begin: str = ""
     sql_end: str = ""
     sql_begin_delay: float = 0.0
+    # rpc family (etl_type='rpc'): the reference's model scan/load
+    # (cubicerpetl.py:314-328 extract, :494-537 load). rpc_model names
+    # the remote model; the declared ``domain`` ships to the server
+    # VERBATIM (delegation — the reference's semantics) instead of
+    # filtering locally; rpc_schema types the returned rows. The
+    # transport comes from ``server`` (etl_type='rpc' ServerSpec →
+    # connectors.xmlrpc.XmlRpcTransport.from_server_spec, database =
+    # section name — cbc_xmlrpc.get_connection's shape) unless
+    # rpc_transport names a custom 'module:factory' (K4 surface).
+    rpc_model: str = ""
+    rpc_schema: str = ""
+    rpc_transport: str = ""
+    rpc_transport_config: str = ""
     # transport endpoint; None → local filesystem ('file' semantics)
     server: "ServerSpec | None" = None
     # domain filter applied after scan (B5)

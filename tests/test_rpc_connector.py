@@ -362,3 +362,105 @@ def test_live_xmlrpc_apply_actions_matrix(spark):
         assert len(created) == 1  # created exactly once
     finally:
         srv.shutdown()
+
+
+def test_declared_rpc_job_lifecycle_end_to_end(spark, tmp_path):
+    """The reference's PRIMARY job shape (§3.1: RPC extract → field
+    program → reprocess merge → RPC load + ledger) as ONE declared
+    JobSpec against the live loopback server: the domain delegates to
+    the server, the merge tags actions, the load routes verbs through
+    the transport, and the run ledger records the SERVER's per-row
+    outcomes."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.plans.interpreter import run_job
+    from cubicerp_client_etl_spark.plans.spec import (
+        ColumnSpec,
+        FieldSpec,
+        JobSpec,
+        ResourceSpec,
+        ServerSpec,
+        TransformSpec,
+    )
+
+    srv, state, port = _start_server()
+    try:
+        # source model rows on the server: id 10..15, some inactive
+        for i in range(10, 16):
+            state.store[i] = {
+                "id": i,
+                "name": f"src{i}",
+                "amount": float(i),
+                "active": i != 12,
+            }
+        server = ServerSpec(
+            name="erp",
+            etl_type="rpc",
+            fs_host="127.0.0.1",
+            fs_port=port,
+            login="admin",
+            password="secret",
+        )
+        job = JobSpec(
+            name="rpc_lifecycle",
+            extract=ResourceSpec(
+                name="partners_in",
+                etl_type="rpc",
+                rpc_model="res.partner",
+                rpc_schema="id long, name string, amount double",
+                columns=(
+                    ColumnSpec("id"),
+                    ColumnSpec("name"),
+                    ColumnSpec("amount"),
+                ),
+                domain=(("active", "=", True), ("id", ">=", 10)),
+                server=server,
+            ),
+            transform=TransformSpec(
+                name="decorate",
+                fields=(
+                    FieldSpec("pk", value="CAST(id AS STRING)"),
+                    FieldSpec("name", value="UPPER(name)"),
+                    FieldSpec("v", value="CAST(amount AS BIGINT)"),
+                ),
+                reprocess="update",
+            ),
+            load=ResourceSpec(
+                name="partners_out",
+                etl_type="rpc",
+                rpc_model="res.partner",
+                server=server,
+            ),
+            pk_field="pk",
+            ledger_path=str(tmp_path / "ledger"),
+        )
+        # pre-existing target rows for ids 10-11 (so they become
+        # 'updated' with recovered server ids 50/51; the rest insert)
+        state.store[50] = {"id": 50, "name": "tgt10", "v": 0}
+        state.store[51] = {"id": 51, "name": "tgt11", "v": 0}
+        existing = spark.createDataFrame(
+            [("10", "tgt10", 0, 50), ("11", "tgt11", 0, 51)],
+            "pk string, name string, v long, model_id long",
+        )
+        merged = run_job(spark, job, existing_target=existing)
+        acts = {r.pk: r.action for r in merged.collect()}
+        # id 12 is inactive → excluded by the DELEGATED domain
+        assert "12" not in acts
+        assert acts["10"] == acts["11"] == "updated"
+        assert all(acts[str(i)] == "inserted" for i in (13, 14, 15))
+        # server state: recovered ids 50/51 written, new rows created
+        assert state.store[50]["name"] == "SRC10"
+        assert state.store[51]["name"] == "SRC11"
+        created = sorted(
+            r["name"] for r in state.store.values()
+            if str(r.get("name", "")).startswith("SRC1")
+            and r.get("id") not in (50, 51)
+        )
+        assert created == ["SRC13", "SRC14", "SRC15"]
+        # run ledger records the server's per-row outcomes
+        ledger = spark.read.parquet(str(tmp_path / "ledger"))
+        lrows = {r.pk: r.level for r in ledger.collect()}
+        assert set(lrows) == {"10", "11", "13", "14", "15"}
+        assert all(v == "info" for v in lrows.values())
+    finally:
+        srv.shutdown()
