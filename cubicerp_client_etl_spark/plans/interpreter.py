@@ -11,7 +11,9 @@ network per loaded row. Here the whole job is ONE lazy DataFrame plan:
 No driver-side row loops, no chunking (partitions are the unit of
 parallelism), state transitions on the driver only. The 100-row-chunk
 tail-drop bug (etl_cron.py:49-50) has no analogue — there is no chunking
-to get wrong.
+to get wrong. The ready→running→done cron sweep itself is
+``run_ready_jobs`` (etl_cron.run parity over the live transport,
+loopback-server-tested).
 """
 
 from __future__ import annotations
@@ -417,3 +419,47 @@ def run_job(
     if "end" in job.python_hooks:  # K3 batch-end hook
         staged = job.python_hooks["end"](staged)
     return load_sink(staged, job, existing_target)
+
+
+def run_ready_jobs(
+    spark: SparkSession,
+    transport,
+    job_builder,
+    existing_target_for=None,
+    job_id: int | None = None,
+    job_model: str = "etl.job",
+) -> dict[int, DataFrame]:
+    """The reference's cron sweep (etl_cron.run, :39-55) re-owned: fetch
+    the job registry through the transport, skip jobs whose state is
+    not 'ready' (unless ``job_id`` pins one — the reference's explicit
+    override), flip each to running via ``action_start``, run the full
+    declared lifecycle, flip to done via ``action_done``.
+
+    ``job_builder(job_row) -> JobSpec`` compiles the server's job
+    metadata into the engine's declarative spec (deployment-specific —
+    the reference reads extract_resource_id/transform_id/... relations;
+    a test or deployment supplies the mapping). ``existing_target_for
+    (job_row) -> DataFrame | None`` supplies the reprocess target.
+
+    The 100-row chunk loop (etl_cron.py:46-53, with its tail-drop bug
+    at :49-50) has no analogue: run_job is one lazy plan and partitions
+    are the unit of parallelism. State transitions happen on the
+    driver, one RPC each — metadata-sized, like the reference.
+
+    Returns {job id: merged frame} for the jobs that ran.
+    """
+    rows = transport.search_read(job_model, [], ["id", "name", "state"])
+    ran: dict[int, DataFrame] = {}
+    for row in rows:
+        jid = int(row["id"])
+        if job_id is not None:
+            if jid != job_id:
+                continue
+        elif row.get("state") != "ready":
+            continue
+        transport.execute_kw(job_model, "action_start", [[jid]])
+        job = job_builder(row)
+        existing = existing_target_for(row) if existing_target_for else None
+        ran[jid] = run_job(spark, job, existing_target=existing)
+        transport.execute_kw(job_model, "action_done", [[jid]])
+    return ran

@@ -464,3 +464,111 @@ def test_declared_rpc_job_lifecycle_end_to_end(spark, tmp_path):
         assert all(v == "info" for v in lrows.values())
     finally:
         srv.shutdown()
+
+
+def test_cron_sweep_runs_only_ready_jobs(spark, tmp_path):
+    """etl_cron parity against the live server: the sweep fetches the
+    job registry, runs ONLY 'ready' jobs (ready -> running -> done via
+    action_start/action_done model calls), skips done/draft ones, and
+    the job_id override runs a pinned job regardless of state."""
+    import xmlrpc.client
+
+    from cubicerp_client_etl_spark.plans.interpreter import run_ready_jobs
+    from cubicerp_client_etl_spark.plans.spec import (
+        ColumnSpec,
+        FieldSpec,
+        JobSpec,
+        ResourceSpec,
+        TransformSpec,
+    )
+    from cubicerp_client_etl_spark.connectors.xmlrpc import XmlRpcTransport
+    from cubicerp_client_etl_spark.sinks.writers import write_csv_resource
+
+    srv, state, port = _start_server()
+    try:
+        # teach the loopback server the job model + state transitions
+        state.store[201] = {"id": 201, "name": "job_a", "state": "ready",
+                            "model": "etl.job"}
+        state.store[202] = {"id": 202, "name": "job_b", "state": "done",
+                            "model": "etl.job"}
+        state.store[203] = {"id": 203, "name": "job_c", "state": "draft",
+                            "model": "etl.job"}
+        orig_execute = _OdooLikeServer.execute_kw
+
+        def execute_kw(self, db, uid, pwd, model, method, args, kwargs):
+            if method in ("action_start", "action_done"):
+                for rid in args[0]:
+                    if rid not in self.store:
+                        raise xmlrpc.client.Fault(4, f"missing id {rid}")
+                    self.store[rid]["state"] = (
+                        "running" if method == "action_start" else "done"
+                    )
+                return True
+            if method == "search_read" and model == "etl.job":
+                fields = kwargs.get("fields") or []
+                return [
+                    {f: r.get(f) for f in fields}
+                    for r in self.store.values()
+                    if r.get("model") == "etl.job"
+                ]
+            return orig_execute(self, db, uid, pwd, model, method, args, kwargs)
+
+        _OdooLikeServer.execute_kw = execute_kw
+        try:
+            # a tiny file lifecycle per job (CSV in -> CSV out)
+            started: list[int] = []
+
+            def job_builder(row):
+                jid = int(row["id"])
+                started.append(jid)
+                src = tmp_path / f"in_{jid}"
+                write_csv_resource(
+                    spark.createDataFrame(
+                        [(jid, "x"), (jid + 1, "y")], "k long, s string"
+                    ).select(
+                        F.col("k").cast("string"), "s"
+                    ),
+                    str(src),
+                )
+                return JobSpec(
+                    name=f"job{jid}",
+                    extract=ResourceSpec(
+                        name="in",
+                        f_type="csv",
+                        f_filename=str(src),
+                        columns=(ColumnSpec("k"), ColumnSpec("s")),
+                    ),
+                    transform=TransformSpec(
+                        name="t",
+                        fields=(
+                            FieldSpec("pk", value="CAST(k AS STRING)"),
+                            FieldSpec("s", field_name="s"),
+                        ),
+                        reprocess="insert",
+                    ),
+                    load=ResourceSpec(
+                        name="out", f_type="csv",
+                        f_filename=str(tmp_path / f"out_{jid}"),
+                    ),
+                    pk_field="pk",
+                )
+
+            t = XmlRpcTransport(
+                f"http://127.0.0.1:{port}", "erp", "admin", "secret"
+            )
+            ran = run_ready_jobs(spark, t, job_builder)
+            assert sorted(ran) == [201]
+            assert state.store[201]["state"] == "done"
+            assert state.store[202]["state"] == "done"
+            assert state.store[203]["state"] == "draft"  # untouched
+            assert ran[201].count() == 2
+
+            # job_id override runs a non-ready job (the reference's
+            # explicit-job path skips the state check)
+            ran2 = run_ready_jobs(spark, t, job_builder, job_id=203)
+            assert sorted(ran2) == [203]
+            assert state.store[203]["state"] == "done"
+        finally:
+            _OdooLikeServer.execute_kw = orig_execute
+    finally:
+        srv.shutdown()
