@@ -1013,3 +1013,63 @@ def stream_tax_box(lines: DataFrame) -> DataFrame:
             F.sum("tax_cents").cast("bigint").alias("tax_cents"),
         )
     )
+
+
+def stream_price_waterfall(lines: DataFrame, part_static: DataFrame) -> DataFrame:
+    """Streaming price waterfall — the online form of q298: invoice
+    lines land continuously, each joins the STATIC part dimension
+    (stream-static equi-join, broadcast-sized), the list/invoice/
+    realized rungs are computed map-side on the exact e4 basis, and
+    the running per-brand totals are one bounded update-mode groupBy
+    — state is the brand grid (25 rows), no watermark needed (the
+    additive-state argument of the tax-box/CMS twins). leakage_e6 is
+    derived from the live totals with the same exact floor the batch
+    query uses, so batch==stream is row-for-row once the stream
+    drains (pinned in tests).
+    """
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    part = part_static.select(
+        F.col("p_partkey").alias("l_partkey"),
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("retail_cents"),
+    )
+    rows = lines.select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("inv_cents"),
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+            " * 10000 AS BIGINT)"
+        ).alias("realized_e4"),
+    ).join(part, "l_partkey")
+    agg = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("qty") * F.col("retail_cents") * 100)
+        .cast("bigint")
+        .alias("list_e4"),
+        F.sum(F.col("inv_cents") * 100).cast("bigint").alias("invoice_e4"),
+        F.sum("realized_e4").cast("bigint").alias("realized_e4"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_lines",
+        "list_e4",
+        "invoice_e4",
+        "realized_e4",
+        F.when(
+            F.col("invoice_e4") > 0,
+            e6_floor_ratio(
+                F.col("invoice_e4") - F.col("realized_e4"),
+                F.col("invoice_e4"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("leakage_e6"),
+    )

@@ -860,3 +860,28 @@ def test_checkpoint_recovery_exactly_once_ledger(spark, tmp_path):
     assert len({e for e, _, _ in rows}) == 2, "epoch ids must be unique"
     assert sum(n for _, n, _ in rows) == 100
     assert sum(t for _, _, t in rows) == sum(i * 10 for i in range(100))
+
+
+def test_stream_price_waterfall_equals_batch(spark):
+    """The streaming price waterfall (stream-static dimension join +
+    bounded per-brand update grid, exact e4 rungs) must equal q298's
+    batch rollup row-for-row once the stream drains."""
+    import __spark_entry__ as e
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        lineitem_stream,
+        run_stream_to_memory,
+        stream_price_waterfall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    streamed = run_stream_to_memory(
+        stream_price_waterfall(lineitem_stream(spark, sf), part),
+        "waterfall_stream",
+        output_mode="complete",
+    )
+    batch = e.queries()["q298_price_waterfall"](spark, sf)
+    cols = sorted(batch.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and len(want) > 0
