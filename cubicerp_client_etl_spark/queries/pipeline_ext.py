@@ -791,7 +791,7 @@ _CLUSTER_T = 0.35
 
 
 @register(
-    "q047_neardup_components",
+    "q297_neardup_components",
     oracle="""
 WITH RECURSIVE
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -813,7 +813,7 @@ SELECT comp.node AS vec_id, comp.component, sized.cluster_size,
 FROM comp JOIN sized ON comp.component = sized.c2
 """,
 )
-def q047_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q297_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.graph import connected_components
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")

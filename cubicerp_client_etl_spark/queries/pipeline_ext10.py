@@ -1065,7 +1065,7 @@ def q271_last_touch_attribution(
 
 
 @register(
-    "q272_ses_forecast",
+    "q049_ses_forecast",
     oracle="""
 WITH RECURSIVE series AS (
   SELECT l_partkey AS key,
@@ -1099,7 +1099,7 @@ SELECT CAST(key AS BIGINT) AS l_partkey, period, value,
 FROM s
 """,
 )
-def q272_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.forecast import ses_forecast
 
     series = (

@@ -75,7 +75,7 @@ def _bucket_stats(buckets: DataFrame, family: str) -> DataFrame:
 # docs x bands) — no candidate pair is ever materialized.
 # --------------------------------------------------------------------------
 @register(
-    "q292_neardup_candidate_datasheet",
+    "q040_neardup_candidate_datasheet",
     headline=True,
     oracle="""
 WITH toks AS (
@@ -196,7 +196,7 @@ stats AS (
 SELECT * FROM stats
 """,
 )
-def q292_neardup_candidate_datasheet(
+def q040_neardup_candidate_datasheet(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from cubicerp_client_etl_spark.operators import dedup as dd
@@ -289,7 +289,7 @@ def q292_neardup_candidate_datasheet(
 # independent, buckets amortize pandas overhead.
 # --------------------------------------------------------------------------
 @register(
-    "q293_croston_forecast",
+    "q041_croston_forecast",
     headline=True,
     oracle="""
 WITH RECURSIVE series AS (
@@ -331,7 +331,7 @@ SELECT CAST(key AS BIGINT) AS l_partkey, period, value, gap,
 FROM s
 """,
 )
-def q293_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q041_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.forecast import croston_forecast
 
     series = (
@@ -369,7 +369,7 @@ def q293_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a broadcast dimension join + pure map arithmetic.
 # --------------------------------------------------------------------------
 @register(
-    "q294_eoq_order_quantity",
+    "q042_eoq_order_quantity",
     oracle="""
 WITH d AS (
   SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -401,7 +401,7 @@ SELECT l_partkey, demand_qty, holding_cents, eoq_qty,
 FROM e
 """,
 )
-def q294_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import isqrt_exact
 
     demand = (
@@ -444,7 +444,7 @@ def q294_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + a broadcast total; the grid is <= 9 rows.
 # --------------------------------------------------------------------------
 @register(
-    "q295_abc_xyz_matrix",
+    "q045_abc_xyz_matrix",
     oracle="""
 WITH rev AS (
   SELECT l_partkey AS pk,
@@ -508,7 +508,7 @@ FROM abc JOIN graded ON graded.pk = abc.pk
 GROUP BY 1, 2
 """,
 )
-def q295_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import isqrt_exact
     from cubicerp_client_etl_spark.operators.quality import abc_classification
 
@@ -577,7 +577,7 @@ def q295_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both map-side-combinable after the join's shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q296_vendor_lead_time",
+    "q046_vendor_lead_time",
     oracle="""
 WITH leads AS (
   SELECT l_suppkey,
@@ -612,7 +612,7 @@ SELECT l_suppkey, n, mean_days, var_days,
 FROM rooted
 """,
 )
-def q296_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import isqrt_exact
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -665,7 +665,7 @@ def q296_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window + one keyed agg + a broadcast 1-row as-of; output <= 4 rows.
 # --------------------------------------------------------------------------
 @register(
-    "q297_fifo_inventory_aging",
+    "q047_fifo_inventory_aging",
     oracle="""
 WITH base AS (
   SELECT l_partkey AS part,
@@ -707,7 +707,7 @@ SELECT age_bucket,
 FROM aged GROUP BY age_bucket
 """,
 )
-def q297_fifo_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_fifo_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     base = (
@@ -767,7 +767,7 @@ def q297_fifo_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share per brand. Scale: broadcast dimension join + one keyed agg.
 # --------------------------------------------------------------------------
 @register(
-    "q298_price_waterfall",
+    "q048_price_waterfall",
     oracle="""
 WITH rows_ AS (
   SELECT p_brand,
@@ -796,7 +796,7 @@ SELECT p_brand, n_lines, list_e4, invoice_e4, realized_e4,
 FROM agg
 """,
 )
-def q298_price_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_price_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.col("l_quantity").cast("bigint").alias("qty"),

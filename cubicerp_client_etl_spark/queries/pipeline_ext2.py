@@ -159,7 +159,7 @@ def q108_hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cubicerpetl/cubicerpetl.py:775-787).
 # --------------------------------------------------------------------------
 @register(
-    "q049_quality_report",
+    "q272_quality_report",
     oracle="""
 SELECT 'nonpositive_quantity' AS rule,
        (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS n_violations
@@ -183,7 +183,7 @@ SELECT 'fk(l_orderkey->o_orderkey)',
                           WHERE o.o_orderkey = l.l_orderkey))
 """,
 )
-def q049_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q272_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import (
         combine_reports,
         fk_report,

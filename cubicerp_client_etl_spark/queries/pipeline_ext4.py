@@ -535,7 +535,7 @@ def q150_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LUT, and ADC exactly.
 # --------------------------------------------------------------------------
 @register(
-    "q048_pq_adc_topk",
+    "q298_pq_adc_topk",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 subs AS (SELECT unnest(generate_series(0, 7)) AS sub_idx),
@@ -590,7 +590,7 @@ SELECT probe_id, vec_id, est_dist_e6, rank FROM (
 WHERE rank <= 5
 """,
 )
-def q048_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q298_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
 
     emb = load(spark, sf_dir, "embeddings").select(

@@ -123,8 +123,8 @@ ORDER BY vec_id
 )
 
 
-@register("q040_semantic_dedup", oracle=_SD_ORACLE)
-def q040_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q292_semantic_dedup", oracle=_SD_ORACLE)
+def q292_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
     from cubicerp_client_etl_spark.operators.clustering import kmeans_int
     from cubicerp_client_etl_spark.operators.semdedup import semantic_dedup

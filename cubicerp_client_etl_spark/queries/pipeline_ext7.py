@@ -3099,7 +3099,7 @@ def q203_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-band shape — q203's skew report applies verbatim).
 # --------------------------------------------------------------------------
 @register(
-    "q204_simhash_blocking",
+    "q050_simhash_blocking",
     oracle="""
 WITH dupped AS (
   SELECT doc_id, text FROM documents
@@ -3158,7 +3158,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
 FROM ham
 """,
 )
-def q204_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q050_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.dedup import (
         simhash_chunk_candidates,
         simhash_int_portable,
@@ -3686,7 +3686,7 @@ def q207_dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (mapInPandas, no shuffle).
 # --------------------------------------------------------------------------
 @register(
-    "q041_jpeg_feature_histogram",
+    "q293_jpeg_feature_histogram",
     oracle="""
 WITH d AS (
   SELECT doc_id, 10 + doc_id % 7 AS w, 9 + doc_id % 6 AS h
@@ -3712,7 +3712,7 @@ SELECT s.doc_id,
 FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
 """,
 )
-def q041_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q293_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from cubicerp_client_etl_spark.operators.jpeg import encode_jpeg_gray
@@ -4185,7 +4185,7 @@ def q213_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: synth + decode are pure map stages.
 # --------------------------------------------------------------------------
 @register(
-    "q042_gif_feature_histogram",
+    "q294_gif_feature_histogram",
     oracle="""
 WITH d AS (
   SELECT doc_id, 9 + doc_id % 8 AS w, 7 + doc_id % 9 AS h
@@ -4210,7 +4210,7 @@ SELECT s.doc_id,
 FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
 """,
 )
-def q042_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q294_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from cubicerp_client_etl_spark.operators.gif import encode_gif_gray

@@ -832,7 +832,7 @@ _SDX_NAMES = [
 
 
 @register(
-    "q050_soundex_blocking",
+    "q204_soundex_blocking",
     oracle=f"""
 WITH rec AS (
   SELECT c_custkey, c_nationkey, c_mktsegment,
@@ -871,7 +871,7 @@ SELECT sdx,
 FROM cand GROUP BY sdx
 """,
 )
-def q050_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q204_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.linkage import (
         blocked_pairs,
         soundex_portable,

@@ -456,14 +456,14 @@ def q174_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q023_cube",
+    "q088_cube",
     oracle="""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
-def q023_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q088_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
@@ -498,7 +498,7 @@ def q130_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # covers both set ops.
 # --------------------------------------------------------------------------
 @register(
-    "q045_intersect_except",
+    "q295_intersect_except",
     oracle="""
 SELECT nationkey, 'both' AS tag FROM
   (SELECT c_nationkey AS nationkey FROM customer
@@ -509,7 +509,7 @@ SELECT nationkey, 'customer_only' AS tag FROM
    EXCEPT SELECT s_nationkey FROM supplier)
 """,
 )
-def q045_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q295_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     both = c.intersect(s).withColumn("tag", F.lit("both"))
@@ -557,7 +557,7 @@ def q141_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q175 — JSON scalar extraction (H14) over the events props column.
 # --------------------------------------------------------------------------
 @register(
-    "q024_json_extract",
+    "q089_json_extract",
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -568,7 +568,7 @@ FROM events
 GROUP BY event_type
 """,
 )
-def q024_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q089_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(

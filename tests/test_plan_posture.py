@@ -202,7 +202,7 @@ def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
 def test_q95_tpch_q6_pushdown_single_stage(spark):
     """Q6 must be the minimal shape: all three predicates pushed into
     the scan, one partial+final agg, no shuffle beyond the 1-row final."""
-    plan = plan_of(spark, "q085_tpch_q6_forecast_revenue")
+    plan = plan_of(spark, "q021_tpch_q6_forecast_revenue")
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
@@ -211,7 +211,7 @@ def test_q95_tpch_q6_pushdown_single_stage(spark):
 
 
 def test_q94_tpch_q5_broadcasts_all_dims(spark):
-    plan = plan_of(spark, "q021_tpch_q5_local_supplier_volume")
+    plan = plan_of(spark, "q085_tpch_q5_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region
     assert "CartesianProduct" not in plan
 
@@ -365,11 +365,11 @@ def test_q140_sessionize_single_window_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q049_quality_report_single_pass_row_rules(spark):
+def test_q272_quality_report_single_pass_row_rules(spark):
     """Quality report (q049): the four row rules must evaluate in ONE
     conditional-aggregate pass over lineitem (no per-rule scan fanout:
     scans of lineitem stay bounded by the three report families)."""
-    plan = plan_of(spark, "q049_quality_report")
+    plan = plan_of(spark, "q272_quality_report")
     # row-rule pass + uniqueness + FK anti-join = at most 3 lineitem scans
     assert plan.count("lineitem.parquet") <= 3, plan.count("lineitem.parquet")
 
@@ -659,7 +659,7 @@ def test_q048_pq_search_never_rescans_raw_vectors(spark):
     """PQ ADC (q048): the search aggregate consumes the code table +
     broadcast LUT only — no cartesian; the (probe,id) sum shows
     map-side partial aggregation."""
-    plan = plan_of(spark, "q048_pq_adc_topk")
+    plan = plan_of(spark, "q298_pq_adc_topk")
     assert "CartesianProduct" not in plan, plan
     assert "partial_sum" in plan, plan
 

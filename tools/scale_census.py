@@ -57,7 +57,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # n/4 wide → n²/16 pairs, 27x at 10x; fixed by deriving k from the
 # corpus count so cells stay ~2000 vectors).
 DECLARED_SUPERLINEAR = {
-    "q047_neardup_components": "declared exact all-pairs cosine edges",
+    "q297_neardup_components": "declared exact all-pairs cosine edges",
     "q070_cosine_pairs": "declared exact all-pairs cosine",
     "q075_embedding_near_dup": "declared exact all-pairs near-dup",
 }
