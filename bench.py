@@ -85,7 +85,44 @@ def load_flags(
     return sorted(flagged)
 
 
+def load_gate() -> None:
+    """Refuse to publish numbers from a contended box (judge r12 item 4:
+    BENCH_LOCAL_r12 was recorded at host load 7-8 and overstated q011 by
+    33% vs the judge's idle re-run — a committed number that understates
+    the engine is worse than no number). Pre-flight: if the 1-minute
+    load average exceeds SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0 on this
+    32-cpu box), retry a few times for transient load, then print ONE
+    refusal JSON line (still driver-parseable) and exit instead of
+    timing anything. SPARK_GRAFT_BENCH_FORCE=1 overrides for CI."""
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
+        return
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    tries = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_TRIES", "4")))
+    load = None
+    for i in range(tries):
+        load = os.getloadavg()[0]
+        if load <= threshold:
+            return
+        if i < tries - 1:
+            time.sleep(20)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "refused_under_load": True,
+                "loadavg_1m": round(load, 2),
+                "threshold": threshold,
+                "unit": "sec",
+                "note": "box contended; rerun idle or set "
+                "SPARK_GRAFT_BENCH_FORCE=1",
+            }
+        )
+    )
+    sys.exit(0)
+
+
 def main() -> None:
+    load_gate()
     spark = get_spark(app_name="bench")
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
@@ -167,6 +204,20 @@ def main() -> None:
                 prev = got
                 prev_medians_round = rnd
                 break
+    if prev:
+        # window rotations rename queries (pairwise number swaps, suffix
+        # preserved); fold the previous round's keys through the full
+        # committed rename history so a rotated query keeps its
+        # cross-round yardstick instead of silently dropping out of
+        # load-flag rule 3
+        try:
+            sys.path.insert(0, os.path.join(here, "tools"))
+            from hash_ledger import load_maps, translate
+
+            maps = load_maps()
+            prev = {translate(n, maps): v for n, v in prev.items()}
+        except Exception:
+            pass  # translation is best-effort; untranslated keys just skip rule 3
     load_warnings = load_flags(samples, prev)
     if load_warnings:
         print(
