@@ -1,6 +1,6 @@
 """Cogrouped pandas as-of join (SURVEY C9, the applyInPandas path).
 
-The window formulation (queries/relational2.q020) covers the common
+The window formulation (queries/relational2.q218, birth q020) covers the common
 "probe and reference are the same keyed stream" case by unioning and
 running last-non-null over one window. This operator is the general
 form — two ARBITRARY keyed frames, pandas ``merge_asof`` per key group

@@ -396,7 +396,7 @@ def simhash_bits_portable(
       1/32 of the md5 work of the per-bit family — and the wider
       fingerprint lets chunk blocking use 8-bit chunks (256-way
       buckets) instead of 4-bit (16-way), collapsing candidate-pair
-      density ~16x (q204's measured wall was the dense pair join, not
+      density ~16x (q050's (birth q204) measured wall was the dense pair join, not
       the hashing). Computed as one ``aggregate`` fold over
       ``transform(toks, md5)`` so md5 runs once per token — the
       digests array is materialized as the fold's input, immune to
@@ -463,7 +463,7 @@ def simhash_int_portable(text_col: Column | str, n_bits: int = 32) -> Column:
     Same vote family as ``simhash_bits_portable(single_digest=True)``
     — vote i = hex digit i of ``md5(token)`` >= '8' — but the output
     is an integer, so chunk blocking becomes shift/mask arithmetic and
-    Hamming distance one ``bit_count(a ^ b)``: at q204's measured
+    Hamming distance one ``bit_count(a ^ b)``: at q050's (birth q204) measured
     density (millions of candidate pairs) the 32-char string zip_with
     per pair was the wall; xor+popcount is ~free and shuffles 8 bytes
     instead of 32+ per row. DuckDB replays it exactly:
@@ -645,7 +645,7 @@ def _setsim_prefix_tokens(
     hot_cap: int | None,
 ) -> tuple[DataFrame, DataFrame]:
     """The AllPairs/PPJoin prefix build shared by ``setsim_join`` and
-    the near-dup candidate datasheet (q292): returns ``(base, pref)``
+    the near-dup candidate datasheet (q040, birth q292): returns ``(base, pref)``
     where ``base = (_id, _set, _sz)`` holds each document's sorted
     shingle set over the (possibly hot-capped) universe and ``pref =
     (_id, _sz, _t)`` is the exploded rarest-first prefix tokens —
@@ -1020,7 +1020,7 @@ def simhash_chunk_candidates(
     fingerprints, so uniqueness costs a predicate, not a DISTINCT
     shuffle). Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``,
     UNFILTERED by distance — callers apply their own radius so the
-    candidate count itself stays observable (the q204 datasheet uses
+    candidate count itself stays observable (the q050 blocking query and the q040 datasheet use
     it directly).
 
     ``hot_chunk_cap`` (opt-in, LOSSY — the ``lsh_candidate_pairs.

@@ -432,7 +432,7 @@ def near_duplicate_invoice_screen(
     invoice probes its own and the NEXT bucket, so any pair within
     tolerance differs by at most one bucket; the exact tolerance
     check runs on candidates only. Pairs are unique without a
-    DISTINCT shuffle (the q204 matching-key-election rule): a pair is
+    DISTINCT shuffle (the q050 (birth q204) matching-key-election rule): a pair is
     emitted only at probe key ``greatest(bucket_a, bucket_b)`` — when
     the buckets are EQUAL the pair collides at both b and b+1 and
     greatest keeps exactly the b collision; when they differ by one

@@ -106,7 +106,7 @@ def semantic_dedup(
     # 64·127² ≈ 1.03e6 (int8 quantization), den²·dot² <= 1e4·1.07e12
     # ≈ 1.1e16 < 2^63, all safe in int64. The HOF form evaluated three
     # 64-step folds PER PAIR — 56M pairs at the 10x census made the
-    # verify the q040 wall (396 s); one 2000×64 @ 64×2000 matmul per
+    # verify the q292-era wall (396 s; semdedup, live q292 after r13); one 2000×64 @ 64×2000 matmul per
     # cell does the same integer ops in milliseconds.
     tn, td = int(tau_num), int(tau_den)
     out_schema = f"{id_col} long, {cluster_col} long, witness long"

@@ -18,7 +18,7 @@ from cubicerp_client_etl_spark.operators.merge import apply_reprocess_mode
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q022 — value-mapping decode (C1): l_returnflag through a mapping table
+# q286 (birth q022) — value-mapping decode (C1): l_returnflag through a mapping table
 # with a default line ('N' is deliberately unmapped → falls to default).
 # Engine side goes through the generic broadcast-join operator; oracle
 # expresses the same decode as CASE.
@@ -54,7 +54,7 @@ def q286_value_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q023 — xml-id-style dimension resolution (C2): a "module.name" string
+# q211 (birth q023) — xml-id-style dimension resolution (C2): a "module.name" string
 # resolved to a record id via a broadcast dim join; misses stay NULL (the
 # reference's warning path, cubicerpetl.py:609).
 # The xml-id dim is derived deterministically from nation.
@@ -98,7 +98,7 @@ def q211_xmlid_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q024 — name-search first-hit resolution (C3): resolve each customer's
+# q144 (birth q024) — name-search first-hit resolution (C3): resolve each customer's
 # first order (search [('o_custkey','=',c_custkey)], take hit #0); misses
 # (customers with no orders) stay NULL.
 # --------------------------------------------------------------------------
@@ -125,7 +125,7 @@ def q144_name_search_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q025 — insert-if-absent (C5): supplier nations missing from the customer
+# q227 (birth q025) — insert-if-absent (C5): supplier nations missing from the customer
 # nation dim get created with a provenance tag. Anti-join, no driver loop.
 # --------------------------------------------------------------------------
 @register(
@@ -251,7 +251,7 @@ SELECT pk, price, action FROM (
 
 
 # --------------------------------------------------------------------------
-# q028 — ledger id recovery (C4): staged rows adopt the model_id recorded
+# q290 (birth q028) — ledger id recovery (C4): staged rows adopt the model_id recorded
 # by a prior run; the ledger is derived deterministically from orders.
 # --------------------------------------------------------------------------
 @register(

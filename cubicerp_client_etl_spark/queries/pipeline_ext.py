@@ -80,7 +80,7 @@ def q069_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q031 — n-gram Jaccard similarity vs a probe document (L-dedup, exact
+# q146 (birth q031) — n-gram Jaccard similarity vs a probe document (L-dedup, exact
 # form): 3-gram shingle sets, one semi-join pass, linear in corpus size.
 # --------------------------------------------------------------------------
 @register(
@@ -135,7 +135,7 @@ def q146_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q032 — MinHash + LSH near-dup candidates (L-dedup2): the scale path.
+# q082 (birth q032) — MinHash + LSH near-dup candidates (L-dedup2): the scale path.
 # Window variant uses the PORTABLE md5-string hash family
 # (minhash_signatures(portable=True)): min over md5 hex strings is a
 # valid MinHash under any total order, and DuckDB replays the whole
@@ -309,7 +309,7 @@ def q070_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q035 — LSH-bucketed near-neighbor (the scale path): hyperplane buckets
+# q209 (birth q035) — LSH-bucketed near-neighbor (the scale path): hyperplane buckets
 # first, pairs only within buckets. Window variant uses the PORTABLE
 # Rademacher-md5 bucketer (hyperplane_lsh_bucket_portable): ±1 signs
 # from md5(f"{m},{d}"), projections in exact int64 over
@@ -460,7 +460,7 @@ def q071_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q040 — multimodal binary plumbing (L-mm1): payload + typed metadata,
+# q149 (birth q040) — multimodal binary plumbing (L-mm1): payload + typed metadata,
 # oracle checks the byte-level plumbing (octet length, head bytes in hex).
 # --------------------------------------------------------------------------
 @register(
@@ -485,11 +485,11 @@ def q149_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q041 — multimodal feature extraction through mapInPandas (the Arrow
+# q208 (birth q041) — multimodal feature extraction through mapInPandas (the Arrow
 # batch path). The stubbed decoder is a deterministic byte-histogram
 # (bucket = byte % 8, mass = count/len as plain IEEE division), so DuckDB
 # can replay it exactly over the pure-ASCII fixture text (bytes == chars,
-# verified across SFs like q042). Features are projected to per-feature
+# verified across SFs like q197, birth q042). Features are projected to per-feature
 # scalar columns — window queries return scalars only (driver
 # canonicalizer can't sort array cells).
 # --------------------------------------------------------------------------
@@ -585,7 +585,7 @@ def q079_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q042 — frame sampling (L-mm1, UDTF shape): one document → one row per
+# q138 (birth q042) — frame sampling (L-mm1, UDTF shape): one document → one row per
 # sampled 64-byte frame via mapInPandas; row growth happens map-side with
 # no shuffle. The fixture text is pure ASCII (verified across SFs), so
 # byte-slice frames equal char-slice frames and DuckDB can oracle the
@@ -718,7 +718,7 @@ def q072_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q038 — BPE-ish sub-word token estimate (L-txt1): regex word-pieces with
+# q147 (birth q038) — BPE-ish sub-word token estimate (L-txt1): regex word-pieces with
 # ceil(len/4) merge depth, identical arithmetic in the oracle.
 # --------------------------------------------------------------------------
 @register(
@@ -740,7 +740,7 @@ def q147_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q039 — TF-IDF top terms per document (L-txt1): corpus-relative term
+# q166 (birth q039) — TF-IDF top terms per document (L-txt1): corpus-relative term
 # weighting entirely in codegen expressions; df table broadcast back.
 # Both engines rank by the 6dp-rounded score with term tie-break, so the
 # top-k sets are identical.
@@ -774,7 +774,7 @@ def q166_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q047 — near-dup clustering via distributed connected components
+# q297 (birth q047) — near-dup clustering via distributed connected components
 # (L-dedup terminal step): pair-level near-dup edges (cosine ≥ 0.35,
 # same predicate family as q075) become duplicate *clusters*; the kept
 # representative is the min vec_id per component. Spark side is

@@ -29,7 +29,7 @@ from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q258 — Salted skew join (operators/lookups.salted_join): the
+# q007 (birth q258) — Salted skew join (operators/lookups.salted_join): the
 # audit-to-remedy pipeline. events.user_id % 25 is a DELIBERATELY
 # hot key (10k rows over 25 segments at sf0.01; billions per segment
 # at 100 TB — more than one executor's memory, past what AQE's
@@ -158,7 +158,7 @@ def q009_bucketed_colocated_join(
 
 
 # --------------------------------------------------------------------------
-# q260 — Declared end-to-end reference job lifecycle (plans/
+# q005 (birth q260) — Declared end-to-end reference job lifecycle (plans/
 # interpreter.run_job over a JobSpec): the reference's §3.1 loop —
 # INI server bootstrap (config.server_spec_from_ini; etl.ini section
 # -> ServerSpec, cbc_xmlrpc.py:39-55 analogue) -> date-templated CSV
@@ -357,7 +357,7 @@ def q261_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q262 — Three-way match (operators/finance.three_way_match): PO /
+# q010 (birth q262) — Three-way match (operators/finance.three_way_match): PO /
 # goods receipt / supplier invoice reconciled per line — the
 # procurement control the reference's ledger feeds. Documents are
 # synthesized deterministically from lineitem (receipts short 1 unit
@@ -518,7 +518,7 @@ def q263_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q264 — RFM segmentation (operators/behavior.rfm_segmentation):
+# q011 (birth q264) — RFM segmentation (operators/behavior.rfm_segmentation):
 # customers quintiled on recency / frequency / monetary by the exact
 # integer rule score = ceil(cum·5/n) over each metric's value-count
 # prefix scan, rolled up to the ≤125-cell segment grid. As-of is
@@ -761,7 +761,7 @@ def q267_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q268 — AVCO moving-average inventory (operators/history.
+# q015 (birth q268) — AVCO moving-average inventory (operators/history.
 # avco_inventory): the other standard costing method next to FIFO
 # (q013). Moves are synthesized from lineitem per part — every line
 # yields a receipt of qty at its unit price (seq 2k) then an issue of
@@ -923,7 +923,7 @@ def q269_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q270 — Referential-integrity audit (operators/quality.
+# q018 (birth q270) — Referential-integrity audit (operators/quality.
 # referential_integrity_audit): orphan counts + exact e6 shares for
 # the four fixture FK relationships — the load-time data contract. The
 # healthy answer is four zero rows, and pinning that zero under the
@@ -1053,7 +1053,7 @@ def q271_last_touch_attribution(
 
 
 # --------------------------------------------------------------------------
-# q272 — Single exponential smoothing (operators/forecast.
+# q049 (birth q272) — Single exponential smoothing (operators/forecast.
 # ses_forecast): per-part monthly demand smoothed with alpha = 1/4 on
 # exact integers — level updates by floor((x − s)/4), the one-step
 # forecast is the PRIOR level so the error column is honest. Like

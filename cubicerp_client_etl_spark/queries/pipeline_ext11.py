@@ -3,7 +3,7 @@ customer-economics operators an ERP analytics engine is asked for
 right after the round-10 set — fixed-asset depreciation, purchase
 price variance, DSO, the VAT box report, OTIF service levels,
 intercompany elimination, seasonality indices, Holt double exponential
-smoothing (the trend-aware sibling of q272's SES, same recursive-CTE
+smoothing (the trend-aware sibling of q049's SES, same recursive-CTE
 oracle discipline), inventory turns, customer-concentration HHI,
 n-gram novelty scoring for corpus curation, cohort LTV curves, credit
 exposure, and the fuzzy (near-amount) duplicate-invoice screen.
@@ -31,7 +31,7 @@ def _cents(col: str) -> F.Column:
 
 
 # --------------------------------------------------------------------------
-# q278 — Straight-line depreciation schedule (operators/finance.
+# q002 (birth q278) — Straight-line depreciation schedule (operators/finance.
 # depreciation_schedule): assets from part (cost = retail price cents,
 # life = 3 + p_size % 5 periods); the per-period charge is
 # cost div life with the remainder's cents on the EARLIEST periods, so
@@ -85,7 +85,7 @@ def q002_depreciation_schedule(
 
 
 # --------------------------------------------------------------------------
-# q279 — Purchase price variance (PPV): actual unit cost (invoice line
+# q003 (birth q279) — Purchase price variance (PPV): actual unit cost (invoice line
 # cents div qty, floored — both sides non-negative so floor == trunc
 # in every engine) against the part's standard cost, extended by
 # quantity and rolled up per brand with the favorable-line share. The
@@ -153,7 +153,7 @@ def q003_purchase_price_variance(
 
 
 # --------------------------------------------------------------------------
-# q280 — Days sales outstanding (DSO) by month: month's open AR (order
+# q004 (birth q280) — Days sales outstanding (DSO) by month: month's open AR (order
 # status 'O') against the month's billed revenue, scaled by a 30-day
 # month — the collections-efficiency metric next to q261's aging
 # buckets. Exact: dso_days = open_ar · 30 div revenue. One scan, one
@@ -201,7 +201,7 @@ def q004_dso_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q281 — VAT box summary: lines grouped by tax-rate percent (the raw
+# q008 (birth q281) — VAT box summary: lines grouped by tax-rate percent (the raw
 # l_tax double cast to DECIMAL(4,2) — a RAW-column cast, exact in both
 # engines) with the taxable base and the tax amount
 # (base · rate div 100, exact cents). The tax-return box report; the
@@ -243,7 +243,7 @@ def q008_tax_box_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q282 — OTIF (on-time-in-full) service level per order priority:
+# q012 (birth q282) — OTIF (on-time-in-full) service level per order priority:
 # on-time = shipped within the priority's SLA days of the order date
 # (exact integer day math on epoch micros — no engine date-interval
 # quirks); in-full = shipped quantity covers the deterministic
@@ -333,7 +333,7 @@ def q012_otif_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q283 — Intercompany elimination: orders synthesized into entity-to-
+# q014 (birth q283) — Intercompany elimination: orders synthesized into entity-to-
 # entity transactions (seller = custkey % 5, buyer = (custkey +
 # orderkey) % 5, self-trades excluded); for every UNORDERED entity
 # pair the gross flow, the directional net, and the eliminated amount
@@ -398,10 +398,10 @@ def q014_intercompany_elimination(
 
 
 # --------------------------------------------------------------------------
-# q284 — Seasonality index by calendar month: each month-of-year's
+# q016 (birth q284) — Seasonality index by calendar month: each month-of-year's
 # revenue against the flat 1/12 share — index_e6 = rev_m · 12 · 1e6
 # div total (1e6 = exactly seasonal-neutral). The demand-planning
-# input that turns q272/q285's level forecasts into monthly targets.
+# input that turns q049/q019's level forecasts into monthly targets.
 # One scan, 12-row output.
 # --------------------------------------------------------------------------
 
@@ -445,14 +445,14 @@ def q016_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q285 — Holt double exponential smoothing (operators/forecast.
-# holt_forecast): q272's SES with a TREND state — per-part monthly
+# q019 (birth q285) — Holt double exponential smoothing (operators/forecast.
+# holt_forecast): q049's SES with a TREND state — per-part monthly
 # demand, alpha = beta = 1/4 on exact integers in the error-correction
 # form (l += trunc(err/4); b += trunc(level_step/4)). Same
 # irreducibly-sequential recurrence class as SES/AVCO → 64-way
 # hash-bucketed Arrow walk; the oracle replays BOTH states with a
 # RECURSIVE CTE in per-part row-number lockstep. Parts sampled (% 10)
-# to bound the oracle recursion width, mirroring q272.
+# to bound the oracle recursion width, mirroring q049.
 # --------------------------------------------------------------------------
 
 
@@ -523,7 +523,7 @@ def q019_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q286 — Inventory turns (operators/history.inventory_turns): the
+# q022 (birth q286) — Inventory turns (operators/history.inventory_turns): the
 # q015 AVCO move ledger (receipts + half-quantity issues per line,
 # parts % 20) summarized per part as issued quantity against the
 # average post-move on-hand — turns_e6 = issued · 1e6 · n div
@@ -596,7 +596,7 @@ def q022_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q287 — Customer-concentration HHI (operators/quality.
+# q025 (birth q287) — Customer-concentration HHI (operators/quality.
 # hhi_concentration): the Herfindahl index over per-customer revenue —
 # Σ (e6 share)² on a 1e12 scale plus the top-5 combined share. The
 # revenue-concentration risk line in every diligence datasheet, next
@@ -638,7 +638,7 @@ def q025_customer_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q288 — N-gram novelty vs a reference corpus (operators/curation.
+# q026 (birth q288) — N-gram novelty vs a reference corpus (operators/curation.
 # ngram_novelty): even-id documents are the reference snapshot,
 # odd-id documents score — the fraction of each scored doc's distinct
 # trigram shingles never seen in the reference (the keep-side
@@ -695,7 +695,7 @@ def q026_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q289 — Cohort LTV curve (operators/behavior.cohort_ltv): customers
+# q027 (birth q289) — Cohort LTV curve (operators/behavior.cohort_ltv): customers
 # cohort by first order month; revenue accumulates per (cohort,
 # month offset) with the per-user running LTV — the revenue twin of
 # q233's retention matrix. Two keyed aggregates + one window over the
@@ -752,7 +752,7 @@ def q027_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q290 — Credit exposure vs limit per market segment: each customer's
+# q028 (birth q290) — Credit exposure vs limit per market segment: each customer's
 # OPEN order value (status 'O') against a deterministic credit limit
 # (positive part of the account balance + a 50k floor, exact cents),
 # rolled up per segment with the over-limit count and the worst
@@ -842,12 +842,12 @@ def q028_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q291 — FUZZY duplicate-invoice screen (operators/finance.
+# q031 (birth q291) — FUZZY duplicate-invoice screen (operators/finance.
 # near_duplicate_invoice_screen): planted near-copies (amount +37
 # cents, date +2 days at orderkey % 97) must surface among same-party
 # invoice pairs within 100 cents and 7 days. The banded amount join
 # (bucket + next-bucket probes, least-bucket unique emission — the
-# q204 rule) is LOSSLESS for the absolute tolerance, so the oracle is
+# q050-family matching-key-election rule) is LOSSLESS for the absolute tolerance, so the oracle is
 # the NAIVE same-party pair join: the datasheet (pair count + planted
 # recall) must agree exactly.
 # --------------------------------------------------------------------------

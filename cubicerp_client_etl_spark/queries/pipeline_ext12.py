@@ -59,7 +59,7 @@ def _bucket_stats(buckets: DataFrame, family: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q292 — Near-dup candidate datasheet (L-obs, judge r11 item 3): per
+# q040 (birth q292) — Near-dup candidate datasheet (L-obs, judge r11 item 3): per
 # blocking family — MinHash band buckets (q082's join key), SimHash
 # 8-bit chunk buckets (q204's join key), setsim rarest-first prefix
 # buckets (q212's join key) — the bucket-occupancy distribution and
@@ -278,7 +278,7 @@ def q040_neardup_candidate_datasheet(
 
 
 # --------------------------------------------------------------------------
-# q293 — Croston intermittent-demand forecast (operators/forecast.
+# q041 (birth q293) — Croston intermittent-demand forecast (operators/forecast.
 # croston_forecast): the standard slow-mover forecaster — smoothed
 # demand SIZE and smoothed inter-demand INTERVAL, updated per observed
 # demand month, one-step-ahead rate = 1e6·z div p. Same truncated
@@ -359,7 +359,7 @@ def q041_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q294 — Economic order quantity (the Wilson EOQ closed form, the
+# q042 (birth q294) — Economic order quantity (the Wilson EOQ closed form, the
 # purchasing-policy twin of q269's reorder point): per part,
 # EOQ = isqrt(2·D·S div H) with D = total demanded quantity, S = a
 # 100.00-currency fixed order cost, H = 10% of the unit retail price
@@ -433,7 +433,7 @@ def q042_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q295 — ABC-XYZ matrix (the planning segmentation every MRP system
+# q045 (birth q295) — ABC-XYZ matrix (the planning segmentation every MRP system
 # derives): ABC = revenue Pareto class (q249's prefix-scan operator,
 # cents-exact, 80/95 cuts), XYZ = demand-variability class from the
 # coefficient of variation of MONTHLY demand (exact floored moments +
@@ -568,7 +568,7 @@ def q045_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q296 — Vendor lead-time reliability (the procurement scorecard):
+# q046 (birth q296) — Vendor lead-time reliability (the procurement scorecard):
 # order-to-ship days per line (l_shipdate − o_orderdate), per supplier
 # — count, floored mean, floored population variance, floor-corrected
 # integer std, and the e6 on-time share (lead <= 30 days). Exact
@@ -654,7 +654,7 @@ def q046_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q297 — FIFO inventory aging (the balance-sheet twin of q013's FIFO
+# q047 (birth q297) — FIFO inventory aging (the balance-sheet twin of q013's FIFO
 # COGS, same move-ledger convention as q015/q022: receipts = line
 # quantities in (orderkey, linenumber) sequence, issues = half of each
 # line): the quantity REMAINING on hand per receipt layer under FIFO
@@ -758,7 +758,7 @@ def q047_fifo_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q298 — Price waterfall / discount realization per brand (the margin
+# q048 (birth q298) — Price waterfall / discount realization per brand (the margin
 # bridge's pricing rungs): list value (quantity x retail price), the
 # invoiced extended price, and the realized value after line discounts
 # — all on the exact e4 (hundredths-of-a-cent) basis the DECIMAL(18,4)

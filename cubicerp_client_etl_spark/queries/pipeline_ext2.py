@@ -152,7 +152,7 @@ def q108_hash_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q049 — data-quality constraint report (D2 extension): row rules in one
+# q272 (birth q049) — data-quality constraint report (D2 extension): row rules in one
 # conditional-sum pass, uniqueness via group-count, referential
 # integrity via broadcast anti-join — the declarative, one-shuffle-each
 # form of the reference's per-row check/amount reconciliation
@@ -413,7 +413,7 @@ def q114_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q050 — PageRank over the customer–supplier transaction graph
+# q200 (birth q050) — PageRank over the customer–supplier transaction graph
 # (L-family, iterative): 5 fixed iterations in exact integer units
 # (operators/graph.pagerank_int) — integer division makes every step
 # bit-identical under any partitioning/engine, which is the only way an
@@ -587,7 +587,7 @@ def q118_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q119 — sequence packing (L-pipeline, sample packing for LLM training):
+# q281 (birth q119) — sequence packing (L-pipeline, sample packing for LLM training):
 # greedy contiguous token-budget binning per bucket stream
 # (operators/packing.py). The recurrence is deterministic, so the
 # DuckDB oracle replays it exactly with a recursive CTE over the same

@@ -25,7 +25,7 @@ from cubicerp_client_etl_spark.queries import register
 
 
 # --------------------------------------------------------------------------
-# q122 — Gopher-style repetition filter (L-txt extension). Per-document
+# q177 (birth q122) — Gopher-style repetition filter (L-txt extension). Per-document
 # duplicate-token / top-token / duplicate-bigram fractions as exact
 # 1e6-scaled integers, plus the documents a Gopher-ish rule would drop.
 # Map-only Catalyst HOFs (array_sort + aggregate fold for the top-token
@@ -84,7 +84,7 @@ def q177_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q123 — n-gram benchmark decontamination (L-pipeline). Benchmark set =
+# q158 (birth q123) — n-gram benchmark decontamination (L-pipeline). Benchmark set =
 # documents with doc_id % 97 = 0 (a stand-in eval suite); corpus
 # documents sharing any 5-token shingle with it are flagged with the
 # count of distinct overlapping shingles. Posture: benchmark shingle
@@ -278,7 +278,7 @@ def q165_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q127 — changelog apply / MERGE compaction (I-family extension, the
-# inverse of q047's snapshot diff): base = customer accounts, changelog
+# inverse of q107's CDC snapshot diff): base = customer accounts, changelog
 # = events keyed on user_id (purchase/signup upsert the account's
 # tracked value, error deletes it; latest event per key wins via
 # (ts, event_id) total order). Money surfaces as exact integer e2/e6
@@ -402,7 +402,7 @@ def q129_rate_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q130 — end-to-end curation pipeline (L-pipeline flagship): the full
+# q224 (birth q130) — end-to-end curation pipeline (L-pipeline flagship): the full
 # document-hygiene chain COMPOSED from the engine's operators —
 #   (1) quality gate: >=10 tokens and duplicate-token fraction < 60%
 #       (repetition_stats, map-only),
@@ -673,7 +673,7 @@ def q133_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q134 — exact set-similarity self-join via prefix filtering (L-dedup,
+# q212 (birth q134) — exact set-similarity self-join via prefix filtering (L-dedup,
 # PPJoin/AllPairs family): all document pairs with 3-gram shingle-set
 # Jaccard >= 1/2, found WITHOUT MinHash (lossless — no hash-family
 # false negatives) and WITHOUT all-pairs (candidates only where rare
@@ -882,7 +882,7 @@ def q137_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q138 — exact stratified sample (L-pipeline): EXACTLY 120 documents,
+# q197 (birth q138) — exact stratified sample (L-pipeline): EXACTLY 120 documents,
 # allocated across languages proportionally by largest-remainder
 # (Hamilton) quotas, selected per group by keyed hash — "same mix as
 # the corpus, exact total". All integer arithmetic (base = n·gc div
@@ -1005,7 +1005,7 @@ def q139_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q140 — Pareto revenue concentration (F/E-family scale showcase):
+# q170 (birth q140) — Pareto revenue concentration (F/E-family scale showcase):
 # parts ranked by revenue desc with an EXACT running revenue total
 # computed by the two-phase distributed scan (operators/prefix.py) —
 # never a single-partition global window — and the 80%-of-revenue flag

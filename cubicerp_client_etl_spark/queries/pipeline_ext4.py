@@ -39,7 +39,7 @@ _BUDGETS = {"src0": 5000, "src1": 3000, "src7": 2500}
 
 
 # --------------------------------------------------------------------------
-# q141 — exact token-budget mixture (operators/budget.py). Three domains
+# q017 (birth q141) — exact token-budget mixture (operators/budget.py). Three domains
 # get explicit character budgets, everything else budget 0; each domain
 # contributes the prefix of its md5-shuffled order that fits. Runs on
 # the keyed two-phase scan (prefix_sum_by) — no raw-row window keyed on
@@ -118,7 +118,7 @@ def q142_interleave_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q143 — exact distributed quantiles (operators/quantiles.py): discrete
+# q230 (birth q143) — exact distributed quantiles (operators/quantiles.py): discrete
 # quantiles of l_quantity via value-count table + two-phase prefix scan;
 # no single-partition sort, no sketch. Oracle: DuckDB quantile_disc at
 # the same q values (independent implementation of the same semantics —
@@ -153,7 +153,7 @@ def q230_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q144 — incremental dedup across corpus snapshots
+# q210 (birth q144) — incremental dedup across corpus snapshots
 # (operators/retention.py): a keyed-md5 split plays "already ingested"
 # (h < '8', ~50%) vs "new batch"; the new batch is collapsed to one doc
 # per bag-of-words key and anti-joined against the seen-key set. Keys
@@ -235,7 +235,7 @@ def q145_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q146 — big×big interval-overlap join via bin quantization
+# q231 (birth q146) — big×big interval-overlap join via bin quantization
 # (operators/interval.py): concurrent 30-minute activity windows per
 # user, counted per user. The bin equi-join keeps the plan
 # hash-shuffle-shaped (no BroadcastNestedLoopJoin between two
@@ -284,7 +284,7 @@ def q231_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q147 — count-min sketch frequency estimates (operators/sketches.py):
+# q161 (birth q147) — count-min sketch frequency estimates (operators/sketches.py):
 # a 4×64 sketch over all document tokens, probed for a fixed token set
 # alongside the exact counts. The md5 hash family makes the sketch
 # deterministic and engine-portable, so the oracle replays every bucket
@@ -381,7 +381,7 @@ def q148_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q149 — end-to-end fuzzy-dedup retention pipeline: exact Jaccard
+# q217 (birth q149) — end-to-end fuzzy-dedup retention pipeline: exact Jaccard
 # set-similarity join (PPJoin prefix filter, J >= 1/2 on 3-gram
 # shingles) → connected components (min-label propagation) → one
 # survivor per near-dup cluster (longest doc, tie → lowest id). The
@@ -525,7 +525,7 @@ def q150_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q151 — product-quantization ADC search (operators/similarity.py):
+# q298 (birth q151) — product-quantization ADC search (operators/similarity.py):
 # 64-dim vectors → 8 subspaces × 8 deterministic codewords; search
 # runs entirely over the code table + a per-probe broadcast lookup
 # table, with distances scaled to exact 1e6 integers before the sum so
@@ -643,7 +643,7 @@ def q152_occupancy_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q153 — weighted priority sampling (operators/sampling.py): keep the 5
+# q096 (birth q153) — weighted priority sampling (operators/sampling.py): keep the 5
 # documents per source with the smallest (hash32·1e6 div n_chars)
 # priority — deterministic importance sampling that prefers longer
 # (higher-weight) documents, with exact-integer priorities any engine

@@ -143,7 +143,7 @@ def q157_bmp_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q158 — Bloom-filtered decontamination (operators/sketches.py): the
+# q216 (birth q158) — Bloom-filtered decontamination (operators/sketches.py): the
 # scale path for q012's exact pass when the eval-suite shingle table
 # outgrows its broadcast budget. Benchmark shingles (doc_id % 97 = 0,
 # 5-grams) build a Bloom positions table (m = 65536 cells, k = 3 md5
@@ -384,7 +384,7 @@ def q160_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q161 — BPE corpus tokenization (the APPLY path): segment the learned
+# q220 (birth q161) — BPE corpus tokenization (the APPLY path): segment the learned
 # vocab with q160's merges, then tokenize every document by a BROADCAST
 # join of its words against the segmented-vocab table — each distinct
 # word is segmented once, the corpus never runs per-row Python. Output:

@@ -161,7 +161,7 @@ def q292_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return removed.orderBy("vec_id")
 
 # --------------------------------------------------------------------------
-# q166 — model-based quality filter (operators/classifier.py): the
+# q221 (birth q166) — model-based quality filter (operators/classifier.py): the
 # fastText/CCNet-style hashed-bag-of-words linear classifier as pure
 # relational algebra — explode tokens, hash to one of 1024 buckets,
 # broadcast-join the integer weight table, one keyed sum per document,
@@ -437,7 +437,7 @@ def q169_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q170 — REAL audio decode path (operators/multimodal.py WAV codec):
+# q225 (birth q170) — REAL audio decode path (operators/multimodal.py WAV codec):
 # deterministic PCM16 waveforms are ENCODED as real RIFF/WAVE bytes
 # (stdlib `wave`), then audio_features(fake=False) parses the actual
 # container back and derives exact-integer features — samples,

@@ -24,7 +24,7 @@ from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q009 — Winnowing fingerprints (operators/winnow.py; Schleimer et al.
+# q259 (birth q009) — Winnowing fingerprints (operators/winnow.py; Schleimer et al.
 # 2003): the POSITIONAL member of the fingerprint family — char-8-gram
 # hashes, window-4 minima with rightmost tie-break, per-document digest.
 # The (hash, rightmost-pos) pair is packed into one bigint so a single
@@ -104,7 +104,7 @@ def q259_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q011 — Portable HyperLogLog (operators/sketches.py hll_registers /
+# q215 (birth q011) — Portable HyperLogLog (operators/sketches.py hll_registers /
 # hll_estimate; Flajolet et al. 2007): the ORACLE-CHECKABLE HLL —
 # q077's native approx_count_distinct sketch is opaque bytes (rows-only
 # forever), while this register table is the repo's md5 hash family and
@@ -240,7 +240,7 @@ def q173_hash_split_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q014 — DSIR importance weighting (operators/dsir.py; Xie et al.
+# q239 (birth q014) — DSIR importance weighting (operators/dsir.py; Xie et al.
 # NeurIPS 2023): hashed-unigram importance resampling weights — target
 # model = the English slice, raw model = the whole corpus; each doc
 # scores the integer sum of its tokens' per-bucket e6 log-likelihood
@@ -325,7 +325,7 @@ def q239_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q018 — BM25 ranked retrieval (operators/retrieval.py; Okapi BM25,
+# q270 (birth q018) — BM25 ranked retrieval (operators/retrieval.py; Okapi BM25,
 # k1 = 1.2, b = 0.75): the lexical-search leg next to the vector ANN
 # stack — eval-leakage triage and corpus audit by keyword probe. The
 # tf saturation is EXACT rational arithmetic (multiplied through by
@@ -500,7 +500,7 @@ def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q177 — LSH quality audit (precision/recall of the q032 MinHash-LSH
+# q262 (birth q177) — LSH quality audit (precision/recall of the q032 MinHash-LSH
 # band join vs exact-Jaccard ground truth at τ = 0.5): the
 # accuracy/cost datasheet a dedup config ships with — the near-dup twin
 # of q162's ANN recall report. Ground truth = pairs sharing >= 1
@@ -1185,7 +1185,7 @@ def q033_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q036 — Entity-resolution record linkage (operators/linkage.py): the
+# q087 (birth q036) — Entity-resolution record linkage (operators/linkage.py): the
 # RECORD twin of the document dedup stack — find customer rows that
 # denote the same entity under a planted one-char typo (dirty
 # re-entries at custkey+10⁶ for custkey % 13 == 0). Fellegi–Sunter
@@ -2391,7 +2391,7 @@ def q196_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q197 — REAL PNG decode path (operators/multimodal.py stdlib zlib
+# q214 (birth q197) — REAL PNG decode path (operators/multimodal.py stdlib zlib
 # codec): deterministic grayscale images are ENCODED as real PNGs with
 # the per-row filter CYCLING through all five types (None/Sub/Up/
 # Average/Paeth — one image exercises the decoder's whole filter
@@ -2664,7 +2664,7 @@ def q199_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q200 — Corpus RELEASE pipeline (the release-flavored sibling of
+# q223 (birth q200) — Corpus RELEASE pipeline (the release-flavored sibling of
 # q015's curation pipeline): model-based quality gate (q166 scoring,
 # keep score >= 0) → exact dedup (md5 fingerprint, keep lowest id) →
 # eval-set decontamination (drop docs sharing a word-5-gram with the
@@ -3080,7 +3080,7 @@ def q203_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q204 — SimHash Hamming-ball blocking (completes the SimHash scale
+# q050 (birth q204) — SimHash Hamming-ball blocking (completes the SimHash scale
 # story: q183 computes fingerprints; this FINDS the near pairs without
 # all-pairs): split the 32-bit fingerprint into 4 chunks of 8 bits —
 # by pigeonhole, any pair within Hamming distance 3 shares at least
@@ -3672,7 +3672,7 @@ def q207_dedup_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q208 — REAL JPEG decode path (operators/jpeg.py stdlib baseline
+# q293 (birth q208) — REAL JPEG decode path (operators/jpeg.py stdlib baseline
 # codec, VERDICT r6 "missing" #2): deterministic BLOCK-UNIFORM
 # grayscale images (each 8x8 block one planted value — DC-only in DCT
 # domain, where the codec round-trip is pixel-EXACT with quant=1;
@@ -3758,7 +3758,7 @@ def q293_jpeg_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q209 — Histogram quantile sketch audit (operators/quantiles.py
+# q083 (birth q209) — Histogram quantile sketch audit (operators/quantiles.py
 # histogram_quantile_sketch): the quantile member of the portable
 # sketch family (CMS/HLL/Bloom/occupancy), with its accuracy audit in
 # the same query — est vs exact_quantiles at five q's over exact
@@ -3841,7 +3841,7 @@ def q083_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q210 — Per-source quantile sketch datasheet (operators/quantiles.py
+# q175 (birth q210) — Per-source quantile sketch datasheet (operators/quantiles.py
 # histogram_quantile_sketch_by): per-domain token-length p50/p95 with
 # certified bounds — the curation-policy input (length caps per
 # source) at fixed memory per group (B counter rows), which
@@ -3932,7 +3932,7 @@ def q175_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q211 — Unicode NFC key collapse (operators/text.nfc_normalize_col):
+# q053 (birth q211) — Unicode NFC key collapse (operators/text.nfc_normalize_col):
 # the normalization-before-hashing step every multilingual dedup chain
 # needs. Two variants are planted per selected doc — composed ('a' ->
 # U+00E0) and decomposed ('a' -> 'a' + combining U+0300) — which are
@@ -3990,7 +3990,7 @@ def q053_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q212 — HTML boilerplate stripping (operators/text.strip_html): the
+# q289 (birth q212) — HTML boilerplate stripping (operators/text.strip_html): the
 # web-corpus extraction step — drop <script>/<style> subtrees, strip
 # tags, decode the five standard entities, collapse whitespace — as a
 # pure whole-stage-codegen regex chain (no UDF) restricted to the
@@ -4173,7 +4173,7 @@ def q213_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q214 — REAL GIF decode path (operators/gif.py stdlib LZW codec):
+# q294 (birth q214) — REAL GIF decode path (operators/gif.py stdlib LZW codec):
 # deterministic per-pixel grayscale images are encoded as INTERLACED
 # GIFs with real LZW compression, then extract_features(fake=False)
 # runs the actual variable-width LZW decode + interlace reorder +
@@ -4253,7 +4253,7 @@ def q294_gif_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q215 — Keyed HLL uniques datasheet (operators/sketches.py
+# q264 (birth q215) — Keyed HLL uniques datasheet (operators/sketches.py
 # hll_registers_by / hll_estimate_by): distinct users PER EVENT TYPE
 # at fixed memory per group (64 registers each, merge-by-max across
 # shards/streams) — the per-domain uniques production shape — reported

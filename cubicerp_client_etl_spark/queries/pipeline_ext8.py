@@ -20,7 +20,7 @@ from cubicerp_client_etl_spark.functions import hi_lo_bigint
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q012 (birth q216) — Luhn-validated payment-card PII audit (operators/text.py
+# q282 (birth q216) — Luhn-validated payment-card PII audit (operators/text.py
 # luhn_valid/card_candidates): regex extraction finds 13-19-digit card
 # CANDIDATES; the ISO/IEC 7812 Luhn checksum separates real card
 # numbers from random digit runs — the precision upgrade over the
@@ -151,7 +151,7 @@ def q282_pii_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q013 (birth q217) — Data-constrained epoch allocation (operators/budget.py
+# q248 (birth q217) — Data-constrained epoch allocation (operators/budget.py
 # epoch_allocation; Muennighoff et al. 2023): even budget split across
 # domains, ≤4 epochs of any domain's fresh data, capped domains hand
 # their surplus to domains with headroom. Four tiny domains + one
@@ -236,7 +236,7 @@ def q248_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q020 (birth q218) — Vocabulary-growth datasheet (operators/curation.py
+# q081 (birth q218) — Vocabulary-growth datasheet (operators/curation.py
 # vocab_growth; Heaps' law / Good–Turing N₁): 8 ingestion slices by
 # doc_id order; per slice the exact cumulative tokens, vocabulary,
 # newly-seen words and singletons-so-far. Scale: token explode + two
@@ -460,7 +460,7 @@ def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q038 (birth q220) — Bucketed negative sampling for contrastive training
+# q094 (birth q220) — Bucketed negative sampling for contrastive training
 # (operators/sampling.py bucketed_negative_sample): every embedding
 # anchors k=4 probes into hash buckets and takes the md5-smallest
 # different-label candidate per probe — deterministic negatives with
@@ -569,7 +569,7 @@ def q094_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q039 (birth q221) — HLL join-cardinality probe (operators/sketches.hll_set_algebra):
+# q100 (birth q221) — HLL join-cardinality probe (operators/sketches.hll_set_algebra):
 # register max-merge gives |A∪B|, inclusion–exclusion gives |A∩B| — the
 # pre-join key-overlap estimate (how many customers actually ordered?)
 # at m-register memory however large both sides are. Reported next to
@@ -703,7 +703,7 @@ def q100_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q044 (birth q222) — Matryoshka truncation recall audit (L-sim family): rank top-10
+# q102 (birth q222) — Matryoshka truncation recall audit (L-sim family): rank top-10
 # neighbors with the FULL 64-dim embedding and again with only the
 # first 32 dims (the Matryoshka-representation deployment trick: store/
 # search half the vector, verify the recall cost before shipping it).
@@ -813,7 +813,7 @@ def q102_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q050 (birth q223) — Phonetic (Soundex) blocking for record linkage
+# q204 (birth q223) — Phonetic (Soundex) blocking for record linkage
 # (operators/linkage.soundex_portable): surnames synthesized
 # deterministically from custkey out of a 12-name panel chosen so each
 # phonetic key mixes true near-matches (SMITH/SMYTH, lev 1) with
@@ -902,7 +902,7 @@ def q204_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q015 (birth q224) — k-anonymous aggregate release (operators/quality.
+# q268 (birth q224) — k-anonymous aggregate release (operators/quality.
 # k_anonymize_release): cross-tab of customer balances by
 # (nation, segment, cohort) with the minimum-cell-size rule — cells
 # under k=4 rows pool into one '*' catch-all so no published cell
@@ -956,7 +956,7 @@ def q268_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q016 (birth q225) — Winsorized statistics via the mergeable quantile sketch
+# q232 (birth q225) — Winsorized statistics via the mergeable quantile sketch
 # (operators/quantiles.histogram_quantile_sketch): clip lineitem price
 # cents at the sketch's p01/p99 estimates and report the clipped-tail
 # anatomy — the outlier-capping pre-processing step feature pipelines
@@ -1059,7 +1059,7 @@ def q232_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q019 (birth q226) — Currency conversion with sparse as-of rates (C9 in its ERP
+# q234 (birth q226) — Currency conversion with sparse as-of rates (C9 in its ERP
 # shape): monthly FX rates synthesized deterministically per currency
 # with ~1/3 of months MISSING, forward-filled over the bounded
 # (currency × month) grid — never a raw-row window on the 4-currency
@@ -1197,7 +1197,7 @@ def q234_currency_asof_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# q025 (birth q227) — Co-purchase triangle census (operators/graph.triangle_stats;
+# q254 (birth q227) — Co-purchase triangle census (operators/graph.triangle_stats;
 # Suri & Vassilvitskii 2011 degree orientation): parts bought in the
 # same order form an edge; triangles measure co-purchase cohesion.
 # Orientation bounds each node's out-degree at O(√m), so the wedge
@@ -1267,7 +1267,7 @@ def q254_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q026 (birth q228) — Geo neighbor join via grid-cell blocking (operators/geo.
+# q244 (birth q228) — Geo neighbor join via grid-cell blocking (operators/geo.
 # grid_neighbor_pairs): customers get deterministic micro-degree
 # coordinates; every pair within 0.2° (planar, exact integer d²) is
 # found through the 3×3 cell equi-join — the spatial member of the
@@ -1372,7 +1372,7 @@ def q244_geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q046 (birth q229) — Empirical-CDF feature transform (operators/quantiles.
+# q105 (birth q229) — Empirical-CDF feature transform (operators/quantiles.
 # cdf_transform): quantile-normalize lineitem quantities and roll the
 # transformed values up per return flag — the rank-based scaling step
 # (sklearn QuantileTransformer's exact form) built on the value-count
@@ -1417,7 +1417,7 @@ def q105_cdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q230 — Benford first-digit audit (operators/quality.benford_audit):
+# q093 (birth q230) — Benford first-digit audit (operators/quality.benford_audit):
 # the fraud / fabricated-data screen on order totals — naturally
 # multiplicative amounts lead with digit d at log10(1+1/d);
 # expectations are PINNED e6 integer literals so the audit is
@@ -1463,7 +1463,7 @@ def q093_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q231 — Time-weighted average value per user (D-family extension):
+# q291 (birth q231) — Time-weighted average value per user (D-family extension):
 # each event's value holds until the user's NEXT event, so the honest
 # per-user mean weights by holding time (TWAP — the metering/billing
 # aggregation), not by event count. lead() over the (high-cardinality)

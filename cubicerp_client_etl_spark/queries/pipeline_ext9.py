@@ -20,7 +20,7 @@ from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q232 — Funnel analysis (operators/behavior.funnel_report): earliest-
+# q284 (birth q232) — Funnel analysis (operators/behavior.funnel_report): earliest-
 # completion view → click → purchase funnel over the events stream,
 # with exact e6 step conversions and total time-to-step. Scale: K
 # conditional min-aggs chained by equi-joins on the user key; the
@@ -136,7 +136,7 @@ def q233_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q234 — Markov transition matrix (operators/behavior.transition_matrix):
+# q285 (birth q234) — Markov transition matrix (operators/behavior.transition_matrix):
 # per-user event-type bigram counts with exact e6 row-normalized
 # probabilities — the session-model / anomaly-screen input. Scale: one
 # lead() window on the high-cardinality user key; bounded
@@ -390,7 +390,7 @@ def q238_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q239 — Image perceptual-hash near-dup (operators/multimodal.
+# q283 (birth q239) — Image perceptual-hash near-dup (operators/multimodal.
 # image_ahash_bands + operators/dedup.hamming_candidates): the
 # MULTIMODAL member of the blocking family. Deterministic 16×16
 # grayscale BMPs are synthesized per sampled doc (pairs share a
@@ -861,7 +861,7 @@ def q243_longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q244 — Exact largest-remainder proration (operators/budget.prorate_exact):
+# q288 (birth q244) — Exact largest-remainder proration (operators/budget.prorate_exact):
 # a 2% header discount (cents) prorated over each order's lines
 # proportional to extended price, summing EXACTLY to the header amount
 # per order — the ERP allocation rule floating prorating never
@@ -1143,7 +1143,7 @@ def q247_cost_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q248 — FIFO cost of goods sold (operators/history.fifo_lot_matching):
+# q013 (birth q248) — FIFO cost of goods sold (operators/history.fifo_lot_matching):
 # FIFO lot consumption expressed as an interval join of cumulative-
 # quantity ranges — the set-based form of "consume the oldest lot
 # first", no loop, no recursion. Returns (restock lots = inbound,
@@ -1656,7 +1656,7 @@ def q253_brand_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q254 — Incremental aggregate maintenance (operators/history.
+# q287 (birth q254) — Incremental aggregate maintenance (operators/history.
 # maintain_aggregate): fold a deterministic changelog (every 9th
 # lineitem deleted, every 7th re-inserted with doubled quantity) into
 # the pre-aggregated (returnflag, linestatus) summary WITHOUT touching

@@ -65,7 +65,7 @@ def q001_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q002 — projection + filter (B1, B6, H3). Catalyst pushes both the
+# q278 (birth q002) — projection + filter (B1, B6, H3). Catalyst pushes both the
 # predicate and the 4-column ReadSchema into the Parquet scan.
 # --------------------------------------------------------------------------
 @register(
@@ -94,7 +94,7 @@ def q278_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q003 — Odoo domain filter (B5): the domain below compiles to one Catalyst
+# q279 (birth q003) — Odoo domain filter (B5): the domain below compiles to one Catalyst
 # predicate and is pushed into the scan like any WHERE clause.
 # Domain: ['|', ('c_mktsegment','=','BUILDING'),
 #               '&', ('c_acctbal','>',5000.0), ('c_nationkey','in',[1,2,3]),
@@ -126,7 +126,7 @@ def q279_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q004 — top-k (F3): Catalyst compiles orderBy+limit to
+# q280 (birth q004) — top-k (F3): Catalyst compiles orderBy+limit to
 # TakeOrderedAndProject — per-partition heaps, no global sort, no shuffle
 # of the full table. Tie-break on the unique key for determinism.
 # --------------------------------------------------------------------------
@@ -149,7 +149,7 @@ def q280_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q005 — distinct (D5): hash aggregate on the pair, partial distinct
+# q153 (birth q005) — distinct (D5): hash aggregate on the pair, partial distinct
 # map-side first.
 # --------------------------------------------------------------------------
 @register(
@@ -314,7 +314,7 @@ def q171_theta_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q010 — range/banding join (C9): fact joined to a tiny interval table on
+# q122 (birth q010) — range/banding join (C9): fact joined to a tiny interval table on
 # lo <= x < hi. The band table is broadcast, so the "range join" is a
 # broadcast nested loop over 4 rows — O(1) per fact row, no shuffle.
 # --------------------------------------------------------------------------
@@ -380,7 +380,7 @@ def q172_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q012 — analytic window lag (E2): days since the supplier's previous
+# q123 (birth q012) — analytic window lag (E2): days since the supplier's previous
 # shipment. Ordering is total via (shipdate, orderkey, linenumber).
 # --------------------------------------------------------------------------
 @register(
@@ -407,7 +407,7 @@ def q123_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q013 — running aggregate with explicit frame (E3): per-customer running
+# q126 (birth q013) — running aggregate with explicit frame (E3): per-customer running
 # order total in order-date order. Decimal accumulation keeps the running
 # sum exact at any depth.
 # --------------------------------------------------------------------------
@@ -471,7 +471,7 @@ def q088_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q015 — union all with provenance tag (G1).
+# q130 (birth q015) — union all with provenance tag (G1).
 # --------------------------------------------------------------------------
 @register(
     "q130_union_all",
@@ -494,7 +494,7 @@ def q130_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q016 — intersect / except (G2), tagged and re-unioned so one result
+# q295 (birth q016) — intersect / except (G2), tagged and re-unioned so one result
 # covers both set ops.
 # --------------------------------------------------------------------------
 @register(
@@ -520,7 +520,7 @@ def q295_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q017 — scalar function pack (H1-H6, H11, H13): string physics, date
+# q141 (birth q017) — scalar function pack (H1-H6, H11, H13): string physics, date
 # parts, regex — all JVM-side built-ins, zero UDFs.
 # --------------------------------------------------------------------------
 @register(
@@ -554,7 +554,7 @@ def q141_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q175 — JSON scalar extraction (H14) over the events props column.
+# q089 (birth q175) — JSON scalar extraction (H14) over the events props column.
 # --------------------------------------------------------------------------
 @register(
     "q089_json_extract",

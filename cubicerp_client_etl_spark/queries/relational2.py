@@ -37,7 +37,7 @@ def q055_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q019 — date-function pack (H3/H4): shifts, truncation, parts.
+# q226 (birth q019) — date-function pack (H3/H4): shifts, truncation, parts.
 # dayofweek: Spark is 1=Sunday, DuckDB dayofweek is 0=Sunday → +1.
 # --------------------------------------------------------------------------
 @register(
@@ -70,7 +70,7 @@ def q226_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q020 — as-of join (C9): each event joined to the most recent 'signup'
+# q218 (birth q020) — as-of join (C9): each event joined to the most recent 'signup'
 # event of the same user at-or-before its timestamp. Spark has no native
 # ASOF; expressed as a last_value window over a union-marked stream —
 # one shuffle on user_id, no range explosion. Oracle = DuckDB ASOF JOIN.
@@ -101,7 +101,7 @@ def q218_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q021 — correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+# q143 (birth q021) — correlated scalar subquery (TPC-H Q17 shape): lineitems whose
 # quantity exceeds 1.5× their part's average. Catalyst decorrelates to a
 # join on the aggregated subquery — no per-row subquery execution.
 # --------------------------------------------------------------------------

@@ -91,7 +91,7 @@ def q074_sorted_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q048 — skew-salted join (L-scale posture, made checkable). A hot join key
+# q151 (birth q048) — skew-salted join (L-scale posture, made checkable). A hot join key
 # (one orderkey owning a large share of lineitems at 100 TB) overloads a
 # single reducer in a plain shuffle join. Mitigation: split the fact side
 # into SALT deterministic sub-keys (pmod of a murmur3 hash — no RNG, so

@@ -85,7 +85,7 @@ def q080_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
-# q081 — TPC-H Q4 (order priority checking): EXISTS with a correlated
+# q084 (birth q081) — TPC-H Q4 (order priority checking): EXISTS with a correlated
 # non-equi predicate, decorrelated to a left-semi join.
 # l_commitdate/l_receiptdate don't exist → "some line shipped >30 days
 # after the order date" carries the same correlated-interval shape.
@@ -121,7 +121,7 @@ def q084_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q082 — TPC-H Q10 (returned items): 4-way join, revenue per customer over
+# q032 (birth q082) — TPC-H Q10 (returned items): 4-way join, revenue per customer over
 # a quarter of returned lines, top 20.
 # Scale: nation and customer broadcast; one shuffle on orderkey for
 # orders⋈lineitem, one on custkey for the agg; top-k never global-sorts.
@@ -164,7 +164,7 @@ def q032_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q083 — TPC-H Q13 (customer distribution): left outer join with a
+# q035 (birth q083) — TPC-H Q13 (customer distribution): left outer join with a
 # compound ON condition, then a two-level aggregation (orders per
 # customer → customers per order-count).
 # Scale: first agg shuffles on custkey (high cardinality — the real
@@ -197,7 +197,7 @@ def q035_tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
-# q084 — TPC-H Q18 (large-volume customers): HAVING-subquery turned
+# q036 (birth q084) — TPC-H Q18 (large-volume customers): HAVING-subquery turned
 # left-semi join against an aggregated key set, then a 3-way join + agg.
 # Scale: the qualifying-orderkey set is tiny (p99 filter) → Spark
 # broadcasts it for the semi join; lineitem is shuffled once on orderkey
@@ -252,7 +252,7 @@ def q036_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q085 — TPC-H Q19 (discounted revenue, disjunctive predicates): OR of
+# q038 (birth q085) — TPC-H Q19 (discounted revenue, disjunctive predicates): OR of
 # conjunct blocks spanning both join sides. Catalyst extracts the common
 # join key and pushes each side's derivable disjuncts into the scans.
 # Scale: part broadcasts; lineitem never shuffles at all.
@@ -336,7 +336,7 @@ def q086_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q087 — TPC-H Q7 (volume shipping): supplier-nation × customer-nation
+# q020 (birth q087) — TPC-H Q7 (volume shipping): supplier-nation × customer-nation
 # pair revenue by ship year. Both nation lookups are the same broadcast
 # dim joined twice under different aliases.
 # Scale: the only real shuffles are lineitem⋈orders on orderkey and the
@@ -385,7 +385,7 @@ def q020_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q088 — TPC-H Q11-ish (important supplier share): per-supplier revenue
+# q039 (birth q088) — TPC-H Q11-ish (important supplier share): per-supplier revenue
 # kept only when it exceeds a fraction of the global total (no partsupp
 # table → lineitem extendedprice stands in for stock value).
 # Scale: one shuffle on l_suppkey; the global total is a 1-row broadcast.
@@ -423,7 +423,7 @@ def q039_tpch_q11_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q089 — TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+# q044 (birth q089) — TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
 # the max-revenue supplier(s) via a scalar MAX subquery. Revenue is
 # exact decimal cast to double, so the MAX-equality predicate matches
 # identically in both engines.

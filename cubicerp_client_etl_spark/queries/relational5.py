@@ -31,7 +31,7 @@ _DP_SQL = (
 
 
 # --------------------------------------------------------------------------
-# q093 — TPC-H Q5 (local supplier volume): 6-way join constrained to
+# q085 (birth q093) — TPC-H Q5 (local supplier volume): 6-way join constrained to
 # customer and supplier in the same nation, region-filtered, revenue per
 # nation. Scale: region/nation/supplier broadcast (bounded dims); the
 # customer⋈orders and orders⋈lineitem joins shuffle on their keys once
@@ -80,7 +80,7 @@ def q085_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> Data
 
 
 # --------------------------------------------------------------------------
-# q094 — TPC-H Q6 (forecast revenue change): single-table scan-agg with a
+# q021 (birth q094) — TPC-H Q6 (forecast revenue change): single-table scan-agg with a
 # tight 3-predicate filter; the whole query is one map-side partial agg
 # plus a 1-row final — the minimal-shuffle shape. All three predicates
 # push down to the Parquet scan.
@@ -184,7 +184,7 @@ def q095_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q096 — TPC-H Q9 (product-type profit): no partsupp/ps_supplycost in the
+# q260 (birth q096) — TPC-H Q9 (product-type profit): no partsupp/ps_supplycost in the
 # fixture, so cost := 0.6 × p_retailprice × l_quantity (the 0.6 factor
 # keeps profits signed both ways). Decimal discipline: qty and retail
 # are exact at scale 2, their product exact at scale 4; ×0.6 yields a
@@ -353,7 +353,7 @@ def q099_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q100 — TPC-H Q17 (small-quantity-order revenue): lineitems of one
+# q023 (birth q100) — TPC-H Q17 (small-quantity-order revenue): lineitems of one
 # brand whose quantity is under 20% of that part's average quantity.
 # The correlated scalar subquery decorrelates into a per-part aggregate
 # joined back. Float discipline: l_quantity is integral, so its double
@@ -442,7 +442,7 @@ def q101_tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q102 — TPC-H Q21 (suppliers who kept orders waiting): for finalized
+# q024 (birth q102) — TPC-H Q21 (suppliers who kept orders waiting): for finalized
 # orders, count per supplier the late lineitems (shipped >90 days after
 # order) where some other supplier contributed to the same order but no
 # other supplier was also late. The EXISTS becomes a semi-join and the
@@ -572,7 +572,7 @@ def q104_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q105 — TPC-H Q2 (minimum-cost supplier): no partsupp/ps_supplycost in
+# q296 (birth q105) — TPC-H Q2 (minimum-cost supplier): no partsupp/ps_supplycost in
 # the fixture, so unit cost := MIN(l_extendedprice / l_quantity)
 # observed per (supplier, part) in lineitem; for each STANDARD part,
 # keep the EUROPE supplier(s) achieving the per-part minimum (ties kept,

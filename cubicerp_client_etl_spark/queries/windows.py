@@ -80,7 +80,7 @@ def q076_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q044 — session window (J3): per-user sessions with a 30-minute gap.
+# q222 (birth q044) — session window (J3): per-user sessions with a 30-minute gap.
 # Spark session_window semantics: a session extends while the next event
 # starts strictly before last_ts + gap; oracle = gaps-and-islands with
 # the same boundary rule (diff >= gap ⇒ new session).
@@ -124,7 +124,7 @@ def q222_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q046 — header/footer first/last-row broadcast (D1/F1): the reference
+# q229 (birth q046) — header/footer first/last-row broadcast (D1/F1): the reference
 # reads file row 0 as header and row N-1 as footer and broadcasts their
 # values onto every body row (cubicerpetl.py:235-240,265). Over an
 # ordered table this is min_by/max_by on a total order key — one
@@ -175,7 +175,7 @@ def q229_header_footer_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q045 — sessionization via lag+cumsum (the batch/SQL-expressible twin of
+# q140 (birth q045) — sessionization via lag+cumsum (the batch/SQL-expressible twin of
 # q044, SURVEY "common OLAP patterns"): window-function path, checked
 # against the same oracle shape but keyed by session ordinal.
 # --------------------------------------------------------------------------
