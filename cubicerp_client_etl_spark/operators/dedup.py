@@ -28,12 +28,24 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataF
     )
 
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
+def shingles(
+    text_col: Column | str, n: int = 3, tokens: Column | None = None
+) -> Column:
     """Word n-gram shingles as an array of strings (distinct not enforced
     here; MinHash is insensitive to duplicates after the explode-distinct).
+
+    ``tokens`` (opt-in): a pre-split ``array<string>`` column carrying
+    exactly ``split(lower(trim(text)), r"\\s+")`` — lets a caller that
+    derives several hash families from one corpus pass (the q040
+    datasheet) tokenize ONCE behind a shared exchange instead of once
+    per family. Semantics are identical by contract; the caller owns
+    keeping the token stream in sync with the text column.
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    if tokens is not None:
+        toks = tokens
+    else:
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        toks = F.split(F.lower(F.trim(c)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -129,8 +141,13 @@ def minhash_signatures(
     shingle_n: int = 3,
     portable: bool = False,
     hashes_per_digest: int = 1,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: (id, h0..h{k-1}).
+
+    ``tokens_col``: optional name of a pre-split ``array<string>``
+    column on ``df`` (the ``shingles(tokens=...)`` contract) so a
+    multi-family caller tokenizes the corpus once.
 
     One explode + one groupBy with k min-aggregates — a single shuffle on
     the document id.
@@ -164,7 +181,16 @@ def minhash_signatures(
 
     sh = (
         widen_scan(df)
-        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                shingles(
+                    text_col,
+                    shingle_n,
+                    tokens=F.col(tokens_col) if tokens_col else None,
+                )
+            ).alias("__sh"),
+        )
         .distinct()
     )
     if portable and hashes_per_digest > 1:
@@ -455,7 +481,9 @@ def simhash_bits_portable(
     return F.concat(*bits)
 
 
-def simhash_int_portable(text_col: Column | str, n_bits: int = 32) -> Column:
+def simhash_int_portable(
+    text_col: Column | str, n_bits: int = 32, tokens: Column | None = None
+) -> Column:
     """Single-digest portable SimHash packed into one BIGINT (bit i of
     the fingerprint is bit ``n_bits-1-i`` of the long, i.e. the bits
     string read as a base-2 number).
@@ -469,11 +497,18 @@ def simhash_int_portable(text_col: Column | str, n_bits: int = 32) -> Column:
     instead of 32+ per row. DuckDB replays it exactly:
     ``SUM(CASE WHEN 2*o > n THEN 1::BIGINT << (n_bits-1-i) END)`` and
     ``bit_count(xor(a, b))``. Requires ``n_bits <= 32``.
+
+    ``tokens``: optional pre-split ``array<string>`` column (same
+    contract as ``shingles(tokens=...)``) so multi-family callers
+    tokenize once.
     """
     if n_bits > 32:
         raise ValueError("simhash_int_portable supports n_bits <= 32")
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    if tokens is not None:
+        toks = tokens
+    else:
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        toks = F.split(F.lower(F.trim(c)), r"\s+")
     n_toks = F.size(toks).cast("long")
     digs = F.transform(toks, lambda t: F.md5(t))
     zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
