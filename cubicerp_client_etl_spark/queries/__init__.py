@@ -63,6 +63,7 @@ def _load_all() -> None:
         pipeline_ext10,
         pipeline_ext11,
         pipeline_ext12,
+        pipeline_ext13,
         relational,
         relational2,
         relational3,

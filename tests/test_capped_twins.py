@@ -1,0 +1,54 @@
+"""Round-13 capped-twin queries (q299/q300): the hot-bucket caps under
+the oracle discipline. The operator-level cap laws (huge-cap ==
+uncapped, boilerplate drop, brute-force equivalence) are already
+pinned in test_dedup.py; these tests pin the QUERY-level contracts the
+round-13 wave adds:
+
+- the chunk family's fixture fingerprints are clustered enough that
+  the 64 cap BITES even on the smallest fixture (the documents table
+  holds 500 docs at every SF): q299 must report a non-zero hot census
+  and a strictly smaller candidate set than uncapped q050, and the cap
+  may only ever DROP candidates, never invent them;
+- the setsim universe cap (16) cannot bite on the small fixture (max
+  shingle doc-frequency is 7), so q300 must reproduce q217's exact
+  full-universe clustering row for row — the cap is a pure opt-in,
+  not a semantic drift.
+"""
+
+from __future__ import annotations
+
+from cubicerp_client_etl_spark.queries import REGISTRY
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def _row(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def test_capped_simhash_bites_and_only_drops(spark):
+    capped = _row(REGISTRY["q299_simhash_capped_blocking"].fn(spark, SF_TINY))
+    plain = _row(REGISTRY["q050_simhash_blocking"].fn(spark, SF_TINY))
+    assert capped["hot_buckets"] > 0
+    assert capped["hot_pair_mass"] > 0
+    assert capped["n_cand"] < plain["n_cand"]
+    # the cap may only ever DROP candidates, never invent them
+    assert capped["n_within3"] <= plain["n_within3"]
+    assert capped["planted_found"] <= plain["planted_found"]
+    assert capped["n_planted"] == plain["n_planted"]
+
+
+def test_capped_retention_coincides_with_exact_when_cap_cannot_bite(spark):
+    capped = {
+        tuple(r)
+        for r in REGISTRY["q300_fuzzy_dedup_retention_capped"]
+        .fn(spark, SF_TINY)
+        .collect()
+    }
+    exact = {
+        tuple(r)
+        for r in REGISTRY["q217_fuzzy_dedup_retention"].fn(spark, SF_TINY).collect()
+    }
+    assert capped == exact

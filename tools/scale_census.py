@@ -52,14 +52,30 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # is the exact pair join; the LSH/IVF paths are the scale form, and
 # exact_cosine_pairs raises above max_exact_rows so at real scale
 # these fail loudly instead of running forever). Anything else that
-# grows superlinearly is a genuine failure — q040 SemDeDup was
+# grows superlinearly is a genuine failure — SemDeDup (now q292) was
 # EXACTLY that in this tool's first full run (fixed k=4 made cells
 # n/4 wide → n²/16 pairs, 27x at 10x; fixed by deriving k from the
 # corpus count so cells stay ~2000 vectors).
+#
+# q217 (r13): exact FULL-UNIVERSE Jaccard retention is the declared
+# contract — its oracle IS the brute-force shingle pair join, so any
+# hot-shingle cap changes the answer by definition (recall-lossless
+# is the spec). Candidate volume through a shingle of doc-frequency d
+# is d(d-1)/2, and fixture df grows with corpus size, so the 10x
+# ratio (10.5 in CENSUS_r12, the alarm line is 12) is the contract's
+# cost, not a plan defect. The shipped scale path is the CAPPED twin
+# q300_fuzzy_dedup_retention_capped (setsim_join(hot_cap=16), full
+# DuckDB oracle over the capped universe) — measured in the ordinary
+# census section, where the cap bounds any shingle's contribution at
+# 16²/2 pairs.
 DECLARED_SUPERLINEAR = {
     "q297_neardup_components": "declared exact all-pairs cosine edges",
     "q070_cosine_pairs": "declared exact all-pairs cosine",
     "q075_embedding_near_dup": "declared exact all-pairs near-dup",
+    "q217_fuzzy_dedup_retention": (
+        "declared exact full-universe Jaccard retention (oracle is the "
+        "brute-force pair join); capped scale twin = q300"
+    ),
 }
 
 
