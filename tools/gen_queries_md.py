@@ -11,8 +11,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import json  # noqa: E402
+
+from hash_ledger import load_maps, translate  # noqa: E402
 from renumber import MAPPING  # noqa: E402
-from renumber_r4 import MAPPING as MAPPING_R4  # noqa: E402
 
 from cubicerp_client_etl_spark.queries import REGISTRY  # noqa: E402
 
@@ -20,14 +22,24 @@ from cubicerp_client_etl_spark.queries import REGISTRY  # noqa: E402
 def main() -> None:
     n_total = len(REGISTRY)
     n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
-    inv_r1 = {new: old for old, new in MAPPING.items()}
-    inv_r4 = {new: old for old, new in MAPPING_R4.items()}
-    # current name -> its round-2 name -> that name's round-1 name
-    inv = {
-        name: inv_r1[inv_r4.get(name, name)]
-        for name in REGISTRY
-        if inv_r4.get(name, name) in inv_r1
-    }
+    # round-1 name per current name: chase each round-1 name (the r2
+    # map's old keys are the complete round-1 corpus) through the FULL
+    # committed rename history (the HASHLEDGER chain), then invert.
+    maps = load_maps()
+    inv: dict[str, str] = {}
+    for r1name in MAPPING:
+        cur = translate(r1name, maps)
+        if cur in REGISTRY:
+            inv[cur] = r1name
+    # driver-hash evidence per current name, from the committed ledger
+    root_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root_dir, "HASHLEDGER.json")) as fh:
+            hash_rounds = {
+                n: e["rounds"] for n, e in json.load(fh)["ledger"].items()
+            }
+    except (OSError, ValueError, KeyError):
+        hash_rounds = {}
     lines = [
         "# Query corpus index",
         "",
@@ -44,18 +56,23 @@ def main() -> None:
         "queries in. Old (round-1) names are listed for cross-referencing",
         "CORRECTNESS_r01 evidence; the rename maps' source of truth is",
         "tools/renumber*.py, and each round's old→new table is in that",
-        "round's CHANGES_r*.md.",
+        "round's CHANGES_r*.md. The `driver hashes` column lists every",
+        "round in which this query — under ANY historical name — carried",
+        "a green driver-hash row, straight from the committed",
+        "HASHLEDGER.json (rebuild: `python tools/hash_ledger.py`).",
         "",
-        "| # | name | round-1 name (— = added later) | oracle | bench headline | driver window |",
-        "|---|------|--------------|--------|----------------|---------------|",
+        "| # | name | round-1 name (— = added later) | oracle | bench headline | driver window | driver hashes (rounds) |",
+        "|---|------|--------------|--------|----------------|---------------|------------------------|",
     ]
     for i, name in enumerate(sorted(REGISTRY)):
         q = REGISTRY[name]
         old = inv.get(name, "—")
+        rounds = hash_rounds.get(name) or []
         lines.append(
             f"| {i + 1} | `{name}` | `{old}` | "
             f"{'DuckDB SQL' if q.oracle else 'rows-only (hash-family / stub)'} | "
-            f"{'yes' if q.headline else ''} | {'**checked**' if i < 50 else ''} |"
+            f"{'yes' if q.headline else ''} | {'**checked**' if i < 50 else ''} | "
+            f"{' '.join(str(r) for r in rounds) if rounds else '—'} |"
         )
     lines += [
         "",
