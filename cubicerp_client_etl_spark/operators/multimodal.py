@@ -687,3 +687,299 @@ def image_ahash_bands(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         + [f"band{b} bigint" for b in range(4)]
     )
     return df.mapInPandas(batches, out_schema)
+
+
+# ---- ISO-BMFF / MP4 container (video path, metadata-only) -----------------
+#
+# Video completes the modality set next to the image codecs (BMP/PNG/
+# JPEG/GIF) and the WAV audio codec. The 100 TB design point differs
+# from images/audio though: frame DECODE needs a real codec (an
+# optional extra, gated exactly like progressive JPEG), but the two
+# operations a training-data pipeline actually runs corpus-wide —
+# container-metadata extraction and the keyframe SAMPLING PLAN — only
+# need the box structure, which is pure stdlib byte walking. So the
+# container layer is REAL (a genuine ISO-BMFF writer/parser: ftyp,
+# moov/mvhd, trak/tkhd, mdia/mdhd, stbl/stts, mdat; 32-bit and
+# 64-bit largesize boxes), and only per-frame pixel decode raises
+# with guidance. Reference parity: the reference has no media path at
+# all (cubicerpetl.py moves rows of scalars); this is part of the
+# LLM-pipeline extension mandate.
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def encode_mp4_meta(
+    timescale: int,
+    frame_delta: int,
+    n_frames: int,
+    width: int,
+    height: int,
+    mdat: bytes = b"",
+) -> bytes:
+    """Serialize a REAL minimal ISO-BMFF (MP4) container carrying the
+    given track metadata: ``ftyp`` + ``moov`` [``mvhd``,
+    ``trak`` [``tkhd``, ``mdia`` [``mdhd``, ``hdlr``, ``minf`` [``stbl``
+    [``stts``]]]]] + ``mdat``. The sample table is one ``stts`` run
+    (``n_frames`` frames of ``frame_delta`` ticks at ``timescale``
+    ticks/second), which is exactly how fixed-fps video lands in
+    practice. Durations are consistent by construction
+    (``duration = n_frames * frame_delta``)."""
+    import struct
+
+    duration = n_frames * frame_delta
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )  # identity matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)  # version 0 + flags (enabled|in movie)
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">I", 1)  # track_id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhh", 0, 0, 0)  # layer, alt_group, volume
+        + b"\x00" * 2
+        + struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _mp4_box(
+        b"mdhd",
+        struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    hdlr = _mp4_box(
+        b"hdlr",
+        struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00",
+    )
+    stts = _mp4_box(
+        b"stts",
+        struct.pack(">II", 0, 1) + struct.pack(">II", n_frames, frame_delta),
+    )
+    stbl = _mp4_box(b"stbl", stts)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + moov + _mp4_box(b"mdat", mdat)
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) over [start, end).
+    Handles 32-bit sizes, 64-bit ``largesize`` (size == 1) and
+    to-end-of-file (size == 0) boxes; raises ValueError on a truncated
+    or non-box byte stream."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated ISO-BMFF box header")
+        size = struct.unpack(">I", buf[pos : pos + 4])[0]
+        typ = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"box {typ!r} overruns its container")
+        yield typ, body, pos + size
+        pos += size
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Parse a REAL ISO-BMFF container's metadata with a pure-stdlib
+    box walk: major brand, media timescale, duration, track pixel
+    dimensions (tkhd 16.16 fixed point), frame count and the fixed
+    frame delta from the first ``stts`` run, and the ``mdat`` byte
+    size. Frame PIXEL decode is deliberately not attempted — real
+    video codecs need an optional extra (same gate as progressive
+    JPEG); a training pipeline plans its frame sampling from exactly
+    this metadata (see ``keyframe_sample_plan``)."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError(
+            "payload is not an ISO-BMFF container (no leading ftyp box); "
+            "other video containers need an optional decoder extra"
+        )
+    meta = {
+        "major_brand": "",
+        "timescale": 0,
+        "duration": 0,
+        "width": 0,
+        "height": 0,
+        "n_frames": 0,
+        "frame_delta": 0,
+        "mdat_bytes": 0,
+    }
+
+    def walk(start: int, end: int) -> None:
+        for typ, b, e in _walk_boxes(payload, start, end):
+            if typ == b"ftyp":
+                meta["major_brand"] = payload[b : b + 4].decode("ascii")
+            elif typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(b, e)
+            elif typ == b"mdhd":
+                version = payload[b]
+                off = b + 4 + (16 if version == 1 else 8)
+                if version == 1:
+                    meta["timescale"] = struct.unpack(
+                        ">I", payload[off : off + 4]
+                    )[0]
+                    meta["duration"] = struct.unpack(
+                        ">Q", payload[off + 4 : off + 12]
+                    )[0]
+                else:
+                    meta["timescale"], meta["duration"] = struct.unpack(
+                        ">II", payload[off : off + 8]
+                    )
+            elif typ == b"tkhd":
+                w_fixed, h_fixed = struct.unpack(">II", payload[e - 8 : e])
+                meta["width"] = w_fixed >> 16
+                meta["height"] = h_fixed >> 16
+            elif typ == b"stts":
+                n_entries = struct.unpack(">I", payload[b + 4 : b + 8])[0]
+                if n_entries >= 1:
+                    count, delta = struct.unpack(">II", payload[b + 8 : b + 16])
+                    meta["n_frames"] += sum(
+                        struct.unpack(
+                            ">I", payload[b + 8 + 8 * i : b + 12 + 8 * i]
+                        )[0]
+                        for i in range(n_entries)
+                    )
+                    meta["frame_delta"] = delta
+            elif typ == b"mdat":
+                meta["mdat_bytes"] += e - b
+
+    walk(0, len(payload))
+    if meta["timescale"] == 0:
+        raise ValueError("no mdhd timescale found — not a video container")
+    return meta
+
+
+def video_meta_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-payload video container metadata via Arrow-batched
+    ``mapInPandas`` — the video sibling of ``audio_features``:
+    ``(doc_id, major_brand, timescale, duration_us, width, height,
+    n_frames, fps_e6, mdat_bytes)``, all exact integers
+    (``duration_us = 10⁶·duration // timescale``,
+    ``fps_e6 = 10⁶·timescale // frame_delta``). Scale: pure map — no
+    shuffle; the payload bytes never leave the Arrow batch."""
+    out_schema = (
+        "doc_id bigint, major_brand string, timescale bigint, "
+        "duration_us bigint, width bigint, height bigint, "
+        "n_frames bigint, fps_e6 bigint, mdat_bytes bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "major_brand", "timescale", "duration_us",
+                    "width", "height", "n_frames", "fps_e6", "mdat_bytes",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                m = parse_mp4_meta(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["major_brand"].append(m["major_brand"])
+                rows["timescale"].append(m["timescale"])
+                rows["duration_us"].append(
+                    m["duration"] * 1_000_000 // m["timescale"]
+                )
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["n_frames"].append(m["n_frames"])
+                rows["fps_e6"].append(
+                    m["timescale"] * 1_000_000 // m["frame_delta"]
+                    if m["frame_delta"]
+                    else 0
+                )
+                rows["mdat_bytes"].append(m["mdat_bytes"])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def keyframe_sample_plan(
+    meta: DataFrame, every_us: int = 500_000
+) -> DataFrame:
+    """Decode-free frame-sampling plan from container metadata — the
+    corpus-wide pre-flight a video training pipeline runs BEFORE
+    paying for any codec work: one row per frame to sample, one frame
+    every ``every_us`` of media time.
+
+    Exact integer rule: stride ``k = ceil(every_us · timescale /
+    (10⁶ · frame_delta))`` frames (at least 1), sampled indices
+    ``j = 0, k, 2k, … < n_frames``, presentation timestamp
+    ``pts_us = 10⁶ · j · frame_delta // timescale``.
+
+    Input columns: ``doc_id, timescale, n_frames, fps_e6`` (the
+    ``video_meta_features`` output; ``frame_delta`` is recovered
+    exactly as ``10⁶ · timescale div fps_e6`` for the fixed-fps
+    containers this plans for). Pure Column arithmetic + a bounded
+    ``sequence`` explode — fan-out is the number of SAMPLED frames,
+    never the frame count; no UDF, no shuffle."""
+    delta = F.expr("1000000 * timescale div fps_e6")
+    k = F.greatest(
+        F.lit(1).cast("bigint"),
+        # exact ceil-div: (a + b - 1) div b
+        F.expr(
+            f"({every_us} * timescale + 1000000 * (1000000 * timescale div fps_e6) - 1) "
+            f"div (1000000 * (1000000 * timescale div fps_e6))"
+        ),
+    )
+    n_sampled = F.expr(
+        "(n_frames + __k - 1) div __k"
+    )  # ceil(n_frames / k): indices 0..n_sampled-1
+    return (
+        meta.withColumn("__k", k)
+        .withColumn("__delta", delta)
+        .withColumn(
+            "__s",
+            F.when(
+                F.col("n_frames") > 0,
+                F.sequence(F.lit(0).cast("bigint"), n_sampled - 1),
+            ).otherwise(F.expr("array()").cast("array<bigint>")),
+        )
+        .select(
+            "doc_id",
+            "__k",
+            "__delta",
+            "timescale",
+            F.explode("__s").alias("__i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("__i") * F.col("__k")).alias("frame_idx"),
+            F.expr("1000000 * (__i * __k) * __delta div timescale").alias(
+                "pts_us"
+            ),
+        )
+    )

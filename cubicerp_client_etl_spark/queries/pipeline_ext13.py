@@ -347,3 +347,136 @@ def q300_fuzzy_dedup_retention_capped(
         F.col("cluster_size").cast("bigint"),
         (F.col("_rn") == 1).alias("is_survivor"),
     )
+
+
+# --------------------------------------------------------------------------
+# q301 — REAL video-container metadata path (operators/multimodal.py
+# ISO-BMFF codec; L-mm4): deterministic per-doc track parameters are
+# ENCODED as a real MP4 byte stream (ftyp/moov/mvhd/trak/tkhd/mdia/
+# mdhd/stbl/stts/mdat — a genuine ISO-BMFF writer), then
+# video_meta_features box-walks the actual container back and derives
+# exact-integer metadata: media timescale, duration_us, pixel
+# dimensions from tkhd's 16.16 fixed point, frame count + fps_e6 from
+# the stts run, mdat byte size. The video sibling of q225's WAV chain:
+# the oracle replays the parameter arithmetic directly (parse∘encode
+# is the identity on the metadata, pinned across a parameter grid +
+# largesize/truncation edge cases by unit tests), so a codec bug
+# surfaces as a value mismatch. Frame PIXEL decode stays behind the
+# optional-extra gate (same discipline as progressive JPEG) — the
+# pipeline operations that run corpus-wide at 100 TB are exactly this
+# metadata pass and the q302 sampling plan, both codec-free.
+# Scale: synth + box walk are pure map stages (mapInPandas), no
+# shuffle; payload bytes never leave the Arrow batch.
+# --------------------------------------------------------------------------
+@register(
+    "q301_mp4_video_metadata",
+    oracle="""
+SELECT doc_id,
+       'isom' AS major_brand,
+       CAST(600 AS BIGINT) AS timescale,
+       CAST((24 + doc_id % 48) * (20 + doc_id % 5) * 1000000 // 600
+         AS BIGINT) AS duration_us,
+       CAST(320 + 16 * (doc_id % 4) AS BIGINT) AS width,
+       CAST(240 + 16 * (doc_id % 3) AS BIGINT) AS height,
+       CAST(24 + doc_id % 48 AS BIGINT) AS n_frames,
+       CAST(600 * 1000000 // (20 + doc_id % 5) AS BIGINT) AS fps_e6,
+       CAST((doc_id % 7 + 1) * 100 AS BIGINT) AS mdat_bytes
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q301_mp4_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        encode_mp4_meta,
+        video_meta_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp4_meta(
+                        timescale=600,
+                        frame_delta=20 + d % 5,
+                        n_frames=24 + d % 48,
+                        width=320 + 16 * (d % 4),
+                        height=240 + 16 * (d % 3),
+                        mdat=b"\x00" * ((d % 7 + 1) * 100),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mp4 = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return video_meta_features(mp4).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q302 — decode-free keyframe sampling plan (L-mm5): the corpus-wide
+# pre-flight a video training pipeline runs BEFORE paying for any
+# codec work — one frame every 500 ms of media time, planned purely
+# from the q301 container metadata (operators/multimodal.
+# keyframe_sample_plan). Exact integer rule: stride k = ceil(500000 ·
+# timescale / (10⁶ · frame_delta)) frames, indices j·k < n_frames,
+# pts_us = 10⁶·j·k·frame_delta // timescale; frame_delta is recovered
+# exactly from fps_e6 by floor-div involution (delta ≪ √(6·10⁸)). The
+# Spark side runs the REAL chain (synthesize MP4 bytes → box-walk
+# parse → Column-arithmetic plan); the oracle replays the closed-form
+# parameters. Scale: the explode fans out one row per SAMPLED frame
+# (bounded by duration/500ms), never per frame — at 100 TB this plan
+# is what the actual frame-fetch job joins against, so the expensive
+# codec tier touches only planned offsets.
+# --------------------------------------------------------------------------
+@register(
+    "q302_keyframe_sample_plan",
+    oracle="""
+WITH params AS (
+  SELECT doc_id,
+         20 + doc_id % 5 AS d,
+         24 + doc_id % 48 AS n,
+         (300 + (20 + doc_id % 5) - 1) // (20 + doc_id % 5) AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(g.j * k AS BIGINT) AS frame_idx,
+       CAST(1000000 * g.j * k * d // 600 AS BIGINT) AS pts_us
+FROM params CROSS JOIN generate_series(0, 63) g(j)
+WHERE g.j < (n + k - 1) // k
+""",
+)
+def q302_keyframe_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        encode_mp4_meta,
+        keyframe_sample_plan,
+        video_meta_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp4_meta(
+                        timescale=600,
+                        frame_delta=20 + d % 5,
+                        n_frames=24 + d % 48,
+                        width=320 + 16 * (d % 4),
+                        height=240 + 16 * (d % 3),
+                        mdat=b"\x00" * ((d % 7 + 1) * 100),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mp4 = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    meta = video_meta_features(mp4)
+    return keyframe_sample_plan(meta, every_us=500_000)
