@@ -1073,3 +1073,41 @@ def stream_price_waterfall(lines: DataFrame, part_static: DataFrame) -> DataFram
         .cast("bigint")
         .alias("leakage_e6"),
     )
+
+
+def stream_video_metadata(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the q301 video chain: per-document REAL
+    ISO-BMFF/MP4 containers are synthesized and then box-walk parsed
+    back to exact-integer track metadata (duration_us, 16.16 pixel
+    dims, n_frames, fps_e6, mdat bytes) — stateless Arrow-batched
+    ``mapInPandas`` stages that attach to a stream unchanged, the same
+    no-state/no-watermark/no-shuffle argument as ``stream_media_
+    features``. Continuous video ingestion runs its metadata pre-flight
+    exactly like the batch rebuild; equivalence pinned by
+    tests/test_streaming.py."""
+    import pandas as pd
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        encode_mp4_meta,
+        video_meta_features,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payloads.append(
+                    encode_mp4_meta(
+                        timescale=600,
+                        frame_delta=20 + d % 5,
+                        n_frames=24 + d % 48,
+                        width=320 + 16 * (d % 4),
+                        height=240 + 16 * (d % 3),
+                        mdat=b"\x00" * ((d % 7 + 1) * 100),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mp4 = docs.select("doc_id").mapInPandas(gen, "doc_id bigint, payload binary")
+    return video_meta_features(mp4)

@@ -885,3 +885,30 @@ def test_stream_price_waterfall_equals_batch(spark):
     got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_video_metadata_matches_batch(spark):
+    """The video container chain (synthesize MP4 -> REAL box-walk
+    parse -> exact-integer metadata) is stateless map-only, so the
+    streaming run must produce identical rows to the batch run over
+    the same fixture."""
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_video_metadata,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_to_memory(
+        stream_video_metadata(
+            documents_stream(spark, sf).where(F.col("doc_id") % 10 == 0)
+        ),
+        "video_meta_stream",
+        output_mode="append",
+    )
+    stream_rows = {tuple(r) for r in got.collect()}
+    batch = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("doc_id") % 10 == 0
+    )
+    batch_rows = {tuple(r) for r in stream_video_metadata(batch).collect()}
+    assert stream_rows == batch_rows and stream_rows
