@@ -480,3 +480,184 @@ def q302_keyframe_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp4 = docs.mapInPandas(synth, "doc_id bigint, payload binary")
     meta = video_meta_features(mp4)
     return keyframe_sample_plan(meta, every_us=500_000)
+
+
+# --------------------------------------------------------------------------
+# q303 — Multi-level BOM cost rollup (L-erp22): the ERP recursion —
+# every assembly's rolled-up standard cost = its own cost + Σ over
+# child components of (quantity-per × the child's rolled cost),
+# through arbitrarily many levels. The BOM forest is synthesized from
+# the part key's decimal structure (parent(p) = p div 10, quantity-per
+# on the child→parent edge = 1 + child % 3; parts 0–9 are roots), so
+# depth is bounded by the key's digit count and every engine sees the
+# identical tree. The oracle is a recursive CTE that walks each node
+# UP its ancestor chain multiplying edge quantities — the corpus's
+# first recursive-GRAPH oracle next to the recursive-STATE family
+# (SES/Holt/Croston). The Spark side needs NO iteration at all: each
+# node's contribution to its k-th ancestor has the closed form
+# own(p) · Π_{j<k} qty(p div 10^j), so the whole rollup is ONE bounded
+# explode (≤ digits-many ancestors per part) + ONE keyed agg — the
+# digit-prefix encoding makes the path enumerable row-locally. For
+# BOMs without an enumerable ancestor chain the engine ships the
+# level-synchronous alternative (pointer-jump hierarchy resolution,
+# q135 — O(log depth) self-joins); this query pins the exact-cost
+# arithmetic both share. Scale: fan-out ≤ 7 rows per part, one
+# shuffle on the ancestor key; no driver loop, no recursion at run
+# time.
+# --------------------------------------------------------------------------
+@register(
+    "q303_bom_cost_rollup",
+    oracle="""
+WITH RECURSIVE walk(node, anc, mult) AS (
+  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT) FROM part
+  UNION ALL
+  SELECT w.node, w.anc // 10, w.mult * (1 + w.anc % 3)
+  FROM walk w WHERE w.anc >= 10
+),
+own AS (
+  SELECT p_partkey AS pk,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS own_cents
+  FROM part
+)
+SELECT w.anc AS p_partkey,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants,
+       CAST(SUM(w.mult * o.own_cents) AS BIGINT) AS rolled_cost_cents
+FROM walk w JOIN own o ON o.pk = w.node
+GROUP BY w.anc
+HAVING COUNT(*) > 1
+""",
+)
+def q303_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("own_cents"),
+    )
+    # closed-form ancestor walk: k-th ancestor = pk div 10^k, edge-qty
+    # product enumerated row-locally (filter over a FIXED ascending
+    # sequence — sequence(0, k-1) would count DOWN for k = 0, the
+    # repo's documented sequence pitfall)
+    contrib = parts.select(
+        "own_cents",
+        F.expr(
+            """
+            explode(transform(
+              sequence(0, length(CAST(pk AS STRING)) - 1),
+              k -> named_struct(
+                'anc', pk div CAST(pow(10, k) AS BIGINT),
+                'mult', aggregate(
+                  filter(sequence(0, 6), j -> j < k),
+                  CAST(1 AS BIGINT),
+                  (acc, j) -> acc * (1 + (pk div CAST(pow(10, j) AS BIGINT)) % 3)
+                )
+              )
+            )) AS w
+            """
+        ),
+    )
+    return (
+        contrib.select(
+            F.col("w.anc").alias("p_partkey"),
+            (F.col("w.mult") * F.col("own_cents")).alias("c"),
+        )
+        .groupBy("p_partkey")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_descendants"),
+            F.sum("c").cast("bigint").alias("rolled_cost_cents"),
+        )
+        .filter(F.col("n_descendants") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# q304 — Time-phased MRP net requirements with fixed lot sizing
+# (L-erp23): the planning recursion every MRP run executes — per part
+# and period, net the gross requirements against projected on-hand,
+# and release planned orders in multiples of the lot size. The
+# per-period recursion (available_t depends on orders_{t-1}) is
+# CLOSED-FORM in cumulative space, the same trick as FIFO aging
+# (q047): cumulative shortfall short_t = max(0, cum_gross_t − onhand),
+# cumulative lots L_t = ceil(short_t / lot), planned orders in t =
+# (L_t − L_{t−1})·lot, projected on-hand = onhand − cum_gross_t +
+# L_t·lot — no walker, one running-sum window + one lag. Completes
+# the planning triad next to Wilson EOQ (q042) and the reorder point
+# (q269). All integer-exact (quantities are integral; ceil-div is
+# (s + lot − 1) div lot on non-negative s). Scale: one keyed agg to
+# the bounded (part × month) grid, one part-partitioned window; the
+# policy dimension joins broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q304_mrp_net_requirements",
+    oracle="""
+WITH demand AS (
+  SELECT l_partkey AS pk,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS gross
+  FROM lineitem GROUP BY 1, 2
+),
+pol AS (
+  SELECT p_partkey AS pk,
+         CAST(100 + (p_partkey % 7) * 50 AS BIGINT) AS onhand0,
+         CAST(50 + (p_partkey % 5) * 25 AS BIGINT) AS lot
+  FROM part
+),
+cums AS (
+  SELECT d.pk, d.ym, d.gross, p.onhand0, p.lot,
+         SUM(d.gross) OVER (PARTITION BY d.pk ORDER BY d.ym) AS cum
+  FROM demand d JOIN pol p ON p.pk = d.pk
+),
+calc AS (
+  SELECT pk, ym, gross, onhand0, lot, cum,
+         (GREATEST(cum - onhand0, 0) + lot - 1) // lot AS lots_cum,
+         COALESCE(LAG((GREATEST(cum - onhand0, 0) + lot - 1) // lot)
+                  OVER (PARTITION BY pk ORDER BY ym), 0) AS lots_prev
+  FROM cums
+)
+SELECT pk AS p_partkey, ym,
+       CAST(gross AS BIGINT) AS gross_qty,
+       CAST((lots_cum - lots_prev) * lot AS BIGINT) AS planned_order_qty,
+       CAST(onhand0 - cum + lots_cum * lot AS BIGINT) AS projected_on_hand
+FROM calc
+""",
+)
+def q304_mrp_net_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    dem = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("ym"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("gross"))
+    )
+    pol = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        (100 + (F.col("p_partkey") % 7) * 50).cast("bigint").alias("onhand0"),
+        (50 + (F.col("p_partkey") % 5) * 25).cast("bigint").alias("lot"),
+    )
+    w = W.partitionBy("pk").orderBy("ym")
+    cums = dem.join(F.broadcast(pol), "pk").withColumn(
+        "cum", F.sum("gross").over(w)
+    )
+    calc = cums.withColumn(
+        "lots_cum",
+        F.expr("(GREATEST(cum - onhand0, CAST(0 AS BIGINT)) + lot - 1) div lot"),
+    ).withColumn(
+        "lots_prev", F.coalesce(F.lag("lots_cum").over(w), F.lit(0).cast("bigint"))
+    )
+    return calc.select(
+        F.col("pk").alias("p_partkey"),
+        "ym",
+        F.col("gross").alias("gross_qty"),
+        ((F.col("lots_cum") - F.col("lots_prev")) * F.col("lot"))
+        .cast("bigint")
+        .alias("planned_order_qty"),
+        (F.col("onhand0") - F.col("cum") + F.col("lots_cum") * F.col("lot"))
+        .cast("bigint")
+        .alias("projected_on_hand"),
+    )
