@@ -661,3 +661,166 @@ def q304_mrp_net_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("projected_on_hand"),
     )
+
+
+# --------------------------------------------------------------------------
+# q305 — Available-to-promise (ATP, L-erp24): per part and month, the
+# quantity a sales desk may promise WITHOUT starving any future
+# commitment — the running net position (onhand + cumulative supply −
+# cumulative demand) tightened by its FORWARD-LOOKING minimum: atp_t =
+# min over s >= t of net_s. The lookahead is a reverse-ordered running
+# MIN window (ORDER BY ym DESC, unbounded-preceding frame) — the
+# machinery twin of the prefix scans, scanning from the right. Supply
+# and demand legs split the move stream by the q022 ledger convention
+# (even line numbers receive, odd issue). Exact integers end to end.
+# Scale: one keyed agg to the bounded (part × month) grid, two
+# part-partitioned windows (forward cumsum, reverse cummin); no state,
+# no walker — promising dates at 100 TB is exactly this shape.
+# --------------------------------------------------------------------------
+@register(
+    "q305_available_to_promise",
+    oracle="""
+WITH moves AS (
+  SELECT l_partkey AS pk,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+         CAST(SUM(CASE WHEN l_linenumber % 2 = 0
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS supply_qty,
+         CAST(SUM(CASE WHEN l_linenumber % 2 = 1
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS demand_qty
+  FROM lineitem GROUP BY 1, 2
+),
+pos AS (
+  SELECT pk, ym, supply_qty, demand_qty,
+         CAST(500 + (pk % 10) * 100
+              + SUM(supply_qty - demand_qty)
+                OVER (PARTITION BY pk ORDER BY ym) AS BIGINT) AS net_position
+  FROM moves
+)
+SELECT pk AS p_partkey, ym, supply_qty, demand_qty, net_position,
+       CAST(MIN(net_position)
+            OVER (PARTITION BY pk ORDER BY ym DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS atp_qty
+FROM pos
+""",
+)
+def q305_available_to_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    qty = F.col("l_quantity").cast("bigint")
+    moves = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("ym"),
+        )
+        .agg(
+            F.sum(F.when(F.col("l_linenumber") % 2 == 0, qty).otherwise(0))
+            .cast("bigint")
+            .alias("supply_qty"),
+            F.sum(F.when(F.col("l_linenumber") % 2 == 1, qty).otherwise(0))
+            .cast("bigint")
+            .alias("demand_qty"),
+        )
+    )
+    fwd = W.partitionBy("pk").orderBy("ym")
+    rev = (
+        W.partitionBy("pk")
+        .orderBy(F.col("ym").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pos = moves.withColumn(
+        "net_position",
+        (
+            500
+            + (F.col("pk") % 10) * 100
+            + F.sum(F.col("supply_qty") - F.col("demand_qty")).over(fwd)
+        ).cast("bigint"),
+    )
+    return pos.select(
+        F.col("pk").alias("p_partkey"),
+        "ym",
+        "supply_qty",
+        "demand_qty",
+        "net_position",
+        F.min("net_position").over(rev).cast("bigint").alias("atp_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q306 — Supplier scorecard (L-erp25): the composite vendor KPI a
+# procurement review reads — per supplier, the exact-integer e6 shares
+# of (a) on-time shipments (order-to-ship within 45 days, the q046
+# lead-time discipline) and (b) shipped volume vs the whole corpus,
+# blended 70/30 into one score_e6. Pure keyed aggs + one broadcast of
+# the 1-row global total; deliberately NO global rank window (ranking
+# all suppliers is a global sort, F2's job, not a window — the census
+# posture forbids data-sized global windows).
+# --------------------------------------------------------------------------
+@register(
+    "q306_supplier_scorecard",
+    oracle="""
+WITH per_sup AS (
+  SELECT l.l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                      CAST(l.l_shipdate AS DATE)) <= 45
+                       THEN 1 ELSE 0 END) AS BIGINT) AS on_time
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+tot AS (SELECT SUM(qty) AS total_qty FROM per_sup)
+SELECT s_suppkey, n_lines,
+       CAST(on_time * 1000000 // n_lines AS BIGINT) AS on_time_e6,
+       CAST(qty * 1000000 // total_qty AS BIGINT) AS volume_e6,
+       CAST((7 * (on_time * 1000000 // n_lines)
+             + 3 * (qty * 1000000 // total_qty)) // 10 AS BIGINT)
+         AS score_e6
+FROM per_sup CROSS JOIN tot
+""",
+)
+def q306_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_sup = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                    <= 45,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("on_time"),
+        )
+    )
+    tot = per_sup.agg(F.sum("qty").cast("bigint").alias("total_qty"))
+    on_time_e6 = F.expr("on_time * 1000000 div n_lines")
+    volume_e6 = F.expr("qty * 1000000 div total_qty")
+    return per_sup.join(F.broadcast(tot)).select(
+        "s_suppkey",
+        "n_lines",
+        on_time_e6.cast("bigint").alias("on_time_e6"),
+        volume_e6.cast("bigint").alias("volume_e6"),
+        F.expr(
+            "(7 * (on_time * 1000000 div n_lines) "
+            "+ 3 * (qty * 1000000 div total_qty)) div 10"
+        )
+        .cast("bigint")
+        .alias("score_e6"),
+    )
