@@ -85,44 +85,42 @@ def load_flags(
     return sorted(flagged)
 
 
-def load_gate() -> None:
-    """Refuse to publish numbers from a contended box (judge r12 item 4:
-    BENCH_LOCAL_r12 was recorded at host load 7-8 and overstated q011 by
-    33% vs the judge's idle re-run — a committed number that understates
-    the engine is worse than no number). Pre-flight: if the 1-minute
-    load average exceeds SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0 on this
-    32-cpu box), retry a few times for transient load, then print ONE
-    refusal JSON line (still driver-parseable) and exit instead of
-    timing anything. SPARK_GRAFT_BENCH_FORCE=1 overrides for CI."""
+def load_gate() -> dict:
+    """Pre-flight load gate, round-14 form. Round 12 ordered a hard
+    refusal (BENCH_LOCAL_r12 was recorded at host load 7-8 and
+    overstated q011 by 33%); round 13's gate then refused the DRIVER's
+    own bench run, leaving BENCH_r13.json as the first round artifact
+    with no timings — a judge can no longer compare driver benches
+    across rounds (judge r13 item 3). So the gate no longer refuses:
+    it WAITS for an idle window (the ambient load waves on this box are
+    multi-minute, judge-confirmed — the retry budget is minutes, not
+    the old 4x20 s), and if the box never goes idle it runs anyway and
+    returns a ``polluted`` annotation that main() folds into the output
+    JSON (``"polluted": true`` + the measured loadavg) so the numbers
+    are load-annotated rather than absent. SPARK_GRAFT_BENCH_FORCE=1
+    skips the wait entirely (CI)."""
     if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
-        return
+        return {"polluted": False, "loadavg_1m": round(os.getloadavg()[0], 2)}
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    tries = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_TRIES", "4")))
+    tries = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_TRIES", "12")))
     load = None
     for i in range(tries):
         load = os.getloadavg()[0]
         if load <= threshold:
-            return
+            return {"polluted": False, "loadavg_1m": round(load, 2)}
         if i < tries - 1:
-            time.sleep(20)
+            time.sleep(45)
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "refused_under_load": True,
-                "loadavg_1m": round(load, 2),
-                "threshold": threshold,
-                "unit": "sec",
-                "note": "box contended; rerun idle or set "
-                "SPARK_GRAFT_BENCH_FORCE=1",
-            }
-        )
+        f"WARNING: 1-min loadavg {load:.2f} > {threshold} after "
+        f"{tries} waits — running anyway; output carries "
+        '"polluted": true',
+        file=sys.stderr,
     )
-    sys.exit(0)
+    return {"polluted": True, "loadavg_1m": round(load, 2)}
 
 
 def main() -> None:
-    load_gate()
+    gate = load_gate()
     spark = get_spark(app_name="bench")
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
@@ -257,6 +255,13 @@ def main() -> None:
         "value_all": round(sum(timings.values()), 3),
         "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # load-gate verdict: polluted=true means the box never went idle
+        # inside the gate's wait budget and these numbers were measured
+        # under ambient load — compare "best" against prev_medians, not
+        # the medians (judge r13 item 3: annotated numbers beat absent
+        # ones; ADVICE r13: the annotation is mechanically greppable)
+        "polluted": gate["polluted"],
+        "loadavg_1m_at_gate": gate["loadavg_1m"],
     }
     print(json.dumps(out))
     # full JSON also lands in a LOCAL file: the driver's BENCH_r*.json
