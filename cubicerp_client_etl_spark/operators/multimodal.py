@@ -886,14 +886,20 @@ def video_meta_features(df: DataFrame, payload_col: str = "payload") -> DataFram
     """Per-payload video container metadata via Arrow-batched
     ``mapInPandas`` — the video sibling of ``audio_features``:
     ``(doc_id, major_brand, timescale, duration_us, width, height,
-    n_frames, fps_e6, mdat_bytes)``, all exact integers
+    n_frames, frame_delta, fps_e6, mdat_bytes)``, all exact integers
     (``duration_us = 10⁶·duration // timescale``,
-    ``fps_e6 = 10⁶·timescale // frame_delta``). Scale: pure map — no
-    shuffle; the payload bytes never leave the Arrow batch."""
+    ``fps_e6 = 10⁶·timescale // frame_delta``). ``frame_delta`` — the
+    stts sample delta in media ticks — is emitted directly because the
+    floor-div involution that recovers it from ``fps_e6`` is exact only
+    while ``frame_delta² ≲ 10⁶·timescale`` (ADVICE r13: timescale=1,
+    delta=1500 recovers 1501); downstream plans must consume the exact
+    column, never reconstruct. Scale: pure map — no shuffle; the
+    payload bytes never leave the Arrow batch."""
     out_schema = (
         "doc_id bigint, major_brand string, timescale bigint, "
         "duration_us bigint, width bigint, height bigint, "
-        "n_frames bigint, fps_e6 bigint, mdat_bytes bigint"
+        "n_frames bigint, frame_delta bigint, fps_e6 bigint, "
+        "mdat_bytes bigint"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -902,7 +908,8 @@ def video_meta_features(df: DataFrame, payload_col: str = "payload") -> DataFram
                 k: []
                 for k in (
                     "doc_id", "major_brand", "timescale", "duration_us",
-                    "width", "height", "n_frames", "fps_e6", "mdat_bytes",
+                    "width", "height", "n_frames", "frame_delta",
+                    "fps_e6", "mdat_bytes",
                 )
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
@@ -916,6 +923,7 @@ def video_meta_features(df: DataFrame, payload_col: str = "payload") -> DataFram
                 rows["width"].append(m["width"])
                 rows["height"].append(m["height"])
                 rows["n_frames"].append(m["n_frames"])
+                rows["frame_delta"].append(m["frame_delta"])
                 rows["fps_e6"].append(
                     m["timescale"] * 1_000_000 // m["frame_delta"]
                     if m["frame_delta"]
@@ -940,19 +948,21 @@ def keyframe_sample_plan(
     ``j = 0, k, 2k, … < n_frames``, presentation timestamp
     ``pts_us = 10⁶ · j · frame_delta // timescale``.
 
-    Input columns: ``doc_id, timescale, n_frames, fps_e6`` (the
-    ``video_meta_features`` output; ``frame_delta`` is recovered
-    exactly as ``10⁶ · timescale div fps_e6`` for the fixed-fps
-    containers this plans for). Pure Column arithmetic + a bounded
+    Input columns: ``doc_id, timescale, n_frames, frame_delta`` (the
+    ``video_meta_features`` output). ``frame_delta`` is consumed
+    DIRECTLY — reconstructing it from ``fps_e6`` by floor-div
+    involution is exact only while ``frame_delta² ≲ 10⁶·timescale``
+    and silently mis-strides low-fps/low-timescale containers
+    (ADVICE r13 item 2). Pure Column arithmetic + a bounded
     ``sequence`` explode — fan-out is the number of SAMPLED frames,
     never the frame count; no UDF, no shuffle."""
-    delta = F.expr("1000000 * timescale div fps_e6")
+    delta = F.col("frame_delta")
     k = F.greatest(
         F.lit(1).cast("bigint"),
         # exact ceil-div: (a + b - 1) div b
         F.expr(
-            f"({every_us} * timescale + 1000000 * (1000000 * timescale div fps_e6) - 1) "
-            f"div (1000000 * (1000000 * timescale div fps_e6))"
+            f"({every_us} * timescale + 1000000 * frame_delta - 1) "
+            f"div (1000000 * frame_delta)"
         ),
     )
     n_sampled = F.expr(

@@ -211,18 +211,17 @@ def q040_neardup_candidate_datasheet(
     # first cut read + tokenized `documents` once PER family — 3x the
     # map work). The whitespace tokenization the MinHash shingles and
     # SimHash digests both consume runs once below this repartition;
-    # the frame is persisted for the single collect below, all three
-    # family subtrees read ONE InMemoryTableScan of it (ReuseExchange
-    # alone can't do this: per-branch column pruning rewrites each
-    # branch's exchange child differently, so the three exchanges stop
-    # being identical — measured 4 separate doc_id exchanges). The
-    # setsim family needs the raw text (its shingle law is
-    # split-on-single-space), so the cache carries (doc_id, text, _tk)
-    # — ~2x text bytes, one pass. The persist lives and dies INSIDE
-    # this call (eager collect of the 3-row datasheet, unpersist in
-    # finally): repeated bench runs re-pay the full compute honestly
-    # instead of reading a warm cache, and the bounded 3-row collect
-    # is the same driver-side pattern as the q005 lifecycle.
+    # the frame is persisted (fresh-cache discipline at the persist
+    # site below) and all three family subtrees read ONE
+    # InMemoryTableScan of it (ReuseExchange alone can't do this:
+    # per-branch column pruning rewrites each branch's exchange child
+    # differently, so the three exchanges stop being identical —
+    # measured 4 separate doc_id exchanges). The setsim family needs
+    # the raw text (its shingle law is split-on-single-space), so the
+    # cache carries (doc_id, text, _tk) — ~2x text bytes, one pass.
+    # The function returns the union LAZILY (no collect here — the
+    # caller's action materializes it); the cache-lifetime story lives
+    # at the persist site below.
     toked = docs.withColumn(
         "_tk", F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")

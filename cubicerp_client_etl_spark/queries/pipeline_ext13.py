@@ -379,6 +379,7 @@ SELECT doc_id,
        CAST(320 + 16 * (doc_id % 4) AS BIGINT) AS width,
        CAST(240 + 16 * (doc_id % 3) AS BIGINT) AS height,
        CAST(24 + doc_id % 48 AS BIGINT) AS n_frames,
+       CAST(20 + doc_id % 5 AS BIGINT) AS frame_delta,
        CAST(600 * 1000000 // (20 + doc_id % 5) AS BIGINT) AS fps_e6,
        CAST((doc_id % 7 + 1) * 100 AS BIGINT) AS mdat_bytes
 FROM documents
@@ -423,8 +424,9 @@ def q301_mp4_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the q301 container metadata (operators/multimodal.
 # keyframe_sample_plan). Exact integer rule: stride k = ceil(500000 ·
 # timescale / (10⁶ · frame_delta)) frames, indices j·k < n_frames,
-# pts_us = 10⁶·j·k·frame_delta // timescale; frame_delta is recovered
-# exactly from fps_e6 by floor-div involution (delta ≪ √(6·10⁸)). The
+# pts_us = 10⁶·j·k·frame_delta // timescale; frame_delta comes straight
+# from the parsed stts column (never reconstructed from fps_e6 — the
+# floor-div involution mis-strides low-fps containers, ADVICE r13). The
 # Spark side runs the REAL chain (synthesize MP4 bytes → box-walk
 # parse → Column-arithmetic plan); the oracle replays the closed-form
 # parameters. Scale: the explode fans out one row per SAMPLED frame
@@ -536,9 +538,11 @@ def q303_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("own_cents"),
     )
     # closed-form ancestor walk: k-th ancestor = pk div 10^k, edge-qty
-    # product enumerated row-locally (filter over a FIXED ascending
-    # sequence — sequence(0, k-1) would count DOWN for k = 0, the
-    # repo's documented sequence pitfall)
+    # product enumerated row-locally (filter over an ascending sequence
+    # sized by the key's DIGIT COUNT — sequence(0, k-1) would count
+    # DOWN for k = 0, the repo's documented sequence pitfall, and a
+    # fixed 0..6 bound would silently drop the 8th+ edge factor for
+    # 9+-digit part keys at very large SFs: ADVICE r13 item 1)
     contrib = parts.select(
         "own_cents",
         F.expr(
@@ -548,7 +552,8 @@ def q303_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               k -> named_struct(
                 'anc', pk div CAST(pow(10, k) AS BIGINT),
                 'mult', aggregate(
-                  filter(sequence(0, 6), j -> j < k),
+                  filter(sequence(0, length(CAST(pk AS STRING)) - 1),
+                         j -> j < k),
                   CAST(1 AS BIGINT),
                   (acc, j) -> acc * (1 + (pk div CAST(pow(10, j) AS BIGINT)) % 3)
                 )

@@ -132,3 +132,22 @@ def test_keyframe_plan_exact_stride_law(spark):
     # fps_e6 of an 0-frame track is still defined (delta present);
     # the plan must be empty, not a crash
     assert keyframe_sample_plan(empty, every_us=500_000).count() == 0
+
+
+def test_keyframe_plan_low_fps_uses_exact_frame_delta(spark):
+    # ADVICE r13: timescale=1, delta=1500 — reconstructing delta from
+    # fps_e6 by floor-div involution gives 1501 (1e6*1 div 666 = 1501)
+    # and silently mis-strides; the plan must consume the parsed stts
+    # delta column. Exact law here: k = ceil(5e5·1/(1e6·1500)) = 1, so
+    # every frame is sampled and pts_us = j·1500·1e6 // 1 exactly.
+    payload = encode_mp4_meta(1, 1500, 3, 64, 64, b"")
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    meta = video_meta_features(df)
+    assert meta.select("frame_delta").first()[0] == 1500
+    got = sorted(
+        (r.frame_idx, r.pts_us)
+        for r in keyframe_sample_plan(meta, every_us=500_000).collect()
+    )
+    assert got == [(0, 0), (1, 1_500_000_000), (2, 3_000_000_000)]
