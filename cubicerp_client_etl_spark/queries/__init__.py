@@ -64,6 +64,7 @@ def _load_all() -> None:
         pipeline_ext11,
         pipeline_ext12,
         pipeline_ext13,
+        pipeline_ext14,
         relational,
         relational2,
         relational3,

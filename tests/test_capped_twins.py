@@ -52,3 +52,38 @@ def test_capped_retention_coincides_with_exact_when_cap_cannot_bite(spark):
         for r in REGISTRY["q217_fuzzy_dedup_retention"].fn(spark, SF_TINY).collect()
     }
     assert capped == exact
+
+
+def test_capped_lsh_coincides_when_cap_cannot_bite(spark):
+    # r14 twin (q307): at the tiny fixture no hyperplane bucket exceeds
+    # occupancy 8 (the 500-vector embeddings table is shared by
+    # sf0.001/sf0.01), so the 16 cap is a pure opt-in there — the
+    # capped law must reproduce uncapped q209 row for row.
+    capped = {
+        tuple(r)
+        for r in REGISTRY["q307_lsh_bucketed_pairs_capped"]
+        .fn(spark, SF_TINY)
+        .collect()
+    }
+    plain = {
+        tuple(r)
+        for r in REGISTRY["q209_lsh_bucketed_pairs"].fn(spark, SF_TINY).collect()
+    }
+    assert capped == plain
+    assert len(capped) > 0
+
+
+def test_capped_lsh_bites_and_only_drops_at_sf01(spark):
+    # at sf0.1 the 2000-vector corpus pushes 9 buckets over occupancy
+    # 16 (max 26) — the cap must BITE (strictly fewer pairs) and may
+    # only ever DROP pairs, never invent or alter one (drop-only law).
+    sf = "/root/testdata/sf0.1"
+    capped = {
+        tuple(r)
+        for r in REGISTRY["q307_lsh_bucketed_pairs_capped"].fn(spark, sf).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in REGISTRY["q209_lsh_bucketed_pairs"].fn(spark, sf).collect()
+    }
+    assert capped < plain  # strict subset: bites, and drop-only

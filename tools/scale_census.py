@@ -68,6 +68,24 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # DuckDB oracle over the capped universe) — measured in the ordinary
 # census section, where the cap bounds any shingle's contribution at
 # 16²/2 pairs.
+#
+# q212 (r14): exact FULL-UNIVERSE set-similarity join is the declared
+# contract — the query's stated purpose is the prefix-filter
+# LOSSLESSNESS proof (its oracle brute-forces the definition: explode
+# join on ANY shared shingle), so any doc-frequency cap changes the
+# answer by definition, exactly the q217 argument. Idle re-measure
+# (r14) confirmed 9.5x at 10x is real, not load. The shipped scale
+# path is the SAME operator's ``hot_cap`` flag, oracle-proven by
+# q300_fuzzy_dedup_retention_capped (1.17x at 10x).
+#
+# q209 (r14): with n_planes fixed at 8 the hyperplane bucket universe
+# is finite (256), so expected occupancy grows LINEARLY with the
+# corpus and the within-bucket exact join quadratically — BY GEOMETRY,
+# not by plan defect (idle re-measure: 4.2x at 10x). The uncapped form
+# is the recall contract (every within-bucket pair, no occupancy
+# censoring); the shipped scale twin is q307_lsh_bucketed_pairs_capped
+# (``similarity.lsh_bucket_pairs_capped``, hot_bucket_cap=16 — join
+# volume bounded at 2^planes·cap²/2 regardless of corpus size).
 DECLARED_SUPERLINEAR = {
     "q297_neardup_components": "declared exact all-pairs cosine edges",
     "q070_cosine_pairs": "declared exact all-pairs cosine",
@@ -75,6 +93,16 @@ DECLARED_SUPERLINEAR = {
     "q217_fuzzy_dedup_retention": (
         "declared exact full-universe Jaccard retention (oracle is the "
         "brute-force pair join); capped scale twin = q300"
+    ),
+    "q212_setsim_join": (
+        "declared exact full-universe set-similarity join — the query "
+        "IS the prefix-filter losslessness proof vs the brute-force "
+        "oracle; capped scale twin = q300 (same operator, hot_cap=16)"
+    ),
+    "q209_lsh_bucketed_pairs": (
+        "declared uncapped within-bucket recall contract — fixed "
+        "n_planes makes occupancy grow linearly with the corpus by "
+        "geometry; capped scale twin = q307 (hot_bucket_cap=16)"
     ),
 }
 
