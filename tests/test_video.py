@@ -39,6 +39,10 @@ def test_mp4_roundtrip_identity_on_parameter_grid():
                             "n_frames": n,
                             "frame_delta": delta,
                             "mdat_bytes": len(mdat),
+                            # stsz omitted → empty table; mdat payload
+                            # offset still indexed for the decode tier
+                            "sample_sizes": [],
+                            "mdat_off": len(p) - len(mdat),
                         }
 
 
@@ -132,6 +136,77 @@ def test_keyframe_plan_exact_stride_law(spark):
     # fps_e6 of an 0-frame track is still defined (delta present);
     # the plan must be empty, not a crash
     assert keyframe_sample_plan(empty, every_us=500_000).count() == 0
+
+
+def test_stsz_roundtrip_and_mjpeg_frame_slicing():
+    # per-sample stsz table survives the parse∘encode round trip and
+    # mdat_off indexes the FIRST mdat payload byte
+    from cubicerp_client_etl_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    frames = []
+    for f in range(3):
+        pxs = bytes(((f * 97 + (y // 8) * 17 + (x // 8) * 53) % 256)
+                    for y in range(16) for x in range(16))
+        frames.append(encode_jpeg_gray(16, 16, pxs, quant=[1] * 64))
+    buf = encode_mp4_meta(
+        600, 25, 3, 16, 16,
+        mdat=b"".join(frames),
+        sample_sizes=[len(fb) for fb in frames],
+    )
+    m = parse_mp4_meta(buf)
+    assert m["sample_sizes"] == [len(fb) for fb in frames]
+    assert m["mdat_off"] >= 0
+    # slice frame 1 back out by the stsz prefix sums and decode it:
+    # block-uniform @ quant=1 is pixel-exact (the q293 law)
+    off = m["mdat_off"] + len(frames[0])
+    w, h, px = decode_jpeg_gray(buf[off : off + len(frames[1])])
+    assert (w, h) == (16, 16)
+    assert bytes(px) == bytes(
+        ((97 + (y // 8) * 17 + (x // 8) * 53) % 256)
+        for y in range(16) for x in range(16)
+    )
+
+
+def test_stsz_fixed_size_table():
+    # stsz with sample_size != 0 (fixed-size samples, no per-sample
+    # entries) expands to the repeated size — the spec's other arm
+    import struct
+
+    stsz_fixed = _mp4_box(b"stsz", struct.pack(">III", 0, 40, 5))
+    mdhd = _mp4_box(
+        b"mdhd",
+        struct.pack(">I", 0) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 600, 100) + struct.pack(">HH", 0x55C4, 0),
+    )
+    stbl = _mp4_box(b"stbl", stsz_fixed)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + minf)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    m = parse_mp4_meta(ftyp + _mp4_box(b"moov", _mp4_box(b"trak", mdia)))
+    assert m["sample_sizes"] == [40] * 5
+
+
+def test_decode_mjpeg_frames_rejects_index_free_container(spark):
+    # a container without stsz cannot be frame-sliced — the decode
+    # tier must fail loudly, not guess
+    import pytest as _pytest
+
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+    )
+
+    mp4 = spark.createDataFrame(
+        [(1, bytearray(encode_mp4_meta(600, 25, 2, 16, 16, mdat=b"xx")))],
+        "doc_id long, payload binary",
+    )
+    plan = spark.createDataFrame(
+        [(1, 0, 0)], "doc_id long, frame_idx long, pts_us long"
+    )
+    with _pytest.raises(Exception, match="stsz"):
+        decode_mjpeg_frames(mp4, plan).collect()
 
 
 def test_keyframe_plan_low_fps_uses_exact_frame_delta(spark):
