@@ -491,3 +491,118 @@ def near_duplicate_invoice_screen(
             gap.cast("bigint").alias("day_gap"),
         )
     )
+
+
+def cash_application_match(
+    stmts: DataFrame,
+    invoices: DataFrame,
+    stmt_id_col: str = "stmt_id",
+    inv_id_col: str = "inv_id",
+    amount_col: str = "amount_cents",
+    stmt_date_col: str = "value_date",
+    inv_date_col: str = "inv_date",
+    max_lag_days: int = 10,
+) -> DataFrame:
+    """Cash application: match bank-statement lines to open invoices —
+    the reconciliation the reference's ledger sink feeds a human to do
+    (cubicerpetl.py:775-787 moves the rows; this operator closes them).
+
+    Matching law (deterministic, engine-replayable):
+
+    - CANDIDATES: exact amount equality AND the payment lands within
+      ``(0, max_lag_days]`` days AFTER the invoice date;
+    - MUTUAL BEST: each statement line ranks its candidates by
+      (smallest day lag, then invoice id), each invoice ranks its
+      candidates by (smallest day lag, then statement id); a pair is
+      applied iff each side is the other's rank-1. This is ONE round
+      of greedy stable matching — deterministic and iteration-free,
+      documented as such (a full assignment solve would re-rank after
+      each removal; cash-app products ship exactly this one-round
+      auto-match and queue the remainder for review).
+
+    Output: one row per APPLIED pair ``(stmt_id, inv_id, amount_cents,
+    day_lag)``.
+
+    Scale: candidates come from ONE equi-join on the integer amount
+    (high-cardinality key — amounts in cents are nearly unique, so no
+    hot bucket), then two window ranks partitioned by either id. No
+    cross join, no iteration.
+    """
+    s = stmts.select(
+        F.col(stmt_id_col).alias("_sid"),
+        F.col(amount_col).cast("bigint").alias("_amt"),
+        F.col(stmt_date_col).alias("_sdt"),
+    )
+    i = invoices.select(
+        F.col(inv_id_col).alias("_iid"),
+        F.col(amount_col).cast("bigint").alias("_amt"),
+        F.col(inv_date_col).alias("_idt"),
+    )
+    lag = F.datediff("_sdt", "_idt")
+    cand = (
+        s.join(i, "_amt")
+        .where((lag > 0) & (lag <= max_lag_days))
+        .select("_sid", "_iid", "_amt", lag.alias("_lag"))
+    )
+    w_s = Window.partitionBy("_sid").orderBy("_lag", "_iid")
+    w_i = Window.partitionBy("_iid").orderBy("_lag", "_sid")
+    return (
+        cand.withColumn("_rs", F.row_number().over(w_s))
+        .withColumn("_ri", F.row_number().over(w_i))
+        .where((F.col("_rs") == 1) & (F.col("_ri") == 1))
+        .select(
+            F.col("_sid").alias(stmt_id_col),
+            F.col("_iid").alias(inv_id_col),
+            F.col("_amt").alias(amount_col),
+            F.col("_lag").cast("bigint").alias("day_lag"),
+        )
+    )
+
+
+def progressive_brackets(
+    df: DataFrame,
+    amount_col: str,
+    brackets: list[tuple[int, int]],
+    out_col: str = "tax_cents",
+) -> DataFrame:
+    """Progressive marginal-bracket arithmetic (payroll tax, customs
+    duty, tiered commissions): ``out = Σ_b rate_b · overlap_b`` where
+    ``overlap_b = clamp(amount − lower_b, 0, upper_b − lower_b)``.
+
+    ``brackets`` is ``[(lower_cents, rate_e6), ...]`` sorted ascending
+    by lower bound with the first lower bound 0; each bracket runs to
+    the next lower bound (the last is open-ended). Exact integers all
+    the way: per-bracket tax is ``rate_e6 · overlap div 10⁶`` on a
+    NON-NEGATIVE product (truncation == floor in every engine), summed
+    over the literal bracket array — one expression, no join, no UDF.
+
+    Output: input plus ``out_col`` (bigint cents) and
+    ``effective_rate_e6 = 10⁶·out div amount`` (0 for amount == 0).
+    """
+    lowers = [int(lo) for lo, _ in brackets]
+    assert lowers == sorted(lowers) and lowers[0] == 0, "brackets must ascend from 0"
+    amt = F.col(amount_col).cast("bigint")
+    terms = []
+    for idx, (lo, rate_e6) in enumerate(brackets):
+        upper = lowers[idx + 1] if idx + 1 < len(brackets) else None
+        span = (
+            F.least(amt, F.lit(int(upper))) if upper is not None else amt
+        ) - F.lit(int(lo))
+        overlap = F.greatest(span, F.lit(0)).cast("bigint")
+        terms.append(
+            F.expr(
+                f"CAST(CAST({int(rate_e6)} AS BIGINT) * __ov{idx} "
+                "div 1000000 AS BIGINT)"
+            )
+        )
+        df = df.withColumn(f"__ov{idx}", overlap)
+    tax = terms[0]
+    for t in terms[1:]:
+        tax = tax + t
+    out = df.withColumn(out_col, tax.cast("bigint"))
+    eff = F.when(
+        amt > 0, F.expr(f"1000000 * {out_col} div {amount_col}")
+    ).otherwise(F.lit(0))
+    return out.withColumn(
+        "effective_rate_e6", eff.cast("bigint")
+    ).drop(*[f"__ov{i}" for i in range(len(brackets))])

@@ -227,3 +227,146 @@ def q308_mjpeg_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp4.persist(StorageLevel.MEMORY_AND_DISK)
     plan = keyframe_sample_plan(video_meta_features(mp4), every_us=500_000)
     return decode_mjpeg_frames(mp4, plan).orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# q309 — Cash application auto-match (L-fin family: the reconciliation
+# CLOSER): bank-statement lines are matched to open invoices by exact
+# amount + a (0, 10]-day payment lag, then ONE round of mutual-best
+# greedy stable matching (each side's rank-1 candidate must agree) —
+# deterministic, iteration-free, exactly the auto-match tier a cash-app
+# product ships before queueing the remainder for review. Statement
+# lines are synthesized from every third order (amount preserved,
+# value date = invoice date + 1..10 days, id shifted into a disjoint
+# space) so the matcher must rediscover the pairing from (amount, lag)
+# alone — amount collisions inside the window create real ambiguity
+# that the mutual-best law resolves deterministically. The whole law
+# is integer/date-exact, so the oracle replays candidates, both
+# rankings and the applied set row for row. Scale: one equi-join on
+# integer cents (near-unique key, no hot bucket) + two windows.
+# Reference parity: the ledger/reconciliation surface the reference
+# merely moves rows for (cubicerpetl.py:775-787).
+# --------------------------------------------------------------------------
+@register(
+    "q309_cash_application_match",
+    oracle="""
+WITH inv AS (
+  SELECT o_orderkey AS iid,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt,
+         CAST(o_orderdate AS DATE) AS idt
+  FROM orders
+),
+st AS (
+  SELECT o_orderkey + 500000000 AS sid,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 10 + 1 AS INTEGER)
+           AS sdt
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+cand AS (
+  SELECT st.sid, inv.iid, st.amt, st.sdt - inv.idt AS lag
+  FROM st JOIN inv ON inv.amt = st.amt
+  WHERE st.sdt - inv.idt > 0 AND st.sdt - inv.idt <= 10
+),
+ranked AS (
+  SELECT sid, iid, amt, lag,
+         ROW_NUMBER() OVER (PARTITION BY sid ORDER BY lag, iid) AS rs,
+         ROW_NUMBER() OVER (PARTITION BY iid ORDER BY lag, sid) AS ri
+  FROM cand
+)
+SELECT CAST(sid AS BIGINT) AS stmt_id,
+       CAST(iid AS BIGINT) AS inv_id,
+       amt AS amount_cents,
+       CAST(lag AS BIGINT) AS day_lag
+FROM ranked WHERE rs = 1 AND ri = 1
+ORDER BY stmt_id
+""",
+)
+def q309_cash_application_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        cash_application_match,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    amt = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    invoices = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("inv_id"),
+        amt.alias("amount_cents"),
+        F.to_date("o_orderdate").alias("inv_date"),
+    )
+    stmts = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 500000000).cast("bigint").alias("stmt_id"),
+        amt.alias("amount_cents"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE), "
+            "CAST(o_orderkey % 10 + 1 AS INT))"
+        ).alias("value_date"),
+    )
+    return cash_application_match(
+        stmts, invoices, max_lag_days=10
+    ).orderBy("stmt_id")
+
+
+# --------------------------------------------------------------------------
+# q310 — Progressive marginal brackets (L-fin family: payroll tax /
+# customs duty / tiered commission arithmetic): per order, marginal
+# tax over the literal schedule 0% to $50k, 10% to $150k, 25% to
+# $400k, 40% above — per-bracket overlap clamp, per-bracket floored
+# rate product (NON-NEGATIVE, so Spark div == DuckDB //), summed in
+# one expression. The effective-rate column pins the div-exactness of
+# the ratio too. No join, no UDF, map-only — the oracle replays every
+# clamp and floor bit-for-bit. (operators/finance.progressive_brackets)
+# --------------------------------------------------------------------------
+@register(
+    "q310_progressive_tax_brackets",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt
+  FROM orders
+),
+t AS (
+  SELECT o_orderkey, amt,
+         CAST(100000 * LEAST(GREATEST(amt - 5000000, 0), 10000000) // 1000000
+            + 250000 * LEAST(GREATEST(amt - 15000000, 0), 25000000) // 1000000
+            + 400000 * GREATEST(amt - 40000000, 0) // 1000000
+           AS BIGINT) AS tax
+  FROM o
+)
+SELECT o_orderkey,
+       amt AS amount_cents,
+       tax AS tax_cents,
+       CAST(CASE WHEN amt > 0 THEN 1000000 * tax // amt ELSE 0 END
+         AS BIGINT) AS effective_rate_e6
+FROM t
+ORDER BY o_orderkey
+""",
+)
+def q310_progressive_tax_brackets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        progressive_brackets,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("amount_cents"),
+    )
+    out = progressive_brackets(
+        o,
+        "amount_cents",
+        brackets=[
+            (0, 0),
+            (5_000_000, 100_000),
+            (15_000_000, 250_000),
+            (40_000_000, 400_000),
+        ],
+    )
+    return out.select(
+        "o_orderkey", "amount_cents", "tax_cents", "effective_rate_e6"
+    ).orderBy("o_orderkey")
