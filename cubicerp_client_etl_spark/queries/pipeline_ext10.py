@@ -1008,7 +1008,7 @@ def q018_referential_integrity_audit(
 # immediately preceding it in the user's stream ('direct' when the
 # purchase opens the stream) — counts and exact floor(value) revenue
 # per source. ONE user-partitioned lag() window + a bounded rollup;
-# the single-touch baseline next to the funnel (q016) and Markov
+# the single-touch baseline next to the funnel (q136) and Markov
 # (q019) views.
 # --------------------------------------------------------------------------
 

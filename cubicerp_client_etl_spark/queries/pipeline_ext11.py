@@ -44,7 +44,7 @@ def _cents(col: str) -> F.Column:
 
 
 @register(
-    "q002_depreciation_schedule",
+    "q299_depreciation_schedule",
     oracle=f"""
 WITH a AS (
   SELECT p_partkey AS asset_id,
@@ -65,7 +65,7 @@ FROM a CROSS JOIN generate_series(1, 7) g(p)
 WHERE g.p <= life
 """,
 )
-def q002_depreciation_schedule(
+def q299_depreciation_schedule(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from cubicerp_client_etl_spark.operators.finance import (
@@ -95,7 +95,7 @@ def q002_depreciation_schedule(
 
 
 @register(
-    "q003_purchase_price_variance",
+    "q300_purchase_price_variance",
     oracle=f"""
 WITH l AS (
   SELECT p.p_brand,
@@ -117,7 +117,7 @@ SELECT p_brand,
 FROM v GROUP BY p_brand
 """,
 )
-def q003_purchase_price_variance(
+def q300_purchase_price_variance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
@@ -162,7 +162,7 @@ def q003_purchase_price_variance(
 
 
 @register(
-    "q004_dso_monthly",
+    "q301_dso_monthly",
     oracle=f"""
 SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
          AS yyyymm,
@@ -180,7 +180,7 @@ FROM orders
 GROUP BY 1
 """,
 )
-def q004_dso_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q301_dso_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("bigint")
@@ -210,7 +210,7 @@ def q004_dso_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q008_tax_box_summary",
+    "q302_tax_box_summary",
     oracle=f"""
 WITH l AS (
   SELECT l_returnflag,
@@ -225,7 +225,7 @@ SELECT l_returnflag, rate_pct,
 FROM l GROUP BY l_returnflag, rate_pct
 """,
 )
-def q008_tax_box_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q302_tax_box_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         (F.col("l_tax").cast("decimal(4,2)") * 100)
@@ -253,7 +253,7 @@ def q008_tax_box_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q012_otif_fill_rate",
+    "q303_otif_fill_rate",
     oracle="""
 WITH l AS (
   SELECT o.o_orderpriority,
@@ -282,7 +282,7 @@ SELECT o_orderpriority,
 FROM f GROUP BY o_orderpriority
 """,
 )
-def q012_otif_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q303_otif_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -344,7 +344,7 @@ def q012_otif_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q014_intercompany_elimination",
+    "q304_intercompany_elimination",
     oracle=f"""
 WITH t AS (
   SELECT o_custkey % 5 AS seller,
@@ -367,7 +367,7 @@ SELECT CAST(e_lo AS BIGINT) AS e_lo, CAST(e_hi AS BIGINT) AS e_hi,
 FROM p GROUP BY e_lo, e_hi
 """,
 )
-def q014_intercompany_elimination(
+def q304_intercompany_elimination(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     t = (
@@ -407,7 +407,7 @@ def q014_intercompany_elimination(
 
 
 @register(
-    "q016_seasonality_index",
+    "q305_seasonality_index",
     oracle=f"""
 WITH m AS (
   SELECT month(o_orderdate) AS mth,
@@ -423,7 +423,7 @@ SELECT CAST(mth AS BIGINT) AS mth, rev AS revenue_cents,
 FROM g CROSS JOIN t
 """,
 )
-def q016_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q305_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         load(spark, sf_dir, "orders")
         .select(
@@ -534,7 +534,7 @@ def q019_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q022_inventory_turns",
+    "q308_inventory_turns",
     oracle="""
 WITH base AS (
   SELECT l_partkey AS part,
@@ -565,7 +565,7 @@ SELECT CAST(part AS BIGINT) AS l_partkey,
 FROM bal GROUP BY part
 """,
 )
-def q022_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q308_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.history import inventory_turns
 
     base = (
@@ -607,7 +607,7 @@ def q022_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q025_customer_hhi",
+    "q160_customer_hhi",
     oracle=f"""
 WITH per AS (
   SELECT o_custkey AS k,
@@ -628,7 +628,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
 FROM sh
 """,
 )
-def q025_customer_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q160_customer_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import hhi_concentration
 
     rev = load(spark, sf_dir, "orders").select(
@@ -762,7 +762,7 @@ def q027_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q028_credit_exposure",
+    "q187_credit_exposure",
     oracle=f"""
 WITH open_ar AS (
   SELECT o_custkey,
@@ -793,7 +793,7 @@ SELECT c_mktsegment,
 FROM u GROUP BY c_mktsegment
 """,
 )
-def q028_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q187_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
 
     open_ar = (

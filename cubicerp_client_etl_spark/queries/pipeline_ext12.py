@@ -698,7 +698,7 @@ def q046_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q047 (birth q297) — FIFO inventory aging (the balance-sheet twin of q013's FIFO
-# COGS, same move-ledger convention as q015/q022: receipts = line
+# COGS, same move-ledger convention as q015/q308: receipts = line
 # quantities in (orderkey, linenumber) sequence, issues = half of each
 # line): the quantity REMAINING on hand per receipt layer under FIFO
 # consumption is closed-form from the layer's cumulative range and the

@@ -25,7 +25,7 @@ from cubicerp_client_etl_spark.functions import e6_floor_ratio
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q299 — CAPPED SimHash Hamming-ball blocking (L-dedup4 under the
+# q002 (birth q299) — CAPPED SimHash Hamming-ball blocking (L-dedup4 under the
 # oracle): q050's chunk blocking with ``hot_chunk_cap=64`` — the exact
 # family the q040 datasheet flagged (chunk buckets with occupancy up to
 # 3722 at sf0.1; 69 buckets over the cap). Chunk buckets whose
@@ -48,7 +48,7 @@ from cubicerp_client_etl_spark.queries import register
 # (cubicerpetl.py processes dict-rows one RPC at a time).
 # --------------------------------------------------------------------------
 @register(
-    "q299_simhash_capped_blocking",
+    "q002_simhash_capped_blocking",
     oracle="""
 WITH dupped AS (
   SELECT doc_id, text FROM documents
@@ -142,7 +142,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
 FROM ham CROSS JOIN hotstats CROSS JOIN planted
 """,
 )
-def q299_simhash_capped_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q002_simhash_capped_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from cubicerp_client_etl_spark.operators.dedup import (
@@ -235,7 +235,7 @@ def q299_simhash_capped_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q300 — CAPPED fuzzy-dedup retention (the scale twin of q217, the
+# q003 (birth q300) — CAPPED fuzzy-dedup retention (the scale twin of q217, the
 # census's highest non-declared 10x entry at 10.5): the identical
 # pipeline — exact Jaccard set-similarity join (J >= 1/2 on 3-gram
 # shingles) → connected components → one survivor per cluster — but the
@@ -258,7 +258,7 @@ def q299_simhash_capped_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator actually ships.
 # --------------------------------------------------------------------------
 @register(
-    "q300_fuzzy_dedup_retention_capped",
+    "q003_fuzzy_dedup_retention_capped",
     oracle="""
 WITH RECURSIVE t AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -316,7 +316,7 @@ SELECT doc_id, CAST(component AS BIGINT) AS component,
 FROM ranked
 """,
 )
-def q300_fuzzy_dedup_retention_capped(
+def q003_fuzzy_dedup_retention_capped(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from pyspark.sql import Window as W
@@ -350,7 +350,7 @@ def q300_fuzzy_dedup_retention_capped(
 
 
 # --------------------------------------------------------------------------
-# q301 — REAL video-container metadata path (operators/multimodal.py
+# q004 (birth q301) — REAL video-container metadata path (operators/multimodal.py
 # ISO-BMFF codec; L-mm4): deterministic per-doc track parameters are
 # ENCODED as a real MP4 byte stream (ftyp/moov/mvhd/trak/tkhd/mdia/
 # mdhd/stbl/stts/mdat — a genuine ISO-BMFF writer), then
@@ -364,12 +364,12 @@ def q300_fuzzy_dedup_retention_capped(
 # surfaces as a value mismatch. Frame PIXEL decode stays behind the
 # optional-extra gate (same discipline as progressive JPEG) — the
 # pipeline operations that run corpus-wide at 100 TB are exactly this
-# metadata pass and the q302 sampling plan, both codec-free.
+# metadata pass and the q008 sampling plan, both codec-free.
 # Scale: synth + box walk are pure map stages (mapInPandas), no
 # shuffle; payload bytes never leave the Arrow batch.
 # --------------------------------------------------------------------------
 @register(
-    "q301_mp4_video_metadata",
+    "q004_mp4_video_metadata",
     oracle="""
 SELECT doc_id,
        'isom' AS major_brand,
@@ -386,7 +386,7 @@ FROM documents
 ORDER BY doc_id
 """,
 )
-def q301_mp4_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q004_mp4_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.multimodal import (
         encode_mp4_meta,
         video_meta_features,
@@ -418,10 +418,10 @@ def q301_mp4_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q302 — decode-free keyframe sampling plan (L-mm5): the corpus-wide
+# q008 (birth q302) — decode-free keyframe sampling plan (L-mm5): the corpus-wide
 # pre-flight a video training pipeline runs BEFORE paying for any
 # codec work — one frame every 500 ms of media time, planned purely
-# from the q301 container metadata (operators/multimodal.
+# from the q004 container metadata (operators/multimodal.
 # keyframe_sample_plan). Exact integer rule: stride k = ceil(500000 ·
 # timescale / (10⁶ · frame_delta)) frames, indices j·k < n_frames,
 # pts_us = 10⁶·j·k·frame_delta // timescale; frame_delta comes straight
@@ -435,7 +435,7 @@ def q301_mp4_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codec tier touches only planned offsets.
 # --------------------------------------------------------------------------
 @register(
-    "q302_keyframe_sample_plan",
+    "q008_keyframe_sample_plan",
     oracle="""
 WITH params AS (
   SELECT doc_id,
@@ -451,7 +451,7 @@ FROM params CROSS JOIN generate_series(0, 63) g(j)
 WHERE g.j < (n + k - 1) // k
 """,
 )
-def q302_keyframe_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q008_keyframe_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.multimodal import (
         encode_mp4_meta,
         keyframe_sample_plan,
@@ -485,7 +485,7 @@ def q302_keyframe_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q303 — Multi-level BOM cost rollup (L-erp22): the ERP recursion —
+# q012 (birth q303) — Multi-level BOM cost rollup (L-erp22): the ERP recursion —
 # every assembly's rolled-up standard cost = its own cost + Σ over
 # child components of (quantity-per × the child's rolled cost),
 # through arbitrarily many levels. The BOM forest is synthesized from
@@ -508,7 +508,7 @@ def q302_keyframe_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time.
 # --------------------------------------------------------------------------
 @register(
-    "q303_bom_cost_rollup",
+    "q012_bom_cost_rollup",
     oracle="""
 WITH RECURSIVE walk(node, anc, mult) AS (
   SELECT p_partkey, p_partkey, CAST(1 AS BIGINT) FROM part
@@ -530,7 +530,7 @@ GROUP BY w.anc
 HAVING COUNT(*) > 1
 """,
 )
-def q303_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q012_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pk"),
         F.expr(
@@ -577,7 +577,7 @@ def q303_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q304 — Time-phased MRP net requirements with fixed lot sizing
+# q014 (birth q304) — Time-phased MRP net requirements with fixed lot sizing
 # (L-erp23): the planning recursion every MRP run executes — per part
 # and period, net the gross requirements against projected on-hand,
 # and release planned orders in multiples of the lot size. The
@@ -594,7 +594,7 @@ def q303_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # policy dimension joins broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q304_mrp_net_requirements",
+    "q014_mrp_net_requirements",
     oracle="""
 WITH demand AS (
   SELECT l_partkey AS pk,
@@ -627,7 +627,7 @@ SELECT pk AS p_partkey, ym,
 FROM calc
 """,
 )
-def q304_mrp_net_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q014_mrp_net_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     dem = (
@@ -669,21 +669,21 @@ def q304_mrp_net_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q305 — Available-to-promise (ATP, L-erp24): per part and month, the
+# q016 (birth q305) — Available-to-promise (ATP, L-erp24): per part and month, the
 # quantity a sales desk may promise WITHOUT starving any future
 # commitment — the running net position (onhand + cumulative supply −
 # cumulative demand) tightened by its FORWARD-LOOKING minimum: atp_t =
 # min over s >= t of net_s. The lookahead is a reverse-ordered running
 # MIN window (ORDER BY ym DESC, unbounded-preceding frame) — the
 # machinery twin of the prefix scans, scanning from the right. Supply
-# and demand legs split the move stream by the q022 ledger convention
+# and demand legs split the move stream by the q308 ledger convention
 # (even line numbers receive, odd issue). Exact integers end to end.
 # Scale: one keyed agg to the bounded (part × month) grid, two
 # part-partitioned windows (forward cumsum, reverse cummin); no state,
 # no walker — promising dates at 100 TB is exactly this shape.
 # --------------------------------------------------------------------------
 @register(
-    "q305_available_to_promise",
+    "q016_available_to_promise",
     oracle="""
 WITH moves AS (
   SELECT l_partkey AS pk,
@@ -711,7 +711,7 @@ SELECT pk AS p_partkey, ym, supply_qty, demand_qty, net_position,
 FROM pos
 """,
 )
-def q305_available_to_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q016_available_to_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     qty = F.col("l_quantity").cast("bigint")
@@ -757,7 +757,7 @@ def q305_available_to_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q306 — Supplier scorecard (L-erp25): the composite vendor KPI a
+# q020 (birth q306) — Supplier scorecard (L-erp25): the composite vendor KPI a
 # procurement review reads — per supplier, the exact-integer e6 shares
 # of (a) on-time shipments (order-to-ship within 45 days, the q046
 # lead-time discipline) and (b) shipped volume vs the whole corpus,
@@ -767,7 +767,7 @@ def q305_available_to_promise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # posture forbids data-sized global windows).
 # --------------------------------------------------------------------------
 @register(
-    "q306_supplier_scorecard",
+    "q020_supplier_scorecard",
     oracle="""
 WITH per_sup AS (
   SELECT l.l_suppkey AS s_suppkey,
@@ -789,7 +789,7 @@ SELECT s_suppkey, n_lines,
 FROM per_sup CROSS JOIN tot
 """,
 )
-def q306_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q020_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_orderkey", "l_quantity", "l_shipdate"
     )

@@ -2,9 +2,9 @@
 
 The round-13 verdict's item 1 closed on idle evidence: of the four
 census watch entries, q082 (1.7x) and q292 (1.6x) were load noise, and
-the two REAL superlinear members get the q299/q300 treatment here —
-q212 is declared (its capped twin q300 already ships, oracle-green at
-1.17x), and the hyperplane-LSH family gets its capped twin below
+the two REAL superlinear members get the capped-twin treatment here
+(birth q299/q300, now q002/q003) — q212 is declared (its capped twin
+q003 already ships, oracle-green at 1.17x), and the hyperplane-LSH family gets its capped twin below
 (q209's uncapped form is declared alongside: with n_planes fixed the
 bucket universe is finite, so occupancy — and the within-bucket join —
 grows with the corpus by geometry).
@@ -23,7 +23,7 @@ from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
 
 # --------------------------------------------------------------------------
-# q307 — CAPPED hyperplane-LSH near-neighbor join (L-sim1 under the
+# q021 (birth q307) — CAPPED hyperplane-LSH near-neighbor join (L-sim1 under the
 # cap discipline): q209's exact pipeline — portable Rademacher-md5
 # hyperplane buckets, within-bucket exact cosine >= 0.3 — with
 # ``similarity.lsh_bucket_pairs_capped(hot_bucket_cap=16)``: buckets
@@ -37,12 +37,12 @@ from cubicerp_client_etl_spark.queries import register
 # the occupancy census, the live-bucket set and every surviving cosine
 # value bit-for-bit. At sf0.01 no bucket exceeds occupancy 8, so the
 # capped law coincides with q209 there (pinned by test); at sf0.1 it
-# drops 9 hot buckets — the cap BITES under the oracle, the q299/q300
+# drops 9 hot buckets — the cap BITES under the oracle, the q002/q003
 # requirement. Scale: occupancy census is one keyed agg over ≤256
 # groups; the live list broadcasts; one equi-join on the bucket key.
 # --------------------------------------------------------------------------
 @register(
-    "q307_lsh_bucketed_pairs_capped",
+    "q021_lsh_bucketed_pairs_capped",
     oracle="""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -87,7 +87,7 @@ WHERE list_dot_product(ea.v, eb.v) /
       sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)) >= 0.3
 """,
 )
-def q307_lsh_bucketed_pairs_capped(
+def q021_lsh_bucketed_pairs_capped(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
@@ -106,12 +106,12 @@ def q307_lsh_bucketed_pairs_capped(
 
 
 # --------------------------------------------------------------------------
-# q308 — REAL MJPEG keyframe decode driven by the sampling plan
+# q022 (birth q308) — REAL MJPEG keyframe decode driven by the sampling plan
 # (L-mm4/L-mm5 closed end-to-end; judge r13 item 6): the full two-tier
 # video chain in one query. Tier 1 (corpus-wide, codec-free): real
 # ISO-BMFF containers — mdat now holds N concatenated genuine baseline
 # JPEGs, indexed by a real stsz sample table — are box-walk parsed and
-# the q302 sampling plan (one frame per 500 ms of media time) is
+# the q008 sampling plan (one frame per 500 ms of media time) is
 # computed from the container metadata alone. Tier 2 (planned frames
 # only): decode_mjpeg_frames joins the plan back to the payloads and
 # entropy-decodes ONLY the planned frames with the repo's own stdlib
@@ -126,7 +126,7 @@ def q307_lsh_bucketed_pairs_capped(
 # stages plus one id equi-join; payload bytes never leave the batch.
 # --------------------------------------------------------------------------
 @register(
-    "q308_mjpeg_keyframe_decode",
+    "q022_mjpeg_keyframe_decode",
     oracle="""
 WITH p AS (
   SELECT doc_id,
@@ -164,7 +164,7 @@ FROM px
 ORDER BY doc_id, frame_idx
 """,
 )
-def q308_mjpeg_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q022_mjpeg_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.jpeg import encode_jpeg_gray
     from cubicerp_client_etl_spark.operators.multimodal import (
         decode_mjpeg_frames,
@@ -218,7 +218,7 @@ def q308_mjpeg_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthesized containers feed TWO subtrees (the metadata→plan
     # branch and the decode join's payload side); without a cache the
     # JPEG-encode synthesis — the expensive stage — runs once per
-    # branch. Fresh-cache discipline (q040/q299 pattern): drop any
+    # branch. Fresh-cache discipline (q040/q002 pattern): drop any
     # previous call's entry, share one materialization per action,
     # return the lazy plan.
     from pyspark import StorageLevel

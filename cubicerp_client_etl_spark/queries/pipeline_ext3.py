@@ -277,7 +277,7 @@ def q165_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q127 — changelog apply / MERGE compaction (I-family extension, the
+# q023 (birth q127) — changelog apply / MERGE compaction (I-family extension, the
 # inverse of q107's CDC snapshot diff): base = customer accounts, changelog
 # = events keyed on user_id (purchase/signup upsert the account's
 # tracked value, error deletes it; latest event per key wins via
@@ -287,7 +287,7 @@ def q165_kmeans_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 # <=1 row/key BEFORE the full-outer join; both shuffles share the key.
 # --------------------------------------------------------------------------
 @register(
-    "q127_apply_changelog",
+    "q023_apply_changelog",
     oracle="""
 WITH chg AS (
   SELECT user_id AS c_custkey,
@@ -311,7 +311,7 @@ FROM base b FULL OUTER JOIN chg c USING (c_custkey)
 WHERE c.op IS NULL OR c.op <> 'D'
 """,
 )
-def q127_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q023_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.history import apply_changelog
 
     base = load(spark, sf_dir, "customer").select(

@@ -65,7 +65,7 @@ def q156_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q157 — REAL multimodal decode path (operators/multimodal.py, VERDICT
+# q024 (birth q157) — REAL multimodal decode path (operators/multimodal.py, VERDICT
 # r5 #5): deterministic grayscale images are ENCODED as real 8-bit BMP
 # bytes (pure-stdlib codec), then extract_features(fake=False) decodes
 # the actual pixel data back out and buckets the luminance histogram —
@@ -76,7 +76,7 @@ def q156_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IEEE division of two ints — bit-identical across engines.
 # --------------------------------------------------------------------------
 @register(
-    "q157_bmp_feature_histogram",
+    "q024_bmp_feature_histogram",
     oracle="""
 WITH d AS (
   SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
@@ -101,7 +101,7 @@ SELECT s.doc_id,
 FROM spine s LEFT JOIN c ON s.doc_id = c.doc_id AND s.bucket = c.bucket
 """,
 )
-def q157_bmp_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q024_bmp_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from cubicerp_client_etl_spark.operators.multimodal import (
@@ -144,12 +144,12 @@ def q157_bmp_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q216 (birth q158) — Bloom-filtered decontamination (operators/sketches.py): the
-# scale path for q012's exact pass when the eval-suite shingle table
+# scale path for q158's exact pass when the eval-suite shingle table
 # outgrows its broadcast budget. Benchmark shingles (doc_id % 97 = 0,
 # 5-grams) build a Bloom positions table (m = 65536 cells, k = 3 md5
 # hash rows — the portable family); corpus shingles probe it and a
 # document reports how many of its DISTINCT shingles maybe-hit. No
-# false negatives by construction (every exact q012 hit is counted
+# false negatives by construction (every exact q158 hit is counted
 # here); false positives over-flag at the filter's FP rate — the safe
 # direction for decontamination. The oracle replays every hash
 # position bit-for-bit, so the flagged sets match EXACTLY, collisions
@@ -317,7 +317,7 @@ def q159_bmp_resize_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q160 — BPE vocabulary induction (operators/bpe.py): learn 5 merges
+# q025 (birth q160) — BPE vocabulary induction (operators/bpe.py): learn 5 merges
 # from the corpus word histogram. The corpus is scanned once; each
 # round is Catalyst over the bounded vocab table plus a 1-row argmax
 # pull (the q013-kmeans iterative pattern). Fully oracled: the padded
@@ -331,7 +331,7 @@ _BPE_K = 5
 
 
 def _bpe_ctes(k: int) -> str:
-    """The shared k-round merge chain (q160 + q161): vocab v0..vk carry
+    """The shared k-round merge chain (q025 + q161): vocab v0..vk carry
     (w, sym, cnt); b0..b{k-1} are the per-round argmax merges."""
     ctes = [
         "wtok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
@@ -368,8 +368,8 @@ def _bpe_learn_oracle(k: int) -> str:
     return "WITH " + _bpe_ctes(k) + "\n" + "\nUNION ALL\n".join(sels)
 
 
-@register("q160_bpe_vocab_induction", oracle=_bpe_learn_oracle(_BPE_K))
-def q160_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q025_bpe_vocab_induction", oracle=_bpe_learn_oracle(_BPE_K))
+def q025_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.bpe import bpe_learn
 
     docs = load(spark, sf_dir, "documents").select("text")
@@ -385,7 +385,7 @@ def q160_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q220 (birth q161) — BPE corpus tokenization (the APPLY path): segment the learned
-# vocab with q160's merges, then tokenize every document by a BROADCAST
+# vocab with q025's merges, then tokenize every document by a BROADCAST
 # join of its words against the segmented-vocab table — each distinct
 # word is segmented once, the corpus never runs per-row Python. Output:
 # per-document BPE token count vs whitespace word count (the

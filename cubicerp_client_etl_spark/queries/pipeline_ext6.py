@@ -442,7 +442,7 @@ def q169_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (stdlib `wave`), then audio_features(fake=False) parses the actual
 # container back and derives exact-integer features — samples,
 # duration_us, peak, isqrt RMS, zero crossings. The audio twin of
-# q157's BMP chain: the oracle replays the waveform arithmetic
+# q024's BMP chain: the oracle replays the waveform arithmetic
 # directly (the WAV round-trip is the identity on samples, pinned by
 # unit tests), so a codec bug surfaces as a value mismatch. Scale:
 # synth + decode are both pure map stages (mapInPandas), no shuffle.

@@ -393,12 +393,12 @@ def q270_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q176 — Tokenizer fertility by language (reuses the q160/q161 BPE
+# q176 — Tokenizer fertility by language (reuses the q025/q161 BPE
 # chain): the release datasheet tokenizer teams publish — per language,
 # BPE tokens per word (fertility) and chars per BPE token — the metric
 # that exposes when a vocab trained on English shreds other languages
 # into character soup. Shares the exact unrolled merge-chain oracle
-# with q160/q161 (operators/bpe.py segments each distinct WORD once and
+# with q025/q161 (operators/bpe.py segments each distinct WORD once and
 # broadcasts the segmentation — the corpus never runs per-row Python).
 # All ratios exact e6 integers. Scale: vocab-sized dims broadcast, two
 # keyed aggs (doc then language).
@@ -1395,7 +1395,7 @@ def q186_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q187 — Retrieval quality: exact nDCG@10 of the q018 BM25 ranking
+# q028 (birth q187) — Retrieval quality: exact nDCG@10 of the q018 BM25 ranking
 # against a deterministic relevance rubric (a doc's relevance = how
 # many distinct probe terms it contains, 0–3 — a label any engine can
 # replay, so the whole metric is value-checkable). DCG discounts
@@ -1406,7 +1406,7 @@ def q186_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frames.
 # --------------------------------------------------------------------------
 @register(
-    "q187_bm25_ndcg",
+    "q028_bm25_ndcg",
     oracle="""
 WITH toks AS (
   SELECT doc_id, u.t AS t
@@ -1469,7 +1469,7 @@ SELECT dcg_e6, idcg_e6,
 FROM dcg CROSS JOIN idcg
 """,
 )
-def q187_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q028_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
@@ -2400,7 +2400,7 @@ def q196_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 # histogram. The oracle replays the pixel arithmetic directly (the
 # codec round-trip is the identity on pixels, unit-pinned incl. each
 # filter), so a filter-reconstruction bug surfaces as a value
-# mismatch. The image twin of q157's BMP chain, one compression level
+# mismatch. The image twin of q024's BMP chain, one compression level
 # deeper. Scale: synth + decode are pure map stages.
 # --------------------------------------------------------------------------
 @register(
@@ -3326,7 +3326,7 @@ def q205_windowed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each language's char-bigram distribution — the script-complexity /
 # degenerate-text signal (collapsed boilerplate has low entropy, real
 # prose sits in a narrow band per script). One float per bigram TYPE
-# (p·log2 p, rounded e6 once — the q174/q187 discipline), then the
+# (p·log2 p, rounded e6 once — the q174/q028 discipline), then the
 # entropy is an integer sum over the bounded type table. Scale: bigram
 # extraction is a per-doc bounded explode; counting is one
 # map-side-combinable keyed agg; everything after runs on the
@@ -4181,7 +4181,7 @@ def q213_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pixel-exact on ANY content (palette luma == pixel value, no DCT),
 # so the oracle replays the planted pixel arithmetic directly — an
 # LZW/interlace/palette bug surfaces as a value mismatch. Fourth
-# member of the real-codec chain (BMP q157, PNG q042, JPEG q208).
+# member of the real-codec chain (BMP q024, PNG q042, JPEG q208).
 # Scale: synth + decode are pure map stages.
 # --------------------------------------------------------------------------
 @register(

@@ -254,7 +254,7 @@ def q052_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q007 / q008 — semi and anti joins (C7): EXISTS / NOT EXISTS without
+# q258 / q119 (birth q007/q008) — semi and anti joins (C7): EXISTS / NOT EXISTS without
 # materializing the right side into the output; Spark's left_semi /
 # left_anti avoid the row-multiplication a plain join would cause.
 # --------------------------------------------------------------------------

@@ -1,7 +1,7 @@
 """Third query wave: grouping sets, ordered string agg, skew-salted join,
 embedding-cosine near-dup, approximate sketches, ntile/first/last frames.
 
-Covers SURVEY §2 D4 (GROUPING SETS proper, beyond q014/q053 rollup/cube),
+Covers SURVEY §2 D4 (GROUPING SETS proper, beyond q174/q088 rollup/cube),
 H-family string aggregation, E1/E2 completion (ntile, first_value /
 last_value with explicit frames), the L-dedup embedding-cosine variant
 mandated by BASELINE.json, and the skew-mitigation posture from §2
@@ -21,7 +21,7 @@ from cubicerp_client_etl_spark.queries import register
 
 
 # --------------------------------------------------------------------------
-# q073 — GROUPING SETS (D4). Rollup/cube (q014/q053) are the fixed lattices;
+# q073 — GROUPING SETS (D4). Rollup/cube (q174/q088) are the fixed lattices;
 # this is the general form: an explicit set list, with GROUPING() flags so
 # subtotal NULLs are distinguishable from data NULLs. One shuffle; Spark
 # expands the sets map-side before the exchange (Expand operator), so at

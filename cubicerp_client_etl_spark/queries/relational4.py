@@ -343,7 +343,7 @@ def q086_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final agg on (nation, nation, year) — a few hundred groups.
 # --------------------------------------------------------------------------
 @register(
-    "q020_tpch_q7_volume_shipping",
+    "q306_tpch_q7_volume_shipping",
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l.l_shipdate) AS l_year,
@@ -359,7 +359,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
 """,
 )
-def q020_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q306_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")

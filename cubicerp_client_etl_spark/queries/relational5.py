@@ -86,7 +86,7 @@ def q085_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> Data
 # push down to the Parquet scan.
 # --------------------------------------------------------------------------
 @register(
-    "q021_tpch_q6_forecast_revenue",
+    "q307_tpch_q6_forecast_revenue",
     oracle="""
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -97,7 +97,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_quantity < 24
 """,
 )
-def q021_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q307_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -364,7 +364,7 @@ def q099_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # part is broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q023_tpch_q17_small_qty",
+    "q127_tpch_q17_small_qty",
     oracle="""
 WITH pa AS (
   SELECT l_partkey, SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
@@ -378,7 +378,7 @@ JOIN pa ON pa.l_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.2 * pa.avg_qty
 """,
 )
-def q023_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
@@ -452,7 +452,7 @@ def q101_tpch_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast.
 # --------------------------------------------------------------------------
 @register(
-    "q024_tpch_q21_waiting_suppliers",
+    "q157_tpch_q21_waiting_suppliers",
     oracle="""
 WITH late AS (
   SELECT l.l_orderkey, l.l_suppkey
@@ -476,7 +476,7 @@ WHERE s.s_nationkey = 1
 GROUP BY s.s_name
 """,
 )
-def q024_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q157_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 1)

@@ -713,7 +713,7 @@ def stream_quantile_buckets(
 
 
 def stream_pii_card_audit(docs: DataFrame) -> DataFrame:
-    """Streaming twin of the q012 Luhn PII audit: per document,
+    """Streaming twin of the q282 Luhn PII audit: per document,
     extract payment-card candidates and split them into checksum-valid
     and invalid counts. Pure codegen regex + HOF arithmetic
     (``operators/text.card_candidates``/``luhn_valid``) — stateless
@@ -742,7 +742,7 @@ def stream_pii_card_audit(docs: DataFrame) -> DataFrame:
 def stream_winsorize(
     vals: DataFrame, p_lo: int, p_hi: int, value_col: str = "value_cents"
 ) -> DataFrame:
-    """Streaming twin of the q016 winsorization: clip a live value
+    """Streaming twin of the q232 winsorization: clip a live value
     stream at thresholds COMPUTED OFFLINE (the batch quantile sketch's
     p01/p99 — pass them in as plain ints, the Bloom-gate pattern:
     heavy statistics on yesterday's batch, a stateless map on today's
@@ -1076,7 +1076,7 @@ def stream_price_waterfall(lines: DataFrame, part_static: DataFrame) -> DataFram
 
 
 def stream_video_metadata(docs: DataFrame) -> DataFrame:
-    """Streaming twin of the q301 video chain: per-document REAL
+    """Streaming twin of the q004 video chain: per-document REAL
     ISO-BMFF/MP4 containers are synthesized and then box-walk parsed
     back to exact-integer track metadata (duration_us, 16.16 pixel
     dims, n_frames, fps_e6, mdat bytes) — stateless Arrow-batched

@@ -1,4 +1,4 @@
-"""Round-13 capped-twin queries (q299/q300): the hot-bucket caps under
+"""Round-13 capped-twin queries (q002/q003, birth q299/q300): the hot-bucket caps under
 the oracle discipline. The operator-level cap laws (huge-cap ==
 uncapped, boilerplate drop, brute-force equivalence) are already
 pinned in test_dedup.py; these tests pin the QUERY-level contracts the
@@ -6,11 +6,11 @@ round-13 wave adds:
 
 - the chunk family's fixture fingerprints are clustered enough that
   the 64 cap BITES even on the smallest fixture (the documents table
-  holds 500 docs at every SF): q299 must report a non-zero hot census
+  holds 500 docs at every SF): q002 must report a non-zero hot census
   and a strictly smaller candidate set than uncapped q050, and the cap
   may only ever DROP candidates, never invent them;
 - the setsim universe cap (16) cannot bite on the small fixture (max
-  shingle doc-frequency is 7), so q300 must reproduce q217's exact
+  shingle doc-frequency is 7), so q003 must reproduce q217's exact
   full-universe clustering row for row — the cap is a pure opt-in,
   not a semantic drift.
 """
@@ -29,7 +29,7 @@ def _row(df):
 
 
 def test_capped_simhash_bites_and_only_drops(spark):
-    capped = _row(REGISTRY["q299_simhash_capped_blocking"].fn(spark, SF_TINY))
+    capped = _row(REGISTRY["q002_simhash_capped_blocking"].fn(spark, SF_TINY))
     plain = _row(REGISTRY["q050_simhash_blocking"].fn(spark, SF_TINY))
     assert capped["hot_buckets"] > 0
     assert capped["hot_pair_mass"] > 0
@@ -43,7 +43,7 @@ def test_capped_simhash_bites_and_only_drops(spark):
 def test_capped_retention_coincides_with_exact_when_cap_cannot_bite(spark):
     capped = {
         tuple(r)
-        for r in REGISTRY["q300_fuzzy_dedup_retention_capped"]
+        for r in REGISTRY["q003_fuzzy_dedup_retention_capped"]
         .fn(spark, SF_TINY)
         .collect()
     }
@@ -55,13 +55,13 @@ def test_capped_retention_coincides_with_exact_when_cap_cannot_bite(spark):
 
 
 def test_capped_lsh_coincides_when_cap_cannot_bite(spark):
-    # r14 twin (q307): at the tiny fixture no hyperplane bucket exceeds
+    # r14 twin (q021, birth q307): at the tiny fixture no hyperplane bucket exceeds
     # occupancy 8 (the 500-vector embeddings table is shared by
     # sf0.001/sf0.01), so the 16 cap is a pure opt-in there — the
     # capped law must reproduce uncapped q209 row for row.
     capped = {
         tuple(r)
-        for r in REGISTRY["q307_lsh_bucketed_pairs_capped"]
+        for r in REGISTRY["q021_lsh_bucketed_pairs_capped"]
         .fn(spark, SF_TINY)
         .collect()
     }
@@ -80,7 +80,7 @@ def test_capped_lsh_bites_and_only_drops_at_sf01(spark):
     sf = "/root/testdata/sf0.1"
     capped = {
         tuple(r)
-        for r in REGISTRY["q307_lsh_bucketed_pairs_capped"].fn(spark, sf).collect()
+        for r in REGISTRY["q021_lsh_bucketed_pairs_capped"].fn(spark, sf).collect()
     }
     plain = {
         tuple(r)

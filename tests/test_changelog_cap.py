@@ -1,5 +1,5 @@
 """Unit tests for apply_changelog (history.py) and the per-group cap
-samplers (sampling.py) — q127–q129 wave."""
+samplers (sampling.py) — birth q127–q129 wave (changelog apply now q023)."""
 
 from __future__ import annotations
 

@@ -1,4 +1,4 @@
-"""Round-13 planning wave (q303 BOM rollup, q304 MRP netting): pin the
+"""Round-13 planning wave (BOM rollup q012, MRP netting q014 — birth q303/q304): pin the
 exact arithmetic against independent brute-force Python on the fixture
 (the oracles prove Spark==DuckDB; these prove both match the spec)."""
 
@@ -34,7 +34,7 @@ def test_bom_rollup_matches_bruteforce_recursion(spark):
 
     got = {
         r.p_partkey: (r.n_descendants, r.rolled_cost_cents)
-        for r in REGISTRY["q303_bom_cost_rollup"].fn(spark, SF).collect()
+        for r in REGISTRY["q012_bom_cost_rollup"].fn(spark, SF).collect()
     }
     want = {
         p: (n_desc(p), rolled(p)) for p in own if kids.get(p)
@@ -43,7 +43,7 @@ def test_bom_rollup_matches_bruteforce_recursion(spark):
 
 
 def test_mrp_netting_invariants_and_hand_series(spark):
-    rows = REGISTRY["q304_mrp_net_requirements"].fn(spark, SF).collect()
+    rows = REGISTRY["q014_mrp_net_requirements"].fn(spark, SF).collect()
     assert rows
     by_part: dict[int, list] = {}
     for r in rows:

@@ -202,7 +202,7 @@ def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
 def test_q95_tpch_q6_pushdown_single_stage(spark):
     """Q6 must be the minimal shape: all three predicates pushed into
     the scan, one partial+final agg, no shuffle beyond the 1-row final."""
-    plan = plan_of(spark, "q021_tpch_q6_forecast_revenue")
+    plan = plan_of(spark, "q307_tpch_q6_forecast_revenue")
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
@@ -442,10 +442,10 @@ def test_q165_kmeans_assignment_is_join_free(spark):
 
 
 def test_q127_changelog_compacts_before_join(spark):
-    """Changelog apply (q127): the raw log must never reach the join —
+    """Changelog apply (q023): the raw log must never reach the join —
     the window compaction (rn=1 filter) sits below it; join is on the
     shared key so the shuffles line up."""
-    plan = plan_of(spark, "q127_apply_changelog")
+    plan = plan_of(spark, "q023_apply_changelog")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # full-outer join present, fed by the windowed (compacted) side
     assert "FullOuter" in plan
@@ -748,12 +748,12 @@ def test_bucketed_join_zero_exchange_below_join_at_sf01(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
-def test_q002_depreciation_schedule_map_only(spark):
+def test_q299_depreciation_schedule_map_only(spark):
     """The depreciation schedule is closed-form in the period index —
     the whole plan must be a scan + filter + explode + project: ZERO
     exchanges (a window or per-asset shuffle here would be a
     regression; the subledger explode has to scale as a pure map)."""
-    plan = plan_of(spark, "q002_depreciation_schedule")
+    plan = plan_of(spark, "q299_depreciation_schedule")
     assert "Exchange" not in plan
     assert "Generate explode" in plan or "Generate" in plan
 

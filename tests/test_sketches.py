@@ -230,7 +230,7 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
 
 
 def test_bloom_decontamination_is_superset_of_exact(spark):
-    """The Bloom pass must flag EVERY document the exact q012 pass
+    """The Bloom pass must flag EVERY document the exact q158 pass
     flags (no false negatives propagate through shingle composition)."""
     from pyspark.sql import functions as F
 

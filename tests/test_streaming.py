@@ -755,7 +755,7 @@ def test_stream_tax_box_equals_batch(spark):
         "tax_box_stream",
         output_mode="complete",
     )
-    batch = e.queries()["q008_tax_box_summary"](spark, sf)
+    batch = e.queries()["q302_tax_box_summary"](spark, sf)
     cols = sorted(batch.columns)
     got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     want = sorted(tuple(r[c] for c in cols) for r in batch.collect())

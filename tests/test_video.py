@@ -1,6 +1,6 @@
 """ISO-BMFF (MP4) container codec + keyframe sampling plan (L-mm4/5).
 
-The q301 oracle replays the synthesis parameters rather than the byte
+The q004 (birth q301) oracle replays the synthesis parameters rather than the byte
 stream, which is only sound if parse∘encode is the identity on the
 metadata — pinned here across a parameter grid, plus the box-walk edge
 cases (64-bit largesize boxes, to-end boxes, multi-run stts, truncation

@@ -50,7 +50,8 @@ MAP_FILES = [
     "renumber_r10.py",
     "renumber_r11.py",
     "renumber_r12.py",
-    "renumber_r13.py",  # may not exist yet when this tool first runs
+    "renumber_r13.py",
+    "renumber_r14.py",  # may not exist yet when this tool first runs
 ]
 
 

@@ -64,7 +64,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # is d(d-1)/2, and fixture df grows with corpus size, so the 10x
 # ratio (10.5 in CENSUS_r12, the alarm line is 12) is the contract's
 # cost, not a plan defect. The shipped scale path is the CAPPED twin
-# q300_fuzzy_dedup_retention_capped (setsim_join(hot_cap=16), full
+# q003_fuzzy_dedup_retention_capped (setsim_join(hot_cap=16), full
 # DuckDB oracle over the capped universe) — measured in the ordinary
 # census section, where the cap bounds any shingle's contribution at
 # 16²/2 pairs.
@@ -76,14 +76,14 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # answer by definition, exactly the q217 argument. Idle re-measure
 # (r14) confirmed 9.5x at 10x is real, not load. The shipped scale
 # path is the SAME operator's ``hot_cap`` flag, oracle-proven by
-# q300_fuzzy_dedup_retention_capped (1.17x at 10x).
+# q003_fuzzy_dedup_retention_capped (1.17x at 10x).
 #
 # q209 (r14): with n_planes fixed at 8 the hyperplane bucket universe
 # is finite (256), so expected occupancy grows LINEARLY with the
 # corpus and the within-bucket exact join quadratically — BY GEOMETRY,
 # not by plan defect (idle re-measure: 4.2x at 10x). The uncapped form
 # is the recall contract (every within-bucket pair, no occupancy
-# censoring); the shipped scale twin is q307_lsh_bucketed_pairs_capped
+# censoring); the shipped scale twin is q021_lsh_bucketed_pairs_capped
 # (``similarity.lsh_bucket_pairs_capped``, hot_bucket_cap=16 — join
 # volume bounded at 2^planes·cap²/2 regardless of corpus size).
 DECLARED_SUPERLINEAR = {
@@ -92,17 +92,17 @@ DECLARED_SUPERLINEAR = {
     "q075_embedding_near_dup": "declared exact all-pairs near-dup",
     "q217_fuzzy_dedup_retention": (
         "declared exact full-universe Jaccard retention (oracle is the "
-        "brute-force pair join); capped scale twin = q300"
+        "brute-force pair join); capped scale twin = q003"
     ),
     "q212_setsim_join": (
         "declared exact full-universe set-similarity join — the query "
         "IS the prefix-filter losslessness proof vs the brute-force "
-        "oracle; capped scale twin = q300 (same operator, hot_cap=16)"
+        "oracle; capped scale twin = q003 (same operator, hot_cap=16)"
     ),
     "q209_lsh_bucketed_pairs": (
         "declared uncapped within-bucket recall contract — fixed "
         "n_planes makes occupancy grow linearly with the corpus by "
-        "geometry; capped scale twin = q307 (hot_bucket_cap=16)"
+        "geometry; capped scale twin = q021 (hot_bucket_cap=16)"
     ),
 }
 
