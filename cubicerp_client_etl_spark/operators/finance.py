@@ -606,3 +606,63 @@ def progressive_brackets(
     return out.withColumn(
         "effective_rate_e6", eff.cast("bigint")
     ).drop(*[f"__ov{i}" for i in range(len(brackets))])
+
+
+def fx_revaluation(
+    items: DataFrame,
+    rates: DataFrame,
+    close_month,
+    cur_col: str = "cur",
+    month_col: str = "m",
+    amount_col: str = "cents",
+    rate_col: str = "rate_e6",
+) -> DataFrame:
+    """Period-end FX revaluation of open foreign-currency items — the
+    close-process step after as-of conversion (q234): each open item,
+    booked at its booking-month rate, is restated at the CLOSING rate,
+    and the difference is the unrealized gain/loss the close posts.
+
+    ``items``: one row per open item ``(cur, m, cents)`` (booking
+    month, amount in foreign-currency cents). ``rates``: the bounded
+    ``(cur, m, rate_e6)`` dimension (broadcast — currencies × months).
+    ``close_month``: the month whose rate restates everything.
+
+    Output per ``(cur, m)``: item count, open FC cents, booking-rate
+    base value, closing-rate base value, and ``unrealized_e6 =
+    Σ cents·(rate_close − rate_book)`` — SIGNED, computed in
+    DECIMAL(38,0) and emitted as bigint per bounded (currency ×
+    booking-month) group so the signed sum never needs an int128
+    column. Exact integers throughout — every cell engine-replayable.
+
+    Scale: two broadcast joins against the bounded rate dimension +
+    one keyed agg on (cur, m); no window, no shuffle beyond the agg.
+    """
+    close_rates = rates.filter(F.col(month_col) == F.lit(close_month)).select(
+        F.col(cur_col), F.col(rate_col).alias("_rate_close")
+    )
+    book = rates.select(
+        F.col(cur_col), F.col(month_col), F.col(rate_col).alias("_rate_book")
+    )
+    j = (
+        items.join(F.broadcast(book), [cur_col, month_col])
+        .join(F.broadcast(close_rates), [cur_col])
+    )
+    amt_dec = F.col(amount_col).cast("decimal(38,0)")
+    return (
+        j.groupBy(cur_col, month_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(amount_col).cast("bigint").alias("open_fc_cents"),
+            F.sum(amt_dec * F.col("_rate_book")).cast("bigint").alias(
+                "base_book_e6"
+            ),
+            F.sum(amt_dec * F.col("_rate_close")).cast("bigint").alias(
+                "base_close_e6"
+            ),
+            F.sum(
+                amt_dec * (F.col("_rate_close") - F.col("_rate_book"))
+            )
+            .cast("bigint")
+            .alias("unrealized_e6"),
+        )
+    )

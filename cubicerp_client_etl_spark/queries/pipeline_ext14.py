@@ -370,3 +370,102 @@ def q310_progressive_tax_brackets(
     return out.select(
         "o_orderkey", "amount_cents", "tax_cents", "effective_rate_e6"
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q311 — Period-end FX revaluation (L-fin11): the close step AFTER
+# as-of conversion (q234) — open foreign-currency receivables, booked
+# at their booking-month rate, restated at the closing rate
+# ('1998-08-01'); unrealized gain/loss = Σ cents·(rate_close −
+# rate_book), SIGNED and exact. Rates reuse q234's md5 law per
+# (currency, month) — dense here (the close needs a rate for every
+# booking month), currency from the customer's nation exactly as in
+# q234, open = orderstatus 'O'. Grouped by (currency, booking month)
+# so the signed decimal(38,0) sums emit as plain bigint (no int128
+# column — the driver's hash rejects HUGEINT). Every cell replays:
+# the oracle recomputes the rate law, both restatements and the
+# signed delta bit-for-bit. Scale: two broadcast joins against the
+# bounded (4 × 84-month) rate dimension + one keyed agg; operator =
+# finance.fx_revaluation.
+# --------------------------------------------------------------------------
+@register(
+    "q311_fx_revaluation",
+    oracle="""
+WITH months AS (
+  SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
+                                INTERVAL 1 MONTH))::DATE AS m
+),
+rates AS (
+  SELECT c.cur, months.m,
+         500000 + (CAST(concat('0x', substr(md5(c.cur || '|' ||
+              strftime(months.m, '%Y-%m-%d')), 1, 8)) AS BIGINT) // 3)
+              % 1500000 AS rate_e6
+  FROM (SELECT unnest(['USD','EUR','JPY','GBP']) AS cur) c
+  CROSS JOIN months
+),
+close_r AS (SELECT cur, rate_e6 AS rate_close FROM rates
+            WHERE m = DATE '1998-08-01'),
+items AS (
+  SELECT (['USD','EUR','JPY','GBP'])[(c.c_nationkey % 4) + 1] AS cur,
+         date_trunc('month', o.o_orderdate)::DATE AS m,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_orderstatus = 'O'
+)
+SELECT i.cur, i.m,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(i.cents) AS BIGINT) AS open_fc_cents,
+       CAST(SUM(CAST(i.cents AS HUGEINT) * r.rate_e6) AS BIGINT)
+         AS base_book_e6,
+       CAST(SUM(CAST(i.cents AS HUGEINT) * cr.rate_close) AS BIGINT)
+         AS base_close_e6,
+       CAST(SUM(CAST(i.cents AS HUGEINT) * (cr.rate_close - r.rate_e6))
+         AS BIGINT) AS unrealized_e6
+FROM items i
+JOIN rates r ON r.cur = i.cur AND r.m = i.m
+JOIN close_r cr ON cr.cur = i.cur
+GROUP BY i.cur, i.m
+ORDER BY i.cur, i.m
+""",
+)
+def q311_fx_revaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import md5_hash32
+    from cubicerp_client_etl_spark.operators.finance import fx_revaluation
+
+    curs = ["USD", "EUR", "JPY", "GBP"]
+    months = spark.sql(
+        "SELECT explode(sequence(to_date('1992-01-01'), "
+        "to_date('1998-12-01'), interval 1 month)) AS m"
+    )
+    cur_df = spark.createDataFrame([(c,) for c in curs], "cur string")
+    h = md5_hash32(
+        F.concat(F.col("cur"), F.lit("|"), F.col("m").cast("string"))
+    )
+    rates = cur_df.crossJoin(months).select(
+        "cur",
+        "m",
+        (F.lit(500_000) + F.floor(h / 3).cast("bigint") % 1_500_000).alias(
+            "rate_e6"
+        ),
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    items = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c in curs]),
+            (F.col("c_nationkey") % 4 + 1).cast("int"),
+        ).alias("cur"),
+        F.trunc("o_orderdate", "month").alias("m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    import datetime as _dt
+
+    return fx_revaluation(
+        items, rates, close_month=_dt.date(1998, 8, 1)
+    ).orderBy("cur", "m")

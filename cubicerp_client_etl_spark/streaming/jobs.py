@@ -1111,3 +1111,20 @@ def stream_video_metadata(docs: DataFrame) -> DataFrame:
 
     mp4 = docs.select("doc_id").mapInPandas(gen, "doc_id bigint, payload binary")
     return video_meta_features(mp4)
+
+
+def stream_keyframe_plan(docs: DataFrame) -> DataFrame:
+    """Streaming twin #22 — the q008 keyframe sampling plan attached
+    to the live video-metadata stream: one planned frame row per
+    500 ms of media time, computed purely from the container metadata
+    the ``stream_video_metadata`` chain already parses. The plan stage
+    is Column arithmetic + a bounded ``sequence`` explode — stateless,
+    no watermark, no shuffle — so continuous ingestion plans its
+    frame-decode work exactly like the batch rebuild (the decode tier
+    itself stays a batch job over the planned offsets); equivalence
+    pinned by tests/test_streaming.py."""
+    from cubicerp_client_etl_spark.operators.multimodal import (
+        keyframe_sample_plan,
+    )
+
+    return keyframe_sample_plan(stream_video_metadata(docs), every_us=500_000)

@@ -912,3 +912,29 @@ def test_stream_video_metadata_matches_batch(spark):
     )
     batch_rows = {tuple(r) for r in stream_video_metadata(batch).collect()}
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_stream_keyframe_plan_matches_batch(spark):
+    """Twin #22: the keyframe sampling plan over the live metadata
+    stream (stateless Column arithmetic + bounded explode) must plan
+    exactly the frames the batch chain plans."""
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        documents_stream,
+        run_stream_to_memory,
+        stream_keyframe_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_to_memory(
+        stream_keyframe_plan(
+            documents_stream(spark, sf).where(F.col("doc_id") % 10 == 0)
+        ),
+        "keyframe_plan_stream",
+        output_mode="append",
+    )
+    stream_rows = {tuple(r) for r in got.collect()}
+    batch = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("doc_id") % 10 == 0
+    )
+    batch_rows = {tuple(r) for r in stream_keyframe_plan(batch).collect()}
+    assert stream_rows == batch_rows and stream_rows
