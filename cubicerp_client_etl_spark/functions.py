@@ -157,9 +157,13 @@ def isqrt_exact(c: Column) -> Column:
 
 
 def hi_lo_bigint(name: str, prefix: str) -> list[Column]:
-    """Split a non-negative DECIMAL(38,0) column ``name`` into two
-    driver-hashable BIGINT carriers: ``{prefix}_hi = d div 1e18`` and
-    ``{prefix}_lo = d mod 1e18``.
+    """Split a DECIMAL(38,0) column ``name`` into two driver-hashable
+    BIGINT carriers: ``{prefix}_hi = d div 1e18`` and ``{prefix}_lo =
+    d mod 1e18``. SIGNED values work too (r15, fx_revaluation): Spark
+    ``div`` truncates toward zero and ``%`` takes the dividend's sign,
+    exactly matching DuckDB HUGEINT ``//``/``%`` — so for negative d
+    both carriers come out non-positive and ``d = hi·1e18 + lo`` holds
+    identically in both engines.
 
     The external driver's value hash distinguishes int128-backed
     columns — DuckDB stores any DECIMAL(p>18) as HUGEINT — even when

@@ -1,5 +1,5 @@
 """Exact-integer Lloyd's k-means over quantized embedding vectors —
-the centroid-training stage the IVF ANN index (q036) assumes as given.
+the centroid-training stage the IVF ANN index (q184) assumes as given.
 
 Why integer: floating-point k-means can never hash-match across
 engines (per-cluster mean sums are accumulation-order-dependent in

@@ -258,7 +258,7 @@ def lsh_candidate_pairs(
     the cap — tiny by construction) broadcasts into a left-anti join,
     so the banded frame never shuffles for the cap. Leave ``None``
     (default, exact LSH semantics) when downstream verify+cluster is
-    expected to absorb the cluster — the oracle queries (q032/q035)
+    expected to absorb the cluster — the oracle queries (q082/q209)
     run uncapped.
 
     ``portable=True`` pairs with ``minhash_signatures(portable=True)``:

@@ -572,40 +572,42 @@ def progressive_brackets(
     ``brackets`` is ``[(lower_cents, rate_e6), ...]`` sorted ascending
     by lower bound with the first lower bound 0; each bracket runs to
     the next lower bound (the last is open-ended). Exact integers all
-    the way: per-bracket tax is ``rate_e6 · overlap div 10⁶`` on a
-    NON-NEGATIVE product (truncation == floor in every engine), summed
-    over the literal bracket array — one expression, no join, no UDF.
+    the way: per-bracket tax is ``rate_e6 · overlap div 10⁶`` with the
+    NON-NEGATIVE product carried in DECIMAL(38,0) (ADVICE r14: the
+    bigint form overflows once amounts pass ~9.2e12/rate — exactly the
+    e6_floor_ratio pitfall; truncation == floor on the non-negative
+    product in every engine, and DuckDB oracles keep the plain bigint
+    form, identical below its overflow ceiling where they'd abort, not
+    diverge), summed over the literal bracket array — no join, no UDF.
 
     Output: input plus ``out_col`` (bigint cents) and
-    ``effective_rate_e6 = 10⁶·out div amount`` (0 for amount == 0).
+    ``effective_rate_e6 = floor(10⁶·out / amount)`` (0 for amount == 0,
+    via ``e6_floor_ratio`` so the full bigint range is exact). Columns
+    are referenced with ``F.col`` — names needing backticks work.
     """
+    from ..functions import e6_floor_ratio
+
     lowers = [int(lo) for lo, _ in brackets]
     assert lowers == sorted(lowers) and lowers[0] == 0, "brackets must ascend from 0"
     amt = F.col(amount_col).cast("bigint")
-    terms = []
+    tax = None
     for idx, (lo, rate_e6) in enumerate(brackets):
         upper = lowers[idx + 1] if idx + 1 < len(brackets) else None
         span = (
             F.least(amt, F.lit(int(upper))) if upper is not None else amt
         ) - F.lit(int(lo))
-        overlap = F.greatest(span, F.lit(0)).cast("bigint")
-        terms.append(
-            F.expr(
-                f"CAST(CAST({int(rate_e6)} AS BIGINT) * __ov{idx} "
-                "div 1000000 AS BIGINT)"
-            )
-        )
-        df = df.withColumn(f"__ov{idx}", overlap)
-    tax = terms[0]
-    for t in terms[1:]:
-        tax = tax + t
+        overlap = F.greatest(span, F.lit(0)).cast("decimal(38,0)")
+        # floor((rate_e6 · overlap) / 1e6) on a non-negative DECIMAL(38,0)
+        # product: the 6-dp quotient is exactly representable at the
+        # division's result scale, so floor needs no correction step.
+        prod = overlap * F.lit(int(rate_e6)).cast("decimal(38,0)")
+        term = F.floor(prod / F.lit(1000000).cast("decimal(38,0)")).cast("bigint")
+        tax = term if tax is None else tax + term
     out = df.withColumn(out_col, tax.cast("bigint"))
     eff = F.when(
-        amt > 0, F.expr(f"1000000 * {out_col} div {amount_col}")
+        amt > 0, e6_floor_ratio(F.col(out_col).cast("bigint"), amt)
     ).otherwise(F.lit(0))
-    return out.withColumn(
-        "effective_rate_e6", eff.cast("bigint")
-    ).drop(*[f"__ov{i}" for i in range(len(brackets))])
+    return out.withColumn("effective_rate_e6", eff.cast("bigint"))
 
 
 def fx_revaluation(
@@ -627,16 +629,24 @@ def fx_revaluation(
     ``(cur, m, rate_e6)`` dimension (broadcast — currencies × months).
     ``close_month``: the month whose rate restates everything.
 
-    Output per ``(cur, m)``: item count, open FC cents, booking-rate
-    base value, closing-rate base value, and ``unrealized_e6 =
-    Σ cents·(rate_close − rate_book)`` — SIGNED, computed in
-    DECIMAL(38,0) and emitted as bigint per bounded (currency ×
-    booking-month) group so the signed sum never needs an int128
-    column. Exact integers throughout — every cell engine-replayable.
+    Output per ``(cur, m)``: item count, open FC cents, and the three
+    e6-scaled sums — booking-rate base value, closing-rate base value,
+    and ``unrealized = Σ cents·(rate_close − rate_book)`` (SIGNED) —
+    each computed in DECIMAL(38,0) and emitted as a ``_hi``/``_lo``
+    bigint pair (``hi_lo_bigint``). The group COUNT is bounded
+    (currencies × months) but group SIZE grows linearly with the
+    corpus, so Σ cents·rate_e6 (~4e16 per group at SF1) passes the
+    bigint ceiling around SF≈200 — far below the 100 TB design point;
+    the hi/lo split keeps every cell exact and driver-hashable at any
+    SF (ADVICE r14). Exact integers throughout, every cell
+    engine-replayable (the signed trunc-div/sign-of-dividend-mod
+    convention agrees between Spark ``div``/``%`` and DuckDB HUGEINT
+    ``//``/``%``).
 
     Scale: two broadcast joins against the bounded rate dimension +
     one keyed agg on (cur, m); no window, no shuffle beyond the agg.
     """
+    from ..functions import hi_lo_bigint
     close_rates = rates.filter(F.col(month_col) == F.lit(close_month)).select(
         F.col(cur_col), F.col(rate_col).alias("_rate_close")
     )
@@ -648,21 +658,28 @@ def fx_revaluation(
         .join(F.broadcast(close_rates), [cur_col])
     )
     amt_dec = F.col(amount_col).cast("decimal(38,0)")
-    return (
+    agg = (
         j.groupBy(cur_col, month_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
             F.sum(amount_col).cast("bigint").alias("open_fc_cents"),
-            F.sum(amt_dec * F.col("_rate_book")).cast("bigint").alias(
-                "base_book_e6"
-            ),
-            F.sum(amt_dec * F.col("_rate_close")).cast("bigint").alias(
-                "base_close_e6"
-            ),
-            F.sum(
-                amt_dec * (F.col("_rate_close") - F.col("_rate_book"))
-            )
-            .cast("bigint")
-            .alias("unrealized_e6"),
+            F.sum(amt_dec * F.col("_rate_book"))
+            .cast("decimal(38,0)")
+            .alias("_bbe"),
+            F.sum(amt_dec * F.col("_rate_close"))
+            .cast("decimal(38,0)")
+            .alias("_bce"),
+            F.sum(amt_dec * (F.col("_rate_close") - F.col("_rate_book")))
+            .cast("decimal(38,0)")
+            .alias("_ue"),
         )
+    )
+    return agg.select(
+        cur_col,
+        month_col,
+        "n_items",
+        "open_fc_cents",
+        *hi_lo_bigint("_bbe", "base_book"),
+        *hi_lo_bigint("_bce", "base_close"),
+        *hi_lo_bigint("_ue", "unrealized"),
     )

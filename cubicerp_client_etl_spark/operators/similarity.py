@@ -56,7 +56,7 @@ def exact_cosine_pairs(
 
     Why this exists: the HOF theta join evaluates the 64-step fold
     expression per pair — measured 61–87 s for 5 000 vectors at sf0.1
-    across q297/q070/q075; the vectorized accumulation does the same
+    across q297/q026/q075; the vectorized accumulation does the same
     arithmetic in ~0.2 s. The corpus side is pulled to the driver and
     broadcast — BOUNDED by the operator's OWN size guard
     (``max_exact_rows``, checked with a short-circuiting
@@ -68,7 +68,7 @@ def exact_cosine_pairs(
     explicitly; unbounded inputs belong on ``all_pairs_cosine``,
     which switches to hyperplane-LSH bucketing above the same bound.
     (Round-10 verdict: the guard previously lived only in
-    ``all_pairs_cosine``, so the direct callers q297/q070/q075 were
+    ``all_pairs_cosine``, so the direct callers q297/q026/q075 were
     an unguarded driver collect at 100×. It now lives here.)
     """
     import numpy as np

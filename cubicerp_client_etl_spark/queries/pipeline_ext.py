@@ -285,11 +285,11 @@ def q034_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q070 — all-pairs near-neighbor above threshold (L-sim): exact within the
+# q026 (birth q070) — all-pairs near-neighbor above threshold (L-sim): exact within the
 # oracle; the LSH-bucketed variant (q035) is the 100 TB path.
 # --------------------------------------------------------------------------
 @register(
-    "q070_cosine_pairs",
+    "q026_cosine_pairs",
     oracle="""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -301,7 +301,7 @@ WHERE list_dot_product(a.v, b.v) /
       sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.3
 """,
 )
-def q070_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q026_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size-guarded: stays exact (oracle semantics) below max_exact_rows,
     # auto-switches to the LSH-bucketed equi-join shape above it
     emb = load(spark, sf_dir, "embeddings")

@@ -314,7 +314,7 @@ def q005_reference_job_lifecycle(
 
 
 @register(
-    "q261_ar_aging_buckets",
+    "q049_ar_aging_buckets",
     oracle="""
 WITH asof_d AS (
   SELECT CAST(max(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY AS DATE)
@@ -339,7 +339,7 @@ SELECT CASE WHEN age <= 30 THEN '0-30'
 FROM open_docs GROUP BY 1
 """,
 )
-def q261_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q049_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.finance import ar_aging_buckets
 
     docs = (
@@ -776,7 +776,7 @@ def q267_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q015_avco_inventory",
+    "q309_avco_inventory",
     oracle="""
 WITH RECURSIVE base AS (
   SELECT l_partkey AS part,
@@ -820,7 +820,7 @@ SELECT CAST(part AS BIGINT) AS l_partkey, CAST(seq AS BIGINT) AS seq,
 FROM s
 """,
 )
-def q015_avco_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q309_avco_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.history import avco_inventory
 
     base = (
@@ -934,7 +934,7 @@ def q269_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q018_referential_integrity_audit",
+    "q310_referential_integrity_audit",
     oracle="""
 WITH r1 AS (
   SELECT 'lineitem.l_orderkey->orders' AS relationship,
@@ -977,7 +977,7 @@ SELECT relationship, n_child, n_orphans,
 FROM u
 """,
 )
-def q018_referential_integrity_audit(
+def q310_referential_integrity_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from cubicerp_client_etl_spark.operators.quality import (
@@ -1065,7 +1065,7 @@ def q271_last_touch_attribution(
 
 
 @register(
-    "q049_ses_forecast",
+    "q261_ses_forecast",
     oracle="""
 WITH RECURSIVE series AS (
   SELECT l_partkey AS key,
@@ -1099,7 +1099,7 @@ SELECT CAST(key AS BIGINT) AS l_partkey, period, value,
 FROM s
 """,
 )
-def q049_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q261_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.forecast import ses_forecast
 
     series = (

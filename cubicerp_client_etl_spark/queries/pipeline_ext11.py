@@ -3,7 +3,7 @@ customer-economics operators an ERP analytics engine is asked for
 right after the round-10 set — fixed-asset depreciation, purchase
 price variance, DSO, the VAT box report, OTIF service levels,
 intercompany elimination, seasonality indices, Holt double exponential
-smoothing (the trend-aware sibling of q049's SES, same recursive-CTE
+smoothing (the trend-aware sibling of q261's SES, same recursive-CTE
 oracle discipline), inventory turns, customer-concentration HHI,
 n-gram novelty scoring for corpus curation, cohort LTV curves, credit
 exposure, and the fuzzy (near-amount) duplicate-invoice screen.
@@ -155,7 +155,7 @@ def q300_purchase_price_variance(
 # --------------------------------------------------------------------------
 # q004 (birth q280) — Days sales outstanding (DSO) by month: month's open AR (order
 # status 'O') against the month's billed revenue, scaled by a 30-day
-# month — the collections-efficiency metric next to q261's aging
+# month — the collections-efficiency metric next to q049's aging
 # buckets. Exact: dso_days = open_ar · 30 div revenue. One scan, one
 # keyed aggregate on the bounded month grid.
 # --------------------------------------------------------------------------
@@ -401,7 +401,7 @@ def q304_intercompany_elimination(
 # q016 (birth q284) — Seasonality index by calendar month: each month-of-year's
 # revenue against the flat 1/12 share — index_e6 = rev_m · 12 · 1e6
 # div total (1e6 = exactly seasonal-neutral). The demand-planning
-# input that turns q049/q019's level forecasts into monthly targets.
+# input that turns q261/q311's level forecasts into monthly targets.
 # One scan, 12-row output.
 # --------------------------------------------------------------------------
 
@@ -445,19 +445,19 @@ def q305_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q019 (birth q285) — Holt double exponential smoothing (operators/forecast.
-# holt_forecast): q049's SES with a TREND state — per-part monthly
+# q311 (birth q285) — Holt double exponential smoothing (operators/forecast.
+# holt_forecast): q261's SES with a TREND state — per-part monthly
 # demand, alpha = beta = 1/4 on exact integers in the error-correction
 # form (l += trunc(err/4); b += trunc(level_step/4)). Same
 # irreducibly-sequential recurrence class as SES/AVCO → 64-way
 # hash-bucketed Arrow walk; the oracle replays BOTH states with a
 # RECURSIVE CTE in per-part row-number lockstep. Parts sampled (% 10)
-# to bound the oracle recursion width, mirroring q049.
+# to bound the oracle recursion width, mirroring q261.
 # --------------------------------------------------------------------------
 
 
 @register(
-    "q019_holt_forecast",
+    "q311_holt_forecast",
     oracle="""
 WITH RECURSIVE series AS (
   SELECT l_partkey AS key,
@@ -495,7 +495,7 @@ SELECT CAST(key AS BIGINT) AS l_partkey, period, value,
 FROM s
 """,
 )
-def q019_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q311_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.forecast import holt_forecast
 
     series = (
@@ -524,7 +524,7 @@ def q019_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q022 (birth q286) — Inventory turns (operators/history.inventory_turns): the
-# q015 AVCO move ledger (receipts + half-quantity issues per line,
+# q309 AVCO move ledger (receipts + half-quantity issues per line,
 # parts % 20) summarized per part as issued quantity against the
 # average post-move on-hand — turns_e6 = issued · 1e6 · n div
 # Σ onhand. Fully SET-BASED next to AVCO's sequential walker (turns
@@ -638,18 +638,18 @@ def q160_customer_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q026 (birth q288) — N-gram novelty vs a reference corpus (operators/curation.
+# q070 (birth q288) — N-gram novelty vs a reference corpus (operators/curation.
 # ngram_novelty): even-id documents are the reference snapshot,
 # odd-id documents score — the fraction of each scored doc's distinct
 # trigram shingles never seen in the reference (the keep-side
 # complement of the dedup family: near-dup drops, novelty ranks).
-# One LEFT-ANTI shingle equi-join (the q158/q216 decontamination
+# One LEFT-ANTI shingle equi-join (the q158/q045 decontamination
 # shape), never all-pairs.
 # --------------------------------------------------------------------------
 
 
 @register(
-    "q026_ngram_novelty",
+    "q070_ngram_novelty",
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -681,7 +681,7 @@ SELECT t.doc_id, t.n_shingles,
 FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
 """,
 )
-def q026_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q070_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.curation import ngram_novelty
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -695,7 +695,7 @@ def q026_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q027 (birth q289) — Cohort LTV curve (operators/behavior.cohort_ltv): customers
+# q135 (birth q289) — Cohort LTV curve (operators/behavior.cohort_ltv): customers
 # cohort by first order month; revenue accumulates per (cohort,
 # month offset) with the per-user running LTV — the revenue twin of
 # q233's retention matrix. Two keyed aggregates + one window over the
@@ -704,7 +704,7 @@ def q026_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q027_cohort_ltv",
+    "q135_cohort_ltv",
     oracle=f"""
 WITH src AS (
   SELECT o_custkey AS u,
@@ -738,7 +738,7 @@ SELECT w.cohort_month, w.month_offset, w.revenue_cents, w.cum_ltv_cents,
 FROM w JOIN sizes z ON z.cohort_month = w.cohort_month
 """,
 )
-def q027_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q135_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.behavior import cohort_ltv
 
     orders = load(spark, sf_dir, "orders").select(
@@ -842,7 +842,7 @@ def q187_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q031 (birth q291) — FUZZY duplicate-invoice screen (operators/finance.
+# q136 (birth q291) — FUZZY duplicate-invoice screen (operators/finance.
 # near_duplicate_invoice_screen): planted near-copies (amount +37
 # cents, date +2 days at orderkey % 97) must surface among same-party
 # invoice pairs within 100 cents and 7 days. The banded amount join
@@ -854,7 +854,7 @@ def q187_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q031_fuzzy_dup_invoices",
+    "q136_fuzzy_dup_invoices",
     oracle=f"""
 WITH inv AS (
   SELECT o_custkey AS party, o_orderkey AS inv_id,
@@ -891,7 +891,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
 FROM pairs
 """,
 )
-def q031_fuzzy_dup_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q136_fuzzy_dup_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
     from cubicerp_client_etl_spark.operators.finance import (
         near_duplicate_invoice_screen,

@@ -412,7 +412,7 @@ def q041_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a broadcast dimension join + pure map arithmetic.
 # --------------------------------------------------------------------------
 @register(
-    "q042_eoq_order_quantity",
+    "q205_eoq_order_quantity",
     oracle="""
 WITH d AS (
   SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -444,7 +444,7 @@ SELECT l_partkey, demand_qty, holding_cents, eoq_qty,
 FROM e
 """,
 )
-def q042_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q205_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import isqrt_exact
 
     demand = (
@@ -487,7 +487,7 @@ def q042_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + a broadcast total; the grid is <= 9 rows.
 # --------------------------------------------------------------------------
 @register(
-    "q045_abc_xyz_matrix",
+    "q216_abc_xyz_matrix",
     oracle="""
 WITH rev AS (
   SELECT l_partkey AS pk,
@@ -551,7 +551,7 @@ FROM abc JOIN graded ON graded.pk = abc.pk
 GROUP BY 1, 2
 """,
 )
-def q045_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q216_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import isqrt_exact
     from cubicerp_client_etl_spark.operators.quality import abc_classification
 
@@ -620,7 +620,7 @@ def q045_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both map-side-combinable after the join's shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q046_vendor_lead_time",
+    "q240_vendor_lead_time",
     oracle="""
 WITH leads AS (
   SELECT l_suppkey,
@@ -655,7 +655,7 @@ SELECT l_suppkey, n, mean_days, var_days,
 FROM rooted
 """,
 )
-def q046_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q240_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import isqrt_exact
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -708,7 +708,7 @@ def q046_vendor_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window + one keyed agg + a broadcast 1-row as-of; output <= 4 rows.
 # --------------------------------------------------------------------------
 @register(
-    "q047_fifo_inventory_aging",
+    "q241_fifo_inventory_aging",
     oracle="""
 WITH base AS (
   SELECT l_partkey AS part,
@@ -750,7 +750,7 @@ SELECT age_bucket,
 FROM aged GROUP BY age_bucket
 """,
 )
-def q047_fifo_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q241_fifo_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     base = (
@@ -810,7 +810,7 @@ def q047_fifo_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 # share per brand. Scale: broadcast dimension join + one keyed agg.
 # --------------------------------------------------------------------------
 @register(
-    "q048_price_waterfall",
+    "q243_price_waterfall",
     oracle="""
 WITH rows_ AS (
   SELECT p_brand,
@@ -839,7 +839,7 @@ SELECT p_brand, n_lines, list_e4, invoice_e4, realized_e4,
 FROM agg
 """,
 )
-def q048_price_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q243_price_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.col("l_quantity").cast("bigint").alias("qty"),

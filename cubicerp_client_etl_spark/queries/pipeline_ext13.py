@@ -502,7 +502,7 @@ def q008_keyframe_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # digit-prefix encoding makes the path enumerable row-locally. For
 # BOMs without an enumerable ancestor chain the engine ships the
 # level-synchronous alternative (pointer-jump hierarchy resolution,
-# q135 — O(log depth) self-joins); this query pins the exact-cost
+# q027 — O(log depth) self-joins); this query pins the exact-cost
 # arithmetic both share. Scale: fan-out ≤ 7 rows per part, one
 # shuffle on the ancestor key; no driver loop, no recursion at run
 # time.
@@ -583,11 +583,11 @@ def q012_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and release planned orders in multiples of the lot size. The
 # per-period recursion (available_t depends on orders_{t-1}) is
 # CLOSED-FORM in cumulative space, the same trick as FIFO aging
-# (q047): cumulative shortfall short_t = max(0, cum_gross_t − onhand),
+# (q241): cumulative shortfall short_t = max(0, cum_gross_t − onhand),
 # cumulative lots L_t = ceil(short_t / lot), planned orders in t =
 # (L_t − L_{t−1})·lot, projected on-hand = onhand − cum_gross_t +
 # L_t·lot — no walker, one running-sum window + one lag. Completes
-# the planning triad next to Wilson EOQ (q042) and the reorder point
+# the planning triad next to Wilson EOQ (q205) and the reorder point
 # (q269). All integer-exact (quantities are integral; ceil-div is
 # (s + lot − 1) div lot on non-negative s). Scale: one keyed agg to
 # the bounded (part × month) grid, one part-partitioned window; the

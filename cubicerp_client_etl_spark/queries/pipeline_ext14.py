@@ -230,7 +230,7 @@ def q022_mjpeg_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q309 — Cash application auto-match (L-fin family: the reconciliation
+# q015 (birth q309) — Cash application auto-match (L-fin family: the reconciliation
 # CLOSER): bank-statement lines are matched to open invoices by exact
 # amount + a (0, 10]-day payment lag, then ONE round of mutual-best
 # greedy stable matching (each side's rank-1 candidate must agree) —
@@ -248,7 +248,7 @@ def q022_mjpeg_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merely moves rows for (cubicerpetl.py:775-787).
 # --------------------------------------------------------------------------
 @register(
-    "q309_cash_application_match",
+    "q015_cash_application_match",
     oracle="""
 WITH inv AS (
   SELECT o_orderkey AS iid,
@@ -282,7 +282,7 @@ FROM ranked WHERE rs = 1 AND ri = 1
 ORDER BY stmt_id
 """,
 )
-def q309_cash_application_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q015_cash_application_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.finance import (
         cash_application_match,
     )
@@ -310,7 +310,7 @@ def q309_cash_application_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q310 — Progressive marginal brackets (L-fin family: payroll tax /
+# q018 (birth q310) — Progressive marginal brackets (L-fin family: payroll tax /
 # customs duty / tiered commission arithmetic): per order, marginal
 # tax over the literal schedule 0% to $50k, 10% to $150k, 25% to
 # $400k, 40% above — per-bracket overlap clamp, per-bracket floored
@@ -320,7 +320,7 @@ def q309_cash_application_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clamp and floor bit-for-bit. (operators/finance.progressive_brackets)
 # --------------------------------------------------------------------------
 @register(
-    "q310_progressive_tax_brackets",
+    "q018_progressive_tax_brackets",
     oracle="""
 WITH o AS (
   SELECT o_orderkey,
@@ -344,7 +344,7 @@ FROM t
 ORDER BY o_orderkey
 """,
 )
-def q310_progressive_tax_brackets(
+def q018_progressive_tax_brackets(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from cubicerp_client_etl_spark.operators.finance import (
@@ -373,23 +373,26 @@ def q310_progressive_tax_brackets(
 
 
 # --------------------------------------------------------------------------
-# q311 — Period-end FX revaluation (L-fin11): the close step AFTER
+# q019 (birth q311) — Period-end FX revaluation (L-fin11): the close step AFTER
 # as-of conversion (q234) — open foreign-currency receivables, booked
 # at their booking-month rate, restated at the closing rate
 # ('1998-08-01'); unrealized gain/loss = Σ cents·(rate_close −
 # rate_book), SIGNED and exact. Rates reuse q234's md5 law per
 # (currency, month) — dense here (the close needs a rate for every
 # booking month), currency from the customer's nation exactly as in
-# q234, open = orderstatus 'O'. Grouped by (currency, booking month)
-# so the signed decimal(38,0) sums emit as plain bigint (no int128
-# column — the driver's hash rejects HUGEINT). Every cell replays:
-# the oracle recomputes the rate law, both restatements and the
-# signed delta bit-for-bit. Scale: two broadcast joins against the
+# q234, open = orderstatus 'O'. Grouped by (currency, booking month);
+# the three signed decimal(38,0) e6 sums emit as hi/lo BIGINT pairs
+# (hi_lo_bigint — ADVICE r15: group COUNT is bounded but group SIZE
+# grows with the corpus, so a plain bigint cast overflows around
+# SF≈200; the split is exact at any SF and the driver's hash never
+# sees HUGEINT). Every cell replays: the oracle recomputes the rate
+# law, both restatements and the signed delta bit-for-bit in HUGEINT
+# then mirrors the trunc-div/sign-of-dividend-mod split. Scale: two broadcast joins against the
 # bounded (4 × 84-month) rate dimension + one keyed agg; operator =
 # finance.fx_revaluation.
 # --------------------------------------------------------------------------
 @register(
-    "q311_fx_revaluation",
+    "q019_fx_revaluation",
     oracle="""
 WITH months AS (
   SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-01',
@@ -411,24 +414,31 @@ items AS (
          CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   WHERE o.o_orderstatus = 'O'
+),
+sums AS (
+  SELECT i.cur, i.m,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(i.cents) AS BIGINT) AS open_fc_cents,
+         SUM(CAST(i.cents AS HUGEINT) * r.rate_e6) AS bbe,
+         SUM(CAST(i.cents AS HUGEINT) * cr.rate_close) AS bce,
+         SUM(CAST(i.cents AS HUGEINT) * (cr.rate_close - r.rate_e6)) AS ue
+  FROM items i
+  JOIN rates r ON r.cur = i.cur AND r.m = i.m
+  JOIN close_r cr ON cr.cur = i.cur
+  GROUP BY i.cur, i.m
 )
-SELECT i.cur, i.m,
-       CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(i.cents) AS BIGINT) AS open_fc_cents,
-       CAST(SUM(CAST(i.cents AS HUGEINT) * r.rate_e6) AS BIGINT)
-         AS base_book_e6,
-       CAST(SUM(CAST(i.cents AS HUGEINT) * cr.rate_close) AS BIGINT)
-         AS base_close_e6,
-       CAST(SUM(CAST(i.cents AS HUGEINT) * (cr.rate_close - r.rate_e6))
-         AS BIGINT) AS unrealized_e6
-FROM items i
-JOIN rates r ON r.cur = i.cur AND r.m = i.m
-JOIN close_r cr ON cr.cur = i.cur
-GROUP BY i.cur, i.m
-ORDER BY i.cur, i.m
+SELECT cur, m, n_items, open_fc_cents,
+       CAST(bbe // 1000000000000000000 AS BIGINT) AS base_book_hi,
+       CAST(bbe %  1000000000000000000 AS BIGINT) AS base_book_lo,
+       CAST(bce // 1000000000000000000 AS BIGINT) AS base_close_hi,
+       CAST(bce %  1000000000000000000 AS BIGINT) AS base_close_lo,
+       CAST(ue  // 1000000000000000000 AS BIGINT) AS unrealized_hi,
+       CAST(ue  %  1000000000000000000 AS BIGINT) AS unrealized_lo
+FROM sums
+ORDER BY cur, m
 """,
 )
-def q311_fx_revaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q019_fx_revaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import md5_hash32
     from cubicerp_client_etl_spark.operators.finance import fx_revaluation
 

@@ -193,8 +193,8 @@ def q125_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q126 — integer k-means centroid training (L-sim extension): the Lloyd
-# iterations that produce the IVF index's centroids (q036 takes them as
+# q165 (birth q126) — integer k-means centroid training (L-sim extension): the Lloyd
+# iterations that produce the IVF index's centroids (q184 takes them as
 # given). Exact integer arithmetic in shifted space (see
 # operators/clustering.py) makes every iteration bit-identical across
 # engines, so the DuckDB oracle replays the full recursion as unrolled
@@ -730,7 +730,7 @@ def q212_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doubling algebra (root fixpoints, distance addition) exactly.
 # --------------------------------------------------------------------------
 @register(
-    "q135_hierarchy_roots",
+    "q027_hierarchy_roots",
     oracle="""
 WITH RECURSIVE w AS (
   SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
@@ -742,7 +742,7 @@ SELECT node, CAST(cur AS BIGINT) AS root, depth
 FROM w WHERE cur < 8
 """,
 )
-def q135_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q027_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.graph import pointer_jump_roots
 
     cust = load(spark, sf_dir, "customer").select(
@@ -766,7 +766,7 @@ def q135_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
 # values are min timestamps, so determinism needs no tie-breaking.
 # --------------------------------------------------------------------------
 @register(
-    "q136_funnel",
+    "q031_funnel",
     oracle="""
 WITH v AS (
   SELECT user_id, MIN(epoch_us(ts)) AS t1
@@ -791,7 +791,7 @@ SELECT v.user_id, v.t1, c.t2, p.t3,
 FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """,
 )
-def q136_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q031_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("t")
     )

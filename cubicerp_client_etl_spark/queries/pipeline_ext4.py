@@ -479,7 +479,7 @@ def q217_fuzzy_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needed (each corpus vector lives in exactly one cluster).
 # --------------------------------------------------------------------------
 @register(
-    "q150_ivf_multiprobe",
+    "q035_ivf_multiprobe",
     oracle="""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -509,7 +509,7 @@ SELECT probe_id, vec_id, sim, rank FROM (
 WHERE rank <= 5
 """,
 )
-def q150_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q035_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators import similarity as sim
 
     emb = load(spark, sf_dir, "embeddings").select(

@@ -158,7 +158,7 @@ def q024_bmp_feature_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_M, _BLOOM_K = 65536, 3
 
 @register(
-    "q216_bloom_decontaminate",
+    "q045_bloom_decontaminate",
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -195,7 +195,7 @@ WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
 """,
 )
-def q216_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q045_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.curation import _toks, shingles
     from cubicerp_client_etl_spark.operators.sketches import (
         bloom_build,

@@ -1032,7 +1032,7 @@ def q181_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side combinable.
 # --------------------------------------------------------------------------
 @register(
-    "q182_inverted_index",
+    "q036_inverted_index",
     oracle="""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
@@ -1053,7 +1053,7 @@ ORDER BY df DESC, term
 LIMIT 20
 """,
 )
-def q182_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q036_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     tok = docs.select(
         "doc_id",
@@ -3222,7 +3222,7 @@ def q050_simhash_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimate arithmetic.
 # --------------------------------------------------------------------------
 @register(
-    "q205_windowed_hll_uniques",
+    "q042_windowed_hll_uniques",
     oracle="""
 WITH e AS (
   SELECT epoch_us(date_trunc('hour', ts)) AS w_us, user_id FROM events
@@ -3265,7 +3265,7 @@ FROM ex JOIN est ON est.w_us = ex.w_us
 ORDER BY window_start_us
 """,
 )
-def q205_windowed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q042_windowed_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import e6_floor_ratio, md5_hash32
     from cubicerp_client_etl_spark.operators.sketches import HLL_M
 

@@ -543,7 +543,7 @@ def q283_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q240_stock_ledger_balance",
+    "q046_stock_ledger_balance",
     oracle="""
 WITH mv AS (
   SELECT l_partkey,
@@ -570,7 +570,7 @@ SELECT l_partkey,
 FROM bal GROUP BY l_partkey
 """,
 )
-def q240_stock_ledger_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q046_stock_ledger_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.history import (
         running_balance_audit,
     )
@@ -609,7 +609,7 @@ _BT_ASOF_DAY = 9496  # epoch days of 1996-01-01
 
 
 @register(
-    "q241_bitemporal_restatement",
+    "q047_bitemporal_restatement",
     oracle=f"""
 WITH v1 AS (
   SELECT o_orderkey AS k, year(o_orderdate) AS yr,
@@ -652,7 +652,7 @@ SELECT CAST(yr AS INT) AS yr, n_known, n_restated_applied,
 FROM agg
 """,
 )
-def q241_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q047_bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.functions import hi_lo_bigint, md5_hash32
     from cubicerp_client_etl_spark.operators.history import as_known_at
 
@@ -776,7 +776,7 @@ _LPM_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 
 @register(
-    "q243_longest_prefix_match",
+    "q048_longest_prefix_match",
     oracle=f"""
 WITH segs AS (
   SELECT seg, CAST(row_number() OVER (ORDER BY seg) AS BIGINT) AS sidx
@@ -812,7 +812,7 @@ SELECT rate, match_len,
 FROM m GROUP BY rate, match_len
 """,
 )
-def q243_longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q048_longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.lookups import (
         longest_prefix_match,
     )

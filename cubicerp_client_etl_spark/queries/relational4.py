@@ -171,7 +171,7 @@ def q032_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle); second agg's key space is tiny and collapses map-side.
 # --------------------------------------------------------------------------
 @register(
-    "q035_tpch_q13_cust_distribution",
+    "q150_tpch_q13_cust_distribution",
     oracle="""
 SELECT c_count, COUNT(*) AS custdist
 FROM (
@@ -184,7 +184,7 @@ FROM (
 GROUP BY c_count
 """,
 )
-def q035_tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q150_tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     cond = (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT")
@@ -204,7 +204,7 @@ def q035_tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 # for the inner agg; AQE converts the join to broadcast at runtime.
 # --------------------------------------------------------------------------
 @register(
-    "q036_tpch_q18_large_volume",
+    "q182_tpch_q18_large_volume",
     oracle="""
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
@@ -222,7 +222,7 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey
 LIMIT 20
 """,
 )
-def q036_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q182_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")

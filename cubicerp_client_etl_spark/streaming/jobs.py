@@ -1016,7 +1016,7 @@ def stream_tax_box(lines: DataFrame) -> DataFrame:
 
 
 def stream_price_waterfall(lines: DataFrame, part_static: DataFrame) -> DataFrame:
-    """Streaming price waterfall — the online form of q048 (birth q298): invoice
+    """Streaming price waterfall — the online form of q243 (birth q298): invoice
     lines land continuously, each joins the STATIC part dimension
     (stream-static equi-join, broadcast-sized), the list/invoice/
     realized rungs are computed map-side on the exact e4 basis, and

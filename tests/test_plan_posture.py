@@ -366,7 +366,7 @@ def test_q140_sessionize_single_window_exchange(spark):
 
 
 def test_q272_quality_report_single_pass_row_rules(spark):
-    """Quality report (q049): the four row rules must evaluate in ONE
+    """Quality report (q272): the four row rules must evaluate in ONE
     conditional-aggregate pass over lineitem (no per-rule scan fanout:
     scans of lineitem stay bounded by the three report families)."""
     plan = plan_of(spark, "q272_quality_report")
@@ -516,11 +516,11 @@ def test_q212_setsim_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q136_funnel_all_shuffles_on_user(spark):
-    """Funnel (q136): staged conditional mins — no window over
+def test_q031_funnel_all_shuffles_on_user(spark):
+    """Funnel (q031): staged conditional mins — no window over
     unbounded event arrays, no cartesian; aggregates show map-side
     partial min."""
-    plan = plan_of(spark, "q136_funnel")
+    plan = plan_of(spark, "q031_funnel")
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
     assert "CollectList" not in plan and "collect_list" not in plan
@@ -655,8 +655,8 @@ def test_q217_fuzzy_retention_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_q048_pq_search_never_rescans_raw_vectors(spark):
-    """PQ ADC (q048): the search aggregate consumes the code table +
+def test_q298_pq_search_never_rescans_raw_vectors(spark):
+    """PQ ADC (q298): the search aggregate consumes the code table +
     broadcast LUT only — no cartesian; the (probe,id) sum shows
     map-side partial aggregation."""
     plan = plan_of(spark, "q298_pq_adc_topk")
@@ -758,11 +758,11 @@ def test_q299_depreciation_schedule_map_only(spark):
     assert "Generate explode" in plan or "Generate" in plan
 
 
-def test_q031_fuzzy_screen_banded_equi_join(spark):
+def test_q136_fuzzy_screen_banded_equi_join(spark):
     """The fuzzy duplicate-invoice screen must block on (party, probe
     bucket): an equi-join, never a cartesian/nested-loop over the
     invoice table."""
-    plan = plan_of(spark, "q031_fuzzy_dup_invoices")
+    plan = plan_of(spark, "q136_fuzzy_dup_invoices")
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
     # the 1-row planted-count broadcast is the only nested-loop join

@@ -1,0 +1,80 @@
+"""Round-15 ADVICE regressions (operators/finance.py): progressive
+brackets must survive bigint-overflow-scale amounts (the e6_floor_ratio
+pitfall — ADVICE r14 #1), backtick-needing column names must work, and
+fx_revaluation's e6 sums must emit as exact signed hi/lo bigint pairs
+instead of a bigint cast that overflows around SF≈200 (ADVICE r14 #2).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.operators.finance import (
+    fx_revaluation,
+    progressive_brackets,
+)
+
+
+def test_progressive_brackets_survives_bigint_scale_amounts(spark):
+    # The pre-r15 form computed rate_e6 * overlap as BIGINT — overflow
+    # (silent NULL non-ANSI) once amount passes ~9.2e12/rate. A 5e18-
+    # cent amount at a 999999e-6 top rate must still produce the exact
+    # Python-integer answer.
+    brackets = [(0, 0), (1000, 100_000), (3000, 999_999)]
+    amount = 5_000_000_000_000_000_000
+    df = spark.createDataFrame([(amount,)], "amount_cents long")
+    row = progressive_brackets(df, "amount_cents", brackets).collect()[0]
+    expected = (100_000 * 2000) // 10**6 + (999_999 * (amount - 3000)) // 10**6
+    assert row.tax_cents == expected
+    assert row.effective_rate_e6 == (10**6 * expected) // amount
+
+
+def test_progressive_brackets_backtick_column_name(spark):
+    # Raw f-string interpolation broke names needing backticks; the
+    # F.col form must handle them.
+    brackets = [(0, 0), (1000, 100_000)]
+    df = spark.createDataFrame([(3000,)], "amount long").withColumnRenamed(
+        "amount", "amount cents"
+    )
+    row = progressive_brackets(df, "amount cents", brackets, out_col="tax").collect()[0]
+    assert row.tax == 200
+    assert row.effective_rate_e6 == (10**6 * 200) // 3000
+
+
+def test_fx_revaluation_signed_hi_lo_split_exact(spark):
+    # One currency, one booking month, closing rate BELOW booking rate
+    # → negative unrealized G/L. Amounts large enough that Σ cents·rate
+    # would overflow a bigint: the hi/lo pair must carry the exact
+    # signed value with d = hi*1e18 + lo in the trunc/sign-of-dividend
+    # convention (both carriers non-positive for negative d).
+    # 4e15 per item: Σ cents (1.6e18) stays inside the bigint contract
+    # for open_fc_cents, while Σ cents·rate_e6 (2.4e24) is far past it
+    cents = 4_000_000_000_000_000
+    items = spark.createDataFrame(
+        [("EUR", dt.date(2024, 1, 1), cents)] * 400,
+        "cur string, m date, cents long",
+    )
+    rates = spark.createDataFrame(
+        [
+            ("EUR", dt.date(2024, 1, 1), 1_500_000),
+            ("EUR", dt.date(2024, 6, 1), 900_000),
+        ],
+        "cur string, m date, rate_e6 long",
+    )
+    row = fx_revaluation(items, rates, close_month=dt.date(2024, 6, 1)).collect()[0]
+    e18 = 10**18
+    book = 400 * cents * 1_500_000  # 2.4e25 — far past bigint
+    close = 400 * cents * 900_000
+    ue = close - book  # negative
+    assert (row.base_book_hi, row.base_book_lo) == (book // e18, book % e18)
+    assert (row.base_close_hi, row.base_close_lo) == (close // e18, close % e18)
+    # trunc-toward-zero + sign-of-dividend modulo (NOT Python floor/mod)
+    hi = -((-ue) // e18)
+    lo = ue - hi * e18
+    assert (row.unrealized_hi, row.unrealized_lo) == (hi, lo)
+    assert row.unrealized_hi * e18 + row.unrealized_lo == ue
+    assert row.unrealized_hi <= 0 and row.unrealized_lo <= 0
+    assert row.open_fc_cents == 400 * cents
+    assert row.n_items == 400

@@ -880,7 +880,7 @@ def test_stream_price_waterfall_equals_batch(spark):
         "waterfall_stream",
         output_mode="complete",
     )
-    batch = e.queries()["q048_price_waterfall"](spark, sf)
+    batch = e.queries()["q243_price_waterfall"](spark, sf)
     cols = sorted(batch.columns)
     got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
