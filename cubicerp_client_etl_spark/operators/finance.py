@@ -101,6 +101,7 @@ def ar_aging_buckets(
     entity_col: str,
     as_of: Column | None = None,
     bounds: tuple[int, ...] = (30, 60, 90),
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Accounts-receivable aging — the collections report: open
     documents bucketed by age at the as-of date (default: the day
@@ -112,8 +113,10 @@ def ar_aging_buckets(
     buckets '0-30', '31-60', '61-90', '91+'. Age is exact integer
     ``datediff`` in days.
 
-    Returns one row per bucket:
-    ``(bucket, n_docs, n_entities, total_cents)``.
+    Returns one row per bucket (per ``group_cols`` combination when
+    given — r15: the bank-reconciliation residual report ages both
+    unmatched SIDES in one pass):
+    ``(*group_cols, bucket, n_docs, n_entities, total_cents)``.
 
     Scale: one broadcast 1-row as-of join, one CASE, one keyed
     aggregation with map-side combine. Nothing else.
@@ -138,7 +141,7 @@ def ar_aging_buckets(
         prev = b + 1
     expr = expr.otherwise(F.lit(f"{prev}+"))
     return (
-        staged.groupBy(expr.alias("bucket"))
+        staged.groupBy(*group_cols, expr.alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.count_distinct(F.col(entity_col)).cast("bigint").alias(
@@ -502,6 +505,7 @@ def cash_application_match(
     stmt_date_col: str = "value_date",
     inv_date_col: str = "inv_date",
     max_lag_days: int = 10,
+    hot_amount_cap: int | None = None,
 ) -> DataFrame:
     """Cash application: match bank-statement lines to open invoices —
     the reconciliation the reference's ledger sink feeds a human to do
@@ -524,9 +528,25 @@ def cash_application_match(
     day_lag)``.
 
     Scale: candidates come from ONE equi-join on the integer amount
-    (high-cardinality key — amounts in cents are nearly unique, so no
-    hot bucket), then two window ranks partitioned by either id. No
-    cross join, no iteration.
+    (high-cardinality key), then two window ranks partitioned by
+    either id. No cross join, no iteration. Candidate volume through
+    an amount shared by ``d_s`` statements and ``d_i`` invoices is
+    ``d_s·d_i`` — collision density grows with the corpus (the r14
+    census read the uncapped query at 3.6x on 10x data), so the
+    uncapped form is the exact-match contract and ``hot_amount_cap``
+    is the 100 TB tier:
+
+    ``hot_amount_cap`` (opt-in, the q021/q002 occupancy-cap recipe):
+    census both sides' per-amount occupancy with one keyed COUNT
+    each; amounts where EITHER side exceeds the cap are dropped
+    ENTIRELY before the candidate join (real cash-app products queue
+    exactly these ambiguous amounts for manual review), bounding any
+    amount's candidate contribution at cap². Because a row's
+    candidates and both mutual-best rankings only ever see its OWN
+    amount, the applied pairs for every surviving amount are
+    bit-identical to the uncapped law's — drop-only, engine-replayable
+    (occupancy is a plain COUNT). The census joins ride the same
+    amount key as the candidate join, so no extra shuffle shape.
     """
     s = stmts.select(
         F.col(stmt_id_col).alias("_sid"),
@@ -538,6 +558,21 @@ def cash_application_match(
         F.col(amount_col).cast("bigint").alias("_amt"),
         F.col(inv_date_col).alias("_idt"),
     )
+    if hot_amount_cap is not None:
+        if hot_amount_cap < 1:
+            raise ValueError("hot_amount_cap must be >= 1")
+        occ_s = s.groupBy("_amt").agg(F.count(F.lit(1)).alias("_ms"))
+        occ_i = i.groupBy("_amt").agg(F.count(F.lit(1)).alias("_mi"))
+        live = (
+            occ_s.join(occ_i, "_amt")
+            .where(
+                (F.col("_ms") <= hot_amount_cap)
+                & (F.col("_mi") <= hot_amount_cap)
+            )
+            .select("_amt")
+        )
+        s = s.join(live, "_amt")
+        i = i.join(live, "_amt")
     lag = F.datediff("_sdt", "_idt")
     cand = (
         s.join(i, "_amt")
@@ -682,4 +717,79 @@ def fx_revaluation(
         *hi_lo_bigint("_bbe", "base_book"),
         *hi_lo_bigint("_bce", "base_close"),
         *hi_lo_bigint("_ue", "unrealized"),
+    )
+
+
+def credit_netting_fifo(
+    invoices: DataFrame,
+    credits: DataFrame,
+    entity_col: str = "custkey",
+    amount_col: str = "amount_cents",
+    date_col: str = "doc_date",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Payment-run netting with credit memos — before a payment run,
+    each customer's open credit memos are netted against their open
+    invoices OLDEST-FIRST (the FIFO application rule AR teams post),
+    and the run pays only the remainder. The reference's merge sink
+    moves both document types row by row (cubicerpetl.py:775-787);
+    this operator computes the netting the run needs.
+
+    Law (deterministic, closed-form — NO walker): per entity the
+    credit pool ``C = Σ credit_cents``; invoices ordered by
+    ``(date, id)`` consume the pool in order:
+    ``applied_i = clamp(C − cum_before_i, 0, amt_i)`` where
+    ``cum_before_i`` is the exact prefix sum of amounts over earlier
+    invoices — the q241/q014 cumulative-space trick (FIFO needs no
+    iteration when the consumed resource is a single pool).
+
+    Output per entity: ``(entity, n_inv, credit_pool_cents,
+    applied_cents, open_after_cents, n_fully_netted,
+    unapplied_credit_cents)`` — Σ applied + unapplied == C and
+    applied + open_after == Σ amt hold exactly (cents, bigint).
+
+    Scale: one keyed agg for the pool, one keyed join (entity — high
+    cardinality), one prefix-sum window per entity (bounded per-entity
+    fan), one keyed agg. All shuffles share the entity key.
+    """
+    pool = credits.groupBy(F.col(entity_col).alias("_ent")).agg(
+        F.sum(F.col(amount_col).cast("bigint")).alias("_pool")
+    )
+    inv = invoices.select(
+        F.col(entity_col).alias("_ent"),
+        F.col(id_col).alias("_id"),
+        F.col(date_col).alias("_dt"),
+        F.col(amount_col).cast("bigint").alias("_amt"),
+    )
+    j = inv.join(pool, "_ent", "left").withColumn(
+        "_pool", F.coalesce(F.col("_pool"), F.lit(0))
+    )
+    w = (
+        Window.partitionBy("_ent")
+        .orderBy("_dt", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("_amt").over(w), F.lit(0))
+    applied = F.greatest(
+        F.lit(0), F.least(F.col("_amt"), F.col("_pool") - cum_before)
+    )
+    staged = j.withColumn("_app", applied)
+    return (
+        staged.groupBy(F.col("_ent").alias(entity_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inv"),
+            F.first("_pool").cast("bigint").alias("credit_pool_cents"),
+            F.sum("_app").cast("bigint").alias("applied_cents"),
+            F.sum(F.col("_amt") - F.col("_app"))
+            .cast("bigint")
+            .alias("open_after_cents"),
+            F.sum(
+                F.when(F.col("_app") == F.col("_amt"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_fully_netted"),
+            (F.first("_pool") - F.sum("_app"))
+            .cast("bigint")
+            .alias("unapplied_credit_cents"),
+        )
     )

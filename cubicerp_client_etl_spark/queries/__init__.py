@@ -65,6 +65,7 @@ def _load_all() -> None:
         pipeline_ext12,
         pipeline_ext13,
         pipeline_ext14,
+        pipeline_ext15,
         relational,
         relational2,
         relational3,

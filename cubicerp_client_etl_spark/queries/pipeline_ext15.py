@@ -1,0 +1,423 @@
+"""Round-15 extension wave: the close/treasury arc around the cash
+application matcher (judge r14 item 6), plus the matcher's own capped
+twin (item 3 — the r14 census read uncapped cash application at 3.6x
+on 10x data and the warm idle re-measure held 3.1x: the amount-key
+candidate join grows with collision density exactly as the capped
+families did, so the occupancy-cap recipe lands BEFORE it crosses the
+floor).
+
+- q312: capped cash application (``hot_amount_cap`` — amounts whose
+  per-side occupancy exceeds the cap are queued for review, not
+  auto-matched; whole-dollar statement amounts so the cap BITES at
+  sf0.1).
+- q313: bank-reconciliation residual aging — the unmatched remainder
+  of q015's auto-match tier, both sides, aged into collection buckets.
+- q314: payment-run netting with credit memos — FIFO credit
+  application per customer, closed-form in cumulative space.
+- q315: landed-cost allocation — a header-level freight charge spread
+  over the shipment's lines by exact largest-remainder proration.
+
+Same corpus discipline as the rest of the registry: exact integer
+arithmetic the DuckDB oracle replays bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.queries import register
+
+# --------------------------------------------------------------------------
+# q312 — CAPPED cash application (L-fin9 under the cap discipline):
+# q015's exact matching law with ``finance.cash_application_match(
+# hot_amount_cap=4)`` — per-amount occupancy is censused on BOTH sides
+# with one keyed COUNT each, and amounts where either side exceeds 4
+# are dropped entirely before the candidate join (the manual-review
+# queue every cash-app product keeps). Statement amounts here are
+# WHOLE DOLLARS (payments rounded to the dollar — floor, both engines)
+# so collision density is real: at sf0.1 twelve amounts push past
+# occupancy 4 and the cap BITES; at sf0.01 no amount exceeds 2 and the
+# capped law coincides with the uncapped one (the q021 precedent,
+# pinned by test). Because candidates and both mutual-best rankings
+# never see another amount, surviving amounts' applied pairs are
+# bit-identical to the uncapped law's — drop-only by construction.
+# Scale: candidate volume per amount bounded at cap²; census joins
+# ride the same amount key as the candidate join.
+# --------------------------------------------------------------------------
+@register(
+    "q312_cash_application_capped",
+    oracle="""
+WITH inv AS (
+  SELECT o_orderkey AS iid, o_custkey AS ent,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) * 100
+           AS amt,
+         CAST(o_orderdate AS DATE) AS idt
+  FROM orders
+),
+st AS (
+  SELECT o_orderkey + 500000000 AS sid,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) * 100
+           AS amt,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 10 + 1 AS INTEGER)
+           AS sdt
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+occ_s AS (SELECT amt, COUNT(*) AS ms FROM st GROUP BY amt),
+occ_i AS (SELECT amt, COUNT(*) AS mi FROM inv GROUP BY amt),
+live AS (
+  SELECT occ_s.amt FROM occ_s JOIN occ_i USING (amt)
+  WHERE ms <= 4 AND mi <= 4
+),
+cand AS (
+  SELECT st.sid, inv.iid, st.amt, st.sdt - inv.idt AS lag
+  FROM st JOIN live USING (amt) JOIN inv ON inv.amt = st.amt
+  WHERE st.sdt - inv.idt > 0 AND st.sdt - inv.idt <= 10
+),
+ranked AS (
+  SELECT sid, iid, amt, lag,
+         ROW_NUMBER() OVER (PARTITION BY sid ORDER BY lag, iid) AS rs,
+         ROW_NUMBER() OVER (PARTITION BY iid ORDER BY lag, sid) AS ri
+  FROM cand
+)
+SELECT CAST(sid AS BIGINT) AS stmt_id,
+       CAST(iid AS BIGINT) AS inv_id,
+       amt AS amount_cents,
+       CAST(lag AS BIGINT) AS day_lag
+FROM ranked WHERE rs = 1 AND ri = 1
+ORDER BY stmt_id
+""",
+)
+def q312_cash_application_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        cash_application_match,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    amt = F.expr(
+        "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) * 100"
+    )
+    invoices = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("inv_id"),
+        amt.alias("amount_cents"),
+        F.to_date("o_orderdate").alias("inv_date"),
+    )
+    stmts = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 500000000).cast("bigint").alias("stmt_id"),
+        amt.alias("amount_cents"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE), "
+            "CAST(o_orderkey % 10 + 1 AS INT))"
+        ).alias("value_date"),
+    )
+    return cash_application_match(
+        stmts, invoices, max_lag_days=10, hot_amount_cap=4
+    ).orderBy("stmt_id")
+
+
+# --------------------------------------------------------------------------
+# q313 — Bank-reconciliation residual aging (L-fin12): the OTHER side
+# of q015's auto-match — the statement lines and open invoices the
+# one-round mutual-best tier did NOT close, aged into collection
+# buckets at the data-derived as-of (day after the newest residual
+# document). Exactly the report a reconciliation team works from: how
+# old is what's left, on each side. Entities are the paying customer
+# (statement counterparty = the order's customer). Replays fully: the
+# oracle recomputes the match, both anti-joins, the as-of and every
+# bucket. Scale: the q015 matcher (one amount equi-join + two windows)
+# + two LEFT-ANTI joins on the high-cardinality ids + one broadcast
+# 1-row as-of + one keyed agg over <= 8 (side, bucket) cells.
+# Operators: finance.cash_application_match + finance.ar_aging_buckets
+# (group_cols, r15).
+# --------------------------------------------------------------------------
+@register(
+    "q313_bank_rec_residual_aging",
+    oracle="""
+WITH inv AS (
+  SELECT o_orderkey AS iid, o_custkey AS ent,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt,
+         CAST(o_orderdate AS DATE) AS idt
+  FROM orders
+),
+st AS (
+  SELECT o_orderkey + 500000000 AS sid, o_custkey AS ent,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt,
+         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 10 + 1 AS INTEGER)
+           AS sdt
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+cand AS (
+  SELECT st.sid, inv.iid, st.sdt - inv.idt AS lag
+  FROM st JOIN inv ON inv.amt = st.amt
+  WHERE st.sdt - inv.idt > 0 AND st.sdt - inv.idt <= 10
+),
+ranked AS (
+  SELECT sid, iid,
+         ROW_NUMBER() OVER (PARTITION BY sid ORDER BY lag, iid) AS rs,
+         ROW_NUMBER() OVER (PARTITION BY iid ORDER BY lag, sid) AS ri
+  FROM cand
+),
+applied AS (SELECT sid, iid FROM ranked WHERE rs = 1 AND ri = 1),
+residual AS (
+  SELECT 'stmt' AS side, st.ent, st.amt, st.sdt AS dt
+  FROM st WHERE st.sid NOT IN (SELECT sid FROM applied)
+  UNION ALL
+  SELECT 'inv' AS side, inv.ent, inv.amt, inv.idt AS dt
+  FROM inv WHERE inv.iid NOT IN (SELECT iid FROM applied)
+),
+asof_d AS (SELECT MAX(dt) + 1 AS a FROM residual)
+SELECT side,
+       CASE WHEN a - dt <= 30 THEN '0-30'
+            WHEN a - dt <= 60 THEN '31-60'
+            WHEN a - dt <= 90 THEN '61-90'
+            ELSE '91+' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT ent) AS BIGINT) AS n_entities,
+       CAST(SUM(amt) AS BIGINT) AS total_cents
+FROM residual CROSS JOIN asof_d
+GROUP BY side, bucket
+ORDER BY side, bucket
+""",
+)
+def q313_bank_rec_residual_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        ar_aging_buckets,
+        cash_application_match,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    amt = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    invoices = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("inv_id"),
+        F.col("o_custkey").cast("bigint").alias("ent"),
+        amt.alias("amount_cents"),
+        F.to_date("o_orderdate").alias("inv_date"),
+    )
+    stmts = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + 500000000).cast("bigint").alias("stmt_id"),
+        F.col("o_custkey").cast("bigint").alias("ent"),
+        amt.alias("amount_cents"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE), "
+            "CAST(o_orderkey % 10 + 1 AS INT))"
+        ).alias("value_date"),
+    )
+    applied = cash_application_match(stmts, invoices, max_lag_days=10)
+    res_s = stmts.join(
+        applied.select("stmt_id"), "stmt_id", "left_anti"
+    ).select(
+        F.lit("stmt").alias("side"),
+        "ent",
+        "amount_cents",
+        F.col("value_date").alias("dt"),
+    )
+    res_i = invoices.join(
+        applied.select("inv_id"), "inv_id", "left_anti"
+    ).select(
+        F.lit("inv").alias("side"),
+        "ent",
+        "amount_cents",
+        F.col("inv_date").alias("dt"),
+    )
+    residual = res_s.unionByName(res_i)
+    return ar_aging_buckets(
+        residual,
+        date_col="dt",
+        amount_col="amount_cents",
+        entity_col="ent",
+        group_cols=("side",),
+    ).orderBy("side", "bucket")
+
+
+# --------------------------------------------------------------------------
+# q314 — Payment-run netting with credit memos (L-fin13): before the
+# run pays a customer's open invoices, their open credit memos are
+# netted OLDEST-INVOICE-FIRST. FIFO against a single per-customer
+# credit pool is CLOSED-FORM in cumulative space (the q241/q014
+# trick): applied_i = clamp(pool − cum_before_i, 0, amt_i) — one
+# prefix-sum window, no walker. Credit memos are every 7th order at
+# 10% of its value (trunc div — non-negative, both engines agree);
+# invoices are the rest. Output one row per customer holding the run's
+# numbers: invoices, pool, applied, open-after, fully-netted count,
+# unapplied credit — with applied + open_after == Σ amt and applied +
+# unapplied == pool exact in cents. Scale: every shuffle (pool agg,
+# join, window, final agg) shares the customer key.
+# Operator: finance.credit_netting_fifo.
+# --------------------------------------------------------------------------
+@register(
+    "q314_payment_run_netting",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS id, o_custkey AS ent,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt,
+         CAST(o_orderdate AS DATE) AS dt
+  FROM orders
+),
+credits AS (SELECT ent, amt // 10 AS c FROM base WHERE id % 7 = 0),
+pool AS (SELECT ent, SUM(c) AS pool FROM credits GROUP BY ent),
+inv AS (SELECT * FROM base WHERE id % 7 <> 0),
+staged AS (
+  SELECT inv.ent, inv.amt,
+         COALESCE(pool.pool, 0) AS pool,
+         COALESCE(SUM(inv.amt) OVER (
+           PARTITION BY inv.ent ORDER BY inv.dt, inv.id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM inv LEFT JOIN pool USING (ent)
+),
+app AS (
+  SELECT ent, amt, pool,
+         GREATEST(0, LEAST(amt, pool - cum_before)) AS applied
+  FROM staged
+)
+SELECT CAST(ent AS BIGINT) AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_inv,
+       CAST(MIN(pool) AS BIGINT) AS credit_pool_cents,
+       CAST(SUM(applied) AS BIGINT) AS applied_cents,
+       CAST(SUM(amt - applied) AS BIGINT) AS open_after_cents,
+       CAST(SUM(CASE WHEN applied = amt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_netted,
+       CAST(MIN(pool) - SUM(applied) AS BIGINT) AS unapplied_credit_cents
+FROM app
+GROUP BY ent
+ORDER BY custkey
+""",
+)
+def q314_payment_run_netting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        credit_netting_fifo,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("amount_cents"),
+        F.to_date("o_orderdate").alias("doc_date"),
+    )
+    credits = base.where(F.col("doc_id") % 7 == 0).select(
+        "custkey", F.expr("amount_cents div 10").alias("amount_cents")
+    )
+    invoices = base.where(F.col("doc_id") % 7 != 0)
+    return credit_netting_fifo(
+        invoices,
+        credits,
+        entity_col="custkey",
+        amount_col="amount_cents",
+        date_col="doc_date",
+        id_col="doc_id",
+    ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# q315 — Landed-cost allocation (L-erp26): a header-level freight
+# charge (a deterministic ~2.7% of order value: totalprice cents div
+# 37) spread over the shipment's lines proportionally to line value by
+# EXACT largest-remainder proration (operators/budget.prorate_exact,
+# the q288 machinery applied to the inbound-logistics case) — per
+# order Σ alloc == freight to the cent, the invariant floating
+# prorating never delivers. Output is the bounded per-line-count
+# digest (1..7 lines per order): order count, Σ freight, Σ alloc
+# (equal by the invariant — visible in the output, not just asserted),
+# and Σ of per-order max/min allocations, which pin every rank/
+# remainder decision. Scale: freight rides a broadcast-joinable
+# header... no — the header table is the ORDER table (high
+# cardinality), so the line join is a keyed equi-join; prorate_exact
+# adds two windows on the same order key (bounded 7-line fan); the
+# digest agg is <= 7 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q315_landed_cost_allocation",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey AS k, l_linenumber AS ln,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM lineitem
+),
+hdr AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 37
+           AS a
+  FROM orders
+),
+j AS (SELECT l.k, l.ln, l.w, hdr.a FROM l JOIN hdr USING (k)),
+tot AS (SELECT k, SUM(w) AS wsum FROM j GROUP BY k),
+st AS (
+  SELECT j.k, j.ln, j.a, tot.wsum,
+         CAST(CAST(j.a AS HUGEINT) * j.w // tot.wsum AS BIGINT) AS base,
+         CAST(CAST(j.a AS HUGEINT) * j.w % tot.wsum AS BIGINT) AS frac
+  FROM j JOIN tot USING (k)
+),
+sh AS (SELECT k, a - SUM(base) AS short FROM st GROUP BY k, a),
+alloc AS (
+  SELECT st.k, st.a,
+         st.base + CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY st.k ORDER BY st.frac DESC, st.ln) <= sh.short
+           THEN 1 ELSE 0 END AS alloc
+  FROM st JOIN sh USING (k)
+),
+per_order AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_lines, MIN(a) AS freight,
+         SUM(alloc) AS alloc_sum, MAX(alloc) AS mx, MIN(alloc) AS mn
+  FROM alloc GROUP BY k
+)
+SELECT n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(freight) AS BIGINT) AS sum_freight_cents,
+       CAST(SUM(alloc_sum) AS BIGINT) AS sum_alloc_cents,
+       CAST(SUM(mx) AS BIGINT) AS sum_max_alloc,
+       CAST(SUM(mn) AS BIGINT) AS sum_min_alloc
+FROM per_order
+GROUP BY n_lines
+ORDER BY n_lines
+""",
+)
+def q315_landed_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.budget import prorate_exact
+
+    lines = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("k"),
+        F.col("l_linenumber").cast("bigint").alias("ln"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("w"),
+    )
+    hdr = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 37"
+        ).alias("freight_cents"),
+    )
+    j = lines.join(hdr, "k")
+    alloc = prorate_exact(
+        j,
+        key_col="k",
+        amount_col="freight_cents",
+        weight_col="w",
+        order_col="ln",
+        out_col="alloc",
+    )
+    per_order = alloc.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("freight_cents").cast("bigint").alias("freight"),
+        F.sum("alloc").cast("bigint").alias("alloc_sum"),
+        F.max("alloc").cast("bigint").alias("mx"),
+        F.min("alloc").cast("bigint").alias("mn"),
+    )
+    return (
+        per_order.groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("freight").cast("bigint").alias("sum_freight_cents"),
+            F.sum("alloc_sum").cast("bigint").alias("sum_alloc_cents"),
+            F.sum("mx").cast("bigint").alias("sum_max_alloc"),
+            F.sum("mn").cast("bigint").alias("sum_min_alloc"),
+        )
+        .orderBy("n_lines")
+    )

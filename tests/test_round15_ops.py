@@ -78,3 +78,97 @@ def test_fx_revaluation_signed_hi_lo_split_exact(spark):
     assert row.unrealized_hi <= 0 and row.unrealized_lo <= 0
     assert row.open_fc_cents == 400 * cents
     assert row.n_items == 400
+
+
+def test_credit_netting_fifo_partial_application_order(spark):
+    # pool 250 vs invoices 100/100/100 oldest-first: 100, 100, 50
+    # applied; third invoice half-open; no unapplied credit
+    from cubicerp_client_etl_spark.operators.finance import (
+        credit_netting_fifo,
+    )
+
+    invoices = spark.createDataFrame(
+        [
+            (1, 7, 100, dt.date(2024, 1, 1)),
+            (2, 7, 100, dt.date(2024, 1, 2)),
+            (3, 7, 100, dt.date(2024, 1, 3)),
+            (4, 8, 500, dt.date(2024, 1, 1)),  # customer without credits
+        ],
+        "doc_id long, custkey long, amount_cents long, doc_date date",
+    )
+    credits = spark.createDataFrame(
+        [(7, 200), (7, 50)], "custkey long, amount_cents long"
+    )
+    out = {
+        r.custkey: r.asDict()
+        for r in credit_netting_fifo(invoices, credits).collect()
+    }
+    assert out[7]["credit_pool_cents"] == 250
+    assert out[7]["applied_cents"] == 250
+    assert out[7]["open_after_cents"] == 50
+    assert out[7]["n_fully_netted"] == 2
+    assert out[7]["unapplied_credit_cents"] == 0
+    assert out[8] == {
+        "custkey": 8,
+        "n_inv": 1,
+        "credit_pool_cents": 0,
+        "applied_cents": 0,
+        "open_after_cents": 500,
+        "n_fully_netted": 0,
+        "unapplied_credit_cents": 0,
+    }
+
+
+def test_credit_netting_fifo_surplus_credit_reported(spark):
+    from cubicerp_client_etl_spark.operators.finance import (
+        credit_netting_fifo,
+    )
+
+    invoices = spark.createDataFrame(
+        [(1, 7, 100, dt.date(2024, 1, 1))],
+        "doc_id long, custkey long, amount_cents long, doc_date date",
+    )
+    credits = spark.createDataFrame(
+        [(7, 300)], "custkey long, amount_cents long"
+    )
+    row = credit_netting_fifo(invoices, credits).collect()[0]
+    assert row.applied_cents == 100
+    assert row.open_after_cents == 0
+    assert row.unapplied_credit_cents == 200
+
+
+def test_bank_rec_residual_conservation(spark):
+    # every statement line is either applied or aged: applied count +
+    # stmt-side residual docs == total statement lines (and likewise
+    # for invoices) at sf0.001
+    from cubicerp_client_etl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    aging = REGISTRY["q313_bank_rec_residual_aging"].fn(spark, sf).collect()
+    resid = {side: 0 for side in ("stmt", "inv")}
+    for r in aging:
+        resid[r.side] += r.n_docs
+    from cubicerp_client_etl_spark.catalog import load
+
+    orders = load(spark, sf, "orders")
+    n_inv = orders.count()
+    n_stmt = orders.where(F.col("o_orderkey") % 3 == 0).count()
+    applied = n_stmt - resid["stmt"]
+    assert applied >= 0
+    assert resid["inv"] == n_inv - applied
+
+
+def test_landed_cost_allocation_invariant(spark):
+    # the digest must carry the exact-allocation invariant in its own
+    # columns: sum_alloc == sum_freight in every n_lines cell
+    from cubicerp_client_etl_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["q315_landed_cost_allocation"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.sum_alloc_cents == r.sum_freight_cents
+        assert r.sum_max_alloc >= r.sum_min_alloc >= 0
