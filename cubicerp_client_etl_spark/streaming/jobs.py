@@ -1128,3 +1128,49 @@ def stream_keyframe_plan(docs: DataFrame) -> DataFrame:
     )
 
     return keyframe_sample_plan(stream_video_metadata(docs), every_us=500_000)
+
+
+def orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the orders fixture — order documents
+    landing continuously (the reference's cron loop shape,
+    etl_cron.py:39-55, as a stream instead of a poll)."""
+    static = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_progressive_brackets(orders: DataFrame) -> DataFrame:
+    """Streaming twin #23 — q018's progressive marginal brackets on
+    the live order stream: each landing document gets its exact
+    bracket tax and effective rate computed MAP-SIDE (the operator is
+    one DECIMAL(38,0) expression per row — no join, no state, no
+    watermark, append mode), so a payroll/customs feed taxes documents
+    the instant they land with bit-identical results to the batch
+    query (pinned in tests/test_streaming.py). The purest stateless
+    twin in the set: the batch==stream argument is trivial BECAUSE the
+    r15 ADVICE fix made the arithmetic a pure per-row expression safe
+    at any amount."""
+    from cubicerp_client_etl_spark.operators.finance import (
+        progressive_brackets,
+    )
+
+    o = orders.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("amount_cents"),
+    )
+    return progressive_brackets(
+        o,
+        "amount_cents",
+        brackets=[
+            (0, 0),
+            (5_000_000, 100_000),
+            (15_000_000, 250_000),
+            (40_000_000, 400_000),
+        ],
+    ).select("o_orderkey", "amount_cents", "tax_cents", "effective_rate_e6")

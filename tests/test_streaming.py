@@ -938,3 +938,27 @@ def test_stream_keyframe_plan_matches_batch(spark):
     )
     batch_rows = {tuple(r) for r in stream_keyframe_plan(batch).collect()}
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_stream_progressive_brackets_equals_batch(spark):
+    """Streaming twin #23: the map-only bracket tax on the live order
+    stream must equal q018's batch rows bit-for-bit once the stream
+    drains — stateless append mode, no watermark, no state store."""
+    import __spark_entry__ as e
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        orders_stream,
+        run_stream_to_memory,
+        stream_progressive_brackets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_stream_to_memory(
+        stream_progressive_brackets(orders_stream(spark, sf)),
+        "brackets_stream",
+        output_mode="append",
+    )
+    batch = e.queries()["q018_progressive_tax_brackets"](spark, sf)
+    cols = sorted(batch.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and len(want) > 0
