@@ -793,3 +793,84 @@ def credit_netting_fifo(
             .alias("unapplied_credit_cents"),
         )
     )
+
+
+def expected_receipts_forecast(
+    payments: DataFrame,
+    open_invoices: DataFrame,
+    entity_col: str = "custkey",
+    lag_col: str = "pay_lag_days",
+    amount_col: str = "amount_cents",
+    date_col: str = "inv_date",
+) -> DataFrame:
+    """Cash-receipts forecast from open AR — the treasury step after
+    the close: each open invoice's expected receipt date is its issue
+    date plus the customer's HISTORICAL payment lag, and the forecast
+    is the weekly receipts calendar treasury plans against.
+
+    The lag statistic is the LOW MEDIAN (the k = (n+1) div 2-th
+    smallest observed lag) — an order statistic, so it is an integer
+    from the data and replays exactly in any engine (an interpolated
+    median would be engine-rounding-dependent). Customers with no
+    payment history fall back to the GLOBAL low median (one
+    broadcastable row). Weeks are ``date_trunc('week',
+    expected_date)`` — ISO Monday in both Spark and DuckDB.
+
+    Output per week: ``(week, n_invoices, expected_cents)``.
+
+    Scale: medians are computed on the (entity, lag) HISTOGRAM, not
+    the raw payments — day lags are small integers (a payment
+    arriving years late is an outlier, not a population), so the
+    per-entity cumulative window runs over at most a few hundred
+    histogram rows per entity regardless of corpus size, and the
+    global median's single-partition window sees only the bounded
+    distinct-lag histogram. One keyed agg (histogram), two windows on
+    the entity key, one tiny single-partition window, one left join +
+    1-row broadcast fallback, one keyed agg over the bounded week
+    grid.
+    """
+    lags = payments.select(
+        F.col(entity_col).alias("_ent"),
+        F.col(lag_col).cast("bigint").alias("_lag"),
+    )
+    hist = lags.groupBy("_ent", "_lag").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy("_ent")
+        .orderBy("_lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("_ent")
+    med = (
+        hist.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(w_tot))
+        .where(F.col("_cum") >= F.expr("(_n + 1) div 2"))
+        .groupBy("_ent")
+        .agg(F.min("_lag").alias("_med"))
+    )
+    ghist = lags.groupBy("_lag").agg(F.count(F.lit(1)).alias("_c"))
+    gw_cum = Window.orderBy("_lag").rowsBetween(Window.unboundedPreceding, 0)
+    gw_tot = Window.partitionBy()
+    gmed = (
+        ghist.withColumn("_cum", F.sum("_c").over(gw_cum))
+        .withColumn("_n", F.sum("_c").over(gw_tot))
+        .where(F.col("_cum") >= F.expr("(_n + 1) div 2"))
+        .agg(F.min("_lag").alias("_gmed"))
+    )
+    inv = open_invoices.select(
+        F.col(entity_col).alias("_ent"),
+        F.col(amount_col).cast("bigint").alias("_amt"),
+        F.to_date(F.col(date_col)).alias("_dt"),
+    )
+    staged = (
+        inv.join(med, "_ent", "left")
+        .crossJoin(F.broadcast(gmed))
+        .withColumn("_use", F.coalesce(F.col("_med"), F.col("_gmed")))
+    )
+    week = F.date_trunc("week", F.expr("date_add(_dt, CAST(_use AS INT))"))
+    return (
+        staged.groupBy(F.to_date(week).alias("week"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_invoices"),
+            F.sum("_amt").cast("bigint").alias("expected_cents"),
+        )
+    )

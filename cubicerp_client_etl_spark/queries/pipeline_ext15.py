@@ -16,6 +16,9 @@ floor).
   application per customer, closed-form in cumulative space.
 - q315: landed-cost allocation — a header-level freight charge spread
   over the shipment's lines by exact largest-remainder proration.
+- q316: cash-receipts forecast — open AR landed on the weekly
+  treasury calendar at issue date + the customer's historical
+  low-median payment lag (histogram-median form).
 
 Same corpus discipline as the rest of the registry: exact integer
 arithmetic the DuckDB oracle replays bit-for-bit.
@@ -421,3 +424,84 @@ def q315_landed_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+# --------------------------------------------------------------------------
+# q316 — Cash-receipts forecast from open AR (L-fin14): the treasury
+# step after the close — open invoices land on the receipts calendar
+# at issue date + the customer's HISTORICAL payment lag, the weekly
+# grid treasury plans liquidity against. The lag statistic is the LOW
+# MEDIAN (the (n+1) div 2-th smallest observed lag — an integer order
+# statistic, engine-exact; interpolated medians round differently
+# across engines), computed on the (customer, lag) HISTOGRAM so the
+# cumulative windows run over at most a few hundred rows per customer
+# at any corpus size; customers without history fall back to the
+# global low median (one broadcast row). Payment history = fulfilled
+# orders under a deterministic lag law (orderkey % 45 + 3 — the
+# replayable stand-in for observed behavior); open AR = 'O' orders.
+# Every median pick, fallback and week bucket replays bit-for-bit.
+# Scale: one keyed histogram agg + two entity-key windows + one tiny
+# single-partition window over the bounded distinct-lag histogram +
+# one left join + 1-row broadcast + one keyed agg over the bounded
+# week grid. Operator: finance.expected_receipts_forecast.
+# --------------------------------------------------------------------------
+@register(
+    "q316_cash_receipts_forecast",
+    oracle="""
+WITH pays AS (
+  SELECT o_custkey AS ent, o_orderkey % 45 + 3 AS lg
+  FROM orders WHERE o_orderstatus = 'F'
+),
+hist AS (SELECT ent, lg, COUNT(*) AS c FROM pays GROUP BY ent, lg),
+st AS (
+  SELECT ent, lg,
+         SUM(c) OVER (PARTITION BY ent ORDER BY lg
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY ent) AS n
+  FROM hist
+),
+med AS (SELECT ent, MIN(lg) AS med FROM st
+        WHERE cum >= (n + 1) // 2 GROUP BY ent),
+ghist AS (SELECT lg, COUNT(*) AS c FROM pays GROUP BY lg),
+gst AS (
+  SELECT lg,
+         SUM(c) OVER (ORDER BY lg
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM ghist
+),
+gmed AS (SELECT MIN(lg) AS gmed FROM gst WHERE cum >= (n + 1) // 2),
+inv AS (
+  SELECT o_custkey AS ent,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt,
+         CAST(o_orderdate AS DATE) AS dt
+  FROM orders WHERE o_orderstatus = 'O'
+),
+x AS (
+  SELECT inv.ent, inv.amt, inv.dt, COALESCE(med.med, gmed.gmed) AS u
+  FROM inv LEFT JOIN med USING (ent) CROSS JOIN gmed
+)
+SELECT CAST(date_trunc('week', dt + CAST(u AS INTEGER)) AS DATE) AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_invoices,
+       CAST(SUM(amt) AS BIGINT) AS expected_cents
+FROM x GROUP BY week ORDER BY week
+""",
+)
+def q316_cash_receipts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        expected_receipts_forecast,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    payments = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.expr("o_orderkey % 45 + 3").cast("bigint").alias("pay_lag_days"),
+    )
+    open_inv = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("amount_cents"),
+        F.to_date("o_orderdate").alias("inv_date"),
+    )
+    return expected_receipts_forecast(payments, open_inv).orderBy("week")

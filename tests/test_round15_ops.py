@@ -172,3 +172,32 @@ def test_landed_cost_allocation_invariant(spark):
     for r in rows:
         assert r.sum_alloc_cents == r.sum_freight_cents
         assert r.sum_max_alloc >= r.sum_min_alloc >= 0
+
+
+def test_expected_receipts_low_median_and_fallback(spark):
+    # customer 7: lags [4, 10] -> low median = 4 (the (2+1) div 2 = 1st
+    # smallest); customer 9 has no history -> global low median over
+    # [4, 10, 8] = 8. Invoices land on the Monday-truncated week of
+    # date + median.
+    from cubicerp_client_etl_spark.operators.finance import (
+        expected_receipts_forecast,
+    )
+
+    payments = spark.createDataFrame(
+        [(7, 4), (7, 10), (8, 8)], "custkey long, pay_lag_days long"
+    )
+    invoices = spark.createDataFrame(
+        [
+            (7, 100, dt.date(2024, 1, 1)),   # +4 -> Jan 5 -> week of Jan 1
+            (9, 200, dt.date(2024, 1, 1)),   # +8 -> Jan 9 -> week of Jan 8
+        ],
+        "custkey long, amount_cents long, inv_date date",
+    )
+    rows = {
+        r.week: (r.n_invoices, r.expected_cents)
+        for r in expected_receipts_forecast(payments, invoices).collect()
+    }
+    assert rows == {
+        dt.date(2024, 1, 1): (1, 100),
+        dt.date(2024, 1, 8): (1, 200),
+    }
