@@ -874,3 +874,182 @@ def expected_receipts_forecast(
             F.sum("_amt").cast("bigint").alias("expected_cents"),
         )
     )
+
+
+def revenue_recognition_schedule(
+    contracts: DataFrame,
+    id_col: str = "contract_id",
+    amount_col: str = "amount_cents",
+    start_col: str = "start_month",
+    months_col: str = "term_months",
+) -> DataFrame:
+    """Straight-line revenue recognition — the deferred-revenue
+    waterfall the close posts for service contracts: each contract's
+    amount is recognized evenly across its term, exact in cents.
+
+    Law (deterministic, engine-replayable): for a contract of
+    ``amt`` cents over ``n`` months, ``base = amt div n`` and the
+    remainder ``r = amt % n`` cents land one each on the FIRST ``r``
+    months (the fixed largest-remainder convention for equal quotas —
+    ``recognized_k = base + (k < r)``), so Σ over the schedule equals
+    the contract amount exactly with no drift row. Amounts are
+    non-negative, so truncating and flooring division agree in both
+    engines.
+
+    Month arithmetic runs in INTEGER year-month space (``ym = 12·year
+    + month − 1 + k`` → ``make_date(ym div 12, ym % 12 + 1, 1)``) so
+    no engine-specific interval semantics are involved.
+
+    Output: one row per (contract, schedule month): ``(id, rec_month,
+    month_index, recognized_cents)``.
+
+    Scale: pure map + a bounded ``sequence`` explode (fan-out = the
+    contract term, a small constant) — no shuffle at all; downstream
+    per-month aggregation is one keyed agg over a bounded month grid.
+    """
+    amt = F.col(amount_col).cast("bigint")
+    n = F.col(months_col).cast("bigint")
+    staged = contracts.select(
+        F.col(id_col).alias("_id"),
+        amt.alias("_amt"),
+        n.alias("_n"),
+        (
+            F.lit(12) * F.year(start_col) + F.month(start_col) - F.lit(1)
+        ).alias("_ym0"),
+        F.expr(f"`{amount_col}` div `{months_col}`").alias("_base"),
+        (amt % n).alias("_r"),
+    ).withColumn("_k", F.explode(F.sequence(F.lit(0), (F.col("_n") - 1).cast("int"))))
+    ym = F.col("_ym0") + F.col("_k")
+    return staged.select(
+        F.col("_id").alias(id_col),
+        F.make_date(
+            F.expr("(_ym0 + _k) div 12"), ym % 12 + F.lit(1), F.lit(1)
+        ).alias("rec_month"),
+        F.col("_k").cast("bigint").alias("month_index"),
+        (
+            F.col("_base")
+            + F.when(F.col("_k") < F.col("_r"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("recognized_cents"),
+    )
+
+
+def dunning_escalation(
+    invoices: DataFrame,
+    asof,
+    level_thresholds: list[int] | None = None,
+    annual_rate_e6: int = 180000,
+    amount_col: str = "amount_cents",
+    due_col: str = "due_date",
+) -> DataFrame:
+    """Dunning escalation with finance charges — the collections step
+    after aging (q049 lineage): each open invoice gets the dunning
+    level its days-past-due has escalated to, plus the simple-interest
+    finance charge the dunning letter quotes.
+
+    ``level_thresholds`` are ascending days-past-due lower bounds (the
+    default ``[0, 30, 60, 90]`` gives level 1 at 1+ days overdue
+    through level 4 past 90 — level = number of thresholds strictly
+    exceeded, 0 = current). The finance charge is
+    ``floor(cents · rate_e6 · days_overdue / (365 · 10⁶))`` — simple
+    interest, ACT/365, with the NON-NEGATIVE triple product carried in
+    DECIMAL(38,0) (the progressive_brackets/ADVICE discipline: the
+    bigint form overflows once ``cents · rate · days`` passes ~9.2e18,
+    reachable for large invoices years overdue; truncation == floor on
+    a non-negative product in every engine).
+
+    Output: input plus ``days_overdue`` (bigint, 0-floored),
+    ``dunning_level`` (bigint) and ``finance_charge_cents`` (bigint).
+
+    Scale: pure map — no join, no window, no shuffle; ``asof`` is a
+    literal or a 1-row broadcast the caller supplies.
+    """
+    thresholds = level_thresholds if level_thresholds is not None else [0, 30, 60, 90]
+    assert list(thresholds) == sorted(thresholds), "thresholds must ascend"
+    days = F.greatest(
+        F.lit(0), F.datediff(F.lit(asof) if isinstance(asof, str) else asof, F.col(due_col))
+    ).cast("bigint")
+    out = invoices.withColumn("days_overdue", days)
+    level = None
+    for t in thresholds:
+        term = F.when(F.col("days_overdue") > F.lit(int(t)), 1).otherwise(0)
+        level = term if level is None else level + term
+    out = out.withColumn("dunning_level", level.cast("bigint"))
+    prod = (
+        F.col(amount_col).cast("decimal(38,0)")
+        * F.lit(int(annual_rate_e6)).cast("decimal(38,0)")
+        * F.col("days_overdue").cast("decimal(38,0)")
+    )
+    # The divisor 365·10⁶ is NOT a power of ten (unlike
+    # progressive_brackets' 10⁶, where the 6-dp quotient is exact), so
+    # Spark's HALF_UP pre-round at the decimal division's result scale
+    # can push a quotient sitting within 5e-7 below an integer one too
+    # HIGH — the e6_floor_ratio regime: one exact-decimal comparison
+    # corrects it, never too low.
+    divisor = F.lit(365 * 1000000).cast("decimal(38,0)")
+    q0 = F.floor(prod / divisor).cast("decimal(38,0)")
+    charge = F.when(q0 * divisor > prod, q0 - F.lit(1)).otherwise(q0)
+    return out.withColumn("finance_charge_cents", charge.cast("bigint"))
+
+
+def bilateral_netting(
+    flows: DataFrame,
+    from_col: str = "from_key",
+    to_col: str = "to_key",
+    amount_col: str = "amount_cents",
+) -> DataFrame:
+    """Bilateral netting settlement matrix — the treasury netting run
+    over intercompany (or inter-nation) payment flows: gross flows in
+    both directions of every counterparty pair collapse to ONE net
+    settlement per unordered pair, the wire each netting cycle
+    actually sends.
+
+    Output per unordered pair ``(a, b)`` with ``a < b`` (self-pairs
+    excluded — an entity owes itself nothing): ``gross_ab_cents``
+    (a pays b), ``gross_ba_cents``, ``net_cents = gross_ab −
+    gross_ba`` (SIGNED), ``n_flows``, and ``payer`` — ``a`` when net
+    > 0, ``b`` when net < 0, NULL when the pair nets to zero.
+
+    Scale: one keyed agg over the directed-pair key (bounded by the
+    entity universe squared), then a map-side canonicalization
+    (least/greatest) and a second tiny agg over unordered pairs —
+    the fact scan dominates; nothing downstream grows with the
+    corpus.
+    """
+    directed = (
+        flows.where(F.col(from_col) != F.col(to_col))
+        .groupBy(F.col(from_col).alias("_f"), F.col(to_col).alias("_t"))
+        .agg(
+            F.sum(F.col(amount_col).cast("bigint")).alias("_amt"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+        )
+    )
+    a = F.least("_f", "_t")
+    b = F.greatest("_f", "_t")
+    fwd = F.col("_f") == a  # this directed row is the a→b direction
+    pairs = directed.select(
+        a.alias("pair_a"),
+        b.alias("pair_b"),
+        F.when(fwd, F.col("_amt")).otherwise(F.lit(0)).alias("_ab"),
+        F.when(fwd, F.lit(0)).otherwise(F.col("_amt")).alias("_ba"),
+        F.col("_n"),
+    )
+    agg = pairs.groupBy("pair_a", "pair_b").agg(
+        F.sum("_ab").cast("bigint").alias("gross_ab_cents"),
+        F.sum("_ba").cast("bigint").alias("gross_ba_cents"),
+        F.sum("_n").cast("bigint").alias("n_flows"),
+    )
+    net = F.col("gross_ab_cents") - F.col("gross_ba_cents")
+    return agg.select(
+        "pair_a",
+        "pair_b",
+        "gross_ab_cents",
+        "gross_ba_cents",
+        net.cast("bigint").alias("net_cents"),
+        "n_flows",
+        F.when(net > 0, F.col("pair_a"))
+        .when(net < 0, F.col("pair_b"))
+        .otherwise(F.lit(None))
+        .alias("payer"),
+    )

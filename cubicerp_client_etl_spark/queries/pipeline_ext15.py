@@ -19,6 +19,14 @@ floor).
 - q316: cash-receipts forecast — open AR landed on the weekly
   treasury calendar at issue date + the customer's historical
   low-median payment lag (histogram-median form).
+- q317: straight-line revenue recognition waterfall — exact
+  largest-remainder cents across each contract's term, month math in
+  integer year-month space.
+- q318: dunning escalation with ACT/365 simple-interest finance
+  charges, exact at any bigint amount (decimal product + floor
+  correction).
+- q319: bilateral netting settlement matrix — signed net wire per
+  unordered counterparty pair over inter-nation trade flows.
 
 Same corpus discipline as the rest of the registry: exact integer
 arithmetic the DuckDB oracle replays bit-for-bit.
@@ -505,3 +513,251 @@ def q316_cash_receipts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("inv_date"),
     )
     return expected_receipts_forecast(payments, open_inv).orderBy("week")
+
+
+# --------------------------------------------------------------------------
+# q317 — Straight-line revenue recognition waterfall (L-fin15): every
+# fulfilled order is a service contract recognized evenly across a
+# term of (orderkey % 12) + 1 months from the order month — base =
+# amt div n cents per month with the remainder landing one cent each
+# on the FIRST r months (fixed largest-remainder for equal quotas), so
+# each contract's schedule sums to its amount exactly and the monthly
+# deferred-revenue waterfall carries no drift row. Month arithmetic in
+# integer year-month space (make_date) — no engine interval semantics.
+# Replays fully: the oracle explodes the same generate_series and
+# replays base/remainder per month. Scale: pure map + bounded explode
+# (fan ≤ 12) + one keyed agg over the bounded month grid — no other
+# shuffle. Operator: finance.revenue_recognition_schedule.
+# --------------------------------------------------------------------------
+@register(
+    "q317_revenue_recognition_waterfall",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey AS cid,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt,
+         CAST(o_orderkey % 12 + 1 AS BIGINT) AS n,
+         12 * EXTRACT(year FROM CAST(o_orderdate AS DATE))
+           + EXTRACT(month FROM CAST(o_orderdate AS DATE)) - 1 AS ym0
+  FROM orders WHERE o_orderstatus = 'F'
+),
+sched AS (
+  SELECT cid, amt, n, ym0, unnest(generate_series(0, n - 1)) AS k FROM c
+),
+rec AS (
+  SELECT make_date(CAST((ym0 + k) // 12 AS INTEGER),
+                   CAST((ym0 + k) % 12 + 1 AS INTEGER), 1) AS rec_month,
+         amt // n + CASE WHEN k < amt % n THEN 1 ELSE 0 END AS cents
+  FROM sched
+)
+SELECT rec_month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(cents) AS BIGINT) AS recognized_cents
+FROM rec GROUP BY rec_month ORDER BY rec_month
+""",
+)
+def q317_revenue_recognition_waterfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import (
+        revenue_recognition_schedule,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    contracts = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("contract_id"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("amount_cents"),
+        F.to_date("o_orderdate").alias("start_month"),
+        (F.col("o_orderkey") % 12 + 1).cast("bigint").alias("term_months"),
+    )
+    sched = revenue_recognition_schedule(contracts, id_col="contract_id")
+    return (
+        sched.groupBy("rec_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("recognized_cents").cast("bigint").alias("recognized_cents"),
+        )
+        .orderBy("rec_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# q318 — Dunning escalation with finance charges (L-fin16): open 1998
+# invoices (status 'O', net-30 from the order date) aged at the
+# data-derived as-of (day after the newest order corpus-wide) into
+# dunning levels — level = thresholds {0,30,60,90} days-past-due
+# strictly exceeded — with the simple-interest finance charge the
+# letter quotes: floor(cents · 180000 · days / (365·10⁶)), ACT/365 at
+# 18% annual, the non-negative triple product in DECIMAL(38,0) with
+# the e6_floor_ratio-style floor correction (the divisor is not a
+# power of ten). Report per (level, market segment). The oracle
+# replays the as-of, the level arithmetic and the charge in HUGEINT
+# (trunc-div == floor on the non-negative product). Scale: pure map +
+# one customer equi-join + 1-row as-of broadcast + one keyed agg over
+# ≤ 5×5 cells. Operator: finance.dunning_escalation.
+# --------------------------------------------------------------------------
+@register(
+    "q318_dunning_escalation",
+    oracle="""
+WITH asof_d AS (
+  SELECT CAST(max(CAST(o_orderdate AS DATE)) + INTERVAL 1 DAY AS DATE) AS a
+  FROM orders
+),
+inv AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) + 30 AS due
+  FROM orders
+  WHERE o_orderstatus = 'O'
+    AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+),
+staged AS (
+  SELECT i.cents, c.c_mktsegment AS segment,
+         GREATEST(0, asof_d.a - i.due) AS days_over
+  FROM inv i JOIN customer c ON c.c_custkey = i.o_custkey CROSS JOIN asof_d
+),
+lvl AS (
+  SELECT segment, cents, days_over,
+         CASE WHEN days_over > 0 THEN 1 ELSE 0 END
+           + CASE WHEN days_over > 30 THEN 1 ELSE 0 END
+           + CASE WHEN days_over > 60 THEN 1 ELSE 0 END
+           + CASE WHEN days_over > 90 THEN 1 ELSE 0 END AS lv,
+         CAST(CAST(cents AS HUGEINT) * 180000 * days_over
+              // 365000000 AS BIGINT) AS charge
+  FROM staged
+)
+SELECT CAST(lv AS BIGINT) AS dunning_level, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_invoices,
+       CAST(SUM(cents) AS BIGINT) AS open_cents,
+       CAST(SUM(charge) AS BIGINT) AS charge_cents,
+       CAST(MAX(days_over) AS BIGINT) AS max_days_overdue
+FROM lvl GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q318_dunning_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import dunning_escalation
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    asof = orders.agg(
+        F.date_add(F.max(F.to_date("o_orderdate")), 1).alias("_asof")
+    )
+    inv = orders.where(
+        (F.col("o_orderstatus") == "O")
+        & (F.to_date("o_orderdate") >= F.lit("1998-01-01"))
+    ).select(
+        F.col("o_custkey"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("amount_cents"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+    )
+    staged = dunning_escalation(
+        inv.crossJoin(F.broadcast(asof)), F.col("_asof")
+    )
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        staged.join(seg, "o_custkey")
+        .groupBy("dunning_level", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_invoices"),
+            F.sum("amount_cents").cast("bigint").alias("open_cents"),
+            F.sum("finance_charge_cents").cast("bigint").alias("charge_cents"),
+            F.max("days_overdue").cast("bigint").alias("max_days_overdue"),
+        )
+        .orderBy("dunning_level", "segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q319 — Bilateral netting settlement matrix (L-fin17): intercompany
+# treasury netting over inter-nation trade flows — each lineitem is a
+# payment owed from the customer's nation to the supplier's nation;
+# gross flows in both directions of every unordered nation pair
+# collapse to ONE signed net settlement (the wire the netting cycle
+# sends) with the payer named by the sign. Complements q304's
+# elimination (which removes intra-group rows from a consolidation;
+# this one nets the cross-group remainder). Scale: the fact scan +
+# three dim equi-joins dominate; the directed agg is bounded by
+# nations² (625) and everything after is map + a tiny second agg —
+# nothing downstream grows with the corpus. Operator:
+# finance.bilateral_netting.
+# --------------------------------------------------------------------------
+@register(
+    "q319_bilateral_netting_matrix",
+    oracle="""
+WITH flows AS (
+  SELECT cn.n_name AS from_n, sn.n_name AS to_n,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+),
+directed AS (
+  SELECT from_n, to_n, SUM(amt) AS amt, COUNT(*) AS n
+  FROM flows WHERE from_n <> to_n GROUP BY 1, 2
+),
+pairs AS (
+  SELECT LEAST(from_n, to_n) AS pair_a, GREATEST(from_n, to_n) AS pair_b,
+         CASE WHEN from_n = LEAST(from_n, to_n) THEN amt ELSE 0 END AS ab,
+         CASE WHEN from_n = LEAST(from_n, to_n) THEN 0 ELSE amt END AS ba,
+         n
+  FROM directed
+)
+SELECT pair_a, pair_b,
+       CAST(SUM(ab) AS BIGINT) AS gross_ab_cents,
+       CAST(SUM(ba) AS BIGINT) AS gross_ba_cents,
+       CAST(SUM(ab) - SUM(ba) AS BIGINT) AS net_cents,
+       CAST(SUM(n) AS BIGINT) AS n_flows,
+       CASE WHEN SUM(ab) - SUM(ba) > 0 THEN pair_a
+            WHEN SUM(ab) - SUM(ba) < 0 THEN pair_b END AS payer
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q319_bilateral_netting_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import bilateral_netting
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("from_key"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("to_key"),
+    )
+    flows = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .select(
+            "from_key",
+            "to_key",
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("amount_cents"),
+        )
+    )
+    return bilateral_netting(flows).orderBy("pair_a", "pair_b")

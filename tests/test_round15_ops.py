@@ -201,3 +201,91 @@ def test_expected_receipts_low_median_and_fallback(spark):
         dt.date(2024, 1, 1): (1, 100),
         dt.date(2024, 1, 8): (1, 200),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-15 second wave: revenue recognition / dunning / bilateral netting
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_recognition_conservation_and_remainder_first(spark):
+    from cubicerp_client_etl_spark.operators.finance import (
+        revenue_recognition_schedule,
+    )
+
+    # 1001 cents over 3 months: base 333, remainder 2 -> first two
+    # months get 334; single-month term passes through whole.
+    df = spark.createDataFrame(
+        [
+            (1, 1001, dt.date(1997, 11, 15), 3),
+            (2, 500, dt.date(1998, 1, 3), 1),
+        ],
+        "contract_id int, amount_cents long, start_month date, term_months int",
+    )
+    rows = revenue_recognition_schedule(df).orderBy(
+        "contract_id", "month_index"
+    ).collect()
+    c1 = [r for r in rows if r.contract_id == 1]
+    assert [r.recognized_cents for r in c1] == [334, 334, 333]
+    # year-month arithmetic crosses the year boundary exactly
+    assert [str(r.rec_month) for r in c1] == [
+        "1997-11-01",
+        "1997-12-01",
+        "1998-01-01",
+    ]
+    assert sum(r.recognized_cents for r in c1) == 1001
+    c2 = [r for r in rows if r.contract_id == 2]
+    assert len(c2) == 1 and c2[0].recognized_cents == 500
+
+
+def test_dunning_levels_and_charge_floor_exact(spark):
+    from cubicerp_client_etl_spark.operators.finance import dunning_escalation
+
+    asof = "1998-08-01"
+    # due dates chosen so days_overdue hits the exact level boundaries
+    # 0 / 30 / 31 / 91, plus a bigint-scale amount where the decimal
+    # floor correction matters (divisor 365e6 is not a power of ten).
+    big = 9_000_000_000_000_000_000 // (180000 * 200)  # keeps product < 38 digits
+    df = spark.createDataFrame(
+        [
+            (1, 10_000, dt.date(1998, 8, 10)),   # not yet due -> 0 days, L0
+            (2, 10_000, dt.date(1998, 7, 2)),    # 30 days -> L1
+            (3, 10_000, dt.date(1998, 7, 1)),    # 31 days -> L2
+            (4, 10_000, dt.date(1998, 5, 2)),    # 91 days -> L4
+            (5, big, dt.date(1998, 1, 13)),      # 200 days, huge amount
+        ],
+        "inv_id int, amount_cents long, due_date date",
+    )
+    out = {
+        r.inv_id: r
+        for r in dunning_escalation(df, asof).collect()
+    }
+    assert (out[1].days_overdue, out[1].dunning_level) == (0, 0)
+    assert (out[2].days_overdue, out[2].dunning_level) == (30, 1)
+    assert (out[3].days_overdue, out[3].dunning_level) == (31, 2)
+    assert (out[4].days_overdue, out[4].dunning_level) == (91, 4)
+    for r in out.values():
+        expected = (r.amount_cents * 180000 * r.days_overdue) // (365 * 10**6)
+        assert r.finance_charge_cents == expected, r
+
+
+def test_bilateral_netting_direction_cancellation_and_self_pairs(spark):
+    from cubicerp_client_etl_spark.operators.finance import bilateral_netting
+
+    df = spark.createDataFrame(
+        [
+            ("A", "B", 300),  # A owes B 300
+            ("B", "A", 100),  # B owes A 100 -> net A pays B 200
+            ("C", "D", 50),
+            ("D", "C", 50),   # perfectly netted pair -> payer NULL
+            ("E", "E", 999),  # self-pair excluded entirely
+        ],
+        "from_key string, to_key string, amount_cents long",
+    )
+    rows = {(r.pair_a, r.pair_b): r for r in bilateral_netting(df).collect()}
+    assert set(rows) == {("A", "B"), ("C", "D")}
+    ab = rows[("A", "B")]
+    assert (ab.gross_ab_cents, ab.gross_ba_cents, ab.net_cents) == (300, 100, 200)
+    assert ab.payer == "A" and ab.n_flows == 2
+    cd = rows[("C", "D")]
+    assert cd.net_cents == 0 and cd.payer is None
