@@ -1174,3 +1174,29 @@ def stream_progressive_brackets(orders: DataFrame) -> DataFrame:
             (40_000_000, 400_000),
         ],
     ).select("o_orderkey", "amount_cents", "tax_cents", "effective_rate_e6")
+
+
+def stream_revenue_recognition(orders: DataFrame) -> DataFrame:
+    """Streaming twin #24 — q317's straight-line revenue recognition
+    on the live order stream: each landing fulfilled order emits its
+    ENTIRE deferred-revenue schedule map-side (a bounded ``sequence``
+    explode plus exact integer arithmetic — no join, no state, no
+    watermark, append mode), so the subledger postings exist the
+    moment the contract books, bit-identical to the batch schedule
+    (pinned in tests/test_streaming.py). Stateless for the same
+    structural reason as twin #23: the operator is a pure per-row
+    expression (fan-out ≤ the term), so batch==stream needs no
+    state-store argument at all."""
+    from cubicerp_client_etl_spark.operators.finance import (
+        revenue_recognition_schedule,
+    )
+
+    contracts = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("contract_id"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("amount_cents"),
+        F.to_date("o_orderdate").alias("start_month"),
+        (F.col("o_orderkey") % 12 + 1).cast("bigint").alias("term_months"),
+    )
+    return revenue_recognition_schedule(contracts)

@@ -962,3 +962,41 @@ def test_stream_progressive_brackets_equals_batch(spark):
     got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_revenue_recognition_equals_batch(spark):
+    """Streaming twin #24: the stateless schedule explode on the live
+    order stream must equal the batch operator's rows bit-for-bit once
+    the stream drains — append mode, no watermark, no state store."""
+    from cubicerp_client_etl_spark.operators.finance import (
+        revenue_recognition_schedule,
+    )
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        orders_stream,
+        run_stream_to_memory,
+        stream_revenue_recognition,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_stream_to_memory(
+        stream_revenue_recognition(orders_stream(spark, sf)),
+        "revrec_stream",
+        output_mode="append",
+    )
+    batch_contracts = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("contract_id"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("amount_cents"),
+            F.to_date("o_orderdate").alias("start_month"),
+            (F.col("o_orderkey") % 12 + 1).cast("bigint").alias("term_months"),
+        )
+    )
+    batch = revenue_recognition_schedule(batch_contracts)
+    cols = sorted(batch.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and len(want) > 0
