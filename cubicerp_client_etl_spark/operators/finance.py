@@ -1053,3 +1053,32 @@ def bilateral_netting(
         .otherwise(F.lit(None))
         .alias("payer"),
     )
+
+
+def early_payment_discounts(
+    invoices: DataFrame,
+    lag_col: str = "pay_lag_days",
+    amount_col: str = "amount_cents",
+    discount_rate_e6: int = 20000,
+    cutoff_days: int = 10,
+) -> DataFrame:
+    """Early-payment discount capture — the AP-side close metric for
+    "2/10 net 30"-style terms: an invoice paid within ``cutoff_days``
+    CAPTURES the discount; paid later, the same cents are the cost of
+    missing it. ``discount_cents = floor(cents · rate_e6 / 10⁶)`` —
+    the divisor IS a power of ten, so the DECIMAL(38,0) quotient is
+    exact at the division's result scale and needs no correction
+    (progressive_brackets' regime, not dunning's).
+
+    Adds ``captured`` (boolean) and ``discount_cents`` (bigint) —
+    pure map, no shuffle; callers aggregate capture rates with
+    ``e6_floor_ratio`` on the exact sums.
+    """
+    prod = (
+        F.col(amount_col).cast("decimal(38,0)")
+        * F.lit(int(discount_rate_e6)).cast("decimal(38,0)")
+    )
+    disc = F.floor(prod / F.lit(1000000).cast("decimal(38,0)")).cast("bigint")
+    return invoices.withColumn(
+        "captured", F.col(lag_col) <= F.lit(int(cutoff_days))
+    ).withColumn("discount_cents", disc)

@@ -761,3 +761,322 @@ def q319_bilateral_netting_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return bilateral_netting(flows).orderBy("pair_a", "pair_b")
+
+
+# --------------------------------------------------------------------------
+# q320 — Budget seasonal phasing (L-fin18): next year's budget per
+# nation (prior-year revenue grown 5%, integer cents) spread across
+# the calendar months proportional to the PRIOR year's monthly
+# revenue — the FP&A phasing step that turns an annual number into a
+# month grid the variance reports compare against. Exact
+# largest-remainder proration (budget.prorate_exact in its WEIGHTED
+# form — q315 used equal-ish line weights; here the weights are the
+# seasonality itself), so each nation's phased months sum to its
+# budget to the cent. The oracle replays the growth, the per-month
+# base/fraction split and the remainder ranking. Scale: one keyed agg
+# over the fact scan → a 25×12 grid; the proration windows run on the
+# bounded nation key — nothing after the scan grows with the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "q320_budget_seasonal_phasing",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS m,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS w
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1997
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT nation, SUM(w) AS wsum,
+         CAST(SUM(w) AS HUGEINT) * 105 // 100 AS a
+  FROM rev GROUP BY nation
+),
+st AS (
+  SELECT rev.nation, rev.m, rev.w, tot.wsum, tot.a,
+         CAST(tot.a * rev.w // tot.wsum AS BIGINT) AS base,
+         CAST(tot.a * rev.w % tot.wsum AS BIGINT) AS frac
+  FROM rev JOIN tot USING (nation)
+),
+sh AS (
+  SELECT nation, CAST(MIN(a) AS BIGINT) - SUM(base) AS short
+  FROM st GROUP BY nation
+),
+alloc AS (
+  SELECT st.nation, st.m, st.w,
+         st.base + CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY st.nation ORDER BY st.frac DESC, st.m)
+           <= sh.short THEN 1 ELSE 0 END AS phased
+  FROM st JOIN sh USING (nation)
+)
+SELECT nation, CAST(m AS BIGINT) AS cal_month,
+       CAST(w AS BIGINT) AS weight_cents,
+       CAST(phased AS BIGINT) AS phased_cents
+FROM alloc ORDER BY nation, cal_month
+""",
+)
+def q320_budget_seasonal_phasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.budget import prorate_exact
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        orders.where(F.year(F.to_date("o_orderdate")) == 1997)
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", F.month(F.to_date("o_orderdate")).alias("cal_month"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                )
+            ).alias("weight_cents")
+        )
+    )
+    budget = rev.groupBy("nation").agg(
+        F.expr(
+            "CAST(CAST(SUM(weight_cents) AS DECIMAL(38,0)) * 105 div 100"
+            " AS BIGINT)"
+        ).alias("budget_cents")
+    )
+    j = rev.join(F.broadcast(budget), "nation")
+    phased = prorate_exact(
+        j,
+        key_col="nation",
+        amount_col="budget_cents",
+        weight_col="weight_cents",
+        order_col="cal_month",
+        out_col="phased_cents",
+    )
+    return phased.select(
+        "nation",
+        F.col("cal_month").cast("bigint").alias("cal_month"),
+        F.col("weight_cents").cast("bigint").alias("weight_cents"),
+        "phased_cents",
+    ).orderBy("nation", "cal_month")
+
+
+# --------------------------------------------------------------------------
+# q321 — Allowance for doubtful accounts (L-fin19): the close entry
+# after aging — open 1998 receivables aged into the q049 buckets (per
+# market segment, data-derived as-of) and provisioned at the policy
+# rate per bucket (0.5% / 2% / 5% / 10% e6), allowance =
+# floor(bucket_cents · rate_e6 / 10⁶) exact on the bucket totals
+# (power-of-ten divisor — the correction-free regime). The oracle
+# replays the as-of, every bucket edge and the provision arithmetic.
+# Scale: finance.ar_aging_buckets (1-row broadcast as-of + one keyed
+# agg over ≤ 5×4 cells) + a literal CASE rate map — map-only after
+# the agg. Operators: finance.ar_aging_buckets (group_cols).
+# --------------------------------------------------------------------------
+@register(
+    "q321_doubtful_accounts_allowance",
+    oracle="""
+WITH inv AS (
+  SELECT o_custkey, c.c_mktsegment AS segment,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders JOIN customer c ON c.c_custkey = o_custkey
+  WHERE o_orderstatus = 'O' AND CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+),
+asof_d AS (SELECT CAST(max(d) + INTERVAL 1 DAY AS DATE) AS a FROM inv),
+aged AS (
+  SELECT segment, o_custkey, cents,
+         CASE WHEN asof_d.a - d <= 30 THEN '0-30'
+              WHEN asof_d.a - d <= 60 THEN '31-60'
+              WHEN asof_d.a - d <= 90 THEN '61-90'
+              ELSE '91+' END AS bucket
+  FROM inv CROSS JOIN asof_d
+),
+b AS (
+  SELECT segment, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_entities,
+         CAST(SUM(cents) AS BIGINT) AS open_cents
+  FROM aged GROUP BY 1, 2
+),
+r AS (
+  SELECT b.*,
+         CASE bucket WHEN '0-30' THEN 5000 WHEN '31-60' THEN 20000
+              WHEN '61-90' THEN 50000 ELSE 100000 END AS rate_e6
+  FROM b
+)
+SELECT segment, bucket, n_docs, n_entities, open_cents,
+       CAST(rate_e6 AS BIGINT) AS rate_e6,
+       CAST(CAST(open_cents AS HUGEINT) * rate_e6 // 1000000 AS BIGINT)
+         AS allowance_cents
+FROM r ORDER BY segment, bucket
+""",
+)
+def q321_doubtful_accounts_allowance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import ar_aging_buckets
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    inv = (
+        orders.where(
+            (F.col("o_orderstatus") == "O")
+            & (F.to_date("o_orderdate") >= F.lit("1998-01-01"))
+        )
+        .join(
+            customer.select(
+                "c_custkey", F.col("c_mktsegment").alias("segment")
+            ),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            "segment",
+            F.col("o_custkey"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+    )
+    aged = ar_aging_buckets(
+        inv,
+        date_col="d",
+        amount_col="cents",
+        entity_col="o_custkey",
+        group_cols=("segment",),
+    )
+    rate = (
+        F.when(F.col("bucket") == "0-30", 5000)
+        .when(F.col("bucket") == "31-60", 20000)
+        .when(F.col("bucket") == "61-90", 50000)
+        .otherwise(100000)
+        .cast("bigint")
+    )
+    prod = F.col("total_cents").cast("decimal(38,0)") * rate.cast(
+        "decimal(38,0)"
+    )
+    return aged.select(
+        "segment",
+        "bucket",
+        "n_docs",
+        "n_entities",
+        F.col("total_cents").alias("open_cents"),
+        rate.alias("rate_e6"),
+        F.floor(prod / F.lit(1000000).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("allowance_cents"),
+    ).orderBy("segment", "bucket")
+
+
+# --------------------------------------------------------------------------
+# q322 — Early-payment discount capture (L-fin20): the AP-side close
+# metric for 2/10-net-30 terms — per customer nation, the discounts
+# CAPTURED (paid within the 10-day window, lag = orderkey % 40 + 1)
+# vs the cost of the ones missed, with the capture rate exact via
+# e6_floor_ratio on the cents sums (zero-denominator guarded to 0 in
+# both engines). discount = floor(cents · 2% / 10⁶-scale) — a
+# power-of-ten divisor, the correction-free decimal regime. Scale:
+# pure map + one customer equi-join + broadcast nation + one keyed
+# agg over 25 cells. Operator: finance.early_payment_discounts.
+# --------------------------------------------------------------------------
+@register(
+    "q322_discount_capture",
+    oracle="""
+WITH inv AS (
+  SELECT n.n_name AS nation,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey % 40 + 1 AS lag
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+d AS (
+  SELECT nation, lag <= 10 AS captured,
+         CAST(CAST(cents AS HUGEINT) * 20000 // 1000000 AS BIGINT) AS disc
+  FROM inv
+),
+g AS (
+  SELECT nation,
+         CAST(SUM(CASE WHEN captured THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_captured,
+         CAST(SUM(CASE WHEN captured THEN disc ELSE 0 END) AS BIGINT)
+           AS captured_cents,
+         CAST(SUM(CASE WHEN NOT captured THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missed,
+         CAST(SUM(CASE WHEN NOT captured THEN disc ELSE 0 END) AS BIGINT)
+           AS missed_cents
+  FROM d GROUP BY nation
+)
+SELECT nation, n_captured, captured_cents, n_missed, missed_cents,
+       CASE WHEN captured_cents + missed_cents > 0
+            THEN CAST(CAST(captured_cents AS HUGEINT) * 1000000
+                 // (captured_cents + missed_cents) AS BIGINT)
+            ELSE 0 END AS capture_rate_e6
+FROM g ORDER BY nation
+""",
+)
+def q322_discount_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.finance import (
+        early_payment_discounts,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    inv = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "nation",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("amount_cents"),
+            (F.col("o_orderkey") % 40 + 1).alias("pay_lag_days"),
+        )
+    )
+    flagged = early_payment_discounts(inv)
+    g = flagged.groupBy("nation").agg(
+        F.sum(F.when(F.col("captured"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_captured"),
+        F.sum(F.when(F.col("captured"), F.col("discount_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("captured_cents"),
+        F.sum(F.when(~F.col("captured"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
+        F.sum(
+            F.when(~F.col("captured"), F.col("discount_cents")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("missed_cents"),
+    )
+    den = F.col("captured_cents") + F.col("missed_cents")
+    rate = F.when(
+        den > 0, e6_floor_ratio(F.col("captured_cents"), den)
+    ).otherwise(F.lit(0))
+    return g.select(
+        "nation",
+        "n_captured",
+        "captured_cents",
+        "n_missed",
+        "missed_cents",
+        rate.cast("bigint").alias("capture_rate_e6"),
+    ).orderBy("nation")

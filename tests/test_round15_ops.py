@@ -289,3 +289,20 @@ def test_bilateral_netting_direction_cancellation_and_self_pairs(spark):
     assert ab.payer == "A" and ab.n_flows == 2
     cd = rows[("C", "D")]
     assert cd.net_cents == 0 and cd.payer is None
+
+
+def test_early_payment_discount_boundary_and_exact_cents(spark):
+    from cubicerp_client_etl_spark.operators.finance import (
+        early_payment_discounts,
+    )
+
+    # lag 10 captures (inclusive cutoff), 11 misses; discount is the
+    # exact floored 2% regardless of capture.
+    df = spark.createDataFrame(
+        [(1, 10_001, 10), (2, 10_001, 11), (3, 49, 1)],
+        "inv_id int, amount_cents long, pay_lag_days int",
+    )
+    out = {r.inv_id: r for r in early_payment_discounts(df).collect()}
+    assert out[1].captured is True and out[2].captured is False
+    assert out[1].discount_cents == (10_001 * 20000) // 10**6 == 200
+    assert out[3].discount_cents == 0  # floor(49 * 2%) = 0
