@@ -654,3 +654,64 @@ def inventory_turns(
             ).alias("turns_e6"),
         )
     )
+
+
+def kit_availability(
+    onhand: DataFrame,
+    bom: DataFrame,
+    part_col: str = "partkey",
+    qty_col: str = "onhand_qty",
+    parent_col: str = "parent",
+    child_col: str = "child",
+    per_col: str = "qty_per",
+) -> DataFrame:
+    """Kit availability — the ATP question for assembled goods: how
+    many kits of each assembly can be built from component stock
+    RIGHT NOW? ``kits(parent) = min over direct components c of
+    floor(onhand(c) / qty_per(c))`` — the binding-constraint form
+    every MRP kitting screen shows, with the LIMITING component named
+    (smallest buildable count, ties broken by the lowest component
+    key, so the answer is deterministic).
+
+    ``onhand``: one row per component ``(part, qty)``; components
+    absent from ``onhand`` count as zero stock (left join — a kit
+    with an unstocked component builds 0). Integer division is on
+    non-negative integers, so floor == trunc in every engine.
+
+    Output per parent: ``(parent, n_components, kits_buildable,
+    limiting_child, limiting_onhand)``.
+
+    Scale: one equi-join on the component key + one window on the
+    parent key (per-parent fan = the BOM line count, bounded) + one
+    keyed agg. All shuffles share the parent key after the join.
+    """
+    edges = bom.select(
+        F.col(parent_col).alias("_p"),
+        F.col(child_col).alias("_c"),
+        F.col(per_col).cast("bigint").alias("_q"),
+    )
+    stock = onhand.select(
+        F.col(part_col).alias("_c"),
+        F.col(qty_col).cast("bigint").alias("_oh"),
+    )
+    j = edges.join(stock, "_c", "left").select(
+        "_p",
+        "_c",
+        F.coalesce(F.col("_oh"), F.lit(0)).alias("_oh"),
+        F.expr("coalesce(_oh, 0) div _q").cast("bigint").alias("_kits"),
+    )
+    w = Window.partitionBy("_p").orderBy("_kits", "_c")
+    ranked = j.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("_p").alias(parent_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+            F.min("_kits").cast("bigint").alias("kits_buildable"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_c")))
+            .cast("bigint")
+            .alias("limiting_child"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_oh")))
+            .cast("bigint")
+            .alias("limiting_onhand"),
+        )
+    )

@@ -531,3 +531,105 @@ def hhi_concentration(
         )
         .crossJoin(F.broadcast(top))
     )
+
+
+def sequence_gap_audit(
+    docs: DataFrame,
+    series_col: str,
+    number_col: str,
+) -> DataFrame:
+    """Document-number sequence-gap audit — the completeness control
+    auditors run on any numbered series (invoices, receipts, journal
+    entries): within each series, every break in the consecutive
+    numbering is a potential missing/voided document to explain.
+
+    Gaps-and-islands on integers, exactly: per series ordered by
+    number, a GAP is a consecutive pair with ``next − cur > 1``.
+    Output per series: ``(series, n_docs, min_number, max_number,
+    n_gaps, missing_total = span − n_docs, largest_gap)`` where
+    ``span = max − min + 1`` (``missing_total`` counts every absent
+    number; ``largest_gap`` is the biggest single run of them, 0 for
+    a complete series). Duplicate numbers within a series would make
+    ``missing_total`` disagree with the pairwise gap sum — callers
+    screen duplicates separately (the q266 family).
+
+    Scale: one lag window + one keyed agg, both on the series key —
+    per-series fan is the document count of ONE numbering series
+    (bounded by issuance policy, not corpus size); no join.
+    """
+    d = docs.select(
+        F.col(series_col).alias("_s"),
+        F.col(number_col).cast("bigint").alias("_n"),
+    )
+    w = Window.partitionBy("_s").orderBy("_n")
+    staged = d.withColumn("_prev", F.lag("_n").over(w)).withColumn(
+        "_gap",
+        F.when(
+            F.col("_prev").isNotNull(), F.col("_n") - F.col("_prev") - 1
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        staged.groupBy(F.col("_s").alias(series_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("_n").cast("bigint").alias("min_number"),
+            F.max("_n").cast("bigint").alias("max_number"),
+            F.sum(F.when(F.col("_gap") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gaps"),
+            (F.max("_n") - F.min("_n") + 1 - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("missing_total"),
+            F.max("_gap").cast("bigint").alias("largest_gap"),
+        )
+    )
+
+
+def wilson_lower_bound_e6(
+    df: DataFrame,
+    n_col: str,
+    k_col: str,
+    out_col: str = "wilson_lb_e6",
+) -> DataFrame:
+    """Conservative success-rate lower bound, exact-integer form — the
+    ranking statistic for rates on unequal sample sizes (return rates
+    by brand, defect rates by vendor): a small sample with one return
+    must not outrank a large sample with thousands.
+
+    The law is the Wilson score lower bound at z = 2 (≈95.4%),
+    carried ENTIRELY in integers so both engines replay it
+    bit-for-bit:
+
+        inner6 = (10⁶ · (k·(n−k) + n)) div n        -- DECIMAL(38,0)/HUGEINT
+        s      = isqrt(inner6)                       -- floor-corrected
+        lb_e6  = greatest(0, ((k+2)·10⁶ − 2000·s) div (n+4))
+
+    (The real-valued Wilson bound is ((k+2) − 2·√(k(n−k)/n + 1)) /
+    (n+4) at z = 2; ``inner6`` floors the radicand at e6 scale and
+    ``s/1000`` is its root, so ``2000·s ≈ 2·√(...)·10⁶`` with a
+    deterministic floor at each step — a DEFINED integer statistic,
+    not an approximation contract: both engines compute the identical
+    integers. The 0-clamp makes trunc-vs-floor on the possibly
+    negative numerator irrelevant: both conventions land ≤ 0.)
+    Domain: ``inner6 < 2^53`` needs n ≲ 3.6e10 per group — far past
+    any per-brand line count at the 100 TB design point.
+
+    Adds ``out_col`` (bigint) to ``df`` (which carries the prior
+    keyed aggregation's ``n_col``/``k_col``). Pure map — no shuffle.
+    """
+    from ..functions import isqrt_exact
+
+    inner6 = F.expr(
+        f"CAST((CAST(1000000 AS DECIMAL(38,0)) * "
+        f"(CAST(`{k_col}` AS DECIMAL(38,0)) * (`{n_col}` - `{k_col}`)"
+        f" + `{n_col}`))"
+        f" div CAST(`{n_col}` AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    staged = df.withColumn("_w_inner6", inner6).withColumn(
+        "_w_s", isqrt_exact(F.col("_w_inner6"))
+    )
+    lb = F.expr(
+        f"CAST(greatest(0, ((`{k_col}` + 2) * 1000000 - 2000 * _w_s)"
+        f" div (`{n_col}` + 4)) AS BIGINT)"
+    )
+    return staged.withColumn(out_col, lb).drop("_w_inner6", "_w_s")

@@ -66,6 +66,7 @@ def _load_all() -> None:
         pipeline_ext13,
         pipeline_ext14,
         pipeline_ext15,
+        pipeline_ext16,
         relational,
         relational2,
         relational3,

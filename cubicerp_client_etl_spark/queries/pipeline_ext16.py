@@ -1,0 +1,207 @@
+"""Round-15 extension wave 4: manufacturing/audit breadth next to the
+close arc — kit availability (the ATP question for assembled goods),
+the document-number sequence-gap audit (the completeness control on
+numbered series), and the exact-integer Wilson lower bound (rate
+ranking on unequal sample sizes).
+
+Same corpus discipline as the rest of the registry: exact integer
+arithmetic the DuckDB oracle replays bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubicerp_client_etl_spark.catalog import load
+from cubicerp_client_etl_spark.queries import register
+
+# --------------------------------------------------------------------------
+# q323 — Kit availability (L-erp27): how many kits of each assembly
+# can be built from component stock right now — kits(parent) = min
+# over direct components of floor(onhand / qty_per), with the
+# LIMITING component named (smallest buildable count, ties to the
+# lowest component key). The BOM reuses q012's digit-structure forest
+# (parent = key div 10, qty_per = 1 + key % 3); on-hand is the total
+# lineitem quantity per part, absent parts counting as ZERO stock
+# (left join — a kit with an unstocked component builds 0). Exact
+# integer division on non-negative integers: floor == trunc in every
+# engine. Scale: one keyed agg for on-hand, one equi-join on the
+# component key, one bounded-fan window + one keyed agg on the parent
+# key. Operator: history.kit_availability.
+# --------------------------------------------------------------------------
+@register(
+    "q323_kit_availability",
+    oracle="""
+WITH oh AS (
+  SELECT l_partkey AS c, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS ohq
+  FROM lineitem GROUP BY l_partkey
+),
+edges AS (
+  SELECT p_partkey AS c, p_partkey // 10 AS p, 1 + p_partkey % 3 AS q
+  FROM part WHERE p_partkey >= 10
+),
+j AS (
+  SELECT e.p, e.c, COALESCE(oh.ohq, 0) AS ohq,
+         COALESCE(oh.ohq, 0) // e.q AS kits
+  FROM edges e LEFT JOIN oh ON oh.c = e.c
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p ORDER BY kits, c) AS rk
+  FROM j
+)
+SELECT CAST(p AS BIGINT) AS parent,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MIN(kits) AS BIGINT) AS kits_buildable,
+       CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS limiting_child,
+       CAST(MAX(CASE WHEN rk = 1 THEN ohq END) AS BIGINT)
+         AS limiting_onhand
+FROM r GROUP BY p ORDER BY parent
+""",
+)
+def q323_kit_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.history import kit_availability
+
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    bom = part.where(F.col("p_partkey") >= 10).select(
+        F.expr("p_partkey div 10").cast("bigint").alias("parent"),
+        F.col("p_partkey").cast("bigint").alias("child"),
+        (F.lit(1) + F.col("p_partkey") % 3).cast("bigint").alias("qty_per"),
+    )
+    onhand = lineitem.groupBy(
+        F.col("l_partkey").cast("bigint").alias("partkey")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("onhand_qty"))
+    return kit_availability(onhand, bom).orderBy("parent")
+
+
+# --------------------------------------------------------------------------
+# q324 — Document-number sequence-gap audit (L-qa5): the completeness
+# control auditors run on numbered series — per customer (each
+# account's own document numbering), every break in the owned
+# order-key sequence is a potential missing/voided document: gap
+# count, total missing numbers (span − docs) and the largest single
+# run. Gaps-and-islands exactly (one lag window + one keyed agg, both
+# on the series key; per-series fan is one account's issuance — a
+# bounded few dozen documents — while series CARDINALITY carries the
+# corpus growth, the scale-right window shape). The oracle replays
+# the lag, every gap test and the span arithmetic. Operator:
+# quality.sequence_gap_audit.
+# --------------------------------------------------------------------------
+@register(
+    "q324_sequence_gap_audit",
+    oracle="""
+WITH d AS (
+  SELECT o_custkey AS s, CAST(o_orderkey AS BIGINT) AS n FROM orders
+),
+g AS (
+  SELECT s, n,
+         COALESCE(n - LAG(n) OVER (PARTITION BY s ORDER BY n) - 1, 0)
+           AS gap
+  FROM d
+)
+SELECT CAST(s AS BIGINT) AS series,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n) AS BIGINT) AS min_number,
+       CAST(MAX(n) AS BIGINT) AS max_number,
+       CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(MAX(n) - MIN(n) + 1 - COUNT(*) AS BIGINT) AS missing_total,
+       CAST(MAX(gap) AS BIGINT) AS largest_gap
+FROM g GROUP BY s ORDER BY series
+""",
+)
+def q324_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import sequence_gap_audit
+
+    orders = load(spark, sf_dir, "orders")
+    out = sequence_gap_audit(
+        orders, series_col="o_custkey", number_col="o_orderkey"
+    )
+    return out.select(
+        F.col("o_custkey").cast("bigint").alias("series"),
+        "n_docs",
+        "min_number",
+        "max_number",
+        "n_gaps",
+        "missing_total",
+        "largest_gap",
+    ).orderBy("series")
+
+
+# --------------------------------------------------------------------------
+# q325 — Return-rate ranking by Wilson lower bound (L-qa6): per part
+# brand, the conservative return-rate bound that keeps a 3-of-3
+# small sample from outranking a 100-of-10000 one — the exact-integer
+# Wilson law at z = 2 (quality.wilson_lower_bound_e6: e6-floored
+# radicand → floor-corrected isqrt → integer quotient; both engines
+# compute identical integers, and the numerator is provably
+# non-negative so trunc == floor). Plain rate via e6_floor_ratio for
+# contrast. Scale: one fact×part equi-join + one keyed agg over 25
+# brands; the bound itself is pure map. Operators:
+# quality.wilson_lower_bound_e6 + functions.isqrt_exact.
+# --------------------------------------------------------------------------
+@register(
+    "q325_wilson_return_rates",
+    oracle="""
+WITH l AS (
+  SELECT p_brand, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+g AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ret) AS BIGINT) AS k
+  FROM l GROUP BY p_brand
+),
+w AS (
+  SELECT p_brand, n, k,
+         CAST((CAST(1000000 AS HUGEINT) * (CAST(k AS HUGEINT) * (n - k) + n))
+              // n AS BIGINT) AS inner6
+  FROM g
+),
+s AS (
+  SELECT *, CAST(floor(sqrt(CAST(inner6 AS DOUBLE))) AS BIGINT) AS s0
+  FROM w
+),
+e AS (
+  SELECT p_brand, n, k,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= inner6 THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > inner6 THEN 1 ELSE 0 END) AS sq
+  FROM s
+)
+SELECT p_brand AS brand, n AS n_lines, k AS n_returns,
+       CAST(k * 1000000 // n AS BIGINT) AS rate_e6,
+       CAST(GREATEST(0, ((k + 2) * 1000000 - 2000 * sq) // (n + 4))
+            AS BIGINT) AS wilson_lb_e6
+FROM e ORDER BY brand
+""",
+)
+def q325_wilson_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.quality import (
+        wilson_lower_bound_e6,
+    )
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    g = (
+        lineitem.join(
+            part.select("p_partkey", F.col("p_brand").alias("brand")),
+            lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returns"),
+        )
+    )
+    out = wilson_lower_bound_e6(g, "n_lines", "n_returns")
+    return out.select(
+        "brand",
+        "n_lines",
+        "n_returns",
+        e6_floor_ratio(F.col("n_returns"), F.col("n_lines")).alias("rate_e6"),
+        "wilson_lb_e6",
+    ).orderBy("brand")

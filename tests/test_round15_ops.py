@@ -306,3 +306,69 @@ def test_early_payment_discount_boundary_and_exact_cents(spark):
     assert out[1].captured is True and out[2].captured is False
     assert out[1].discount_cents == (10_001 * 20000) // 10**6 == 200
     assert out[3].discount_cents == 0  # floor(49 * 2%) = 0
+
+
+def test_kit_availability_zero_stock_and_limiting_tiebreak(spark):
+    from cubicerp_client_etl_spark.operators.history import kit_availability
+
+    bom = spark.createDataFrame(
+        [
+            (1, 11, 2),  # 10 on hand / 2 per kit = 5
+            (1, 12, 1),  # absent from stock -> 0, the binding component
+            (2, 21, 3),  # 9 / 3 = 3
+            (2, 22, 1),  # 3 / 1 = 3 -> tie at 3 kits, lower key 21 wins
+        ],
+        "parent int, child int, qty_per int",
+    )
+    onhand = spark.createDataFrame(
+        [(11, 10), (21, 9), (22, 3)], "partkey int, onhand_qty int"
+    )
+    rows = {r.parent: r for r in kit_availability(onhand, bom).collect()}
+    assert rows[1].kits_buildable == 0
+    assert rows[1].limiting_child == 12 and rows[1].limiting_onhand == 0
+    assert rows[2].kits_buildable == 3
+    assert rows[2].limiting_child == 21 and rows[2].limiting_onhand == 9
+
+
+def test_sequence_gap_audit_islands_arithmetic(spark):
+    from cubicerp_client_etl_spark.operators.quality import sequence_gap_audit
+
+    docs = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 5), ("a", 9), ("b", 7)],
+        "series string, num int",
+    )
+    rows = {
+        r.series: r
+        for r in sequence_gap_audit(docs, "series", "num").collect()
+    }
+    a = rows["a"]
+    # gaps: 2->5 (missing 3,4) and 5->9 (missing 6,7,8)
+    assert (a.n_docs, a.min_number, a.max_number) == (4, 1, 9)
+    assert (a.n_gaps, a.missing_total, a.largest_gap) == (2, 5, 3)
+    b = rows["b"]
+    assert (b.n_gaps, b.missing_total, b.largest_gap) == (0, 0, 0)
+
+
+def test_wilson_lower_bound_matches_integer_reference(spark):
+    import math
+
+    from cubicerp_client_etl_spark.operators.quality import (
+        wilson_lower_bound_e6,
+    )
+
+    rows = [(1, 10, 1), (2, 10000, 100), (3, 3, 3), (4, 1, 0),
+            (5, 5000000, 43210), (6, 7, 0)]
+    df = spark.createDataFrame(rows, "id int, n long, k long")
+    out = {
+        r.id: r.wilson_lb_e6
+        for r in wilson_lower_bound_e6(df, "n", "k").collect()
+    }
+    for i, n, k in rows:
+        inner6 = (10**6 * (k * (n - k) + n)) // n
+        s = math.isqrt(inner6)
+        want = max(0, ((k + 2) * 10**6 - 2000 * s) // (n + 4))
+        assert out[i] == want, (i, out[i], want)
+    # monotone sanity: the small sample's bound sits far below its
+    # raw rate while the large sample's hugs it
+    assert out[1] < 100000 // 2
+    assert out[2] > 8000
