@@ -599,3 +599,56 @@ def cohort_ltv(
             .alias("cum_ltv_per_user_cents"),
         )
     )
+
+
+def stickiness_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU/WAU stickiness — the engagement ratio product teams track:
+    per calendar day, daily active users over trailing-``window_days``
+    active users, exact (``stickiness_e6 = floor(10⁶·DAU/WAU)``).
+
+    Trailing distinct counts can't ride a range window (no
+    distinct-over-frame), so the WAU side EXPLODES each distinct
+    (user, day) into the ``window_days`` report days it contributes
+    to and de-duplicates — a bounded ×7 fan on the already-distinct
+    day grid, all exact. Report days outside the observed range
+    (the explode's forward spill) are dropped by an inner join back
+    to the DAU grid, which also makes the first ``window_days − 1``
+    days honest partial windows (documented — the report's usual
+    left edge).
+
+    Output per day: ``(day, dau, wau, stickiness_e6)``.
+
+    Scale: one distinct on (user, day) — linear — then a ×window_days
+    explode of THAT (already deduplicated) set, one more distinct and
+    two keyed counts; everything keyed on day/user, no window at all.
+    """
+    from ..functions import e6_floor_ratio
+
+    ud = events.select(
+        F.col(user_col).alias("_u"), F.to_date(F.col(ts_col)).alias("_d")
+    ).distinct()
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    spread = (
+        ud.withColumn(
+            "_k", F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1)))
+        )
+        .select("_u", F.expr("date_add(_d, _k)").alias("day"))
+        .distinct()
+    )
+    wau = spread.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .withColumn(
+            "stickiness_e6", e6_floor_ratio(F.col("dau"), F.col("wau"))
+        )
+        .select("day", "dau", "wau", "stickiness_e6")
+    )

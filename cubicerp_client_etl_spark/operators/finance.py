@@ -1082,3 +1082,89 @@ def early_payment_discounts(
     return invoices.withColumn(
         "captured", F.col(lag_col) <= F.lit(int(cutoff_days))
     ).withColumn("discount_cents", disc)
+
+
+def mrr_waterfall(
+    rev: DataFrame,
+    entity_col: str = "custkey",
+    ym_col: str = "ym",
+    amount_col: str = "amount_cents",
+) -> DataFrame:
+    """MRR waterfall — the recurring-revenue close report: each
+    month's revenue change decomposed into NEW (entity had nothing
+    last month), EXPANSION (grew), CONTRACTION (shrank), and CHURNED
+    (entity had revenue last month, nothing this month), so
+    ``net_change = new + expansion − contraction − churned`` ties out
+    to ``Σ cur − Σ prev`` exactly in cents.
+
+    ``rev``: one row per (entity, month) with integer cents and the
+    month as an INTEGER year-month index (``12·year + month − 1`` —
+    consecutive months differ by exactly 1, no date arithmetic).
+    Months with no revenue simply have no row; churn lands in the
+    month AFTER the entity's last active month (which can sit one
+    past the data's horizon — the report's standard convention).
+
+    Law per (entity, m): prev = amount at m−1 (0 if absent), cur =
+    amount at m (0 if absent, via the shifted full-outer join);
+    new = cur if prev = 0, churned = prev if cur = 0, expansion =
+    max(0, cur − prev) when both, contraction = max(0, prev − cur)
+    when both. Output per month: the four components (non-negative
+    bigint cents), net_change, n_new/n_churned/n_expanded/
+    n_contracted entity counts.
+
+    Scale: ONE full-outer self-join on (entity, month) — both sides
+    keyed identically so AQE reuses the exchange — + one keyed agg
+    over the bounded month grid. No window, no densification.
+    """
+    cur = rev.select(
+        F.col(entity_col).alias("_e"),
+        F.col(ym_col).cast("bigint").alias("_m"),
+        F.col(amount_col).cast("bigint").alias("_cur"),
+    )
+    prev = rev.select(
+        F.col(entity_col).alias("_e"),
+        (F.col(ym_col).cast("bigint") + 1).alias("_m"),
+        F.col(amount_col).cast("bigint").alias("_prev"),
+    )
+    j = cur.join(prev, ["_e", "_m"], "full_outer").select(
+        "_m",
+        F.coalesce("_cur", F.lit(0)).alias("_c"),
+        F.coalesce("_prev", F.lit(0)).alias("_p"),
+    )
+    is_new = (F.col("_p") == 0) & (F.col("_c") > 0)
+    is_churn = (F.col("_c") == 0) & (F.col("_p") > 0)
+    both = (F.col("_p") > 0) & (F.col("_c") > 0)
+    return (
+        j.groupBy(F.col("_m").alias(ym_col))
+        .agg(
+            F.sum(F.when(is_new, F.col("_c")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(
+                F.when(both, F.greatest(F.col("_c") - F.col("_p"), F.lit(0)))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("expansion_cents"),
+            F.sum(
+                F.when(both, F.greatest(F.col("_p") - F.col("_c"), F.lit(0)))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("contraction_cents"),
+            F.sum(F.when(is_churn, F.col("_p")).otherwise(0))
+            .cast("bigint")
+            .alias("churned_cents"),
+            F.sum(F.col("_c") - F.col("_p")).cast("bigint").alias("net_change"),
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("n_new"),
+            F.sum(F.when(is_churn, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.sum(F.when(both & (F.col("_c") > F.col("_p")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_expanded"),
+            F.sum(F.when(both & (F.col("_c") < F.col("_p")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contracted"),
+        )
+    )

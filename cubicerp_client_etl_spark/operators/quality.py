@@ -633,3 +633,48 @@ def wilson_lower_bound_e6(
         f" div (`{n_col}` + 4)) AS BIGINT)"
     )
     return staged.withColumn(out_col, lb).drop("_w_inner6", "_w_s")
+
+
+def single_source_risk(
+    lines: DataFrame,
+    part_col: str,
+    supplier_col: str,
+    spend_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Single-source supply risk — the procurement resilience audit:
+    a part bought from exactly ONE supplier is a disruption risk, and
+    the report every sourcing review starts from is "how much of each
+    category's spend sits on single-sourced parts".
+
+    Per ``group_col`` (brand/category): parts traded, single-sourced
+    parts, the single-source share of parts (e6, exact via
+    e6_floor_ratio), total spend, and the spend concentrated on
+    single-sourced parts.
+
+    Scale: one DISTINCT on (part, supplier) — the supplier-count agg
+    rides the same part key — plus one keyed part-level agg and one
+    bounded group agg; no window, no self-join.
+    """
+    from ..functions import e6_floor_ratio
+
+    per_part = lines.groupBy(
+        F.col(part_col).alias("_p"), F.col(group_col).alias("_g")
+    ).agg(
+        F.count_distinct(F.col(supplier_col)).cast("bigint").alias("_ns"),
+        F.sum(F.col(spend_col).cast("bigint")).alias("_spend"),
+    )
+    g = per_part.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("_ns") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_source"),
+        F.sum("_spend").cast("bigint").alias("total_spend_cents"),
+        F.sum(F.when(F.col("_ns") == 1, F.col("_spend")).otherwise(0))
+        .cast("bigint")
+        .alias("single_source_spend_cents"),
+    )
+    return g.withColumn(
+        "single_source_share_e6",
+        e6_floor_ratio(F.col("n_single_source"), F.col("n_parts")),
+    )

@@ -1,8 +1,11 @@
-"""Round-15 extension wave 4: manufacturing/audit breadth next to the
-close arc — kit availability (the ATP question for assembled goods),
-the document-number sequence-gap audit (the completeness control on
-numbered series), and the exact-integer Wilson lower bound (rate
-ranking on unequal sample sizes).
+"""Round-15 extension waves 4-5: manufacturing/audit/subscription
+breadth next to the close arc — kit availability (the ATP question
+for assembled goods), the document-number sequence-gap audit (the
+completeness control on numbered series), the exact-integer Wilson
+lower bound (rate ranking on unequal sample sizes), the MRR waterfall
+(new/expansion/contraction/churn with the exact tie-out), the
+single-source supply-risk audit, and DAU/WAU stickiness (trailing
+distinct via a bounded spread-explode, no window).
 
 Same corpus discipline as the rest of the registry: exact integer
 arithmetic the DuckDB oracle replays bit-for-bit.
@@ -205,3 +208,169 @@ def q325_wilson_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         e6_floor_ratio(F.col("n_returns"), F.col("n_lines")).alias("rate_e6"),
         "wilson_lb_e6",
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# q326 — MRR waterfall (L-fin21): the recurring-revenue close report —
+# each month's change decomposed into new / expansion / contraction /
+# churned so net_change ties out to Σcur − Σprev exactly in cents.
+# Months ride an INTEGER year-month index (12·y + m − 1) so
+# "consecutive" is arithmetic, not calendar; churn lands in the month
+# after the entity's last active month (possibly one past the data
+# horizon — the report's standard convention). The oracle replays the
+# shifted full-outer join and every CASE. Scale: one full-outer
+# self-join on (entity, month) + one keyed agg over the bounded month
+# grid — no window, no densification. Operator: finance.mrr_waterfall.
+# --------------------------------------------------------------------------
+@register(
+    "q326_mrr_waterfall",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey AS e,
+         12 * EXTRACT(year FROM CAST(o_orderdate AS DATE))
+           + EXTRACT(month FROM CAST(o_orderdate AS DATE)) - 1 AS m,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS BIGINT)) AS BIGINT) AS amt
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(cur.m, prv.m) AS m,
+         COALESCE(cur.amt, 0) AS c, COALESCE(prv.amt, 0) AS p
+  FROM rev cur FULL OUTER JOIN (SELECT e, m + 1 AS m, amt FROM rev) prv
+    ON cur.e = prv.e AND cur.m = prv.m
+)
+SELECT CAST(m AS BIGINT) AS ym,
+       CAST(SUM(CASE WHEN p = 0 AND c > 0 THEN c ELSE 0 END) AS BIGINT)
+         AS new_cents,
+       CAST(SUM(CASE WHEN p > 0 AND c > 0 AND c > p THEN c - p ELSE 0 END)
+            AS BIGINT) AS expansion_cents,
+       CAST(SUM(CASE WHEN p > 0 AND c > 0 AND p > c THEN p - c ELSE 0 END)
+            AS BIGINT) AS contraction_cents,
+       CAST(SUM(CASE WHEN c = 0 AND p > 0 THEN p ELSE 0 END) AS BIGINT)
+         AS churned_cents,
+       CAST(SUM(c - p) AS BIGINT) AS net_change,
+       CAST(SUM(CASE WHEN p = 0 AND c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN c = 0 AND p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned,
+       CAST(SUM(CASE WHEN p > 0 AND c > 0 AND c > p THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_expanded,
+       CAST(SUM(CASE WHEN p > 0 AND c > 0 AND c < p THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contracted
+FROM j GROUP BY m ORDER BY ym
+""",
+)
+def q326_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.finance import mrr_waterfall
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        (
+            F.lit(12) * F.year(F.to_date("o_orderdate"))
+            + F.month(F.to_date("o_orderdate"))
+            - F.lit(1)
+        ).alias("ym"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            )
+        ).alias("amount_cents")
+    )
+    return mrr_waterfall(rev).orderBy("ym")
+
+
+# --------------------------------------------------------------------------
+# q327 — Single-source supply risk (L-erp28): the procurement
+# resilience audit — per brand, how many traded parts are bought from
+# exactly ONE supplier and how much spend sits on them; share exact
+# via e6_floor_ratio. The supplier-count distinct and the spend agg
+# ride the same part key. Scale: one (part, supplier) distinct-agg +
+# one part-level agg + one bounded brand agg — no window, no
+# self-join. Operator: quality.single_source_risk.
+# --------------------------------------------------------------------------
+@register(
+    "q327_single_source_risk",
+    oracle="""
+WITH pp AS (
+  SELECT l_partkey AS p, p_brand AS g,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS spend
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+)
+SELECT g AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_source,
+       CAST(SUM(spend) AS BIGINT) AS total_spend_cents,
+       CAST(SUM(CASE WHEN ns = 1 THEN spend ELSE 0 END) AS BIGINT)
+         AS single_source_spend_cents,
+       CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS single_source_share_e6
+FROM pp GROUP BY g ORDER BY brand
+""",
+)
+def q327_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import single_source_risk
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    lines = lineitem.join(
+        part.select("p_partkey", F.col("p_brand").alias("brand")),
+        lineitem["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        "brand",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("spend_cents"),
+    )
+    return single_source_risk(
+        lines,
+        part_col="l_partkey",
+        supplier_col="l_suppkey",
+        spend_col="spend_cents",
+        group_col="brand",
+    ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# q328 — DAU/WAU stickiness (L-beh9): per calendar day, daily actives
+# over trailing-7-day actives, exact e6. Trailing DISTINCT can't ride
+# a range window, so the WAU side explodes the already-distinct
+# (user, day) grid into the 7 report days each contributes to and
+# de-duplicates — a bounded ×7 fan; the inner join back to the DAU
+# grid drops the explode's forward spill past the horizon (and the
+# first 6 days are honest partial windows, the report's usual left
+# edge). The oracle replays the distinct, the spread and the floor
+# ratio. Scale: two distincts + two keyed counts, all on day/user
+# keys; no window at all. Operator: behavior.stickiness_daily.
+# --------------------------------------------------------------------------
+@register(
+    "q328_dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+),
+dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+spread AS (
+  SELECT DISTINCT u, d + CAST(k AS INTEGER) AS day
+  FROM ud CROSS JOIN generate_series(0, 6) g(k)
+),
+wau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM spread GROUP BY 1
+)
+SELECT dau.day AS day, dau.dau, wau.wau,
+       CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_e6
+FROM dau JOIN wau ON wau.day = dau.day ORDER BY dau.day
+""",
+)
+def q328_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import stickiness_daily
+
+    events = load(spark, sf_dir, "events")
+    return stickiness_daily(events).orderBy("day")

@@ -372,3 +372,81 @@ def test_wilson_lower_bound_matches_integer_reference(spark):
     # raw rate while the large sample's hugs it
     assert out[1] < 100000 // 2
     assert out[2] > 8000
+
+
+def test_mrr_waterfall_classification_and_tieout(spark):
+    from cubicerp_client_etl_spark.operators.finance import mrr_waterfall
+
+    # entity 1: 100 -> 150 (expansion 50); entity 2: 80 -> gone
+    # (churn in m=11); entity 3: appears at m=11 (new); entity 4:
+    # 60 -> 40 (contraction 20)
+    rev = spark.createDataFrame(
+        [
+            (1, 10, 100), (1, 11, 150),
+            (2, 10, 80),
+            (3, 11, 30),
+            (4, 10, 60), (4, 11, 40),
+        ],
+        "custkey int, ym int, amount_cents long",
+    )
+    rows = {r.ym: r for r in mrr_waterfall(rev).collect()}
+    m11 = rows[11]
+    assert m11.new_cents == 30 and m11.n_new == 1
+    assert m11.expansion_cents == 50 and m11.n_expanded == 1
+    assert m11.contraction_cents == 20 and m11.n_contracted == 1
+    assert m11.churned_cents == 80 and m11.n_churned == 1
+    # tie-out: net == new + expansion - contraction - churned
+    assert m11.net_change == 30 + 50 - 20 - 80
+    # m=10: every entity is new (no prior month)
+    assert rows[10].new_cents == 240 and rows[10].n_new == 3
+    # churn month one past an entity's last activity exists (m=12)
+    assert rows[12].churned_cents == 150 + 40 + 30 and rows[12].n_churned == 3
+
+
+def test_single_source_risk_share_and_spend(spark):
+    from cubicerp_client_etl_spark.operators.quality import single_source_risk
+
+    lines = spark.createDataFrame(
+        [
+            (1, 100, "A", 10), (1, 100, "A", 5),   # part 1: 1 supplier
+            (2, 100, "A", 7), (2, 200, "A", 3),    # part 2: 2 suppliers
+            (3, 300, "B", 9),                      # part 3: 1 supplier
+        ],
+        "part int, supp int, grp string, spend long",
+    )
+    rows = {
+        r.grp: r
+        for r in single_source_risk(
+            lines, "part", "supp", "spend", "grp"
+        ).collect()
+    }
+    a = rows["A"]
+    assert (a.n_parts, a.n_single_source) == (2, 1)
+    assert (a.total_spend_cents, a.single_source_spend_cents) == (25, 15)
+    assert a.single_source_share_e6 == 500000
+    assert rows["B"].single_source_share_e6 == 1000000
+
+
+def test_stickiness_daily_window_arithmetic(spark):
+    import datetime as _dt
+
+    from cubicerp_client_etl_spark.operators.behavior import stickiness_daily
+
+    # user 1 active d1 and d3; user 2 active d1 only.
+    ev = spark.createDataFrame(
+        [
+            (1, _dt.datetime(2024, 1, 1, 9)),
+            (1, _dt.datetime(2024, 1, 1, 10)),  # same day dedup
+            (1, _dt.datetime(2024, 1, 3, 9)),
+            (2, _dt.datetime(2024, 1, 1, 9)),
+        ],
+        "user_id int, ts timestamp",
+    )
+    rows = {str(r.day): r for r in stickiness_daily(ev).collect()}
+    # only observed days appear (inner join back to DAU grid)
+    assert set(rows) == {"2024-01-01", "2024-01-03"}
+    d1 = rows["2024-01-01"]
+    assert (d1.dau, d1.wau) == (2, 2) and d1.stickiness_e6 == 1000000
+    d3 = rows["2024-01-03"]
+    # trailing 7d of d3 saw users 1 and 2
+    assert (d3.dau, d3.wau) == (1, 2) and d3.stickiness_e6 == 500000
