@@ -1112,19 +1112,29 @@ def mrr_waterfall(
     bigint cents), net_change, n_new/n_churned/n_expanded/
     n_contracted entity counts.
 
-    Scale: ONE full-outer self-join on (entity, month) — both sides
-    keyed identically so AQE reuses the exchange — + one keyed agg
-    over the bounded month grid. No window, no densification.
+    Scale: ONE full-outer self-join on (entity, month) + one keyed
+    agg over the bounded month grid. No window, no densification.
+    The (usually aggregated) monthly-revenue input feeds BOTH join
+    sides; ReuseExchange cannot dedupe them (the prev side's shifted
+    join key rewrites its exchange child — the documented repo
+    gotcha), so the input is persisted once under the fresh-cache
+    discipline (q040/q299): both sides read one in-memory scan and
+    the upstream aggregation runs once, not twice.
     """
-    cur = rev.select(
+    from pyspark import StorageLevel
+
+    base = rev.select(
         F.col(entity_col).alias("_e"),
-        F.col(ym_col).cast("bigint").alias("_m"),
-        F.col(amount_col).cast("bigint").alias("_cur"),
+        F.col(ym_col).cast("bigint").alias("_ym"),
+        F.col(amount_col).cast("bigint").alias("_amt"),
     )
-    prev = rev.select(
-        F.col(entity_col).alias("_e"),
-        (F.col(ym_col).cast("bigint") + 1).alias("_m"),
-        F.col(amount_col).cast("bigint").alias("_prev"),
+    base.unpersist()
+    base.persist(StorageLevel.MEMORY_AND_DISK)
+    cur = base.select(
+        "_e", F.col("_ym").alias("_m"), F.col("_amt").alias("_cur")
+    )
+    prev = base.select(
+        "_e", (F.col("_ym") + 1).alias("_m"), F.col("_amt").alias("_prev")
     )
     j = cur.join(prev, ["_e", "_m"], "full_outer").select(
         "_m",
