@@ -652,3 +652,70 @@ def stickiness_daily(
         )
         .select("day", "dau", "wau", "stickiness_e6")
     )
+
+
+def hourly_profile(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day load profile — the capacity/anomaly question ops
+    teams ask of any event stream: where is each event class's
+    traffic concentrated across the 24-hour clock, and how far from
+    uniform is it?
+
+    Hour is UTC-instant arithmetic (``(unix_seconds div 3600) % 24``)
+    — NOT calendar rendering, so the answer is independent of any
+    session timezone and both engines compute it from the same
+    integers. Per key: total events, the peak hour (ties to the
+    lowest hour), the peak hour's share (e6, exact), and a dispersion
+    index ``floor(10⁶ · (24·Σn_h² − N²) / N²)`` — 0 for perfectly
+    uniform traffic, 23·10⁶ for a single-hour spike; the variance
+    numerator ``24·Σn² − N²`` is the exact integer form (no means, no
+    doubles), carried in DECIMAL(38,0)/HUGEINT since Σn² passes the
+    bigint ceiling once hourly counts reach ~6e8.
+
+    Scale: one keyed agg to the (key, hour) grid — bounded at
+    24·|keys| — then two tiny aggs and a peak-row join on that grid.
+    Nothing after the first agg grows with the corpus.
+    """
+    from ..functions import e6_floor_ratio
+
+    hr = F.expr(f"CAST((unix_seconds(`{ts_col}`) div 3600) % 24 AS BIGINT)")
+    grid = events.groupBy(
+        F.col(key_col).alias("_k"), hr.alias("_h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    agg = grid.groupBy("_k").agg(
+        F.sum("_n").cast("bigint").alias("_total"),
+        F.max("_n").cast("bigint").alias("_peak"),
+        (
+            F.lit(24).cast("decimal(38,0)")
+            * F.sum(F.col("_n").cast("decimal(38,0)") * F.col("_n"))
+        ).cast("decimal(38,0)").alias("_sq24"),
+    )
+    peak_hr = (
+        grid.join(agg, "_k")
+        .where(F.col("_n") == F.col("_peak"))
+        .groupBy("_k")
+        .agg(F.min("_h").cast("bigint").alias("peak_hour"))
+    )
+    staged = agg.join(peak_hr, "_k").withColumn(
+        "_var_num",
+        (
+            F.col("_sq24")
+            - F.col("_total").cast("decimal(38,0)") * F.col("_total")
+        ).cast("decimal(38,0)"),
+    )
+    disp = F.expr(
+        "CAST((_var_num * 1000000) div "
+        "(CAST(_total AS DECIMAL(38,0)) * _total) AS BIGINT)"
+    )
+    return staged.select(
+        F.col("_k").alias(key_col),
+        F.col("_total").alias("n_events"),
+        "peak_hour",
+        e6_floor_ratio(F.col("_peak"), F.col("_total")).alias(
+            "peak_share_e6"
+        ),
+        disp.alias("dispersion_e6"),
+    )

@@ -4,8 +4,10 @@ for assembled goods), the document-number sequence-gap audit (the
 completeness control on numbered series), the exact-integer Wilson
 lower bound (rate ranking on unequal sample sizes), the MRR waterfall
 (new/expansion/contraction/churn with the exact tie-out), the
-single-source supply-risk audit, and DAU/WAU stickiness (trailing
-distinct via a bounded spread-explode, no window).
+single-source supply-risk audit, DAU/WAU stickiness (trailing
+distinct via a bounded spread-explode, no window), lexical diversity
+per source, and the hour-of-day load profile (UTC-instant hour
+arithmetic + an exact integer dispersion index).
 
 Same corpus discipline as the rest of the registry: exact integer
 arithmetic the DuckDB oracle replays bit-for-bit.
@@ -374,3 +376,121 @@ def q328_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return stickiness_daily(events).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# q329 — Lexical diversity per source (L-txt3): corpus-level
+# type-token ratio per document source — the curation screen that
+# catches template farms (low TTR) and OCR noise (anomalously high
+# TTR) before training data ships. The corpus tokenizer convention
+# (lower → trim → whitespace split, text.tokens) with distinct types
+# counted PER SOURCE; ttr exact at e6 via e6_floor_ratio. Scale: one
+# explode + one keyed agg (count + count_distinct on the source key)
+# + the bounded per-source doc count — no window, no join beyond the
+# tiny source grid. Operators: text.tokens + functions.e6_floor_ratio.
+# --------------------------------------------------------------------------
+@register(
+    "q329_lexical_diversity",
+    oracle="""
+WITH toks AS (
+  SELECT source, u.t AS tok
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens
+  FROM toks GROUP BY source
+),
+d AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT g.source, d.n_docs, g.total_tokens, g.distinct_tokens,
+       CAST(g.distinct_tokens * 1000000 // g.total_tokens AS BIGINT)
+         AS ttr_e6
+FROM g JOIN d ON d.source = g.source ORDER BY g.source
+""",
+)
+def q329_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    g = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+        F.count_distinct("tok").cast("bigint").alias("distinct_tokens"),
+    )
+    d = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        g.join(d, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "distinct_tokens",
+            e6_floor_ratio(
+                F.col("distinct_tokens"), F.col("total_tokens")
+            ).alias("ttr_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q330 — Hour-of-day load profile (L-beh10): per event class, where
+# traffic concentrates across the 24-hour clock and how far from
+# uniform it is — peak hour (ties to the lowest hour), exact peak
+# share, and the integer dispersion index floor(1e6·(24·Σn_h² −
+# N²)/N²) (0 = uniform, 23e6 = single-hour spike; the variance
+# numerator is exact integers, no means, no doubles — carried in
+# DECIMAL(38,0)/HUGEINT past the Σn² bigint ceiling). Hour is
+# UTC-instant arithmetic ((epoch div 3600) % 24) — independent of
+# session timezone, both engines compute the same integers. Scale:
+# one keyed agg to the bounded 24·|classes| grid; everything after is
+# on that grid. Operator: behavior.hourly_profile.
+# --------------------------------------------------------------------------
+@register(
+    "q330_hourly_load_profile",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS BIGINT)
+           AS hr
+  FROM events
+),
+c AS (
+  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, SUM(n) AS total, MAX(n) AS peak,
+         CAST(24 AS HUGEINT) * SUM(CAST(n AS HUGEINT) * n)
+           - CAST(SUM(n) AS HUGEINT) * SUM(n) AS var_num
+  FROM c GROUP BY event_type
+),
+pk AS (
+  SELECT c.event_type, MIN(c.hr) AS peak_hour
+  FROM c JOIN agg ON agg.event_type = c.event_type AND c.n = agg.peak
+  GROUP BY c.event_type
+)
+SELECT a.event_type, CAST(a.total AS BIGINT) AS n_events,
+       pk.peak_hour,
+       CAST(a.peak * 1000000 // a.total AS BIGINT) AS peak_share_e6,
+       CAST(a.var_num * 1000000
+            // (CAST(a.total AS HUGEINT) * a.total) AS BIGINT)
+         AS dispersion_e6
+FROM agg a JOIN pk ON pk.event_type = a.event_type
+ORDER BY a.event_type
+""",
+)
+def q330_hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import hourly_profile
+
+    events = load(spark, sf_dir, "events")
+    return hourly_profile(events).orderBy("event_type")

@@ -1200,3 +1200,64 @@ def stream_revenue_recognition(orders: DataFrame) -> DataFrame:
         (F.col("o_orderkey") % 12 + 1).cast("bigint").alias("term_months"),
     )
     return revenue_recognition_schedule(contracts)
+
+
+def stream_sequence_gaps(
+    docs: DataFrame,
+    series_col: str = "o_custkey",
+    number_col: str = "o_orderkey",
+) -> DataFrame:
+    """Streaming twin #25 — the q324 sequence-gap audit as documents
+    LAND: per numbered series, the detector keeps ONE bigint of state
+    (the last number seen) and emits a per-batch delta row — docs
+    seen, min/max number, gaps opened, missing numbers, largest run —
+    whose rollup ``groupBy(series).agg(sum/min/max)`` equals the
+    batch operator's six audit columns exactly (equivalence-tested).
+    The FIRST number of a batch pairs against the state's last, so
+    gaps never drop at micro-batch boundaries. Contract: per-series
+    arrival ascends across micro-batches (document numbers issue in
+    order — the standard ordered-ingest assumption all stateful
+    sequence twins carry); within a batch the walk sorts, so
+    intra-batch disorder is fine.
+
+    State: one bigint per live series — bounded by series
+    cardinality, independent of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def walk(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("_n")
+        nums = [int(x) for x in pdf["_n"]]
+        seq = [state.get[0], *nums] if state.exists else nums
+        gaps = [b - a - 1 for a, b in zip(seq, seq[1:]) if b - a > 1]
+        state.update((nums[-1],))
+        yield pd.DataFrame(
+            {
+                "series": [key[0]],
+                "n_docs": [len(nums)],
+                "min_number": [nums[0]],
+                "max_number": [nums[-1]],
+                "n_gaps": [len(gaps)],
+                "missing": [sum(gaps)],
+                "largest_gap": [max(gaps, default=0)],
+            }
+        )
+
+    return docs.select(
+        F.col(series_col).cast("bigint").alias("_s"),
+        F.col(number_col).cast("bigint").alias("_n"),
+    ).groupBy("_s").applyInPandasWithState(
+        walk,
+        outputStructType=(
+            "series bigint, n_docs bigint, min_number bigint, "
+            "max_number bigint, n_gaps bigint, missing bigint, "
+            "largest_gap bigint"
+        ),
+        stateStructType="last_n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -450,3 +450,33 @@ def test_stickiness_daily_window_arithmetic(spark):
     d3 = rows["2024-01-03"]
     # trailing 7d of d3 saw users 1 and 2
     assert (d3.dau, d3.wau) == (1, 2) and d3.stickiness_e6 == 500000
+
+
+def test_hourly_profile_dispersion_extremes_and_tiebreak(spark):
+    import datetime as _dt
+
+    from cubicerp_client_etl_spark.operators.behavior import hourly_profile
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    # type "spike": all 48 events in hour 5 -> dispersion 23e6
+    for i in range(48):
+        rows.append(("spike", base + _dt.timedelta(hours=5, seconds=i)))
+    # type "flat": one event in every hour -> dispersion 0
+    for h in range(24):
+        rows.append(("flat", base + _dt.timedelta(hours=h)))
+    # type "tie": equal peaks at hours 3 and 7 -> peak_hour 3
+    for h in (3, 3, 7, 7, 9):
+        rows.append(("tie", base + _dt.timedelta(hours=h)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in hourly_profile(ev).collect()}
+    assert out["spike"].dispersion_e6 == 23_000_000
+    assert out["spike"].peak_share_e6 == 1_000_000
+    assert out["spike"].peak_hour == 5
+    assert out["flat"].dispersion_e6 == 0
+    assert out["tie"].peak_hour == 3
+    # exact integer law replay for the non-trivial case
+    ns = [2, 2, 1]
+    n = sum(ns)
+    var_num = 24 * sum(x * x for x in ns) - n * n
+    assert out["tie"].dispersion_e6 == (10**6 * var_num) // (n * n)

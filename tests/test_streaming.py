@@ -1000,3 +1000,36 @@ def test_stream_revenue_recognition_equals_batch(spark):
     got = sorted(tuple(r[c] for c in cols) for r in streamed.collect())
     want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_sequence_gaps_equals_batch(spark):
+    """Streaming twin #25: per-batch gap deltas from the stateful
+    detector must roll up to the batch audit's six columns exactly."""
+    from cubicerp_client_etl_spark.operators.quality import sequence_gap_audit
+    from cubicerp_client_etl_spark.streaming.jobs import (
+        orders_stream,
+        run_stream_to_memory,
+        stream_sequence_gaps,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_stream_to_memory(
+        stream_sequence_gaps(orders_stream(spark, sf)),
+        "seqgap_stream",
+        output_mode="append",
+    )
+    rolled = streamed.groupBy("series").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.min("min_number").alias("min_number"),
+        F.max("max_number").alias("max_number"),
+        F.sum("n_gaps").alias("n_gaps"),
+        F.sum("missing").alias("missing_total"),
+        F.max("largest_gap").alias("largest_gap"),
+    )
+    batch = sequence_gap_audit(
+        spark.read.parquet(f"{sf}/orders.parquet"), "o_custkey", "o_orderkey"
+    ).withColumnRenamed("o_custkey", "series")
+    cols = sorted(batch.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in rolled.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want and len(want) > 0
