@@ -30,7 +30,7 @@ width (worse selectivity), and an inverted interval feeds
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,68 @@ def binned_interval_join(
         & (F.col(r_start) <= F.col(l_end))
         & (F.col("_bin") == first_shared)
     ).drop("_bin")
+
+
+def overlap_audit(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Interval-overlap audit — the double-booking detector for any
+    per-resource interval set (a supplier shipping two orders in
+    overlapping windows, a machine double-scheduled, a consultant
+    double-billed): per key, how many intervals START before some
+    earlier interval has ENDED.
+
+    Sweep-line in one window, exactly: order intervals by (start, id)
+    and carry the RUNNING MAX of the ends of all PRIOR intervals; an
+    interval overlaps its past iff ``start < max_prior_end``
+    (half-open [start, end) semantics — touching endpoints do not
+    overlap). Counting pairs would be quadratic; counting OVERLAPPING
+    INTERVALS is linear and is what the auditor triages. Also
+    reports each key's longest interval and the worst intrusion depth
+    ``max(max_prior_end − start)`` in days.
+
+    Output per key: ``(key, n_intervals, n_overlapping,
+    overlap_share_e6, max_intrusion_days)``.
+
+    Scale: ONE window (running max) + one keyed agg, both on the
+    resource key; per-key fan is one resource's bookings. No join,
+    no explode.
+    """
+    from ..functions import e6_floor_ratio
+
+    d = intervals.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        F.to_date(F.col(start_col)).alias("_s"),
+        F.to_date(F.col(end_col)).alias("_e"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_s", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = d.withColumn("_pmax", F.max("_e").over(w)).withColumn(
+        "_ov",
+        F.when(
+            F.col("_pmax").isNotNull() & (F.col("_s") < F.col("_pmax")), 1
+        ).otherwise(0),
+    )
+    agg = staged.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("_ov").cast("bigint").alias("n_overlapping"),
+        F.max(
+            F.when(
+                F.col("_ov") == 1, F.datediff(F.col("_pmax"), F.col("_s"))
+            )
+        )
+        .cast("bigint")
+        .alias("max_intrusion_days"),
+    )
+    return agg.withColumn(
+        "overlap_share_e6",
+        e6_floor_ratio(F.col("n_overlapping"), F.col("n_intervals")),
+    )

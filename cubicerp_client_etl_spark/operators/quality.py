@@ -678,3 +678,55 @@ def single_source_risk(
         "single_source_share_e6",
         e6_floor_ratio(F.col("n_single_source"), F.col("n_parts")),
     )
+
+
+def three_sigma_flags(
+    df: DataFrame,
+    label_col: str,
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """k-sigma outlier flags WITHOUT doubles — the daily-close anomaly
+    screen: flag every label whose value sits more than k standard
+    deviations from the mean, decided by the EXACT integer
+    inequality
+
+        (N·x − S)² > k² · (N·SS − S²)
+
+    (multiply the textbook |x − S/N| > k·σ through by N² — means and
+    variances never materialize, so there is no rounding to disagree
+    on; both engines compare the same integers). Carried in
+    DECIMAL(38,0)/HUGEINT: the squared deviation passes the bigint
+    ceiling as soon as daily cents meet thousands of days.
+
+    Input: an already-aggregated (label, value) frame — the stats are
+    ONE tiny aggregate broadcast back over it. Output: flagged rows
+    only, ``(label, value, n_labels, direction)`` with direction
+    'high'/'low' by the sign of N·x − S.
+
+    Scale: one 1-row aggregate + a broadcast re-join over the
+    (bounded, already-reduced) label grid. The fact scan that builds
+    the input is the caller's keyed agg.
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(v).cast("decimal(38,0)").alias("_s"),
+        F.sum(v * v).cast("decimal(38,0)").alias("_ss"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    dev = (F.col("_n") * v - F.col("_s")).cast("decimal(38,0)")
+    var_num = (
+        F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    ).cast("decimal(38,0)")
+    return (
+        j.where(dev * dev > F.lit(int(k * k)).cast("decimal(38,0)") * var_num)
+        .select(
+            F.col(label_col),
+            F.col(value_col),
+            F.col("_n").cast("bigint").alias("n_labels"),
+            F.when(dev > 0, F.lit("high")).otherwise(F.lit("low")).alias(
+                "direction"
+            ),
+        )
+    )

@@ -494,3 +494,122 @@ def q330_hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return hourly_profile(events).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q331 — Shipping-window overlap audit (L-qa7): the double-booking
+# detector — per supplier, how many shipments STARTED before an
+# earlier shipment's transit window had closed (half-open semantics:
+# touching endpoints don't overlap; window = ship date + a
+# deterministic 2–15-day transit, line-keyed — the fixture carries no
+# receipt date). Sweep-line in ONE window: order by (ship date, line
+# id), carry the running MAX of prior window ends; overlap iff start
+# < that max. Counting pairs would be quadratic — counting
+# overlapping INTERVALS is linear and is what the auditor triages;
+# worst intrusion depth reported in days. The oracle replays the
+# frame, the tie-break and every comparison. Scale: one window + one
+# keyed agg on the supplier key; per-supplier fan is that supplier's
+# shipment count (constant in SF — suppliers and lineitems scale
+# together). Operator: interval.overlap_audit.
+# --------------------------------------------------------------------------
+@register(
+    "q331_shipping_overlap_audit",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey AS k, l_orderkey * 8 + l_linenumber AS id,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 8 + l_linenumber) % 14 + 2 AS INTEGER) AS e
+  FROM lineitem
+),
+st AS (
+  SELECT k, id, s, e,
+         MAX(e) OVER (PARTITION BY k ORDER BY s, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM iv
+),
+o AS (
+  SELECT k, s, pmax,
+         CASE WHEN pmax IS NOT NULL AND s < pmax THEN 1 ELSE 0 END AS ov
+  FROM st
+)
+SELECT CAST(k AS BIGINT) AS l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(ov) AS BIGINT) AS n_overlapping,
+       CAST(MAX(CASE WHEN ov = 1 THEN pmax - s END) AS BIGINT)
+         AS max_intrusion_days,
+       CAST(SUM(ov) * 1000000 // COUNT(*) AS BIGINT) AS overlap_share_e6
+FROM o GROUP BY k ORDER BY l_suppkey
+""",
+)
+def q331_shipping_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.interval import overlap_audit
+
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("line_id"),
+        "l_shipdate",
+        F.expr(
+            "date_add(CAST(l_shipdate AS DATE), "
+            "CAST((l_orderkey * 8 + l_linenumber) % 14 + 2 AS INT))"
+        ).alias("window_end"),
+    )
+    return overlap_audit(
+        lineitem,
+        key_col="l_suppkey",
+        start_col="l_shipdate",
+        end_col="window_end",
+        id_col="line_id",
+    ).orderBy("l_suppkey")
+
+
+# --------------------------------------------------------------------------
+# q332 — Three-sigma revenue-day flags (L-qa8): the daily-close
+# anomaly screen with NO doubles anywhere — a day flags iff
+# (N·x − S)² > 9·(N·SS − S²), the textbook |x−μ| > 3σ multiplied
+# through by N² so means and variances never materialize
+# (quality.three_sigma_flags, DECIMAL(38,0)/HUGEINT). 13 days flag at
+# sf0.01 and 3 at sf0.1 — the law bites on real fixture variance,
+# not a synthetic plant. The oracle replays the exact inequality in
+# HUGEINT. Scale: one keyed agg to the bounded day grid, one 1-row
+# stats aggregate broadcast back over it. Operator:
+# quality.three_sigma_flags.
+# --------------------------------------------------------------------------
+@register(
+    "q332_revenue_day_anomalies",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS revenue_cents
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(revenue_cents) AS HUGEINT) AS sm,
+         SUM(CAST(revenue_cents AS HUGEINT) * revenue_cents) AS ss
+  FROM d
+)
+SELECT day, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(s.n AS BIGINT) AS n_labels,
+       CASE WHEN s.n * revenue_cents > s.sm THEN 'high' ELSE 'low' END
+         AS direction
+FROM d CROSS JOIN s
+WHERE (s.n * revenue_cents - s.sm) * (s.n * revenue_cents - s.sm)
+      > 9 * (s.n * ss - sm * sm)
+ORDER BY day
+""",
+)
+def q332_revenue_day_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.quality import three_sigma_flags
+
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            )
+        ).alias("revenue_cents")
+    )
+    return three_sigma_flags(daily, "day", "revenue_cents").orderBy("day")

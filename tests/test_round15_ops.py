@@ -480,3 +480,53 @@ def test_hourly_profile_dispersion_extremes_and_tiebreak(spark):
     n = sum(ns)
     var_num = 24 * sum(x * x for x in ns) - n * n
     assert out["tie"].dispersion_e6 == (10**6 * var_num) // (n * n)
+
+
+def test_overlap_audit_halfopen_and_intrusion(spark):
+    import datetime as _dt
+
+    from cubicerp_client_etl_spark.operators.interval import overlap_audit
+
+    d = _dt.date
+    iv = spark.createDataFrame(
+        [
+            # key a: [1,5) then [3,4) overlaps (intrusion 2);
+            # [5,8) touches 5 exactly -> NOT an overlap (half-open)
+            ("a", 1, d(2024, 1, 1), d(2024, 1, 5)),
+            ("a", 2, d(2024, 1, 3), d(2024, 1, 4)),
+            ("a", 3, d(2024, 1, 5), d(2024, 1, 8)),
+            # key b: disjoint
+            ("b", 4, d(2024, 2, 1), d(2024, 2, 2)),
+            ("b", 5, d(2024, 2, 3), d(2024, 2, 4)),
+        ],
+        "k string, id int, s date, e date",
+    )
+    rows = {
+        r.k: r for r in overlap_audit(iv, "k", "s", "e", "id").collect()
+    }
+    a = rows["a"]
+    assert (a.n_intervals, a.n_overlapping) == (3, 1)
+    assert a.max_intrusion_days == 2
+    assert a.overlap_share_e6 == 333333
+    b = rows["b"]
+    assert b.n_overlapping == 0 and b.max_intrusion_days is None
+
+
+def test_three_sigma_flags_exact_inequality(spark):
+    from cubicerp_client_etl_spark.operators.quality import three_sigma_flags
+
+    # nineteen quiet labels at 10, one spike at 100: the spike flags
+    # high, nothing else does; replay the integer inequality directly.
+    # (A single spike among n points sits at z² = n − 1 EXACTLY, so
+    # n = 10 lands on the 3σ boundary and the strict inequality
+    # rightly does not flag it — n = 20 gives z² = 19 > 9.)
+    vals = [10] * 19 + [100]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "label int, v long"
+    )
+    out = three_sigma_flags(df, "label", "v").collect()
+    assert len(out) == 1 and out[0].label == 19
+    assert out[0].direction == "high" and out[0].n_labels == 20
+    n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+    assert (n * 100 - s) ** 2 > 9 * (n * ss - s * s)
+    assert not (n * 10 - s) ** 2 > 9 * (n * ss - s * s)
