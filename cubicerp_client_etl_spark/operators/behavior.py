@@ -719,3 +719,107 @@ def hourly_profile(
         ),
         disp.alias("dispersion_e6"),
     )
+
+
+def topk_with_others(
+    totals: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+    k: int = 3,
+    others_label: str = "OTHERS",
+) -> DataFrame:
+    """Top-k leaderboard with an exact OTHERS rollup — the BI report
+    shape every revenue review uses: per group, the k largest
+    entities by value (ties broken by the entity key, deterministic)
+    plus ONE remainder row carrying the exact sum and count of
+    everything below the cut, so the group total always ties out.
+
+    Input is the ALREADY-REDUCED (group, entity, value) frame — the
+    fact-table reduce is the caller's keyed agg; the rank window here
+    runs over the reduced set. Output per group: k rows
+    ``(group, rank 1..k, entity as string, value, n_entities=1)`` and,
+    when anything remains, ``(group, k+1, OTHERS, Σ rest, count rest)``.
+
+    Scale: one window (rank over the reduced set, partitioned by
+    group) + one keyed agg for the remainder — both on the group key.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).desc(), F.col(entity_col)
+    )
+    ranked = totals.withColumn("_rk", F.row_number().over(w))
+    top = ranked.where(F.col("_rk") <= k).select(
+        F.col(group_col),
+        F.col("_rk").cast("bigint").alias("rank"),
+        F.col(entity_col).cast("string").alias("entity"),
+        F.col(value_col).cast("bigint").alias("value_cents"),
+        F.lit(1).cast("bigint").alias("n_entities"),
+    )
+    rest = (
+        ranked.where(F.col("_rk") > k)
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col(value_col).cast("bigint")).alias("value_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        )
+        .select(
+            F.col(group_col),
+            F.lit(k + 1).cast("bigint").alias("rank"),
+            F.lit(others_label).alias("entity"),
+            F.col("value_cents"),
+            F.col("n_entities"),
+        )
+    )
+    return top.unionByName(rest)
+
+
+def repeat_purchase_rate(
+    purchases: DataFrame,
+    entity_col: str,
+    item_col: str,
+    date_col: str,
+    group_col: str,
+    within_days: int = 30,
+) -> DataFrame:
+    """Repeat-purchase rate — the replenishment signal merchandisers
+    rank categories by: of the (customer, item) pairs with any
+    purchase, how many bought the SAME item again within
+    ``within_days``? A pair counts once no matter how many quick
+    repeats it has (the auditor counts REPEATERS, not repeats).
+
+    Per group (brand/category): pairs observed, pairs with a repeat
+    within the window, and the exact rate at e6.
+
+    Scale: one lag window on the (entity, item) composite key
+    (per-pair fan = that pair's purchase history, bounded by behavior
+    not corpus) + two keyed aggs. The caller supplies the joined
+    (entity, item, date, group) purchase lines.
+    """
+    from ..functions import e6_floor_ratio
+
+    d = purchases.select(
+        F.col(entity_col).alias("_e"),
+        F.col(item_col).alias("_i"),
+        F.col(group_col).alias("_g"),
+        F.to_date(F.col(date_col)).alias("_d"),
+    )
+    w = Window.partitionBy("_e", "_i").orderBy("_d")
+    flagged = d.withColumn(
+        "_rep",
+        F.when(
+            F.datediff(F.col("_d"), F.lag("_d").over(w))
+            <= F.lit(int(within_days)),
+            1,
+        ).otherwise(0),
+    )
+    pairs = flagged.groupBy("_e", "_i", "_g").agg(
+        F.max("_rep").alias("_has_rep")
+    )
+    g = pairs.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_has_rep").cast("bigint").alias("n_repeat_pairs"),
+    )
+    return g.withColumn(
+        "repeat_rate_e6",
+        e6_floor_ratio(F.col("n_repeat_pairs"), F.col("n_pairs")),
+    )

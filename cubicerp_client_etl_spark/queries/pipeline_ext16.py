@@ -6,8 +6,11 @@ lower bound (rate ranking on unequal sample sizes), the MRR waterfall
 (new/expansion/contraction/churn with the exact tie-out), the
 single-source supply-risk audit, DAU/WAU stickiness (trailing
 distinct via a bounded spread-explode, no window), lexical diversity
-per source, and the hour-of-day load profile (UTC-instant hour
-arithmetic + an exact integer dispersion index).
+per source, the hour-of-day load profile (UTC-instant hour
+arithmetic + an exact integer dispersion index), the interval-overlap
+double-booking audit, exact k-sigma anomaly flags, the top-k
+leaderboard with an exact OTHERS rollup, the repeat-purchase rate,
+and the intraday price-consistency audit.
 
 Same corpus discipline as the rest of the registry: exact integer
 arithmetic the DuckDB oracle replays bit-for-bit.
@@ -613,3 +616,216 @@ def q332_revenue_day_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_cents")
     )
     return three_sigma_flags(daily, "day", "revenue_cents").orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# q333 — Top-3 customers per nation with exact OTHERS rollup
+# (L-fin22): the revenue-review leaderboard — per nation the three
+# largest customers (ties to the lowest key, deterministic) plus ONE
+# remainder row carrying the exact sum and count below the cut, so
+# every nation's total ties out by construction. The rank window runs
+# over the REDUCED (nation, customer) totals — the fact scan is the
+# keyed agg, the window sorts only aggregates. Oracle replays the
+# rank, the cut and the rollup. Operator: behavior.topk_with_others.
+# --------------------------------------------------------------------------
+@register(
+    "q333_top_customers_leaderboard",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, o.o_custkey AS cust,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT nation, cust, v,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY v DESC, cust) AS r
+  FROM rev
+),
+top AS (
+  SELECT nation, CAST(r AS BIGINT) AS rank, CAST(cust AS VARCHAR) AS entity,
+         CAST(v AS BIGINT) AS value_cents, CAST(1 AS BIGINT) AS n_entities
+  FROM rk WHERE r <= 3
+),
+rest AS (
+  SELECT nation, CAST(4 AS BIGINT) AS rank, 'OTHERS' AS entity,
+         CAST(SUM(v) AS BIGINT) AS value_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_entities
+  FROM rk WHERE r > 3 GROUP BY nation
+)
+SELECT * FROM top UNION ALL SELECT * FROM rest ORDER BY nation, rank
+""",
+)
+def q333_top_customers_leaderboard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import topk_with_others
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).alias("v")
+        )
+    )
+    return topk_with_others(
+        rev, group_col="nation", entity_col="cust", value_col="v", k=3
+    ).orderBy("nation", "rank")
+
+
+# --------------------------------------------------------------------------
+# q334 — Repeat-purchase rate by brand (L-beh11): of the (customer,
+# part) pairs with any purchase, how many bought the SAME part again
+# within 30 days — the replenishment signal merchandisers rank
+# categories by; a pair counts once however many quick repeats it has
+# (repeaters, not repeats). One lag window on the (customer, part)
+# composite key (per-pair fan = that pair's history — behavior-
+# bounded, not corpus-bounded) + two keyed aggs; rate exact at e6.
+# The oracle replays the lag, the 30-day test, the pair collapse and
+# the ratio. Operator: behavior.repeat_purchase_rate.
+# --------------------------------------------------------------------------
+@register(
+    "q334_repeat_purchase_rate",
+    oracle="""
+WITH p AS (
+  SELECT o.o_custkey AS e, l.l_partkey AS i, pt.p_brand AS g,
+         CAST(l.l_shipdate AS DATE) AS d
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part pt ON pt.p_partkey = l.l_partkey
+),
+lg AS (
+  SELECT e, i, g, d,
+         d - LAG(d) OVER (PARTITION BY e, i ORDER BY d) AS diff
+  FROM p
+),
+pr AS (
+  SELECT e, i, g, MAX(CASE WHEN diff <= 30 THEN 1 ELSE 0 END) AS hr
+  FROM lg GROUP BY 1, 2, 3
+)
+SELECT g AS brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hr) AS BIGINT) AS n_repeat_pairs,
+       CAST(SUM(hr) * 1000000 // COUNT(*) AS BIGINT) AS repeat_rate_e6
+FROM pr GROUP BY g ORDER BY brand
+""",
+)
+def q334_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import (
+        repeat_purchase_rate,
+    )
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    purchases = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            part.select("p_partkey", F.col("p_brand").alias("brand")),
+            lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .select("o_custkey", "l_partkey", "brand", "l_shipdate")
+    )
+    return repeat_purchase_rate(
+        purchases,
+        entity_col="o_custkey",
+        item_col="l_partkey",
+        date_col="l_shipdate",
+        group_col="brand",
+    ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# q335 — Intraday price-consistency audit (L-qa9): the pricing-
+# control screen — the same part sold at materially different unit
+# prices on the same day is a discounting-discipline (or data-entry)
+# violation. Unit price exact at e6 via e6_floor_ratio(ext_cents,
+# qty); per (part, day) the spread max − min; violation when the
+# spread exceeds 10% (100000 e6). Reported per brand with the worst
+# spread. Composition query: e6_floor_ratio + two keyed aggs (the
+# (part, day) grid, then the bounded brand grid) — no window, no
+# join beyond the part dimension.
+# --------------------------------------------------------------------------
+@register(
+    "q335_price_consistency_audit",
+    oracle="""
+WITH u AS (
+  SELECT l_partkey AS p, pt.p_brand AS g, CAST(l_shipdate AS DATE) AS d,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * 1000000 // CAST(l_quantity AS BIGINT) AS unit_e6
+  FROM lineitem JOIN part pt ON pt.p_partkey = l_partkey
+),
+pd AS (
+  SELECT p, g, d, MAX(unit_e6) - MIN(unit_e6) AS spread
+  FROM u GROUP BY 1, 2, 3
+)
+SELECT g AS brand, CAST(COUNT(*) AS BIGINT) AS n_part_days,
+       CAST(SUM(CASE WHEN spread > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(MAX(spread) AS BIGINT) AS max_spread_e6,
+       CAST(SUM(CASE WHEN spread > 100000 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS violation_share_e6
+FROM pd GROUP BY g ORDER BY brand
+""",
+)
+def q335_price_consistency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    u = lineitem.join(
+        part.select("p_partkey", F.col("p_brand").alias("brand")),
+        lineitem["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        "brand",
+        F.to_date("l_shipdate").alias("d"),
+        e6_floor_ratio(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ),
+            F.col("l_quantity").cast("bigint"),
+        ).alias("unit_e6"),
+    )
+    pd_grid = u.groupBy("l_partkey", "brand", "d").agg(
+        (F.max("unit_e6") - F.min("unit_e6")).alias("spread")
+    )
+    return (
+        pd_grid.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_part_days"),
+            F.sum(F.when(F.col("spread") > 100000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.max("spread").cast("bigint").alias("max_spread_e6"),
+        )
+        .withColumn(
+            "violation_share_e6",
+            e6_floor_ratio(F.col("n_violations"), F.col("n_part_days")),
+        )
+        .orderBy("brand")
+    )

@@ -530,3 +530,60 @@ def test_three_sigma_flags_exact_inequality(spark):
     n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
     assert (n * 100 - s) ** 2 > 9 * (n * ss - s * s)
     assert not (n * 10 - s) ** 2 > 9 * (n * ss - s * s)
+
+
+def test_topk_with_others_tieout_and_tiebreak(spark):
+    from cubicerp_client_etl_spark.operators.behavior import topk_with_others
+
+    totals = spark.createDataFrame(
+        [
+            ("g", 1, 100), ("g", 2, 300), ("g", 3, 300),
+            ("g", 4, 50), ("g", 5, 40), ("g", 6, 10),
+            ("h", 7, 5),  # fewer entities than k -> no OTHERS row
+        ],
+        "grp string, ent int, v long",
+    )
+    rows = topk_with_others(totals, "grp", "ent", "v", k=3).collect()
+    g = sorted([r for r in rows if r.grp == "g"], key=lambda r: r.rank)
+    # ties at 300 break by the lower entity key
+    assert [(r.rank, r.entity, r.value_cents) for r in g[:3]] == [
+        (1, "2", 300), (2, "3", 300), (3, "1", 100),
+    ]
+    others = g[3]
+    assert (others.entity, others.value_cents, others.n_entities) == (
+        "OTHERS", 100, 3,
+    )
+    # the group total ties out exactly
+    assert sum(r.value_cents for r in g) == 800
+    h = [r for r in rows if r.grp == "h"]
+    assert len(h) == 1 and h[0].rank == 1
+
+
+def test_repeat_purchase_rate_counts_repeaters_not_repeats(spark):
+    import datetime as _dt
+
+    from cubicerp_client_etl_spark.operators.behavior import (
+        repeat_purchase_rate,
+    )
+
+    d = _dt.date
+    p = spark.createDataFrame(
+        [
+            # pair (1, A): three quick repeats -> counts ONCE
+            (1, "A", "g", d(2024, 1, 1)),
+            (1, "A", "g", d(2024, 1, 5)),
+            (1, "A", "g", d(2024, 1, 9)),
+            # pair (1, B): repeat at exactly 30 days -> inclusive
+            (1, "B", "g", d(2024, 1, 1)),
+            (1, "B", "g", d(2024, 1, 31)),
+            # pair (2, A): repeat at 31 days -> NOT within window
+            (2, "A", "g", d(2024, 1, 1)),
+            (2, "A", "g", d(2024, 2, 1)),
+            # pair (2, B): single purchase
+            (2, "B", "g", d(2024, 3, 1)),
+        ],
+        "e int, i string, g string, d date",
+    )
+    row = repeat_purchase_rate(p, "e", "i", "d", "g").collect()[0]
+    assert (row.n_pairs, row.n_repeat_pairs) == (4, 2)
+    assert row.repeat_rate_e6 == 500000
