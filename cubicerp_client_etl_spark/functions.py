@@ -185,3 +185,32 @@ def hi_lo_bigint(name: str, prefix: str) -> list[Column]:
         F.expr(f"CAST(`{name}` div {e18} AS BIGINT)").alias(f"{prefix}_hi"),
         F.expr(f"CAST(`{name}` % {e18} AS BIGINT)").alias(f"{prefix}_lo"),
     ]
+
+
+def business_days_between(start: Column, end: Column) -> Column:
+    """Exact business days (Mon–Fri) in the half-open [start, end) —
+    SLA arithmetic with no calendar table, no explode, no UDF: a
+    closed form over epoch days, identical integers in every engine.
+
+    Let ``e`` be the epoch-day number and ``i = e + 3`` its
+    Monday-aligned index (1970-01-01 was a Thursday, so ``i % 7 == 0``
+    exactly on Mondays). The count of business days since the epoch is
+    ``cum(e) = 5·(i div 7) + least(i % 7, 5)`` — full weeks contribute
+    5, the partial week contributes its weekday prefix — and the
+    answer is ``cum(end) − cum(start)``. Negative when end < start
+    (both engines agree; epoch-day indexes are non-negative for any
+    post-1970 date so div/% conventions never diverge). DuckDB
+    replays it as ``5*(i//7) + least(i % 7, 5)`` on
+    ``d − DATE '1970-01-01'``.
+    """
+    s = F.datediff(start, F.lit("1970-01-01")).cast("bigint") + F.lit(3)
+    e = F.datediff(end, F.lit("1970-01-01")).cast("bigint") + F.lit(3)
+    # (i - i % 7) / 7 is an exact multiple-of-7 division — double
+    # rounding cannot bite below 2^53 epoch-days (year ~2.4e10)
+    cs = (F.lit(5) * ((s - s % 7) / F.lit(7)) + F.least(s % 7, F.lit(5))).cast(
+        "bigint"
+    )
+    ce = (F.lit(5) * ((e - e % 7) / F.lit(7)) + F.least(e % 7, F.lit(5))).cast(
+        "bigint"
+    )
+    return (ce - cs).cast("bigint")

@@ -10,7 +10,8 @@ per source, the hour-of-day load profile (UTC-instant hour
 arithmetic + an exact integer dispersion index), the interval-overlap
 double-booking audit, exact k-sigma anomaly flags, the top-k
 leaderboard with an exact OTHERS rollup, the repeat-purchase rate,
-and the intraday price-consistency audit.
+the intraday price-consistency audit, business-day SLA arithmetic
+(closed-form, no calendar table), and the slow-mover screen.
 
 Same corpus discipline as the rest of the registry: exact integer
 arithmetic the DuckDB oracle replays bit-for-bit.
@@ -829,3 +830,163 @@ def q335_price_consistency_audit(
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# q336 — Business-day fulfillment SLA (L-erp29): per order priority,
+# the exact Mon–Fri business days from order to EACH line's ship date
+# — the SLA metric ops contracts are written in — with no calendar
+# table, no explode, no UDF: a closed form over epoch days
+# (functions.business_days_between — cum(e) = 5·(i div 7) +
+# least(i % 7, 5) on the Monday-aligned index i = epoch_day + 3;
+# brute-force-pinned over 200 random ranges in the unit suite).
+# Output per priority: lines, exact Σ business days, mean at e6, and
+# the share breaching a 10-business-day SLA. Scale: one fact
+# equi-join + pure map + one keyed agg over 5 cells. The oracle
+# replays the closed form on d − DATE '1970-01-01'.
+# --------------------------------------------------------------------------
+@register(
+    "q336_business_day_sla",
+    oracle="""
+WITH l AS (
+  SELECT o.o_orderpriority AS prio,
+         CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' + 3 AS ia,
+         CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' + 3 AS ib
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+bd AS (
+  SELECT prio,
+         (5 * (ib // 7) + LEAST(ib % 7, 5))
+           - (5 * (ia // 7) + LEAST(ia % 7, 5)) AS nbd
+  FROM l
+)
+SELECT prio AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(nbd) AS BIGINT) AS total_bdays,
+       CAST(SUM(nbd) * 1000000 // COUNT(*) AS BIGINT) AS mean_bdays_e6,
+       CAST(SUM(CASE WHEN nbd > 10 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS breach_share_e6
+FROM bd GROUP BY prio ORDER BY priority
+""",
+)
+def q336_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import (
+        business_days_between,
+        e6_floor_ratio,
+    )
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    j = lineitem.join(
+        orders.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("odt"),
+        ),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "priority",
+        business_days_between(
+            F.col("odt"), F.to_date("l_shipdate")
+        ).alias("nbd"),
+    )
+    g = j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("nbd").cast("bigint").alias("total_bdays"),
+        F.sum(F.when(F.col("nbd") > 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_breach"),
+    )
+    return g.select(
+        "priority",
+        "n_lines",
+        "total_bdays",
+        e6_floor_ratio(F.col("total_bdays"), F.col("n_lines")).alias(
+            "mean_bdays_e6"
+        ),
+        e6_floor_ratio(F.col("_breach"), F.col("n_lines")).alias(
+            "breach_share_e6"
+        ),
+    ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# q337 — Slow-mover screen (L-erp30): per brand, parts whose LAST
+# sale is more than 180 days before the data-derived as-of (day after
+# the newest shipment corpus-wide) — the dead-stock candidate list
+# every inventory review opens with, plus how recent each brand's
+# assortment is on average. One max-agg per part (map-side
+# combinable), a 1-row broadcast as-of, one bounded brand agg. The
+# oracle replays the as-of, the staleness test and the ratios.
+# --------------------------------------------------------------------------
+@register(
+    "q337_slow_mover_screen",
+    oracle="""
+WITH asof_d AS (
+  SELECT CAST(max(CAST(l_shipdate AS DATE)) + INTERVAL 1 DAY AS DATE) AS a
+  FROM lineitem
+),
+lastsale AS (
+  SELECT l_partkey AS p, pt.p_brand AS g,
+         MAX(CAST(l_shipdate AS DATE)) AS last_d,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part pt ON pt.p_partkey = l_partkey
+  GROUP BY 1, 2
+),
+staged AS (
+  SELECT g, qty, asof_d.a - last_d AS age FROM lastsale CROSS JOIN asof_d
+)
+SELECT g AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN age > 180 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stale,
+       CAST(SUM(CASE WHEN age > 180 THEN qty ELSE 0 END) AS BIGINT)
+         AS stale_qty,
+       CAST(SUM(CASE WHEN age > 180 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS stale_share_e6,
+       CAST(MAX(age) AS BIGINT) AS oldest_age_days
+FROM staged GROUP BY g ORDER BY brand
+""",
+)
+def q337_slow_mover_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    asof = lineitem.agg(
+        F.date_add(F.max(F.to_date("l_shipdate")), 1).alias("_asof")
+    )
+    lastsale = (
+        lineitem.join(
+            part.select("p_partkey", F.col("p_brand").alias("brand")),
+            lineitem["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "brand")
+        .agg(
+            F.max(F.to_date("l_shipdate")).alias("last_d"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+    staged = lastsale.crossJoin(F.broadcast(asof)).withColumn(
+        "age", F.datediff(F.col("_asof"), F.col("last_d"))
+    )
+    g = staged.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("age") > 180, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stale"),
+        F.sum(F.when(F.col("age") > 180, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("stale_qty"),
+        F.max("age").cast("bigint").alias("oldest_age_days"),
+    )
+    return g.select(
+        "brand",
+        "n_parts",
+        "n_stale",
+        "stale_qty",
+        e6_floor_ratio(F.col("n_stale"), F.col("n_parts")).alias(
+            "stale_share_e6"
+        ),
+        "oldest_age_days",
+    ).orderBy("brand")

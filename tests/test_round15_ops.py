@@ -587,3 +587,48 @@ def test_repeat_purchase_rate_counts_repeaters_not_repeats(spark):
     row = repeat_purchase_rate(p, "e", "i", "d", "g").collect()[0]
     assert (row.n_pairs, row.n_repeat_pairs) == (4, 2)
     assert row.repeat_rate_e6 == 500000
+
+
+def test_business_days_between_brute_force(spark):
+    import datetime as _dt
+
+    from cubicerp_client_etl_spark.functions import business_days_between
+
+    base = _dt.date(1992, 1, 1)
+    rows = [
+        (
+            i,
+            base + _dt.timedelta(days=i * 13 % 900),
+            base + _dt.timedelta(days=i * 13 % 900 + i % 40),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id int, a date, b date")
+    out = {
+        r.id: r.bd
+        for r in df.select(
+            "id", business_days_between(F.col("a"), F.col("b")).alias("bd")
+        ).collect()
+    }
+
+    def ref(a, b):
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += _dt.timedelta(days=1)
+        return n
+
+    for i, a, b in rows:
+        assert out[i] == ref(a, b), (i, a, b, out[i], ref(a, b))
+    # half-open semantics: same-day span is zero business days
+    same = spark.createDataFrame(
+        [(1, _dt.date(2024, 1, 3), _dt.date(2024, 1, 3))],
+        "id int, a date, b date",
+    )
+    assert (
+        same.select(
+            business_days_between(F.col("a"), F.col("b")).alias("bd")
+        ).collect()[0].bd
+        == 0
+    )
