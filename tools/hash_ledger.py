@@ -51,7 +51,8 @@ MAP_FILES = [
     "renumber_r11.py",
     "renumber_r12.py",
     "renumber_r13.py",
-    "renumber_r14.py",  # may not exist yet when this tool first runs
+    "renumber_r14.py",
+    "renumber_r15.py",  # may not exist yet when this tool first runs
 ]
 
 
