@@ -715,3 +715,59 @@ def kit_availability(
             .alias("limiting_onhand"),
         )
     )
+
+
+def newsvendor_level(
+    demands: DataFrame,
+    key_col: str,
+    qty_col: str,
+    underage_cost: int = 3,
+    overage_cost: int = 1,
+) -> DataFrame:
+    """Newsvendor order-up-to level — the service-level stocking rule:
+    per key, the smallest stock level S whose empirical in-stock
+    probability reaches the critical ratio ``cu / (cu + co)``
+    (underage vs overage cost). Decided by the EXACT integer rank
+    rule ``cum·(cu + co) ≥ cu·n`` over the per-key demand HISTOGRAM —
+    no division, no doubles, the q316 histogram-order-statistic
+    discipline (type-1 / quantile_disc semantics).
+
+    Output per key: ``(key, n_obs, s_level, critical_ratio_e6)``.
+
+    Scale: one keyed histogram agg (map-side combinable), one
+    cumulative window over the bounded per-key distinct-quantity
+    grid (demand quantities are small integers by nature), one
+    filter + min-agg. All shuffles share the key.
+    """
+    from ..functions import e6_floor_ratio
+
+    cu, co = int(underage_cost), int(overage_cost)
+    assert cu > 0 and co >= 0
+    h = demands.groupBy(
+        F.col(key_col).alias("_k"), F.col(qty_col).cast("bigint").alias("_q")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy("_k")
+        .orderBy("_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("_k")
+    staged = h.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(w_tot)
+    )
+    pick = (
+        staged.where(
+            F.col("_cum") * F.lit(cu + co) >= F.lit(cu) * F.col("_n")
+        )
+        .groupBy(F.col("_k").alias(key_col))
+        .agg(
+            F.min("_q").cast("bigint").alias("s_level"),
+            F.first("_n").cast("bigint").alias("n_obs"),
+        )
+    )
+    return pick.select(
+        key_col,
+        "n_obs",
+        "s_level",
+        e6_floor_ratio(F.lit(cu), F.lit(cu + co)).alias("critical_ratio_e6"),
+    )

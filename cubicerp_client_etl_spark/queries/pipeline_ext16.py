@@ -11,7 +11,9 @@ arithmetic + an exact integer dispersion index), the interval-overlap
 double-booking audit, exact k-sigma anomaly flags, the top-k
 leaderboard with an exact OTHERS rollup, the repeat-purchase rate,
 the intraday price-consistency audit, business-day SLA arithmetic
-(closed-form, no calendar table), and the slow-mover screen.
+(closed-form, no calendar table), the slow-mover screen, newsvendor
+order-up-to levels (exact histogram rank rule), and funnel
+time-to-convert percentiles.
 
 Same corpus discipline as the rest of the registry: exact integer
 arithmetic the DuckDB oracle replays bit-for-bit.
@@ -990,3 +992,143 @@ def q337_slow_mover_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "oldest_age_days",
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# q338 — Newsvendor order-up-to levels (L-erp31): the service-level
+# stocking rule — per part, the smallest stock level whose empirical
+# in-stock probability reaches the critical ratio cu/(cu+co) (3:1
+# here → 75% service), decided by the EXACT integer rank rule
+# cum·(cu+co) ≥ cu·n over the per-part demand histogram (the q316
+# histogram-order-statistic discipline; no division, no doubles),
+# summarized per brand. Scale: one keyed histogram agg + a cumulative
+# window over the bounded per-part distinct-quantity grid + the
+# bounded brand agg. Operator: history.newsvendor_level.
+# --------------------------------------------------------------------------
+@register(
+    "q338_newsvendor_stock_levels",
+    oracle="""
+WITH h AS (
+  SELECT l_partkey AS p, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+st AS (
+  SELECT p, q,
+         SUM(c) OVER (PARTITION BY p ORDER BY q) AS cm,
+         SUM(c) OVER (PARTITION BY p) AS n
+  FROM h
+),
+pick AS (
+  SELECT p, CAST(MIN(q) AS BIGINT) AS s_level,
+         CAST(MIN(n) AS BIGINT) AS n_obs
+  FROM st WHERE cm * 4 >= 3 * n GROUP BY p
+),
+j AS (
+  SELECT pick.s_level, pick.n_obs, pt.p_brand AS g
+  FROM pick JOIN part pt ON pt.p_partkey = pick.p
+)
+SELECT g AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(s_level) AS BIGINT) AS total_stock_units,
+       CAST(MAX(s_level) AS BIGINT) AS max_stock_units,
+       CAST(SUM(n_obs) AS BIGINT) AS n_demand_obs
+FROM j GROUP BY g ORDER BY brand
+""",
+)
+def q338_newsvendor_stock_levels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.history import newsvendor_level
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    levels = newsvendor_level(
+        lineitem, key_col="l_partkey", qty_col="l_quantity"
+    )
+    j = levels.join(
+        part.select("p_partkey", F.col("p_brand").alias("brand")),
+        levels["l_partkey"] == F.col("p_partkey"),
+    )
+    return (
+        j.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("s_level").cast("bigint").alias("total_stock_units"),
+            F.max("s_level").cast("bigint").alias("max_stock_units"),
+            F.sum("n_obs").cast("bigint").alias("n_demand_obs"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q339 — Funnel time-to-convert percentiles (L-beh12): how long the
+# view → click → purchase journey takes for users who complete it —
+# exact p50/p90/max over the conversion latency in whole seconds,
+# via the q031 funnel chain composed with quantiles.exact_quantiles
+# (type-1 rank rule on the latency histogram; latency values are
+# session-scale small integers by NATURE — the q316 boundedness
+# argument — so the global histogram grid is behavior-bounded, not
+# corpus-bounded). Output one row per quantile with the converted
+# count alongside. Scale: the funnel's keyed min-agg chain + one
+# histogram agg + the bounded-grid prefix scan. Operators:
+# behavior.funnel_steps + quantiles.exact_quantiles.
+# --------------------------------------------------------------------------
+@register(
+    "q339_funnel_latency_quantiles",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT (p.t3 - v.t1) // 1000000 AS s FROM p JOIN v USING (user_id)
+),
+counts AS (SELECT s, COUNT(*) AS c FROM lat GROUP BY s),
+cum AS (SELECT s, SUM(c) OVER (ORDER BY s) AS cm FROM counts),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 1.0]) AS DOUBLE) AS q)
+SELECT qs.q, CAST(MIN(cum.s) AS BIGINT) AS latency_s,
+       CAST(tot.n AS BIGINT) AS n_converted
+FROM qs CROSS JOIN tot
+JOIN cum ON CAST(cum.cm AS DOUBLE) / CAST(tot.n AS DOUBLE) >= qs.q
+GROUP BY qs.q, tot.n ORDER BY qs.q
+""",
+)
+def q339_funnel_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.operators.behavior import funnel_steps
+    from cubicerp_client_etl_spark.operators.quantiles import exact_quantiles
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    per_user = funnel_steps(
+        events, "user_id", "t", "event_type", ["view", "click", "purchase"]
+    )
+    lat = per_user.where(F.col("t3_us").isNotNull()).select(
+        F.expr("(t3_us - t1_us) div 1000000").alias("latency_s")
+    )
+    n = lat.agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))
+    qv = exact_quantiles(lat, "latency_s", [0.5, 0.9, 1.0], out_col="latency_s")
+    return (
+        qv.crossJoin(F.broadcast(n))
+        .select(
+            "q",
+            F.col("latency_s").cast("bigint").alias("latency_s"),
+            "n_converted",
+        )
+        .orderBy("q")
+    )

@@ -632,3 +632,16 @@ def test_business_days_between_brute_force(spark):
         ).collect()[0].bd
         == 0
     )
+
+
+def test_newsvendor_level_exact_rank_rule(spark):
+    from cubicerp_client_etl_spark.operators.history import newsvendor_level
+
+    # key 1: demands [1,2,3,4] at ratio 3/4 -> smallest q with
+    # cum*4 >= 3*4=12: cum(3)=3*4=12 -> S=3. key 2: constant demand.
+    rows = [(1, q) for q in (1, 2, 3, 4)] + [(2, 7), (2, 7)]
+    df = spark.createDataFrame(rows, "k int, qty int")
+    out = {r.k: r for r in newsvendor_level(df, "k", "qty").collect()}
+    assert (out[1].s_level, out[1].n_obs) == (3, 4)
+    assert (out[2].s_level, out[2].n_obs) == (7, 2)
+    assert out[1].critical_ratio_e6 == 750000
