@@ -224,3 +224,47 @@ def prefix_sum_by(
         joined.withColumn(out_col, F.col("_local") + F.col("_off"))
         .drop("_pid", "_local", "_off", "_kpid", *[f"_k_{k}" for k in keys])
     )
+
+
+def prefix_min_strict(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "prefix_min",
+) -> DataFrame:
+    """Running MIN of ``value_col`` over the STRICTLY-PRECEDING rows in
+    ``order_by`` order (a total order) — the scan a 2-D skyline/Pareto
+    frontier needs — via the same two-phase distributed form as
+    :func:`prefix_sum` (a global ``MIN() OVER (ORDER BY …)`` window is
+    the identical single-partition scale-killer). NULL where no row
+    precedes (the global first row).
+
+    Phase 1: range-repartition on the order and run the strict
+    rows-frame min per slice; phase 2: per-slice TOTAL mins → a
+    strict cumulative min over the bounded partition table, broadcast
+    back; the answer is ``least(slice-local strict min, min of all
+    earlier slices)``. MIN is associative/commutative, so the split
+    is exact for any dtype with an order (no decimal-only caveat).
+    Same ``localCheckpoint`` determinism discipline as prefix_sum.
+    """
+    _guard_columns(df, out_col)
+    ranged = (
+        df.repartitionByRange(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_local", F.min(value_col).over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.min(value_col).alias("_ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.min("_ptot").over(w_off).alias("_off")
+    )
+    joined = local.join(F.broadcast(offsets), "_pid")
+    return joined.withColumn(
+        out_col, F.least(F.col("_local"), F.col("_off"))
+    ).drop("_pid", "_local", "_off")

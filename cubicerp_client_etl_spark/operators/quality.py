@@ -730,3 +730,43 @@ def three_sigma_flags(
             ),
         )
     )
+
+
+def skyline_screen(
+    df: DataFrame,
+    cost_col: str,
+    rate_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier screen (minimize BOTH criteria) — the
+    shortlist every two-criteria sourcing decision starts from
+    (cheapest-vs-best-quality suppliers, fastest-vs-cheapest
+    carriers): a point is on the frontier iff no other point is at
+    least as good on both axes and better on one.
+
+    Law (deterministic, one scan): in the TOTAL order ``(cost, rate,
+    id)``, a point is on the frontier iff its rate is STRICTLY below
+    the running min of all preceding rows (or no row precedes).
+    Predecessors have cost ≤ c, so ``prefix_min ≤ r`` is exactly
+    "some point with cost ≤ c and rate ≤ r sits earlier" — strict
+    domination because either its cost is strictly lower, or it ties
+    on cost with a strictly lower rate, or it ties on BOTH (the
+    duplicate case — kept once, lowest id, the documented dedup
+    convention). Adds ``is_frontier`` boolean.
+
+    Scale: the scan is :func:`..prefix.prefix_min_strict`'s two-phase
+    distributed form — no single-partition global window; the input
+    is the caller's already-reduced per-entity criteria frame.
+    """
+    from .prefix import prefix_min_strict
+
+    scanned = prefix_min_strict(
+        df,
+        [F.col(cost_col), F.col(rate_col), F.col(id_col)],
+        rate_col,
+        out_col="_pm",
+    )
+    return scanned.withColumn(
+        "is_frontier",
+        F.col("_pm").isNull() | (F.col(rate_col) < F.col("_pm")),
+    ).drop("_pm")

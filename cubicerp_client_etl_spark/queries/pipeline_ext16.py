@@ -12,8 +12,9 @@ double-booking audit, exact k-sigma anomaly flags, the top-k
 leaderboard with an exact OTHERS rollup, the repeat-purchase rate,
 the intraday price-consistency audit, business-day SLA arithmetic
 (closed-form, no calendar table), the slow-mover screen, newsvendor
-order-up-to levels (exact histogram rank rule), and funnel
-time-to-convert percentiles.
+order-up-to levels (exact histogram rank rule), funnel
+time-to-convert percentiles, and the 2-D Pareto/skyline screen on
+the two-phase distributed prefix-min.
 
 Same corpus discipline as the rest of the registry: exact integer
 arithmetic the DuckDB oracle replays bit-for-bit.
@@ -1131,4 +1132,86 @@ def q339_funnel_latency_quantiles(
             "n_converted",
         )
         .orderBy("q")
+    )
+
+
+# --------------------------------------------------------------------------
+# q340 — Supplier Pareto frontier (L-qa10): the two-criteria sourcing
+# shortlist — suppliers not dominated on (average unit price, return
+# rate), both exact at e6. The skyline law runs in ONE scan: in the
+# (cost, rate, id) total order a supplier is on the frontier iff its
+# rate is strictly below the running min of all predecessors — and
+# that scan is the TWO-PHASE distributed prefix-min
+# (prefix.prefix_min_strict), not a single-partition global window,
+# so the screen survives a 10⁷-supplier dimension. The oracle replays
+# the same law with a plain global window (fine at oracle scale).
+# Operators: quality.skyline_screen + prefix.prefix_min_strict.
+# --------------------------------------------------------------------------
+@register(
+    "q340_supplier_pareto_frontier",
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey AS sk,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS ext,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT sk, CAST(ext * 1000000 // qty AS BIGINT) AS cost_e6,
+         CAST(r * 1000000 // n AS BIGINT) AS rate_e6
+  FROM s
+),
+m AS (
+  SELECT sk, cost_e6, rate_e6,
+         MIN(rate_e6) OVER (ORDER BY cost_e6, rate_e6, sk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+  FROM c
+)
+SELECT CAST(sk AS BIGINT) AS l_suppkey, cost_e6, rate_e6
+FROM m WHERE pm IS NULL OR rate_e6 < pm
+ORDER BY cost_e6, rate_e6, l_suppkey
+""",
+)
+def q340_supplier_pareto_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cubicerp_client_etl_spark.functions import e6_floor_ratio
+    from cubicerp_client_etl_spark.operators.quality import skyline_screen
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    crit = (
+        lineitem.groupBy(F.col("l_suppkey"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            ).alias("_ext"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("_r"),
+        )
+        .select(
+            "l_suppkey",
+            e6_floor_ratio(F.col("_ext"), F.col("_qty")).alias("cost_e6"),
+            e6_floor_ratio(F.col("_r"), F.col("_n")).alias("rate_e6"),
+        )
+    )
+    out = skyline_screen(crit, "cost_e6", "rate_e6", "l_suppkey")
+    return (
+        out.where(F.col("is_frontier"))
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+            "cost_e6",
+            "rate_e6",
+        )
+        .orderBy("cost_e6", "rate_e6", "l_suppkey")
     )

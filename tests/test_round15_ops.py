@@ -645,3 +645,27 @@ def test_newsvendor_level_exact_rank_rule(spark):
     assert (out[1].s_level, out[1].n_obs) == (3, 4)
     assert (out[2].s_level, out[2].n_obs) == (7, 2)
     assert out[1].critical_ratio_e6 == 750000
+
+
+def test_skyline_screen_domination_cases(spark):
+    from cubicerp_client_etl_spark.operators.quality import skyline_screen
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10, 50),   # frontier (cheapest)
+            (2, 20, 40),   # frontier (more cost, better rate)
+            (3, 20, 45),   # dominated by 2 (same cost, worse rate)
+            (4, 30, 40),   # dominated by 2 (worse cost, same rate)
+            (5, 40, 10),   # frontier
+            (6, 40, 10),   # duplicate of 5 -> kept once (lowest id)
+            (7, 50, 60),   # dominated by 1
+        ],
+        "id int, cost long, rate long",
+    )
+    out = {
+        r.id: r.is_frontier
+        for r in skyline_screen(pts, "cost", "rate", "id").collect()
+    }
+    assert out == {
+        1: True, 2: True, 3: False, 4: False, 5: True, 6: False, 7: False,
+    }
