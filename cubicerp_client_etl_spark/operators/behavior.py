@@ -453,6 +453,14 @@ def rfm_segmentation(
 
     d = F.to_date(F.col(date_col))
     asof = orders.agg(F.date_add(F.max(d), 1).alias("_asof"))
+    # The per-entity aggregate feeds the n-row count, all three metric
+    # value-count tables and the final score join — checkpoint it so
+    # the orders scan + aggregation run once. Each metric's score map
+    # depends only on that metric's VALUE DISTRIBUTION (the join-backs
+    # never change the row multiset), so the three maps are built
+    # independently from `per` and attached in one join chain, instead
+    # of the previous nested tile(tile(tile(...))) whose inner stages
+    # were re-evaluated by every outer value-count pass.
     per = (
         orders.crossJoin(F.broadcast(asof))
         .groupBy(entity_col)
@@ -461,23 +469,27 @@ def rfm_segmentation(
             F.count(F.lit(1)).cast("bigint").alias("_f"),
             F.sum(F.col(amount_col)).cast("bigint").alias("_m"),
         )
+        .localCheckpoint(eager=False)
     )
     n_row = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
 
-    def tile(df: DataFrame, metric: str, out: str) -> DataFrame:
-        vc = df.groupBy(metric).agg(
+    def score_map(metric: str, out: str) -> DataFrame:
+        vc = per.groupBy(metric).agg(
             F.count(F.lit(1)).cast("bigint").alias("_c")
         )
         cum = prefix_sum(
             vc, order_by=[F.col(metric)], value_col="_c", out_col="_cum"
         )
-        scored = cum.crossJoin(F.broadcast(n_row)).select(
+        return cum.crossJoin(F.broadcast(n_row)).select(
             metric,
             F.expr(f"CAST((_cum * 5 + _n - 1) div _n AS INT)").alias(out),
         )
-        return df.join(scored, metric)
 
-    staged = tile(tile(tile(per, "_r", "r_score"), "_f", "f_score"), "_m", "m_score")
+    staged = (
+        per.join(score_map("_r", "r_score"), "_r")
+        .join(score_map("_f", "f_score"), "_f")
+        .join(score_map("_m", "m_score"), "_m")
+    )
     return staged.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_entities"),
         F.sum("_m").cast("bigint").alias("total_cents"),

@@ -78,12 +78,20 @@ def kmeans_int(
     """
     if k < 1 or iterations < 0:
         raise ValueError("k must be >= 1 and iterations >= 0")
-    shifted = vectors.select(
+    # Every iteration's assignment pass plus the seed scan re-read the
+    # source (and re-run the caller's quantization map) without a
+    # checkpoint — N iterations paid the vector build N+1 times. The
+    # FINAL assignment below deliberately runs over the raw projection
+    # instead, keeping the output plan a pure map over the source scan
+    # (no storage dependency — the documented 100 TB posture, pinned by
+    # tests/test_plan_posture.py::test_q165_kmeans_assignment_is_join_free).
+    shifted_src = vectors.select(
         F.col(id_col),
         F.transform(
             F.col(vec_col), lambda x: (x + F.lit(shift)).cast("bigint")
         ).alias("_v"),
     )
+    shifted = shifted_src.localCheckpoint(eager=False)
     seed_rows = shifted.orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
@@ -112,7 +120,7 @@ def kmeans_int(
             centroids[int(r["cluster"])] = list(r["cv"])
 
     final = _assign_expr(F.col("_v"), centroids)
-    return shifted.select(
+    return shifted_src.select(
         F.col(id_col),
         final["cluster"].alias("cluster"),
         final["dist_sq"].alias("dist_sq"),

@@ -280,9 +280,14 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band_id"), bh.alias("band_hash"))
         )
+    # Both self-join sides (and the hot-bucket census when capped) read
+    # the banded frame; checkpoint so the signature aggregate — the
+    # expensive upstream shuffle — runs once, not per consumer.
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_hash").localCheckpoint(
+        eager=False
+    )
     if hot_band_cap is not None:
         hot = (
             banded.groupBy("band_id", "band_hash")
@@ -320,9 +325,13 @@ def jaccard_pairs(
     the verify stage after LSH. Set sizes are precomputed per doc; the
     intersection is one join on shingle value restricted to candidates.
     """
+    # Three consumers (sizes + both join sides) re-run the explode +
+    # distinct without this checkpoint — the shingle build is the
+    # dominant per-row CPU cost of the verify stage.
     sh = (
         df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.withColumnRenamed(id_col, "id_a")
@@ -692,6 +701,11 @@ def _setsim_prefix_tokens(
     toks = F.split(F.col(text_col), " ")
     # widen: the per-doc shingle build + sorted-set construction is
     # CPU-heavy map work before any shuffle (no-op on wide scans)
+    # base feeds the frequency aggregate, the prefix build AND the
+    # caller's verify joins (twice, as both pair sides) — checkpoint so
+    # the shingle construction runs once, not once per consumer. Same
+    # for the (vocab-bounded) frequency table and the rebuilt capped
+    # set frame below.
     base = (
         widen_scan(docs).select(
             F.col(id_col).alias("_id"),
@@ -699,12 +713,14 @@ def _setsim_prefix_tokens(
         )
         .filter(F.size("_set") > 0)
         .withColumn("_sz", F.size("_set").cast("bigint"))
+        .localCheckpoint(eager=False)
     )
 
     freq = (
         base.select(F.explode("_set").alias("_t"))
         .groupBy("_t")
         .agg(F.count("*").alias("_f"))
+        .localCheckpoint(eager=False)
     )
     if hot_cap is not None:
         # rebuild every document's set over the capped universe: sizes,
@@ -718,6 +734,7 @@ def _setsim_prefix_tokens(
             .groupBy("_id")
             .agg(F.array_sort(F.collect_set("_t")).alias("_set"))
             .withColumn("_sz", F.size("_set").cast("bigint"))
+            .localCheckpoint(eager=False)
         )
     # per-doc shingles ordered rarest-first; prefix length
     # p = sz - ceil(num*sz/den) + 1  (exact integer ceil-div)
@@ -743,9 +760,10 @@ def _setsim_prefix_tokens(
             F.slice("_ord", 1, F.col("_p").cast("int")).alias("_pref"),
         )
     )
+    # consumed as BOTH sides of the candidate self-join
     pref = ordered.select(
         "_id", "_sz", F.explode("_pref").alias("_t")
-    )
+    ).localCheckpoint(eager=False)
     return base, pref
 
 
@@ -897,8 +915,13 @@ def sorted_neighborhood_pairs(
         F.substring(key, 1, prefix_len).alias("_blk"),
     )
     w_blk = W.partitionBy("_blk").orderBy("_k", "_id")
-    rn = base.withColumn("_rn", F.row_number().over(w_blk)).where(
-        F.col("_rn") <= block_cap
+    # Four consumers (the window slide, the block-size aggregate, the
+    # boundary tail and head row sets) all read the ranked frame;
+    # checkpoint so the scan + block window run once, not per consumer.
+    rn = (
+        base.withColumn("_rn", F.row_number().over(w_blk))
+        .where(F.col("_rn") <= block_cap)
+        .localCheckpoint(eager=False)
     )
     # within-block slide via lead() — one window pass, LINEAR in block
     # size (a blocked self-join filtered on rn-distance generates
@@ -1108,7 +1131,10 @@ def simhash_chunk_candidates(
                 ]
             )
         ).alias("_c"),
-    ).select("_id", "_f", "_c.chunk_id", "_c.chunk")
+    ).select("_id", "_f", "_c.chunk_id", "_c.chunk").localCheckpoint(
+        eager=False
+    )  # consumed by both join sides (+ the hot census when capped);
+    # upstream is the caller's fingerprint build — run it once
 
     hot_flags = None
     if hot_chunk_cap is not None:

@@ -94,10 +94,16 @@ def source_overlap_matrix(
     """
     from cubicerp_client_etl_spark.functions import e6_floor_ratio
 
+    # sizes + the pair build read the distinct frame; checkpoint so the
+    # caller's shingle explode + the distinct run once.
     d = sh.select(
         F.col(group_col).alias("_g"), F.col(sh_col).alias("_sh")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = d.groupBy("_g").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    # NOTE (r15 measured): a collect_set-per-shingle + pair-explode
+    # rewrite of this self-join (aggregate-before-shuffle) measured ~1 s
+    # SLOWER at sf0.1 — the set aggregate shuffles the same bytes the
+    # join does and loses the join's AQE exchange reuse. Join retained.
     a = d.select(F.col("_g").alias("source_a"), "_sh")
     b = d.select(F.col("_g").alias("source_b"), "_sh")
     inter = (

@@ -64,21 +64,28 @@ def connected_components(
             sym.join(labels, sym.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+        # One keyed min over incoming labels, then ONE left join back to
+        # the label table computes the new label AND the convergence
+        # flag together (min-label monotonicity: a label changes iff the
+        # best incoming label is strictly smaller). The previous form
+        # unioned all |V| labels into the aggregate and then ran a
+        # SECOND |V|-row join purely as the probe — one full join per
+        # round saved, same fixpoint, same values.
+        min_in = prop.groupBy("node").agg(F.min("label").alias("_plabel"))
+        upd = (
+            labels.join(min_in, "node", "left")
+            .select(
+                "node",
+                F.least("label", "_plabel").alias("label"),
+                (F.col("_plabel") < F.col("label")).alias("_chg"),
+            )
             .localCheckpoint(eager=False)  # truncate lineage per round
         )
         # Scalar convergence probe (type-agnostic, no collect of node
-        # data): count of nodes whose label changed this round.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # data): count of nodes whose label changed this round — rides
+        # the already-materialized checkpoint blocks.
+        changed = upd.filter(F.col("_chg")).count()
+        labels = upd.select("node", "label")
         if changed == 0:
             break
 
@@ -120,17 +127,25 @@ def pagerank_int(
     standard distributed formulation (GraphX uses the same shape).
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Loop-invariant hoist: attach each edge's out-degree ONCE and pin
+    # the result (plus the node set) with a checkpoint. The previous
+    # form re-joined deg inside every iteration AND recomputed the
+    # caller's edge pipeline (often a join+distinct over fact tables)
+    # once per round — 5 iterations paid the edge build 5 times.
+    ed = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint(
+        eager=False
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     base = F.lit((100 - damping_pct) * unit // 100).cast("long")
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("units"))
     for _ in range(iterations):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+            ed.join(ranks, ed.src == ranks.node)
             .select(
                 F.col("dst"),
                 F.expr("units div deg").cast("long").alias("c"),
@@ -257,6 +272,11 @@ def triangle_stats(
     node-bounded; all joins are equi-joins on node ids; no window, no
     collect.
     """
+    # NOTE (r15 measured): the normalized edge list feeds three
+    # subtrees, but their exchanges canonicalize identically, so AQE's
+    # runtime exchange reuse already dedupes the recompute — an
+    # explicit checkpoint bought 0% here and OOMed small-heap sessions
+    # (edge-sized block-manager storage). Left uncheckpointed.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),

@@ -151,7 +151,9 @@ def q292_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("qv"),
     )
-    allq = quant.unionByName(twins)
+    # three consumers (the k-derivation count, the k-means input, the
+    # dedup verify input) — checkpoint so quantize+twin-union runs once
+    allq = quant.unionByName(twins).localCheckpoint(eager=False)
     # k derives from ONE scalar count (the q038 rule) so cells stay
     # ~_SD_CELL vectors and pair volume is linear in n — see _SD_CELL
     n_vecs = allq.count()

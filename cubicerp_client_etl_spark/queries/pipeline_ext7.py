@@ -596,11 +596,16 @@ def q262_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("doc_id") + 1000000
         )
     )
+    # truth feeds the truth-count and the TP join; cand feeds the
+    # cand-count and the TP join — checkpoint both so the exact-truth
+    # join and the LSH candidate join each run once
     truth = dd.exact_jaccard_truth(
         dupped, "doc_id", "text", shingle_n=3, threshold_e6=500000, df_cap=64
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     sigs = dd.minhash_signatures(dupped, "doc_id", "text", num_hashes=32, portable=True)
-    cand = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=32, bands=8, portable=True)
+    cand = dd.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=32, bands=8, portable=True
+    ).localCheckpoint(eager=False)
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     ncand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     tp = cand.join(truth, ["id_a", "id_b"]).agg(

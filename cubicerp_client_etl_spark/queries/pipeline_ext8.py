@@ -415,6 +415,8 @@ def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widen the narrow fixture scan: the shingle explode in the verify
     # stage is per-row CPU work that runs before any shuffle
     docs = widen_scan(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    # consumed twice (the verify-stage candidate list and the final
+    # left join) — checkpoint so the blocking pass runs once
     pairs = sorted_neighborhood_pairs(
         docs,
         "doc_id",
@@ -422,7 +424,7 @@ def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_SNM_W,
         prefix_len=_SNM_P,
         block_cap=10_000,
-    )
+    ).localCheckpoint(eager=False)
     ver = jaccard_pairs(
         docs, pairs.select("id_a", "id_b").distinct(), "doc_id", "text", 3
     )
