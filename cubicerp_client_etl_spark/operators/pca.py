@@ -155,18 +155,44 @@ def scatter_matrix(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-def _renorm(v: DataFrame) -> DataFrame:
-    """v·V_SCALE div max|v| — exact max-abs renormalization with
-    truncation toward zero (sign·(|v|·S div m) — ``div`` truncates the
-    same way in Spark and DuckDB, kept explicit anyway)."""
-    m = v.agg(F.max(F.abs(F.col("v"))).cast("bigint").alias("_m"))
-    return v.join(F.broadcast(m)).select(
-        "i",
-        (
-            F.signum(F.col("v")).cast("bigint")
-            * F.expr(f"CAST((abs(v) * {V_SCALE}) div _m AS BIGINT)")
-        ).alias("v"),
-    )
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark's ``div`` /
+    DuckDB's ``//`` on matching signs (Python ``//`` floors, which
+    differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _scatter_to_dense(scatter: DataFrame, d: int) -> list[list[int]]:
+    """Collect the BOUNDED (≤ d² rows, data-size independent) scatter
+    to the driver as a dense Python int matrix — the k-means
+    centroid-collect precedent (clustering.py): the iterate math over
+    a 64×64 matrix is driver-scale, and running it distributed cost
+    ~6 scheduler round-trips per round for 4096-row frames."""
+    A = [[0] * d for _ in range(d)]
+    for r in scatter.select("i", "j", "a").collect():
+        A[r["i"] - 1][r["j"] - 1] = int(r["a"])
+    return A
+
+
+def _matvec_i(A: list[list[int]], v: list[int]) -> list[int]:
+    return [sum(row[j] * v[j] for j in range(len(v))) for row in A]
+
+
+def _renorm_i(w: list[int]) -> list[int]:
+    """Exact-int twin of ``_renorm``: sign(x)·(|x|·V_SCALE div max|w|),
+    truncation toward zero (operands non-negative, so // == div)."""
+    m = max(abs(x) for x in w)
+    if m == 0:
+        raise ValueError("power iteration degenerated to the zero vector")
+    return [
+        (0 if x == 0 else (1 if x > 0 else -1)) * ((abs(x) * V_SCALE) // m)
+        for x in w
+    ]
+
+
+def _dot_i(a: list[int], b: list[int]) -> int:
+    return sum(x * y for x, y in zip(a, b))
 
 
 def power_iteration_top(
@@ -182,39 +208,26 @@ def power_iteration_top(
     the eigenvalue at V_SCALE = 1000; no e6 blow-up, so the oracle's
     bigint replay never overflows).
 
-    Every round is two bounded joins over the d²-row matrix — no
-    data-sized state; localCheckpoint between rounds is unnecessary
-    because the lineage is d²-bounded (contrast ``operators/graph``,
-    whose per-round frames are data-sized).
+    r15: the iterate math runs ON THE DRIVER over the collected
+    d²-bounded scatter (exact Python ints — bit-identical to the
+    former join/agg form, which spent ~0.15 s of scheduler latency per
+    bounded 4096-row job; see ``_scatter_to_dense``). The corpus-sized
+    work (Gram accumulation) stays distributed in ``scatter_matrix``.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     spark = scatter.sparkSession
-    v = spark.range(1, d + 1).select(
-        F.col("id").alias("i"), F.lit(V_SCALE).cast("bigint").alias("v")
-    )
-    aj = scatter.select("i", F.col("j"), F.col("a"))
+    A = _scatter_to_dense(scatter, d)
+    v = [V_SCALE] * d
     for _ in range(iters):
-        w = (
-            aj.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("a") * F.col("v")).cast("bigint").alias("v"))
-        )
-        v = _renorm(w)
-    w = (
-        aj.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("a") * F.col("v")).cast("bigint").alias("w"))
+        v = _renorm_i(_matvec_i(A, v))
+    w = _matvec_i(A, v)
+    lam0 = _tdiv(_dot_i(v, w), _dot_i(v, v))
+    vdf = spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(d)], "i long, v long"
     )
-    lam = (
-        v.join(w, "i")
-        .agg(
-            F.sum(F.col("v") * F.col("w")).cast("bigint").alias("_vw"),
-            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("_vv"),
-        )
-        .select(F.expr("CAST(_vw div _vv AS BIGINT)").alias("lambda0"))
-    )
-    return v, lam
+    lamdf = spark.createDataFrame([(lam0,)], "lambda0 long")
+    return vdf, lamdf
 
 
 # ---- keyed (per-group) form ----------------------------------------------
@@ -348,30 +361,6 @@ def power_iteration_top_by(
     return v, lam
 
 
-def _orth_against(u: DataFrame, v: DataFrame) -> DataFrame:
-    """Exact integer Gram–Schmidt step: u' = u·(v·v) − v·(v·u) —
-    orthogonal to v up to truncation, computed entirely in bigint
-    (both inputs are max-abs-normalized, so the products stay ≤
-    V_SCALE²·d with huge headroom). Any positive scaling of u' leaves
-    the direction unchanged, so skipping the 1/(v·v) division costs
-    nothing."""
-    dots = (
-        u.join(v.select(F.col("i"), F.col("v").alias("_v1")), "i")
-        .agg(
-            F.sum(F.col("_v1") * F.col("_v1")).cast("bigint").alias("_vv"),
-            F.sum(F.col("_v1") * F.col("v")).cast("bigint").alias("_vu"),
-        )
-    )
-    return (
-        u.join(v.select(F.col("i"), F.col("v").alias("_v1")), "i")
-        .join(F.broadcast(dots))
-        .select(
-            "i",
-            (F.col("v") * F.col("_vv") - F.col("_v1") * F.col("_vu")).alias("v"),
-        )
-    )
-
-
 def power_iteration_top2(
     scatter: DataFrame, d: int, iters: int = 3
 ) -> tuple[DataFrame, DataFrame]:
@@ -392,44 +381,31 @@ def power_iteration_top2(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    v1, lam1 = power_iteration_top(scatter, d, iters)
-    v1 = v1.localCheckpoint(eager=True)  # consumed every iteration
     spark = scatter.sparkSession
-    aj = scatter.select("i", F.col("j"), F.col("a"))
-    u = spark.range(1, d + 1).select(
-        F.col("id").alias("i"),
-        F.when(F.col("id") % 2 == 0, -V_SCALE)
-        .otherwise(V_SCALE)
-        .cast("bigint")
-        .alias("v"),
-    )
-    # per-round localCheckpoint of the 64-row iterate: renorm and the
-    # Gram–Schmidt step each reference their input twice, so an
-    # unpinned chain re-expands ~16× per iteration — exponential plan
-    # growth (the operators/graph.py per-round lesson at matrix size)
-    u = _renorm(_orth_against(u, v1)).localCheckpoint(eager=True)
+    A = _scatter_to_dense(scatter, d)  # one bounded collect for BOTH dirs
+
+    # top-1 recursion, identical to power_iteration_top
+    v1 = [V_SCALE] * d
     for _ in range(iters):
-        w = (
-            aj.join(F.broadcast(u.select(F.col("i").alias("j"), "v")), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("a") * F.col("v")).cast("bigint").alias("v"))
-        )
-        u = _renorm(_orth_against(_renorm(w), v1)).localCheckpoint(eager=True)
-    w = (
-        aj.join(F.broadcast(u.select(F.col("i").alias("j"), "v")), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("a") * F.col("v")).cast("bigint").alias("w"))
+        v1 = _renorm_i(_matvec_i(A, v1))
+    w = _matvec_i(A, v1)
+    lam0 = _tdiv(_dot_i(v1, w), _dot_i(v1, v1))
+
+    def orth(u: list[int]) -> list[int]:
+        # exact Gram–Schmidt step: u' = u·(v1·v1) − v1·(v1·u)
+        vv, vu = _dot_i(v1, v1), _dot_i(v1, u)
+        return [u[i] * vv - v1[i] * vu for i in range(d)]
+
+    # deterministic sign-alternating start by dim parity (i = 1..d)
+    u = [-V_SCALE if (i + 1) % 2 == 0 else V_SCALE for i in range(d)]
+    u = _renorm_i(orth(u))
+    for _ in range(iters):
+        u = _renorm_i(orth(_renorm_i(_matvec_i(A, u))))
+    w = _matvec_i(A, u)
+    lam1 = _tdiv(_dot_i(u, w), _dot_i(u, u))
+
+    dirs = spark.createDataFrame(
+        [(i + 1, v1[i], u[i]) for i in range(d)], "i long, v1 long, v2 long"
     )
-    lam2 = (
-        u.join(w, "i")
-        .agg(
-            F.sum(F.col("v") * F.col("w")).cast("bigint").alias("_vw"),
-            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("_vv"),
-        )
-        .select(F.expr("CAST(_vw div _vv AS BIGINT)").alias("lambda1"))
-    )
-    dirs = v1.select("i", F.col("v").alias("v1")).join(
-        u.select("i", F.col("v").alias("v2")), "i"
-    )
-    lams = lam1.join(F.broadcast(lam2))
+    lams = spark.createDataFrame([(lam0, lam1)], "lambda0 long, lambda1 long")
     return dirs, lams

@@ -415,6 +415,10 @@ LEFT JOIN inv i ON i.l_orderkey = p.l_orderkey
 def q010_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubicerp_client_etl_spark.operators.finance import three_way_match
 
+    # PO, receipt and invoice all derive from this frame — checkpoint
+    # so the scan + money derivation run once (was 3 scans), and AQE
+    # sees REAL sizes for the two match joins instead of the
+    # estimate-blind post-filter guesses.
     base = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
@@ -423,7 +427,7 @@ def q010_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("price_cents"),
-    )
+    ).localCheckpoint(eager=False)
     po = base.select("l_orderkey", "l_linenumber", "qty", "price_cents")
     rcv = base.where(F.col("lk") % 53 != 0).select(
         "l_orderkey",
