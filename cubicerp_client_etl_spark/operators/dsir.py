@@ -50,6 +50,7 @@ def dsir_bucket_weights(
     token_col: str = "t",
     n_buckets: int = 256,
     seed: str = "",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Per-bucket importance weights: ``(b int, llr_e6 bigint)`` for ALL
     ``n_buckets`` buckets (absent buckets score via smoothing alone).
@@ -62,7 +63,15 @@ def dsir_bucket_weights(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    b = dsir_bucket(F.col(token_col), n_buckets, seed)
+    # bucket_col: optional PRE-HASHED bucket column (must equal
+    # dsir_bucket(token_col, n_buckets, seed)) so a caller sharing one
+    # token frame across weights + scoring pays the md5 once, not per
+    # pass — equivalence pinned by tests/test_wave2_ops.py
+    b = (
+        F.col(bucket_col)
+        if bucket_col
+        else dsir_bucket(F.col(token_col), n_buckets, seed)
+    )
     rawc = raw_tokens.select(b.alias("b")).groupBy("b").agg(
         F.count(F.lit(1)).cast("bigint").alias("_rc")
     )
@@ -103,12 +112,17 @@ def dsir_doc_scores(
     token_col: str = "t",
     n_buckets: int = 256,
     seed: str = "",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Per-document importance score: ``(id_cols..., n_toks bigint,
     weight_e6 bigint)`` — the integer sum over the document's tokens of
     their buckets' llr_e6. One broadcast join + one keyed aggregation;
     carries every ``id_cols`` value via first() (constant per id)."""
-    b = dsir_bucket(F.col(token_col), n_buckets, seed)
+    b = (
+        F.col(bucket_col)
+        if bucket_col
+        else dsir_bucket(F.col(token_col), n_buckets, seed)
+    )
     scored = doc_tokens.withColumn("b", b).join(F.broadcast(weights), "b")
     head, *rest = id_cols
     return scored.groupBy(head).agg(

@@ -468,18 +468,32 @@ def q200_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # Narrower shuffle keys (guide §2.3): the five rank iterations
+    # shuffle the node id in every join/agg, so the bipartite ids run
+    # encoded as longs (c:x -> 2x, s:y -> 2y+1 — injective, so the
+    # distinct/join/group structure is untouched and PageRank's values
+    # don't depend on id ordering); the display string is decoded once
+    # on output. 8-byte fixed keys also hash/compare cheaper than
+    # 'c:…'/'s:…' strings.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank_int(edges, iterations=5)
+    ranks = pagerank_int(edges, iterations=5)
+    return ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c:")).otherwise(F.lit("s:")),
+            F.expr("CAST(node div 2 AS STRING)"),
+        ).alias("node"),
+        "units",
+    )
 
 
 # --------------------------------------------------------------------------

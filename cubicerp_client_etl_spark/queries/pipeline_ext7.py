@@ -305,17 +305,39 @@ def q239_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
+    from cubicerp_client_etl_spark.operators.dsir import dsir_bucket
+
+    # Hash every token to its bucket ONCE and checkpoint: the weights
+    # pass (raw + en target) and the scoring pass all consume the same
+    # (explode + md5) stream — the former form re-ran both three times.
+    # Token strings are dropped before the checkpoint (buckets are all
+    # downstream needs), so the pinned frame is narrow.
     toks = docs.where(F.length(F.trim("text")) > 0).select(
         "doc_id",
         "lang",
         "source",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
     )
+    toks_b = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        dsir_bucket(F.col("t"), _DSIR_B).alias("_b"),
+    ).localCheckpoint(eager=False)
     weights = dsir_bucket_weights(
-        toks, toks.where(F.col("lang") == "en"), "t", n_buckets=_DSIR_B
+        toks_b,
+        toks_b.where(F.col("lang") == "en"),
+        "t",
+        n_buckets=_DSIR_B,
+        bucket_col="_b",
     )
     scores = dsir_doc_scores(
-        toks, weights, ["doc_id", "source"], "t", n_buckets=_DSIR_B
+        toks_b,
+        weights,
+        ["doc_id", "source"],
+        "t",
+        n_buckets=_DSIR_B,
+        bucket_col="_b",
     )
     return (
         scores.select("doc_id", "source", "n_toks", "weight_e6")

@@ -243,6 +243,52 @@ def test_dsir_weights_and_scores_match_reference(spark):
     assert got_s[1][1] > got_s[3][1] and got_s[2][1] > got_s[3][1]
 
 
+def test_dsir_precomputed_bucket_col_matches_default(spark):
+    """The r15 hash-once path: passing a pre-hashed ``bucket_col``
+    (exactly dsir_bucket(token, B, seed)) must reproduce the default
+    hash-per-pass weights AND scores bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from cubicerp_client_etl_spark.operators.dsir import (
+        dsir_bucket,
+        dsir_bucket_weights,
+        dsir_doc_scores,
+    )
+
+    B = 32
+    docs = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog ate the bone"),
+        (3, "xx", "zork blee quux zork frobnicate"),
+        (4, "xx", "the zork sat near blee"),
+    ]
+    rows = [
+        (doc_id, lang, t)
+        for doc_id, lang, text in docs
+        for t in text.split()
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, t string")
+    w_ref = dsir_bucket_weights(
+        df, df.where("lang = 'en'"), "t", n_buckets=B, seed="u"
+    )
+    s_ref = dsir_doc_scores(df, w_ref, ["doc_id"], "t", n_buckets=B, seed="u")
+
+    dfb = df.withColumn("_b", dsir_bucket(F.col("t"), B, seed="u"))
+    w_got = dsir_bucket_weights(
+        dfb, dfb.where("lang = 'en'"), "t", n_buckets=B, seed="u",
+        bucket_col="_b",
+    )
+    s_got = dsir_doc_scores(
+        dfb, w_got, ["doc_id"], "t", n_buckets=B, seed="u", bucket_col="_b"
+    )
+    assert sorted(map(tuple, w_got.collect())) == sorted(
+        map(tuple, w_ref.collect())
+    )
+    assert sorted(map(tuple, s_got.collect())) == sorted(
+        map(tuple, s_ref.collect())
+    )
+
+
 # ---- BM25 -----------------------------------------------------------------
 
 
