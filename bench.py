@@ -267,9 +267,17 @@ def main() -> None:
     # full JSON also lands in a LOCAL file: the driver's BENCH_r*.json
     # wrapper keeps only the last 2000 chars of stdout, which truncated
     # BENCH_r10's own queries map mid-object — next round's prev-median
-    # comparison must never depend on that truncation
+    # comparison must never depend on that truncation.
+    # The driver also re-runs bench at a LOW core count for the scaling
+    # leg; that run must never claim the plain BENCH_LOCAL_r{n}.json
+    # name (round 15's 8-core leg wrote itself as BENCH_LOCAL_r16.json
+    # and would have become round 16's prev-medians yardstick — judge
+    # r15 item 8), so non-default core counts get a _c{cpus} suffix the
+    # prev-medians lookup never matches.
     local_round = (prev_round or 0) + 1
-    local_path = os.path.join(here, f"BENCH_LOCAL_r{local_round}.json")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    suffix = "" if cpus == "32" else f"_c{cpus}"
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{local_round}{suffix}.json")
     try:
         with open(local_path, "w") as fh:
             json.dump(out, fh, indent=1)

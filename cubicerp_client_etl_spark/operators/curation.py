@@ -543,6 +543,13 @@ def ngram_novelty(
     """
     from cubicerp_client_etl_spark.operators.dedup import shingles
 
+    # NOTE (r16 measured): checkpointing the distinct (doc, shingle)
+    # frame for its two consumers (anti-join + totals) read SLOWER at
+    # sf1 (8.4 → 9.9 s A/B median) — the two consumers' distinct
+    # exchanges canonicalize identically, so AQE's runtime exchange
+    # reuse already dedupes the recompute and the checkpoint only adds
+    # a shingle-stream materialization (the triangle_stats/q254
+    # counter-example). Left uncheckpointed deliberately.
     d_sh = docs.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
     ).distinct()

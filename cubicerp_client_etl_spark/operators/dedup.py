@@ -918,24 +918,32 @@ def sorted_neighborhood_pairs(
     # Four consumers (the window slide, the block-size aggregate, the
     # boundary tail and head row sets) all read the ranked frame;
     # checkpoint so the scan + block window run once, not per consumer.
+    # The slide's lead() columns ride the SAME window pass as the
+    # row_number (r16 — one Exchange+Sort of the block frame instead of
+    # two): lead(d) over the UNCAPPED order targets the row with rank
+    # _rn + d, so guarding the successor with ``_rn + d <= block_cap``
+    # reproduces exactly the pairs the old post-filter lead() emitted
+    # (capped-out rows never appear as either side).
+    lead_cols = [
+        F.when(
+            F.col("_rn") + d <= block_cap, F.lead("_id", d).over(w_blk)
+        ).alias(f"_l{d}")
+        for d in range(1, window)
+    ]
     rn = (
         base.withColumn("_rn", F.row_number().over(w_blk))
+        .select("*", *lead_cols)
         .where(F.col("_rn") <= block_cap)
         .localCheckpoint(eager=False)
     )
-    # within-block slide via lead() — one window pass, LINEAR in block
-    # size (a blocked self-join filtered on rn-distance generates
-    # O(block²) rows before the filter; with boilerplate-duplicated
-    # corpora the blocks grow and that form explodes — measured
-    # non-terminating at 10× duplicated docs, caught in round 8)
-    w_cap = W.partitionBy("_blk").orderBy("_rn")
-    lead_cols = [
-        F.lead("_id", d).over(w_cap).alias(f"_l{d}") for d in range(1, window)
-    ]
+    # within-block slide — one window pass, LINEAR in block size (a
+    # blocked self-join filtered on rn-distance generates O(block²)
+    # rows before the filter; with boilerplate-duplicated corpora the
+    # blocks grow and that form explodes — measured non-terminating at
+    # 10× duplicated docs, caught in round 8)
     within = (
-        rn.select(F.col("_id").alias("id_a"), *lead_cols)
-        .select(
-            "id_a",
+        rn.select(
+            F.col("_id").alias("id_a"),
             F.explode(
                 F.array(*[F.col(f"_l{d}") for d in range(1, window)])
             ).alias("id_b"),

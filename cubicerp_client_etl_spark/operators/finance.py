@@ -573,6 +573,17 @@ def cash_application_match(
         )
         s = s.join(live, "_amt")
         i = i.join(live, "_amt")
+    # NOTE (r16 measured, then reverted): a composite (amount,
+    # date-bucket-of-width-max_lag) candidate join key — invoice side
+    # carries its one bucket, statement side explodes into the ≤2
+    # buckets covering [sdt−max_lag, sdt−1] — provably preserves the
+    # candidate set while bounding per-amount collision growth, but
+    # A/B read FLAT at sf0.1 AND sf1 (q313 6.34→6.80 s, q015
+    # 3.76→3.73 s medians): at these scales o_totalprice amounts are
+    # nearly unique, so the plain amount join was never hot and the
+    # explode only added map work. Reverted per the measured-wins-only
+    # discipline; if a real ledger shows amount skew, that form (or
+    # ``hot_amount_cap``) is the remedy.
     lag = F.datediff("_sdt", "_idt")
     cand = (
         s.join(i, "_amt")

@@ -44,6 +44,13 @@ def connected_components(
     ``edges`` may be directed; it is symmetrized internally, so (a,b)
     and (b,a) are equivalent inputs.
 
+    CONTRACT: ``nodes`` must contain every edge endpoint. The label
+    table is keyed on ``nodes`` (the r15 left-join update); an edge
+    endpoint absent from ``nodes`` neither receives a label nor
+    propagates one (the pre-r15 union-based form would have grown the
+    label table with such strays mid-iteration). All in-repo callers
+    pass the full entity table the edges were derived from.
+
     Returns ``(node, component)``.
     """
     # Symmetrize once; propagation then only needs src→dst flow.
@@ -58,10 +65,21 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=False)
 
+    # FRONTIER propagation (r16, guide §2.3 "shuffle fewer bytes"): a
+    # node's outgoing message in round k is its label — identical to
+    # the message it sent the round after its label last changed, and
+    # already folded into every neighbor's min. So only nodes whose
+    # label CHANGED last round need to re-send; the edge join's label
+    # side shrinks from |V| every round to the (rapidly emptying)
+    # changed set. Same fixpoint by min-monotonicity — round k's labels
+    # are min-over-distance-≤k either way — and the convergence round
+    # count is unchanged (an all-nodes round k changes nothing exactly
+    # when the frontier round k changes nothing).
+    frontier = labels
     for _ in range(max_iter):
-        # neighbor labels flowing along edges
+        # neighbor labels flowing along edges — frontier senders only
         prop = (
-            sym.join(labels, sym.src == labels.node)
+            sym.join(frontier, sym.src == frontier.node)
             .select(F.col("dst").alias("node"), "label")
         )
         # One keyed min over incoming labels, then ONE left join back to
@@ -86,6 +104,9 @@ def connected_components(
         # the already-materialized checkpoint blocks.
         changed = upd.filter(F.col("_chg")).count()
         labels = upd.select("node", "label")
+        # next round's senders = exactly the changed nodes (reads the
+        # same checkpoint blocks the probe count just materialized)
+        frontier = upd.filter(F.col("_chg")).select("node", "label")
         if changed == 0:
             break
 

@@ -45,14 +45,33 @@ def exact_cosine_pairs(
     """Exact all-pairs cosine ≥ threshold (``id_a < id_b``, unrounded
     ``cos``) — the numpy-accumulated form of the O(n²) theta join.
 
-    BIT-IDENTICAL to the Catalyst HOF fold and the DuckDB oracle: the
-    dot products accumulate as a d-ordered loop of outer products
-    (``S += V[:,d] ⊗ M[:,d]``), which performs exactly the left-fold
-    addition sequence ``((0 + p₀) + p₁) + …`` the HOF ``aggregate``
-    and ``list_dot_product`` perform per pair — same IEEE operations
-    in the same order, so thresholding and 6-dp rounding can never
-    diverge. A BLAS matmul (pairwise summation) would be ~1-ulp off
-    and is deliberately NOT used.
+    BIT-IDENTICAL to the Catalyst HOF fold and the DuckDB oracle, in
+    two phases (r16 — guide §4.2 "heavy lifting in native code"):
+
+    1. SCREEN: a blocked BLAS matmul computes every pair's cosine to
+       within ~1e-13 absolute (|Σ_blas − Σ_fold| ≤ 2·γ_d·‖a‖‖b‖ by the
+       standard summation error bound + Cauchy–Schwarz, γ_64 ≈ 7e-15,
+       and the norm/÷/√ steps add the same order again). Pairs below
+       ``threshold − 1e-9`` are provably below threshold under the
+       exact fold (margin is ~4 orders of magnitude above the bound)
+       and are discarded without ever computing the fold.
+    2. EXACT: surviving candidate pairs re-accumulate their dot
+       product as the d-ordered loop ``s += va[:,d]·vb[:,d]`` — exactly
+       the left-fold addition sequence ``((0 + p₀) + p₁) + …`` the HOF
+       ``aggregate`` and ``list_dot_product`` perform per pair (same
+       IEEE operations in the same order, norms likewise) — and the
+       threshold/emitted ``cos`` use ONLY these exact values, so
+       results can never diverge from the declared fold by even a bit
+       (pinned by test_exact_cosine_pairs_bit_identical_to_hof_fold,
+       which runs with a threshold that forces every pair through the
+       exact phase).
+
+    The r15 form ran the fold for ALL n·m pairs as d rank-1
+    ``np.outer`` updates of the full scoring block — d full passes
+    over an n·batch matrix (memory-bound: 64×8 GB of traffic per 10k
+    batch at sf1). The screen does one BLAS pass and the exact fold
+    then touches only pairs near/above threshold (the output-sized
+    set), measured ~10x on the q026/q075/q297 family at sf1.
 
     Why this exists: the HOF theta join evaluates the 64-step fold
     expression per pair — measured 61–87 s for 5 000 vectors at sf0.1
@@ -84,46 +103,105 @@ def exact_cosine_pairs(
         )
 
     spark = df.sparkSession
-    rows = df.select(id_col, as_double(vec_col).alias("_v")).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    dim = mat.shape[1] if len(rows) else 0
+    # Arrow-path driver transfer (guide §6): same values, no Row
+    # object per vector
+    pdf0 = df.select(id_col, as_double(vec_col).alias("_v")).toPandas()
+    ids = pdf0[id_col].to_numpy(dtype=np.int64)
+    mat = (
+        np.array(pdf0["_v"].tolist(), dtype=np.float64)
+        if len(pdf0)
+        else np.zeros((0, 0))
+    )
+    dim = mat.shape[1] if len(pdf0) else 0
     norm = np.zeros(len(ids), dtype=np.float64)
     for d in range(dim):  # left-fold order, matching dot(a, a)
         norm += mat[:, d] * mat[:, d]
     bc = spark.sparkContext.broadcast((ids, mat, norm))
     thr = float(threshold)
+    # screen margin: provably > the BLAS-vs-fold cosine error bound
+    # (~1e-13, see docstring) with 4 orders of slack; the exact phase
+    # re-decides every pair inside the margin, so the margin is a
+    # performance knob, never a correctness one
+    _MARGIN = 1e-9
 
     def gen(batches):
         import numpy as _np
         import pandas as _pd
 
         ids_all, m_all, nm_all = bc.value
+        # screen bound per pair: g >= (thr−margin)·√nv·√nm — same
+        # decision as dividing (√ products are positive; zero norms
+        # give bound 0, admitting the pair, and the exact phase's NaN
+        # cosine then drops it exactly as the r15 form did). The
+        # factored √·√ differs from √(nv·nm) by ~1 ulp — inside the
+        # margin. Comparing g against a bound avoids materializing the
+        # quotient matrix (first-touch page cost dominated the cold
+        # run).
+        rnm = _np.sqrt(nm_all)
         for pdf in batches:
             if not len(pdf):
                 continue
             my_ids = pdf["_id"].to_numpy(dtype=_np.int64)
             v = _np.array([list(x) for x in pdf["_v"]], dtype=_np.float64)
-            s = _np.zeros((len(pdf), len(ids_all)), dtype=_np.float64)
+            # exact left-fold self-norms (same op sequence as dot(a,a))
             nv = _np.zeros(len(pdf), dtype=_np.float64)
-            for d in range(v.shape[1]):  # same left-fold order as the HOF
-                s += _np.outer(v[:, d], m_all[:, d])
+            for d in range(v.shape[1]):
                 nv += v[:, d] * v[:, d]
-            c = s / _np.sqrt(_np.outer(nv, nm_all))
-            hit = (c >= thr) & (my_ids[:, None] < ids_all[None, :])
-            i, j = _np.nonzero(hit)
-            if len(i):
+            rnv_t = _np.sqrt(nv) * (thr - _MARGIN)
+            # --- phase 1: blocked BLAS screen (approximate, margin-
+            # guarded). Blocks bound the score matrix to ~128 MB
+            # however large batch × corpus get.
+            bi, bj = 2048, 8192
+            cand_i: list = []
+            cand_j: list = []
+            for i0 in range(0, len(v), bi):
+                vi = v[i0 : i0 + bi]
+                idsi = my_ids[i0 : i0 + bi]
+                for j0 in range(0, len(ids_all), bj):
+                    mj = m_all[j0 : j0 + bj]
+                    g = vi @ mj.T
+                    mask = (
+                        g >= _np.outer(rnv_t[i0 : i0 + bi], rnm[j0 : j0 + bj])
+                    ) & (idsi[:, None] < ids_all[None, j0 : j0 + bj])
+                    ii, jj = _np.nonzero(mask)
+                    if len(ii):
+                        cand_i.append(ii + i0)
+                        cand_j.append(jj + j0)
+            if not cand_i:
+                continue
+            i = _np.concatenate(cand_i)
+            j = _np.concatenate(cand_j)
+            # --- phase 2: exact left-fold recompute, candidates only.
+            # Same IEEE op sequence per pair as the r15 full-matrix
+            # form: s is the d-ordered running sum, the divide/sqrt
+            # composition is element-for-element identical.
+            va = v[i]
+            vb = m_all[j]
+            s = _np.zeros(len(i), dtype=_np.float64)
+            for d in range(va.shape[1]):  # same left-fold order as the HOF
+                s += va[:, d] * vb[:, d]
+            c = s / _np.sqrt(nv[i] * nm_all[j])
+            keep = c >= thr
+            if keep.any():
                 yield _pd.DataFrame(
                     {
-                        "id_a": my_ids[i],
-                        "id_b": ids_all[j],
-                        "cos": c[i, j],
+                        "id_a": my_ids[i[keep]],
+                        "id_b": ids_all[j[keep]],
+                        "cos": c[keep],
                     }
                 )
 
     src = df.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     )
+    # the guarded corpus fits in few parquet row groups, so the bare
+    # scan yields 1-2 tasks and the screen would run nearly serial;
+    # hash-repartitioning the (id, vec) projection by id is a one-time
+    # ~MB-scale shuffle that spreads the O(n·m) screen over the
+    # cluster. Deterministic placement (hash of the id, not rand/
+    # round-robin — guide §2.5), pair set is partition-independent.
+    n_tasks = max(2, int(spark.sparkContext.defaultParallelism))
+    src = src.repartition(n_tasks, "_id")
     return src.mapInPandas(gen, schema="id_a long, id_b long, cos double")
 
 

@@ -113,6 +113,12 @@ WHERE CAST(i.n_inter AS DOUBLE) / (z.sz + ps.psz - i.n_inter) >= 0.01
 )
 def q146_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # NOTE (r16 measured): checkpointing this distinct shingle frame
+    # for its four consumers read SLOWER at sf1 (8.8 → 10.4 s A/B
+    # median) — AQE's runtime exchange reuse already dedupes the
+    # identical distinct exchanges (the q254 counter-example), so the
+    # checkpoint only added a shingle-stream materialization. Left as
+    # plan-level reuse deliberately.
     sh = (
         docs.select(F.col("doc_id"), F.explode(dd.shingles("text", 3)).alias("sh"))
         .distinct()

@@ -28,6 +28,15 @@ def get_spark(
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # numpy/BLAS inside Python workers must be single-threaded: Spark
+    # already runs one worker per core, so a default-threaded OpenBLAS
+    # (32 threads × 32 workers) oversubscribes the box ~1000x and the
+    # first heavy mapInPandas batch stalls in thread churn (r16
+    # measured: q026's first-run screen 37.8 s vs 4 s steady-state).
+    # Workers inherit the driver process env in local mode; setdefault
+    # so an operator that truly wants threads can override.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .config(
