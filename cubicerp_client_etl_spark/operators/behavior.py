@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.functions import e6_floor_ratio
+from cubicerp_client_etl_spark.checkpointing import pin
 
 
 def funnel_steps(
@@ -469,7 +470,7 @@ def rfm_segmentation(
             F.count(F.lit(1)).cast("bigint").alias("_f"),
             F.sum(F.col(amount_col)).cast("bigint").alias("_m"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     n_row = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from cubicerp_client_etl_spark.checkpointing import pin
 
 
 def _assign_expr(vec: F.Column, centroids: list[list[int]]) -> F.Column:
@@ -91,7 +92,7 @@ def kmeans_int(
             F.col(vec_col), lambda x: (x + F.lit(shift)).cast("bigint")
         ).alias("_v"),
     )
-    shifted = shifted_src.localCheckpoint(eager=False)
+    shifted = shifted_src.transform(pin)
     seed_rows = shifted.orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")

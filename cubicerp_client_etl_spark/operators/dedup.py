@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.functions import e6_floor_ratio
+from cubicerp_client_etl_spark.checkpointing import pin
 
 
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
@@ -285,9 +286,7 @@ def lsh_candidate_pairs(
     # expensive upstream shuffle — runs once, not per consumer.
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash").localCheckpoint(
-        eager=False
-    )
+    ).select(id_col, "band.band_id", "band.band_hash").transform(pin)
     if hot_band_cap is not None:
         hot = (
             banded.groupBy("band_id", "band_hash")
@@ -331,7 +330,7 @@ def jaccard_pairs(
     sh = (
         df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.withColumnRenamed(id_col, "id_a")
@@ -687,14 +686,27 @@ def _setsim_prefix_tokens(
     num: int,
     den: int,
     hot_cap: int | None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The AllPairs/PPJoin prefix build shared by ``setsim_join`` and
-    the near-dup candidate datasheet (q040, birth q292): returns ``(base, pref)``
-    where ``base = (_id, _set, _sz)`` holds each document's sorted
-    shingle set over the (possibly hot-capped) universe and ``pref =
-    (_id, _sz, _t)`` is the exploded rarest-first prefix tokens —
-    exactly the join key stream whose bucket occupancy decides the
-    candidate volume."""
+    the near-dup candidate datasheet (q040, birth q292): returns
+    ``(base, pref, codes)`` where ``base = (_id, _set, _sz)`` holds
+    each document's sorted shingle set over the (possibly hot-capped)
+    universe, ``pref = (_id, _sz, _pos, _t, _code)`` is the exploded
+    rarest-first prefix tokens (with 1-based rarest-first position and
+    the token's integer code — the join key stream whose bucket
+    occupancy decides the candidate volume), and ``codes = (_id, _sz,
+    _codes)`` carries each doc's full set as an ``array<long>`` of
+    codes for the verify intersection.
+
+    Token codes (r16): ``freq`` assigns every distinct shingle an
+    int64 via ``monotonically_increasing_id()``, FROZEN by the freq
+    checkpoint so every consumer sees one consistent assignment. The
+    map is injective by construction (partition-id ⊕ per-partition
+    counter), so ``|A ∩ B|`` over code arrays equals the intersection
+    size over the shingle strings EXACTLY — the verify then hashes
+    8-byte longs instead of ~20-char strings (measured the dominant
+    setsim cost at sf1), and the candidate equi-join keys narrow the
+    same way (guide §2.3)."""
     from cubicerp_client_etl_spark.catalog import widen_scan
     from cubicerp_client_etl_spark.operators.curation import shingles as _sh
 
@@ -713,14 +725,15 @@ def _setsim_prefix_tokens(
         )
         .filter(F.size("_set") > 0)
         .withColumn("_sz", F.size("_set").cast("bigint"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     freq = (
         base.select(F.explode("_set").alias("_t"))
         .groupBy("_t")
         .agg(F.count("*").alias("_f"))
-        .localCheckpoint(eager=False)
+        .withColumn("_code", F.monotonically_increasing_id())
+        .transform(pin)
     )
     if hot_cap is not None:
         # rebuild every document's set over the capped universe: sizes,
@@ -734,19 +747,24 @@ def _setsim_prefix_tokens(
             .groupBy("_id")
             .agg(F.array_sort(F.collect_set("_t")).alias("_set"))
             .withColumn("_sz", F.size("_set").cast("bigint"))
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
     # per-doc shingles ordered rarest-first; prefix length
-    # p = sz - ceil(num*sz/den) + 1  (exact integer ceil-div)
+    # p = sz - ceil(num*sz/den) + 1  (exact integer ceil-div).
+    # ONE keyed aggregate yields both the prefix struct slice and the
+    # full code array ((_f,_t) is unique per token, so the struct sort
+    # never reaches the _code tiebreak — order identical to the
+    # pre-code form); checkpointed because the prefix explode (twice,
+    # as both candidate-join sides) and the two verify sides all
+    # re-read it.
     ordered = (
         base.select("_id", "_sz", F.explode("_set").alias("_t"))
         .join(freq, "_t")
         .groupBy("_id", "_sz")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_f", "_t"))),
-                lambda s: s["_t"],
-            ).alias("_ord")
+            F.array_sort(
+                F.collect_list(F.struct("_f", "_t", "_code"))
+            ).alias("_os")
         )
         .withColumn(
             "_p",
@@ -757,14 +775,29 @@ def _setsim_prefix_tokens(
         .select(
             "_id",
             "_sz",
-            F.slice("_ord", 1, F.col("_p").cast("int")).alias("_pref"),
+            F.slice("_os", 1, F.col("_p").cast("int")).alias("_prefs"),
+            F.transform("_os", lambda s: s["_code"]).alias("_codes"),
         )
+        .transform(pin)
     )
-    # consumed as BOTH sides of the candidate self-join
-    pref = ordered.select(
-        "_id", "_sz", F.explode("_pref").alias("_t")
-    ).localCheckpoint(eager=False)
-    return base, pref
+    # consumed as BOTH sides of the candidate self-join. ``_pos`` is
+    # the token's 1-based position in the doc's rarest-first order
+    # (prefix tokens are the first p of that order, so the prefix
+    # index IS the set index) — setsim_join's positional filter
+    # (PPJoin, Xiao et al. WWW'08) needs it; other consumers ignore it.
+    pref = (
+        ordered.select("_id", "_sz", F.posexplode("_prefs").alias("_i", "_s"))
+        .select(
+            "_id",
+            "_sz",
+            (F.col("_i") + 1).alias("_pos"),
+            F.col("_s._t").alias("_t"),
+            F.col("_s._code").alias("_code"),
+        )
+        .transform(pin)
+    )
+    codes = ordered.select("_id", "_sz", "_codes")
+    return base, pref, codes
 
 
 def setsim_join(
@@ -819,25 +852,53 @@ def setsim_join(
         raise ValueError("threshold must be a fraction in (0, 1]")
     if hot_cap is not None and hot_cap < 1:
         raise ValueError("hot_cap must be >= 1")
-    base, pref = _setsim_prefix_tokens(
+    base, pref, codes = _setsim_prefix_tokens(
         docs, text_col, id_col, shingle_n, num, den, hot_cap
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # POSITIONAL filter (r16 — PPJoin's second pruning rule, Xiao et
+    # al. WWW'08): for a shared token at 1-based rarest-first
+    # positions (ia, jb), common tokens strictly before it number
+    # ≤ min(ia−1, jb−1) and from it onward ≤ 1 + min(|a|−ia, |b|−jb) —
+    # both docs sort by the SAME global (freq, token) order, so the
+    # index bounds hold exactly, and a true-positive pair satisfies
+    # the bound at EVERY shared prefix token (per-occurrence pruning
+    # loses nothing). The r15 form verified 31.2M candidate pairs at
+    # sf1 to keep 250.6k; this bound prunes before the distinct.
+    ia, jb = F.col("a._pos"), F.col("b._pos")
+    ubound = (
+        F.least(ia - F.lit(1), jb - F.lit(1))
+        + F.lit(1)
+        + F.least(F.col("a._sz") - ia, F.col("b._sz") - jb)
+    )
+    # candidate equi-join on the token's int64 CODE, not the shingle
+    # string (guide §2.3 — narrower join keys, identical matches by
+    # injectivity of the code map)
     cand = (
         a.join(
             b,
-            (F.col("a._t") == F.col("b._t"))
+            (F.col("a._code") == F.col("b._code"))
             & (F.col("a._id") < F.col("b._id"))
             # length filter: den*min >= num*max
-            & (den * F.least("a._sz", "b._sz") >= num * F.greatest("a._sz", "b._sz")),
+            & (den * F.least("a._sz", "b._sz") >= num * F.greatest("a._sz", "b._sz"))
+            # positional filter: the overlap upper bound must clear
+            # the verify threshold (same integer inequality form)
+            & ((den + num) * ubound >= num * (F.col("a._sz") + F.col("b._sz"))),
         )
         .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
         .distinct()
     )
-    sa = base.select(F.col("_id").alias("_ida"), F.col("_set").alias("_seta"),
-                     F.col("_sz").alias("_sza"))
-    sb = base.select(F.col("_id").alias("_idb"), F.col("_set").alias("_setb"),
-                     F.col("_sz").alias("_szb"))
+    # verify over int64 code arrays — |∩| equals the string-set
+    # intersection size exactly (injective map); hashing 8-byte longs
+    # instead of shingle strings through array_intersect was the
+    # dominant setsim cost at sf1. Join strategy stays AQE's choice
+    # (a forced shuffle-hash was measured 5x WORSE at sf1: it replaced
+    # the runtime broadcast of the doc-bounded set side with a full
+    # shuffle of every candidate's attached set).
+    sa = codes.select(F.col("_id").alias("_ida"), F.col("_codes").alias("_seta"),
+                      F.col("_sz").alias("_sza"))
+    sb = codes.select(F.col("_id").alias("_idb"), F.col("_codes").alias("_setb"),
+                      F.col("_sz").alias("_szb"))
     verified = (
         cand.join(sa, "_ida")
         .join(sb, "_idb")
@@ -934,7 +995,7 @@ def sorted_neighborhood_pairs(
         base.withColumn("_rn", F.row_number().over(w_blk))
         .select("*", *lead_cols)
         .where(F.col("_rn") <= block_cap)
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # within-block slide — one window pass, LINEAR in block size (a
     # blocked self-join filtered on rn-distance generates O(block²)
@@ -1139,9 +1200,7 @@ def simhash_chunk_candidates(
                 ]
             )
         ).alias("_c"),
-    ).select("_id", "_f", "_c.chunk_id", "_c.chunk").localCheckpoint(
-        eager=False
-    )  # consumed by both join sides (+ the hot census when capped);
+    ).select("_id", "_f", "_c.chunk_id", "_c.chunk").transform(pin)  # consumed by both join sides (+ the hot census when capped);
     # upstream is the caller's fingerprint build — run it once
 
     hot_flags = None

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.functions import e6_floor_ratio
+from cubicerp_client_etl_spark.checkpointing import pin
 
 
 def unigram_drift(
@@ -98,7 +99,7 @@ def source_overlap_matrix(
     # caller's shingle explode + the distinct run once.
     d = sh.select(
         F.col(group_col).alias("_g"), F.col(sh_col).alias("_sh")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(pin)
     sizes = d.groupBy("_g").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     # NOTE (r15 measured): a collect_set-per-shingle + pair-explode
     # rewrite of this self-join (aggregate-before-shuffle) measured ~1 s

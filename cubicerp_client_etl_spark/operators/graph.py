@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from cubicerp_client_etl_spark.checkpointing import pin
 
 
 def connected_components(
@@ -57,13 +58,13 @@ def connected_components(
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = fwd.union(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
 
     # Labels stay in the node id's native (orderable) type: casting to
     # long would silently NULL out string ids like 'c:123'/'s:45'.
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
 
     # FRONTIER propagation (r16, guide §2.3 "shuffle fewer bytes"): a
     # node's outgoing message in round k is its label — identical to
@@ -97,7 +98,7 @@ def connected_components(
                 F.least("label", "_plabel").alias("label"),
                 (F.col("_plabel") < F.col("label")).alias("_chg"),
             )
-            .localCheckpoint(eager=False)  # truncate lineage per round
+            .transform(pin)  # truncate lineage per round
         )
         # Scalar convergence probe (type-agnostic, no collect of node
         # data): count of nodes whose label changed this round — rides
@@ -153,14 +154,12 @@ def pagerank_int(
     # form re-joined deg inside every iteration AND recomputed the
     # caller's edge pipeline (often a join+distinct over fact tables)
     # once per round — 5 iterations paid the edge build 5 times.
-    ed = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint(
-        eager=False
-    )
+    ed = edges.join(deg, "src").select("src", "dst", "deg").transform(pin)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     base = F.lit((100 - damping_pct) * unit // 100).cast("long")
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("units"))
@@ -189,7 +188,7 @@ def pagerank_int(
                 ).cast("long").alias("units"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.transform(pin)
     return ranks
 
 
@@ -246,7 +245,7 @@ def pointer_jump_roots(
                 F.coalesce(F.col("_mp"), F.col("_p")).alias("_p"),
                 (F.col("_d") + F.coalesce(F.col("_md"), F.lit(0))).alias("_d"),
             )
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
     out = cur.select(
         F.col("_n").alias(node_col),

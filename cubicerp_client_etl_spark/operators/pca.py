@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from cubicerp_client_etl_spark.checkpointing import pin_eager
 
 V_SCALE = 1000  # max-abs of every normalized iterate
 
@@ -132,7 +133,7 @@ def scatter_matrix(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     agg = (
         parts.groupBy("i", "j")
         .agg(F.sum("p").cast("bigint").alias("_sqq"))
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     cross = agg.where((F.col("i") > 0) & (F.col("j") > 0))
     firsts = agg.where((F.col("i") > 0) & (F.col("j") == 0)).select(
@@ -281,7 +282,7 @@ def scatter_matrix_by(vecs: DataFrame, key_col: str) -> DataFrame:
     agg = (
         parts.groupBy(key_col, "i", "j")
         .agg(F.sum("p").cast("bigint").alias("_sqq"))
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     cross = agg.where((F.col("i") > 0) & (F.col("j") > 0))
     firsts = agg.where((F.col("i") > 0) & (F.col("j") == 0)).select(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from cubicerp_client_etl_spark.checkpointing import pin_eager
 
 _RESERVED = ("_pid", "_local", "_off", "_ptot")
 
@@ -67,7 +68,7 @@ def prefix_sum(
     ranged = (
         df.repartitionByRange(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     w_local = (
         Window.partitionBy("_pid")
@@ -113,7 +114,7 @@ def prefix_sum_multi(
     ranged = (
         df.repartitionByRange(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     w_local = (
         Window.partitionBy("_pid")
@@ -190,7 +191,7 @@ def prefix_sum_by(
     ranged = (
         df.repartitionByRange(*key_cols, *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     w_local = (
         Window.partitionBy(*keys, "_pid")
@@ -251,7 +252,7 @@ def prefix_min_strict(
     ranged = (
         df.repartitionByRange(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin_eager)
     )
     w_local = (
         Window.partitionBy("_pid")

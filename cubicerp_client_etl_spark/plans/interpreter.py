@@ -42,6 +42,7 @@ from cubicerp_client_etl_spark.sinks.writers import (
 from cubicerp_client_etl_spark.sources.csv_source import read_csv_resource
 from cubicerp_client_etl_spark.sources.fixed_width import FWColumn, read_fixed_width
 from cubicerp_client_etl_spark.sources.inline import read_inline_payload
+from cubicerp_client_etl_spark.checkpointing import pin_eager
 
 
 def _ftp_transport(server):
@@ -137,7 +138,7 @@ def extract(spark: SparkSession, job: JobSpec) -> DataFrame:
             # the reference runs sql_end after fetchall(); a lazy plan
             # must materialize first or teardown would race the read —
             # localCheckpoint pins the rows, then teardown runs.
-            df = df.localCheckpoint(eager=True)
+            df = df.transform(pin_eager)
             spark.sql(render_date_template(res.sql_end, job.run_date)).collect()
     elif res.f_type == "parquet":
         df = spark.read.parquet(path)

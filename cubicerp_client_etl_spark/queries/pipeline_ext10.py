@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
+from cubicerp_client_etl_spark.checkpointing import pin
 
 # --------------------------------------------------------------------------
 # q007 (birth q258) — Salted skew join (operators/lookups.salted_join): the
@@ -427,7 +428,7 @@ def q010_three_way_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("price_cents"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     po = base.select("l_orderkey", "l_linenumber", "qty", "price_cents")
     rcv = base.where(F.col("lk") % 53 != 0).select(
         "l_orderkey",

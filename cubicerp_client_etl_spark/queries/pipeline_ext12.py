@@ -292,7 +292,7 @@ def q040_neardup_candidate_datasheet(
 
     # family 3: setsim rarest-first prefix buckets (the q212 join key —
     # the same helper setsim_join blocks on)
-    _base, pref = _setsim_prefix_tokens(
+    _base, pref, _codes = _setsim_prefix_tokens(
         toked, "text", "doc_id", shingle_n=3, num=1, den=2, hot_cap=None
     )
     ss_buckets = pref.groupBy("_t").agg(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
+from cubicerp_client_etl_spark.checkpointing import pin
 
 # --------------------------------------------------------------------------
 # q165 — SemDeDup semantic deduplication (operators/semdedup.py):
@@ -153,7 +154,7 @@ def q292_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three consumers (the k-derivation count, the k-means input, the
     # dedup verify input) — checkpoint so quantize+twin-union runs once
-    allq = quant.unionByName(twins).localCheckpoint(eager=False)
+    allq = quant.unionByName(twins).transform(pin)
     # k derives from ONE scalar count (the q038 rule) so cells stay
     # ~_SD_CELL vectors and pair volume is linear in n — see _SD_CELL
     n_vecs = allq.count()

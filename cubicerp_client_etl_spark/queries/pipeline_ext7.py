@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.queries import register
+from cubicerp_client_etl_spark.checkpointing import pin
 
 # --------------------------------------------------------------------------
 # q259 (birth q009) — Winnowing fingerprints (operators/winnow.py; Schleimer et al.
@@ -323,7 +324,7 @@ def q239_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         dsir_bucket(F.col("t"), _DSIR_B).alias("_b"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     weights = dsir_bucket_weights(
         toks_b,
         toks_b.where(F.col("lang") == "en"),
@@ -623,11 +624,11 @@ def q262_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join and the LSH candidate join each run once
     truth = dd.exact_jaccard_truth(
         dupped, "doc_id", "text", shingle_n=3, threshold_e6=500000, df_cap=64
-    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    ).select("id_a", "id_b").transform(pin)
     sigs = dd.minhash_signatures(dupped, "doc_id", "text", num_hashes=32, portable=True)
     cand = dd.lsh_candidate_pairs(
         sigs, "doc_id", num_hashes=32, bands=8, portable=True
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     ncand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     tp = cand.join(truth, ["id_a", "id_b"]).agg(

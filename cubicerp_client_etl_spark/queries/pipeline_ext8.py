@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from cubicerp_client_etl_spark.catalog import load
 from cubicerp_client_etl_spark.functions import hi_lo_bigint
 from cubicerp_client_etl_spark.queries import register
+from cubicerp_client_etl_spark.checkpointing import pin
 
 # --------------------------------------------------------------------------
 # q282 (birth q216) — Luhn-validated payment-card PII audit (operators/text.py
@@ -424,7 +425,7 @@ def q029_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_SNM_W,
         prefix_len=_SNM_P,
         block_cap=10_000,
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     ver = jaccard_pairs(
         docs, pairs.select("id_a", "id_b").distinct(), "doc_id", "text", 3
     )

@@ -66,6 +66,15 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Checkpoint posture knob (r16): with a reliable directory
+    # configured, every engine pin (checkpointing.pin/pin_eager)
+    # switches from localCheckpoint (fast, executor-local,
+    # NOT fault-tolerant) to reliable checkpoint() into this directory
+    # (survives executor loss — the 100 TB posture). Unset locally:
+    # the single-box bench keeps the cheap local form.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
     return spark
 
 
