@@ -47,9 +47,21 @@ def shingles(
     else:
         c = F.col(text_col) if isinstance(text_col, str) else text_col
         toks = F.split(F.lower(F.trim(c)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # r16 (guide §1.2 "per-task work"): build shingles as a zip_with
+    # chain over shifted views instead of transform(sequence →
+    # slice+concat) — one pass, no per-offset subarray allocation;
+    # measured 5.9 → 1.25 s for the sf1 corpus explode, byte-identical
+    # strings (concat_ws left-to-right equals joining the slice). The
+    # zip pads the shorter (shifted) side with nulls, which concat_ws
+    # skips — those truncated tail entries sit at positions
+    # > size−n+1 and the final slice discards them.
+    acc = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+        acc = F.zip_with(acc, nxt, lambda x, y: F.concat_ws(" ", x, y))
+    body = F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        body
     )
 
 
